@@ -1,13 +1,152 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator from SURVEY.md §2
+  * (plus the north-star LLM-pipeline operators); `oracleSql` carries the
+  * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+  * Column names and row order are aligned on both sides; double
+  * aggregates are routed through exact decimal arithmetic
+  * ([[SqlCompat]]) so the hash compare is engine-stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gold_group_count" -> (RelationalQueries.goldGroupCount _),
+    "q_silver_dedup"     -> (RelationalQueries.silverDedup _),
+    "q_incremental_scan" -> (RelationalQueries.incrementalScan _),
+    "q_topk_latest"      -> (RelationalQueries.topkLatest _),
+    "q1_pricing_summary" -> (RelationalQueries.pricingSummary _),
+    "q3_revenue_topk"    -> (RelationalQueries.revenueTopk _),
+    "q5_nation_revenue"  -> (RelationalQueries.nationRevenue _),
+    "q_orders_per_cust"  -> (RelationalQueries.ordersPerCustomer _),
+    "q_window_running"   -> (RelationalQueries.windowRunning _),
+    "q_rollup"           -> (RelationalQueries.rollupSummary _),
+    "q_semi_anti"        -> (RelationalQueries.semiAntiCustomers _),
+    "q_setops"           -> (RelationalQueries.setOpsNations _),
+    "q_scalar_datetime"  -> (RelationalQueries.scalarDatetime _),
+    "q_distinct_agg"     -> (RelationalQueries.distinctAgg _),
+    "q_json_extract"     -> (RelationalQueries.jsonExtract _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_gold_group_count" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS total_count
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_silver_dedup" ->
+      """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q_incremental_scan" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts > TIMESTAMP '2024-01-28 00:00:00' ORDER BY event_id""".stripMargin,
+
+    "q_topk_latest" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_revenue_topk" ->
+      """SELECT l_orderkey, o_orderdate, CAST(rev_d AS DOUBLE) AS revenue FROM (
+        |  SELECT l_orderkey, o_orderdate,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2 ORDER BY rev_d DESC, l_orderkey LIMIT 10)
+        |ORDER BY revenue DESC, l_orderkey""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_orders_per_cust" ->
+      """SELECT c_custkey, c_name, n_orders, total_spend FROM (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 12) o
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, rn, running_value FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS flag FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS flag FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey, flag""".stripMargin,
+
+    "q_setops" ->
+      """SELECT nationkey, side FROM (
+        |  SELECT nationkey, 'both' AS side FROM
+        |    (SELECT c_nationkey AS nationkey FROM customer
+        |     INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nationkey, 'customer_only' AS side FROM
+        |    (SELECT c_nationkey AS nationkey FROM customer
+        |     EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY nationkey, side""".stripMargin,
+
+    "q_scalar_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       substring(upper(o_orderpriority), 1, 3) AS prio3,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users,
+        |       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * One `spark.read.parquet` per table — schema comes from the parquet
+  * footer (the reference also infers all schemas; SURVEY.md §1.3).
+  * Reads are lazy `DataFrame`s: Catalyst pushes filters/projections
+  * into the vectorized parquet scan, so callers should never pre-cache
+  * or collect here.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
+    * microseconds — exactly what DuckDB does on the same file, so the
+    * oracle compare stays exact. Integer division (`div`) avoids the
+    * double-precision loss a `/ 1000` would give on epoch-nanos longs.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{SqlCompat, Tables}
+import graft.SqlCompat._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational pack: the reference's own operator inventory
+  * (SURVEY.md §2 — scan, incremental filter, dedup, grouped count,
+  * top-1-by-timestamp) plus the join/window/rollup/set-op surface a
+  * Spark-native engine must carry to be a drop-in analytics layer.
+  *
+  * Every query here is paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]]; all orderings are total (explicit
+  * tiebreak columns) and all double aggregates go through
+  * [[graft.SqlCompat]] so results are engine-stable.
+  *
+  * Scale notes (100 TB): every query is a declarative plan — filters
+  * and projections reach the parquet scan, aggregations run
+  * partial+final, small dimension tables are broadcast explicitly, and
+  * nothing collects to the driver.
+  */
+object RelationalQueries {
+
+  /** Reference A1 (dags/etl.py:86): grouped identity count — the Gold
+    * metric `groupBy(identity cols).agg(count(*) as total_count)`.
+    */
+  def goldGroupCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("total_count"))
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Reference A3 (dags/etl.py:68): exact duplicate elimination over
+    * all columns — Catalyst rewrites to a hash aggregate on all cols,
+    * which shuffles once and scales linearly.
+    */
+  def silverDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .dropDuplicates()
+      .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
+  /** Reference S2 (dags/etl.py:40-41): incremental high-watermark scan.
+    * Expressed as a plain filter so Catalyst pushes it into the parquet
+    * scan (`PushedFilters: [GreaterThan(ts, ...)]`) — at 100 TB this is
+    * the difference between reading one day and reading the lake.
+    */
+  def incrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .filter($"ts" > lit(java.sql.Timestamp.valueOf("2024-01-28 00:00:00")))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** Reference O1 (constant.py:74-78): latest-N by timestamp —
+    * `TakeOrderedAndProject`, no full sort, no full shuffle.
+    */
+  def topkLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .orderBy($"ts".desc, $"event_id".desc)
+      .limit(10)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+  }
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial+final
+    * hash-aggregate. Group keys are low-cardinality so the map-side
+    * combine collapses almost all rows before the shuffle.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumd($"l_quantity").as("sum_qty"),
+        sumd($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        avgd($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped: selective dimension filter → fact join → top-k
+    * revenue. Customer filter is applied before the join; orders→
+    * lineitem join shuffles on the join key; final top-k is
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def revenueTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord  = t.orders.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate")
+    t.lineitem
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev_d"))
+      .orderBy($"rev_d".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"o_orderdate", $"rev_d".cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+  }
+
+  /** TPC-H Q5-shaped: star join through supplier→nation→region with
+    * all three dimensions broadcast (they are tiny at any scale factor;
+    * nation/region are bounded at 25/5 rows even at 100 TB).
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dims = t.supplier
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region.filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"n_name")
+    t.lineitem
+      .join(broadcast(dims), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev_d"))
+      .select($"n_name", $"rev_d".cast("double").as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** Join + aggregate + HAVING: customers by order volume. */
+  def ordersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           sumd($"o_totalprice").as("total_spend"))
+      .filter($"n_orders" >= 12)
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"n_orders", $"total_spend")
+      .orderBy($"c_custkey")
+  }
+
+  /** Window functions: per-user event sequence numbers and running
+    * sums. Single shuffle on the partition key, then a sorted window
+    * scan — the canonical sessionization substrate.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter($"rn" <= 3)
+      .select($"user_id", $"event_id", $"rn", $"running_value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  /** ROLLUP hierarchy totals (subtotals + grand total in one pass). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sumd($"l_quantity").as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+        $"n", $"qty")
+      .orderBy($"rflag", $"lstatus")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): order-holding vs dormant
+    * customers. Left-semi/anti avoid materializing the right side's
+    * payload — at scale these are the cheap existence checks.
+    */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ordKeys = t.orders.select($"o_custkey")
+    val has = t.customer.join(ordKeys, $"c_custkey" === $"o_custkey", "left_semi")
+      .withColumn("flag", lit("has_orders"))
+    val not = t.customer.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .withColumn("flag", lit("no_orders"))
+    has.unionByName(not)
+      .select($"c_custkey", $"flag")
+      .orderBy($"c_custkey", $"flag")
+  }
+
+  /** Set operations: nation keys served by both customers and
+    * suppliers (INTERSECT), tagged and unioned with the EXCEPT side so
+    * both operators are exercised in one deterministic result.
+    */
+  def setOpsNations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val c = t.customer.select($"c_nationkey".as("nationkey"))
+    val s = t.supplier.select($"s_nationkey".as("nationkey"))
+    val both = c.intersect(s).withColumn("side", lit("both"))
+    val onlyC = c.except(s).withColumn("side", lit("customer_only"))
+    both.unionByName(onlyC).orderBy($"nationkey", $"side")
+  }
+
+  /** Scalar function surface: date parts, string case/substring, and
+    * decimal-stable money totals, grouped by calendar month.
+    */
+  def scalarDatetime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy(
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        substring(upper($"o_orderpriority"), 1, 3).as("prio3"))
+      .agg(count(lit(1)).as("n"), sumd($"o_totalprice").as("total"))
+      .orderBy($"yr", $"mo", $"prio3")
+  }
+
+  /** Distinct aggregates: exact distinct-user counts per event type.
+    * (countDistinct expands to a two-phase aggregate; the approx_
+    * count_distinct variant for 100 TB lives in the bench notes.)
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("distinct_users"),
+        count(lit(1)).as("n"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Semi-structured: JSON field extraction from the events payload
+    * (reference F4 — exampledag.pyc parsed a JSON API payload).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sumd($"value").as("sum_value"))
+      .orderBy($"k")
+  }
+}
