@@ -14,9 +14,14 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the reference's entire analytic content end-to-end: the
+    * bronze→silver→gold medallion pipeline (incremental watermark
+    * extract, exact dedup, grouped identity count) through real
+    * versioned lake tables.
+    */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+    LakeQueries.pipelineGold(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -35,6 +40,13 @@ object SparkEntry {
     "q_scalar_datetime"  -> (RelationalQueries.scalarDatetime _),
     "q_distinct_agg"     -> (RelationalQueries.distinctAgg _),
     "q_json_extract"     -> (RelationalQueries.jsonExtract _),
+    "lake_snapshot_append"  -> (LakeQueries.snapshotAppend _),
+    "lake_time_travel"      -> (LakeQueries.timeTravel _),
+    "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
+    "lake_update_delete"    -> (LakeQueries.updateDelete _),
+    "lake_compact"          -> (LakeQueries.compactRoundtrip _),
+    "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
+    "pipeline_gold"         -> (LakeQueries.pipelineGold _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +160,39 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_snapshot_append" ->
+      """SELECT * FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
+
+    "lake_time_travel" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "lake_merge_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_nationkey < 5 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'NEW A', CAST(0 AS INT), 100.0, 'BUILDING'
+        |UNION ALL SELECT CAST(-2 AS BIGINT), 'NEW B', CAST(1 AS INT), 200.0, 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "lake_update_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN -c_acctbal ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE NOT (c_nationkey >= 20)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "lake_compact" ->
+      """SELECT * FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
+
+    "lake_partition_prune" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "pipeline_gold" ->
+      "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",
   )
 }

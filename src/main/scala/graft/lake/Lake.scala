@@ -1,0 +1,216 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Iceberg-semantics lake table layer over versioned Parquet
+  * snapshots.
+  *
+  * The reference writes catalog-qualified Iceberg tables with
+  * `format("iceberg").mode("overwrite").saveAsTable(...)` and enables
+  * the Iceberg session extensions (MERGE/UPDATE/DELETE, time travel,
+  * compaction) without exercising them
+  * (/root/reference/dags/etl.py:49-54, dags/utils/constants/constant.py:43-50).
+  * No Iceberg runtime jar exists for Spark 4.1/Scala 2.13 in this
+  * offline env (SURVEY.md §7.1), so this layer re-implements the
+  * *semantics* natively:
+  *
+  *   - immutable snapshot data directories + JSON manifests under
+  *     `_versions/`; readers resolve a version first, then read only
+  *     that version's immutable files → snapshot isolation (the
+  *     behavior the reference's `iceberg-concurrent-write-isolation-test`
+  *     session probed);
+  *   - commits claim `vN.claim` with an atomic exclusive create, write
+  *     the manifest to a temp file, and atomically rename it to
+  *     `vN.json` — readers only ever see complete manifests;
+  *   - overwrite / append / compact / delete / update / merge each
+  *     produce a new snapshot; old versions stay readable (time travel).
+  *
+  * Layout (relocatable — manifests hold paths relative to the table root):
+  * {{{
+  *   warehouse/<namespace>/<table>/
+  *     _versions/v00000001.json       manifest per committed snapshot
+  *     data/<uuid>/part-*.parquet     immutable per-commit data dirs
+  * }}}
+  *
+  * Scale notes: manifests store data *directories*, one per commit, so
+  * manifest size grows with commits, not files; `compact()` folds all
+  * dirs into one sized-partition dir. Partitioned tables
+  * (`partitionBy`) keep hive-style dirs inside each commit dir and are
+  * read with `basePath`, so Catalyst partition-prunes within every
+  * commit dir.
+  */
+final case class Snapshot(
+    version: Long,
+    op: String,
+    dirs: Seq[String],          // relative to table root
+    partitionBy: Seq[String],
+    schemaJson: String,
+    timestampMs: Long) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+sealed trait WriteMode
+object WriteMode {
+  case object Overwrite extends WriteMode
+  case object Append extends WriteMode
+}
+
+final class LakeTable(val spark: SparkSession, val root: Path) {
+  private def versionsDir: Path = root.resolve("_versions")
+
+  private def manifestPath(v: Long): Path = versionsDir.resolve(f"v$v%08d.json")
+
+  def history: Seq[Snapshot] = {
+    if (!Files.isDirectory(versionsDir)) return Nil
+    Files.list(versionsDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap(p => Manifest.read(p))
+  }
+
+  def latest: Option[Snapshot] = history.lastOption
+
+  /** Read the table at `version` (latest when None). Immutable snapshot
+    * dirs mean a concurrent overwrite never affects a running read.
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => Manifest.read(manifestPath(v))
+        .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))
+      case None => latest
+        .getOrElse(throw new IllegalArgumentException(s"empty lake table at $root"))
+    }
+    val reader = spark.read.schema(snap.schema)
+    val frames = snap.dirs.map { d =>
+      val abs = root.resolve(d).toString
+      (if (snap.partitionBy.nonEmpty) reader.option("basePath", abs) else reader)
+        .parquet(abs)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Optimistic commit: claim the next version with an atomic exclusive
+    * create, then publish the manifest with an atomic rename. Loser of
+    * a claim race waits for the winner's manifest and rebases (so
+    * concurrent appends serialize without losing either commit).
+    */
+  private[lake] def commit(op: String, newDirs: Seq[String], carryForward: Boolean,
+                           partitionBy: Seq[String], schemaJson: String): Snapshot = {
+    Files.createDirectories(versionsDir)
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val base = latest
+      val next = base.map(_.version).getOrElse(0L) + 1
+      val claim = versionsDir.resolve(f"v$next%08d.claim")
+      val claimed =
+        try { Files.createFile(claim); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        val dirs = (if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil) ++ newDirs
+        val snap = Snapshot(next, op, dirs, partitionBy, schemaJson, System.currentTimeMillis())
+        val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
+        Files.writeString(tmp, Manifest.toJson(snap))
+        Files.move(tmp, manifestPath(next), StandardCopyOption.ATOMIC_MOVE)
+        return snap
+      }
+      // claim race lost: wait for the winner's manifest, then rebase
+      Thread.sleep(5)
+    }
+    throw new IllegalStateException(s"could not commit to $root after $attempts attempts")
+  }
+
+  /** Write a new snapshot. Overwrite replaces the file set (the
+    * reference's only mode, dags/etl.py:53); Append carries prior dirs
+    * forward untouched.
+    */
+  def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil): Snapshot = {
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    val target = root.resolve(dirName)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(target.toString)
+    val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
+    commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
+      partitionBy = partitionBy, schemaJson = df.schema.json)
+  }
+
+  /** Small-file compaction (the `rewrite_data_files` capability the
+    * reference enables via the Iceberg extensions): rewrite the current
+    * snapshot into `targetPartitions` sized files in a single new dir.
+    * Data is unchanged — only layout.
+    */
+  def compact(targetPartitions: Int): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val df = read(None).repartition(targetPartitions)
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    val writer = df.write.mode("overwrite")
+    (if (snap.partitionBy.nonEmpty) writer.partitionBy(snap.partitionBy: _*) else writer)
+      .parquet(root.resolve(dirName).toString)
+    commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson)
+  }
+}
+
+private object Manifest {
+  // Hand-rolled (de)serialization over the tiny fixed manifest shape —
+  // avoids coupling to the shaded JSON libs inside the Spark jars.
+  def toJson(s: Snapshot): String = {
+    def esc(x: String) = x.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
+      s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
+      s""""schemaJson":"${esc(s.schemaJson)}"}"""
+  }
+
+  def read(p: Path): Option[Snapshot] = {
+    if (!Files.exists(p)) return None
+    val txt = Files.readString(p)
+    // jackson-databind ships with Spark and is the one JSON parser we
+    // can rely on offline; the manifest shape is flat.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(txt)
+    def strs(field: String): Seq[String] = {
+      val a = n.get(field)
+      (0 until a.size()).map(a.get(_).asText())
+    }
+    Some(Snapshot(
+      version = n.get("version").asLong(),
+      op = n.get("op").asText(),
+      dirs = strs("dirs"),
+      partitionBy = strs("partitionBy"),
+      schemaJson = n.get("schemaJson").asText(),
+      timestampMs = n.get("timestampMs").asLong()))
+  }
+}
+
+/** Catalog of lake tables under a warehouse directory, addressed as
+  * `namespace.table` — mirrors the reference's
+  * `my_catalog.{bronze,silver,gold}.iceberg` namespace layout
+  * (dags/etl.py:49,72,90).
+  */
+final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+  private def resolve(ident: String): Path = {
+    val parts = ident.split('.')
+    require(parts.nonEmpty && parts.forall(p => p.nonEmpty && !p.contains('/')),
+      s"bad table identifier: $ident")
+    Paths.get(warehouse, parts: _*)
+  }
+
+  def table(ident: String): LakeTable = new LakeTable(spark, resolve(ident))
+
+  def write(df: DataFrame, ident: String, mode: WriteMode = WriteMode.Overwrite,
+            partitionBy: Seq[String] = Nil): Snapshot =
+    table(ident).write(df, mode, partitionBy)
+
+  def read(ident: String, version: Option[Long] = None): DataFrame =
+    table(ident).read(version)
+
+  def exists(ident: String): Boolean = table(ident).latest.nonEmpty
+}

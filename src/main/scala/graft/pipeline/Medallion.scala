@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import java.nio.file.Path
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{LakeCatalog, WriteMode}
+import graft.state.WatermarkStore
+
+/** Bronze → Silver → Gold medallion pipeline — the reference's entire
+  * analytic content (E1–E3, SURVEY.md §3) collapsed into one Spark
+  * application:
+  *
+  *   extract (incremental watermark scan)  ≈ dags/etl.py:35-60
+  *   transform (exact dedup)               ≈ dags/etl.py:62-78
+  *   load (grouped identity count)         ≈ dags/etl.py:80-96
+  *
+  * Differences from the reference, on purpose (SURVEY.md §7.4):
+  *   - stages pass DataFrames / lake tables, not deleted tmp paths
+  *     (the reference reads a file it just removed, etl.py:59 vs 65);
+  *   - bronze is APPENDed (incremental extract + overwrite in the
+  *     reference silently discards history, etl.py:41+53); silver/gold
+  *     are full rebuilds. `referenceParity = true` restores the
+  *     reference's overwrite-everything behavior for parity testing;
+  *   - watermark is an instant in an engine-owned store, not a
+  *     formatted string from Airflow metadata;
+  *   - retries with exponential backoff mirror
+  *     dags/utils/constants/default_args.py:22-25 but live in the
+  *     engine driver.
+  */
+final class Medallion(
+    spark: SparkSession,
+    catalog: LakeCatalog,
+    state: WatermarkStore,
+    pipeline: String = "medallion",
+    retries: Int = 3,
+    retryBaseDelayMs: Long = 100,
+    referenceParity: Boolean = false) {
+
+  private def withRetries[T](stage: String)(body: => T): T = {
+    var attempt = 0
+    var delay = retryBaseDelayMs
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < retries =>
+          attempt += 1
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 30 * 60 * 1000L) // 30 min cap, default_args.py:25
+      }
+    }
+    sys.error(s"unreachable: $stage")
+  }
+
+  /** Incremental extract → bronze. Only rows with tsCol strictly above
+    * the stored watermark are read (the filter is pushed into the
+    * source scan), then the watermark advances to the max extracted ts —
+    * the reference's at-most-once-per-row-version semantics.
+    */
+  def extractBronze(source: DataFrame, tsCol: String): Long = withRetries("extract") {
+    val wm = state.get(pipeline, "extract")
+    val delta = source.filter(col(tsCol) > lit(wm))
+    val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
+    catalog.write(delta, s"bronze.$pipeline", mode)
+    val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
+    if (maxTs != null) state.advance(pipeline, "extract", maxTs)
+    delta.count()
+  }
+
+  /** Exact dedup over all columns → silver (reference A3, etl.py:68). */
+  def transformSilver(): Long = withRetries("transform") {
+    val bronze = catalog.read(s"bronze.$pipeline")
+    val silver = bronze.dropDuplicates()
+    catalog.write(silver, s"silver.$pipeline", WriteMode.Overwrite)
+    silver.count()
+  }
+
+  /** Grouped identity count → gold (reference A1, etl.py:86). */
+  def loadGold(identityCols: Seq[String]): DataFrame = withRetries("load") {
+    val silver = catalog.read(s"silver.$pipeline")
+    val gold = silver
+      .groupBy(identityCols.map(col): _*)
+      .agg(count(lit(1)).as("total_count"))
+    catalog.write(gold, s"gold.$pipeline", WriteMode.Overwrite)
+    catalog.read(s"gold.$pipeline")
+  }
+
+  /** Full E1–E3 run. Returns the gold DataFrame. */
+  def run(source: DataFrame, tsCol: String, identityCols: Seq[String]): DataFrame = {
+    extractBronze(source, tsCol)
+    transformSilver()
+    loadGold(identityCols)
+  }
+}

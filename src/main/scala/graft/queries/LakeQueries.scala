@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.lake.{LakeCatalog, LakeDml, WriteMode}
+import graft.pipeline.Medallion
+import graft.state.WatermarkStore
+
+/** Lake-layer queries: each materializes real snapshots in a fresh
+  * temp warehouse, exercises one table-layer capability the reference
+  * configures (overwrite/append saveAsTable, snapshot isolation, time
+  * travel, compaction, MERGE/UPDATE/DELETE — dags/etl.py:49-54,
+  * constant.py:43-50), and returns a DataFrame whose content is
+  * SQL-predictable so the DuckDB oracle can hash-check it.
+  */
+object LakeQueries {
+
+  private def freshCatalog(spark: SparkSession): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-lake-").toString)
+
+  /** S5 overwrite + append: v1 overwrite, v2 append → latest is the
+    * two-commit union.
+    */
+  def snapshotAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer, "bronze.customer", WriteMode.Overwrite)
+    cat.write(customer, "bronze.customer", WriteMode.Append)
+    cat.read("bronze.customer")
+      .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
+  /** Time travel: overwrite twice, read @v1 — old snapshots stay
+    * readable because data dirs are immutable.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer, "bronze.customer", WriteMode.Overwrite)                    // v1
+    cat.write(customer.filter($"c_nationkey" < 10), "bronze.customer", WriteMode.Overwrite) // v2
+    cat.read("bronze.customer", version = Some(1L)).orderBy($"c_custkey")
+  }
+
+  /** MERGE INTO (upsert): doubles acctbal for matched keys, inserts two
+    * new rows for unmatched keys.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer, "silver.customer", WriteMode.Overwrite)
+    val updates = customer.filter($"c_nationkey" < 5)
+      .withColumn("c_acctbal", $"c_acctbal" * 2)
+    val inserts = Seq(
+      (-1L, "NEW A", 0, 100.0, "BUILDING"),
+      (-2L, "NEW B", 1, 200.0, "MACHINERY"),
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    LakeDml.merge(cat.table("silver.customer"), updates.unionByName(inserts),
+      keys = Seq("c_custkey"))
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
+  /** UPDATE then DELETE as copy-on-write snapshots. */
+  def updateDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    cat.write(Tables(spark, dir).customer, "silver.customer", WriteMode.Overwrite)
+    val t = cat.table("silver.customer")
+    LakeDml.update(t, col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> -col("c_acctbal")))
+    LakeDml.delete(t, col("c_nationkey") >= 20)
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
+  /** Compaction: two commits (many small files) folded into one dir of
+    * sized partitions; data identical, layout rewritten.
+    */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(8), "bronze.customer", WriteMode.Overwrite)
+    cat.write(customer.repartition(8), "bronze.customer", WriteMode.Append)
+    cat.table("bronze.customer").compact(targetPartitions = 2)
+    cat.read("bronze.customer")
+      .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
+  /** Partitioned table write + partition-pruned read (the
+    * `partitionedBy` capability the reference leaves unused —
+    * SURVEY.md §4 "partition pruning").
+    */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    cat.write(Tables(spark, dir).customer, "bronze.customer_part",
+      WriteMode.Overwrite, partitionBy = Seq("c_mktsegment"))
+    cat.read("bronze.customer_part")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Full medallion pipeline E1–E3 over the events table through real
+    * lake tables + watermark store; returns gold.
+    */
+  def pipelineGold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val state = new WatermarkStore(Files.createTempDirectory("graft-state-"))
+    val m = new Medallion(spark, cat, state)
+    m.run(Tables(spark, dir).events, tsCol = "ts", identityCols = Seq("event_type"))
+      .orderBy($"event_type")
+  }
+}

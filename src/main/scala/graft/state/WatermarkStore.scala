@@ -1,0 +1,53 @@
+package graft.state
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Persisted high-watermark per (pipeline, stage) — the engine-owned
+  * replacement for the reference's Airflow-metadata lookup
+  * (`get_last_success_time`, /root/reference/dags/utils/constants/constant.py:66-85).
+  *
+  * The reference stores its watermark implicitly as "timestamp of the
+  * last successful Airflow task" and compares formatted *strings* in a
+  * fixed timezone (constant.py:83-85) — fragile across zones. Here the
+  * watermark is an instant (epoch micros), compared as an instant
+  * (SURVEY.md §7.4 item 3). One tiny JSON file per key, updated via
+  * temp-file + atomic rename, so concurrent readers never see a torn
+  * value. Missing key falls back to the epoch, like constant.py:85.
+  */
+final class WatermarkStore(dir: Path) {
+  Files.createDirectories(dir)
+
+  private def fileFor(pipeline: String, stage: String): Path = {
+    require(!pipeline.contains('/') && !stage.contains('/'), "bad watermark key")
+    dir.resolve(s"$pipeline.$stage.watermark")
+  }
+
+  /** Last recorded watermark, or the epoch when none exists. */
+  def get(pipeline: String, stage: String): Timestamp = {
+    val p = fileFor(pipeline, stage)
+    if (Files.exists(p)) new Timestamp(Files.readString(p).trim.toLong)
+    else new Timestamp(0L)
+  }
+
+  /** Record a new watermark; monotonic (a stale writer can't move it back). */
+  def advance(pipeline: String, stage: String, to: Timestamp): Timestamp = {
+    val cur = get(pipeline, stage)
+    if (to.after(cur)) {
+      val p = fileFor(pipeline, stage)
+      val tmp = Files.createTempFile(dir, ".wm", ".tmp")
+      Files.writeString(tmp, to.getTime.toString)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      to
+    } else cur
+  }
+
+  def all(): Map[String, Timestamp] =
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".watermark"))
+      .map(p => p.getFileName.toString.stripSuffix(".watermark") ->
+        new Timestamp(Files.readString(p).trim.toLong))
+      .toMap
+}

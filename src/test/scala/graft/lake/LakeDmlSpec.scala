@@ -1,0 +1,69 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LakeDmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable() = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-spec-").toString)
+    cat.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"),
+      "ns.t", WriteMode.Overwrite)
+    cat.table("ns.t")
+  }
+
+  test("delete removes TRUE rows, keeps FALSE and NULL") {
+    val t = freshTable()
+    LakeDml.delete(t, $"v" > 15.0)
+    assert(t.read(None).select($"id").as[Long].collect().sorted === Array(1L))
+    // NULL predicate rows are kept
+    val t2 = freshTable()
+    LakeDml.delete(t2, when($"id" === 1L, lit(null).cast("boolean")).otherwise($"v" > 25.0))
+    assert(t2.read(None).select($"id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("update rewrites matching rows only") {
+    val t = freshTable()
+    LakeDml.update(t, $"name" === "b", Map("v" -> lit(99.0), "name" -> lit("B")))
+    val rows = t.read(None).orderBy($"id").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "B", "c"))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(10.0, 99.0, 30.0))
+  }
+
+  test("merge upserts: matched updated, unmatched inserted, others untouched") {
+    val t = freshTable()
+    val src = Seq((2L, "b2", 200.0), (9L, "new", 900.0)).toDF("id", "name", "v")
+    LakeDml.merge(t, src, keys = Seq("id"))
+    val rows = t.read(None).orderBy($"id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b2", "c", "new"))
+  }
+
+  test("merge with explicit SET only touches listed columns") {
+    val t = freshTable()
+    val src = Seq((3L, "ignored", 300.0)).toDF("id", "name", "v")
+    LakeDml.merge(t, src, keys = Seq("id"), set = Map("v" -> lit(-1.0)))
+    val row3 = t.read(None).filter($"id" === 3L).head
+    assert(row3.getString(1) === "c")    // name untouched
+    assert(row3.getDouble(2) === -1.0)   // v from SET
+  }
+
+  test("merge rejects duplicate-key source") {
+    val t = freshTable()
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "name", "v")
+    intercept[IllegalArgumentException](LakeDml.merge(t, dup, keys = Seq("id")))
+  }
+
+  test("merge without insert drops unmatched source rows") {
+    val t = freshTable()
+    val src = Seq((2L, "b2", 200.0), (9L, "new", 900.0)).toDF("id", "name", "v")
+    LakeDml.merge(t, src, keys = Seq("id"), insertNotMatched = false)
+    assert(t.read(None).count() === 3)
+    assert(t.read(None).filter($"id" === 2L).head.getString(1) === "b2")
+  }
+}

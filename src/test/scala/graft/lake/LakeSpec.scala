@@ -1,0 +1,89 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat() =
+    new LakeCatalog(spark, Files.createTempDirectory("lake-spec-").toString)
+
+  private def sample() =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+
+  test("overwrite then read latest") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    assert(cat.read("ns.t").count() === 3)
+    cat.write(sample().filter($"id" <= 1), "ns.t", WriteMode.Overwrite)
+    assert(cat.read("ns.t").count() === 1)
+  }
+
+  test("append accumulates; history versions monotonic") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    cat.write(sample(), "ns.t", WriteMode.Append)
+    cat.write(sample(), "ns.t", WriteMode.Append)
+    assert(cat.read("ns.t").count() === 9)
+    assert(cat.table("ns.t").history.map(_.version) === Seq(1L, 2L, 3L))
+  }
+
+  test("time travel reads old immutable snapshots") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    cat.write(sample().withColumn("v", $"v" * 100), "ns.t", WriteMode.Overwrite)
+    assert(cat.read("ns.t", Some(1L)).agg(sum($"v")).head.getDouble(0) === 60.0)
+    assert(cat.read("ns.t").agg(sum($"v")).head.getDouble(0) === 6000.0)
+  }
+
+  test("snapshot isolation: a resolved reader survives a concurrent overwrite") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    val readerAtV1 = cat.read("ns.t") // resolves v1's immutable file list now
+    cat.write(sample().filter($"id" === 1L), "ns.t", WriteMode.Overwrite)
+    assert(readerAtV1.count() === 3) // still sees v1, not the overwrite
+    assert(cat.read("ns.t").count() === 1)
+  }
+
+  test("concurrent appends both land (optimistic claim + rebase)") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => cat.write(sample(), "ns.t", WriteMode.Append))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(cat.read("ns.t").count() === 15) // 3 + 4 appends × 3
+    assert(cat.table("ns.t").history.map(_.version) === (1L to 5L))
+  }
+
+  test("compact folds commit dirs and preserves data") {
+    val cat = freshCat()
+    cat.write(sample().repartition(4), "ns.t", WriteMode.Overwrite)
+    cat.write(sample().repartition(4), "ns.t", WriteMode.Append)
+    assert(cat.table("ns.t").latest.get.dirs.size === 2)
+    cat.table("ns.t").compact(targetPartitions = 1)
+    val after = cat.table("ns.t").latest.get
+    assert(after.dirs.size === 1)
+    assert(after.op === "compact")
+    assert(cat.read("ns.t").count() === 6)
+    assert(cat.read("ns.t").agg(sum($"v")).head.getDouble(0) === 120.0)
+  }
+
+  test("partitioned write recovers partition column and values") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.p", WriteMode.Overwrite, partitionBy = Seq("name"))
+    val got = cat.read("ns.p").filter($"name" === "b").select($"id", $"v").head
+    assert(got.getLong(0) === 2L && got.getDouble(1) === 20.0)
+  }
+
+  test("bad identifiers rejected") {
+    val cat = freshCat()
+    intercept[IllegalArgumentException](cat.table("../escape"))
+    intercept[IllegalArgumentException](cat.table(""))
+  }
+}

@@ -1,0 +1,27 @@
+package graft.state
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class WatermarkStoreSpec extends AnyFunSuite {
+  test("epoch fallback, advance, monotonicity") {
+    val st = new WatermarkStore(Files.createTempDirectory("wm-spec-"))
+    assert(st.get("p", "extract") === new Timestamp(0L)) // constant.py:85 fallback
+    val t1 = Timestamp.valueOf("2024-01-05 10:00:00")
+    assert(st.advance("p", "extract", t1) === t1)
+    assert(st.get("p", "extract") === t1)
+    // stale writer cannot move the watermark backwards
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(st.advance("p", "extract", t0) === t1)
+    assert(st.get("p", "extract") === t1)
+    // keys are independent
+    assert(st.get("p", "other") === new Timestamp(0L))
+    assert(st.all().size === 1)
+  }
+
+  test("path traversal in keys rejected") {
+    val st = new WatermarkStore(Files.createTempDirectory("wm-spec2-"))
+    intercept[IllegalArgumentException](st.get("../p", "x"))
+  }
+}
