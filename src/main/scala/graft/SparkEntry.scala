@@ -47,6 +47,18 @@ object SparkEntry {
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
+    "t_lang_id"          -> (TextQueries.langIdConfusion _),
+    "t_quality_score"    -> (TextQueries.qualityScore _),
+    "t_token_stats"      -> (TextQueries.tokenStats _),
+    "t_fingerprint"      -> (TextQueries.fingerprints _),
+    "d_dedup_exact"      -> (SimQueries.dedupExact _),
+    "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
+    "d_dedup_minhash"    -> (SimQueries.minhashLsh _),
+    "d_simhash_pairs"    -> (SimQueries.simhashPairs _),
+    "e_cosine_dup_pairs" -> (SimQueries.cosineDupPairs _),
+    "e_cosine_topk"      -> (SimQueries.cosineTopK _),
+    "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
+    "m_media_features"   -> (SimQueries.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,5 +206,86 @@ object SparkEntry {
 
     "pipeline_gold" ->
       "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",
+
+    "t_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN text LIKE '% der %' OR text LIKE '% und %' OR text LIKE '% nicht %' THEN 'de'
+        |       WHEN text LIKE '% le %' OR text LIKE '% la %' OR text LIKE '% et %' THEN 'fr'
+        |       WHEN text LIKE '% el %' OR text LIKE '% que %' OR text LIKE '% los %' THEN 'es'
+        |       WHEN text LIKE '% the %' OR text LIKE '% and %' OR text LIKE '% of %' THEN 'en'
+        |       ELSE 'und' END AS pred,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |    CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        |         THEN CAST(len(list_filter(string_split(text, ' '),
+        |                x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+        |              / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |         ELSE 0.0 END AS stop_ratio,
+        |    n_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, n_tokens, n_punct, stop_ratio,
+        |  CASE WHEN n_words < 5 THEN 'too_short'
+        |       WHEN n_chars > 20000 THEN 'too_long'
+        |       WHEN n_punct * 5 > n_chars THEN 'too_punct'
+        |       WHEN stop_ratio > 0.6 THEN 'boilerplate'
+        |       ELSE 'good' END AS bucket
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t_token_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS total_tokens,
+        |  MAX(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS max_tokens,
+        |  SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "e_cosine_dup_pairs" ->
+      """SELECT vec_id AS a_id, vec_id + 10000000 AS b_id
+        |FROM embeddings ORDER BY a_id, b_id""".stripMargin,
+
+    "m_media_features" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) // 7) % 64 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

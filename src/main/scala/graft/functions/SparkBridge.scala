@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` / `col.expr` bridge (Column
+  * is ColumnNode-backed in sql-api). This shim re-exposes the classic
+  * converters for graft's custom Catalyst expressions; it lives in the
+  * `org.apache.spark.sql` package purely to satisfy `private[sql]`
+  * access and holds no logic of its own.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north
+  * star; the reference computes no text functions of its own —
+  * SURVEY.md §2.8). All are built from codegen'd
+  * `org.apache.spark.sql.functions` so they run inside whole-stage
+  * codegen in the scan stage: zero shuffles, linear scale-out.
+  *
+  * Every definition here is deliberately expressible in ANSI SQL too —
+  * the DuckDB oracles in [[graft.SparkEntry.oracleSql]] re-state the
+  * same arithmetic, so correctness is hash-checked cross-engine.
+  */
+object TextOps {
+
+  /** Whitespace word tokens (non-empty). */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Word w-shingles (n-grams joined by spaces) — the dedup unit for
+    * MinHash/Jaccard. Distinct (set semantics), empty for docs shorter
+    * than n words.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val count = size(w) - (n - 1)
+    array_distinct(
+      when(count >= 1,
+        transform(sequence(lit(1), count), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alnum-non-space marks — a deterministic proxy for subword
+    * tokenizer counts (the real BPE merge table is a model artifact,
+    * not an engine feature).
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Heuristic language ID from stopword hits (n-gram-free variant:
+    * the fixture vocabulary is space-separated). CJK codepoints short-
+    * circuit to zh. Deterministic, SQL-expressible.
+    */
+  def langId(text: Column): Column = {
+    def has(w: String): Column = text.like(s"% $w %")
+    when(regexp_count(text, lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+      .when(has("der") || has("und") || has("nicht"), "de")
+      .when(has("le") || has("la") || has("et"), "fr")
+      .when(has("el") || has("que") || has("los"), "es")
+      .when(has("the") || has("and") || has("of"), "en")
+      .otherwise("und")
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val w = words(text)
+    when(size(w) > 0,
+      size(filter(w, t => t.isin(stop: _*))).cast("double") / size(w))
+      .otherwise(lit(0.0))
+  }
+
+  /** Quality bucket from integer-arithmetic signals (length, token
+    * count, punctuation density, stopword ratio) — the classic
+    * Gopher/C4-style rule filter shape.
+    */
+  def qualityBucket(nTokens: Column, nChars: Column, punct: Column, stopRatio: Column): Column =
+    when(nTokens < 5, "too_short")
+      .when(nChars > 20000, "too_long")
+      .when(punct * 5 > nChars, "too_punct")
+      .when(stopRatio > 0.6, "boilerplate")
+      .otherwise("good")
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased
+    * text — byte-identical across engines, the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(lower(regexp_replace(text, "\\s+", " "))))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity-search / multimodal queries (north-star
+  * LLM-pipeline operators) over the `documents` and `embeddings`
+  * fixtures.
+  */
+object SimQueries {
+
+  /** Exact dedup stats per lang (fingerprint groupBy). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    docs.select($"lang", graft.ops.TextOps.fingerprint($"text").as("fp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_distinct"))
+      .orderBy($"lang")
+  }
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified — must equal
+    * [[ngramJaccard]]'s output (same threshold; LSH miss probability at
+    * the fixture's similarity levels ≈ 1e-15), which is exactly what
+    * the shared DuckDB oracle checks.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minHashLshPairs(Tables(spark, dir).documents, threshold = 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit fingerprints). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simHashPairs(Tables(spark, dir).documents)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Corpus ∪ id-offset copy of itself: every vector has one planted
+    * exact duplicate — the deterministic fixture for embedding-space
+    * dedup (the real embeddings are near-random; max pair cosine ≈ .51).
+    */
+  private def withPlantedDups(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val emb = Tables(spark, dir).embeddings
+    val offset = 10000000L
+    (emb.unionByName(emb.withColumn("vec_id", col("vec_id") + offset)), offset)
+  }
+
+  /** Embedding near-duplicate pairs via hyperplane-LSH + exact cosine
+    * verify. On the planted-dup corpus the answer is exactly the
+    * (id, id+offset) pairs — identical vectors always collide in every
+    * LSH table, so recall is 1 and the DuckDB oracle can state the
+    * result in closed form.
+    */
+  def cosineDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (corpus, _) = withPlantedDups(spark, dir)
+    Similarity.cosineDupPairs(corpus, threshold = 0.99, dim = 64)
+      .select($"a_id", $"b_id")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Exact brute-force cosine top-k for 5 probe vectors. Float-sum
+    * ranking is engine-specific in the last ulps, so this is a
+    * rows-only query; exactness is asserted against a plain-Scala
+    * oracle in SimilaritySpec.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val probes = emb.filter($"vec_id" < 5)
+    Similarity.bruteTopK(emb, probes, k = 10)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** ANN top-k over the planted-dup corpus: every probe's rank-1 hit is
+    * its planted duplicate (sim ≈ 1), found through LSH buckets without
+    * any O(n²) work.
+    */
+  def cosineAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (corpus, _) = withPlantedDups(spark, dir)
+    val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+    Similarity.annTopK(corpus, probes, k = 5, dim = 64)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Multimodal decode plumbing: binary media column → per-partition
+    * batched feature extraction (STUB codec, deterministic). Projection
+    * keeps only the closed-form features so the oracle can re-state
+    * them in SQL.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select($"doc_id", $"media_type", $"n_bytes", $"width", $"height")
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.{SqlCompat, Tables}
+import graft.SqlCompat._
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table (north-star
+  * LLM-pipeline operators). Pure narrow transforms — they run inside
+  * whole-stage codegen in the scan stage; the only shuffles are the
+  * final small aggregations.
+  */
+object TextQueries {
+
+  /** Language-ID confusion matrix: labeled lang × heuristic prediction. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"lang", TextOps.langId($"text").as("pred"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  /** Per-document quality signals + rule bucket (Gopher/C4-style). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir).documents
+    t.select(
+        $"doc_id",
+        size(TextOps.words($"text")).as("n_words"),
+        TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.punctCount($"text").as("n_punct"),
+        TextOps.stopwordRatio($"text").as("stop_ratio"),
+        $"n_chars")
+      .withColumn("bucket",
+        TextOps.qualityBucket($"n_words", $"n_chars", $"n_punct", $"stop_ratio"))
+      .select($"doc_id", $"n_words", $"n_tokens", $"n_punct", $"stop_ratio", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus token statistics per source (the budget/mixture report
+    * every training-data pipeline runs).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"source", TextOps.tokenCount($"text").as("n_tokens"), $"n_chars")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+  }
+
+  /** Per-document normalized-text fingerprint (exact-dedup key). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+}

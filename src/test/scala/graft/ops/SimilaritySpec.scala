@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.Tables
+
+/** The approximate operators are validated against exact baselines:
+  * brute-force cosine against a plain-Scala computation, MinHash-LSH
+  * against the exact inverted-index Jaccard join, ANN against planted
+  * exact duplicates.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bruteTopK matches a plain-Scala exact computation") {
+    val emb = Tables(spark, dir).embeddings
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = all.filter(_._1 < 3)
+    val expected = probes.map { case (pid, pv) =>
+      pid -> all.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, cos(pv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).map(_._1).toSeq
+    }.toMap
+
+    val got = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 3), k = 5)
+      .orderBy($"probe_id", $"rank")
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSeq }
+    assert(got === expected)
+  }
+
+  test("minhash-LSH pairs equal exact ngram-jaccard pairs on the fixture") {
+    val docs = Tables(spark, dir).documents
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, threshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)     // fixture plants near-dups
+    assert(lsh === exact)      // no false positives (verified), no misses at these sims
+  }
+
+  test("ANN finds every planted exact duplicate at rank 1") {
+    val emb = Tables(spark, dir).embeddings
+    val offset = 1000000L
+    val corpus = emb.unionByName(emb.withColumn("vec_id", $"vec_id" + offset))
+    val probes = emb.limit(20)
+    val top1 = Similarity.annTopK(corpus, probes, k = 1, dim = 64)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val probeIds = probes.select($"vec_id").as[Long].collect()
+    probeIds.foreach { p => assert(top1(p) === p + offset, s"probe $p") }
+  }
+
+  test("simhash banding finds exactly the brute-force Hamming<=3 pairs") {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // brute-force oracle over the same fingerprints
+    val fps = docs.select($"doc_id",
+        graft.functions.HashFunctions.simhash64(TextOps.words($"text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs === brute) // pigeonhole: d<=3 over 4 chunks must share one
+    // identical token multisets → distance 0 → always found
+    val twin = docs.limit(3).unionByName(
+      docs.limit(3).withColumn("doc_id", $"doc_id" + 5000L))
+    val twinPairs = Dedup.simHashPairs(twin, maxHamming = 0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 5000L), (1L, 5001L), (2L, 5002L)).subsetOf(twinPairs))
+  }
+
+  test("cosineDupPairs recall 1.0 on planted duplicates") {
+    val emb = Tables(spark, dir).embeddings
+    val offset = 1000000L
+    val corpus = emb.unionByName(emb.withColumn("vec_id", $"vec_id" + offset))
+    val got = Similarity.cosineDupPairs(corpus, threshold = 0.99, dim = 64)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val want = emb.select($"vec_id").as[Long].collect()
+      .map(i => (i, i + offset)).toSet
+    assert(got === want)
+  }
+}
