@@ -59,6 +59,10 @@ object SparkEntry {
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
+    "s_window_tumbling"  -> (StreamQueries.tumbling _),
+    "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
+    "s_sessionize"       -> (StreamQueries.sessionize _),
+    "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -287,5 +291,37 @@ object SparkEntry {
         |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) // 7) % 64 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
   )
 }

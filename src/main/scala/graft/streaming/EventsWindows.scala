@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.SqlCompat._
+
+/** Streaming slice over the `events` table (SURVEY.md §2.9): the
+  * reference's semantics are batch-incremental (daily watermark
+  * extract ≈ 24h tumbling processing-time window); this module carries
+  * the Structured-Streaming flavor — tumbling/session event-time
+  * windows with watermarks, plus a `mapGroupsWithState` custom-state
+  * example — and the batch equivalents used for oracle checking.
+  *
+  * Scale notes: windowed aggregations shuffle once on (window, key);
+  * state store size is bounded by watermark retention; `AvailableNow`
+  * gives incremental batch replay of a growing directory — the exact
+  * production shape of the reference's daily incremental job.
+  */
+object EventsWindows {
+
+  /** Batch tumbling window aggregation (same `window()` expression the
+    * streaming variant uses — Spark plans both identically).
+    */
+  def tumblingBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch sessionization via the gaps-and-islands pattern: a session
+    * breaks after `gapMs` of inactivity. Single shuffle on user_id,
+    * two window passes.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || (unix_millis(col("ts")) - col("prev_ms")) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+  }
+
+  /** True Structured Streaming tumbling aggregation: parquet stream
+    * source → event-time window → complete-mode memory sink, driven to
+    * completion with `Trigger.AvailableNow`. Returns the final table —
+    * identical content to [[tumblingBatch]] over the same files.
+    */
+  /** The file-stream source requires a directory; a bare parquet file
+    * is exposed through a symlink in a temp dir (no data copy).
+    */
+  private def asStreamDir(parquetPath: String): String = {
+    val p = java.nio.file.Paths.get(parquetPath)
+    if (java.nio.file.Files.isDirectory(p)) parquetPath
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+      d.toString
+    }
+  }
+
+  def tumblingStreaming(spark: SparkSession, parquetPath: String,
+                        width: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = tumblingBatch(events, width)
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming session windows (`session_window` + watermark, append
+    * mode). With AvailableNow the final in-flight sessions stay open
+    * (watermark semantics), so callers compare emitted rows as a subset
+    * of the batch answer.
+    */
+  def sessionWindowStreaming(spark: SparkSession, parquetPath: String,
+                             gap: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("t_start"),
+        col("w.end").as("t_end"), col("n_events"))
+    val name = "graft_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom arbitrary state: per-user running event counts via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset stateful surface
+    * (SURVEY.md §2.9's "custom state" requirement).
+    */
+  def statefulUserCounts(spark: SparkSession, parquetPath: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    val updateFn: (Long, Iterator[UserEvent], GroupState[Long]) => UserCount =
+      (uid, evs, state) => {
+        val total = state.getOption.getOrElse(0L) + evs.size
+        state.update(total)
+        UserCount(uid, total)
+      }
+    val counts = raw.select($"user_id", $"event_type").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+    val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = counts.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

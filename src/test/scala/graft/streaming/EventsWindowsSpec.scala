@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.Tables
+
+class EventsWindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def eventsPath = s"$dir/events.parquet"
+
+  test("streaming tumbling equals batch tumbling") {
+    val batch = EventsWindows.tumblingBatch(Tables(spark, dir).events)
+      .orderBy($"ws", $"event_type").collect().toSeq
+    val stream = EventsWindows.tumblingStreaming(spark, eventsPath)
+      .orderBy($"ws", $"event_type").collect().toSeq
+    assert(stream === batch)
+  }
+
+  test("streaming session windows emit a subset consistent with batch islands") {
+    val stream = EventsWindows.sessionWindowStreaming(spark, eventsPath)
+    val batch = EventsWindows.sessionizeBatch(Tables(spark, dir).events)
+    val got = stream.select($"user_id", $"n_events").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every emitted (user, n_events) session exists in the batch answer
+    val want = batch.select($"user_id", $"n_events").as[(Long, Long)]
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+    val gotCounts = got.groupBy(identity).view.mapValues(_.length).toMap
+    gotCounts.foreach { case (k, n) =>
+      assert(want.getOrElse(k, 0) >= n, s"session $k not in batch answer")
+    }
+  }
+
+  test("mapGroupsWithState produces total per-user counts") {
+    val res = EventsWindows.statefulUserCounts(spark, eventsPath)
+    val got = res.select($"user_id", $"n_events").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    val want = Tables(spark, dir).events.groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("sessionization invariant: session event counts sum to total events") {
+    val sess = EventsWindows.sessionizeBatch(Tables(spark, dir).events)
+    val total = Tables(spark, dir).events.count()
+    assert(sess.agg(sum($"n_events")).head.getLong(0) === total)
+    // sessions are disjoint, ordered, and gap-respecting per user
+    val bad = sess.as("a").join(sess.as("b"),
+      $"a.user_id" === $"b.user_id" && $"a.session_id" < $"b.session_id" &&
+        $"a.t_end" >= $"b.t_start").count()
+    assert(bad === 0)
+  }
+}

@@ -32,9 +32,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(set(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d))) | set(oracle))
     for name in names:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"  [FAIL-miss] {name}: oracle declared but no result written")
+            fails += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
