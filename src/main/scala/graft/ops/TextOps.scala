@@ -21,17 +21,12 @@ object TextOps {
 
   /** Word w-shingles (n-grams joined by spaces) — the dedup unit for
     * MinHash/Jaccard. Distinct (set semantics), empty for docs shorter
-    * than n words.
+    * than n words. Single-pass custom expression: the `transform`/
+    * `element_at` formulation re-evaluates the tokenizer per element
+    * (see [[graft.functions.WordShingles]]).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    val count = size(w) - (n - 1)
-    array_distinct(
-      when(count >= 1,
-        transform(sequence(lit(1), count), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-      .otherwise(array().cast("array<string>")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.word_shingles(words(text), n)
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alnum-non-space marks — a deterministic proxy for subword
