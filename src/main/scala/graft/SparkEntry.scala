@@ -63,6 +63,13 @@ object SparkEntry {
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
+    "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
+    "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
+    "a_word_frequencies" -> (AnalyticsQueries.wordFrequencies _),
+    "a_pivot_events"     -> (AnalyticsQueries.pivotEvents _),
+    "a_asof_join"        -> (AnalyticsQueries.asofJoin _),
+    "a_percentiles"      -> (AnalyticsQueries.percentiles _),
+    "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,5 +330,68 @@ object SparkEntry {
 
     "csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    "a_window_functions" ->
+      """SELECT l_suppkey, rn, rk, drk, tile, l_orderkey, l_linenumber,
+        |       prev_qty, next_qty, rolling_qty
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    ROW_NUMBER()  OVER w AS rn,
+        |    RANK()        OVER w AS rk,
+        |    DENSE_RANK()  OVER w AS drk,
+        |    NTILE(4)      OVER w AS tile,
+        |    LAG(l_quantity, 1)  OVER w AS prev_qty,
+        |    LEAD(l_quantity, 1) OVER w AS next_qty,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "a_scalar_functions" ->
+      """SELECT p_partkey,
+        |  round(sqrt(CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS DOUBLE)), 6) AS sqrt_price,
+        |  abs(p_size - 25) AS size_dev,
+        |  CAST(pow(2, p_size % 10) AS BIGINT) AS pow2,
+        |  lpad(upper(p_brand), 12, '#') AS brand_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  levenshtein(p_brand, p_type) AS lev,
+        |  length(p_name) AS name_len,
+        |  nullif(p_size, 25) AS size_nullif,
+        |  coalesce(nullif(p_size, 25), -1) AS size_coal
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "a_word_frequencies" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+
+    "a_pivot_events" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (event_type = 'view')     AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (event_type = 'error')    AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a_asof_join" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+        |       s.state_ts AS asof_ts, s.state_event_id AS asof_event_id
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS state_ts, event_id AS state_event_id
+        |      FROM events WHERE event_type = 'click') s
+        |ON p.user_id = s.user_id AND p.ts >= s.state_ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "a_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

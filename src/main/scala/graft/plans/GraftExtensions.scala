@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, MinHashSig, SimHash64, WordShingles}
+
+/** SparkSessionExtensions entry point — the same injection mechanism
+  * the reference configures for Iceberg
+  * (`spark.sql.extensions=...IcebergSparkSessionExtensions`,
+  * /root/reference/dags/utils/constants/constant.py:48). Registers the
+  * engine's custom Catalyst expressions as SQL functions so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works exactly like the
+  * DataFrame API path.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *     // or .withExtensions(new GraftExtensions)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "minhash_sig k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "word_shingles n"))))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{SqlCompat, Tables}
+import graft.SqlCompat._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth pack: the window / scalar / generator / pivot / as-of
+  * surface a drop-in analytics engine needs beyond the reference's own
+  * inventory (SURVEY.md §2.5-§2.8 list these as engine-shipped
+  * built-ins).
+  */
+object AnalyticsQueries {
+
+  /** Window-function breadth: ranking family + lag/lead + range frame
+    * aggregates in one pass over lineitem per supplier.
+    */
+  def windowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables(spark, dir).lineitem
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("tile", ntile(4).over(w))
+      .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+      .withColumn("next_qty", lead($"l_quantity", 1).over(w))
+      .withColumn("rolling_qty",
+        sum(dec($"l_quantity")).over(w.rowsBetween(-2, 0)).cast("double"))
+      .filter($"rn" <= 5)
+      .select($"l_suppkey", $"rn", $"rk", $"drk", $"tile",
+        $"l_orderkey", $"l_linenumber", $"prev_qty", $"next_qty", $"rolling_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** Scalar-function breadth: math, string (incl. levenshtein), date
+    * arithmetic, conditional — computed per part row.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).part
+      .select(
+        $"p_partkey",
+        round(sqrt(dec($"p_retailprice").cast("double")), 6).as("sqrt_price"),
+        abs($"p_size" - 25).as("size_dev"),
+        pow(lit(2), $"p_size" % 10).cast("long").as("pow2"),
+        lpad(upper($"p_brand"), 12, "#").as("brand_pad"),
+        translate($"p_type", "aeiou", "AEIOU").as("type_tr"),
+        levenshtein($"p_brand", $"p_type").as("lev"),
+        length($"p_name").as("name_len"),
+        nullif($"p_size", lit(25)).as("size_nullif"),
+        coalesce(nullif($"p_size", lit(25)), lit(-1)).as("size_coal"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Generator/explode surface: global word frequencies from documents
+    * (posexplode keeps positions; frequency ranking is the classic
+    * flatten-aggregate).
+    */
+  def wordFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(explode(graft.ops.TextOps.words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+  }
+
+  /** Pivot: event counts per user across event types (wide layout).
+    * Explicit value list keeps the plan a single aggregate (no
+    * distinct-values pre-query) — required for a stable schema at scale.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * prior-or-equal signup/click state event. Implemented Spark-first
+    * as union + partitioned last-value window (one shuffle on user_id,
+    * no per-row range probe) — the scalable formulation of ASOF JOIN;
+    * DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val states = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("state_ts"), $"event_id".as("state_event_id"))
+    // union trick: tag sides, order by time, carry last state forward
+    val tagged = purchases
+      .withColumn("side", lit(1))
+      .withColumn("state_ts", lit(null).cast("timestamp"))
+      .withColumn("state_event_id", lit(null).cast("long"))
+      .unionByName(states
+        .withColumn("side", lit(0))
+        .withColumn("event_id", $"state_event_id")
+        .withColumn("ts", $"state_ts")
+        .withColumn("value", lit(null).cast("double"))
+        .select($"user_id", $"event_id", $"ts", $"value", $"side", $"state_ts", $"state_event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_ts", last($"state_ts", ignoreNulls = true).over(w))
+      .withColumn("asof_event_id", last($"state_event_id", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"user_id", $"event_id", $"ts", $"asof_ts", $"asof_event_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Percentile surface: exact interpolated quantiles of order totals
+    * per priority (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Sketch aggregates for 100 TB interactive profiling:
+    * approx_count_distinct (HLL++) next to the exact count so the
+    * error is visible. Rows-only (sketch internals are engine-specific).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+}

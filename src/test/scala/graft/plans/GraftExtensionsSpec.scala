@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Extensions apply at session build time; the shared TestSpark session
+  * is built `.withExtensions(new GraftExtensions)` (a second builder
+  * calling getOrCreate would silently reuse the existing session and
+  * drop the extensions).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+
+  test("custom expressions callable from SQL") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS self_sim,
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS ortho_sim,
+        |  size(minhash_sig(array('a b c', 'b c d'), 16)) AS sig_len,
+        |  simhash64(array('x', 'y')) = simhash64(array('x', 'y')) AS sh_det,
+        |  word_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sh2
+        |""".stripMargin).head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+    assert(row.getInt(2) === 16)
+    assert(row.getBoolean(3))
+    assert(row.getSeq[String](4) === Seq("a b", "b c", "c b"))
+  }
+
+  test("non-literal k rejected with a clear error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), 1 + 1)").head)
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
