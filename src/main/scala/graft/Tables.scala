@@ -33,6 +33,26 @@ final case class Tables(spark: SparkSession, dir: String) {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Events filtered by `ts > lowerBound` with the comparison done in
+    * the raw nanos domain, BEFORE the µs conversion: the predicate then
+    * reaches the parquet scan as a plain long comparison
+    * (`PushedFilters: [GreaterThan(ts, ...)]`), so row groups and files
+    * outside the watermark are pruned from stats. Filtering the
+    * converted column instead wraps `ts` in `timestamp_micros(div)` and
+    * forfeits stats pruning — at 100 TB that is a full-lake scan.
+    */
+  def eventsAfter(lowerBound: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // coarse raw-domain bound (superset of the exact predicate: any row
+    // whose truncated µs exceeds the bound has raw ns exceeding it too)
+    val lowerNanos = lowerBound.getTime * 1000000L // ms → ns
+    table("events")
+      .filter(col("ts") > lowerNanos)                       // pushed to parquet stats
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("ts") > lit(lowerBound))                  // exact, truncation-aware
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
