@@ -58,6 +58,7 @@ object SparkEntry {
     "e_cosine_dup_pairs" -> (SimQueries.cosineDupPairs _),
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
+    "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),

@@ -70,4 +70,49 @@ object Multimodal {
       }
     }
   }
+
+  /** A resized media row (decode → scale → re-encode shape). */
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+                                width: Int, height: Int, media: Array[Byte])
+
+  /** Resize stage: decode, scale to (targetW, targetH), re-encode.
+    * STUB resampler — a real one would go through the decoded pixel
+    * buffer; the stub keeps a deterministic byte transform so the
+    * pipeline shape (binary→binary, metadata updated) is testable.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        // real impl: decode → bilinear resample → encode
+        val scale = math.max(1, r.media.length / math.max(1, targetW * targetH))
+        val out = r.media.indices.by(scale).map(r.media).toArray
+        ResizedMedia(r.doc_id, r.media_type, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** A sampled frame of a (fake) video payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one row per sampled frame (row fan-out, like a
+    * video → every-Nth-frame stage). STUB frame splitter: fixed-size
+    * byte windows stand in for decoded frames; the Spark shape
+    * (flatMap fan-out, frame index, per-partition batching) is real.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, everyNth: Int = 4): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        val nFrames = math.max(1, r.media.length / frameBytes)
+        (0 until nFrames by everyNth).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.media.length)
+          MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.media, from, until))
+        }
+      }
+    }
+  }
 }

@@ -95,6 +95,18 @@ object SimQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** IVF ANN over the planted-dup corpus (the second scale path next
+    * to LSH): identical vectors share a cell, so every probe's rank-1
+    * is its planted duplicate.
+    */
+  def cosineIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (corpus, _) = withPlantedDups(spark, dir)
+    val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+    graft.ops.IvfAnn.annTopK(corpus, probes, k = 5, nlist = 16, nprobe = 4)
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Multimodal decode plumbing: binary media column → per-partition
     * batched feature extraction (STUB codec, deterministic). Projection
     * keeps only the closed-form features so the oracle can re-state
