@@ -71,6 +71,8 @@ object SparkEntry {
     "a_asof_join"        -> (AnalyticsQueries.asofJoin _),
     "a_percentiles"      -> (AnalyticsQueries.percentiles _),
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
+    "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
+    "a_cube"             -> (AnalyticsQueries.cubeSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +396,20 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_sql_surface" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'X'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
