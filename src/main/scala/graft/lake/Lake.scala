@@ -205,6 +205,16 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   def table(ident: String): LakeTable = new LakeTable(spark, resolve(ident))
 
+  /** Expose a lake table to SQL as a temp view (`namespace.table` →
+    * `namespace_table`): the engine's `spark.sql` surface over lake
+    * snapshots. Re-registering after a new commit refreshes the view.
+    */
+  def registerView(ident: String, version: Option[Long] = None): String = {
+    val name = ident.replace('.', '_')
+    read(ident, version).createOrReplaceTempView(name)
+    name
+  }
+
   def write(df: DataFrame, ident: String, mode: WriteMode = WriteMode.Overwrite,
             partitionBy: Seq[String] = Nil): Snapshot =
     table(ident).write(df, mode, partitionBy)
