@@ -73,6 +73,8 @@ object SparkEntry {
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
+    "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
+    "d_dedup_clusters"   -> (SimQueries.dedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -411,5 +413,31 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "a_correlated_subq" ->
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT a_id, b_id FROM p
+        |          WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |r(u, cand) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, r.cand FROM e JOIN r ON r.u = e.v)
+        |SELECT u AS doc_id, MIN(cand) AS cluster_root
+        |FROM r GROUP BY u ORDER BY doc_id""".stripMargin,
   )
 }

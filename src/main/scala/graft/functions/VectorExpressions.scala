@@ -55,6 +55,41 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Squared L2 norm of a float vector (used by the FoldSelfCosine
+  * optimizer rule to keep zero-vector semantics after folding
+  * `cosine_sim(x, x)` to a constant).
+  */
+case class NormSq(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_sq"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i); s += v * v; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  float $v = $x.getFloat($i); $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormSq =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -122,4 +122,34 @@ object Dedup {
     * candidate buckets, exact-verified — see
     * [[Similarity.cosineDupPairs]].
     */
+
+  /** Near-dup clusters from a pair list: connected components over the
+    * similarity graph (GraphX), labeling every involved doc with its
+    * component's minimum doc id — the canonical "keep one per cluster"
+    * step that turns pair mining into an actual dedup. Pregel-based,
+    * converges in O(component diameter) supersteps; at 100 TB the
+    * pair list is tiny relative to the corpus (it tracks true near-dup
+    * density), so the graph step is cheap.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    cc.vertices.toDF("doc_id", "cluster_root")
+  }
+
+  /** Apply dedup: keep one canonical doc (min id) per near-dup cluster,
+    * plus every doc not involved in any pair.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val drop = clusters.where(col("doc_id") =!= col("cluster_root"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -4,7 +4,32 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, MinHashSig, SimHash64, WordShingles}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{CosineSim, MinHashSig, NormSq, SimHash64, WordShingles}
+
+/** Optimizer rule: `cosine_sim(x, x)` is 1.0 whenever `x` is a
+  * non-null non-zero vector; self-comparisons show up in dedup
+  * pipelines that join a corpus with itself, where they'd otherwise
+  * burn a full dot product per row. Folded to a null-safe conditional
+  * constant (zero vectors still evaluate — they return 0).
+  */
+object FoldSelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
+      // 1.0 unless the vector is null/zero-norm; keep exact semantics
+      // by testing the norm cheaply instead of the full pairwise form
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.IsNull(a),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.If(
+          org.apache.spark.sql.catalyst.expressions.GreaterThan(
+            NormSq(a), org.apache.spark.sql.catalyst.expressions.Literal(0.0)),
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+          org.apache.spark.sql.catalyst.expressions.Literal(0.0)))
+  }
+}
 
 /** SparkSessionExtensions entry point — the same injection mechanism
   * the reference configures for Iceberg
@@ -30,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => FoldSelfCosine)
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -151,6 +151,19 @@ object AnalyticsQueries {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join): parts at their brand's minimum retail price.
+    */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).part.createOrReplaceTempView("v_part")
+    spark.sql(
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM v_part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM v_part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
   /** CUBE: all grouping-set combinations over two dimensions. */
   def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -95,6 +95,17 @@ object SimQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Near-dup clustering: connected components over the exact Jaccard
+    * pair graph (GraphX), each doc labeled with its component's min id —
+    * the apply step of dedup. Oracle: recursive-CTE reachability
+    * closure in DuckDB.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5)
+    Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+  }
+
   /** IVF ANN over the planted-dup corpus (the second scale path next
     * to LSH): identical vectors share a cell, so every probe's rank-1
     * is its planted duplicate.

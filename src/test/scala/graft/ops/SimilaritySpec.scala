@@ -83,6 +83,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Set((0L, 5000L), (1L, 5001L), (2L, 5002L)).subsetOf(twinPairs))
   }
 
+  test("dedupByClusters keeps exactly one doc per near-dup component") {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect()
+    assert(clusters.nonEmpty)
+    // every root is the min of its component
+    clusters.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.map(_._1).min === root)
+    }
+    val kept = Dedup.dedupByClusters(docs, pairs)
+    val dropped = clusters.count { case (id, root) => id != root }
+    assert(kept.count() === docs.count() - dropped)
+    // idempotent: rerunning on the deduped corpus drops nothing more
+    val pairs2 = Dedup.ngramJaccardPairs(kept, threshold = 0.5)
+    assert(Dedup.dedupByClusters(kept, pairs2).count() === kept.count())
+  }
+
   test("cosineDupPairs recall 1.0 on planted duplicates") {
     val emb = Tables(spark, dir).embeddings
     val offset = 1000000L

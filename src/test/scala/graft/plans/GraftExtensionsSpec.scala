@@ -35,4 +35,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT minhash_sig(array('a'), 1 + 1)").head)
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("FoldSelfCosine rewrites cosine_sim(x, x) and keeps semantics") {
+    import spark.implicits._
+    // parquet-backed: a LocalRelation would be constant-folded before
+    // user optimizer rules run, hiding the rewrite
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("v_selfcos")
+    val q = spark.sql("SELECT vec_id, cosine_sim(embedding, embedding) AS s FROM v_selfcos")
+    // folded: rewritten to the norm_sq-guarded constant
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("norm_sq"), opt)
+    // every self-similarity is EXACTLY 1.0 (numeric path gives 1-1ulp)
+    val vals = q.select($"s").as[Double].collect()
+    assert(vals.nonEmpty && vals.forall(_ === 1.0))
+    // distinct columns are NOT folded
+    val q2 = spark.sql("SELECT cosine_sim(embedding, reverse(embedding)) AS s FROM v_selfcos")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("norm_sq"))
+  }
 }
