@@ -51,6 +51,7 @@ object SparkEntry {
     "t_quality_score"    -> (TextQueries.qualityScore _),
     "t_token_stats"      -> (TextQueries.tokenStats _),
     "t_fingerprint"      -> (TextQueries.fingerprints _),
+    "t_winnow_overlap"   -> (TextQueries.winnowOverlap _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
     "d_dedup_minhash"    -> (SimQueries.minhashLsh _),

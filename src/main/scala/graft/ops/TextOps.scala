@@ -79,4 +79,12 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(trim(lower(regexp_replace(text, "\\s+", " "))))
+
+  /** Rolling-hash winnowing fingerprints (Rabin-Karp k-grams + window
+    * minima): the substring-overlap fingerprint family — any shared
+    * run of ≥ w+k−1 chars produces a shared fingerprint. See
+    * [[graft.functions.WinnowFingerprints]].
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowFunctions.winnow_fingerprints(text, k, w)
 }

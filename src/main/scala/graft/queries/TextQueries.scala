@@ -63,4 +63,29 @@ object TextQueries {
       .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** Winnowing overlap detection: doc pairs sharing ≥ `minShared`
+    * rolling-hash fingerprints (substring-level near-dup, robust to
+    * word reordering outside the shared runs). Inverted-index join on
+    * fingerprints — same scale shape as the shingle Jaccard join.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables(spark, dir).documents
+      .select($"doc_id", explode(TextOps.winnowFingerprints($"text", 8, 4)).as("fp"))
+    // drop ubiquitous fingerprints (boilerplate phrases): bounds the
+    // inverted-index join fan-out by df² — the MOSS "ignore common
+    // fingerprints" step, essential at corpus scale
+    val rare = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= 20).select($"fp")
+    val filtered = fp.join(broadcast(rare), Seq("fp"))
+    val a = filtered.select($"fp", $"doc_id".as("a_id"))
+    val b = filtered.select($"fp", $"doc_id".as("b_id"))
+    a.join(b, Seq("fp"))
+      .where($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("shared_fp"))
+      .orderBy($"shared_fp".desc, $"a_id", $"b_id")
+      .limit(100)
+  }
 }
