@@ -23,4 +23,15 @@ object SqlCompat {
 
   /** Stable AVG: exact decimal sum, then one double division. */
   def avgd(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  /** A wall-clock literal interpreted as UTC regardless of the JVM
+    * default timezone. `java.sql.Timestamp.valueOf` parses in the
+    * default zone, which would make query results (and DuckDB-oracle
+    * parity, whose naive timestamps are UTC) depend on the driver
+    * machine's TZ.
+    */
+  def utcTimestamp(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
 }

@@ -49,7 +49,8 @@ final case class Snapshot(
     dirs: Seq[String],          // relative to table root
     partitionBy: Seq[String],
     schemaJson: String,
-    timestampMs: Long) {
+    timestampMs: Long,
+    meta: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -59,6 +60,14 @@ object WriteMode {
   case object Append extends WriteMode
 }
 
+object LakeTable {
+  /** Lease horizon for orphaned-claim recovery (override for tests via
+    * -Dgraft.lake.staleClaimMs).
+    */
+  def StaleClaimMs: Long =
+    sys.props.getOrElse("graft.lake.staleClaimMs", "60000").toLong
+}
+
 final class LakeTable(val spark: SparkSession, val root: Path) {
   private def versionsDir: Path = root.resolve("_versions")
 
@@ -66,10 +75,13 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
 
   def history: Seq[Snapshot] = {
     if (!Files.isDirectory(versionsDir)) return Nil
-    Files.list(versionsDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .flatMap(p => Manifest.read(p))
+    val stream = Files.list(versionsDir)
+    try
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .flatMap(p => Manifest.read(p))
+    finally stream.close() // Files.list leaks an fd per call otherwise
   }
 
   def latest: Option[Snapshot] = history.lastOption
@@ -97,9 +109,17 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * create, then publish the manifest with an atomic rename. Loser of
     * a claim race waits for the winner's manifest and rebases (so
     * concurrent appends serialize without losing either commit).
+    *
+    * Crash recovery: a writer that dies between claiming and
+    * publishing leaves an orphan claim that would otherwise block the
+    * version forever. A claim older than [[LakeTable.StaleClaimMs]]
+    * with no manifest is presumed dead (lease assumption — the same
+    * one log-structured table formats make) and is removed by the next
+    * writer.
     */
   private[lake] def commit(op: String, newDirs: Seq[String], carryForward: Boolean,
-                           partitionBy: Seq[String], schemaJson: String): Snapshot = {
+                           partitionBy: Seq[String], schemaJson: String,
+                           meta: Map[String, String] = Map.empty): Snapshot = {
     Files.createDirectories(versionsDir)
     var attempts = 0
     while (attempts < 1000) {
@@ -112,13 +132,21 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (claimed) {
         val dirs = (if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil) ++ newDirs
-        val snap = Snapshot(next, op, dirs, partitionBy, schemaJson, System.currentTimeMillis())
+        val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
+          System.currentTimeMillis(), meta)
         val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
         Files.writeString(tmp, Manifest.toJson(snap))
         Files.move(tmp, manifestPath(next), StandardCopyOption.ATOMIC_MOVE)
         return snap
       }
-      // claim race lost: wait for the winner's manifest, then rebase
+      // claim race lost: wait for the winner's manifest, reclaiming
+      // orphaned claims whose writer died mid-commit
+      if (!Files.exists(manifestPath(next))) {
+        try {
+          val age = System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis
+          if (age > LakeTable.StaleClaimMs) Files.deleteIfExists(claim)
+        } catch { case _: java.nio.file.NoSuchFileException => () } // winner just published
+      }
       Thread.sleep(5)
     }
     throw new IllegalStateException(s"could not commit to $root after $attempts attempts")
@@ -128,7 +156,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * reference's only mode, dags/etl.py:53); Append carries prior dirs
     * forward untouched.
     */
-  def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil): Snapshot = {
+  def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
+            meta: Map[String, String] = Map.empty): Snapshot = {
     val dirName = s"data/${UUID.randomUUID().toString}"
     val target = root.resolve(dirName)
     val writer = df.write.mode("overwrite")
@@ -136,7 +165,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       .parquet(target.toString)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = partitionBy, schemaJson = df.schema.json)
+      partitionBy = partitionBy, schemaJson = df.schema.json, meta = meta)
   }
 
   /** Small-file compaction (the `rewrite_data_files` capability the
@@ -164,9 +193,12 @@ private object Manifest {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val metaJson = s.meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
       s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
-      s""""schemaJson":"${esc(s.schemaJson)}"}"""
+      s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
   def read(p: Path): Option[Snapshot] = {
@@ -180,13 +212,23 @@ private object Manifest {
       val a = n.get(field)
       (0 until a.size()).map(a.get(_).asText())
     }
+    val metaNode = n.get("meta")
+    val meta: Map[String, String] =
+      if (metaNode == null) Map.empty
+      else {
+        val it = metaNode.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+        b.result()
+      }
     Some(Snapshot(
       version = n.get("version").asLong(),
       op = n.get("op").asText(),
       dirs = strs("dirs"),
       partitionBy = strs("partitionBy"),
       schemaJson = n.get("schemaJson").asText(),
-      timestampMs = n.get("timestampMs").asLong()))
+      timestampMs = n.get("timestampMs").asLong(),
+      meta = meta))
   }
 }
 
@@ -216,8 +258,9 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def write(df: DataFrame, ident: String, mode: WriteMode = WriteMode.Overwrite,
-            partitionBy: Seq[String] = Nil): Snapshot =
-    table(ident).write(df, mode, partitionBy)
+            partitionBy: Seq[String] = Nil,
+            meta: Map[String, String] = Map.empty): Snapshot =
+    table(ident).write(df, mode, partitionBy, meta)
 
   def read(ident: String, version: Option[Long] = None): DataFrame =
     table(ident).read(version)

@@ -27,14 +27,22 @@ object LakeDml {
       table.latest.map(_.partitionBy).getOrElse(Nil))
   }
 
-  /** UPDATE t SET col = expr, ... WHERE cond. */
+  /** UPDATE t SET col = expr, ... WHERE cond. All SET expressions and
+    * the condition evaluate against the PRE-update row (one projection,
+    * SQL UPDATE semantics) — a sequential foldLeft of withColumns would
+    * feed already-updated columns into later SETs and the condition.
+    */
   def update(table: LakeTable, cond: Column, set: Map[String, Column]): Snapshot = {
     val df = table.read(None)
+    require(set.keySet.subsetOf(df.columns.toSet), s"unknown SET columns: ${set.keySet -- df.columns}")
     val hit = coalesce(cond, lit(false))
-    val updated = set.foldLeft(df) { case (acc, (name, expr)) =>
-      acc.withColumn(name, when(hit, expr).otherwise(col(name)))
+    val out = df.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
     }
-    table.write(updated, WriteMode.Overwrite,
+    table.write(df.select(out: _*), WriteMode.Overwrite,
       table.latest.map(_.partitionBy).getOrElse(Nil))
   }
 
@@ -57,19 +65,23 @@ object LakeDml {
     val srcDup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(srcDup == 0, "MERGE source has duplicate keys — ambiguous match")
 
+    // presence markers instead of key-null tests: a null-safe (<=>)
+    // join legitimately matches null-key rows on both sides, which
+    // key-IS-NULL classification would misread as source-only
+    val tgt = target.withColumn("_t_present", lit(true))
     val src = source.select(source.columns.map(c => col(c).as(s"_src_$c")).toSeq: _*)
-    val joinCond = keys.map(k => target(k) <=> src(s"_src_$k")).reduce(_ && _)
-    val joined = target.join(src, joinCond, "full_outer")
-    val matched = keys.map(k => src(s"_src_$k").isNotNull).reduce(_ && _) &&
-      keys.map(k => target(k).isNotNull).reduce(_ && _)
-    val srcOnly = keys.map(k => target(k).isNull).reduce(_ && _)
+      .withColumn("_s_present", lit(true))
+    val joinCond = keys.map(k => tgt(k) <=> src(s"_src_$k")).reduce(_ && _)
+    val joined = tgt.join(src, joinCond, "full_outer")
+    val matched = tgt("_t_present").isNotNull && src("_s_present").isNotNull
+    val srcOnly = tgt("_t_present").isNull
 
     val out = cols.map { c =>
-      val fromSrc = if (set.nonEmpty) set.getOrElse(c, target(c)) else src(s"_src_$c")
+      val fromSrc = if (set.nonEmpty) set.getOrElse(c, tgt(c)) else src(s"_src_$c")
       val insert = src(s"_src_$c")
       when(matched, fromSrc)
         .when(srcOnly, if (insertNotMatched) insert else lit(null))
-        .otherwise(target(c)).as(c)
+        .otherwise(tgt(c)).as(c)
     }
     val merged0 = joined.select(out: _*)
     val merged = if (insertNotMatched) merged0

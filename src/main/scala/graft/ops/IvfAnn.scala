@@ -28,10 +28,16 @@ object IvfAnn {
     */
   def centroids(corpus: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // orderBy+limit plans as a distributed TakeOrderedAndProject (per-
+    // partition heaps); the row_number window then runs over only the
+    // nlist sampled rows. A global unpartitioned window over the corpus
+    // would funnel every vector through one task.
+    val sampled = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
     val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
-    corpus.select(col(idCol), col(vecCol))
+    sampled
       .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= nlist)
       .select((col("_rk") - 1).as("centroid_id"), col(vecCol).as("centroid_vec"))
   }
 

@@ -38,6 +38,19 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** One row per (vector, LSH table): id, vec, table, bucket — the
+    * shared candidate-generation step for ANN and near-dup pairing.
+    */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+                       id: String, vec: String,
+                       dim: Int, tables: Int, bits: Int, seedBase: Long): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"),
+            hyperplane_bucket(col(vecCol), dim, bits, seed = seedBase * (t + 1)).as("bucket"))): _*))
+          .as("tb"))
+      .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
   /** Approximate top-k via multi-table hyperplane LSH. A candidate is
     * scored iff it shares a bucket with the probe in at least one
     * table; ranking among candidates is exact cosine.
@@ -45,16 +58,8 @@ object Similarity {
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(array((0 until tables).map(t =>
-            struct(lit(t).as("table"),
-              hyperplane_bucket(col(vecCol), dim, bits, seed = 7919L * (t + 1)).as("bucket"))): _*))
-            .as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-
-    val p = bucketed(probes, "probe_id", "probe_vec")
-    val c = bucketed(corpus, "neighbor_id", "vec")
+    val p = bucketed(probes, idCol, vecCol, "probe_id", "probe_vec", dim, tables, bits, 7919L)
+    val c = bucketed(corpus, idCol, vecCol, "neighbor_id", "vec", dim, tables, bits, 7919L)
     val cand = p.join(c, Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("probe_vec"), col("neighbor_id"), col("vec"))
@@ -75,12 +80,7 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                      tables: Int = 8, bits: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"),
-            hyperplane_bucket(col(vecCol), dim, bits, seed = 104729L * (t + 1)).as("bucket"))): _*))
-          .as("tb"))
-      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val b = bucketed(corpus, idCol, vecCol, "id", "vec", dim, tables, bits, 104729L)
     b.as("x").join(b.as("y"), Seq("table", "bucket"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),

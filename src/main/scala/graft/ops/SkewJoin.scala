@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Left side gets a uniform random-ish salt in [0, buckets); the
   * (small-ish) right side is replicated `buckets` times with every
-  * salt value, so each hot-key partition shrinks by `buckets`×. Salt is
-  * derived from stable row content (xxhash64 of the left key + a
-  * per-row uniform column) so results are deterministic.
+  * salt value, so each hot-key partition shrinks by `buckets`×. The
+  * salt mixes the key hash with a per-row id that depends on physical
+  * partitioning — bucket assignment may differ between runs, but the
+  * join RESULT is identical either way (every salt value has a
+  * matching replicated right row).
   */
 object SkewJoin {
 

@@ -53,17 +53,30 @@ final class Medallion(
   }
 
   /** Incremental extract → bronze. Only rows with tsCol strictly above
-    * the stored watermark are read (the filter is pushed into the
-    * source scan), then the watermark advances to the max extracted ts —
-    * the reference's at-most-once-per-row-version semantics.
+    * the watermark are read (the filter is pushed into the source
+    * scan), then the watermark advances to the max extracted ts — the
+    * reference's at-most-once-per-row-version semantics.
+    *
+    * Retry-idempotent: the new watermark travels INSIDE the bronze
+    * commit's metadata (one atomic unit with the data), and the
+    * effective watermark is the max of the store and the last bronze
+    * commit — so a retry that died after the append but before the
+    * store advance re-derives the watermark from bronze and appends
+    * nothing twice.
     */
   def extractBronze(source: DataFrame, tsCol: String): Long = withRetries("extract") {
-    val wm = state.get(pipeline, "extract")
+    val bronze = catalog.table(s"bronze.$pipeline")
+    val committedWm = bronze.latest
+      .flatMap(_.meta.get("watermark_ms")).map(_.toLong).getOrElse(0L)
+    val wm = new java.sql.Timestamp(
+      math.max(state.get(pipeline, "extract").getTime, committedWm))
     val delta = source.filter(col(tsCol) > lit(wm))
-    val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
-    catalog.write(delta, s"bronze.$pipeline", mode)
     val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
-    if (maxTs != null) state.advance(pipeline, "extract", maxTs)
+    val newWmMs = if (maxTs == null) wm.getTime else math.max(wm.getTime, maxTs.getTime)
+    val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
+    catalog.write(delta, s"bronze.$pipeline", mode,
+      meta = Map("watermark_ms" -> newWmMs.toString))
+    state.advance(pipeline, "extract", new java.sql.Timestamp(newWmMs))
     delta.count()
   }
 

@@ -53,7 +53,7 @@ object RelationalQueries {
   def incrementalScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir)
-      .eventsAfter(java.sql.Timestamp.valueOf("2024-01-28 00:00:00"))
+      .eventsAfter(SqlCompat.utcTimestamp("2024-01-28 00:00:00"))
       .select($"event_id", $"ts", $"user_id", $"event_type")
       .orderBy($"event_id")
   }

@@ -31,23 +31,39 @@ final class WatermarkStore(dir: Path) {
     else new Timestamp(0L)
   }
 
-  /** Record a new watermark; monotonic (a stale writer can't move it back). */
+  /** Record a new watermark; monotonic (a stale writer can't move it
+    * back). The read-compare-write runs under an OS file lock so a
+    * concurrent stale writer can't interleave between the check and
+    * the write and regress the value.
+    */
   def advance(pipeline: String, stage: String, to: Timestamp): Timestamp = {
-    val cur = get(pipeline, stage)
-    if (to.after(cur)) {
-      val p = fileFor(pipeline, stage)
-      val tmp = Files.createTempFile(dir, ".wm", ".tmp")
-      Files.writeString(tmp, to.getTime.toString)
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      to
-    } else cur
+    val lockPath = dir.resolve(s"$pipeline.$stage.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val cur = get(pipeline, stage)
+        if (to.after(cur)) {
+          val p = fileFor(pipeline, stage)
+          val tmp = Files.createTempFile(dir, ".wm", ".tmp")
+          Files.writeString(tmp, to.getTime.toString)
+          Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          to
+        } else cur
+      } finally lock.release()
+    } finally ch.close()
   }
 
-  def all(): Map[String, Timestamp] =
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".watermark"))
-      .map(p => p.getFileName.toString.stripSuffix(".watermark") ->
-        new Timestamp(Files.readString(p).trim.toLong))
-      .toMap
+  def all(): Map[String, Timestamp] = {
+    val stream = Files.list(dir)
+    try
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".watermark"))
+        .map(p => p.getFileName.toString.stripSuffix(".watermark") ->
+          new Timestamp(Files.readString(p).trim.toLong))
+        .toMap
+    finally stream.close()
+  }
 }

@@ -66,22 +66,34 @@ object EventsWindows {
     }
   }
 
-  def tumblingStreaming(spark: SparkSession, parquetPath: String,
-                        width: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = tumblingBatch(events, width)
-    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the result table (shared driver for the AvailableNow
+    * variants below).
+    */
+  private def runToMemory(spark: SparkSession, agg: DataFrame, prefix: String,
+                          mode: OutputMode): DataFrame = {
+    val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Nanos-parquet events as a streaming source (schema + µs ts). */
+  private def eventsStream(spark: SparkSession, parquetPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def tumblingStreaming(spark: SparkSession, parquetPath: String,
+                        width: String = "1 hour"): DataFrame =
+    runToMemory(spark, tumblingBatch(eventsStream(spark, parquetPath), width),
+      "graft_stream_", OutputMode.Complete())
 
   /** Streaming session windows (`session_window` + watermark, append
     * mode). With AvailableNow the final in-flight sessions stay open
@@ -90,24 +102,13 @@ object EventsWindows {
     */
   def sessionWindowStreaming(spark: SparkSession, parquetPath: String,
                              gap: String = "30 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
+    val agg = eventsStream(spark, parquetPath)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("t_start"),
         col("w.end").as("t_end"), col("n_events"))
-    val name = "graft_sess_" + UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(spark, agg, "graft_sess_", OutputMode.Append())
   }
 
   final case class UserEvent(user_id: Long, event_type: String)
@@ -119,9 +120,7 @@ object EventsWindows {
     */
   def statefulUserCounts(spark: SparkSession, parquetPath: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val raw = spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    val raw = eventsStream(spark, parquetPath)
     val updateFn: (Long, Iterator[UserEvent], GroupState[Long]) => UserCount =
       (uid, evs, state) => {
         val total = state.getOption.getOrElse(0L) + evs.size
@@ -131,13 +130,6 @@ object EventsWindows {
     val counts = raw.select($"user_id", $"event_type").as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
-    val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
-    val q = counts.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(spark, counts.toDF(), "graft_state_", OutputMode.Update())
   }
 }

@@ -66,4 +66,33 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(t.read(None).count() === 3)
     assert(t.read(None).filter($"id" === 2L).head.getString(1) === "b2")
   }
+
+  test("update evaluates all SETs against the pre-update row (swap works)") {
+    val t = freshTable()
+    // swap name and v-as-string; also condition references a SET column
+    LakeDml.update(t, $"name" === "b",
+      Map("name" -> lit("B"), "v" -> lit(99.0)))
+    val row = t.read(None).filter($"id" === 2L).head
+    assert(row.getString(1) === "B" && row.getDouble(2) === 99.0)
+    // genuine swap of two columns
+    val t2 = freshTable()
+    LakeDml.update(t2, lit(true), Map("id" -> ($"v".cast("long")), "v" -> ($"id".cast("double"))))
+    val r = t2.read(None).orderBy($"v").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+    assert(r.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
+  test("merge pairs null-key rows instead of deleting them") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-null-").toString)
+    cat.write(
+      Seq((Option(1L), "a"), (Option.empty[Long], "nullkey")).toDF("id", "name"),
+      "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    val src = Seq((Option.empty[Long], "updated")).toDF("id", "name")
+    LakeDml.merge(t, src, keys = Seq("id"), insertNotMatched = false)
+    val rows = t.read(None).orderBy($"name").collect()
+    // null-key target row was MATCHED (null-safe join) and updated, not dropped
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "updated"))
+  }
 }

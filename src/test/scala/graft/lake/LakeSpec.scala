@@ -86,4 +86,31 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.table("../escape"))
     intercept[IllegalArgumentException](cat.table(""))
   }
+
+  test("orphaned claim is reclaimed after the lease horizon") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    // simulate a writer that died between claim and publish
+    val claims = cat.table("ns.t").root.resolve("_versions")
+    Files.createFile(claims.resolve("v00000002.claim"))
+    val prev = sys.props.put("graft.lake.staleClaimMs", "50")
+    try {
+      Thread.sleep(80) // age the orphan past the lease
+      cat.write(sample(), "ns.t", WriteMode.Append) // must not deadlock
+      assert(cat.read("ns.t").count() === 6)
+      assert(cat.table("ns.t").latest.get.version === 2L)
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.lake.staleClaimMs", v)
+      case None => sys.props.remove("graft.lake.staleClaimMs")
+    }
+  }
+
+  test("snapshot metadata round-trips through the manifest") {
+    val cat = freshCat()
+    val snap = cat.write(sample(), "ns.t", WriteMode.Overwrite,
+      meta = Map("watermark_ms" -> "12345", "note" -> "x\"y"))
+    assert(snap.meta("watermark_ms") === "12345")
+    val reread = cat.table("ns.t").latest.get
+    assert(reread.meta === Map("watermark_ms" -> "12345", "note" -> "x\"y"))
+  }
 }

@@ -85,4 +85,18 @@ class MedallionSpec extends AnyFunSuite {
     // the reference's (buggy) semantics: bronze holds only the latest delta
     assert(cat.read("bronze.medallion").count() === 5)
   }
+
+  test("retry after lost watermark advance appends nothing twice") {
+    val (m, cat, st) = freshPipeline()
+    m.extractBronze(seed(), "last_updated")
+    assert(cat.read("bronze.medallion").count() === 8)
+    // simulate a crash AFTER the bronze commit but BEFORE the store
+    // advance: wipe the store and re-extract — the watermark inside the
+    // bronze commit metadata must prevent a duplicate append
+    val wiped = new WatermarkStore(Files.createTempDirectory("med-wipe-"))
+    val m2 = new Medallion(spark, cat, wiped, retryBaseDelayMs = 1)
+    val rows = m2.extractBronze(seed(), "last_updated")
+    assert(rows === 0L)
+    assert(cat.read("bronze.medallion").count() === 8) // unchanged
+  }
 }
