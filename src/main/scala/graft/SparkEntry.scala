@@ -75,6 +75,9 @@ object SparkEntry {
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
+    "a_outer_cross"      -> (AnalyticsQueries.outerCrossJoins _),
+    "a_date_arithmetic"  -> (AnalyticsQueries.dateArithmetic _),
+    "a_null_semantics"   -> (AnalyticsQueries.nullSemantics _),
     "d_dedup_clusters"   -> (SimQueries.dedupClusters _),
   )
 
@@ -421,6 +424,30 @@ object SparkEntry {
         |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
         |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "a_outer_cross" ->
+      """SELECT cov.*,
+        |  (SELECT COUNT(*) FROM region
+        |   CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)) AS grid_size
+        |FROM (
+        |  SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |         COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |  FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |  FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  USING (nationkey)) cov
+        |ORDER BY nationkey""".stripMargin,
+
+    "a_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+        |  date_trunc('quarter', o_orderdate) AS quarter_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "a_null_semantics" ->
+      """SELECT nullif(p_size, 25) AS sz, COUNT(*) AS n, COUNT(nullif(p_size, 25)) AS n_nonnull
+        |FROM part GROUP BY 1 ORDER BY sz ASC NULLS FIRST""".stripMargin,
 
     "d_dedup_clusters" ->
       """WITH RECURSIVE

@@ -151,6 +151,52 @@ object AnalyticsQueries {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Full-outer + cross joins: nation coverage by customers vs
+    * suppliers (full outer over per-side aggregates), and region ×
+    * order-priority cross-join grid. Rounds out the join-type surface.
+    */
+  def outerCrossJoins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val c = t.customer.groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = t.supplier.groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cov = c.join(s, Seq("nationkey"), "full_outer")
+      .select($"nationkey", coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+    val gridSize = t.region
+      .crossJoin(t.orders.select($"o_orderpriority").distinct())
+      .agg(count(lit(1)).as("grid_size"))
+    cov.crossJoin(broadcast(gridSize))
+      .orderBy($"nationkey")
+  }
+
+  /** Date arithmetic: add/diff/truncate/last-day per order. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(
+        $"o_orderkey",
+        date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("2000-01-01")), $"o_orderdate".cast("date")).as("days_to_y2k"),
+        date_trunc("quarter", $"o_orderdate").as("quarter_start"),
+        last_day($"o_orderdate".cast("date")).as("month_end"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Null semantics: null-safe equality, NULLIF-generated nulls, and
+    * explicit null ordering.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).part
+      .select($"p_partkey", nullif($"p_size", lit(25)).as("sz"))
+      .groupBy($"sz")
+      .agg(count(lit(1)).as("n"), count($"sz").as("n_nonnull"))
+      .orderBy($"sz".asc_nulls_first)
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates it into an
     * aggregate + join): parts at their brand's minimum retail price.
     */
