@@ -140,8 +140,14 @@ case class HyperplaneBucket(child: Expression, dim: Int, bits: Int, seed: Long)
 }
 
 object HashFunctions {
-  def minhash_sig(c: Column, k: Int): Column = GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), k))
-  def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+  // coerce inputs: the expressions read tungsten arrays positionally
+  private def strArr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftColumnBridge.expression(c.cast("array<string>"))
+  private def fltArr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftColumnBridge.expression(c.cast("array<float>"))
+
+  def minhash_sig(c: Column, k: Int): Column = GraftColumnBridge.column(MinHashSig(strArr(c), k))
+  def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(strArr(c)))
   def hyperplane_bucket(c: Column, dim: Int, bits: Int, seed: Long): Column =
-    GraftColumnBridge.column(HyperplaneBucket(GraftColumnBridge.expression(c), dim, bits, seed))
+    GraftColumnBridge.column(HyperplaneBucket(fltArr(c), dim, bits, seed))
 }

@@ -91,5 +91,8 @@ case class NormSq(child: Expression)
 }
 
 object VectorFunctions {
-  def cosine_sim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a.cast("array<float>")),
+      GraftColumnBridge.expression(b.cast("array<float>"))))
 }

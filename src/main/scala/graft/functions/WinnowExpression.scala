@@ -92,5 +92,5 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object WinnowFunctions {
   def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftColumnBridge.column(
-      WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
+      WinnowFingerprints(GraftColumnBridge.expression(text.cast("string")), k, w))
 }

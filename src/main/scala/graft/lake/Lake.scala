@@ -84,7 +84,21 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     finally stream.close() // Files.list leaks an fd per call otherwise
   }
 
-  def latest: Option[Snapshot] = history.lastOption
+  /** O(1) in manifest parses: resolves the max version from file names
+    * (lexicographic = numeric for the zero-padded scheme) and reads
+    * only that manifest — `history` parses all and is for audit use.
+    */
+  def latest: Option[Snapshot] = {
+    if (!Files.isDirectory(versionsDir)) return None
+    val stream = Files.list(versionsDir)
+    val maxName =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d{8}\\.json"))
+        .maxOption
+      finally stream.close()
+    maxName.flatMap(n => Manifest.read(versionsDir.resolve(n)))
+  }
 
   /** Read the table at `version` (latest when None). Immutable snapshot
     * dirs mean a concurrent overwrite never affects a running read.
@@ -119,12 +133,20 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   private[lake] def commit(op: String, newDirs: Seq[String], carryForward: Boolean,
                            partitionBy: Seq[String], schemaJson: String,
-                           meta: Map[String, String] = Map.empty): Snapshot = {
+                           meta: Map[String, String] = Map.empty,
+                           expectedBase: Option[Long] = None): Snapshot = {
     Files.createDirectories(versionsDir)
     var attempts = 0
     while (attempts < 1000) {
       attempts += 1
       val base = latest
+      // read-modify-write commits (DML, compact) must fail rather than
+      // silently discard a concurrent commit made after their base read
+      expectedBase.foreach { eb =>
+        val cur = base.map(_.version).getOrElse(0L)
+        if (cur != eb) throw new java.util.ConcurrentModificationException(
+          s"table $root moved from v$eb to v$cur since the operation read its base; retry the operation")
+      }
       val next = base.map(_.version).getOrElse(0L) + 1
       val claim = versionsDir.resolve(f"v$next%08d.claim")
       val claimed =
@@ -157,7 +179,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * forward untouched.
     */
   def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
-            meta: Map[String, String] = Map.empty): Snapshot = {
+            meta: Map[String, String] = Map.empty,
+            expectedBase: Option[Long] = None): Snapshot = {
     val dirName = s"data/${UUID.randomUUID().toString}"
     val target = root.resolve(dirName)
     val writer = df.write.mode("overwrite")
@@ -165,7 +188,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       .parquet(target.toString)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = partitionBy, schemaJson = df.schema.json, meta = meta)
+      partitionBy = partitionBy, schemaJson = df.schema.json, meta = meta,
+      expectedBase = expectedBase)
   }
 
   /** Small-file compaction (the `rewrite_data_files` capability the
@@ -175,12 +199,13 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   def compact(targetPartitions: Int): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
-    val df = read(None).repartition(targetPartitions)
+    val df = read(Some(snap.version)).repartition(targetPartitions)
     val dirName = s"data/${UUID.randomUUID().toString}"
     val writer = df.write.mode("overwrite")
     (if (snap.partitionBy.nonEmpty) writer.partitionBy(snap.partitionBy: _*) else writer)
       .parquet(root.resolve(dirName).toString)
-    commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson)
+    commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
+      expectedBase = Some(snap.version))
   }
 }
 

@@ -21,10 +21,12 @@ object LakeDml {
     * FALSE and NULL rows are kept (SQL DELETE semantics).
     */
   def delete(table: LakeTable, cond: Column): Snapshot = {
-    val df = table.read(None)
+    val base = table.latest
+    val df = table.read(base.map(_.version))
     val kept = df.where(!coalesce(cond, lit(false)))
     table.write(kept, WriteMode.Overwrite,
-      table.latest.map(_.partitionBy).getOrElse(Nil))
+      base.map(_.partitionBy).getOrElse(Nil),
+      expectedBase = base.map(_.version)) // fail instead of losing a concurrent commit
   }
 
   /** UPDATE t SET col = expr, ... WHERE cond. All SET expressions and
@@ -33,7 +35,8 @@ object LakeDml {
     * feed already-updated columns into later SETs and the condition.
     */
   def update(table: LakeTable, cond: Column, set: Map[String, Column]): Snapshot = {
-    val df = table.read(None)
+    val base = table.latest
+    val df = table.read(base.map(_.version))
     require(set.keySet.subsetOf(df.columns.toSet), s"unknown SET columns: ${set.keySet -- df.columns}")
     val hit = coalesce(cond, lit(false))
     val out = df.columns.toSeq.map { c =>
@@ -43,7 +46,8 @@ object LakeDml {
       }
     }
     table.write(df.select(out: _*), WriteMode.Overwrite,
-      table.latest.map(_.partitionBy).getOrElse(Nil))
+      base.map(_.partitionBy).getOrElse(Nil),
+      expectedBase = base.map(_.version))
   }
 
   /** MERGE INTO target USING source ON key equality:
@@ -58,7 +62,8 @@ object LakeDml {
   def merge(table: LakeTable, source: DataFrame, keys: Seq[String],
             set: Map[String, Column] = Map.empty,
             insertNotMatched: Boolean = true): Snapshot = {
-    val target = table.read(None)
+    val base = table.latest
+    val target = table.read(base.map(_.version))
     val cols = target.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad merge keys: $keys")
 
@@ -87,6 +92,7 @@ object LakeDml {
     val merged = if (insertNotMatched) merged0
                  else joined.where(!srcOnly).select(out: _*)
     table.write(merged, WriteMode.Overwrite,
-      table.latest.map(_.partitionBy).getOrElse(Nil))
+      base.map(_.partitionBy).getOrElse(Nil),
+      expectedBase = base.map(_.version))
   }
 }

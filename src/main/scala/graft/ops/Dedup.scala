@@ -101,13 +101,18 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val chunks = 4
+    // pigeonhole completeness requires one more chunk than the allowed
+    // distance: d differing bits cannot touch all d+1 chunks
+    require(maxHamming >= 0 && maxHamming <= 15, s"bad maxHamming $maxHamming")
+    val chunks = maxHamming + 1
+    val width = (64 + chunks - 1) / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val fp = docs.select(col(idCol).as("id"),
         simhash64(TextOps.words(col(textCol))).as("sh"))
     val banded = fp.select(col("id"), col("sh"),
         explode(array((0 until chunks).map(c =>
           struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*))
+            shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("ch"))): _*))
           .as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     banded.as("x").join(banded.as("y"), Seq("chunk", "ch"))

@@ -43,8 +43,10 @@ final class Medallion(
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < retries =>
+        // NonFatal only: OOM/interrupt must propagate, not sleep+retry
+        case scala.util.control.NonFatal(e) if attempt < retries =>
           attempt += 1
+          System.err.println(s"[medallion] $stage attempt $attempt failed: ${e.getMessage}; retrying in ${delay}ms")
           Thread.sleep(delay)
           delay = math.min(delay * 2, 30 * 60 * 1000L) // 30 min cap, default_args.py:25
       }
@@ -70,7 +72,13 @@ final class Medallion(
       .flatMap(_.meta.get("watermark_ms")).map(_.toLong).getOrElse(0L)
     val wm = new java.sql.Timestamp(
       math.max(state.get(pipeline, "extract").getTime, committedWm))
-    val delta = source.filter(col(tsCol) > lit(wm))
+    // stage the delta once: a live source (JDBC) may gain rows between
+    // two evaluations, which would put data above the recorded
+    // watermark into bronze. The staged copy is the single evaluation
+    // both the watermark and the commit are derived from.
+    val stagingDir = java.nio.file.Files.createTempDirectory(s"graft-extract-$pipeline-")
+    source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir.toString)
+    val delta = spark.read.parquet(stagingDir.toString)
     val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
     val newWmMs = if (maxTs == null) wm.getTime else math.max(wm.getTime, maxTs.getTime)
     val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append

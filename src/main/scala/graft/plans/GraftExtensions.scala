@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.{CosineSim, MinHashSig, NormSq, SimHash64, WordShingles}
@@ -54,27 +55,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  // The expressions read tungsten arrays positionally (getFloat /
+  // getUTF8String), so inputs MUST be coerced: an array<double> arg
+  // read as floats returns garbage, not an error. Cast at the builder
+  // (analysis-time failure for non-castable types, silent widening/
+  // narrowing for numeric arrays — the same coercion built-ins get).
+  private def asFloatArray(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+  private def asStringArray(e: Expression): Expression = Cast(e, ArrayType(StringType))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FoldSelfCosine)
 
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSim(asFloatArray(args(0)), asFloatArray(args(1)))))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "minhash_sig k"))))
+      (args: Seq[Expression]) => MinHashSig(asStringArray(args(0)), intArg(args(1), "minhash_sig k"))))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(asStringArray(args(0)))))
 
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "word_shingles n"))))
+      (args: Seq[Expression]) => WordShingles(asStringArray(args(0)), intArg(args(1), "word_shingles n"))))
   }
 }

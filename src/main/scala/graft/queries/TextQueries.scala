@@ -75,10 +75,12 @@ object TextQueries {
       .select($"doc_id", explode(TextOps.winnowFingerprints($"text", 8, 4)).as("fp"))
     // drop ubiquitous fingerprints (boilerplate phrases): bounds the
     // inverted-index join fan-out by df² — the MOSS "ignore common
-    // fingerprints" step, essential at corpus scale
-    val rare = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .where($"df" <= 20).select($"fp")
-    val filtered = fp.join(broadcast(rare), Seq("fp"))
+    // fingerprints" step, essential at corpus scale. The COMMON set is
+    // the tiny one — anti-join against it (broadcasting the rare set
+    // would ship O(corpus) rows to every executor)
+    val common = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" > 20).select($"fp")
+    val filtered = fp.join(broadcast(common), Seq("fp"), "left_anti")
     val a = filtered.select($"fp", $"doc_id".as("a_id"))
     val b = filtered.select($"fp", $"doc_id".as("b_id"))
     a.join(b, Seq("fp"))

@@ -21,13 +21,8 @@ object RestSource {
     * struct fields become columns.
     */
   def fromPayload(spark: SparkSession, payload: String,
-                  schema: StructType, arrayField: String): DataFrame = {
-    import spark.implicits._
-    Seq(payload).toDF("payload")
-      .select(from_json($"payload", schema).as("doc"))
-      .select(explode(col(s"doc.$arrayField")).as("row"))
-      .select(col("row.*"))
-  }
+                  schema: StructType, arrayField: String): DataFrame =
+    fromPayloads(spark, Seq(payload), schema, arrayField)
 
   /** Many payloads (e.g. one per paginated fetch), parallelized. */
   def fromPayloads(spark: SparkSession, payloads: Seq[String],

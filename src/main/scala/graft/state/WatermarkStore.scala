@@ -16,6 +16,16 @@ import scala.jdk.CollectionConverters._
   * temp-file + atomic rename, so concurrent readers never see a torn
   * value. Missing key falls back to the epoch, like constant.py:85.
   */
+object WatermarkStore {
+  // JDK file locks are per-JVM: a second thread locking the same file
+  // throws OverlappingFileLockException instead of waiting. Serialize
+  // same-JVM callers on an interned monitor first, then take the OS
+  // lock for cross-process safety.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[state] def monitorFor(key: String): Object =
+    monitors.computeIfAbsent(key, _ => new Object)
+}
+
 final class WatermarkStore(dir: Path) {
   Files.createDirectories(dir)
 
@@ -38,6 +48,7 @@ final class WatermarkStore(dir: Path) {
     */
   def advance(pipeline: String, stage: String, to: Timestamp): Timestamp = {
     val lockPath = dir.resolve(s"$pipeline.$stage.lock")
+    WatermarkStore.monitorFor(lockPath.toAbsolutePath.toString).synchronized {
     val ch = java.nio.channels.FileChannel.open(lockPath,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     try {
@@ -54,6 +65,7 @@ final class WatermarkStore(dir: Path) {
         } else cur
       } finally lock.release()
     } finally ch.close()
+    }
   }
 
   def all(): Map[String, Timestamp] = {
