@@ -29,8 +29,10 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // warmup: parquet reader + codegen + shuffle machinery
-    force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    // warmup: parquet reader + codegen + shuffle machinery (failures
+    // fall through to the measured, per-query-guarded loop)
+    try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

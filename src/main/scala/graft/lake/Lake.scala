@@ -136,8 +136,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
                            meta: Map[String, String] = Map.empty,
                            expectedBase: Option[Long] = None): Snapshot = {
     Files.createDirectories(versionsDir)
+    // must outlive the stale-claim lease, else a crashed writer's
+    // orphan claim exhausts the budget before it can be reclaimed
+    val deadline = System.currentTimeMillis() + math.max(2 * LakeTable.StaleClaimMs, 10000L)
     var attempts = 0
-    while (attempts < 1000) {
+    while (System.currentTimeMillis() < deadline) {
       attempts += 1
       val base = latest
       // read-modify-write commits (DML, compact) must fail rather than
@@ -158,7 +161,17 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
           System.currentTimeMillis(), meta)
         val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
         Files.writeString(tmp, Manifest.toJson(snap))
-        Files.move(tmp, manifestPath(next), StandardCopyOption.ATOMIC_MOVE)
+        // publish with an atomic NO-REPLACE primitive: a rename would
+        // silently overwrite a manifest published by a writer that
+        // reclaimed our claim as stale (slow-writer lost-commit race)
+        try Files.createLink(manifestPath(next), tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            throw new java.util.ConcurrentModificationException(
+              s"commit v$next to $root was overtaken (claim reclaimed as stale); retry the operation")
+        }
+        Files.deleteIfExists(tmp)
         return snap
       }
       // claim race lost: wait for the winner's manifest, reclaiming

@@ -68,24 +68,36 @@ final class Medallion(
     */
   def extractBronze(source: DataFrame, tsCol: String): Long = withRetries("extract") {
     val bronze = catalog.table(s"bronze.$pipeline")
-    val committedWm = bronze.latest
-      .flatMap(_.meta.get("watermark_ms")).map(_.toLong).getOrElse(0L)
-    val wm = new java.sql.Timestamp(
-      math.max(state.get(pipeline, "extract").getTime, committedWm))
+    val committedWmUs = bronze.latest
+      .flatMap(_.meta.get("watermark_us")).map(_.toLong).getOrElse(0L)
+    val wmUs = math.max(
+      WatermarkStore.toMicros(state.get(pipeline, "extract")), committedWmUs)
+    val wm = WatermarkStore.fromMicros(wmUs) // micros: ms flooring re-extracts boundary rows
     // stage the delta once: a live source (JDBC) may gain rows between
     // two evaluations, which would put data above the recorded
     // watermark into bronze. The staged copy is the single evaluation
     // both the watermark and the commit are derived from.
     val stagingDir = java.nio.file.Files.createTempDirectory(s"graft-extract-$pipeline-")
-    source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir.toString)
-    val delta = spark.read.parquet(stagingDir.toString)
-    val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
-    val newWmMs = if (maxTs == null) wm.getTime else math.max(wm.getTime, maxTs.getTime)
-    val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
-    catalog.write(delta, s"bronze.$pipeline", mode,
-      meta = Map("watermark_ms" -> newWmMs.toString))
-    state.advance(pipeline, "extract", new java.sql.Timestamp(newWmMs))
-    delta.count()
+    try {
+      source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir.toString)
+      val delta = spark.read.parquet(stagingDir.toString)
+      val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
+      val newWmUs =
+        if (maxTs == null) wmUs else math.max(wmUs, WatermarkStore.toMicros(maxTs))
+      val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
+      val n = delta.count()
+      catalog.write(delta, s"bronze.$pipeline", mode,
+        meta = Map("watermark_us" -> newWmUs.toString))
+      state.advance(pipeline, "extract", WatermarkStore.fromMicros(newWmUs))
+      n
+    } finally {
+      // the staged copy is only needed until the commit
+      import scala.jdk.CollectionConverters._
+      val paths = java.nio.file.Files.walk(stagingDir)
+      try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally paths.close()
+    }
   }
 
   /** Exact dedup over all columns → silver (reference A3, etl.py:68). */

@@ -17,6 +17,17 @@ import scala.jdk.CollectionConverters._
   * value. Missing key falls back to the epoch, like constant.py:85.
   */
 object WatermarkStore {
+  /** Timestamp <-> epoch-micros (getTime alone floors to millis, which
+    * would re-extract boundary rows with sub-ms timestamps).
+    */
+  def toMicros(ts: Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+  def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp((us / 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   // JDK file locks are per-JVM: a second thread locking the same file
   // throws OverlappingFileLockException instead of waiting. Serialize
   // same-JVM callers on an interned monitor first, then take the OS
@@ -34,10 +45,10 @@ final class WatermarkStore(dir: Path) {
     dir.resolve(s"$pipeline.$stage.watermark")
   }
 
-  /** Last recorded watermark, or the epoch when none exists. */
+  /** Last recorded watermark (epoch micros on disk), or the epoch. */
   def get(pipeline: String, stage: String): Timestamp = {
     val p = fileFor(pipeline, stage)
-    if (Files.exists(p)) new Timestamp(Files.readString(p).trim.toLong)
+    if (Files.exists(p)) WatermarkStore.fromMicros(Files.readString(p).trim.toLong)
     else new Timestamp(0L)
   }
 
@@ -58,7 +69,7 @@ final class WatermarkStore(dir: Path) {
         if (to.after(cur)) {
           val p = fileFor(pipeline, stage)
           val tmp = Files.createTempFile(dir, ".wm", ".tmp")
-          Files.writeString(tmp, to.getTime.toString)
+          Files.writeString(tmp, WatermarkStore.toMicros(to).toString)
           Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
           to
@@ -74,7 +85,7 @@ final class WatermarkStore(dir: Path) {
       stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".watermark"))
         .map(p => p.getFileName.toString.stripSuffix(".watermark") ->
-          new Timestamp(Files.readString(p).trim.toLong))
+          WatermarkStore.fromMicros(Files.readString(p).trim.toLong))
         .toMap
     finally stream.close()
   }

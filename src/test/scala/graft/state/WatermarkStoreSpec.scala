@@ -24,4 +24,17 @@ class WatermarkStoreSpec extends AnyFunSuite {
     val st = new WatermarkStore(Files.createTempDirectory("wm-spec2-"))
     intercept[IllegalArgumentException](st.get("../p", "x"))
   }
+
+  test("microsecond precision round-trips (no ms flooring)") {
+    val st = new WatermarkStore(Files.createTempDirectory("wm-us-"))
+    val t = new Timestamp(1706400000123L) // ...123 ms
+    t.setNanos(123456000)                 // ...123456 us
+    st.advance("p", "x", t)
+    val got = st.get("p", "x")
+    assert(WatermarkStore.toMicros(got) === WatermarkStore.toMicros(t))
+    assert(got.getNanos === 123456000)
+    // a strictly-later sub-ms instant still advances
+    val t2 = new Timestamp(1706400000123L); t2.setNanos(123457000)
+    assert(st.advance("p", "x", t2) === t2)
+  }
 }
