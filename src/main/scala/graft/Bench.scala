@@ -32,13 +32,16 @@ object Bench {
     // warmup: parquet reader + codegen + shuffle machinery (failures
     // fall through to the measured, per-query-guarded loop)
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
+          // fatal errors (OOM) propagate: timings from a corrupted JVM
+          // would be recorded as real numbers
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }

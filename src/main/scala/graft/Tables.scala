@@ -10,6 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into the vectorized parquet scan, so callers should never pre-cache
   * or collect here.
   */
+object Tables {
+  /** TIMESTAMP(NANOS) parquet read as raw long (legacy conf) → µs
+    * TimestampType, truncating exactly like DuckDB reads the same
+    * file. Single definition — batch and streaming paths share it so
+    * the oracle-proven stream/batch parity cannot drift.
+    */
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"(${c.toString}) div 1000"))
+}
+
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
@@ -29,9 +40,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    table("events").withColumn("ts", Tables.tsFromNanos(org.apache.spark.sql.functions.col("ts")))
   }
 
   /** Events filtered by `ts > lowerBound` with the comparison done in
@@ -50,7 +59,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     val lowerNanos = lowerBound.getTime * 1000000L // ms → ns
     table("events")
       .filter(col("ts") > lowerNanos)                       // pushed to parquet stats
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.tsFromNanos(col("ts")))
       .filter(col("ts") > lit(lowerBound))                  // exact, truncation-aware
   }
   def documents: DataFrame  = table("documents")

@@ -172,6 +172,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
               s"commit v$next to $root was overtaken (claim reclaimed as stale); retry the operation")
         }
         Files.deleteIfExists(tmp)
+        Files.deleteIfExists(claim) // served its purpose; don't accumulate
         return snap
       }
       // claim race lost: wait for the winner's manifest, reclaiming

@@ -54,7 +54,7 @@ object LakeDml {
     * WHEN MATCHED THEN UPDATE SET ... / WHEN NOT MATCHED THEN INSERT *.
     *
     * `set` maps target column name → expression over the joined row
-    * (reference source columns with `sourcePrefixed`); when empty,
+    * (source columns are exposed as `_src_<name>`); when empty,
     * matched rows take all source columns (classic upsert). Source must
     * be key-unique (enforced — a multi-match MERGE is ambiguous and
     * errors in Iceberg/ANSI too).
@@ -88,9 +88,8 @@ object LakeDml {
         .when(srcOnly, if (insertNotMatched) insert else lit(null))
         .otherwise(tgt(c)).as(c)
     }
-    val merged0 = joined.select(out: _*)
-    val merged = if (insertNotMatched) merged0
-                 else joined.where(!srcOnly).select(out: _*)
+    val merged = (if (insertNotMatched) joined else joined.where(!srcOnly))
+      .select(out: _*)
     table.write(merged, WriteMode.Overwrite,
       base.map(_.partitionBy).getOrElse(Nil),
       expectedBase = base.map(_.version))

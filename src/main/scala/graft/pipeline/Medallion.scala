@@ -76,16 +76,21 @@ final class Medallion(
     // stage the delta once: a live source (JDBC) may gain rows between
     // two evaluations, which would put data above the recorded
     // watermark into bronze. The staged copy is the single evaluation
-    // both the watermark and the commit are derived from.
-    val stagingDir = java.nio.file.Files.createTempDirectory(s"graft-extract-$pipeline-")
+    // both the watermark and the commit are derived from. It lives
+    // under the table root — the lake's shared filesystem — so
+    // executors and driver see the same files on any cluster manager
+    // (a driver-local java.io.tmpdir would break off-driver executors).
+    val stagingDir = bronze.root.resolve(s"_staging/${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(stagingDir.getParent)
     try {
       source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir.toString)
       val delta = spark.read.parquet(stagingDir.toString)
-      val maxTs = delta.agg(max(col(tsCol))).head.getTimestamp(0)
+      val stats = delta.agg(max(col(tsCol)).as("mx"), count(lit(1)).as("n")).head
+      val maxTs = stats.getTimestamp(0)
+      val n = stats.getLong(1)
       val newWmUs =
         if (maxTs == null) wmUs else math.max(wmUs, WatermarkStore.toMicros(maxTs))
       val mode = if (referenceParity) WriteMode.Overwrite else WriteMode.Append
-      val n = delta.count()
       catalog.write(delta, s"bronze.$pipeline", mode,
         meta = Map("watermark_us" -> newWmUs.toString))
       state.advance(pipeline, "extract", WatermarkStore.fromMicros(newWmUs))

@@ -48,6 +48,10 @@ object FoldSelfCosine extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -68,21 +72,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSim(asFloatArray(args(0)), asFloatArray(args(1)))))
+      (args: Seq[Expression]) => { arity(args, 2, "cosine_sim")
+        CosineSim(asFloatArray(args(0)), asFloatArray(args(1))) }))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(asStringArray(args(0)), intArg(args(1), "minhash_sig k"))))
+      (args: Seq[Expression]) => { arity(args, 2, "minhash_sig")
+        MinHashSig(asStringArray(args(0)), intArg(args(1), "minhash_sig k")) }))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(asStringArray(args(0)))))
+      (args: Seq[Expression]) => { arity(args, 1, "simhash64")
+        SimHash64(asStringArray(args(0))) }))
 
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(asStringArray(args(0)), intArg(args(1), "word_shingles n"))))
+      (args: Seq[Expression]) => { arity(args, 2, "word_shingles")
+        WordShingles(asStringArray(args(0)), intArg(args(1), "word_shingles n")) }))
   }
 }

@@ -87,7 +87,7 @@ object EventsWindows {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
     spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
   }
 
   def tumblingStreaming(spark: SparkSession, parquetPath: String,

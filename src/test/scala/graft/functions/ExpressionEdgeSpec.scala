@@ -36,7 +36,9 @@ class ExpressionEdgeSpec extends AnyFunSuite {
       (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
     ).toDF("a", "b")
     val got = df.select(cosine_sim($"a", $"b")).as[Double].collect()
-    assert(math.abs(got(0) - 1.0 * (1.0 / math.sqrt(26))) < 1e-9 || got(0) > 0) // prefix dot
+    // prefix semantics: dot, AND both norms, over min(len) dims ->
+    // (1,0,5)x(1,0) restricted to 2 dims is (1,0)x(1,0) = exactly 1.0
+    assert(got(0) === 1.0)
     assert(got(1) === 0.0)
   }
 

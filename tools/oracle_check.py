@@ -31,12 +31,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    declared = set(oracle)
+    qn = os.path.join(out_dir, "query_names.json")
+    if os.path.exists(qn):
+        declared |= set(json.load(open(qn)))  # rows-only queries too
     fails = 0
     names = sorted(set(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d))) | set(oracle))
+                   if os.path.isdir(os.path.join(out_dir, d))) | declared)
     for name in names:
         if not os.path.isdir(os.path.join(out_dir, name)):
-            print(f"  [FAIL-miss] {name}: oracle declared but no result written")
+            print(f"  [FAIL-miss] {name}: declared but no result written")
             fails += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
