@@ -17,8 +17,49 @@ import graft.state.WatermarkStore
   */
 object LakeQueries {
 
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val paths = Files.walk(p)
+      try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally paths.close()
+    } catch { case _: Throwable => () } // best-effort cleanup
+  }
+
+  // one exit hook for all scratch dirs (per-dir hooks raced Spark's own
+  // shutdown and some survived), plus a startup sweep of stale dirs
+  // from earlier JVMs — self-healing even when exit hooks are skipped
+  private lazy val cleanupInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach(deleteRecursively(_))
+    }))
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(tmpRoot)
+    try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("graft-"))
+      .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff catch { case _: Throwable => false })
+      .foreach(deleteRecursively(_))
+    finally stream.close()
+  }
+
+  /** Temp dir removed at JVM exit — repeated Verify/Bench runs would
+    * otherwise leak a fixture copy per lake query per run.
+    */
+  private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
+    cleanupInstalled
+    val p = Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
   private def freshCatalog(spark: SparkSession): LakeCatalog =
-    new LakeCatalog(spark, Files.createTempDirectory("graft-lake-").toString)
+    new LakeCatalog(spark, scratchDir("graft-lake-").toString)
 
   /** S5 overwrite + append: v1 overwrite, v2 append → latest is the
     * two-commit union.
@@ -111,7 +152,7 @@ object LakeQueries {
   def pipelineGold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cat = freshCatalog(spark)
-    val state = new WatermarkStore(Files.createTempDirectory("graft-state-"))
+    val state = new WatermarkStore(scratchDir("graft-state-"))
     val m = new Medallion(spark, cat, state)
     m.run(Tables(spark, dir).events, tsCol = "ts", identityCols = Seq("event_type"))
       .orderBy($"event_type")

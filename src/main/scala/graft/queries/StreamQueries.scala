@@ -40,7 +40,7 @@ object StreamQueries {
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val region = Tables(spark, dir).region
-    val tmp = Files.createTempDirectory("graft-csv-").toString + "/region"
+    val tmp = LakeQueries.scratchDir("graft-csv-").toString + "/region"
     CsvSource.write(region, tmp)
     CsvSource.read(spark, tmp, schema = Some(region.schema))
       .orderBy($"r_regionkey")
