@@ -261,9 +261,9 @@ object SparkEntry {
 
     "t_token_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS total_tokens,
+        |  CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS BIGINT) AS total_tokens,
         |  MAX(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS max_tokens,
-        |  SUM(n_chars) AS total_chars
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_fingerprint" ->
@@ -330,8 +330,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS t_start, MAX(ts) AS t_end

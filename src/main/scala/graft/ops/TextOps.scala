@@ -31,18 +31,26 @@ object TextOps {
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alnum-non-space marks — a deterministic proxy for subword
     * tokenizer counts (the real BPE merge table is a model artifact,
-    * not an engine feature).
+    * not an engine feature). Single-pass byte kernel — the
+    * `size(regexp_extract_all(...))` formulation materializes the full
+    * token array per row only to count it ([[graft.functions.TextScan]]).
     */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.functions.TextScanFunctions.token_count(text)
+
+  /** Non-empty whitespace-word count (single-pass, no array). */
+  def wordCount(text: Column): Column =
+    graft.functions.TextScanFunctions.word_count(text)
 
   /** Heuristic language ID from stopword hits (n-gram-free variant:
     * the fixture vocabulary is space-separated). CJK codepoints short-
-    * circuit to zh. Deterministic, SQL-expressible.
+    * circuit to zh. Deterministic, SQL-expressible: `contains` ≡
+    * `LIKE '%…%'` for literal needles but runs as a memcmp scan
+    * instead of a compiled-regex match.
     */
   def langId(text: Column): Column = {
-    def has(w: String): Column = text.like(s"% $w %")
-    when(regexp_count(text, lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+    def has(w: String): Column = text.contains(s" $w ")
+    when(graft.functions.TextScanFunctions.has_cjk(text), "zh")
       .when(has("der") || has("und") || has("nicht"), "de")
       .when(has("le") || has("la") || has("et"), "fr")
       .when(has("el") || has("que") || has("los"), "es")
@@ -50,16 +58,17 @@ object TextOps {
       .otherwise("und")
   }
 
-  /** Punctuation character count. */
+  /** Punctuation character count (single-pass byte kernel). */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+    graft.functions.TextScanFunctions.punct_count(text)
 
-  /** Stopword ratio over whitespace tokens. */
+  /** Stopword ratio over whitespace tokens (two single-pass kernels;
+    * whole-stage codegen CSE shares the word count).
+    */
   def stopwordRatio(text: Column): Column = {
-    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val w = words(text)
-    when(size(w) > 0,
-      size(filter(w, t => t.isin(stop: _*))).cast("double") / size(w))
+    val w = wordCount(text)
+    when(w > 0,
+      graft.functions.TextScanFunctions.stop_count(text).cast("double") / w)
       .otherwise(lit(0.0))
   }
 

@@ -29,7 +29,7 @@ object TextQueries {
     val t = Tables(spark, dir).documents
     t.select(
         $"doc_id",
-        size(TextOps.words($"text")).as("n_words"),
+        TextOps.wordCount($"text").as("n_words"),
         TextOps.tokenCount($"text").as("n_tokens"),
         TextOps.punctCount($"text").as("n_punct"),
         TextOps.stopwordRatio($"text").as("stop_ratio"),
