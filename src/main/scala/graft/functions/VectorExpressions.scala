@@ -90,9 +90,65 @@ case class NormSq(child: Expression)
     copy(child = newChild)
 }
 
+/** Id of the max-cosine centroid for a float vector, over a small
+  * centroid table carried inside the expression (IVF assignment —
+  * FAISS-style: centroids are index state, broadcast with the task
+  * closure, so assignment is a pure scan-stage map with NO join and NO
+  * shuffle; the round-1 formulation (broadcast cross-join + groupBy the
+  * vector column + max_by) hashed every row's float array as a group
+  * key).
+  *
+  * Tie-breaks like `max_by(centroid_id, struct(sim, centroid_id))`:
+  * equal sims pick the larger id. The per-centroid arithmetic mirrors
+  * [[CosineSim]] operation-for-operation, so a probe scored against a
+  * centroid DataFrame via `cosine_sim` and a corpus vector assigned
+  * here agree bit-for-bit on identical inputs.
+  */
+case class CentroidArgmax(child: Expression, centroids: Seq[Seq[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.nonEmpty, "empty centroid table")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "centroid_argmax"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestId = 0
+    var c = 0
+    while (c < cents.length) {
+      val y = cents(c)
+      val n = math.min(x.numElements(), y.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i); val yv = y(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (sim > best || (sim == best && c > bestId)) { best = sim; bestId = c }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a.cast("array<float>")),
       GraftColumnBridge.expression(b.cast("array<float>"))))
+
+  def centroid_argmax(vec: Column, centroids: Seq[Array[Float]]): Column =
+    GraftColumnBridge.column(CentroidArgmax(
+      GraftColumnBridge.expression(vec.cast("array<float>")),
+      centroids.map(_.toSeq)))
 }

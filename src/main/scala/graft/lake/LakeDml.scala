@@ -66,6 +66,7 @@ object LakeDml {
     val target = table.read(base.map(_.version))
     val cols = target.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad merge keys: $keys")
+    require(keys.forall(source.columns.contains), s"merge keys missing from source: ${keys.filterNot(source.columns.contains)}")
 
     val srcDup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(srcDup == 0, "MERGE source has duplicate keys — ambiguous match")
@@ -81,11 +82,20 @@ object LakeDml {
     val matched = tgt("_t_present").isNotNull && src("_s_present").isNotNull
     val srcOnly = tgt("_t_present").isNull
 
+    // resolve `_src_` columns only when they exist: a MERGE whose
+    // source carries a subset of target columns is legal as long as the
+    // missing columns are never taken from the source (covered by `set`
+    // on match; null-filled on insert)
+    val srcCols = source.columns.toSet
+    def srcOr(c: String, alt: => Column): Column =
+      if (srcCols.contains(c)) src(s"_src_$c") else alt
     val out = cols.map { c =>
-      val fromSrc = if (set.nonEmpty) set.getOrElse(c, tgt(c)) else src(s"_src_$c")
-      val insert = src(s"_src_$c")
+      val fromSrc =
+        if (set.nonEmpty) set.getOrElse(c, tgt(c))
+        else srcOr(c, sys.error(s"MERGE source lacks column '$c'; supply `set` or a full-width source"))
+      val insert = if (insertNotMatched) srcOr(c, lit(null)) else lit(null)
       when(matched, fromSrc)
-        .when(srcOnly, if (insertNotMatched) insert else lit(null))
+        .when(srcOnly, insert)
         .otherwise(tgt(c)).as(c)
     }
     val merged = (if (insertNotMatched) joined else joined.where(!srcOnly))

@@ -24,13 +24,40 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** In-bucket ordered pair expansion: rows carrying the same bucket
+    * key become (a, b) struct pairs with a < b (by the struct's first
+    * field), via one `collect_list` aggregate per key + a nested
+    * `transform` over the collected array. Compared to the textbook
+    * a-side/b-side self-join on the key this shuffles the inverted
+    * index ONCE (not twice) and never materializes the df² join rows
+    * for buckets that the `a < b` filter would halve anyway.
+    * `docStruct` must put the orderable id first.
+    */
+  private[ops] def bucketPairs(inv: DataFrame, keyCols: Seq[String],
+                               docStruct: org.apache.spark.sql.Column): DataFrame = {
+    inv
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(docStruct)).as("ds"))
+      .where(size(col("ds")) > 1)
+      // all i<j pairs of the sorted bucket; `ds` is a plain attribute
+      // here so HOF-lambda inlining (the round-1 pitfall) re-reads an
+      // array pointer, not an expression tree
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     *
-    * Explode distinct shingles → self-join on shingle (pairs that share
-    * at least one shingle — a superset of any pair with jaccard > 0) →
-    * count shared shingles per pair → jaccard from set sizes. Exact
-    * (no approximation), and the shuffle key is the shingle, so skew is
-    * bounded by shingle document frequency, not corpus size.
+    * Explode distinct shingles, hashed to 64-bit keys (shuffling 8-byte
+    * longs, not ~30-byte strings; a spurious intersection needs an
+    * xxh64 collision between two shingles of the same document pair —
+    * P ≈ shingles²/2⁶⁵, negligible at any corpus size that fits a
+    * cluster) → one groupBy-collect per shingle → in-bucket pair
+    * expansion → count shared shingles per pair → jaccard from set
+    * sizes. The shuffle key is the shingle hash, so skew is bounded by
+    * shingle document frequency, not corpus size.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
@@ -38,12 +65,12 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
-    val inv = sh.select(col("id"), col("sz"), explode(col("shingles")).as("shingle"))
-    val a = inv.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
-    val b = inv.select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
-    a.join(b, Seq("shingle"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+    val inv = sh.select(col("id"), col("sz"),
+      explode(col("shingles")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh_h"), col("id"), col("sz"))
+    bucketPairs(inv, Seq("sh_h"), struct(col("id"), col("sz")))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
@@ -79,9 +106,8 @@ object Dedup {
           struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val cand = bucketPairs(banded, Seq("band", "bh"), struct(col("id")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     // exact verify: recompute jaccard on the candidate pairs only
     val sets = sh.select(col("id"), col("shingles"), col("sz"))
@@ -115,10 +141,9 @@ object Dedup {
             shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("ch"))): _*))
           .as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
-    banded.as("x").join(banded.as("y"), Seq("chunk", "ch"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+    bucketPairs(banded, Seq("chunk", "ch"), struct(col("id"), col("sh")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -129,22 +154,100 @@ object Dedup {
     */
 
   /** Near-dup clusters from a pair list: connected components over the
-    * similarity graph (GraphX), labeling every involved doc with its
-    * component's minimum doc id — the canonical "keep one per cluster"
-    * step that turns pair mining into an actual dedup. Pregel-based,
-    * converges in O(component diameter) supersteps; at 100 TB the
-    * pair list is tiny relative to the corpus (it tracks true near-dup
-    * density), so the graph step is cheap.
+    * similarity graph, labeling every involved doc with its component's
+    * minimum doc id — the canonical "keep one per cluster" step that
+    * turns pair mining into an actual dedup.
+    *
+    * DataFrame-native alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * O(log n) rounds regardless of component diameter (a Pregel
+    * min-label propagation needs O(diameter) supersteps — pathological
+    * on chain-shaped components), each round two hash aggregations +
+    * joins over the edge list, whole-stage-codegen'd, no RDD caching or
+    * vertex-cut machinery. At 100 TB the pair list tracks true near-dup
+    * density, so the edge list is small relative to the corpus and the
+    * round count is the cost that matters.
     */
+  // Both star rounds are deliberately union-free: unioning branches
+  // whose projections alias swapped columns leaks input attributes into
+  // the branches' constraint sets, and Union.rewriteConstraints in
+  // Spark 4.1 throws on constraints referencing non-output attributes.
+  // explode(array(...)) expresses the same row fan-out inside one
+  // projection.
+
+  /** Large-star round: every node links its strictly-larger neighbors
+    * to its neighborhood minimum m(u) = min(Γ(u) ∪ {u}). Input and
+    * output edges are canonical (u < v): m ≤ u < v, so the emitted
+    * (m, v) is already canonical.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    dir.where(col("v") > col("u"))
+      .join(m, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node links its smaller-side neighborhood
+    * (and itself) to that neighborhood's minimum. On canonical edges
+    * the smaller-side neighborhood of v is exactly {u : (u,v) ∈ E} —
+    * one aggregation, pair emission from the collected neighborhood
+    * (bounded by smaller-side degree).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    edges.groupBy(col("v")).agg(min(col("u")).as("m"), collect_set(col("u")).as("us"))
+      .select(explode(concat(
+          array(struct(col("m").as("u"), col("v").as("v"))),
+          transform(filter(col("us"), x => x =!= col("m")), x =>
+            struct(least(x, col("m")).as("u"), greatest(x, col("m")).as("v"))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
   def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)].rdd
-      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
-    cc.vertices.toDF("doc_id", "cluster_root")
+    // undirected edge list, canonicalized u < v
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).cast("long").as("u"),
+        greatest(col("a_id"), col("b_id")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var stable = false
+    var rounds = 0
+    // edge-set signature for the fixpoint test: one aggregate job per
+    // round instead of two exceptAll scans. bit_xor is order-independent
+    // and cannot overflow (ANSI-safe, unlike sum of longs); a false
+    // convergence needs two distinct same-size edge sets whose 64-bit
+    // hash XORs collide (~2⁻⁶⁴ — the same class of risk as any
+    // hash-partitioned shuffle).
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    while (!stable && rounds < 64) { // ≫ the O(log n) bound for any feasible graph
+      rounds += 1
+      // one checkpoint per round: constant-size plans however many
+      // rounds convergence takes
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    if (!stable) throw new IllegalStateException(
+      s"connected components did not converge after $rounds star rounds")
+    // converged stars: (root=u, member=v) per edge; roots label themselves
+    edges.select(explode(array(
+        struct(col("v").as("doc_id"), col("u").as("cluster_root")),
+        struct(col("u").as("doc_id"), col("u").as("cluster_root")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.cluster_root").as("cluster_root"))
+      .distinct()
   }
 
   /** Apply dedup: keep one canonical doc (min id) per near-dup cluster,

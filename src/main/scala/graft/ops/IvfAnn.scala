@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -11,10 +12,12 @@ import graft.functions.VectorFunctions._
   *
   * Index: `nlist` centroids chosen as a deterministic pseudo-random
   * sample of the corpus (stable xxhash64 order — a kmeans refinement
-  * would reuse the same assignment plan below); every corpus vector is
-  * assigned to its max-cosine centroid (`max_by` aggregate — one
-  * broadcast of the centroid table, no shuffle of the corpus beyond
-  * the assignment groupBy).
+  * would reuse the same assignment path below). The centroid table is
+  * index state, bounded by the `nlist` parameter (never by data size),
+  * so it is collected once and shipped inside the assignment
+  * expression: every corpus vector gets its max-cosine cell in the
+  * scan stage — no join, no shuffle, no array-keyed groupBy
+  * (FAISS-style coarse quantizer).
   *
   * Search: each probe scores the centroid table (tiny), keeps its top
   * `nprobe` cells, and only vectors in those cells are scored exactly.
@@ -23,41 +26,58 @@ import graft.functions.VectorFunctions._
   */
 object IvfAnn {
 
-  /** Deterministic centroid sample as a (small) DataFrame of
-    * (centroid_id, centroid_vec).
+  /** Deterministic centroid sample, collected to index state:
+    * (centroid_id, vector) ordered by stable hash. `collect` here is
+    * bounded by `nlist` — an index parameter — not by the corpus.
     */
-  def centroids(corpus: DataFrame, nlist: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // orderBy+limit plans as a distributed TakeOrderedAndProject (per-
-    // partition heaps); the row_number window then runs over only the
-    // nlist sampled rows. A global unpartitioned window over the corpus
-    // would funnel every vector through one task.
-    val sampled = corpus.select(col(idCol), col(vecCol))
+  def centroidArray(corpus: DataFrame, nlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol).cast("array<float>").as("_v"))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
-    val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
-    sampled
-      .withColumn("_rk", row_number().over(w))
-      .select((col("_rk") - 1).as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .toSeq
+
+  /** Centroid sample as a (small) DataFrame of (centroid_id,
+    * centroid_vec) — the broadcast side of probe-cell selection.
+    */
+  def centroids(corpus: DataFrame, nlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidsDf(corpus.sparkSession, centroidArray(corpus, nlist, idCol, vecCol))
+
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Seq[Array[Float]]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("centroid_vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = cents.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Assign every vector to its max-cosine centroid. */
+  /** Assign every vector to its max-cosine centroid — one narrow
+    * projection, runs embedded in the scan.
+    */
   def assign(corpus: DataFrame, cents: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centArr = cents.orderBy(col("centroid_id"))
+      .select(col("centroid_vec").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
     corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(cents))
-      .withColumn("_sim", cosine_sim(col(vecCol), col("centroid_vec")))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("centroid_id"), struct(col("_sim"), col("centroid_id"))).as("centroid_id"))
+      .withColumn("centroid_id", centroid_argmax(col(vecCol), centArr))
+  }
 
   /** IVF top-k: probes search only their `nprobe` best cells. */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, nlist, idCol, vecCol)
-    val assigned = assign(corpus, cents, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"), col("centroid_id"))
+    val centArr = centroidArray(corpus, nlist, idCol, vecCol)
+    val cents = centroidsDf(corpus.sparkSession, centArr)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .withColumn("centroid_id", centroid_argmax(col("vec"), centArr))
 
+    // probes × centroid table is probes × nlist rows — broadcast, then
+    // cosine_sim scores agree bit-for-bit with centroid_argmax's
     val probeCells = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .join(broadcast(cents))
       .withColumn("_sim", cosine_sim(col("probe_vec"), col("centroid_vec")))

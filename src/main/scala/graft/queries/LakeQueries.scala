@@ -30,9 +30,27 @@ object LakeQueries {
     } catch { case _: Throwable => () } // best-effort cleanup
   }
 
+  private val OwnerMarker = ".graft-owner"
+
+  /** Live iff the marker names a pid with a running process. No marker
+    * → not protected (old-JVM dirs fall back to the mtime cutoff);
+    * unparseable → treat as live (never delete what we can't attribute).
+    */
+  private def ownerAlive(dir: java.nio.file.Path): Option[Boolean] = {
+    val marker = dir.resolve(OwnerMarker)
+    if (!Files.exists(marker)) None
+    else Some(
+      try ProcessHandle.of(Files.readString(marker).trim.toLong)
+        .map[Boolean](_.isAlive).orElse(false)
+      catch { case _: Throwable => true })
+  }
+
   // one exit hook for all scratch dirs (per-dir hooks raced Spark's own
   // shutdown and some survived), plus a startup sweep of stale dirs
-  // from earlier JVMs — self-healing even when exit hooks are skipped
+  // from earlier JVMs — self-healing even when exit hooks are skipped.
+  // The sweep only touches dirs whose owning process is dead (pid
+  // marker) or, for unmarked dirs, older than 1h: a concurrently
+  // running Bench/Verify JVM's live scratch warehouse is never swept.
   private lazy val cleanupInstalled: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       scratchDirs.forEach(deleteRecursively(_))
@@ -43,17 +61,29 @@ object LakeQueries {
     val stream = Files.list(tmpRoot)
     try stream.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("graft-"))
-      .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff catch { case _: Throwable => false })
+      .filter { p =>
+        ownerAlive(p) match {
+          case Some(alive) => !alive
+          case None =>
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: Throwable => false }
+        }
+      }
       .foreach(deleteRecursively(_))
     finally stream.close()
   }
 
   /** Temp dir removed at JVM exit — repeated Verify/Bench runs would
-    * otherwise leak a fixture copy per lake query per run.
+    * otherwise leak a fixture copy per lake query per run. A pid marker
+    * inside the dir protects it from other JVMs' startup sweeps while
+    * this process lives.
     */
   private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
     cleanupInstalled
     val p = Files.createTempDirectory(prefix)
+    try Files.writeString(p.resolve(OwnerMarker),
+      ProcessHandle.current().pid().toString)
+    catch { case _: Throwable => () } // marker is best-effort protection
     scratchDirs.add(p)
     p
   }

@@ -18,13 +18,15 @@ import scala.jdk.CollectionConverters._
   */
 object WatermarkStore {
   /** Timestamp <-> epoch-micros (getTime alone floors to millis, which
-    * would re-extract boundary rows with sub-ms timestamps).
+    * would re-extract boundary rows with sub-ms timestamps). floorDiv/
+    * floorMod, not `/`/`%`: truncation toward zero rounds pre-epoch
+    * (negative-millis) instants in the wrong direction.
     */
   def toMicros(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
   def fromMicros(us: Long): Timestamp = {
-    val t = new Timestamp((us / 1000000L) * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

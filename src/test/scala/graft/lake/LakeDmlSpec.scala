@@ -82,6 +82,27 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0, 3.0))
   }
 
+  test("merge accepts a subset-column source when SET covers the update") {
+    val t = freshTable()
+    val src = Seq((2L, -5.0), (9L, -9.0)).toDF("id", "v")   // no `name` column
+    // update path: only v from SET; insert path: name null-filled
+    LakeDml.merge(t, src, keys = Seq("id"), set = Map("v" -> col("_src_v")))
+    val rows = t.read(None).orderBy($"id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(10.0, -5.0, 30.0, -9.0))
+    assert(rows.map(r => Option(r.getString(1))).toSeq ===
+      Seq(Some("a"), Some("b"), Some("c"), None))
+    // no-insert flavor with subset source also works
+    val t2 = freshTable()
+    LakeDml.merge(t2, src, keys = Seq("id"), set = Map("v" -> lit(0.0)),
+      insertNotMatched = false)
+    assert(t2.read(None).count() === 3)
+    // set-less subset merge is ambiguous → clear error
+    val t3 = freshTable()
+    val err = intercept[RuntimeException](LakeDml.merge(t3, src, keys = Seq("id")))
+    assert(err.getMessage.contains("lacks column"))
+  }
+
   test("merge pairs null-key rows instead of deleting them") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-null-").toString)
     cat.write(

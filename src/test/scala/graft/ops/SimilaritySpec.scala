@@ -101,6 +101,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Dedup.dedupByClusters(kept, pairs2).count() === kept.count())
   }
 
+  test("star-contraction connected components match a union-find oracle") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    // adversarial shapes: long chains (O(diameter) killers), stars,
+    // cycles, cliques, singleton edges, plus seeded random graphs
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 40L).map(i => (i, i + 1)),                       // chain
+      (1L to 20L).map(i => (0L, i)),                             // star at min
+      (0L until 20L).map(i => (i, 20L)),                         // star at max
+      (0L until 15L).map(i => (i, (i + 1) % 15)),                // cycle
+      (for (i <- 0L until 8L; j <- i + 1 until 8L) yield (i, j)), // clique
+      Seq((5L, 6L), (100L, 200L), (7L, 5L)),                     // tiny forests
+    ) ++ (0 until 6).map { s =>
+      val r = new scala.util.Random(1234 + s)
+      (0 until 60).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+    }
+    shapes.zipWithIndex.foreach { case (edges, i) =>
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+      val want = unionFind(0, edges)
+      assert(got === want, s"shape $i: got $got want $want")
+    }
+  }
+
   test("cosineDupPairs recall 1.0 on planted duplicates") {
     val emb = Tables(spark, dir).embeddings
     val offset = 1000000L
