@@ -301,6 +301,20 @@ object SparkEntry {
       """SELECT vec_id AS a_id, vec_id + 10000000 AS b_id
         |FROM embeddings ORDER BY a_id, b_id""".stripMargin,
 
+    // id-set compare only: sim values differ cross-engine in the last
+    // ulps, but the rank-10/11 margin dwarfs float error (see
+    // SimQueries.cosineTopK)
+    "e_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(p.pv, e.embedding) AS sim
+        |      FROM p JOIN embeddings e ON e.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT probe_id, neighbor_id FROM r WHERE rk <= 10
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+
     "m_media_features" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -105,12 +105,15 @@ final class Medallion(
     }
   }
 
-  /** Exact dedup over all columns → silver (reference A3, etl.py:68). */
+  /** Exact dedup over all columns → silver (reference A3, etl.py:68).
+    * The returned row count scans the written snapshot — counting the
+    * `silver` plan would re-run the dedup shuffle a second time.
+    */
   def transformSilver(): Long = withRetries("transform") {
     val bronze = catalog.read(s"bronze.$pipeline")
     val silver = bronze.dropDuplicates()
     catalog.write(silver, s"silver.$pipeline", WriteMode.Overwrite)
-    silver.count()
+    catalog.read(s"silver.$pipeline").count()
   }
 
   /** Grouped identity count → gold (reference A1, etl.py:86). */

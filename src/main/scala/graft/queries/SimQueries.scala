@@ -70,17 +70,22 @@ object SimQueries {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Exact brute-force cosine top-k for 5 probe vectors. Float-sum
-    * ranking is engine-specific in the last ulps, so this is a
-    * rows-only query; exactness is asserted against a plain-Scala
-    * oracle in SimilaritySpec.
+  /** Exact brute-force cosine top-k for 5 probe vectors, projected to
+    * the (probe, neighbor) id set: similarity VALUES are engine-
+    * specific in the last ulps, but the id SET is stable — the rank-10
+    * vs rank-11 margin on this fixture (≥ 4.8e-3 at sf0.01) exceeds
+    * cross-engine float error by ~3 orders of magnitude, so DuckDB's
+    * own brute-force top-k is a valid hash oracle. Full ranking
+    * (rank + sim) is asserted against a plain-Scala oracle in
+    * SimilaritySpec.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir).embeddings
     val probes = emb.filter($"vec_id" < 5)
     Similarity.bruteTopK(emb, probes, k = 10)
-      .orderBy($"probe_id", $"rank")
+      .select($"probe_id", $"neighbor_id")
+      .orderBy($"probe_id", $"neighbor_id")
   }
 
   /** ANN top-k over the planted-dup corpus: every probe's rank-1 hit is

@@ -82,18 +82,31 @@ object EventsWindows {
     spark.table(name)
   }
 
-  /** Nanos-parquet events as a streaming source (schema + µs ts). */
+  /** Nanos-parquet events as a streaming source (schema + µs ts).
+    *
+    * Runs in a cloned session with a smaller shuffle-partition count:
+    * stateful operators create one state store per shuffle partition
+    * PER micro-batch (provider init, maintenance thread, snapshot
+    * files), so a 1-hour-window aggregation over a bounded replay pays
+    * fixed state overhead × partitions. 8 keeps full parallelism for
+    * the bounded key space (24 windows × 5 event types) at a quarter
+    * of the state-store overhead; a production deployment with a wide
+    * key space would raise it back.
+    */
   private def eventsStream(spark: SparkSession, parquetPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    spark.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(parquetPath).schema
+    s.readStream.schema(schema).parquet(asStreamDir(parquetPath))
       .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
   }
 
   def tumblingStreaming(spark: SparkSession, parquetPath: String,
-                        width: String = "1 hour"): DataFrame =
-    runToMemory(spark, tumblingBatch(eventsStream(spark, parquetPath), width),
-      "graft_stream_", OutputMode.Complete())
+                        width: String = "1 hour"): DataFrame = {
+    val agg = tumblingBatch(eventsStream(spark, parquetPath), width)
+    runToMemory(agg.sparkSession, agg, "graft_stream_", OutputMode.Complete())
+  }
 
   /** Streaming session windows (`session_window` + watermark, append
     * mode). With AvailableNow the final in-flight sessions stay open
@@ -108,7 +121,9 @@ object EventsWindows {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("t_start"),
         col("w.end").as("t_end"), col("n_events"))
-    runToMemory(spark, agg, "graft_sess_", OutputMode.Append())
+    // the memory sink registers its table in the (cloned) session that
+    // starts the query — resolve the result there
+    runToMemory(agg.sparkSession, agg, "graft_sess_", OutputMode.Append())
   }
 
   final case class UserEvent(user_id: Long, event_type: String)
@@ -130,6 +145,6 @@ object EventsWindows {
     val counts = raw.select($"user_id", $"event_type").as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
-    runToMemory(spark, counts.toDF(), "graft_state_", OutputMode.Update())
+    runToMemory(counts.sparkSession, counts.toDF(), "graft_state_", OutputMode.Update())
   }
 }
