@@ -46,6 +46,7 @@ object SparkEntry {
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
+    "lake_maintenance"      -> (LakeQueries.maintenance _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
     "t_quality_score"    -> (TextQueries.qualityScore _),
@@ -223,6 +224,12 @@ object SparkEntry {
     "lake_partition_prune" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "lake_maintenance" ->
+      """SELECT * FROM (
+        |  SELECT * FROM customer
+        |  UNION ALL SELECT * FROM customer WHERE c_nationkey < 10)
+        |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
 
     "pipeline_gold" ->
       "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",

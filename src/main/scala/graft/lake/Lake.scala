@@ -84,6 +84,19 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     finally stream.close() // Files.list leaks an fd per call otherwise
   }
 
+  /** Snapshot metadata as a DataFrame — the engine's analog of
+    * Iceberg's `<table>.snapshots` / `<table>.history` metadata tables
+    * (queryable audit surface over commits).
+    */
+  def snapshots: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    history
+      .map(s => (s.version, s.op, s.timestampMs, s.dirs.size,
+        s.partitionBy.mkString(",")))
+      .toDF("version", "op", "timestamp_ms", "n_dirs", "partition_by")
+  }
+
   /** O(1) in manifest parses: resolves the max version from file names
     * (lexicographic = numeric for the zero-padded scheme) and reads
     * only that manifest — `history` parses all and is for audit use.
@@ -209,17 +222,83 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
   /** Small-file compaction (the `rewrite_data_files` capability the
     * reference enables via the Iceberg extensions): rewrite the current
     * snapshot into `targetPartitions` sized files in a single new dir.
-    * Data is unchanged — only layout.
+    * Data is unchanged — only layout. With `sortBy`, files are
+    * range-partitioned and sorted on those columns (Iceberg's
+    * `rewrite_data_files(strategy => 'sort')`): parquet min/max stats
+    * become disjoint across files, so later range/equality predicates
+    * on the sort columns prune whole files — the cheap substitute for
+    * indexes at 100 TB.
     */
-  def compact(targetPartitions: Int): Snapshot = {
+  def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
-    val df = read(Some(snap.version)).repartition(targetPartitions)
+    val base = read(Some(snap.version))
+    val df =
+      if (sortBy.isEmpty) base.repartition(targetPartitions)
+      else {
+        val cols = sortBy.map(org.apache.spark.sql.functions.col)
+        base.repartitionByRange(targetPartitions, cols: _*)
+          .sortWithinPartitions(cols: _*)
+      }
     val dirName = s"data/${UUID.randomUUID().toString}"
     val writer = df.write.mode("overwrite")
     (if (snap.partitionBy.nonEmpty) writer.partitionBy(snap.partitionBy: _*) else writer)
       .parquet(root.resolve(dirName).toString)
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
       expectedBase = Some(snap.version))
+  }
+
+  /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
+    * newest `retainLast` manifests, then delete data dirs no surviving
+    * manifest references. Bounds metadata growth and reclaims storage;
+    * expired versions stop being time-travel-readable (same contract
+    * as Iceberg — readers hold the lease assumption that they finish
+    * within the retention window). Returns (manifests, dirs) deleted.
+    */
+  def expireSnapshots(retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val all = history
+    if (all.size <= retainLast) return (0, 0)
+    val (expired, retained) = all.splitAt(all.size - retainLast)
+    val live = retained.flatMap(_.dirs).toSet
+    // delete manifests first: a concurrent reader that resolved an
+    // expired version may still finish if its dirs are shared with a
+    // retained snapshot; dirs go second and only when unreferenced
+    expired.foreach(s => Files.deleteIfExists(manifestPath(s.version)))
+    val deadDirs = expired.flatMap(_.dirs).distinct.filterNot(live)
+    deadDirs.foreach(d => deleteTree(root.resolve(d)))
+    (expired.size, deadDirs.size)
+  }
+
+  /** Orphan-file cleanup (Iceberg's `remove_orphan_files`): delete
+    * `data/` dirs referenced by NO manifest and older than
+    * `graceMs` — the residue of writers that died between staging and
+    * commit. The grace period protects in-flight writes (a dir is
+    * staged before its manifest exists). Returns dirs removed.
+    */
+  def removeOrphanFiles(graceMs: Long = 60 * 60 * 1000L): Int = {
+    val dataRoot = root.resolve("data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    val live = history.flatMap(_.dirs).map(d => root.resolve(d).normalize).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val stream = Files.list(dataRoot)
+    val orphans =
+      try stream.iterator().asScala
+        .filter(p => !live.contains(p.normalize))
+        .filter(p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.nio.file.NoSuchFileException => false })
+        .toList
+      finally stream.close()
+    orphans.foreach(deleteTree)
+    orphans.size
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val paths = Files.walk(p)
+    try paths.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally paths.close()
   }
 }
 

@@ -26,26 +26,25 @@ object Dedup {
 
   /** In-bucket ordered pair expansion: rows carrying the same bucket
     * key become (a, b) struct pairs with a < b (by the struct's first
-    * field), via one `collect_list` aggregate per key + a nested
-    * `transform` over the collected array. Compared to the textbook
-    * a-side/b-side self-join on the key this shuffles the inverted
-    * index ONCE (not twice) and never materializes the df² join rows
-    * for buckets that the `a < b` filter would halve anyway.
-    * `docStruct` must put the orderable id first.
+    * field), via a self-join on the key. The join keys are compact
+    * (hashed longs), and a sort-merge join buffers one side's key
+    * group in a SPILLABLE row array — a pathological mega-bucket (one
+    * shingle/band shared by 10⁸ docs) degrades to disk instead of
+    * OOMing, which is why this deliberately isn't a
+    * groupBy-collect_list expansion (per-group aggregation buffers
+    * don't spill within a group). Quadratic OUTPUT on hot buckets is
+    * inherent to pair mining — production corpora bound it upstream by
+    * document frequency (see [[graft.queries.TextQueries.winnowOverlap]]
+    * for the df-cap pattern). `docStruct` must put the orderable id
+    * first.
     */
   private[ops] def bucketPairs(inv: DataFrame, keyCols: Seq[String],
                                docStruct: org.apache.spark.sql.Column): DataFrame = {
-    inv
-      .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_list(docStruct)).as("ds"))
-      .where(size(col("ds")) > 1)
-      // all i<j pairs of the sorted bucket; `ds` is a plain attribute
-      // here so HOF-lambda inlining (the round-1 pitfall) re-reads an
-      // array pointer, not an expression tree
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
-          struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val tagged = inv.select(keyCols.map(col) :+ docStruct.as("d"): _*)
+    tagged.select(keyCols.map(col) :+ col("d").as("a"): _*)
+      .join(tagged.select(keyCols.map(col) :+ col("d").as("b"): _*), keyCols)
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
   }
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
@@ -195,17 +194,21 @@ object Dedup {
   }
 
   /** Small-star round: every node links its smaller-side neighborhood
-    * (and itself) to that neighborhood's minimum. On canonical edges
-    * the smaller-side neighborhood of v is exactly {u : (u,v) ∈ E} —
-    * one aggregation, pair emission from the collected neighborhood
-    * (bounded by smaller-side degree).
+    * (and itself) to that neighborhood's minimum m. On canonical edges
+    * the smaller-side neighborhood of v is exactly {u : (u,v) ∈ E}, so
+    * per edge: the u = m edge survives as the (m, v) self-link and
+    * every other u relinks to (m, u). Join-based — the only per-group
+    * state is the constant-size min() buffer (a collect_set of the
+    * neighborhood would hold a root's entire component in one
+    * non-spillable aggregation buffer at convergence).
     */
   private def smallStar(edges: DataFrame): DataFrame = {
-    edges.groupBy(col("v")).agg(min(col("u")).as("m"), collect_set(col("u")).as("us"))
-      .select(explode(concat(
-          array(struct(col("m").as("u"), col("v").as("v"))),
-          transform(filter(col("us"), x => x =!= col("m")), x =>
-            struct(least(x, col("m")).as("u"), greatest(x, col("m")).as("v"))))).as("e"))
+    val m = edges.groupBy(col("v")).agg(min(col("u")).as("m")) // m < v
+    edges.join(m, Seq("v"))
+      .select(when(col("u") === col("m"),
+          struct(col("u").as("u"), col("v").as("v")))
+        .otherwise( // least = m: m is the group minimum
+          struct(col("m").as("u"), col("u").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .where(col("u") =!= col("v")).distinct()
   }

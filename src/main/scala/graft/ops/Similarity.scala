@@ -58,13 +58,22 @@ object Similarity {
   /** Approximate top-k via multi-table hyperplane LSH. A candidate is
     * scored iff it shares a bucket with the probe in at least one
     * table; ranking among candidates is exact cosine.
+    *
+    * `broadcastProbes = true` (the interactive-search shape: a small
+    * query set against a huge corpus) pins both probe joins to
+    * broadcast so the corpus bucket rows never shuffle. Pass `false`
+    * for corpus-scale probe sets — the joins then plan as shuffles
+    * (AQE still broadcasts if a side turns out small) instead of
+    * overflowing the broadcast limit.
     */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 12,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              broadcastProbes: Boolean = true): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame = if (broadcastProbes) broadcast(df) else df
     val p = bucketed(probes, idCol, vecCol, "probe_id", dim, tables, bits, 7919L)
     val c = bucketed(corpus, idCol, vecCol, "neighbor_id", dim, tables, bits, 7919L)
-    val cand = c.join(broadcast(p), Seq("table", "bucket"))
+    val cand = c.join(maybeBcast(p), Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))
       .distinct()
@@ -72,7 +81,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), Seq("neighbor_id"))
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+      .join(maybeBcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
         Seq("probe_id"))
       .withColumn("sim", cosine_sim(col("probe_vec"), col("vec")))
       .withColumn("rank", row_number().over(w))

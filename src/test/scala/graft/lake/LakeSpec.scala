@@ -74,6 +74,76 @@ class LakeSpec extends AnyFunSuite {
     assert(cat.read("ns.t").agg(sum($"v")).head.getDouble(0) === 120.0)
   }
 
+  test("sorted compaction clusters files by the sort key") {
+    val cat = freshCat()
+    val wide = spark.range(0, 1000).select($"id",
+      (($"id" * 37) % 1000).as("k"), ($"id" % 7).cast("double").as("v"))
+    cat.write(wide.repartition(8), "ns.s", WriteMode.Overwrite)
+    cat.table("ns.s").compact(targetPartitions = 4, sortBy = Seq("k"))
+    // data unchanged
+    assert(cat.read("ns.s").count() === 1000)
+    assert(cat.read("ns.s").agg(sum($"k")).head.getLong(0) ===
+      wide.agg(sum($"k")).head.getLong(0))
+    // per-file k-ranges are disjoint (range partition + in-file sort)
+    val ranges = cat.read("ns.s")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"k").as("lo"), max($"k").as("hi"))
+      .orderBy($"lo").collect()
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"overlapping file ranges: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("expireSnapshots drops old versions and unreferenced dirs; latest survives") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.e", WriteMode.Overwrite)            // v1
+    cat.write(sample(), "ns.e", WriteMode.Append)               // v2 (refs v1 dir)
+    cat.write(sample().filter($"id" === 1), "ns.e", WriteMode.Overwrite) // v3
+    cat.write(sample(), "ns.e", WriteMode.Append)               // v4
+    val t = cat.table("ns.e")
+    val (manifests, dirs) = t.expireSnapshots(retainLast = 2)
+    assert(manifests === 2)
+    // v1's dir and v2's append dir are unreferenced by v3/v4 → both deleted
+    assert(dirs === 2)
+    assert(t.history.map(_.version) === Seq(3L, 4L))
+    intercept[IllegalArgumentException](t.read(Some(1L)))
+    assert(t.read(Some(3L)).count() === 1)
+    assert(cat.read("ns.e").count() === 4) // v4 = v3 (1 row) + append (3)
+    // idempotent
+    assert(t.expireSnapshots(retainLast = 2) === ((0, 0)))
+  }
+
+  test("removeOrphanFiles deletes stale unreferenced dirs only") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.o", WriteMode.Overwrite)
+    val t = cat.table("ns.o")
+    val orphan = t.root.resolve("data/deadbeef-orphan")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    // fresh orphan survives the grace period
+    assert(t.removeOrphanFiles(graceMs = 60000) === 0)
+    assert(Files.exists(orphan))
+    // stale orphan goes; live dir stays
+    assert(t.removeOrphanFiles(graceMs = 0) === 1)
+    assert(!Files.exists(orphan))
+    assert(cat.read("ns.o").count() === 3)
+  }
+
+  test("snapshots metadata table reflects history") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.m", WriteMode.Overwrite)
+    cat.write(sample(), "ns.m", WriteMode.Append)
+    cat.table("ns.m").compact(1)
+    val rows = cat.table("ns.m").snapshots
+      .orderBy($"version").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("overwrite", "append", "compact"))
+    assert(rows.map(_.getInt(3)).toSeq === Seq(1, 2, 1))
+  }
+
   test("partitioned write recovers partition column and values") {
     val cat = freshCat()
     cat.write(sample(), "ns.p", WriteMode.Overwrite, partitionBy = Seq("name"))
