@@ -229,16 +229,28 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * on the sort columns prune whole files — the cheap substitute for
     * indexes at 100 TB.
     */
-  def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot = {
+  def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot =
+    rewriteClustered(targetPartitions,
+      sortBy.map(org.apache.spark.sql.functions.col))
+
+  /** Z-order compaction (Iceberg's zorder rewrite strategy): files
+    * cluster on the interleaved [[graft.functions.ZOrderCode]] of
+    * `zorderBy`, keeping per-file min/max tight on ALL the listed
+    * columns — predicates on any of them prune files, where a
+    * lexicographic sort only serves its leading column.
+    */
+  def compactZOrder(targetPartitions: Int, zorderBy: Seq[String]): Snapshot =
+    rewriteClustered(targetPartitions, Seq(graft.functions.ZOrderFunctions
+      .zorder_code(zorderBy.map(org.apache.spark.sql.functions.col): _*)))
+
+  private def rewriteClustered(targetPartitions: Int,
+                               sortCols: Seq[org.apache.spark.sql.Column]): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
     val base = read(Some(snap.version))
     val df =
-      if (sortBy.isEmpty) base.repartition(targetPartitions)
-      else {
-        val cols = sortBy.map(org.apache.spark.sql.functions.col)
-        base.repartitionByRange(targetPartitions, cols: _*)
-          .sortWithinPartitions(cols: _*)
-      }
+      if (sortCols.isEmpty) base.repartition(targetPartitions)
+      else base.repartitionByRange(targetPartitions, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
     val writer = df.write.mode("overwrite")
     (if (snap.partitionBy.nonEmpty) writer.partitionBy(snap.partitionBy: _*) else writer)

@@ -97,6 +97,55 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder compaction bounds files in every dimension; lexicographic only in the first") {
+    import graft.functions.ZOrderFunctions.zorder_code
+    // unsigned lexicographic compare — Spark's BinaryType ordering
+    def ult(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length < b.length
+    }
+    // Morton property on a small grid: fixing one dim, monotone in the other
+    val grid = spark.range(0, 16).select(($"id" / 4).cast("long").as("x"), ($"id" % 4).as("y"))
+    val codes = grid.select($"x", $"y", zorder_code($"x", $"y").as("z")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Array[Byte]](2))).toMap
+    for (a <- 0L to 3L; b <- 0L until 3L) {
+      assert(ult(codes((a, b)), codes((a, b + 1))), s"y-monotone at ($a,$b)")
+      assert(ult(codes((b, a)), codes((b + 1, a))), s"x-monotone at ($b,$a)")
+    }
+    assert(ult(codes((0L, 0L)), codes((1L, 1L))))
+
+    // 32×32 uniform grid → 4 files: z-order bounds BOTH dims per file;
+    // lexicographic (x, y) gives x-stripes spanning the full y range
+    val pts = spark.range(0, 1024).select(($"id" / 32).cast("long").as("x"), ($"id" % 32).as("y"))
+    def fileRanges(cat: LakeCatalog, ident: String) =
+      cat.read(ident).groupBy(input_file_name())
+        .agg(min($"x").as("x0"), max($"x").as("x1"), min($"y").as("y0"), max($"y").as("y1"))
+        .collect().map(r => (r.getLong(2) - r.getLong(1), r.getLong(4) - r.getLong(3)))
+    val catZ = freshCat()
+    catZ.write(pts.repartition(8), "ns.z", WriteMode.Overwrite)
+    catZ.table("ns.z").compactZOrder(4, Seq("x", "y"))
+    val zr = fileRanges(catZ, "ns.z")
+    assert(zr.length >= 2)
+    assert(zr.forall { case (xr, yr) => xr < 31 && yr < 31 },
+      s"zorder files should bound both dims: ${zr.mkString(",")}")
+    val catL = freshCat()
+    catL.write(pts.repartition(8), "ns.l", WriteMode.Overwrite)
+    catL.table("ns.l").compact(4, sortBy = Seq("x", "y"))
+    val lr = fileRanges(catL, "ns.l")
+    assert(lr.exists { case (_, yr) => yr === 31L },
+      s"lexicographic files span full y: ${lr.mkString(",")}")
+    // data preserved
+    assert(catZ.read("ns.z").count() === 1024)
+    assert(catZ.read("ns.z").agg(sum($"x") + sum($"y")).head.getLong(0) ===
+      pts.agg(sum($"x") + sum($"y")).head.getLong(0))
+  }
+
   test("expireSnapshots drops old versions and unreferenced dirs; latest survives") {
     val cat = freshCat()
     cat.write(sample(), "ns.e", WriteMode.Overwrite)            // v1

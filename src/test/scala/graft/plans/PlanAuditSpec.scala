@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.{AnalyticsQueries, RelationalQueries, SimQueries}
+
+/** Codifies SCALE.md's physical-plan claims: the shapes that make the
+  * 100 TB story true must hold in the actual executed plans, not just
+  * in prose. Plans are collected AFTER an action so AQE has finalized
+  * (pre-execution `executedPlan.toString` hides the adaptive result —
+  * round-1 pitfall).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("incremental scan pushes the raw-nanos watermark filter into the parquet scan") {
+    val p = finalPlan(RelationalQueries.incrementalScan(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
+  test("q5 dimension joins broadcast — the fact table never shuffles for dims") {
+    val p = finalPlan(RelationalQueries.nationRevenue(spark, dir))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("q1 scan prunes to the referenced columns only") {
+    val p = finalPlan(RelationalQueries.pricingSummary(spark, dir))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"), p)
+  }
+
+  test("per-group top-k ranks with WindowGroupLimit below the exchange") {
+    val p = finalPlan(SimQueries.cosineTopK(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan(RelationalQueries.topkLatest(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text-scan kernels run inside whole-stage codegen in the scan stage") {
+    val df = graft.queries.TextQueries.qualityScore(spark, dir)
+    val p = finalPlan(df)
+    // the kernels appear in the scan-stage Project directly over the
+    // FileScan, and the old array-materializing formulations are gone.
+    // (AQE plan strings omit the `*(n)` codegen markers — round-1
+    // pitfall — so codegen itself is asserted by the kernels' own
+    // doGenCode-driven specs, not by string-matching here.)
+    assert(p.contains("token_count"), p)
+    assert(!p.contains("regexp_extract_all"), p)
+    assert(p.contains("FileScan parquet"), p)
+  }
+
+  test("pivot with explicit values plans pivotfirst aggregates (no value-discovery job)") {
+    val df = AnalyticsQueries.pivotEvents(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    // explicit values plan straight to the two pivot aggregate phases
+    // ((user_id, event_type) pre-agg → (user_id) pivotfirst); without
+    // them Spark first runs an eager distinct-values collect job
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pivotfirst"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2, p)
+  }
+}
