@@ -65,6 +65,8 @@ object SparkEntry {
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
     "s_sessionize"       -> (StreamQueries.sessionize _),
+    "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
+    "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
@@ -360,6 +362,21 @@ object SparkEntry {
 
     "csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    "s_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s_stream_join" ->
+      """SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts FROM
+        |  (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+        |   WHERE event_type = 'purchase') p
+        |JOIN
+        |  (SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+        |   WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
 
     "a_window_functions" ->
       """SELECT l_suppkey, rn, rk, drk, tile, l_orderkey, l_linenumber,

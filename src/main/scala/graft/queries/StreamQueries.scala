@@ -36,6 +36,29 @@ object StreamQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Streaming exact dedup with watermark-bounded state — counts per
+    * type after `dropDuplicatesWithinWatermark` (event_ids are unique
+    * in the fixture, so the oracle is the distinct count; the
+    * duplicate-dropping behavior itself is asserted in
+    * EventsWindowsSpec with injected duplicate files).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.streamingDedup(spark, s"$dir/events.parquet")
+      .orderBy($"event_type")
+  }
+
+  /** Watermarked stream-stream interval join (purchases × preceding-
+    * hour clicks per user), AvailableNow to completion; inner-join
+    * matches emit immediately, so the result equals the batch interval
+    * join the DuckDB oracle states.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.streamStreamJoin(spark, s"$dir/events.parquet")
+      .orderBy($"user_id", $"purchase_id", $"click_id")
+  }
+
   /** CSV write → read roundtrip with explicit schema (reference S7/S8). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

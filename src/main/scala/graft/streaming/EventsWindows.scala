@@ -93,14 +93,25 @@ object EventsWindows {
     * of the state-store overhead; a production deployment with a wide
     * key space would raise it back.
     */
-  private def eventsStream(spark: SparkSession, parquetPath: String): DataFrame = {
+  private def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(parquetPath).schema
-    s.readStream.schema(schema).parquet(asStreamDir(parquetPath))
+    s
+  }
+
+  /** One events stream inside an existing (cloned) session — used
+    * directly when a query needs TWO sources in the SAME session
+    * (stream-stream joins can't cross sessions).
+    */
+  private def eventsStreamIn(s: SparkSession, parquetPath: String): DataFrame = {
+    val raw = s.read.parquet(parquetPath).schema // nanos → ts is INT64 here
+    s.readStream.schema(raw).parquet(asStreamDir(parquetPath))
       .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
   }
+
+  private def eventsStream(spark: SparkSession, parquetPath: String): DataFrame =
+    eventsStreamIn(streamSession(spark), parquetPath)
 
   def tumblingStreaming(spark: SparkSession, parquetPath: String,
                         width: String = "1 hour"): DataFrame = {
@@ -124,6 +135,64 @@ object EventsWindows {
     // the memory sink registers its table in the (cloned) session that
     // starts the query — resolve the result there
     runToMemory(agg.sparkSession, agg, "graft_sess_", OutputMode.Append())
+  }
+
+  /** Streaming exact dedup with bounded state
+    * (`dropDuplicatesWithinWatermark`): duplicate event_ids arriving
+    * within the watermark horizon are dropped, and state for ids older
+    * than the watermark is evicted — the ONLY way streaming dedup
+    * stays O(horizon) instead of O(stream history), which is the core
+    * requirement for dedup over an unbounded training-data feed.
+    */
+  def streamingDedup(spark: SparkSession, parquetPath: String,
+                     horizon: String = "30 minutes"): DataFrame = {
+    val deduped = eventsStream(spark, parquetPath)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    runToMemory(deduped.sparkSession, deduped, "graft_dedup_", OutputMode.Complete())
+  }
+
+  /** Watermarked stream-stream interval join: each purchase joins
+    * click events of the same user within the preceding `lookback`.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, so Spark evicts join state outside the
+    * interval — the state-bounded shape of stream-stream joins at
+    * scale (an unbounded-time condition would buffer both streams
+    * forever).
+    */
+  def streamStreamJoin(spark: SparkSession, parquetPath: String,
+                       lookback: String = "1 hour"): DataFrame = {
+    val s = streamSession(spark)
+    val purchases = eventsStreamIn(s, parquetPath)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = eventsStreamIn(s, parquetPath) // second source, same session
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
+    runToMemory(joined.sparkSession, joined, "graft_ssj_", OutputMode.Append())
+  }
+
+  /** Batch equivalent of [[streamStreamJoin]] (same interval
+    * semantics) — the parity oracle.
+    */
+  def intervalJoinBatch(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
   }
 
   final case class UserEvent(user_id: Long, event_type: String)

@@ -43,6 +43,30 @@ class EventsWindowsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming dedup drops injected duplicate files within the watermark") {
+    // stream dir = the fixture file + a duplicated copy: every event
+    // arrives twice in the same replay
+    val d = java.nio.file.Files.createTempDirectory("graft-dup-stream-")
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src.toAbsolutePath)
+    java.nio.file.Files.copy(src, d.resolve("b.parquet"))
+    val got = EventsWindows.streamingDedup(spark, d.toString)
+      .as[(String, Long)].collect().toMap
+    val want = Tables(spark, dir).events
+      .groupBy($"event_type").agg(countDistinct($"event_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want) // doubled input, deduped output
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventsWindows.streamStreamJoin(spark, eventsPath)
+      .orderBy($"user_id", $"purchase_id", $"click_id").collect().toSeq
+    val batch = EventsWindows.intervalJoinBatch(Tables(spark, dir).events)
+      .orderBy($"user_id", $"purchase_id", $"click_id").collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("sessionization invariant: session event counts sum to total events") {
     val sess = EventsWindows.sessionizeBatch(Tables(spark, dir).events)
     val total = Tables(spark, dir).events.count()
