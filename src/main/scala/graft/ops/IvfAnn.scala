@@ -67,11 +67,50 @@ object IvfAnn {
       .withColumn("centroid_id", centroid_argmax(col(vecCol), centArr))
   }
 
-  /** IVF top-k: probes search only their `nprobe` best cells. */
+  /** Lloyd's k-means refinement of the sampled centroids (spherical
+    * flavor: mean of assigned vectors, cosine assignment). Each
+    * iteration is ONE distributed pass: scan-stage `centroid_argmax`
+    * assignment → posexplode to (cell, dim, value) → mean per (cell,
+    * dim) — a hash aggregate whose cardinality is nlist × dim,
+    * independent of corpus size — then the new (tiny) centroid table
+    * collects back to index state. Cells that lose all members keep
+    * their previous centroid. Deterministic; converges the usual
+    * k-means way and strictly reuses the search-time assignment path,
+    * so refined indexes need no new code to query.
+    */
+  def refineCentroids(corpus: DataFrame, init: Seq[Array[Float]], iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Float]] = {
+    var cents = init
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<float>").as("_v"))
+    for (_ <- 0 until iters) {
+      val means = vecs
+        .select(centroid_argmax(col("_v"), cents).as("cell"), posexplode(col("_v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), col("dims.m").as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  /** IVF top-k: probes search only their `nprobe` best cells.
+    * `refineIters` > 0 runs that many Lloyd iterations on the sampled
+    * centroids first (better-balanced cells → better recall at the
+    * same nprobe).
+    */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centArr = centroidArray(corpus, nlist, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              refineIters: Int = 0): DataFrame = {
+    val sampled = centroidArray(corpus, nlist, idCol, vecCol)
+    val centArr =
+      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters, idCol, vecCol)
+      else sampled
     val cents = centroidsDf(corpus.sparkSession, centArr)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .withColumn("centroid_id", centroid_argmax(col("vec"), centArr))

@@ -33,6 +33,35 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(assigned.agg(countDistinct($"centroid_id")).head.getLong(0) <= 8)
   }
 
+  test("kmeans refinement improves mean assignment similarity, keeps recall") {
+    import graft.functions.VectorFunctions.centroid_argmax
+    val emb = Tables(spark, dir).embeddings
+    def meanSim(cents: Seq[Array[Float]]): Double = {
+      val centsDf = cents.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toDF("cid", "cv")
+      emb.select($"embedding".cast("array<float>").as("_v"))
+        .withColumn("cell", centroid_argmax($"_v", cents))
+        .join(broadcast(centsDf), $"cell" === $"cid")
+        .select(graft.functions.VectorFunctions.cosine_sim($"_v", $"cv").as("s"))
+        .agg(avg($"s")).head.getDouble(0)
+    }
+    val init = IvfAnn.centroidArray(emb, nlist = 8)
+    val refined = IvfAnn.refineCentroids(emb, init, iters = 3)
+    assert(refined.size === init.size)
+    val (s0, s1) = (meanSim(init), meanSim(refined))
+    assert(s1 > s0, s"refinement should tighten cells: $s0 -> $s1")
+    // planted-dup recall still 1.0 through the refined index
+    val offset = 1000000L
+    val corpus = emb.unionByName(emb.withColumn("vec_id", $"vec_id" + offset))
+    val probes = emb.limit(5)
+    val top1 = IvfAnn.annTopK(corpus, probes, k = 1, nlist = 8, nprobe = 3,
+        refineIters = 2)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    probes.select($"vec_id").as[Long].collect().foreach { p =>
+      assert(top1(p) === p + offset, s"probe $p")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of left rows share key 1
     val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i)))
