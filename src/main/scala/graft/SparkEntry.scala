@@ -48,6 +48,7 @@ object SparkEntry {
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
     "lake_maintenance"      -> (LakeQueries.maintenance _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
+    "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
     "t_quality_score"    -> (TextQueries.qualityScore _),
     "t_token_stats"      -> (TextQueries.tokenStats _),
@@ -235,6 +236,57 @@ object SparkEntry {
 
     "pipeline_gold" ->
       "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",
+
+    // the full curation pipeline: quality filter → lang filter → exact
+    // dedup (min doc per fingerprint) → near-dup dedup (jaccard ≥ 0.5
+    // reachability, keep component min) → per-language token budget
+    "pipeline_traindata" ->
+      """WITH RECURSIVE
+        |q AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |    CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        |         THEN CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+        |              / len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |         ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN text LIKE '% der %' OR text LIKE '% und %' OR text LIKE '% nicht %' THEN 'de'
+        |         WHEN text LIKE '% le %' OR text LIKE '% la %' OR text LIKE '% et %' THEN 'fr'
+        |         WHEN text LIKE '% el %' OR text LIKE '% que %' OR text LIKE '% los %' THEN 'es'
+        |         WHEN text LIKE '% the %' OR text LIKE '% and %' OR text LIKE '% of %' THEN 'en'
+        |         ELSE 'und' END AS pred
+        |  FROM documents),
+        |f AS (
+        |  SELECT * FROM q
+        |  WHERE n_words >= 5 AND n_chars <= 20000 AND n_punct * 5 <= n_chars
+        |    AND stop_ratio <= 0.6
+        |    AND pred IN ('en','de','fr','es')),
+        |x AS (
+        |  SELECT * FROM f
+        |  QUALIFY doc_id = MIN(doc_id) OVER (
+        |    PARTITION BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))))),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM x),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |prs AS (SELECT a_id, b_id FROM p
+        |        WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5),
+        |e AS (SELECT a_id AS u, b_id AS v FROM prs
+        |      UNION SELECT b_id, a_id FROM prs),
+        |r(u, cand) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, r.cand FROM e JOIN r ON r.u = e.v),
+        |dropd AS (
+        |  SELECT u AS doc_id FROM r GROUP BY u HAVING u <> MIN(cand))
+        |SELECT lang, pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM x WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t_lang_id" ->
       """SELECT lang,

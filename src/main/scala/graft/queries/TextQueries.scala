@@ -64,6 +64,45 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end training-data curation — the composite pipeline every
+    * LLM corpus build runs, chaining the north-star operators in their
+    * production order:
+    *   1. rule-based quality filter (keep bucket = good),
+    *   2. language filter (heuristic langId ∈ {en, de, fr, es}),
+    *   3. exact dedup (keep min doc_id per normalized fingerprint),
+    *   4. near-dup dedup (3-gram Jaccard ≥ 0.5 pairs → connected
+    *      components → keep each cluster's min id),
+    *   5. token-budget report per language.
+    * Every stage is a narrow transform or density-bounded pair join —
+    * the whole pipeline is one Spark plan per stage group, no
+    * collect(), linear at corpus scale.
+    */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val scored = docs.select($"doc_id", $"lang", $"text", $"n_chars",
+        TextOps.wordCount($"text").as("n_words"),
+        TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.punctCount($"text").as("n_punct"),
+        TextOps.stopwordRatio($"text").as("stop_ratio"),
+        TextOps.langId($"text").as("pred"))
+      .where(TextOps.qualityBucket($"n_words", $"n_chars", $"n_punct", $"stop_ratio") === "good")
+      .where($"pred".isin("en", "de", "fr", "es"))
+    // exact dedup: canonical doc per fingerprint
+    val exact = scored
+      .withColumn("fp", TextOps.fingerprint($"text"))
+      .withColumn("keep", $"doc_id" === min($"doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .where($"keep").drop("fp", "keep")
+    // near-dup dedup on the survivors
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(exact, threshold = 0.5)
+    val kept = graft.ops.Dedup.dedupByClusters(exact, pairs)
+    kept.groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("total_tokens"))
+      .orderBy($"lang", $"pred")
+  }
+
   /** Winnowing overlap detection: doc pairs sharing ≥ `minShared`
     * rolling-hash fingerprints (substring-level near-dup, robust to
     * word reordering outside the shared runs). Inverted-index join on
