@@ -39,6 +39,22 @@ case class ZOrderCode(children: Seq[Expression])
   override def nullable: Boolean = true
   override def prettyName: String = "zorder_code"
 
+  private val supported: Set[DataType] = Set(LongType, IntegerType, ShortType,
+    ByteType, DoubleType, FloatType, DateType, TimestampType)
+
+  /** Analysis-time rejection of non-numeric dimensions — without this
+    * a zorder over a string column launches the full compaction job
+    * and fails per-row inside executor tasks instead of failing the
+    * plan up front.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    children.map(_.dataType).find(!supported.contains(_)) match {
+      case Some(bad) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"zorder_code: unsupported type $bad (numeric/date/timestamp only)")
+      case None => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   private def unsignedKey(v: Any, dt: DataType): Long = dt match {
     case LongType    => v.asInstanceOf[Long] ^ Long.MinValue
     case IntegerType => v.asInstanceOf[Int].toLong ^ Long.MinValue

@@ -79,9 +79,9 @@ object IvfAnn {
     * so refined indexes need no new code to query.
     */
   def refineCentroids(corpus: DataFrame, init: Seq[Array[Float]], iters: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Float]] = {
+                      vecCol: String = "embedding"): Seq[Array[Float]] = {
     var cents = init
-    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<float>").as("_v"))
+    val vecs = corpus.select(col(vecCol).cast("array<float>").as("_v"))
     for (_ <- 0 until iters) {
       val means = vecs
         .select(centroid_argmax(col("_v"), cents).as("cell"), posexplode(col("_v")))
@@ -109,7 +109,7 @@ object IvfAnn {
               refineIters: Int = 0): DataFrame = {
     val sampled = centroidArray(corpus, nlist, idCol, vecCol)
     val centArr =
-      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters, idCol, vecCol)
+      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters, vecCol)
       else sampled
     val cents = centroidsDf(corpus.sparkSession, centArr)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))

@@ -63,6 +63,17 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("string dimension rejected at analysis time, not per-row in tasks") {
+    val err = intercept[Exception] {
+      Seq((1L, "a")).toDF("a", "b").select(zorder_code($"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("zorder_code")
+      || err.toString.contains("DATATYPE_MISMATCH"), err.toString)
+    // and it must fail BEFORE execution — AnalysisException, not a task failure
+    assert(err.isInstanceOf[org.apache.spark.sql.AnalysisException]
+      || err.getClass.getName.contains("Analysis"), err.getClass.toString)
+  }
+
   test("null in any dimension yields null; 3-column codes are 24 bytes") {
     val df = Seq((Option(1L), Option(2L)), (None, Option(2L)))
       .toDF("a", "b")

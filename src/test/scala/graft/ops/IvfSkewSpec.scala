@@ -62,6 +62,18 @@ class IvfSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("annTopK shuffle-join path (broadcastProbes=false) matches the broadcast path") {
+    val emb = Tables(spark, dir).embeddings
+    val offset = 1000000L
+    val corpus = emb.unionByName(emb.withColumn("vec_id", $"vec_id" + offset))
+    val probes = emb.limit(8)
+    def run(bcast: Boolean) =
+      Similarity.annTopK(corpus, probes, k = 3, dim = 64, broadcastProbes = bcast)
+        .select($"probe_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(run(false) === run(true))
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of left rows share key 1
     val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i)))

@@ -14,9 +14,19 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** `collect()` — NOT a noop write: a write executes a SEPARATE
+    * QueryExecution, leaving this df's adaptive plan unfinalized
+    * (isFinalPlan=false), which would silently audit the initial plan.
+    */
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.write.mode("overwrite").format("noop").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true") || !p.contains("AdaptiveSparkPlan"),
+      "plan not finalized — audit would check the pre-execution plan")
+    // the finalized string prints BOTH sections; audit the final one
+    // only (counting over the whole string double-counts every node)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
   }
 
   test("incremental scan pushes the raw-nanos watermark filter into the parquet scan") {
@@ -60,12 +70,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("pivot with explicit values plans pivotfirst aggregates (no value-discovery job)") {
-    val df = AnalyticsQueries.pivotEvents(spark, dir)
-    df.write.mode("overwrite").format("noop").save()
     // explicit values plan straight to the two pivot aggregate phases
     // ((user_id, event_type) pre-agg → (user_id) pivotfirst); without
     // them Spark first runs an eager distinct-values collect job
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(AnalyticsQueries.pivotEvents(spark, dir))
     assert(p.contains("pivotfirst"), p)
     assert(p.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") <= 2, p)
