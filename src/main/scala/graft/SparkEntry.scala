@@ -47,6 +47,7 @@ object SparkEntry {
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
     "lake_maintenance"      -> (LakeQueries.maintenance _),
+    "lake_hidden_partition" -> (LakeQueries.hiddenPartition _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
@@ -233,6 +234,12 @@ object SparkEntry {
         |  SELECT * FROM customer
         |  UNION ALL SELECT * FROM customer WHERE c_nationkey < 10)
         |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
+
+    "lake_hidden_partition" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
 
     "pipeline_gold" ->
       "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",

@@ -113,16 +113,18 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     maxName.flatMap(n => Manifest.read(versionsDir.resolve(n)))
   }
 
-  /** Read the table at `version` (latest when None). Immutable snapshot
-    * dirs mean a concurrent overwrite never affects a running read.
+  private def resolve(version: Option[Long]): Snapshot = version match {
+    case Some(v) => Manifest.read(manifestPath(v))
+      .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))
+    case None => latest
+      .getOrElse(throw new IllegalArgumentException(s"empty lake table at $root"))
+  }
+
+  /** Snapshot read INCLUDING derived partition columns (`_p_…` — Spark
+    * appends partition-dir columns absent from the user schema). The
+    * public [[read]] drops them; [[scan]] filters on them first.
     */
-  def read(version: Option[Long] = None): DataFrame = {
-    val snap = version match {
-      case Some(v) => Manifest.read(manifestPath(v))
-        .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))
-      case None => latest
-        .getOrElse(throw new IllegalArgumentException(s"empty lake table at $root"))
-    }
+  private def readRaw(snap: Snapshot): DataFrame = {
     val reader = spark.read.schema(snap.schema)
     val frames = snap.dirs.map { d =>
       val abs = root.resolve(d).toString
@@ -130,6 +132,45 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         .parquet(abs)
     }
     frames.reduce(_ unionByName _)
+  }
+
+  /** Read the table at `version` (latest when None). Immutable snapshot
+    * dirs mean a concurrent overwrite never affects a running read.
+    * Hidden partition columns (transform specs like `days(ts)`) never
+    * appear — the user schema is exactly what was written.
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val snap = resolve(version)
+    val hidden = snap.partitionBy.map(PartitionField.parse).filter(_.hidden).map(_.name)
+    hidden.foldLeft(readRaw(snap))(_ drop _)
+  }
+
+  /** Predicate-pushing scan (Iceberg-style hidden-partition pruning):
+    * each predicate filters the DATA column (exact semantics) AND,
+    * when the snapshot's partition transforms admit a projection,
+    * the derived partition column — giving directory pruning on
+    * `days(ts)`-style specs without the caller ever naming the
+    * partition column. Returns the user schema (hidden columns
+    * dropped after filtering).
+    */
+  def scan(preds: Seq[LakePredicate], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = resolve(version)
+    val fields = snap.partitionBy.map(PartitionField.parse)
+    val schema = snap.schema
+    def typed(c: String, v: Any) = lit(v).cast(schema(c).dataType)
+    val raw = preds.map {
+      case LakePredicate.EqualTo(c, v) => col(c) === typed(c, v)
+      case LakePredicate.GtEq(c, v)    => col(c) >= typed(c, v)
+      case LakePredicate.LtEq(c, v)    => col(c) <= typed(c, v)
+    }
+    val projected = for {
+      p <- preds
+      f <- fields if f.source == p.col
+      proj <- f.project(p, schema(p.col).dataType)
+    } yield proj
+    val filtered = (raw ++ projected).foldLeft(readRaw(snap))(_ where _)
+    fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
   }
 
   /** Optimistic commit: claim the next version with an atomic exclusive
@@ -201,18 +242,32 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     throw new IllegalStateException(s"could not commit to $root after $attempts attempts")
   }
 
+  /** Materialize transform-derived partition columns and write the
+    * parquet dir for one commit. `partitionBy` entries are partition
+    * SPECS — identity column names or transforms (`days(ts)`,
+    * `months(ts)`, `bucket(n, c)`, `truncate(w, c)`); the manifest
+    * stores the specs, the dirs use the derived `_p_…` names.
+    */
+  private def writeDataDir(df: DataFrame, dirName: String,
+                           partitionBy: Seq[String]): Unit = {
+    val fields = partitionBy.map(PartitionField.parse)
+    val withParts = fields.filter(_.hidden)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, f.derive(d)))
+    val writer = withParts.write.mode("overwrite")
+    (if (fields.nonEmpty) writer.partitionBy(fields.map(_.name): _*) else writer)
+      .parquet(root.resolve(dirName).toString)
+  }
+
   /** Write a new snapshot. Overwrite replaces the file set (the
     * reference's only mode, dags/etl.py:53); Append carries prior dirs
-    * forward untouched.
+    * forward untouched. `partitionBy` takes identity columns or
+    * Iceberg-style transform specs (hidden partitioning).
     */
   def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty,
             expectedBase: Option[Long] = None): Snapshot = {
     val dirName = s"data/${UUID.randomUUID().toString}"
-    val target = root.resolve(dirName)
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(target.toString)
+    writeDataDir(df, dirName, partitionBy)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = partitionBy, schemaJson = df.schema.json, meta = meta,
@@ -252,9 +307,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       else base.repartitionByRange(targetPartitions, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
-    val writer = df.write.mode("overwrite")
-    (if (snap.partitionBy.nonEmpty) writer.partitionBy(snap.partitionBy: _*) else writer)
-      .parquet(root.resolve(dirName).toString)
+    writeDataDir(df, dirName, snap.partitionBy) // re-derives transform columns
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
       expectedBase = Some(snap.version))
   }

@@ -1,0 +1,152 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style partition transforms (hidden partitioning): a table
+  * declares `days(ts)` / `months(ts)` / `bucket(n, c)` /
+  * `truncate(w, c)` / identity specs; the lake layer derives the
+  * partition value at write time into a `_p`-prefixed column the user
+  * schema never shows, and projects row-level predicates onto
+  * partition-level predicates at scan time — so queries filter the
+  * DATA columns and still get directory pruning, exactly the contract
+  * Iceberg's partition specs provide (and what the reference's
+  * unpartitioned `saveAsTable` tables lack, SURVEY.md §4).
+  *
+  * Predicate projection rules (all monotone or exact):
+  *  - identity: predicate passes through;
+  *  - days/months: range + equality project through the (monotone)
+  *    date truncation;
+  *  - truncate(w): monotone for ints and strings → range + equality;
+  *  - bucket(n): equality only (ranges don't survive hashing).
+  * Projected comparisons use foldable literal expressions, so Catalyst
+  * constant-folds them and the FileScan shows `PartitionFilters`.
+  */
+sealed trait LakePredicate { def col: String }
+object LakePredicate {
+  final case class EqualTo(col: String, value: Any) extends LakePredicate
+  final case class GtEq(col: String, value: Any) extends LakePredicate
+  final case class LtEq(col: String, value: Any) extends LakePredicate
+}
+
+sealed trait PartitionField {
+  def source: String
+  /** Partition column name; identity fields use the source name,
+    * transforms get a `_p_` prefix (hidden from reads).
+    */
+  def name: String
+  def hidden: Boolean = name != source
+  /** Partition value derived from the source column (write path; the
+    * frame is provided so type-dependent transforms can consult the
+    * schema).
+    */
+  def derive(df: org.apache.spark.sql.DataFrame): Column
+  /** Projection of a row predicate onto this partition column, when
+    * the transform admits one. `sourceType` is the table-schema type
+    * of the source column: literals are cast through it first, so a
+    * probe value of a different runtime type (Int vs Long, string
+    * date vs timestamp) still derives the same partition value the
+    * write path did — critical for hash buckets, where xxhash64 is
+    * type-sensitive.
+    */
+  def project(p: LakePredicate,
+              sourceType: org.apache.spark.sql.types.DataType): Option[Column]
+  /** Spec string round-tripped through the manifest. */
+  def spec: String
+}
+
+object PartitionField {
+  import LakePredicate._
+
+  final case class Identity(source: String) extends PartitionField {
+    val name = source
+    def derive(df: org.apache.spark.sql.DataFrame): Column = col(source)
+    def project(p: LakePredicate,
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] =
+      None // raw filter already covers it
+    def spec: String = source
+  }
+
+  final case class Days(source: String) extends PartitionField {
+    val name = s"_p_${source}_day"
+    def derive(df: org.apache.spark.sql.DataFrame): Column = to_date(col(source))
+    def project(p: LakePredicate,
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
+      def l(v: Any) = to_date(lit(v).cast(sourceType))
+      p match {
+        case EqualTo(_, v) => Some(col(name) === l(v))
+        case GtEq(_, v)    => Some(col(name) >= l(v))
+        case LtEq(_, v)    => Some(col(name) <= l(v))
+      }
+    }
+    def spec: String = s"days($source)"
+  }
+
+  final case class Months(source: String) extends PartitionField {
+    val name = s"_p_${source}_month"
+    def derive(df: org.apache.spark.sql.DataFrame): Column =
+      date_trunc("month", col(source)).cast("date")
+    def project(p: LakePredicate,
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
+      def l(v: Any) = date_trunc("month", lit(v).cast(sourceType)).cast("date")
+      p match {
+        case EqualTo(_, v) => Some(col(name) === l(v))
+        case GtEq(_, v)    => Some(col(name) >= l(v))
+        case LtEq(_, v)    => Some(col(name) <= l(v))
+      }
+    }
+    def spec: String = s"months($source)"
+  }
+
+  final case class Bucket(n: Int, source: String) extends PartitionField {
+    require(n > 0, s"bucket count must be positive: $n")
+    val name = s"_p_${source}_bucket"
+    def derive(df: org.apache.spark.sql.DataFrame): Column =
+      pmod(xxhash64(col(source)), lit(n)).cast("int")
+    def project(p: LakePredicate,
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = p match {
+      case EqualTo(_, v) =>
+        Some(col(name) === pmod(xxhash64(lit(v).cast(sourceType)), lit(n)).cast("int"))
+      case _ => None // hashing destroys order
+    }
+    def spec: String = s"bucket($n, $source)"
+  }
+
+  final case class Truncate(width: Int, source: String) extends PartitionField {
+    require(width > 0, s"truncate width must be positive: $width")
+    val name = s"_p_${source}_trunc"
+    // ints floor to a width multiple; strings take the width prefix —
+    // both monotone, so ranges project through
+    private def truncOf(c: Column, isString: Boolean): Column =
+      if (isString) substring(c, 1, width) else c - pmod(c, lit(width))
+    def derive(df: org.apache.spark.sql.DataFrame): Column =
+      truncOf(col(source),
+        df.schema(source).dataType == org.apache.spark.sql.types.StringType)
+    def project(p: LakePredicate,
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
+      val isStr = sourceType == org.apache.spark.sql.types.StringType
+      def t(v: Any): Column = truncOf(lit(v).cast(sourceType), isStr)
+      p match {
+        case EqualTo(_, v) => Some(col(name) === t(v))
+        case GtEq(_, v)    => Some(col(name) >= t(v))
+        case LtEq(_, v)    => Some(col(name) <= t(v))
+      }
+    }
+    def spec: String = s"truncate($width, $source)"
+  }
+
+  private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val IdentRe = """([A-Za-z0-9_]+)""".r
+
+  def parse(spec: String): PartitionField = spec.trim match {
+    case DaysRe(c)      => Days(c)
+    case MonthsRe(c)    => Months(c)
+    case BucketRe(n, c) => Bucket(n.toInt, c)
+    case TruncRe(w, c)  => Truncate(w.toInt, c)
+    case IdentRe(c)     => Identity(c)
+    case other => throw new IllegalArgumentException(s"bad partition spec: '$other'")
+  }
+}

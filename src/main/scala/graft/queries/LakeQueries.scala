@@ -137,6 +137,25 @@ object LakeQueries {
       .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
   }
 
+  /** Hidden partitioning (Iceberg partition transforms): events land
+    * partitioned by `days(ts)` — the user schema never shows the
+    * derived column — and the scan pushes a raw ts range that the
+    * table layer projects onto day-partition predicates, pruning
+    * whole directories (LakeSpec asserts the PartitionFilters).
+    */
+  def hiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.LakePredicate._
+    val cat = freshCatalog(spark)
+    cat.write(Tables(spark, dir).events, "bronze.events", WriteMode.Overwrite,
+      partitionBy = Seq("days(ts)"))
+    cat.table("bronze.events")
+      .scan(Seq(
+        GtEq("ts", java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        LtEq("ts", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))))
+      .orderBy($"event_id")
+  }
+
   /** MERGE INTO (upsert): doubles acctbal for matched keys, inserts two
     * new rows for unmatched keys.
     */

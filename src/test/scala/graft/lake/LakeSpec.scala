@@ -193,6 +193,66 @@ class LakeSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(3)).toSeq === Seq(1, 2, 1))
   }
 
+  test("hidden partitioning: days(ts) — user schema clean, scan prunes dirs") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = spark.range(0, 40).select($"id",
+      to_timestamp(concat(lit("2024-01-0"), ($"id" % 4 + 1).cast("string"),
+        lit(" 10:00:"), lpad(($"id" % 60).cast("string"), 2, "0"))).as("ts"),
+      ($"id" % 7).cast("double").as("v"))
+    cat.write(df, "ns.h", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.h")
+    // user schema shows no derived columns
+    assert(t.read(None).columns.toSeq === Seq("id", "ts", "v"))
+    // scan: ts range filters data AND prunes partitions
+    val from = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val to = java.sql.Timestamp.valueOf("2024-01-03 23:59:59")
+    val scanned = t.scan(Seq(GtEq("ts", from), LtEq("ts", to)))
+    val want = t.read(None).where($"ts" >= from && $"ts" <= to)
+      .orderBy($"id").collect().toSeq
+    assert(scanned.orderBy($"id").collect().toSeq === want)
+    assert(want.nonEmpty)
+    scanned.collect()
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_p_ts_day"), plan)
+    // the derived column never leaks through scan either
+    assert(scanned.columns.toSeq === Seq("id", "ts", "v"))
+  }
+
+  test("bucket and truncate transforms: probes route to the right partition") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq((1L, "alpha", 10), (2L, "alps", 20), (3L, "beta", 30), (4L, "gamma", 40))
+      .toDF("id", "name", "qty")
+    cat.write(df, "ns.b", WriteMode.Overwrite,
+      partitionBy = Seq("bucket(4, id)", "truncate(3, name)"))
+    val t = cat.table("ns.b")
+    assert(t.read(None).columns.toSeq === Seq("id", "name", "qty"))
+    // equality probe on the bucketed key — Int literal vs Long column
+    // must still hash into the written bucket (cast-through-source-type)
+    val hit = t.scan(Seq(EqualTo("id", 3)))
+    assert(hit.select($"name").as[String].collect().toSeq === Seq("beta"))
+    // string range projects through the prefix truncation
+    val alp = t.scan(Seq(GtEq("name", "alp"), LtEq("name", "alz")))
+    assert(alp.select($"id").as[Long].collect().sorted === Array(1L, 2L))
+    // compaction preserves the hidden spec and data
+    t.compact(1)
+    assert(t.read(None).count() === 4)
+    assert(t.scan(Seq(EqualTo("id", 3))).count() === 1)
+  }
+
+  test("months transform groups days into one partition dir") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq(("2024-01-05 01:00:00", 1L), ("2024-01-25 01:00:00", 2L),
+      ("2024-02-10 01:00:00", 3L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.m2", WriteMode.Overwrite, partitionBy = Seq("months(ts)"))
+    val jan = cat.table("ns.m2")
+      .scan(Seq(LtEq("ts", java.sql.Timestamp.valueOf("2024-01-31 23:59:59"))))
+    assert(jan.select($"id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("partitioned write recovers partition column and values") {
     val cat = freshCat()
     cat.write(sample(), "ns.p", WriteMode.Overwrite, partitionBy = Seq("name"))
