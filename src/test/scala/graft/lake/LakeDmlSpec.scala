@@ -103,6 +103,36 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("lacks column"))
   }
 
+  test("DML preserves hidden partition specs across rewrites") {
+    import graft.lake.LakePredicate._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-hp-").toString)
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0), (2L, "2024-01-02 10:00:00", 20.0),
+      (3L, "2024-01-02 11:00:00", 30.0), (4L, "2024-01-03 10:00:00", 40.0))
+      .toDF("id", "s", "v").select($"id", to_timestamp($"s").as("ts"), $"v")
+    cat.write(df, "ns.hp", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.hp")
+    // DELETE rewrites through the spec; schema stays clean
+    LakeDml.delete(t, $"id" === 4L)
+    assert(t.read(None).columns.toSeq === Seq("id", "ts", "v"))
+    assert(t.read(None).count() === 3)
+    // UPDATE keeps partitioning live for scans
+    LakeDml.update(t, $"id" === 2L, Map("v" -> lit(99.0)))
+    val day2 = t.scan(Seq(
+      GtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      LtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 23:59:59"))))
+    assert(day2.select($"v").as[Double].collect().sorted === Array(30.0, 99.0))
+    day2.collect()
+    assert(day2.queryExecution.executedPlan.toString.contains("_p_ts_day"))
+    // MERGE on the partitioned table
+    val src = Seq((3L, 333.0), (9L, 900.0)).toDF("id", "v")
+    LakeDml.merge(t, src, keys = Seq("id"), set = Map("v" -> col("_src_v")))
+    val after = t.read(None).orderBy($"id").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L))
+    assert(after.map(_.getDouble(2)).toSeq === Seq(10.0, 99.0, 333.0, 900.0))
+    assert(t.latest.get.partitionBy === Seq("days(ts)"))
+  }
+
   test("merge pairs null-key rows instead of deleting them") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-null-").toString)
     cat.write(
