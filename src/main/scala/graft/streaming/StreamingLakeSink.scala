@@ -21,11 +21,15 @@ object StreamingLakeSink {
 
   /** Start a stream writing every micro-batch to `ident` (append).
     * With `Trigger.AvailableNow` this drains the source and stops —
-    * the incremental batch-replay mode.
+    * the incremental batch-replay mode. `partitionBy` takes the lake
+    * layer's partition specs, including hidden transforms
+    * (`days(ts)`) — the streaming table then prunes like any batch
+    * table.
     */
   def appendStream(stream: DataFrame, catalog: LakeCatalog, ident: String,
                    checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   partitionBy: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -34,7 +38,7 @@ object StreamingLakeSink {
         catalog.write(
           batch.withColumn("_batch_id",
             org.apache.spark.sql.functions.lit(batchId)),
-          ident, WriteMode.Append)
+          ident, WriteMode.Append, partitionBy = partitionBy)
         ()
       }
       .start()

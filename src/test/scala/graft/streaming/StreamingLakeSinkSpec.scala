@@ -35,4 +35,30 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(cat.read("bronze.events").count() === n1)
     assert(cat.read("bronze.events").columns.contains("_batch_id"))
   }
+
+  test("streaming sink into a hidden-partitioned table prunes like batch") {
+    import graft.lake.LakePredicate._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
+    val checkpoint = Files.createTempDirectory("slakep-ckpt-").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val dir = Files.createTempDirectory("slakep-src-")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+    val q = StreamingLakeSink.appendStream(stream, cat, "bronze.pe", checkpoint,
+      partitionBy = Seq("days(ts)"))
+    q.awaitTermination()
+    val t = cat.table("bronze.pe")
+    assert(t.latest.get.partitionBy === Seq("days(ts)"))
+    assert(!t.read(None).columns.exists(_.startsWith("_p_")))
+    val cut = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val got = t.scan(Seq(LtEq("ts", cut)))
+    val want = t.read(None).where($"ts" <= cut).count()
+    assert(got.count() === want && want > 0)
+    got.collect()
+    assert(got.queryExecution.executedPlan.toString.contains("_p_ts_day"))
+  }
 }
