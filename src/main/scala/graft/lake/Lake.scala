@@ -123,13 +123,25 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
   /** Snapshot read INCLUDING derived partition columns (`_p_…` — Spark
     * appends partition-dir columns absent from the user schema). The
     * public [[read]] drops them; [[scan]] filters on them first.
+    *
+    * A commit dir written from ZERO rows has no partition
+    * subdirectories, so its frame comes back without the derived
+    * columns — they are null-filled (typed per transform) so unions
+    * across dirs and partition-filter resolution never break on an
+    * empty delta (e.g. a delete-everything rewrite or an empty
+    * streaming micro-batch).
     */
   private def readRaw(snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
     val frames = snap.dirs.map { d =>
       val abs = root.resolve(d).toString
-      (if (snap.partitionBy.nonEmpty) reader.option("basePath", abs) else reader)
+      val f = (if (snap.partitionBy.nonEmpty) reader.option("basePath", abs) else reader)
         .parquet(abs)
+      fields.filterNot(pf => f.columns.contains(pf.name))
+        .foldLeft(f)((df, pf) =>
+          df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
     }
     frames.reduce(_ unionByName _)
   }
@@ -139,11 +151,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * Hidden partition columns (transform specs like `days(ts)`) never
     * appear — the user schema is exactly what was written.
     */
-  def read(version: Option[Long] = None): DataFrame = {
-    val snap = resolve(version)
-    val hidden = snap.partitionBy.map(PartitionField.parse).filter(_.hidden).map(_.name)
-    hidden.foldLeft(readRaw(snap))(_ drop _)
-  }
+  def read(version: Option[Long] = None): DataFrame = scan(Nil, version)
 
   /** Predicate-pushing scan (Iceberg-style hidden-partition pruning):
     * each predicate filters the DATA column (exact semantics) AND,
@@ -164,11 +172,17 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       case LakePredicate.GtEq(c, v)    => col(c) >= typed(c, v)
       case LakePredicate.LtEq(c, v)    => col(c) <= typed(c, v)
     }
+    // null-escape on every projected filter: a null partition value
+    // means "this dir predates the spec / wrote zero rows / null
+    // source" — those rows must fall through to the exact raw
+    // predicate instead of being pruned (Iceberg's spec-evolution
+    // contract: files without the transform stay scannable).
+    // Directory pruning still applies wherever the value is present.
     val projected = for {
       p <- preds
       f <- fields if f.source == p.col
       proj <- f.project(p, schema(p.col).dataType)
-    } yield proj
+    } yield proj || col(f.name).isNull
     val filtered = (raw ++ projected).foldLeft(readRaw(snap))(_ where _)
     fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
   }
@@ -266,11 +280,29 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
   def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty,
             expectedBase: Option[Long] = None): Snapshot = {
+    // Append carries prior dirs forward, so its spec must be the
+    // table's spec: an unspecified spec inherits the base snapshot's
+    // (the common callers — streaming sink, incremental extract —
+    // never re-state it), and a CONFLICTING spec is rejected up front:
+    // committing it would union partitioned and unpartitioned dirs and
+    // break every subsequent read of the table.
+    val effectiveSpec = mode match {
+      case WriteMode.Append =>
+        latest match {
+          case Some(base) if partitionBy.isEmpty => base.partitionBy
+          case Some(base) =>
+            require(base.partitionBy.isEmpty || base.partitionBy == partitionBy,
+              s"append partition spec $partitionBy conflicts with table spec ${base.partitionBy} at $root")
+            partitionBy
+          case None => partitionBy
+        }
+      case WriteMode.Overwrite => partitionBy
+    }
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(df, dirName, partitionBy)
+    writeDataDir(df, dirName, effectiveSpec)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = partitionBy, schemaJson = df.schema.json, meta = meta,
+      partitionBy = effectiveSpec, schemaJson = df.schema.json, meta = meta,
       expectedBase = expectedBase)
   }
 

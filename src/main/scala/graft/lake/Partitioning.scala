@@ -36,6 +36,11 @@ sealed trait PartitionField {
     */
   def name: String
   def hidden: Boolean = name != source
+  /** Type of the derived partition value (used to null-fill the
+    * column for commit dirs that wrote zero rows and therefore have
+    * no partition subdirectories at all).
+    */
+  def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType
   /** Partition value derived from the source column (write path; the
     * frame is provided so type-dependent transforms can consult the
     * schema).
@@ -64,37 +69,44 @@ object PartitionField {
     def project(p: LakePredicate,
                 sourceType: org.apache.spark.sql.types.DataType): Option[Column] =
       None // raw filter already covers it
+    def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
+      schema(source).dataType
     def spec: String = source
   }
 
   final case class Days(source: String) extends PartitionField {
     val name = s"_p_${source}_day"
-    def derive(df: org.apache.spark.sql.DataFrame): Column = to_date(col(source))
+    def derive(df: org.apache.spark.sql.DataFrame): Column =
+      PartitionField.utcDay(col(source))
     def project(p: LakePredicate,
                 sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
-      def l(v: Any) = to_date(lit(v).cast(sourceType))
+      def l(v: Any) = PartitionField.utcDay(lit(v).cast(sourceType))
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
       }
     }
+    def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.DateType
     def spec: String = s"days($source)"
   }
 
   final case class Months(source: String) extends PartitionField {
     val name = s"_p_${source}_month"
     def derive(df: org.apache.spark.sql.DataFrame): Column =
-      date_trunc("month", col(source)).cast("date")
+      trunc(PartitionField.utcDay(col(source)), "month")
     def project(p: LakePredicate,
                 sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
-      def l(v: Any) = date_trunc("month", lit(v).cast(sourceType)).cast("date")
+      def l(v: Any) = trunc(PartitionField.utcDay(lit(v).cast(sourceType)), "month")
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
       }
     }
+    def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.DateType
     def spec: String = s"months($source)"
   }
 
@@ -109,6 +121,8 @@ object PartitionField {
         Some(col(name) === pmod(xxhash64(lit(v).cast(sourceType)), lit(n)).cast("int"))
       case _ => None // hashing destroys order
     }
+    def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
     def spec: String = s"bucket($n, $source)"
   }
 
@@ -132,21 +146,39 @@ object PartitionField {
         case LtEq(_, v)    => Some(col(name) <= t(v))
       }
     }
+    def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
+      schema(source).dataType
     def spec: String = s"truncate($width, $source)"
+  }
+
+  /** UTC day of a timestamp, independent of the session timezone
+    * (Iceberg defines day/month transforms on UTC micros for exactly
+    * this reason: a reader session in another zone must project
+    * predicates onto the same partition values the writer derived).
+    * Integral floor-division via pmod — `floor(x / 86400e6)` would
+    * round epoch micros through doubles.
+    */
+  private val DayMicros = 86400000000L
+  private[lake] def utcDay(c: Column): Column = {
+    val us = unix_micros(c)
+    date_from_unix_date(((us - pmod(us, lit(DayMicros))) / lit(DayMicros)).cast("int"))
   }
 
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
-  private val IdentRe = """([A-Za-z0-9_]+)""".r
 
+  /** Anything that isn't a transform call is an identity column name —
+    * unrestricted charset, so tables written before transforms existed
+    * (or with unusual column names) keep reading.
+    */
   def parse(spec: String): PartitionField = spec.trim match {
     case DaysRe(c)      => Days(c)
     case MonthsRe(c)    => Months(c)
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c)  => Truncate(w.toInt, c)
-    case IdentRe(c)     => Identity(c)
+    case other if !other.contains("(") && other.nonEmpty => Identity(other)
     case other => throw new IllegalArgumentException(s"bad partition spec: '$other'")
   }
 }

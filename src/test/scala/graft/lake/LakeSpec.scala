@@ -241,6 +241,59 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan(Seq(EqualTo("id", 3))).count() === 1)
   }
 
+  test("append inherits the table's hidden spec; conflicting spec rejected") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-02 10:00:00", 2L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.ai", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    // spec-less append (the streaming-sink / incremental-extract shape)
+    cat.write(df, "ns.ai", WriteMode.Append)
+    val t = cat.table("ns.ai")
+    assert(t.latest.get.partitionBy === Seq("days(ts)"))
+    assert(t.read(None).count() === 4)
+    assert(t.scan(Seq(EqualTo("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))).count() === 2)
+    // conflicting spec fails fast instead of bricking reads
+    val err = intercept[IllegalArgumentException](
+      cat.write(df, "ns.ai", WriteMode.Append, partitionBy = Seq("months(ts)")))
+    assert(err.getMessage.contains("conflicts"))
+  }
+
+  test("zero-row snapshot of a hidden-partitioned table stays readable and scannable") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq(("2024-01-01 10:00:00", 1L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.z0", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.z0")
+    LakeDml.delete(t, lit(true)) // delete everything → empty rewrite
+    assert(t.read(None).count() === 0)
+    assert(t.scan(Seq(GtEq("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))).count() === 0)
+    // and appending after the empty snapshot works
+    cat.write(df, "ns.z0", WriteMode.Append)
+    assert(t.read(None).count() === 1)
+    assert(t.scan(Seq(EqualTo("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))).count() === 1)
+  }
+
+  test("spec evolution: dirs written before a transform stay scannable (unpruned)") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-02 10:00:00", 2L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.ev", WriteMode.Overwrite) // unpartitioned v1
+    cat.write(df, "ns.ev", WriteMode.Append, partitionBy = Seq("days(ts)")) // evolve
+    val t = cat.table("ns.ev")
+    assert(t.read(None).count() === 4)
+    // predicate must match rows from BOTH the pre-spec dir (null
+    // partition value → raw filter decides) and the partitioned dir
+    val day1 = t.scan(Seq(LtEq("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 23:59:59"))))
+    assert(day1.select($"id").as[Long].collect().sorted === Array(1L, 1L))
+  }
+
   test("months transform groups days into one partition dir") {
     import LakePredicate._
     val cat = freshCat()
