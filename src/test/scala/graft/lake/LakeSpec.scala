@@ -294,6 +294,34 @@ class LakeSpec extends AnyFunSuite {
     assert(day1.select($"id").as[Long].collect().sorted === Array(1L, 1L))
   }
 
+  test("property: scan(preds) ≡ read().where(raw) across transforms and random bounds") {
+    import LakePredicate._
+    val r = new scala.util.Random(2026)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 300).map { i =>
+      val ts = new java.sql.Timestamp(base + r.nextLong() % (90L * 86400 * 1000))
+      (i.toLong, ts, s"k${r.nextInt(40)}", r.nextInt(1000))
+    }
+    val df = rows.toDF("id", "ts", "name", "qty")
+    val cat = freshCat()
+    cat.write(df, "ns.prop", WriteMode.Overwrite,
+      partitionBy = Seq("days(ts)", "bucket(8, name)", "truncate(100, qty)"))
+    val t = cat.table("ns.prop")
+    for (trial <- 0 until 8) {
+      val tr = new scala.util.Random(7000 + trial)
+      val lo = new java.sql.Timestamp(base + tr.nextInt(60) * 86400000L)
+      val hi = new java.sql.Timestamp(lo.getTime + tr.nextInt(30) * 86400000L)
+      val nm = s"k${tr.nextInt(40)}"
+      val qlo = tr.nextInt(900)
+      val preds = Seq(GtEq("ts", lo), LtEq("ts", hi), EqualTo("name", nm), GtEq("qty", qlo))
+      val got = t.scan(preds).orderBy($"id").collect().toSeq
+      val want = t.read(None)
+        .where($"ts" >= lo && $"ts" <= hi && $"name" === nm && $"qty" >= qlo)
+        .orderBy($"id").collect().toSeq
+      assert(got === want, s"trial $trial: preds=$preds")
+    }
+  }
+
   test("months transform groups days into one partition dir") {
     import LakePredicate._
     val cat = freshCat()
