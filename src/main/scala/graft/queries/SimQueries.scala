@@ -106,9 +106,9 @@ object SimQueries {
   }
 
   /** Near-dup clustering: connected components over the exact Jaccard
-    * pair graph (GraphX), each doc labeled with its component's min id —
-    * the apply step of dedup. Oracle: recursive-CTE reachability
-    * closure in DuckDB.
+    * pair graph (DataFrame-native star contraction), each doc labeled
+    * with its component's min id — the apply step of dedup. Oracle:
+    * recursive-CTE reachability closure in DuckDB.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
