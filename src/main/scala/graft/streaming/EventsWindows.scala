@@ -198,6 +198,40 @@ object EventsWindows {
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n_events: Long)
 
+  /** Per-user running counts via `transformWithState` — Spark 4's
+    * successor to mapGroupsWithState (typed per-key state variables
+    * with TTL support, RocksDB-backed, schema-evolvable). Same
+    * semantics as [[statefulUserCounts]], asserted equal in the spec;
+    * the TTLConfig.NONE ValueState is the simplest of the state
+    * shapes (Value/List/Map) the handle exposes.
+    */
+  def statefulUserCountsTws(spark: SparkSession, parquetPath: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val s = streamSession(spark)
+    // transformWithState requires the RocksDB state store provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = eventsStreamIn(s, parquetPath)
+    import s.implicits._
+    class CountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserCount] {
+      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count",
+          Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+        val total = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(total)
+        Iterator(UserCount(key, total))
+      }
+    }
+    val counts = raw.select($"user_id", $"event_type").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+    runToMemory(counts.sparkSession, counts.toDF(), "graft_tws_", OutputMode.Update())
+  }
+
   /** Custom arbitrary state: per-user running event counts via
     * `mapGroupsWithState` — the KeyValueGroupedDataset stateful surface
     * (SURVEY.md §2.9's "custom state" requirement).

@@ -43,6 +43,15 @@ class EventsWindowsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("transformWithState equals mapGroupsWithState per-user totals") {
+    val tws = EventsWindows.statefulUserCountsTws(spark, eventsPath)
+      .select($"user_id", $"n_events").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    val want = Tables(spark, dir).events.groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(tws === want)
+  }
+
   test("streaming dedup drops injected duplicate files within the watermark") {
     // stream dir = the fixture file + a duplicated copy: every event
     // arrives twice in the same replay
