@@ -65,6 +65,7 @@ object SparkEntry {
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
+    "s_window_sliding"   -> (StreamQueries.sliding _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
@@ -401,6 +402,18 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a 1h/30m hopping window assigns each event to exactly the two
+    // 30m-aligned starts in (ts-1h, ts]
+    "s_window_sliding" ->
+      """SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+        |         event_type, value FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (

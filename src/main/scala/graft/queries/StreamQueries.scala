@@ -29,6 +29,15 @@ object StreamQueries {
       .orderBy($"ws", $"event_type")
   }
 
+  /** Sliding 1h windows hopping every 30min: each event counts in two
+    * overlapping windows (oracle: union of the two shifted buckets).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.slidingBatch(Tables(spark, dir).events)
+      .orderBy($"ws", $"event_type")
+  }
+
   /** Sessionization (30-min inactivity gap), gaps-and-islands batch plan. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

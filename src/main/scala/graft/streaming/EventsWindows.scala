@@ -30,6 +30,19 @@ object EventsWindows {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windows: each event lands in window/slide
+    * overlapping buckets (Spark expands rows window/slide-fold before
+    * the aggregation — the shuffle carries the expansion, so keep the
+    * overlap factor small at scale). Same expression works batch and
+    * streaming.
+    */
+  def slidingBatch(events: DataFrame, width: String = "1 hour",
+                   slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
   /** Batch sessionization via the gaps-and-islands pattern: a session
     * breaks after `gapMs` of inactivity. Single shuffle on user_id,
     * two window passes.
