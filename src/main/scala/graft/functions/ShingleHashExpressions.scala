@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct 64-bit hashes of word n-gram shingles, WITHOUT ever
+  * materializing the shingle strings.
+  *
+  * The dedup pipelines (`ngramJaccardPairs`, `minHashLshPairs`, the
+  * curation pipeline) only ever consume shingles as join/hash keys, so
+  * building a `word_shingles` string array and hashing it downstream
+  * pays concatWs allocations + a string set + re-reading every shingle
+  * byte — per row. This expression assembles each shingle's bytes
+  * (words joined by 0x20) in a reused buffer and emits
+  * `XXH64(bytes, seed=42)` — BYTE-IDENTICAL to
+  * `xxhash64(word_shingles(...))` element-wise (same algorithm, seed,
+  * and byte sequence as Spark's `xxhash64` on the concatenated
+  * string), so downstream bucket joins produce identical results.
+  * Output is sorted distinct (set semantics match
+  * `word_shingles`' distinct, order irrelevant to set consumers).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 16, s"bad shingle width $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  // per-task instance (plans deserialize per task): reusable buffer
+  @transient private var buf: Array[Byte] = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val count = words.numElements() - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      // total byte length of words[i..i+n) + (n-1) separators
+      var len = n - 1
+      var o = 0
+      while (o < n) { len += words.getUTF8String(i + o).numBytes(); o += 1 }
+      if (buf == null || buf.length < len) buf = new Array[Byte](math.max(len, 64))
+      var pos = 0
+      o = 0
+      while (o < n) {
+        if (o > 0) { buf(pos) = ' '; pos += 1 }
+        val w = words.getUTF8String(i + o)
+        w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += w.numBytes()
+        o += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    // sorted distinct in place — set semantics without a hash set
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature computed from PRE-HASHED shingles: position i is
+  * the min over shingle base-hashes h of `XXH64.hashLong(h, i)` — the
+  * "one base hash + k cheap re-hashes" formulation. Each re-hash mixes
+  * 8 bytes instead of re-reading the shingle string, so a k=96
+  * signature costs k × n 8-byte mixes. Same LSH banding math as
+  * [[MinHashSig]]; signatures differ in value but not in the
+  * collision-probability structure, and the verify pass downstream is
+  * exact either way.
+  */
+case class MinHashSigFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024, s"bad minhash k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(h, i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashFunctions {
+  def shingle_hashes(words: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(words), n))
+  def minhash_sig_hashes(hashes: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSigFromHashes(GraftColumnBridge.expression(hashes), k))
+}

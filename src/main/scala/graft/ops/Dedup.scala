@@ -49,12 +49,13 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     *
-    * Explode distinct shingles, hashed to 64-bit keys (shuffling 8-byte
-    * longs, not ~30-byte strings; a spurious intersection needs an
-    * xxh64 collision between two shingles of the same document pair —
-    * P ≈ shingles²/2⁶⁵, negligible at any corpus size that fits a
-    * cluster) → one groupBy-collect per shingle → in-bucket pair
-    * expansion → count shared shingles per pair → jaccard from set
+    * Shingles live ONLY as 64-bit hashes ([[graft.functions.ShingleHashes]]
+    * emits XXH64(shingle bytes) without materializing the strings):
+    * the inverted index shuffles 8-byte longs, not ~30-byte strings
+    * (a spurious intersection needs an xxh64 collision between two
+    * shingles of the same document pair — P ≈ shingles²/2⁶⁵,
+    * negligible at any corpus size that fits a cluster) → self-join on
+    * the hash → count shared shingles per pair → jaccard from set
     * sizes. The shuffle key is the shingle hash, so skew is bounded by
     * shingle document frequency, not corpus size.
     */
@@ -62,11 +63,11 @@ object Dedup {
                         idCol: String = "doc_id", n: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), n).as("shingles"))
+        graft.functions.ShingleHashFunctions
+          .shingle_hashes(TextOps.words(col(textCol)), n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
     val inv = sh.select(col("id"), col("sz"),
-      explode(col("shingles")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("sh_h"), col("id"), col("sz"))
+      explode(col("shingles")).as("sh_h"))
     bucketPairs(inv, Seq("sh_h"), struct(col("id"), col("sz")))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
@@ -95,11 +96,17 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // shingles as 64-bit hashes end to end: signature positions re-mix
+    // the 8-byte base hash (minhash_sig_hashes) instead of re-reading
+    // shingle strings, and the exact verify intersects hash sets (same
+    // negligible-collision argument as the jaccard join keys)
     val sh = docs.select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), n).as("shingles"))
+        graft.functions.ShingleHashFunctions
+          .shingle_hashes(TextOps.words(col(textCol)), n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
       .where(col("sz") > 0)
-    val sig = sh.withColumn("sig", minhash_sig(col("shingles"), numHashes))
+    val sig = sh.withColumn("sig",
+      graft.functions.ShingleHashFunctions.minhash_sig_hashes(col("shingles"), numHashes))
     val banded = sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bh"))))

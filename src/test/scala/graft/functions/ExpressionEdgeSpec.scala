@@ -42,6 +42,34 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(got(1) === 0.0)
   }
 
+  test("shingle_hashes ≡ sorted distinct xxhash64(word_shingles) — byte-identical keys") {
+    import graft.ops.TextOps
+    import graft.functions.ShingleHashFunctions.shingle_hashes
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f", "one two", "single", "",
+      "répé tition über straße 中文 分词 here",
+      "dup dup dup dup dup dup", // repeated shingles → distinct set
+    ).toDF("text")
+    val rows = docs.select(
+        shingle_hashes(TextOps.words($"text"), 3).as("direct"),
+        sort_array(array_distinct(transform(
+          TextOps.wordShingles($"text", 3), s => xxhash64(s)))).as("via_strings"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("minhash_sig_hashes: empty input gives MaxValue positions, nulls propagate") {
+    import graft.functions.ShingleHashFunctions._
+    val df = Seq(Some(Seq(1L, 2L, 3L)), Some(Seq.empty[Long]), None).toDF("hs")
+    val out = df.select(minhash_sig_hashes($"hs", 8).as("sig")).collect()
+    assert(out(0).getSeq[Long](0).length === 8)
+    assert(out(1).getSeq[Long](0).forall(_ == Long.MaxValue))
+    assert(out(2).isNullAt(0))
+  }
+
   test("winnowing matches a plain-Scala reference implementation") {
     def reference(text: String, k: Int, w: Int): Seq[Long] = {
       val s = text.getBytes("UTF-8")
