@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CosineSim, MinHashSig, NormSq, SimHash64, WordShingles}
+import graft.functions.{CosineSim, HasCjkExpr, MinHashSig,
+  MinHashSigFromHashes, NormSq, PunctCountExpr, ShingleHashes, SimHash64,
+  StopCountExpr, TokenCountExpr, WordCountExpr, WordShingles, ZOrderCode}
 
 /** Optimizer rule: `cosine_sim(x, x)` is 1.0 whenever `x` is a
   * non-null non-zero vector; self-comparisons show up in dedup
@@ -92,5 +94,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => { arity(args, 2, "word_shingles")
         WordShingles(asStringArray(args(0)), intArg(args(1), "word_shingles n")) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => { arity(args, 2, "shingle_hashes")
+        ShingleHashes(asStringArray(args(0)), intArg(args(1), "shingle_hashes n")) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_hashes"),
+      new ExpressionInfo(classOf[MinHashSigFromHashes].getName, "minhash_sig_hashes"),
+      (args: Seq[Expression]) => { arity(args, 2, "minhash_sig_hashes")
+        MinHashSigFromHashes(
+          Cast(args(0), ArrayType(org.apache.spark.sql.types.LongType)),
+          intArg(args(1), "minhash_sig_hashes k")) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
+      (args: Seq[Expression]) => ZOrderCode(args))) // own arity/type checks
+
+    // single-pass text kernels (string → int/boolean; no coercion needed
+    // beyond an implicit string cast)
+    def textKernel(name: String, clazz: Class[_], build: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (args: Seq[Expression]) => { arity(args, 1, name)
+          build(Cast(args(0), StringType)) }))
+    textKernel("token_count", classOf[TokenCountExpr], TokenCountExpr.apply)
+    textKernel("word_count", classOf[WordCountExpr], WordCountExpr.apply)
+    textKernel("stop_count", classOf[StopCountExpr], StopCountExpr.apply)
+    textKernel("punct_count", classOf[PunctCountExpr], PunctCountExpr.apply)
+    textKernel("has_cjk", classOf[HasCjkExpr], HasCjkExpr.apply)
   }
 }

@@ -30,6 +30,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](4) === Seq("a b", "b c", "c b"))
   }
 
+  test("round-2 expressions callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  token_count('abc 123, def!') AS tc,
+        |  word_count('a  b c') AS wc,
+        |  stop_count('the cat of war') AS sc,
+        |  punct_count('a,b.c?') AS pc,
+        |  has_cjk('中文') AS cjk,
+        |  has_cjk('latin') AS nocjk,
+        |  shingle_hashes(array('a', 'b', 'c'), 2) =
+        |    array_sort(array_distinct(transform(word_shingles(array('a','b','c'), 2),
+        |      s -> xxhash64(s)))) AS sh_eq,
+        |  size(minhash_sig_hashes(array(CAST(7 AS BIGINT)), 8)) AS msh_len,
+        |  length(zorder_code(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS z_len
+        |""".stripMargin).head
+    assert(row.getInt(0) === 5)  // abc, 123, ',', def, '!'
+    assert(row.getInt(1) === 3)
+    assert(row.getInt(2) === 2)  // the, of
+    assert(row.getInt(3) === 3)
+    assert(row.getBoolean(4) && !row.getBoolean(5))
+    assert(row.getBoolean(6))
+    assert(row.getInt(7) === 8)
+    assert(row.getInt(8) === 16)
+  }
+
   test("non-literal k rejected with a clear error") {
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), 1 + 1)").head)
