@@ -40,18 +40,29 @@ case class ShingleHashes(child: Expression, n: Int)
     val out = new Array[Long](count)
     var i = 0
     while (i < count) {
-      // total byte length of words[i..i+n) + (n-1) separators
-      var len = n - 1
+      // null elements are SKIPPED, matching concatWs inside
+      // word_shingles (no separator emitted for them either) — the
+      // byte-identity contract with xxhash64(word_shingles(...)) must
+      // hold on null-bearing inputs too
+      var len = 0
+      var present = 0
       var o = 0
-      while (o < n) { len += words.getUTF8String(i + o).numBytes(); o += 1 }
+      while (o < n) {
+        val w = words.getUTF8String(i + o)
+        if (w != null) { len += w.numBytes(); present += 1 }
+        o += 1
+      }
+      len += math.max(present - 1, 0)
       if (buf == null || buf.length < len) buf = new Array[Byte](math.max(len, 64))
       var pos = 0
       o = 0
       while (o < n) {
-        if (o > 0) { buf(pos) = ' '; pos += 1 }
         val w = words.getUTF8String(i + o)
-        w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
-        pos += w.numBytes()
+        if (w != null) {
+          if (pos > 0) { buf(pos) = ' '; pos += 1 }
+          w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += w.numBytes()
+        }
         o += 1
       }
       out(i) = XXH64.hashUnsafeBytes(buf,
@@ -95,12 +106,16 @@ case class MinHashSigFromHashes(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < m) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val v = XXH64.hashLong(h, i)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      // skip null elements (MinHashSig's contract) — getLong on a null
+      // would silently unbox to 0 and corrupt every signature position
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = XXH64.hashLong(h, i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -112,8 +127,13 @@ case class MinHashSigFromHashes(child: Expression, k: Int)
 }
 
 object ShingleHashFunctions {
+  // coerce inputs like the sibling HashFunctions helpers: the
+  // expressions read tungsten arrays positionally, so a mistyped array
+  // would yield garbage per-row instead of an analysis error
   def shingle_hashes(words: Column, n: Int): Column =
-    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(words), n))
+    GraftColumnBridge.column(ShingleHashes(
+      GraftColumnBridge.expression(words.cast("array<string>")), n))
   def minhash_sig_hashes(hashes: Column, k: Int): Column =
-    GraftColumnBridge.column(MinHashSigFromHashes(GraftColumnBridge.expression(hashes), k))
+    GraftColumnBridge.column(MinHashSigFromHashes(
+      GraftColumnBridge.expression(hashes.cast("array<bigint>")), k))
 }

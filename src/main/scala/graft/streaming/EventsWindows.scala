@@ -25,10 +25,7 @@ object EventsWindows {
     * streaming variant uses — Spark plans both identically).
     */
   def tumblingBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
-    events
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
-      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    slidingBatch(events, width, width) // tumbling = hop size equal to width
 
   /** Sliding (hopping) windows: each event lands in window/slide
     * overlapping buckets (Spark expands rows window/slide-fold before

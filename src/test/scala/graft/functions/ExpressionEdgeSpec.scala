@@ -59,6 +59,16 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString)
     }
+    // null array ELEMENTS: both paths skip them identically (concatWs
+    // semantics), no NPE
+    val withNulls = Seq(Seq(Some("a"), None, Some("b"), Some("c")))
+      .toDF("ws").select($"ws".cast("array<string>").as("ws"))
+    val nr = withNulls.select(
+        shingle_hashes($"ws", 3).as("direct"),
+        sort_array(array_distinct(transform(
+          graft.functions.ShingleFunctions.word_shingles($"ws", 3), s => xxhash64(s)))).as("via"))
+      .head
+    assert(nr.getSeq[Long](0) === nr.getSeq[Long](1))
   }
 
   test("minhash_sig_hashes: empty input gives MaxValue positions, nulls propagate") {

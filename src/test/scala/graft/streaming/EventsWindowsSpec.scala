@@ -44,12 +44,15 @@ class EventsWindowsSpec extends AnyFunSuite {
   }
 
   test("transformWithState equals mapGroupsWithState per-user totals") {
-    val tws = EventsWindows.statefulUserCountsTws(spark, eventsPath)
-      .select($"user_id", $"n_events").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    def finalCounts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"user_id", $"n_events").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    val tws = finalCounts(EventsWindows.statefulUserCountsTws(spark, eventsPath))
+    val mgws = finalCounts(EventsWindows.statefulUserCounts(spark, eventsPath))
     val want = Tables(spark, dir).events.groupBy($"user_id").count()
       .as[(Long, Long)].collect().toMap
-    assert(tws === want)
+    assert(tws === mgws) // the two custom-state APIs agree
+    assert(tws === want) // and both match the batch ground truth
   }
 
   test("streaming dedup drops injected duplicate files within the watermark") {
