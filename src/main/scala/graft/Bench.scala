@@ -29,11 +29,17 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // warmup: parquet reader + codegen + shuffle machinery (failures
-    // fall through to the measured, per-query-guarded loop)
-    try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // warmup: parquet readers, codegen, and shuffle machinery for each
+    // fixture family — lineitem (q1), documents (fingerprint), and
+    // embeddings (cosine top-k) — so per-query numbers measure steady
+    // state rather than whichever query alphabetically pays the cold
+    // reader/JIT cost for its table. (Failures fall through to the
+    // measured, per-query-guarded loop.)
+    Seq("q1_pricing_summary", "t_fingerprint", "e_cosine_topk").foreach { w =>
+      try force(SparkEntry.queries(w)(spark, sfDir))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
