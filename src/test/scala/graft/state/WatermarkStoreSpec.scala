@@ -37,4 +37,20 @@ class WatermarkStoreSpec extends AnyFunSuite {
     val t2 = new Timestamp(1706400000123L); t2.setNanos(123457000)
     assert(st.advance("p", "x", t2) === t2)
   }
+
+  test("pre-epoch instants round-trip (floorDiv, not truncation toward zero)") {
+    // 1969-12-31T23:59:59.500 = -500ms = -500_000µs; getTime/1000*1e6
+    // would round to -1_000_000+500_000 incorrectly under toward-zero
+    val t = new Timestamp(-500L)
+    assert(t.getNanos === 500000000) // JDBC normalization: -1s + 0.5s
+    val us = WatermarkStore.toMicros(t)
+    assert(us === -500000L)
+    val back = WatermarkStore.fromMicros(us)
+    assert(back === t && back.getTime === -500L)
+    // deeper pre-epoch with sub-ms precision
+    val t3 = new Timestamp(-86400000L - 1L) // 1969-12-30T23:59:59.999
+    t3.setNanos(998765000)
+    val us3 = WatermarkStore.toMicros(t3)
+    assert(WatermarkStore.fromMicros(us3) === t3)
+  }
 }
