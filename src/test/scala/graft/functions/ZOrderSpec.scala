@@ -74,6 +74,24 @@ class ZOrderSpec extends AnyFunSuite {
       || err.getClass.getName.contains("Analysis"), err.getClass.toString)
   }
 
+  test("date and timestamp dimensions interleave monotonically") {
+    val df = Seq(
+      ("2023-12-31", "2024-01-01 00:00:00"),
+      ("2024-01-01", "2024-01-01 00:00:01"),
+      ("2024-06-15", "2024-03-01 12:00:00"),
+      ("2025-01-01", "2024-12-31 23:59:59"))
+      .toDF("d", "t")
+      .select(to_date($"d").as("d"), to_timestamp($"t").as("t"))
+    val codes = df.select(zorder_code($"d", $"t").as("z"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    // rows are simultaneously increasing in both dims → strict code order
+    codes.sliding(2).foreach {
+      case Array(a, b) => assert(ult(a, b))
+      case _ =>
+    }
+    assert(codes.head.length === 16)
+  }
+
   test("null in any dimension yields null; 3-column codes are 24 bytes") {
     val df = Seq((Option(1L), Option(2L)), (None, Option(2L)))
       .toDF("a", "b")
