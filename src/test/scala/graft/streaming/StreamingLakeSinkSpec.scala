@@ -36,6 +36,32 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(cat.read("bronze.events").columns.contains("_batch_id"))
   }
 
+  test("lake table as streaming source: appends consumed incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slsrc-").toString)
+    val ckpt = Files.createTempDirectory("slsrc-ckpt-").toString
+    val sink = Files.createTempDirectory("slsrc-out-").toString
+    import graft.lake.WriteMode
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.src", WriteMode.Overwrite)
+    def drainOnce(): Unit = {
+      val q = StreamingLakeSource.appendsStream(cat.table("ns.src"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(spark.read.parquet(sink).count() === 2)
+    // append a new commit; only the delta flows on the next drain
+    cat.write(Seq((3L, "c")).toDF("id", "s"), "ns.src", WriteMode.Append)
+    drainOnce()
+    val got = spark.read.parquet(sink).select($"id").as[Long].collect().sorted
+    assert(got === Array(1L, 2L, 3L)) // no re-delivery of v1 rows
+    // idempotent: draining again with no new commits adds nothing
+    drainOnce()
+    assert(spark.read.parquet(sink).count() === 3)
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
