@@ -62,6 +62,39 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 3)
   }
 
+  test("streaming medallion: stream → bronze lake → incremental consume → silver lake") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("smed-").toString)
+    val srcCkpt = Files.createTempDirectory("smed-c1-").toString
+    val silverCkpt = Files.createTempDirectory("smed-c2-").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val dir = Files.createTempDirectory("smed-src-")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    // stage 1: external stream → bronze lake appends
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val q1 = StreamingLakeSink.appendStream(raw, cat, "bronze.ev", srcCkpt)
+    q1.awaitTermination()
+    // stage 2: bronze lake AS A SOURCE → dedup → silver lake
+    val bronzeStream = StreamingLakeSource.appendsStream(cat.table("bronze.ev"))
+      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q2 = bronzeStream.writeStream
+      .option("checkpointLocation", silverCkpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        cat.write(batch, "silver.ev", WriteMode.Append); ()
+      }.start()
+    q2.awaitTermination()
+    val bronzeN = spark.read.parquet(path).count()
+    assert(cat.read("silver.ev").count() === bronzeN)
+    assert(cat.read("silver.ev").select($"event_id").distinct().count() === bronzeN)
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
