@@ -370,6 +370,35 @@ object SparkEntry {
       """SELECT vec_id AS a_id, vec_id + 10000000 AS b_id
         |FROM embeddings ORDER BY a_id, b_id""".stripMargin,
 
+    // portable md5-bit simhash restated in SQL: bit i of a token's
+    // contribution = bit i%4 of hex nibble i/4 of md5(token); vote sum
+    // > 0 sets fingerprint bit; output = ALL pairs at Hamming <= 3
+    // (the Spark side's 4-chunk banding is complete by pigeonhole, so
+    // an exhaustive oracle is the correct comparison)
+    "d_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b.i AS bit,
+        |    SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(w), (b.i // 4) + 1, 1)) - 1)
+        |                    >> (b.i % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks, (SELECT unnest(range(0, 64)) AS i) b
+        |  GROUP BY 1, 2),
+        |fpv AS (
+        |  SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY bit) AS bits
+        |  FROM votes GROUP BY 1),
+        |fp AS (
+        |  SELECT d.doc_id, COALESCE(f.bits, list_transform(range(0, 64), x -> 0)) AS bits
+        |  FROM documents d LEFT JOIN fpv f USING (doc_id)),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM pr WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // id-set compare only: sim values differ cross-engine in the last
     // ulps, but the rank-10/11 margin dwarfs float error (see
     // SimQueries.cosineTopK)
@@ -383,6 +412,103 @@ object SparkEntry {
         |      FROM s)
         |SELECT probe_id, neighbor_id FROM r WHERE rk <= 10
         |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    // planted-neighbor fixture (SimQueries.withPlantedNeighbors): the
+    // oracle re-plants the 5 perturbed copies per probe (DuckDB lambda
+    // index i is 1-based; Spark's transform index is 0-based) and runs
+    // its own exact brute-force top-5 — the ANN answer must equal it,
+    // so index recall is part of the hash assertion
+    "e_cosine_ann_topk" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 10000000 * j.j AS vec_id,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.001 * j.j AS FLOAT) ELSE x END) AS embedding
+        |  FROM embeddings, (SELECT unnest(range(1, 6)) AS j) j
+        |  WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pl),
+        |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(p.pv, c.embedding) AS sim
+        |      FROM p JOIN corpus c ON c.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT probe_id, neighbor_id FROM r WHERE rk <= 5
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    // same fixture and exact-top-k oracle as e_cosine_ann_topk: both
+    // index families must recover the provable exact answer
+    "e_cosine_ivf_topk" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 10000000 * j.j AS vec_id,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.001 * j.j AS FLOAT) ELSE x END) AS embedding
+        |  FROM embeddings, (SELECT unnest(range(1, 6)) AS j) j
+        |  WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pl),
+        |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(p.pv, c.embedding) AS sim
+        |      FROM p JOIN corpus c ON c.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT probe_id, neighbor_id FROM r WHERE rk <= 5
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    // byte-level Rabin-Karp winnowing restated in SQL: k-gram hash at
+    // 0-based start s = sum of byte(s+1+i) * 1000003^(7-i) mod 2^64
+    // (HUGEINT arithmetic, then reinterpreted as signed BIGINT exactly
+    // like the JVM's wrapping longs); window minima over w=4 k-gram
+    // positions; tie-break is irrelevant because only VALUES are kept.
+    // Bytes come from hex(encode(text)) so multi-byte UTF-8 matches
+    // the JVM's getBytes exactly.
+    "t_winnow_overlap" ->
+      """WITH bs AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM bs),
+        |byt AS (
+        |  SELECT doc_id, n, p,
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*p - 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, 2*p, 1)) - 1) AS b
+        |  FROM pos JOIN bs USING (doc_id, n)),
+        |kg AS (
+        |  SELECT doc_id, n, p - 1 - o.i AS s,
+        |    SUM(CAST(b AS HUGEINT) * o.pw) % CAST(18446744073709551616 AS HUGEINT) AS hm
+        |  FROM byt CROSS JOIN (VALUES
+        |    (0, CAST(12924618581234127435 AS HUGEINT)),
+        |    (1, CAST(10923514805226455897 AS HUGEINT)),
+        |    (2, CAST(14453212906556403763 AS HUGEINT)),
+        |    (3, CAST(14003818205314896721 AS HUGEINT)),
+        |    (4, CAST(1000009000027000027 AS HUGEINT)),
+        |    (5, CAST(1000006000009 AS HUGEINT)),
+        |    (6, CAST(1000003 AS HUGEINT)),
+        |    (7, CAST(1 AS HUGEINT))) AS o(i, pw)
+        |  WHERE p - 1 - o.i >= 0 AND p - 1 - o.i <= n - 8
+        |  GROUP BY 1, 2, 3),
+        |kh AS (
+        |  SELECT doc_id, n, s,
+        |    CAST(CASE WHEN hm >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN hm - CAST(18446744073709551616 AS HUGEINT) ELSE hm END AS BIGINT) AS h
+        |  FROM kg),
+        |win AS (
+        |  SELECT doc_id, s - o.j AS st, MIN(h) AS fp
+        |  FROM kh CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(j)
+        |  WHERE s - o.j >= 0 AND s - o.j <= greatest(n - 7 - 4, 0)
+        |  GROUP BY 1, 2),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win),
+        |cm AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 20),
+        |flt AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM cm))
+        |SELECT a_id, b_id, shared_fp FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fp
+        |  FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |ORDER BY shared_fp DESC, a_id, b_id LIMIT 100""".stripMargin,
 
     "m_media_features" ->
       """SELECT doc_id, 'image/fake' AS media_type,

@@ -60,15 +60,30 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 /** 64-bit SimHash of a token array (Charikar '02): bit b of the result
-  * is 1 iff the sum over tokens of ±1 (sign of bit b of xxh64(token))
+  * is 1 iff the sum over tokens of ±1 (sign of bit b of hash(token))
   * is positive. Near-identical token multisets → small Hamming
   * distance. Token multiplicity is naturally weight.
+  *
+  * Two per-token hash families:
+  *   - default (`md5Bits = false`): XXH64 — fastest, engine-internal;
+  *   - `md5Bits = true`: bits derived from the token's md5 hex digest
+  *     (bit i = bit i%4 of hex nibble i/4). md5 is byte-identical in
+  *     every engine, so a SQL oracle (DuckDB `md5()` + nibble
+  *     arithmetic) can restate the fingerprint bit-for-bit — the same
+  *     cross-engine-verifiability trade [[graft.ops.TextOps.fingerprint]]
+  *     makes. The voting/banding algorithm is identical either way.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, md5Bits: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (md5Bits) "simhash64_md5" else "simhash64"
+
+  // one digest instance per thread: MessageDigest is stateful and the
+  // same deserialized expression can be evaluated by concurrent tasks
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -78,11 +93,24 @@ case class SimHash64(child: Expression)
     while (j < n) {
       val s = arr.getUTF8String(j)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
+        if (md5Bits) {
+          val d = mdLocal.get().digest(s.getBytes)
+          var i = 0
+          while (i < 64) {
+            val hexIdx = i >> 2 // hex-digest char index, 0..15
+            val nib =
+              if ((hexIdx & 1) == 0) (d(hexIdx >> 1) >> 4) & 0xF
+              else d(hexIdx >> 1) & 0xF
+            if (((nib >> (i & 3)) & 1) == 1) acc(i) += 1 else acc(i) -= 1
+            i += 1
+          }
+        } else {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
         }
       }
       j += 1
@@ -147,7 +175,8 @@ object HashFunctions {
     GraftColumnBridge.expression(c.cast("array<float>"))
 
   def minhash_sig(c: Column, k: Int): Column = GraftColumnBridge.column(MinHashSig(strArr(c), k))
-  def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(strArr(c)))
+  def simhash64(c: Column, md5Bits: Boolean = false): Column =
+    GraftColumnBridge.column(SimHash64(strArr(c), md5Bits))
   def hyperplane_bucket(c: Column, dim: Int, bits: Int, seed: Long): Column =
     GraftColumnBridge.column(HyperplaneBucket(fltArr(c), dim, bits, seed))
 }

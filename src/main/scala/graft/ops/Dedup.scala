@@ -130,9 +130,14 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     * chunks (a pair within Hamming distance 3 must agree on at least
     * one chunk — pigeonhole), verified by exact popcount.
+    * `portableHash = true` derives the per-token bits from md5 instead
+    * of XXH64, making the fingerprints restatable in any SQL engine
+    * (the DuckDB oracle for `d_simhash_pairs` recomputes them
+    * bit-for-bit) at the cost of a slower per-token hash.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   portableHash: Boolean = false): DataFrame = {
     // pigeonhole completeness requires one more chunk than the allowed
     // distance: d differing bits cannot touch all d+1 chunks
     require(maxHamming >= 0 && maxHamming <= 15, s"bad maxHamming $maxHamming")
@@ -140,7 +145,7 @@ object Dedup {
     val width = (64 + chunks - 1) / chunks
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val fp = docs.select(col(idCol).as("id"),
-        simhash64(TextOps.words(col(textCol))).as("sh"))
+        simhash64(TextOps.words(col(textCol)), md5Bits = portableHash).as("sh"))
     val banded = fp.select(col("id"), col("sh"),
         explode(array((0 until chunks).map(c =>
           struct(lit(c).as("chunk"),

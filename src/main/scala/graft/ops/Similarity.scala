@@ -61,15 +61,16 @@ object Similarity {
     *
     * `broadcastProbes = true` (the interactive-search shape: a small
     * query set against a huge corpus) pins both probe joins to
-    * broadcast so the corpus bucket rows never shuffle. Pass `false`
-    * for corpus-scale probe sets — the joins then plan as shuffles
-    * (AQE still broadcasts if a side turns out small) instead of
-    * overflowing the broadcast limit.
+    * broadcast so the corpus bucket rows never shuffle. The default is
+    * `false` — the joins plan as shuffles and AQE broadcasts a side
+    * that turns out small at runtime — because a forced broadcast of a
+    * corpus-scale probe set would hit the 8 GB broadcast limit or OOM
+    * the driver; opt in only when the probe set is known-small.
     */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              broadcastProbes: Boolean = true): DataFrame = {
+              broadcastProbes: Boolean = false): DataFrame = {
     def maybeBcast(df: DataFrame): DataFrame = if (broadcastProbes) broadcast(df) else df
     val p = bucketed(probes, idCol, vecCol, "probe_id", dim, tables, bits, 7919L)
     val c = bucketed(corpus, idCol, vecCol, "neighbor_id", dim, tables, bits, 7919L)

@@ -90,6 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(asStringArray(args(0))) }))
 
     ext.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64_md5"),
+      (args: Seq[Expression]) => { arity(args, 1, "simhash64_md5")
+        SimHash64(asStringArray(args(0)), md5Bits = true) }))
+
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => { arity(args, 2, "word_shingles")

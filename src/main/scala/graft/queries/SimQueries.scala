@@ -44,10 +44,16 @@ object SimQueries {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit fingerprints). */
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit fingerprints).
+    * Portable md5-derived bits, so the DuckDB oracle recomputes the
+    * fingerprints bit-for-bit (nibble arithmetic over `md5(token)`)
+    * and states the full Hamming-≤3 pair set — banding completeness
+    * (pigeonhole) is thereby hash-verified too: any pair the 4-chunk
+    * banding missed would show up as an oracle diff.
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.simHashPairs(Tables(spark, dir).documents)
+    Dedup.simHashPairs(Tables(spark, dir).documents, portableHash = true)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -93,16 +99,45 @@ object SimQueries {
       .orderBy($"probe_id", $"neighbor_id")
   }
 
-  /** ANN top-k over the planted-dup corpus: every probe's rank-1 hit is
-    * its planted duplicate (sim ≈ 1), found through LSH buckets without
-    * any O(n²) work.
+  /** Corpus ∪ five perturbed copies of each probe (element 0 shifted by
+    * j·0.001, j = 1..5): the exact top-5 of every probe is provably its
+    * planted set — planted cosines ≥ 0.99998 vs ≤ 0.40 background at
+    * sf0.01 — so an approximate index that finds them EQUALS exact
+    * top-k and the DuckDB oracle can recompute the answer with its own
+    * brute-force `list_cosine_similarity`. Near-identical vectors
+    * collide in every LSH table (per-table miss ≈ bits·θ/π ≈ 1e-2,
+    * all-8-tables miss ≈ 1e-16) and share the probe's IVF cell, so
+    * recall is 1 by construction, not by tuning luck.
+    */
+  private def withPlantedNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .select(explode(array((1 to 5).map { j =>
+          struct(
+            (col("vec_id") + lit(j * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, (x.cast("double") + lit(0.001 * j)).cast("float"))
+                .otherwise(x)).as("embedding"))
+        }: _*)).as("pj"))
+      .select(col("pj.vec_id").as("vec_id"), col("pj.embedding").as("embedding"))
+    emb.unionByName(planted)
+  }
+
+  /** ANN top-k over the planted-neighbor corpus, projected to the
+    * (probe, neighbor) id set: exact top-5 = the planted set (see
+    * [[withPlantedNeighbors]]), so the LSH index's answer is checked
+    * against DuckDB's own exact top-k — full recall is part of the
+    * hash assertion. Ranking (rank + sim) is separately asserted in
+    * SimilaritySpec.
     */
   def cosineAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (corpus, _) = withPlantedDups(spark, dir)
+    val corpus = withPlantedNeighbors(spark, dir)
     val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
     Similarity.annTopK(corpus, probes, k = 5, dim = 64)
-      .orderBy($"probe_id", $"rank")
+      .select($"probe_id", $"neighbor_id")
+      .orderBy($"probe_id", $"neighbor_id")
   }
 
   /** Near-dup clustering: connected components over the exact Jaccard
@@ -116,16 +151,20 @@ object SimQueries {
     Dedup.nearDupClusters(pairs).orderBy($"doc_id")
   }
 
-  /** IVF ANN over the planted-dup corpus (the second scale path next
-    * to LSH): identical vectors share a cell, so every probe's rank-1
-    * is its planted duplicate.
+  /** IVF ANN over the planted-neighbor corpus (the second scale path
+    * next to LSH), projected to the (probe, neighbor) id set: planted
+    * near-copies land in the probe's own best cell (their centroid
+    * cosines are within ~1e-5 of the probe's), so the nprobe=4 search
+    * provably recovers the exact top-5 the DuckDB oracle computes.
     */
   def cosineIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (corpus, _) = withPlantedDups(spark, dir)
+    val corpus = withPlantedNeighbors(spark, dir)
     val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
     graft.ops.IvfAnn.annTopK(corpus, probes, k = 5, nlist = 16, nprobe = 4)
-      .orderBy($"probe_id", $"rank")
+      .select($"probe_id", $"neighbor_id")
+      .orderBy($"probe_id", $"neighbor_id")
   }
 
   /** Multimodal decode plumbing: binary media column → per-partition
