@@ -131,19 +131,54 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * empty delta (e.g. a delete-everything rewrite or an empty
     * streaming micro-batch).
     */
+  /** One multi-path relation for the whole snapshot, NOT one relation
+    * per commit dir: a streaming bronze table taking a commit per
+    * micro-batch reaches thousands of dirs, and a per-dir
+    * `union` plan costs the analyzer O(commits) plan nodes and one
+    * serial driver-side file listing per dir. A single
+    * `parquet(paths: _*)` relation lists all dirs in one (parallelized
+    * above `spark.sql.sources.parallelPartitionDiscovery.threshold`)
+    * pass and plans one scan. Partition-dir discovery treats every
+    * input directory as its own base path, so hive-style `_p_…=` dirs
+    * inside each commit dir resolve exactly as the per-dir
+    * `basePath` reads did.
+    *
+    * The only per-dir split needed: commit dirs holding NO hive
+    * subdirs under a partitioned spec (zero-row commits, or dirs
+    * carried forward from before the spec) would poison discovery
+    * with "conflicting partition structure", so they are read as a
+    * second relation with the derived columns null-filled (typed per
+    * transform) — the null-escape [[scan]] already relies on. That
+    * grouping costs one first-level directory listing per commit dir,
+    * not a recursive file listing.
+    */
   private def readRaw(snap: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
-    val frames = snap.dirs.map { d =>
-      val abs = root.resolve(d).toString
-      val f = (if (snap.partitionBy.nonEmpty) reader.option("basePath", abs) else reader)
-        .parquet(abs)
-      fields.filterNot(pf => f.columns.contains(pf.name))
-        .foldLeft(f)((df, pf) =>
-          df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
+    def absPaths(dirs: Seq[String]) = dirs.map(d => root.resolve(d).toString)
+    if (fields.isEmpty) {
+      reader.parquet(absPaths(snap.dirs): _*)
+    } else {
+      def hasHiveSubdirs(d: String): Boolean = {
+        val p = root.resolve(d)
+        if (!Files.isDirectory(p)) return false
+        val stream = Files.list(p)
+        try stream.iterator().asScala.exists(_.getFileName.toString.contains('='))
+        finally stream.close()
+      }
+      val (partitioned, bare) = snap.dirs.partition(hasHiveSubdirs)
+      def nullFillMissing(f: DataFrame): DataFrame =
+        fields.filterNot(pf => f.columns.contains(pf.name))
+          .foldLeft(f)((df, pf) =>
+            df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
+      val frames =
+        (if (partitioned.nonEmpty)
+          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema))
+         else Nil) ++
+        (if (bare.nonEmpty) Seq(nullFillMissing(reader.parquet(absPaths(bare): _*))) else Nil)
+      frames.reduce(_ unionByName _)
     }
-    frames.reduce(_ unionByName _)
   }
 
   /** Read the table at `version` (latest when None). Immutable snapshot
@@ -217,6 +252,18 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         val cur = base.map(_.version).getOrElse(0L)
         if (cur != eb) throw new java.util.ConcurrentModificationException(
           s"table $root moved from v$eb to v$cur since the operation read its base; retry the operation")
+      }
+      // append spec revalidation INSIDE the retry loop: the spec was
+      // resolved against the base visible at write() time, but a lost
+      // claim race rebases onto a newer snapshot — publishing the
+      // stale spec over a concurrently changed one would union
+      // incompatibly-partitioned dirs. (An empty base spec stays
+      // appendable-with-spec: those dirs read through the null-escape.)
+      if (carryForward) base.foreach { b =>
+        if (b.partitionBy.nonEmpty && b.partitionBy != partitionBy)
+          throw new java.util.ConcurrentModificationException(
+            s"append spec $partitionBy no longer matches table spec ${b.partitionBy} at $root " +
+              "(spec changed concurrently); retry the append")
       }
       val next = base.map(_.version).getOrElse(0L) + 1
       val claim = versionsDir.resolve(f"v$next%08d.claim")

@@ -160,8 +160,16 @@ object PartitionField {
     */
   private val DayMicros = 86400000000L
   private[lake] def utcDay(c: Column): Column = {
+    // IntegralDivide, not Catalyst `/` (double division): |epoch µs|
+    // beyond 2^53 (≈ years <1685 / >2255) would round through the
+    // double and shift the derived day — same bridge construction as
+    // Tables.tsFromNanos
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
     val us = unix_micros(c)
-    date_from_unix_date(((us - pmod(us, lit(DayMicros))) / lit(DayMicros)).cast("int"))
+    val floored = us - pmod(us, lit(DayMicros))
+    date_from_unix_date(GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(floored), Literal(DayMicros))).cast("int"))
   }
 
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r

@@ -1,0 +1,93 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Builds ONE Spark relation over every hive-partitioned commit dir of
+  * a snapshot, with the partition spec supplied by the manifest rather
+  * than inferred from paths.
+  *
+  * Spark's own partition discovery requires a single directory root: N
+  * commit dirs (each `data/<uuid>/_p_…=…/`) trip
+  * CONFLICTING_DIRECTORY_STRUCTURES because the `<uuid>` path segments
+  * look like N different tables. Table formats solve this by owning
+  * the file index (Delta's `TahoeFileIndex`, Iceberg's
+  * `SparkScan`) — here the same idea in its minimal form: enumerate
+  * each commit dir's partition leaf dirs driver-side (O(partition
+  * dirs), the same listing discovery itself would do), parse the
+  * values with the manifest's typed fields, and hand Spark an
+  * [[InMemoryFileIndex]] with a ready-made [[PartitionSpec]]. Catalyst
+  * then plans ONE scan with working `PartitionFilters` pruning over
+  * any number of commits — the per-commit `union` alternative costs
+  * O(commits) plan nodes and serial listings, which a streaming sink's
+  * thousands of micro-batch commits would turn into a driver
+  * bottleneck.
+  */
+private[lake] object SnapshotRead {
+
+  def partitionedFrame(spark: SparkSession, root: Path, dirs: Seq[String],
+                       fields: Seq[PartitionField], userSchema: StructType): DataFrame = {
+    val partCols = StructType(fields.map(f =>
+      StructField(f.name, f.partitionType(userSchema), nullable = true)))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    def parseValue(raw: String, dt: DataType): Any = {
+      val s = ExternalCatalogUtils.unescapePathName(raw)
+      if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
+    }
+    // leaf partition dirs: one nesting level per field, in spec order
+    // (writeDataDir partitions by fields in that order)
+    def leafDirs(base: Path, depth: Int): Seq[(Path, List[String])] =
+      if (depth == fields.size) Seq((base, Nil))
+      else {
+        val stream = Files.list(base)
+        val subs =
+          try stream.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains('='))
+            .toList
+          finally stream.close()
+        subs.flatMap { d =>
+          val nm = d.getFileName.toString
+          val raw = nm.substring(nm.indexOf('=') + 1)
+          leafDirs(d, depth + 1).map { case (p, vs) => (p, raw :: vs) }
+        }
+      }
+    val fs = new HPath(root.toUri).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = dirs.flatMap(d => leafDirs(root.resolve(d), 0)).map { case (p, raws) =>
+      val row = InternalRow.fromSeq(raws.zip(partCols.fields).map {
+        case (raw, f) => parseValue(raw, f.dataType)
+      })
+      // qualify exactly like the index's own listing, so partition
+      // paths and listed leaf dirs compare equal (string form, NOT
+      // p.toUri: a directory URI carries a trailing slash that
+      // survives Hadoop Path construction and breaks the dir-equality
+      // match in listFiles)
+      PartitionPath(row, fs.makeQualified(new HPath(p.toString)))
+    }
+    val index = new InMemoryFileIndex(spark, parts.map(_.path), Map.empty,
+      Some(userSchema),
+      userSpecifiedPartitionSpec = Some(PartitionSpec(partCols, parts)))
+    // data files hold the user schema minus identity partition columns
+    // (partitionBy lifts those into the directory names)
+    val identNames = fields.filterNot(_.hidden).map(_.name).toSet
+    val dataSchema = StructType(userSchema.filterNot(f => identNames.contains(f.name)))
+    val rel = HadoopFsRelation(index, partCols, dataSchema,
+      None, new ParquetFileFormat, Map.empty)(spark)
+    val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+    // relation output is dataSchema ++ partition columns; restore the
+    // user-schema order (+ hidden transform columns at the end, which
+    // scan() filters on and then drops)
+    import org.apache.spark.sql.functions.col
+    df.select((userSchema.fieldNames.toSeq ++ fields.filter(_.hidden).map(_.name)).map(col): _*)
+  }
+}

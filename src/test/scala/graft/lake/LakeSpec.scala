@@ -365,6 +365,46 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-commit read plans O(1) relations, not one per commit dir") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.mc", WriteMode.Overwrite)
+    (1 to 40).foreach(_ => cat.write(sample(), "ns.mc", WriteMode.Append))
+    val t = cat.table("ns.mc")
+    assert(t.latest.get.dirs.size === 41)
+    val df = t.read(None)
+    // one multi-path parquet relation for all 41 commit dirs — a
+    // per-dir union would put 41 leaves (and 41 serial file listings)
+    // in the plan and grow without bound under a streaming sink
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 1, s"expected one multi-path relation, got ${leaves.size}")
+    assert(df.count() === 41 * 3)
+    assert(df.agg(sum($"v")).head.getDouble(0) === 41 * 60.0)
+  }
+
+  test("partitioned multi-commit read: one hive relation + one bare relation, data exact") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-02 10:00:00", 2L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.mp", WriteMode.Overwrite) // pre-spec bare dir
+    cat.write(df, "ns.mp", WriteMode.Append, partitionBy = Seq("days(ts)"))
+    (1 to 10).foreach(_ => cat.write(df, "ns.mp", WriteMode.Append))
+    cat.write(df.where(lit(false)), "ns.mp", WriteMode.Append) // zero-row commit dir
+    val t = cat.table("ns.mp")
+    assert(t.latest.get.dirs.size === 13)
+    val r = t.read(None)
+    // hive-partitioned dirs collapse into one relation; the pre-spec
+    // and zero-row dirs (no _p_ subdirs) into a second, null-escaped
+    val leaves = r.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 2, s"expected 2 grouped relations, got ${leaves.size}")
+    assert(r.count() === 24)
+    assert(r.columns.toSeq === Seq("ts", "id"))
+    val day1 = t.scan(Seq(LtEq("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 23:59:59"))))
+    assert(day1.select($"id").as[Long].collect().forall(_ === 1L))
+    assert(day1.count() === 12)
+  }
+
   test("snapshot metadata round-trips through the manifest") {
     val cat = freshCat()
     val snap = cat.write(sample(), "ns.t", WriteMode.Overwrite,
