@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // SQL DML over lake tables
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -48,6 +48,7 @@ object SparkEntry {
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
     "lake_maintenance"      -> (LakeQueries.maintenance _),
     "lake_hidden_partition" -> (LakeQueries.hiddenPartition _),
+    "lake_sql_merge"        -> (LakeQueries.sqlMerge _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
@@ -213,6 +214,24 @@ object SparkEntry {
         |FROM customer
         |UNION ALL SELECT CAST(-1 AS BIGINT), 'NEW A', CAST(0 AS INT), 100.0, 'BUILDING'
         |UNION ALL SELECT CAST(-2 AS BIGINT), 'NEW B', CAST(1 AS INT), 200.0, 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // MERGE (double acctbal under nation<5, insert 2) → UPDATE (negate
+    // BUILDING balances) → DELETE (nation >= 20), all as SQL statements
+    "lake_sql_merge" ->
+      """WITH m AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_nationkey < 5 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), 'NEW A', CAST(0 AS INT), 100.0, 'BUILDING'
+        |  UNION ALL SELECT CAST(-2 AS BIGINT), 'NEW B', CAST(1 AS INT), 200.0, 'MACHINERY'),
+        |u AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN -c_acctbal ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM m)
+        |SELECT * FROM u WHERE NOT (c_nationkey >= 20)
         |ORDER BY c_custkey""".stripMargin,
 
     "lake_update_delete" ->

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-analyzed LogicalPlan (classic
+    * `Dataset.ofRows`) — the SQL-DML command path turns captured child
+    * plans back into DataFrames with this.
+    */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

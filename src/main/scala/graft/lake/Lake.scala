@@ -157,6 +157,14 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
     def absPaths(dirs: Seq[String]) = dirs.map(d => root.resolve(d).toString)
+    if (snap.dirs.isEmpty) {
+      // a freshly-created (DDL) table has a schema but no data dirs
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+      return fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
+        df.withColumn(pf.name,
+          org.apache.spark.sql.functions.lit(null).cast(pf.partitionType(snap.schema))))
+    }
     if (fields.isEmpty) {
       reader.parquet(absPaths(snap.dirs): _*)
     } else {
@@ -351,6 +359,16 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = df.schema.json, meta = meta,
       expectedBase = expectedBase)
+  }
+
+  /** DDL create: commit a schema (and optional partition spec) with no
+    * data dirs — the `CREATE TABLE` surface of the SQL catalog. The
+    * table reads as empty until the first write.
+    */
+  def create(schema: StructType, partitionBy: Seq[String] = Nil,
+             meta: Map[String, String] = Map.empty): Snapshot = {
+    require(latest.isEmpty, s"table already exists at $root")
+    commit("create", Nil, carryForward = false, partitionBy, schema.json, meta)
   }
 
   /** Small-file compaction (the `rewrite_data_files` capability the

@@ -1,0 +1,230 @@
+package graft.lake.sqlcat
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.lake.{LakeCatalog, LakeTable, PartitionField}
+
+/** DSv2 `TableCatalog` over the graft lake layer — the live catalog
+  * resolution the reference gets from Iceberg's `SparkCatalog`
+  * (`spark.sql.catalog.my_catalog`, /root/reference/dags/etl.py:49-54):
+  * `spark.sql("SELECT … FROM graft.ns.t")` resolves the CURRENT
+  * snapshot at every query (no stale temp views), `FOR VERSION AS OF`
+  * time-travels, and DDL (`CREATE/DROP TABLE`) manages lake tables.
+  *
+  * Reads and writes execute through the proven lake read/commit paths:
+  * [[graft.plans.LakeSqlRule]] swaps the DSv2 relation for the
+  * snapshot's scan plan (same V1-fallback shape Delta uses), so this
+  * class only carries identity + metadata.
+  *
+  * Register (any name, lazily instantiated on first reference):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  * }}}
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catName
+
+  private def lakeCat: LakeCatalog = new LakeCatalog(SparkSession.active, warehouse)
+
+  private def identString(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def lakeTable(ident: Identifier): LakeTable = lakeCat.table(identString(ident))
+
+  /** Lake handle for command execution ([[graft.plans.GraftCtasCommand]]). */
+  private[graft] def lakeFor(ident: Identifier): LakeTable = lakeTable(ident)
+
+  override def tableExists(ident: Identifier): Boolean =
+    lakeTable(ident).latest.nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = lakeTable(ident)
+    if (t.latest.isEmpty) throw new NoSuchTableException(ident)
+    new GraftSparkTable(s"$catName.${identString(ident)}", t, None)
+  }
+
+  /** `FOR VERSION AS OF n` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = lakeTable(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"graft version must be a snapshot number, got '$version'")
+    }
+    if (t.history.forall(_.version != v)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(s"$catName.${identString(ident)}@v$v", t, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val t = lakeTable(ident)
+    if (t.latest.nonEmpty) throw new TableAlreadyExistsException(ident.toString)
+    t.create(schema, partitions.map(GraftSparkTable.transformToSpec).toSeq,
+      meta = properties.asScala.toMap)
+    new GraftSparkTable(s"$catName.${identString(ident)}", t, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: use the LakeTable schema-evolution API")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = lakeTable(ident)
+    val existed = t.latest.nonEmpty
+    if (existed) deleteTree(t.root)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = lakeTable(oldIdent)
+    if (from.latest.isEmpty) throw new NoSuchTableException(oldIdent)
+    val to = lakeTable(newIdent)
+    if (to.latest.nonEmpty) throw new TableAlreadyExistsException(newIdent.toString)
+    Files.createDirectories(to.root.getParent)
+    Files.move(from.root, to.root)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_versions")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  // -- namespaces: directories under the warehouse ------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get(warehouse, namespace: _*))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(warehouse, namespace: _*))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) return false
+    if (!cascade) {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      require(empty, s"namespace ${namespace.mkString(".")} is not empty")
+    }
+    deleteTree(dir)
+    true
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    val paths = Files.walk(p)
+    try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally paths.close()
+  }
+}
+
+/** Catalog-resolved handle to a lake table: identity + live metadata.
+  * No `SupportsRead`/`SupportsWrite` — [[graft.plans.LakeSqlRule]]
+  * replaces relations/writes over this table with plans on the lake
+  * layer's own read/commit paths before any capability is consulted.
+  */
+final class GraftSparkTable(tableName: String, val lake: LakeTable,
+                            val pinnedVersion: Option[Long]) extends Table {
+  private def snap = pinnedVersion match {
+    case Some(v) => lake.history.find(_.version == v)
+    case None    => lake.latest
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = snap.map(_.schema).getOrElse(new StructType())
+  override def capabilities(): util.Set[TableCapability] = util.Collections.emptySet()
+
+  override def partitioning(): Array[Transform] =
+    snap.map(_.partitionBy).getOrElse(Nil).map { spec =>
+      PartitionField.parse(spec) match {
+        case PartitionField.Identity(c)    => Expressions.identity(c)
+        case PartitionField.Days(c)        => Expressions.days(c)
+        case PartitionField.Months(c)      => Expressions.months(c)
+        case PartitionField.Bucket(n, c)   => Expressions.bucket(n, c)
+        case PartitionField.Truncate(w, c) =>
+          Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      }
+    }.toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m.put(TableCatalog.PROP_LOCATION, lake.root.toString)
+    snap.foreach(s => m.put("graft.snapshot.version", s.version.toString))
+    m
+  }
+}
+
+object GraftSparkTable {
+  /** DSv2 partition Transform → manifest spec string. */
+  def transformToSpec(t: Transform): String = {
+    def colOf(): String = {
+      val refs = t.references()
+      require(refs.length == 1, s"unsupported multi-column transform: $t")
+      refs(0).fieldNames().mkString(".")
+    }
+    t.name() match {
+      case "identity" => colOf()
+      case "days"     => s"days(${colOf()})"
+      case "months"   => s"months(${colOf()})"
+      case "bucket" | "truncate" =>
+        val lit = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value().toString
+        }.getOrElse(throw new IllegalArgumentException(s"missing width/count in $t"))
+        s"${t.name()}($lit, ${colOf()})"
+      case other =>
+        throw new IllegalArgumentException(s"unsupported partition transform: $other")
+    }
+  }
+}

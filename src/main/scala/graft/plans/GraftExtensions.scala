@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    // SQL over lake tables (SELECT / INSERT / CTAS / DELETE / UPDATE /
+    // MERGE INTO through a GraftCatalog) — see LakeSqlRule
+    ext.injectPostHocResolutionRule(session => new LakeSqlRule(session))
 
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

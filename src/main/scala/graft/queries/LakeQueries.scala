@@ -175,6 +175,45 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  private val sqlCatalogCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The reference's headline Iceberg capability as ACTUAL SQL: MERGE
+    * INTO, UPDATE and DELETE statements through a live DSv2 catalog
+    * (`IcebergSparkSessionExtensions` + `SparkCatalog`,
+    * /root/reference/dags/utils/constants/constant.py:43-50) — parsed
+    * by Spark, routed onto the lake's copy-on-write commits by
+    * [[graft.plans.LakeSqlRule]]. Catalog names are unique per call
+    * because Spark caches catalog instances (and their warehouse) per
+    * name.
+    */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = scratchDir("graft-lake-").toString
+    val c = s"gsqlq${sqlCatalogCounter.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer, "silver.customer", WriteMode.Overwrite)
+    val updates = customer.filter($"c_nationkey" < 5)
+      .withColumn("c_acctbal", $"c_acctbal" * 2)
+    val inserts = Seq(
+      (-1L, "NEW A", 0, 100.0, "BUILDING"),
+      (-2L, "NEW B", 1, 200.0, "MACHINERY"),
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    updates.unionByName(inserts).createOrReplaceTempView("sql_merge_src")
+    spark.sql(
+      s"""MERGE INTO $c.silver.customer t USING sql_merge_src s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      s"""UPDATE $c.silver.customer
+         |SET c_acctbal = -c_acctbal WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    spark.sql(s"DELETE FROM $c.silver.customer WHERE c_nationkey >= 20")
+    spark.sql(s"SELECT * FROM $c.silver.customer ORDER BY c_custkey")
+  }
+
   /** UPDATE then DELETE as copy-on-write snapshots. */
   def updateDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,163 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.lake.sqlcat.GraftCatalog
+
+/** SQL surface over lake tables through the DSv2 catalog + LakeSqlRule:
+  * live resolution (no stale views), time travel, writes, and the
+  * MERGE/UPDATE/DELETE statements the reference's Iceberg extensions
+  * exist for.
+  */
+class GraftSqlCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val n = new AtomicInteger(0)
+
+  /** Fresh uniquely-named catalog over a temp warehouse (catalog
+    * instances cache per name, so isolation = one name per test).
+    */
+  private def freshCatalog(): (String, LakeCatalog) = {
+    val name = s"gsql${n.incrementAndGet()}"
+    val wh = Files.createTempDirectory(s"gsql-wh-").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, new LakeCatalog(spark, wh))
+  }
+
+  private def sample() =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+
+  test("SELECT resolves the live snapshot — a commit is visible to the NEXT query") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.t", WriteMode.Overwrite)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.t").head.getLong(0) === 3)
+    cat.write(sample(), "ns.t", WriteMode.Append)
+    // the SAME SQL text re-resolves and sees the append — no view refresh
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.t").head.getLong(0) === 6)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.t WHERE name <> 'a'").head.getDouble(0) === 100.0)
+  }
+
+  test("FOR VERSION AS OF time-travels through SQL") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.tt", WriteMode.Overwrite)
+    cat.write(sample().withColumn("v", $"v" * 10), "ns.tt", WriteMode.Overwrite)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tt VERSION AS OF 1").head.getDouble(0) === 60.0)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tt").head.getDouble(0) === 600.0)
+  }
+
+  test("INSERT INTO appends; INSERT OVERWRITE replaces") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.w", WriteMode.Overwrite)
+    spark.sql(s"INSERT INTO $c.ns.w VALUES (4, 'd', 40.0)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.w").head.getLong(0) === 4)
+    spark.sql(s"INSERT OVERWRITE $c.ns.w VALUES (9, 'z', 90.0)")
+    assert(spark.sql(s"SELECT * FROM $c.ns.w").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // history preserved: v1 original, v2 append, v3 overwrite
+    assert(cat.table("ns.w").history.map(_.op) === Seq("overwrite", "append", "overwrite"))
+  }
+
+  test("df.writeTo(...).append() lands a lake commit") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.wt", WriteMode.Overwrite)
+    sample().withColumn("v", $"v" + 1).writeTo(s"$c.ns.wt").append()
+    assert(cat.read("ns.wt").count() === 6)
+  }
+
+  test("CREATE TABLE / AS SELECT, DROP TABLE, SHOW-able metadata") {
+    val (c, cat) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.ns.empty (id BIGINT, s STRING)")
+    assert(spark.sql(s"SELECT * FROM $c.ns.empty").count() === 0)
+    spark.sql(s"INSERT INTO $c.ns.empty VALUES (1, 'x')")
+    assert(spark.sql(s"SELECT s FROM $c.ns.empty").head.getString(0) === "x")
+
+    cat.write(sample(), "ns.src", WriteMode.Overwrite)
+    spark.sql(s"CREATE TABLE $c.ns.ctas AS SELECT id, v * 2 AS v2 FROM $c.ns.src")
+    assert(spark.sql(s"SELECT sum(v2) AS s FROM $c.ns.ctas").head.getDouble(0) === 120.0)
+
+    spark.sql(s"DROP TABLE $c.ns.ctas")
+    assert(!cat.exists("ns.ctas"))
+  }
+
+  test("DELETE FROM with and without WHERE") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.d", WriteMode.Overwrite)
+    spark.sql(s"DELETE FROM $c.ns.d WHERE v >= 20.0")
+    assert(spark.sql(s"SELECT id FROM $c.ns.d").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    spark.sql(s"DELETE FROM $c.ns.d")
+    assert(spark.sql(s"SELECT * FROM $c.ns.d").count() === 0)
+  }
+
+  test("UPDATE SET evaluates against pre-update rows") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.u", WriteMode.Overwrite)
+    // both SETs read the PRE-update row: name takes old v, v doubles
+    spark.sql(s"UPDATE $c.ns.u SET v = v * 2, name = concat(name, CAST(v AS INT)) WHERE id <= 2")
+    val rows = spark.sql(s"SELECT id, name, v FROM $c.ns.u ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a10", 20.0), (2L, "b20", 40.0), (3L, "c", 30.0)))
+  }
+
+  test("MERGE INTO: update matched, insert not matched") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.m", WriteMode.Overwrite)
+    Seq((2L, "B", 200.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.m t USING m_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT id, name, v FROM $c.ns.m ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("MERGE INTO with explicit SET expressions over both sides") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.m2", WriteMode.Overwrite)
+    Seq((1L, 5.0), (3L, 7.0)).toDF("id", "bonus").createOrReplaceTempView("m2_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.m2 t USING m2_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.bonus""".stripMargin)
+    val rows = spark.sql(s"SELECT id, v FROM $c.ns.m2 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 15.0), (2L, 20.0), (3L, 37.0)))
+  }
+
+  test("insert-only MERGE keeps matched rows untouched") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.m3", WriteMode.Overwrite)
+    Seq((3L, "X", 999.0), (5L, "e", 50.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("m3_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.m3 t USING m3_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT id, name, v FROM $c.ns.m3 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0)))
+  }
+
+  test("partitioned table through SQL: CTAS PARTITIONED BY + pruned SELECT") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.psrc", WriteMode.Overwrite)
+    spark.sql(
+      s"CREATE TABLE $c.ns.pt PARTITIONED BY (name) AS SELECT * FROM $c.ns.psrc")
+    assert(cat.table("ns.pt").latest.get.partitionBy === Seq("name"))
+    val got = spark.sql(s"SELECT id, v FROM $c.ns.pt WHERE name = 'b'").head
+    assert((got.getLong(0), got.getDouble(1)) === ((2L, 20.0)))
+  }
+
+  test("unsupported MERGE shapes fail loudly, not wrongly") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.bad", WriteMode.Overwrite)
+    Seq((1L, "x", 1.0)).toDF("id", "name", "v").createOrReplaceTempView("bad_src")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $c.ns.bad t USING bad_src s ON t.id < s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e.getMessage.contains("MERGE INTO graft tables supports"))
+  }
+}
