@@ -1,0 +1,141 @@
+package graft.lake
+
+import java.nio.file.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-file column statistics carried in the snapshot manifest — the
+  * role Iceberg's manifest min/max stats play: planning skips files
+  * whose [min, max] cannot satisfy a predicate WITHOUT listing row
+  * groups or reading parquet footers. At 100 TB the difference is
+  * "open every footer of every live file" vs "drop most files from
+  * the scan while still on the driver".
+  *
+  * Stats are gathered where they are cheap and tight: compaction
+  * ([[LakeTable.compact]] / [[LakeTable.compactZOrder]]) collects
+  * min/max of the sort / z-order columns over the files it just wrote
+  * (one columnar aggregate over the new dir), which is exactly when
+  * file ranges become disjoint and skipping starts paying.
+  * [[LakeTable.write]] accepts `statsBy` for direct writes.
+  *
+  * Values are encoded in an ordered string domain per column type
+  * (numbers/timestamps/dates as decimal strings, strings raw), so the
+  * driver compares probe values without re-deriving Spark types.
+  * Pruning is conservative: a file with missing/null stats, or a
+  * probe whose domain mismatches, is always kept.
+  */
+private[lake] object FileStats {
+  val MetaKey = "graft.stats"
+
+  /** Ordered comparison key: Left = numeric domain, Right = string. */
+  private def toKey(v: Any): Option[Either[BigDecimal, String]] = v match {
+    case null                  => None
+    case t: java.sql.Timestamp =>
+      Some(Left(BigDecimal(t.getTime) * 1000 + BigDecimal((t.getNanos % 1000000) / 1000)))
+    case d: java.sql.Date      => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+    case b: java.lang.Boolean  => Some(Left(if (b) BigDecimal(1) else BigDecimal(0)))
+    case n: java.lang.Number   => Some(Left(BigDecimal(n.toString)))
+    case s: String             => Some(Right(s))
+    case other                 => Some(Right(other.toString))
+  }
+
+  private def encode(v: Any): String = toKey(v) match {
+    case Some(Left(n))  => "n:" + n.toString
+    case Some(Right(s)) => "s:" + s
+    case None           => null
+  }
+
+  private def decode(s: String): Option[Either[BigDecimal, String]] =
+    if (s == null) None
+    else if (s.startsWith("n:")) Some(Left(BigDecimal(s.substring(2))))
+    else Some(Right(s.substring(2)))
+
+  private def leq(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Option[Boolean] =
+    (a, b) match {
+      case (Left(x), Left(y))   => Some(x <= y)
+      case (Right(x), Right(y)) => Some(x <= y)
+      case _                    => None // mixed domains: unknown → keep
+    }
+
+  /** One distributed aggregate over the just-written dir → JSON stats
+    * blob for the manifest meta. Row count = file count of ONE commit
+    * dir (index state bounded by `targetPartitions`, not data size).
+    */
+  def collect(spark: SparkSession, dir: Path, cols: Seq[String]): String = {
+    val df = spark.read.parquet(dir.toString)
+    val present = cols.filter(df.columns.contains)
+    require(present.nonEmpty, s"no stats columns $cols in ${df.columns.toSeq}")
+    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = df.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.createObjectNode()
+    val colsNode = rootNode.putArray("cols")
+    present.foreach(colsNode.add)
+    val filesNode = rootNode.putObject("files")
+    rows.foreach { r =>
+      val uri = r.getString(0)
+      val fname = uri.substring(uri.lastIndexOf('/') + 1)
+      val fNode = filesNode.putArray(fname)
+      present.indices.foreach { i =>
+        val pair = fNode.addArray()
+        pair.add(encode(r.get(1 + 2 * i)))
+        pair.add(encode(r.get(2 + 2 * i)))
+      }
+    }
+    om.writeValueAsString(rootNode)
+  }
+
+  /** File names (relative to the commit dir) that can satisfy ALL
+    * predicates, or None when the stats cover no predicate column
+    * (no pruning possible).
+    */
+  def surviving(statsJson: String, preds: Seq[LakePredicate],
+                schema: StructType): Option[Set[String]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(statsJson)
+    val cols = {
+      val a = node.get("cols")
+      (0 until a.size()).map(a.get(_).asText())
+    }
+    val applicable = preds.filter(p => cols.contains(p.col))
+    if (applicable.isEmpty) return None
+    val files = node.get("files")
+    val kept = Set.newBuilder[String]
+    val it = files.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val ranges = e.getValue
+      def range(c: String): (Option[Either[BigDecimal, String]], Option[Either[BigDecimal, String]]) = {
+        val i = cols.indexOf(c)
+        val pair = ranges.get(i)
+        def at(j: Int): Option[Either[BigDecimal, String]] =
+          if (pair.get(j).isNull) None else decode(pair.get(j).asText())
+        (at(0), at(1))
+      }
+      val keep = applicable.forall { p =>
+        val (lo, hi) = range(p.col)
+        val pv = p match {
+          case LakePredicate.EqualTo(_, v) => v
+          case LakePredicate.GtEq(_, v)    => v
+          case LakePredicate.LtEq(_, v)    => v
+        }
+        (toKey(pv), lo, hi) match {
+          case (None, _, _) => true // null probe: matches nothing, but keep semantics to the row filter
+          case (Some(v), Some(l), Some(h)) => p match {
+            case _: LakePredicate.EqualTo => (leq(l, v), leq(v, h)) match {
+              case (Some(a), Some(b)) => a && b
+              case _                  => true
+            }
+            case _: LakePredicate.GtEq => leq(v, h).getOrElse(true)
+            case _: LakePredicate.LtEq => leq(l, v).getOrElse(true)
+          }
+          case _ => true // missing stats → keep
+        }
+      }
+      if (keep) kept += e.getKey
+    }
+    Some(kept.result())
+  }
+}

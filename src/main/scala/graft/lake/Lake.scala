@@ -152,21 +152,37 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * grouping costs one first-level directory listing per commit dir,
     * not a recursive file listing.
     */
-  private def readRaw(snap: Snapshot): DataFrame = {
+  private def readRaw(snap: Snapshot, preds: Seq[LakePredicate] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
     def absPaths(dirs: Seq[String]) = dirs.map(d => root.resolve(d).toString)
-    if (snap.dirs.isEmpty) {
-      // a freshly-created (DDL) table has a schema but no data dirs
+    def emptyFrame(): DataFrame = {
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
-      return fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
-        df.withColumn(pf.name,
-          org.apache.spark.sql.functions.lit(null).cast(pf.partitionType(snap.schema))))
+      fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
+        df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
     }
+    // a freshly-created (DDL) table has a schema but no data dirs
+    if (snap.dirs.isEmpty) return emptyFrame()
     if (fields.isEmpty) {
-      reader.parquet(absPaths(snap.dirs): _*)
+      // manifest-level file skipping: a single-dir snapshot carrying
+      // per-file min/max (compact/statsBy writes) resolves predicates
+      // against the manifest stats FIRST — files whose range cannot
+      // match never enter the relation, so their footers are never
+      // read. Single-dir only: stats describe the commit that wrote
+      // them, and multi-dir snapshots (appends after a compact) carry
+      // no stats key, so no file is ever wrongly skipped.
+      val pruned = for {
+        json <- snap.meta.get(FileStats.MetaKey)
+        if preds.nonEmpty && snap.dirs.size == 1
+        kept <- FileStats.surviving(json, preds, snap.schema)
+      } yield kept.toSeq.sorted.map(f => root.resolve(snap.dirs.head).resolve(f).toString)
+      pruned match {
+        case Some(paths) if paths.isEmpty => emptyFrame()
+        case Some(paths)                  => reader.parquet(paths: _*)
+        case None                         => reader.parquet(absPaths(snap.dirs): _*)
+      }
     } else {
       def hasHiveSubdirs(d: String): Boolean = {
         val p = root.resolve(d)
@@ -226,7 +242,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       f <- fields if f.source == p.col
       proj <- f.project(p, schema(p.col).dataType)
     } yield proj || col(f.name).isNull
-    val filtered = (raw ++ projected).foldLeft(readRaw(snap))(_ where _)
+    val filtered = (raw ++ projected).foldLeft(readRaw(snap, preds))(_ where _)
     fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
   }
 
@@ -334,7 +350,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty,
-            expectedBase: Option[Long] = None): Snapshot = {
+            expectedBase: Option[Long] = None,
+            statsBy: Seq[String] = Nil): Snapshot = {
     // Append carries prior dirs forward, so its spec must be the
     // table's spec: an unspecified spec inherits the base snapshot's
     // (the common callers — streaming sink, incremental extract —
@@ -355,9 +372,16 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     }
     val dirName = s"data/${UUID.randomUUID().toString}"
     writeDataDir(df, dirName, effectiveSpec)
+    // per-file min/max for the manifest (file skipping at scan time);
+    // partition-transformed dirs nest files under hive subdirs, where
+    // partition pruning is already the skipping mechanism
+    val statsMeta =
+      if (statsBy.nonEmpty && effectiveSpec.isEmpty)
+        Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsBy))
+      else Map.empty[String, String]
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = effectiveSpec, schemaJson = df.schema.json, meta = meta,
+      partitionBy = effectiveSpec, schemaJson = df.schema.json, meta = meta ++ statsMeta,
       expectedBase = expectedBase)
   }
 
@@ -383,7 +407,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot =
     rewriteClustered(targetPartitions,
-      sortBy.map(org.apache.spark.sql.functions.col))
+      sortBy.map(org.apache.spark.sql.functions.col), statsCols = sortBy)
 
   /** Z-order compaction (Iceberg's zorder rewrite strategy): files
     * cluster on the interleaved [[graft.functions.ZOrderCode]] of
@@ -393,10 +417,12 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   def compactZOrder(targetPartitions: Int, zorderBy: Seq[String]): Snapshot =
     rewriteClustered(targetPartitions, Seq(graft.functions.ZOrderFunctions
-      .zorder_code(zorderBy.map(org.apache.spark.sql.functions.col): _*)))
+      .zorder_code(zorderBy.map(org.apache.spark.sql.functions.col): _*)),
+      statsCols = zorderBy)
 
   private def rewriteClustered(targetPartitions: Int,
-                               sortCols: Seq[org.apache.spark.sql.Column]): Snapshot = {
+                               sortCols: Seq[org.apache.spark.sql.Column],
+                               statsCols: Seq[String] = Nil): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
     val base = read(Some(snap.version))
     val df =
@@ -405,8 +431,16 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         .sortWithinPartitions(sortCols: _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
     writeDataDir(df, dirName, snap.partitionBy) // re-derives transform columns
+    // compaction is where file ranges become disjoint on the cluster
+    // columns — collect per-file min/max there so scans skip files
+    // from the manifest (z-order bounds EVERY listed dimension, so all
+    // zorderBy columns get useful ranges, not just a leading one)
+    val statsMeta =
+      if (statsCols.nonEmpty && snap.partitionBy.isEmpty)
+        Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsCols))
+      else Map.empty[String, String]
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
-      expectedBase = Some(snap.version))
+      meta = statsMeta, expectedBase = Some(snap.version))
   }
 
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the

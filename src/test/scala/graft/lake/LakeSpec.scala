@@ -405,6 +405,63 @@ class LakeSpec extends AnyFunSuite {
     assert(day1.count() === 12)
   }
 
+  test("manifest file stats: range scan on a z-ordered table skips files") {
+    import LakePredicate._
+    val cat = freshCat()
+    val pts = spark.range(0, 4096).select(($"id" / 64).cast("long").as("x"),
+      ($"id" % 64).as("y"), ($"id" % 13).cast("double").as("v"))
+    cat.write(pts.repartition(8), "ns.fs", WriteMode.Overwrite)
+    cat.table("ns.fs").compactZOrder(8, Seq("x", "y"))
+    val t = cat.table("ns.fs")
+    assert(t.latest.get.meta.contains("graft.stats"))
+    val all = t.read(None)
+    // z-order bounds BOTH dims per file: a tight range on either
+    // column must drop most files from the relation itself (no
+    // footer ever opened for a skipped file)
+    val byX = t.scan(Seq(GtEq("x", 0L), LtEq("x", 7L)))
+    val byY = t.scan(Seq(GtEq("y", 0L), LtEq("y", 7L)))
+    assert(all.inputFiles.length === 8)
+    assert(byX.inputFiles.length < 8, s"x-range read ${byX.inputFiles.length} files")
+    assert(byY.inputFiles.length < 8, s"y-range read ${byY.inputFiles.length} files")
+    // pruning is sound: same rows as the unpruned filter
+    assert(byX.orderBy($"x", $"y").collect().toSeq ===
+      all.where($"x" >= 0 && $"x" <= 7).orderBy($"x", $"y").collect().toSeq)
+    assert(byY.orderBy($"x", $"y").collect().toSeq ===
+      all.where($"y" >= 0 && $"y" <= 7).orderBy($"x", $"y").collect().toSeq)
+  }
+
+  test("manifest file stats: sorted compaction + equality probe reads few files; appends disable stats") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = spark.range(0, 2000).select($"id", ($"id" % 97).cast("double").as("v"))
+    cat.write(df.repartition(6), "ns.fe", WriteMode.Overwrite)
+    cat.table("ns.fe").compact(targetPartitions = 5, sortBy = Seq("id"))
+    val t = cat.table("ns.fe")
+    val probe = t.scan(Seq(EqualTo("id", 1234L)))
+    assert(probe.inputFiles.length === 1, s"expected 1 file, got ${probe.inputFiles.length}")
+    assert(probe.select($"v").as[Double].head === (1234 % 97).toDouble)
+    // an append invalidates single-dir stats: the new snapshot has no
+    // stats key, so nothing is wrongly skipped
+    cat.write(df.where($"id" < 5), "ns.fe", WriteMode.Append)
+    assert(!t.latest.get.meta.contains("graft.stats"))
+    assert(t.scan(Seq(EqualTo("id", 1234L))).count() === 1)
+    assert(t.scan(Seq(EqualTo("id", 3L))).count() === 2) // one per commit dir
+    assert(t.read(None).count() === 2005)
+  }
+
+  test("write(statsBy) collects stats without compaction") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = spark.range(0, 1000).select($"id", ($"id" * 3).as("k"))
+    cat.table("ns.sb").write(df.repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      WriteMode.Overwrite, statsBy = Seq("id"))
+    val t = cat.table("ns.sb")
+    assert(t.latest.get.meta.contains("graft.stats"))
+    val hit = t.scan(Seq(GtEq("id", 900L)))
+    assert(hit.inputFiles.length === 1)
+    assert(hit.count() === 100)
+  }
+
   test("snapshot metadata round-trips through the manifest") {
     val cat = freshCat()
     val snap = cat.write(sample(), "ns.t", WriteMode.Overwrite,
