@@ -50,8 +50,15 @@ final case class Snapshot(
     partitionBy: Seq[String],
     schemaJson: String,
     timestampMs: Long,
-    meta: Map[String, String] = Map.empty) {
+    meta: Map[String, String] = Map.empty,
+    // physical (write-time) schema per dir, parallel to `dirs`; empty
+    // means every dir was written under `schemaJson` (pre-evolution
+    // manifests). Lets rename/drop/widen be METADATA-ONLY commits:
+    // files keep their written column names, reads align by field id.
+    dirSchemaJsons: Seq[String] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def dirSchemaJson(i: Int): String =
+    if (dirSchemaJsons.isEmpty) schemaJson else dirSchemaJsons(i)
 }
 
 sealed trait WriteMode
@@ -173,6 +180,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       // read. Single-dir only: stats describe the commit that wrote
       // them, and multi-dir snapshots (appends after a compact) carry
       // no stats key, so no file is ever wrongly skipped.
+      val cur = snap.schema
+      def alignedRead(physJson: String, paths: Seq[String]): DataFrame = {
+        val phys = DataType.fromJson(physJson).asInstanceOf[StructType]
+        SchemaIds.align(spark.read.schema(phys).parquet(paths: _*), phys, cur)
+      }
       val pruned = for {
         json <- snap.meta.get(FileStats.MetaKey)
         if preds.nonEmpty && snap.dirs.size == 1
@@ -180,8 +192,15 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       } yield kept.toSeq.sorted.map(f => root.resolve(snap.dirs.head).resolve(f).toString)
       pruned match {
         case Some(paths) if paths.isEmpty => emptyFrame()
-        case Some(paths)                  => reader.parquet(paths: _*)
-        case None                         => reader.parquet(absPaths(snap.dirs): _*)
+        case Some(paths)                  => alignedRead(snap.dirSchemaJson(0), paths)
+        case None                         =>
+          // one relation per schema GENERATION (rename/drop/widen are
+          // metadata-only commits: old dirs keep their write-time
+          // column names/types and align to the current schema by
+          // field id) — uniform tables collapse to a single group
+          snap.dirs.indices.groupBy(snap.dirSchemaJson).toSeq.sortBy(_._2.head)
+            .map { case (sj, idxs) => alignedRead(sj, absPaths(idxs.map(snap.dirs))) }
+            .reduce(_ unionByName _)
       }
     } else {
       def hasHiveSubdirs(d: String): Boolean = {
@@ -261,7 +280,9 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
   private[lake] def commit(op: String, newDirs: Seq[String], carryForward: Boolean,
                            partitionBy: Seq[String], schemaJson: String,
                            meta: Map[String, String] = Map.empty,
-                           expectedBase: Option[Long] = None): Snapshot = {
+                           expectedBase: Option[Long] = None,
+                           newDirSchemas: Seq[String] = Nil,
+                           carriedSchemasOverride: Option[Seq[String]] = None): Snapshot = {
     Files.createDirectories(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -295,9 +316,23 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         try { Files.createFile(claim); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (claimed) {
-        val dirs = (if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil) ++ newDirs
+        val carriedDirs = if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil
+        val dirs = carriedDirs ++ newDirs
+        // per-dir write-time schemas travel with the dirs: carried
+        // dirs keep theirs (expanded from uniform legacy manifests),
+        // new dirs default to this commit's schema
+        val carriedSchemas = carriedSchemasOverride.getOrElse(
+          if (carryForward)
+            base.map(b => b.dirs.indices.map(b.dirSchemaJson)).getOrElse(Nil)
+          else Nil)
+        val addedSchemas =
+          if (newDirSchemas.nonEmpty) newDirSchemas else newDirs.map(_ => schemaJson)
+        val dirSchemas0 = carriedSchemas ++ addedSchemas
+        // store Nil when uniform — keeps pre-evolution manifests small
+        val dirSchemas =
+          if (dirSchemas0.forall(_ == schemaJson)) Nil else dirSchemas0.toSeq
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          System.currentTimeMillis(), meta)
+          System.currentTimeMillis(), meta, dirSchemas)
         val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
         Files.writeString(tmp, Manifest.toJson(snap))
         // publish with an atomic NO-REPLACE primitive: a rename would
@@ -358,13 +393,14 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     // never re-state it), and a CONFLICTING spec is rejected up front:
     // committing it would union partitioned and unpartitioned dirs and
     // break every subsequent read of the table.
+    val base = latest
     val effectiveSpec = mode match {
       case WriteMode.Append =>
-        latest match {
-          case Some(base) if partitionBy.isEmpty => base.partitionBy
-          case Some(base) =>
-            require(base.partitionBy.isEmpty || base.partitionBy == partitionBy,
-              s"append partition spec $partitionBy conflicts with table spec ${base.partitionBy} at $root")
+        base match {
+          case Some(b) if partitionBy.isEmpty => b.partitionBy
+          case Some(b) =>
+            require(b.partitionBy.isEmpty || b.partitionBy == partitionBy,
+              s"append partition spec $partitionBy conflicts with table spec ${b.partitionBy} at $root")
             partitionBy
           case None => partitionBy
         }
@@ -380,9 +416,17 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsBy))
       else Map.empty[String, String]
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
+    // field-id bookkeeping: the dir records the frame's write-time
+    // schema; the snapshot schema is the append-merged union (appends
+    // never silently narrow the table) with ids stable across commits
+    val annotatedDf = SchemaIds.annotate(df.schema, base.map(_.schema))
+    val currentSchema = mode match {
+      case WriteMode.Append if base.nonEmpty => SchemaIds.merge(base.get.schema, df.schema)
+      case _                                 => annotatedDf
+    }
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = effectiveSpec, schemaJson = df.schema.json, meta = meta ++ statsMeta,
-      expectedBase = expectedBase)
+      partitionBy = effectiveSpec, schemaJson = currentSchema.json, meta = meta ++ statsMeta,
+      expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json))
   }
 
   /** DDL create: commit a schema (and optional partition spec) with no
@@ -393,6 +437,74 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
              meta: Map[String, String] = Map.empty): Snapshot = {
     require(latest.isEmpty, s"table already exists at $root")
     commit("create", Nil, carryForward = false, partitionBy, schema.json, meta)
+  }
+
+  // -- schema evolution (rename / drop / widen) ---------------------------
+  // Metadata-only commits: data dirs and their recorded write-time
+  // schemas are carried unchanged; only the snapshot's current schema
+  // moves. Reads align by field id (SchemaIds), so files written
+  // before a rename keep resolving to the renamed column — and time
+  // travel to a pre-rename version reads the old name, because every
+  // snapshot pins its own schema.
+
+  private def evolveSchema(op: String, f: StructType => StructType): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    // materialize ids for legacy snapshots (all dirs shared the
+    // current names until now, so a uniform annotation is faithful)
+    val annotated = SchemaIds.annotate(snap.schema, None)
+    val carried = snap.dirs.indices.map { i =>
+      if (snap.dirSchemaJsons.isEmpty) annotated.json else snap.dirSchemaJson(i)
+    }
+    commit(op, Nil, carryForward = true, snap.partitionBy, f(annotated).json,
+      expectedBase = Some(snap.version), carriedSchemasOverride = Some(carried))
+  }
+
+  /** Rename a column, keeping its field id: existing files resolve to
+    * the new name through the id. Unpartitioned tables only (the
+    * partitioned read path resolves files by name).
+    */
+  def renameColumn(oldName: String, newName: String): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    require(snap.partitionBy.isEmpty,
+      s"renameColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
+    evolveSchema("rename", { cur =>
+      require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $root")
+      require(!cur.fieldNames.contains(newName), s"column '$newName' already exists at $root")
+      StructType(cur.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    })
+  }
+
+  /** Drop a column (metadata-only; file bytes are reclaimed at the
+    * next compaction). The column must not source a partition
+    * transform.
+    */
+  def dropColumn(name: String): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val sources = snap.partitionBy.map(PartitionField.parse).map(_.source)
+    require(!sources.contains(name),
+      s"cannot drop '$name': it sources partition spec ${snap.partitionBy}")
+    evolveSchema("drop", { cur =>
+      require(cur.fieldNames.contains(name), s"no column '$name' at $root")
+      require(cur.fields.length > 1, s"cannot drop the last column of $root")
+      StructType(cur.fields.filterNot(_.name == name))
+    })
+  }
+
+  /** Widen a column's type (int→long, float→double, …). Only loss-free
+    * up-casts are allowed; existing files keep their narrow physical
+    * type and widen on read.
+    */
+  def widenColumn(name: String, newType: DataType): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    require(snap.partitionBy.isEmpty,
+      s"widenColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
+    evolveSchema("widen", { cur =>
+      require(cur.fieldNames.contains(name), s"no column '$name' at $root")
+      val from = cur(name).dataType
+      require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, newType),
+        s"cannot widen '$name' from $from to $newType (not a loss-free up-cast)")
+      StructType(cur.fields.map(f => if (f.name == name) f.copy(dataType = newType) else f))
+    })
   }
 
   /** Small-file compaction (the `rewrite_data_files` capability the
@@ -510,8 +622,11 @@ private object Manifest {
     val metaJson = s.meta.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val dirSchemasJson =
+      if (s.dirSchemaJsons.isEmpty) "" else s""""dirSchemas":${arr(s.dirSchemaJsons)},"""
     s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
       s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
+      dirSchemasJson +
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -542,7 +657,8 @@ private object Manifest {
       partitionBy = strs("partitionBy"),
       schemaJson = n.get("schemaJson").asText(),
       timestampMs = n.get("timestampMs").asLong(),
-      meta = meta))
+      meta = meta,
+      dirSchemaJsons = if (n.has("dirSchemas")) strs("dirSchemas") else Nil))
   }
 }
 
