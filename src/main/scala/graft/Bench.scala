@@ -42,7 +42,15 @@ object Bench {
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // median-of-N (default 3): single-run numbers on a shared box carry
+    // ±15% noise that dominates round-over-round comparisons; the
+    // median absorbs one bad run per query. Runs iterate run-major so
+    // cross-run cache state is uniform across queries.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timings = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
         try { force(fn(spark, sfDir)); true }
@@ -52,15 +60,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      // -1 keeps failures machine-detectable in the JSON line
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings.getOrElse(name, Nil)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // upper median: pessimistic on even counts
+    }
+    // -1 keeps queries that failed EVERY run machine-detectable
+    val results = names.map(n =>
+      n -> timings.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures (-1 markers) must not shrink the total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,7 +35,8 @@ final class Medallion(
     pipeline: String = "medallion",
     retries: Int = 3,
     retryBaseDelayMs: Long = 100,
-    referenceParity: Boolean = false) {
+    referenceParity: Boolean = false,
+    onFailure: (String, Throwable) => Unit = Medallion.logFailure) {
 
   private def withRetries[T](stage: String)(body: => T): T = {
     var attempt = 0
@@ -49,6 +50,15 @@ final class Medallion(
           System.err.println(s"[medallion] $stage attempt $attempt failed: ${e.getMessage}; retrying in ${delay}ms")
           Thread.sleep(delay)
           delay = math.min(delay * 2, 30 * 60 * 1000L) // 30 min cap, default_args.py:25
+        case scala.util.control.NonFatal(e) =>
+          // retries exhausted: fire the notification hook (the engine-
+          // side analog of the reference's on-failure mail callback,
+          // dags/utils/mailing/notifications_send_mail.py:41-49), then
+          // propagate. A throwing hook must not mask the stage error.
+          try onFailure(stage, e)
+          catch { case scala.util.control.NonFatal(h) =>
+            System.err.println(s"[medallion] onFailure hook threw: ${h.getMessage}") }
+          throw e
       }
     }
     sys.error(s"unreachable: $stage")
@@ -132,4 +142,13 @@ final class Medallion(
     transformSilver()
     loadGold(identityCols)
   }
+}
+
+object Medallion {
+  /** Default failure notification: stderr. Swap in mail/pager/webhook
+    * callbacks per deployment — the hook fires once per stage, after
+    * retries are exhausted, with the stage name and terminal cause.
+    */
+  val logFailure: (String, Throwable) => Unit = (stage, e) =>
+    System.err.println(s"[medallion] stage '$stage' FAILED after retries: ${e.getMessage}")
 }

@@ -19,20 +19,45 @@ import graft.lake.LakeTable
   * source cannot distinguish rewrite from append). Consume tables fed
   * by appends; rewritten tables need a fresh checkpoint, same as
   * re-reading any compacted upstream.
+  *
+  * Uncommitted-delivery window: files are staged under `data/<uuid>/`
+  * BEFORE the manifest commit publishes them, and the glob discovers
+  * them as soon as they exist. Against a live writer this is benign —
+  * the commit follows the staging write within the same call, and the
+  * sink's own commit claim serializes appends. The edge is a writer
+  * that DIES (or permanently loses the commit race) between staging
+  * and publish: its orphan dir's rows may already be delivered
+  * downstream even though they never became part of the table, and
+  * `removeOrphanFiles` will later delete the files (already-delivered
+  * rows are unaffected; an unprocessed orphan would simply vanish).
+  * Consumers needing committed-only delivery should read snapshots
+  * batchwise (`LakeTable.read` per version) instead; a manifest-driven
+  * streaming source (offsets = snapshot versions, the Delta/Iceberg
+  * shape) is the upgrade path if that window ever matters in practice.
   */
 object StreamingLakeSource {
 
   /** Stream of appended rows. The schema is pinned from the latest
-    * snapshot (file sources require one); hidden partition columns are
-    * not derived here — appends under transform specs store them in
-    * dir names the glob skips past, and the stream delivers the user
-    * schema.
+    * snapshot (file sources require one); `recursiveFileLookup` lists
+    * straight through any `_p_…=` partition level WITHOUT partition
+    * inference — inference over per-commit hive dirs would bolt an
+    * inferred partition column onto the pinned schema and fail the
+    * reader's partition-arity check. Hidden transform values live only
+    * in dir names and are not part of the user schema, so nothing is
+    * lost; IDENTITY-partitioned tables (column stored in dir names,
+    * absent from the files) are rejected rather than silently
+    * null-filled.
     */
   def appendsStream(table: LakeTable): DataFrame = {
     val snap = table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.root}"))
+    val identity = snap.partitionBy.map(graft.lake.PartitionField.parse).filterNot(_.hidden)
+    require(identity.isEmpty,
+      s"appendsStream cannot deliver identity partition columns ${identity.map(_.name)} " +
+        s"(values live in dir names, not files); use transform specs or batch reads")
     table.spark.readStream
       .schema(snap.schema)
+      .option("recursiveFileLookup", "true")
       .parquet(table.root.resolve("data").toString + "/*")
   }
 }

@@ -86,6 +86,29 @@ class MedallionSpec extends AnyFunSuite {
     assert(cat.read("bronze.medallion").count() === 5)
   }
 
+  test("onFailure hook fires once with stage + cause after retries exhaust") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("med-hook-").toString)
+    val st = new WatermarkStore(Files.createTempDirectory("med-hook-state-"))
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val m = new Medallion(spark, cat, st, retries = 2, retryBaseDelayMs = 1,
+      onFailure = (stage, e) => calls += (stage -> e.getMessage))
+    // a source that fails at evaluation: filter over a missing column
+    val bad = seed().drop("last_updated")
+    val thrown = intercept[Exception](m.extractBronze(bad, "last_updated"))
+    assert(calls.size === 1)
+    assert(calls.head._1 === "extract")
+    assert(calls.head._2 === thrown.getMessage) // terminal cause, verbatim
+    // transform on the empty catalog also notifies with ITS stage name
+    calls.clear()
+    intercept[Exception](m.transformSilver())
+    assert(calls.map(_._1).toSeq === Seq("transform"))
+    // a throwing hook never masks the stage error
+    val m2 = new Medallion(spark, cat, st, retries = 0, retryBaseDelayMs = 1,
+      onFailure = (_, _) => sys.error("hook boom"))
+    val e2 = intercept[Exception](m2.extractBronze(bad, "last_updated"))
+    assert(!e2.getMessage.contains("hook boom"))
+  }
+
   test("retry after lost watermark advance appends nothing twice") {
     val (m, cat, st) = freshPipeline()
     m.extractBronze(seed(), "last_updated")

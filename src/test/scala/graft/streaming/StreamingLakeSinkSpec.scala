@@ -95,6 +95,50 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(cat.read("silver.ev").select($"event_id").distinct().count() === bronzeN)
   }
 
+  test("partitioned sink table consumed via appendsStream: counts and user schema survive the hive nesting") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slpart-").toString)
+    val sinkCkpt = Files.createTempDirectory("slpart-c1-").toString
+    val srcCkpt = Files.createTempDirectory("slpart-c2-").toString
+    val out = Files.createTempDirectory("slpart-out-").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val dir = Files.createTempDirectory("slpart-src-")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    // feed a days(ts)-partitioned bronze table through the sink: files
+    // land nested under data/<uuid>/_p_ts_day=... — the source glob
+    // must list through the partition level and deliver user columns
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+    val q1 = StreamingLakeSink.appendStream(stream, cat, "bronze.pp", sinkCkpt,
+      partitionBy = Seq("days(ts)"))
+    q1.awaitTermination()
+    val t = cat.table("bronze.pp")
+    val expected = cat.read("bronze.pp").count()
+    assert(expected === spark.read.parquet(path).count())
+
+    def drain(): Unit = {
+      val q = StreamingLakeSource.appendsStream(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", srcCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val consumed = spark.read.parquet(out)
+    assert(consumed.count() === expected)
+    // user schema only: no derived partition columns leak through
+    assert(!consumed.columns.exists(_.startsWith("_p_")))
+    assert(consumed.columns.sorted === t.read(None).columns.sorted)
+    // a further partitioned append flows incrementally, not re-delivered
+    cat.write(t.read(None).limit(7), "bronze.pp", WriteMode.Append)
+    drain()
+    assert(spark.read.parquet(out).count() === expected + 7)
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
