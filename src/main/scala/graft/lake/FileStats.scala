@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.StructType
 private[lake] object FileStats {
   val MetaKey = "graft.stats"
 
-  /** Ordered comparison key: Left = numeric domain, Right = string. */
+  /** Ordered comparison key: Left = numeric domain, Right = string.
+    * NaN/Infinity have no BigDecimal form → None, which both encodes
+    * as "no stat" and compares as "unknown" — a NaN max (Spark sorts
+    * NaN largest) degrades that file to unprunable instead of crashing
+    * the write.
+    */
   private def toKey(v: Any): Option[Either[BigDecimal, String]] = v match {
     case null                  => None
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float  if f.isNaN || f.isInfinite => None
     case t: java.sql.Timestamp =>
       Some(Left(BigDecimal(t.getTime) * 1000 + BigDecimal((t.getNanos % 1000000) / 1000)))
     case d: java.sql.Date      => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
@@ -51,10 +58,31 @@ private[lake] object FileStats {
     else if (s.startsWith("n:")) Some(Left(BigDecimal(s.substring(2))))
     else Some(Right(s.substring(2)))
 
+  /** Spark computed the min/max in UTF-8 BINARY order; Java's String
+    * compareTo is UTF-16 code-unit order and the two disagree above
+    * the BMP (a supplementary-plane char is 4-byte UTF-8, sorting
+    * after every BMP char, but its UTF-16 surrogates start at 0xD800,
+    * sorting BEFORE U+E000..U+FFFF). Compare the same way the stats
+    * were made, or a file whose max is a supplementary-plane string
+    * gets wrongly pruned for high-BMP probes.
+    */
+  private def utf8Leq(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length <= b.length
+  }
+
   private def leq(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Option[Boolean] =
     (a, b) match {
       case (Left(x), Left(y))   => Some(x <= y)
-      case (Right(x), Right(y)) => Some(x <= y)
+      case (Right(x), Right(y)) => Some(utf8Leq(x, y))
       case _                    => None // mixed domains: unknown → keep
     }
 

@@ -282,7 +282,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
                            meta: Map[String, String] = Map.empty,
                            expectedBase: Option[Long] = None,
                            newDirSchemas: Seq[String] = Nil,
-                           carriedSchemasOverride: Option[Seq[String]] = None): Snapshot = {
+                           carriedSchemasOverride: Option[Seq[String]] = None,
+                           expectedBaseSchema: Option[Option[String]] = None): Snapshot = {
     Files.createDirectories(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -309,6 +310,15 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
           throw new java.util.ConcurrentModificationException(
             s"append spec $partitionBy no longer matches table spec ${b.partitionBy} at $root " +
               "(spec changed concurrently); retry the append")
+      }
+      // schema revalidation: an append's merged schema (and any fresh
+      // field ids) were derived from the base visible at plan time;
+      // publishing them over a concurrently changed schema would hide
+      // the concurrent change or mint colliding ids
+      expectedBaseSchema.foreach { expected =>
+        if (base.map(_.schemaJson) != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"table $root schema changed concurrently since the append was planned; retry the append")
       }
       val next = base.map(_.version).getOrElse(0L) + 1
       val claim = versionsDir.resolve(f"v$next%08d.claim")
@@ -418,15 +428,27 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
-    // never silently narrow the table) with ids stable across commits
-    val annotatedDf = SchemaIds.annotate(df.schema, base.map(_.schema))
+    // never silently narrow the table) with ids stable across commits.
+    // The id high-water mark travels in the manifest so a dropped
+    // column's id is NEVER reused (reuse would make align() resurrect
+    // the dropped bytes under the new name).
+    val idFloor = base.flatMap(_.meta.get(SchemaIds.LastIdKey)).map(_.toLong).getOrElse(0L)
+    val annotatedDf = SchemaIds.annotate(df.schema, base.map(_.schema), idFloor)
     val currentSchema = mode match {
-      case WriteMode.Append if base.nonEmpty => SchemaIds.merge(base.get.schema, df.schema)
+      case WriteMode.Append if base.nonEmpty => SchemaIds.merge(base.get.schema, df.schema, idFloor)
       case _                                 => annotatedDf
     }
+    val idMeta = Map(SchemaIds.LastIdKey ->
+      math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
-      partitionBy = effectiveSpec, schemaJson = currentSchema.json, meta = meta ++ statsMeta,
-      expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json))
+      partitionBy = effectiveSpec, schemaJson = currentSchema.json,
+      meta = meta ++ statsMeta ++ idMeta,
+      expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
+      // the merged schema above derives from THIS base read: a lost
+      // claim race against a schema-changing commit must fail (and be
+      // re-planned) instead of publishing a schema that hides the
+      // concurrent change
+      expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None)
   }
 
   /** DDL create: commit a schema (and optional partition spec) with no
@@ -449,14 +471,20 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
 
   private def evolveSchema(op: String, f: StructType => StructType): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val idFloor = snap.meta.get(SchemaIds.LastIdKey).map(_.toLong).getOrElse(0L)
     // materialize ids for legacy snapshots (all dirs shared the
     // current names until now, so a uniform annotation is faithful)
-    val annotated = SchemaIds.annotate(snap.schema, None)
+    val annotated = SchemaIds.annotate(snap.schema, None, idFloor)
     val carried = snap.dirs.indices.map { i =>
       if (snap.dirSchemaJsons.isEmpty) annotated.json else snap.dirSchemaJson(i)
     }
+    // the id high-water mark MUST survive a drop: it is what prevents
+    // the dropped column's id from being reissued by a later append
+    val idMeta = Map(SchemaIds.LastIdKey ->
+      math.max(idFloor, SchemaIds.maxId(annotated)).toString)
     commit(op, Nil, carryForward = true, snap.partitionBy, f(annotated).json,
-      expectedBase = Some(snap.version), carriedSchemasOverride = Some(carried))
+      meta = idMeta, expectedBase = Some(snap.version),
+      carriedSchemasOverride = Some(carried))
   }
 
   /** Rename a column, keeping its field id: existing files resolve to
@@ -551,8 +579,12 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       if (statsCols.nonEmpty && snap.partitionBy.isEmpty)
         Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsCols))
       else Map.empty[String, String]
+    // the field-id high-water mark survives compaction (commit meta is
+    // per-snapshot, and losing it would allow dropped-id reuse)
+    val idMeta = snap.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
-      meta = statsMeta, expectedBase = Some(snap.version))
+      meta = statsMeta ++ idMeta, expectedBase = Some(snap.version))
   }
 
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
@@ -601,7 +633,12 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     orphans.size
   }
 
-  private def deleteTree(p: Path): Unit = {
+  private def deleteTree(p: Path): Unit = LakeFs.deleteTree(p)
+}
+
+/** Shared recursive delete (table drops, expiry, orphan sweeps). */
+private[lake] object LakeFs {
+  def deleteTree(p: Path): Unit = {
     if (!Files.exists(p)) return
     val paths = Files.walk(p)
     try paths.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -160,13 +160,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (!Files.exists(p)) return
-    val paths = Files.walk(p)
-    try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally paths.close()
-  }
+  private def deleteTree(p: java.nio.file.Path): Unit = graft.lake.LakeFs.deleteTree(p)
 }
 
 /** Catalog-resolved handle to a lake table: identity + live metadata.

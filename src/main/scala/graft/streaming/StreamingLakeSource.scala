@@ -55,6 +55,14 @@ object StreamingLakeSource {
     require(identity.isEmpty,
       s"appendsStream cannot deliver identity partition columns ${identity.map(_.name)} " +
         s"(values live in dir names, not files); use transform specs or batch reads")
+    // the file source resolves columns BY NAME against the pinned
+    // current schema; dirs from an older schema generation (metadata-
+    // only rename/widen) would silently null-fill the renamed column
+    // instead of going through the field-id alignment batch reads use
+    require(snap.dirs.indices.forall(i => snap.dirSchemaJson(i) == snap.schemaJson),
+      s"appendsStream requires a single schema generation at ${table.root}: " +
+        "the table has dirs written under a pre-evolution schema; compact() it first " +
+        "(rewrites every file to the current schema) or consume snapshots batchwise")
     table.spark.readStream
       .schema(snap.schema)
       .option("recursiveFileLookup", "true")

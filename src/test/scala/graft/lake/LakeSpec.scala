@@ -449,6 +449,21 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(None).count() === 2005)
   }
 
+  test("file stats tolerate NaN/Infinity: no crash, NaN-stat files stay unprunable") {
+    import LakePredicate._
+    val cat = freshCat()
+    val df = spark.range(0, 100).select($"id",
+      when($"id" === 7, lit(Double.NaN))
+        .when($"id" === 8, lit(Double.PositiveInfinity))
+        .otherwise($"id".cast("double")).as("v"))
+    cat.write(df.repartition(4), "ns.nan", WriteMode.Overwrite)
+    cat.table("ns.nan").compact(4, sortBy = Seq("v")) // must not throw on NaN max
+    val t = cat.table("ns.nan")
+    assert(t.latest.get.meta.contains("graft.stats"))
+    val got = t.scan(Seq(GtEq("v", 90.0)))
+    assert(got.where(!isnan($"v") && $"v" =!= Double.PositiveInfinity).count() === 10)
+  }
+
   test("write(statsBy) collects stats without compaction") {
     import LakePredicate._
     val cat = freshCat()
@@ -468,6 +483,8 @@ class LakeSpec extends AnyFunSuite {
       meta = Map("watermark_ms" -> "12345", "note" -> "x\"y"))
     assert(snap.meta("watermark_ms") === "12345")
     val reread = cat.table("ns.t").latest.get
-    assert(reread.meta === Map("watermark_ms" -> "12345", "note" -> "x\"y"))
+    // engine-owned graft.* keys (field-id high-water mark) ride along
+    assert(reread.meta.filterNot(_._1.startsWith("graft.")) ===
+      Map("watermark_ms" -> "12345", "note" -> "x\"y"))
   }
 }

@@ -111,6 +111,35 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2))
   }
 
+  test("dropped field ids are never reused: a post-drop column reads null, not the dropped bytes") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("evo9-").toString)
+    cat.write(Seq((1L, "a", 1.5)).toDF("id", "s", "x"), "ns.idr", WriteMode.Overwrite)
+    val t = cat.table("ns.idr")
+    t.dropColumn("x") // x held the max field id
+    cat.write(Seq((2L, "b", 7.0)).toDF("id", "s", "y"), "ns.idr", WriteMode.Append)
+    val rows = t.read(None).orderBy($"id").collect()
+    assert(t.read(None).columns.toSeq === Seq("id", "s", "y"))
+    assert(rows(0).isNullAt(2), "old row must NOT resurrect dropped x under y")
+    assert(rows(1).getDouble(2) === 7.0)
+  }
+
+  test("append type conflicts: widen silently-compatible, reject lossy") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("evo10-").toString)
+    cat.write(Seq((1, "a")).toDF("n", "s"), "ns.tc", WriteMode.Overwrite) // n: int
+    val t = cat.table("ns.tc")
+    // wider append auto-widens the table type
+    cat.write(Seq((3000000000L, "b")).toDF("n", "s"), "ns.tc", WriteMode.Append)
+    assert(t.read(None).schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.read(None).agg(sum($"n")).head.getLong(0) === 3000000001L)
+    // narrower append reads back widened (table stays long)
+    cat.write(Seq((5, "c")).toDF("n", "s"), "ns.tc", WriteMode.Append)
+    assert(t.read(None).schema("n").dataType === org.apache.spark.sql.types.LongType)
+    // incompatible append fails loudly instead of null-casting on read
+    val err = intercept[IllegalArgumentException](
+      cat.write(Seq(("oops", "d")).toDF("n", "s"), "ns.tc", WriteMode.Append))
+    assert(err.getMessage.contains("incompatible"))
+  }
+
   test("registerView exposes lake snapshots to spark.sql") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("evo3-").toString)
     cat.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), "gold.metrics", WriteMode.Overwrite)
