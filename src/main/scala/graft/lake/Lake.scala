@@ -502,6 +502,19 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     })
   }
 
+  /** Add a nullable column (metadata-only): existing rows read as
+    * null. Works on partitioned tables too — every read path
+    * null-backfills columns absent from older files.
+    */
+  def addColumn(name: String, dataType: DataType): Snapshot =
+    evolveSchema("add-column", { cur =>
+      require(!cur.fieldNames.contains(name), s"column '$name' already exists at $root")
+      val floor = latest.flatMap(_.meta.get(SchemaIds.LastIdKey)).map(_.toLong).getOrElse(0L)
+      SchemaIds.annotate(
+        StructType(cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType)),
+        None, math.max(floor, SchemaIds.maxId(cur)))
+    })
+
   /** Drop a column (metadata-only; file bytes are reclaimed at the
     * next compaction). The column must not source a partition
     * transform.

@@ -82,9 +82,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(s"$catName.${identString(ident)}", t, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: use the LakeTable schema-evolution API")
+  /** `ALTER TABLE … ADD/RENAME/DROP/ALTER COLUMN` → the lake layer's
+    * metadata-only field-id evolution commits. Top-level columns only
+    * (lake schemas are flat).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = lakeTable(ident)
+    if (t.latest.isEmpty) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what on nested field ${fieldNames.mkString(".")} is not supported")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        t.dropColumn(topLevel(d.fieldNames(), "DROP COLUMN"))
+      case u: TableChange.UpdateColumnType =>
+        t.widenColumn(topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case a: TableChange.AddColumn =>
+        t.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val t = lakeTable(ident)

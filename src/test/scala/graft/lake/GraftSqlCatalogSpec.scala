@@ -151,6 +151,33 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getDouble(1)) === ((2L, 20.0)))
   }
 
+  test("ALTER TABLE: rename/add/drop/widen as SQL, metadata-only") {
+    val (c, cat) = freshCatalog()
+    cat.write(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("n", "s", "v"),
+      "ns.alt", WriteMode.Overwrite)
+    val t = cat.table("ns.alt")
+    val dirsBefore = t.latest.get.dirs
+
+    spark.sql(s"ALTER TABLE $c.ns.alt RENAME COLUMN v TO value")
+    assert(spark.sql(s"SELECT value FROM $c.ns.alt ORDER BY n").as[Double].collect().toSeq
+      === Seq(10.0, 20.0))
+
+    spark.sql(s"ALTER TABLE $c.ns.alt ADD COLUMN tag STRING")
+    val withTag = spark.sql(s"SELECT n, tag FROM $c.ns.alt ORDER BY n").collect()
+    assert(withTag.forall(_.isNullAt(1)))
+
+    spark.sql(s"ALTER TABLE $c.ns.alt ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(n) AS s FROM $c.ns.alt").head.getLong(0) === 3L)
+
+    spark.sql(s"ALTER TABLE $c.ns.alt DROP COLUMN s")
+    assert(spark.sql(s"SELECT * FROM $c.ns.alt").columns.toSeq === Seq("n", "value", "tag"))
+
+    // four DDLs, zero data rewrites
+    assert(t.latest.get.dirs === dirsBefore)
+    assert(t.history.map(_.op) ===
+      Seq("overwrite", "rename", "add-column", "widen", "drop"))
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)
