@@ -71,6 +71,7 @@ object SparkEntry {
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
+    "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
@@ -582,6 +583,12 @@ object SparkEntry {
 
     "s_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the committed stream must deliver every event exactly once:
+    // n = n_distinct = the batch per-type counts
+    "s_lake_commit_stream" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s_stream_join" ->

@@ -20,4 +20,13 @@ object GraftColumnBridge {
   def dataFrame(spark: SparkSession,
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** isStreaming-tagged frame over raw internal rows — what a v1
+    * streaming Source's getBatch must hand the micro-batch engine.
+    */
+  def streamingDataFrame(spark: SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

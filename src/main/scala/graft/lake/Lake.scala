@@ -120,6 +120,12 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     maxName.flatMap(n => Manifest.read(versionsDir.resolve(n)))
   }
 
+  /** Direct manifest lookup (no listing): the committed snapshot at
+    * `v`, or None if never committed / expired.
+    */
+  private[graft] def snapshotAt(v: Long): Option[Snapshot] =
+    if (v <= 0) None else Manifest.read(manifestPath(v))
+
   private def resolve(version: Option[Long]): Snapshot = version match {
     case Some(v) => Manifest.read(manifestPath(v))
       .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))

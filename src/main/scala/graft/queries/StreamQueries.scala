@@ -68,6 +68,33 @@ object StreamQueries {
       .orderBy($"user_id", $"purchase_id", $"click_id")
   }
 
+  /** Lake table consumed through the manifest-driven streaming source
+    * ([[graft.streaming.GraftLakeSource]]): events land in a lake
+    * table as two append commits, the committed stream drains them by
+    * snapshot-version offsets (AvailableNow), and the per-type counts
+    * must equal the batch aggregation the DuckDB oracle states —
+    * proving committed-exactly delivery end to end.
+    */
+  def lakeCommitStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{LakeCatalog, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-lake-").toString)
+    val events = Tables(spark, dir).events
+    cat.write(events.filter($"event_id" % 2 === 0), "bronze.ev", WriteMode.Overwrite)
+    cat.write(events.filter($"event_id" % 2 =!= 0), "bronze.ev", WriteMode.Append)
+    val out = LakeQueries.scratchDir("graft-lakestream-out-")
+    val q = graft.streaming.StreamingLakeSource.committedStream(cat.table("bronze.ev"))
+      .writeStream.format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.resolve("data").toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("n_distinct"))
+      .orderBy($"event_type")
+  }
+
   /** CSV write → read roundtrip with explicit schema (reference S7/S8). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -68,4 +68,16 @@ object StreamingLakeSource {
       .option("recursiveFileLookup", "true")
       .parquet(table.root.resolve("data").toString + "/*")
   }
+
+  /** Committed-only variant: the manifest-driven [[GraftLakeSource]]
+    * (offsets = snapshot versions). Staged-but-uncommitted dirs are
+    * never delivered, and each micro-batch is exactly one span of
+    * committed appends — prefer this over [[appendsStream]] unless
+    * the file-source's per-file checkpointing is specifically wanted.
+    */
+  def committedStream(table: LakeTable): DataFrame =
+    table.spark.readStream
+      .format(classOf[GraftLakeSourceProvider].getName)
+      .option("path", table.root.toString)
+      .load()
 }

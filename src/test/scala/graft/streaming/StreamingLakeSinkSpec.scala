@@ -139,6 +139,66 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === expected + 7)
   }
 
+  test("committed stream: manifest-driven micro-batches, uncommitted staged dirs never delivered") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slcom-").toString)
+    val ckpt = Files.createTempDirectory("slcom-ckpt-").toString
+    val out = Files.createTempDirectory("slcom-out-").toString
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.c", WriteMode.Overwrite)
+    val t = cat.table("ns.c")
+
+    // plant a STAGED-BUT-UNCOMMITTED dir (a writer that died before its
+    // manifest publish): raw-glob sources would deliver these rows
+    Seq((666L, "orphan")).toDF("id", "s").write
+      .parquet(t.root.resolve("data/dead-writer-staging").toString)
+
+    def drain(): Unit = {
+      val q = StreamingLakeSource.committedStream(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted === Array(1L, 2L))
+
+    // appends flow incrementally; the orphan stays undelivered forever
+    cat.write(Seq((3L, "c")).toDF("id", "s"), "ns.c", WriteMode.Append)
+    cat.write(Seq((4L, "d")).toDF("id", "s"), "ns.c", WriteMode.Append)
+    drain()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L, 4L))
+    // no new commits → empty batch, no re-delivery
+    drain()
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
+  test("committed stream delivers a partitioned table and survives restarts by version offset") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slcomp-").toString)
+    val ckpt = Files.createTempDirectory("slcomp-ckpt-").toString
+    val out = Files.createTempDirectory("slcomp-out-").toString
+    val df = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-02 10:00:00", 2L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    cat.write(df, "ns.p", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.p")
+    def drain(): Unit = {
+      val q = StreamingLakeSource.committedStream(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 2)
+    assert(!spark.read.parquet(out).columns.exists(_.startsWith("_p_")))
+    cat.write(df, "ns.p", WriteMode.Append)
+    drain() // restart recovers the version offset from the checkpoint
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
