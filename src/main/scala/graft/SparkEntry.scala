@@ -56,6 +56,8 @@ object SparkEntry {
     "t_token_stats"      -> (TextQueries.tokenStats _),
     "t_fingerprint"      -> (TextQueries.fingerprints _),
     "t_winnow_overlap"   -> (TextQueries.winnowOverlap _),
+    "t_hash_sample"      -> ((s: SparkSession, d: String) => TextQueries.hashSample(s, d)),
+    "t_token_budget"     -> ((s: SparkSession, d: String) => TextQueries.tokenBudget(s, d)),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
     "d_dedup_minhash"    -> (SimQueries.minhashLsh _),
@@ -358,6 +360,28 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // portable md5 bucket: first 8 hex chars parsed big-endian, mod 100
+    "t_hash_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (list_sum(list_transform(range(1, 9),
+        |  i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |       * CAST(power(16, 8 - i) AS BIGINT))) % 100) < 37
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_token_budget" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+        |       MAX(doc_id) AS last_doc_id
+        |FROM c WHERE cum <= 20000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_docs,

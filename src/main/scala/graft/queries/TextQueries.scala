@@ -108,6 +108,47 @@ object TextQueries {
       .orderBy($"lang", $"pred")
   }
 
+  /** Deterministic hash sampling — the reproducible downsampling every
+    * mixture build uses (seeded `sample()` is engine- and
+    * partitioning-dependent; a content hash is not): keep a document
+    * iff md5(doc_id) mod 100 < rate. Portable md5 arithmetic, so the
+    * DuckDB oracle reproduces the exact selection; at 100 TB this is a
+    * stateless narrow filter in the scan stage — no shuffle, no
+    * coordination, stable under retries and repartitioning.
+    */
+  def hashSample(spark: SparkSession, dir: String, ratePct: Int = 37): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables(spark, dir).documents
+      .where(bucket < ratePct)
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget mixture selection: per source, admit documents in
+    * doc_id order while the running token total stays within budget —
+    * the "fill each mixture component to N tokens" step of corpus
+    * assembly. One window cumsum per source partition; at 100 TB the
+    * shuffle is by source (bounded key space) and everything else is
+    * scan-stage.
+    */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(spark, dir).documents
+      .select($"source", $"doc_id", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .where($"cum_tokens" <= budget)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tokens_kept"),
+        max($"doc_id").as("last_doc_id"))
+      .orderBy($"source")
+  }
+
   /** Winnowing overlap detection: doc pairs sharing ≥ `minShared`
     * rolling-hash fingerprints (substring-level near-dup, robust to
     * word reordering outside the shared runs). Inverted-index join on
