@@ -90,6 +90,18 @@ private[lake] object FileStats {
     * blob for the manifest meta. Row count = file count of ONE commit
     * dir (index state bounded by `targetPartitions`, not data size).
     */
+  /** File key = path RELATIVE to the commit dir (plain file name for
+    * flat dirs, `_p_…=…/part-….parquet` under partition specs), cut
+    * at the unique `<uuid>/` commit-dir segment so URI scheme
+    * differences can't shift it.
+    */
+  def relativeKey(pathOrUri: String, commitDir: Path): String = {
+    val marker = "/" + commitDir.getFileName.toString + "/"
+    val i = pathOrUri.indexOf(marker)
+    if (i < 0) pathOrUri.substring(pathOrUri.lastIndexOf('/') + 1)
+    else pathOrUri.substring(i + marker.length)
+  }
+
   def collect(spark: SparkSession, dir: Path, cols: Seq[String]): String = {
     val df = spark.read.parquet(dir.toString)
     val present = cols.filter(df.columns.contains)
@@ -103,9 +115,7 @@ private[lake] object FileStats {
     present.foreach(colsNode.add)
     val filesNode = rootNode.putObject("files")
     rows.foreach { r =>
-      val uri = r.getString(0)
-      val fname = uri.substring(uri.lastIndexOf('/') + 1)
-      val fNode = filesNode.putArray(fname)
+      val fNode = filesNode.putArray(relativeKey(r.getString(0), dir))
       present.indices.foreach { i =>
         val pair = fNode.addArray()
         pair.add(encode(r.get(1 + 2 * i)))

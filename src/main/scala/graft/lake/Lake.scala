@@ -221,9 +221,16 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         fields.filterNot(pf => f.columns.contains(pf.name))
           .foldLeft(f)((df, pf) =>
             df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
+      // manifest file skipping composes with partition pruning: the
+      // keep-set filters FILES inside the (single-commit-dir) index
+      val statsKeep = for {
+        json <- snap.meta.get(FileStats.MetaKey)
+        if preds.nonEmpty && snap.dirs.size == 1
+        kept <- FileStats.surviving(json, preds, snap.schema)
+      } yield kept
       val frames =
         (if (partitioned.nonEmpty)
-          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema))
+          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema, statsKeep))
          else Nil) ++
         (if (bare.nonEmpty) Seq(nullFillMissing(reader.parquet(absPaths(bare): _*))) else Nil)
       frames.reduce(_ unionByName _)
@@ -425,10 +432,10 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     val dirName = s"data/${UUID.randomUUID().toString}"
     writeDataDir(df, dirName, effectiveSpec)
     // per-file min/max for the manifest (file skipping at scan time);
-    // partition-transformed dirs nest files under hive subdirs, where
-    // partition pruning is already the skipping mechanism
+    // under partition specs the keys are dir-relative paths and the
+    // skipping composes with partition pruning inside the file index
     val statsMeta =
-      if (statsBy.nonEmpty && effectiveSpec.isEmpty)
+      if (statsBy.nonEmpty)
         Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsBy))
       else Map.empty[String, String]
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
@@ -595,7 +602,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     // from the manifest (z-order bounds EVERY listed dimension, so all
     // zorderBy columns get useful ranges, not just a leading one)
     val statsMeta =
-      if (statsCols.nonEmpty && snap.partitionBy.isEmpty)
+      if (statsCols.nonEmpty)
         Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsCols))
       else Map.empty[String, String]
     // the field-id high-water mark survives compaction (commit meta is

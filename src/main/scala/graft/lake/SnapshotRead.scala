@@ -34,8 +34,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[lake] object SnapshotRead {
 
+  /** [[InMemoryFileIndex]] that additionally drops files outside a
+    * manifest-stats keep set ([[FileStats]]): file skipping composes
+    * with partition pruning inside the one scan relation, and skipped
+    * files never reach the parquet reader.
+    */
+  private final class StatsPrunedFileIndex(
+      spark: SparkSession,
+      roots: Seq[org.apache.hadoop.fs.Path],
+      schemaOpt: Option[StructType],
+      spec: org.apache.spark.sql.execution.datasources.PartitionSpec,
+      commitDir: Path,
+      keep: Set[String])
+    extends InMemoryFileIndex(spark, roots, Map.empty, schemaOpt,
+      userSpecifiedPartitionSpec = Some(spec)) {
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      super.listFiles(partitionFilters, dataFilters).map { pd =>
+        pd.copy(files = pd.files.filter(f =>
+          keep.contains(FileStats.relativeKey(f.getPath.toString, commitDir))))
+      }
+  }
+
   def partitionedFrame(spark: SparkSession, root: Path, dirs: Seq[String],
-                       fields: Seq[PartitionField], userSchema: StructType): DataFrame = {
+                       fields: Seq[PartitionField], userSchema: StructType,
+                       statsKeep: Option[Set[String]] = None): DataFrame = {
     val partCols = StructType(fields.map(f =>
       StructField(f.name, f.partitionType(userSchema), nullable = true)))
     val zone = spark.sessionState.conf.sessionLocalTimeZone
@@ -73,9 +98,17 @@ private[lake] object SnapshotRead {
       // match in listFiles)
       PartitionPath(row, fs.makeQualified(new HPath(p.toString)))
     }
-    val index = new InMemoryFileIndex(spark, parts.map(_.path), Map.empty,
-      Some(userSchema),
-      userSpecifiedPartitionSpec = Some(PartitionSpec(partCols, parts)))
+    val index = statsKeep match {
+      case Some(keep) =>
+        // stats pruning only applies to single-dir snapshots (see
+        // LakeTable.readRaw), so dirs.head IS the commit dir
+        new StatsPrunedFileIndex(spark, parts.map(_.path), Some(userSchema),
+          PartitionSpec(partCols, parts), root.resolve(dirs.head), keep)
+      case None =>
+        new InMemoryFileIndex(spark, parts.map(_.path), Map.empty,
+          Some(userSchema),
+          userSpecifiedPartitionSpec = Some(PartitionSpec(partCols, parts)))
+    }
     // data files hold the user schema minus identity partition columns
     // (partitionBy lifts those into the directory names)
     val identNames = fields.filterNot(_.hidden).map(_.name).toSet

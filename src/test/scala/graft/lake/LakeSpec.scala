@@ -464,6 +464,56 @@ class LakeSpec extends AnyFunSuite {
     assert(got.where(!isnan($"v") && $"v" =!= Double.PositiveInfinity).count() === 10)
   }
 
+  test("file stats compose with hidden partitioning: day-partitioned + z-ordered-within") {
+    import LakePredicate._
+    val cat = freshCat()
+    // 4 day-blocks × a full 16×16 (x, y) grid each: partition by day,
+    // z-order (x, y) within (both LONGS — a double dimension's
+    // exponent bits would dominate the Morton interleave)
+    val df = spark.range(0, 1024).select(
+      to_timestamp(concat(lit("2024-01-0"), ($"id" / 256 + 1).cast("long").cast("string"),
+        lit(" 10:00:00"))).as("ts"),
+      (($"id" % 256) / 16).cast("long").as("x"), ($"id" % 16).as("y"))
+    cat.write(df.repartition(8), "ns.pz", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    cat.table("ns.pz").compactZOrder(8, Seq("x", "y"))
+    val t = cat.table("ns.pz")
+    assert(t.latest.get.meta.contains("graft.stats"))
+    // listFiles-level pruning is invisible to DataFrame.inputFiles
+    // (it reads the unfiltered index) — read the scan's numFiles metric
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    val all = t.read(None)
+    val totalFiles = scannedFiles(all)
+    // partition pruning alone (one day)
+    val oneDay = t.scan(Seq(
+      GtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      LtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 23:59:59"))))
+    val oneDayFiles = scannedFiles(oneDay)
+    assert(oneDayFiles < totalFiles)
+    // file stats alone (x-range across all days)
+    val xRange = t.scan(Seq(GtEq("x", 0L), LtEq("x", 3L)))
+    val xRangeFiles = scannedFiles(xRange)
+    assert(xRangeFiles < totalFiles, s"stats should skip files: $xRangeFiles/$totalFiles")
+    // composed: both prune, results exact
+    val both = t.scan(Seq(
+      GtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      LtEq("ts", java.sql.Timestamp.valueOf("2024-01-02 23:59:59")),
+      GtEq("x", 0L), LtEq("x", 3L)))
+    assert(scannedFiles(both) <= math.min(oneDayFiles, xRangeFiles))
+    val want = all.where($"ts" >= "2024-01-02 00:00:00" && $"ts" <= "2024-01-02 23:59:59"
+      && $"x" >= 0 && $"x" <= 3).orderBy($"x", $"y").collect().toSeq
+    assert(both.orderBy($"x", $"y").collect().toSeq === want)
+    assert(want.nonEmpty)
+  }
+
   test("write(statsBy) collects stats without compaction") {
     import LakePredicate._
     val cat = freshCat()
