@@ -178,6 +178,34 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       Seq("overwrite", "rename", "add-column", "widen", "drop"))
   }
 
+  test("racing SQL UPDATEs: no lost updates — losers fail with ConcurrentModification") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.race", WriteMode.Overwrite)
+    val results = (1 to 4).map { i =>
+      new Thread(null, null, s"race-$i", 0) {
+        var outcome: Either[Throwable, Unit] = Left(new IllegalStateException("not run"))
+        override def run(): Unit =
+          outcome =
+            try Right { spark.sql(s"UPDATE $c.ns.race SET v = v + $i WHERE id = 1"); () }
+            catch { case e: Throwable => Left(e) }
+      }
+    }
+    results.foreach(_.start()); results.foreach(_.join())
+    val (failed, succeeded) = results.partition(_.outcome.isLeft)
+    assert(succeeded.nonEmpty, "at least one racer must commit")
+    // every failure is the read-modify-write conflict, not corruption
+    failed.foreach { t =>
+      val e = t.outcome.left.toOption.get
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => s"${x.getClass.getName}: ${x.getMessage}").mkString(" | ")
+      assert(msgs.contains("ConcurrentModification"), msgs)
+    }
+    // the surviving value reflects EXACTLY the successful updates
+    val v = spark.sql(s"SELECT v FROM $c.ns.race WHERE id = 1").head.getDouble(0)
+    val applied = succeeded.map(_.getName.stripPrefix("race-").toInt)
+    assert(v === 10.0 + applied.sum, s"v=$v after updates $applied")
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)
