@@ -74,7 +74,15 @@ object Bench {
     // failures (-1 markers) must not shrink the total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // the captured stdout tail is bounded and has truncated per-query
+    // numbers before (BENCH_r03 lost its head) — the file is the
+    // complete, authoritative record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

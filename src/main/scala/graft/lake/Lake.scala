@@ -126,6 +126,22 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
   private[graft] def snapshotAt(v: Long): Option[Snapshot] =
     if (v <= 0) None else Manifest.read(manifestPath(v))
 
+  /** Timestamp time travel resolution: the greatest version committed
+    * at or before `tsMs` (Iceberg's `FOR TIMESTAMP AS OF` contract).
+    * Commit timestamps are strictly monotonic (enforced in [[commit]]),
+    * so the scan over the version-ordered history is exact.
+    */
+  def versionAt(tsMs: Long): Option[Long] =
+    history.takeWhile(_.timestampMs <= tsMs).lastOption.map(_.version)
+
+  /** Read the table as of a wall-clock time. Fails when `tsMs` predates
+    * the first (surviving) commit — same behavior as Iceberg when the
+    * snapshot log has no entry at-or-before the requested time.
+    */
+  def readAsOf(tsMs: Long): DataFrame =
+    read(Some(versionAt(tsMs).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot of $root at or before timestamp $tsMs (first commit is later, or expired)"))))
+
   private def resolve(version: Option[Long]): Snapshot = version match {
     case Some(v) => Manifest.read(manifestPath(v))
       .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))
@@ -354,8 +370,15 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         // store Nil when uniform — keeps pre-evolution manifests small
         val dirSchemas =
           if (dirSchemas0.forall(_ == schemaJson)) Nil else dirSchemas0.toSeq
+        // strictly monotonic commit timestamps: two commits inside one
+        // millisecond would otherwise be indistinguishable to
+        // timestamp time travel (`FOR TIMESTAMP AS OF` resolves the
+        // greatest version at-or-before a time — Iceberg's contract
+        // assumes snapshot-log timestamps are ordered)
+        val ts = math.max(System.currentTimeMillis(),
+          base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          System.currentTimeMillis(), meta, dirSchemas)
+          ts, meta, dirSchemas)
         val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
         Files.writeString(tmp, Manifest.toJson(snap))
         // publish with an atomic NO-REPLACE primitive: a rename would
@@ -624,7 +647,25 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     require(retainLast >= 1, "must retain at least the latest snapshot")
     val all = history
     if (all.size <= retainLast) return (0, 0)
-    val (expired, retained) = all.splitAt(all.size - retainLast)
+    expireImpl(all, all.dropRight(retainLast))
+  }
+
+  /** Time-based expiry (Iceberg's `expire_snapshots(older_than => ts)`):
+    * drop snapshots committed strictly before `olderThanMs`, always
+    * retaining the latest one — a quiet table must stay readable no
+    * matter how old its last commit is. Monotonic commit timestamps
+    * make the expired set a prefix of the history, so time travel to
+    * any surviving version keeps working.
+    */
+  def expireSnapshotsOlderThan(olderThanMs: Long): (Int, Int) = {
+    val all = history
+    expireImpl(all, all.dropRight(1).filter(_.timestampMs < olderThanMs))
+  }
+
+  private def expireImpl(all: Seq[Snapshot], expired: Seq[Snapshot]): (Int, Int) = {
+    if (expired.isEmpty) return (0, 0)
+    val gone = expired.map(_.version).toSet
+    val retained = all.filterNot(s => gone.contains(s.version))
     val live = retained.flatMap(_.dirs).toSet
     // delete manifests first: a concurrent reader that resolved an
     // expired version may still finish if its dirs are shared with a

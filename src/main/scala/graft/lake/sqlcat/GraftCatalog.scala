@@ -72,6 +72,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(s"$catName.${identString(ident)}@v$v", t, Some(v))
   }
 
+  /** `FOR TIMESTAMP AS OF ts` time travel. DSv2 hands the travel time
+    * as MICROseconds since epoch; manifests stamp milliseconds.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = lakeTable(ident)
+    val ms = Math.floorDiv(timestamp, 1000L)
+    val v = t.versionAt(ms).getOrElse(throw new NoSuchTableException(ident))
+    new GraftSparkTable(s"$catName.${identString(ident)}@t$ms", t, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -104,16 +104,24 @@ object LakeQueries {
       .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
   }
 
-  /** Time travel: overwrite twice, read @v1 — old snapshots stay
-    * readable because data dirs are immutable.
+  /** Time travel: overwrite twice, read back the FIRST snapshot both
+    * ways — by version and by wall-clock timestamp (`FOR TIMESTAMP AS
+    * OF` semantics: greatest version at-or-before the time; commit
+    * timestamps are strictly monotonic so the resolution is exact).
+    * Old snapshots stay readable because data dirs are immutable.
     */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cat = freshCatalog(spark)
     val customer = Tables(spark, dir).customer
-    cat.write(customer, "bronze.customer", WriteMode.Overwrite)                    // v1
+    val v1 = cat.write(customer, "bronze.customer", WriteMode.Overwrite)                    // v1
     cat.write(customer.filter($"c_nationkey" < 10), "bronze.customer", WriteMode.Overwrite) // v2
-    cat.read("bronze.customer", version = Some(1L)).orderBy($"c_custkey")
+    val t = cat.table("bronze.customer")
+    // both resolution paths must agree before the timestamp read is
+    // returned as the query result
+    require(t.versionAt(v1.timestampMs).contains(1L),
+      s"timestamp travel resolved ${t.versionAt(v1.timestampMs)}, expected v1")
+    t.readAsOf(v1.timestampMs).orderBy($"c_custkey")
   }
 
   /** Table maintenance end-to-end (the Iceberg-extensions procedures

@@ -50,6 +50,20 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tt").head.getDouble(0) === 600.0)
   }
 
+  test("FOR TIMESTAMP AS OF time-travels through SQL") {
+    val (c, cat) = freshCatalog()
+    val v1 = cat.write(sample(), "ns.tst", WriteMode.Overwrite)
+    cat.write(sample().withColumn("v", $"v" * 10), "ns.tst", WriteMode.Overwrite)
+    // travel time as an expression (millis → catalog receives micros)
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM $c.ns.tst TIMESTAMP AS OF timestamp_millis(${v1.timestampMs})")
+      .head.getDouble(0) === 60.0)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tst").head.getDouble(0) === 600.0)
+    // a time before the first commit resolves no snapshot
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM $c.ns.tst TIMESTAMP AS OF timestamp_millis(${v1.timestampMs - 1})").collect())
+  }
+
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.w", WriteMode.Overwrite)

@@ -165,6 +165,38 @@ class LakeSpec extends AnyFunSuite {
     assert(t.expireSnapshots(retainLast = 2) === ((0, 0)))
   }
 
+  test("timestamp time travel: versionAt/readAsOf resolve the greatest version at-or-before") {
+    val cat = freshCat()
+    val v1 = cat.write(sample(), "ns.ts", WriteMode.Overwrite)
+    val v2 = cat.write(sample().withColumn("v", $"v" * 10), "ns.ts", WriteMode.Overwrite)
+    val t = cat.table("ns.ts")
+    assert(v2.timestampMs > v1.timestampMs) // strictly monotonic even within one ms
+    assert(t.versionAt(v1.timestampMs - 1) === None)
+    assert(t.versionAt(v1.timestampMs) === Some(1L))
+    assert(t.versionAt(v2.timestampMs - 1) === Some(1L))
+    assert(t.versionAt(v2.timestampMs + 1000) === Some(2L))
+    assert(t.readAsOf(v1.timestampMs).agg(sum($"v")).head.getDouble(0) === 60.0)
+    assert(t.readAsOf(v2.timestampMs).agg(sum($"v")).head.getDouble(0) === 600.0)
+    intercept[IllegalArgumentException](t.readAsOf(v1.timestampMs - 1))
+  }
+
+  test("expireSnapshotsOlderThan drops the time-expired prefix; latest always survives") {
+    val cat = freshCat()
+    val v1 = cat.write(sample(), "ns.et", WriteMode.Overwrite)
+    val v2 = cat.write(sample(), "ns.et", WriteMode.Append)
+    val v3 = cat.write(sample().filter($"id" === 1), "ns.et", WriteMode.Overwrite)
+    val t = cat.table("ns.et")
+    // cutoff between v2 and v3: v1+v2 expire, their dirs are dead
+    val (manifests, dirs) = t.expireSnapshotsOlderThan(v3.timestampMs)
+    assert(manifests === 2 && dirs === 2)
+    assert(t.history.map(_.version) === Seq(3L))
+    assert(cat.read("ns.et").count() === 1)
+    // a cutoff far in the future still retains the latest snapshot
+    assert(t.expireSnapshotsOlderThan(v3.timestampMs + 1000000) === ((0, 0)))
+    assert(cat.read("ns.et").count() === 1)
+    assert(v1.timestampMs < v2.timestampMs && v2.timestampMs < v3.timestampMs)
+  }
+
   test("removeOrphanFiles deletes stale unreferenced dirs only") {
     val cat = freshCat()
     cat.write(sample(), "ns.o", WriteMode.Overwrite)
