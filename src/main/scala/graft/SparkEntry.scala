@@ -43,6 +43,7 @@ object SparkEntry {
     "lake_snapshot_append"  -> (LakeQueries.snapshotAppend _),
     "lake_time_travel"      -> (LakeQueries.timeTravel _),
     "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
+    "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
@@ -211,6 +212,17 @@ object SparkEntry {
       "SELECT * FROM customer ORDER BY c_custkey",
 
     "lake_merge_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_nationkey < 5 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'NEW A', CAST(0 AS INT), 100.0, 'BUILDING'
+        |UNION ALL SELECT CAST(-2 AS BIGINT), 'NEW B', CAST(1 AS INT), 200.0, 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // identical semantics to lake_merge_upsert — merge-on-read is a
+    // physical strategy, not a semantic one
+    "lake_merge_mor" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_nationkey < 5 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment

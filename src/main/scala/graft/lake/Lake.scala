@@ -55,7 +55,13 @@ final case class Snapshot(
     // means every dir was written under `schemaJson` (pre-evolution
     // manifests). Lets rename/drop/widen be METADATA-ONLY commits:
     // files keep their written column names, reads align by field id.
-    dirSchemaJsons: Seq[String] = Nil) {
+    dirSchemaJsons: Seq[String] = Nil,
+    // merge-on-read positional delete dirs (Iceberg v2 semantics):
+    // each holds parquet files of (_file, _pos) rows naming deleted
+    // positions in the data dirs; scans anti-join them out. Appends
+    // carry them forward; overwrite/compact clear them (a rewrite
+    // folds deletes into the data).
+    deleteDirs: Seq[String] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def dirSchemaJson(i: Int): String =
     if (dirSchemaJsons.isEmpty) schemaJson else dirSchemaJsons(i)
@@ -181,16 +187,29 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * grouping costs one first-level directory listing per commit dir,
     * not a recursive file listing.
     */
-  private def readRaw(snap: Snapshot, preds: Seq[LakePredicate] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+  private def readRaw(snap: Snapshot, preds: Seq[LakePredicate] = Nil,
+                      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // merge-on-read: live delete files force position columns through
+    // every leaf relation so the anti-join upstairs has coordinates
+    val needPos = withPos || snap.deleteDirs.nonEmpty
+    val posNames = if (needPos) Seq(LakePos.FileCol, LakePos.PosCol) else Nil
+    def attachPos(df: DataFrame): DataFrame =
+      if (!needPos) df
+      else df.withColumn(LakePos.FileCol, col("_metadata.file_path"))
+        .withColumn(LakePos.PosCol, col("_metadata.row_index"))
     val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
     def absPaths(dirs: Seq[String]) = dirs.map(d => root.resolve(d).toString)
     def emptyFrame(): DataFrame = {
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
-      fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
+      val withParts = fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
         df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
+      if (!needPos) withParts
+      else withParts
+        .withColumn(LakePos.FileCol, lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn(LakePos.PosCol, lit(null).cast(org.apache.spark.sql.types.LongType))
     }
     // a freshly-created (DDL) table has a schema but no data dirs
     if (snap.dirs.isEmpty) return emptyFrame()
@@ -205,7 +224,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       val cur = snap.schema
       def alignedRead(physJson: String, paths: Seq[String]): DataFrame = {
         val phys = DataType.fromJson(physJson).asInstanceOf[StructType]
-        SchemaIds.align(spark.read.schema(phys).parquet(paths: _*), phys, cur)
+        SchemaIds.align(attachPos(spark.read.schema(phys).parquet(paths: _*)),
+          phys, cur, posNames)
       }
       val pruned = for {
         json <- snap.meta.get(FileStats.MetaKey)
@@ -246,9 +266,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       } yield kept
       val frames =
         (if (partitioned.nonEmpty)
-          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema, statsKeep))
+          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema,
+            statsKeep, withPos = needPos))
          else Nil) ++
-        (if (bare.nonEmpty) Seq(nullFillMissing(reader.parquet(absPaths(bare): _*))) else Nil)
+        (if (bare.nonEmpty)
+          Seq(nullFillMissing(attachPos(reader.parquet(absPaths(bare): _*)))) else Nil)
       frames.reduce(_ unionByName _)
     }
   }
@@ -260,6 +282,25 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     */
   def read(version: Option[Long] = None): DataFrame = scan(Nil, version)
 
+  /** Snapshot read that keeps the merge-on-read position columns
+    * ([[LakePos.FileCol]], [[LakePos.PosCol]]) — the coordinates DML
+    * needs to write positional delete files. Existing deletes are
+    * already applied, so positions of dead rows never resurface.
+    */
+  private[lake] def readWithPos(version: Option[Long] = None): DataFrame =
+    scanImpl(Nil, version, keepPos = true)
+
+  /** Hadoop-qualified root with a trailing slash — the prefix under
+    * which `_metadata.file_path` reports this table's data files.
+    * Delete files store paths relative to it (relocatable manifests).
+    */
+  private[lake] lazy val qualifiedRootPrefix: String = {
+    val hp = new org.apache.hadoop.fs.Path(root.toUri)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = fs.makeQualified(hp).toString
+    if (q.endsWith("/")) q else q + "/"
+  }
+
   /** Predicate-pushing scan (Iceberg-style hidden-partition pruning):
     * each predicate filters the DATA column (exact semantics) AND,
     * when the snapshot's partition transforms admit a projection,
@@ -268,7 +309,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * partition column. Returns the user schema (hidden columns
     * dropped after filtering).
     */
-  def scan(preds: Seq[LakePredicate], version: Option[Long] = None): DataFrame = {
+  def scan(preds: Seq[LakePredicate], version: Option[Long] = None): DataFrame =
+    scanImpl(preds, version, keepPos = false)
+
+  private def scanImpl(preds: Seq[LakePredicate], version: Option[Long],
+                       keepPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = resolve(version)
     val fields = snap.partitionBy.map(PartitionField.parse)
@@ -290,8 +335,15 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       f <- fields if f.source == p.col
       proj <- f.project(p, schema(p.col).dataType)
     } yield proj || col(f.name).isNull
-    val filtered = (raw ++ projected).foldLeft(readRaw(snap, preds))(_ where _)
-    fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
+    // merge-on-read deletes apply BEFORE user filters semantically,
+    // but anti-join and row filters commute, so the filters stay
+    // pushable into the scan
+    val base = DeleteFiles.applyTo(readRaw(snap, preds, withPos = keepPos),
+      this, snap.deleteDirs)
+    val filtered = (raw ++ projected).foldLeft(base)(_ where _)
+    val noHidden = fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
+    if (keepPos) noHidden
+    else Seq(LakePos.FileCol, LakePos.PosCol).foldLeft(noHidden)(_ drop _)
   }
 
   /** Optimistic commit: claim the next version with an atomic exclusive
@@ -312,7 +364,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
                            expectedBase: Option[Long] = None,
                            newDirSchemas: Seq[String] = Nil,
                            carriedSchemasOverride: Option[Seq[String]] = None,
-                           expectedBaseSchema: Option[Option[String]] = None): Snapshot = {
+                           expectedBaseSchema: Option[Option[String]] = None,
+                           newDeleteDirs: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -370,6 +423,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         // store Nil when uniform — keeps pre-evolution manifests small
         val dirSchemas =
           if (dirSchemas0.forall(_ == schemaJson)) Nil else dirSchemas0.toSeq
+        // positional delete dirs ride the same carry rule as data
+        // dirs: appends/DML keep them, overwrite/compact drop them
+        // (the rewrite they describe no longer exists)
+        val deleteDirs =
+          (if (carryForward) base.map(_.deleteDirs).getOrElse(Nil) else Nil) ++ newDeleteDirs
         // strictly monotonic commit timestamps: two commits inside one
         // millisecond would otherwise be indistinguishable to
         // timestamp time travel (`FOR TIMESTAMP AS OF` resolves the
@@ -378,7 +436,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         val ts = math.max(System.currentTimeMillis(),
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          ts, meta, dirSchemas)
+          ts, meta, dirSchemas, deleteDirs)
         val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
         Files.writeString(tmp, Manifest.toJson(snap))
         // publish with an atomic NO-REPLACE primitive: a rename would
@@ -485,6 +543,41 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       // re-planned) instead of publishing a schema that hides the
       // concurrent change
       expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None)
+  }
+
+  /** Merge-on-read DML commit: stage one positional-delete dir (and
+    * optionally one new data dir for updated/inserted rows), then
+    * commit both carrying every existing dir forward untouched — the
+    * Iceberg v2 row-level-delete shape where a 1-row MERGE writes a
+    * tiny delete file instead of rewriting gigabytes.
+    *
+    * The delete rows frame must already be in [[DeleteFiles.schema]]
+    * (root-relative `_file`, `_pos`). New data is coerced to the
+    * snapshot's current schema: MOR can never change the table schema,
+    * because the untouched files keep their bytes.
+    */
+  private[lake] def commitMor(op: String, stagedDeletes: Path,
+                              newData: Option[DataFrame], base: Snapshot): Snapshot = {
+    val delDir = s"deletes/${UUID.randomUUID().toString}"
+    Files.createDirectories(root.resolve("deletes"))
+    // the staged dir was written under a dot-name the orphan sweep can
+    // reclaim if this commit dies; publishing is a local move
+    Files.move(stagedDeletes, root.resolve(delDir))
+    val newDirs = newData.map { df =>
+      import org.apache.spark.sql.functions.col
+      val coerced = df.select(base.schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val dirName = s"data/${UUID.randomUUID().toString}"
+      writeDataDir(coerced, dirName, base.partitionBy)
+      dirName
+    }.toSeq
+    // the field-id high-water mark survives (commit meta is per-snapshot)
+    val idMeta = base.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    commit(op, newDirs, carryForward = true, base.partitionBy, base.schemaJson,
+      meta = idMeta, expectedBase = Some(base.version),
+      newDirSchemas = newDirs.map(_ => base.schemaJson),
+      newDeleteDirs = Seq(delDir))
   }
 
   /** DDL create: commit a schema (and optional partition spec) with no
@@ -666,12 +759,12 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     if (expired.isEmpty) return (0, 0)
     val gone = expired.map(_.version).toSet
     val retained = all.filterNot(s => gone.contains(s.version))
-    val live = retained.flatMap(_.dirs).toSet
+    val live = retained.flatMap(s => s.dirs ++ s.deleteDirs).toSet
     // delete manifests first: a concurrent reader that resolved an
     // expired version may still finish if its dirs are shared with a
     // retained snapshot; dirs go second and only when unreferenced
     expired.foreach(s => Files.deleteIfExists(manifestPath(s.version)))
-    val deadDirs = expired.flatMap(_.dirs).distinct.filterNot(live)
+    val deadDirs = expired.flatMap(s => s.dirs ++ s.deleteDirs).distinct.filterNot(live)
     deadDirs.foreach(d => deleteTree(root.resolve(d)))
     (expired.size, deadDirs.size)
   }
@@ -683,21 +776,29 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * staged before its manifest exists). Returns dirs removed.
     */
   def removeOrphanFiles(graceMs: Long = 60 * 60 * 1000L): Int = {
-    val dataRoot = root.resolve("data")
-    if (!Files.isDirectory(dataRoot)) return 0
-    val live = history.flatMap(_.dirs).map(d => root.resolve(d).normalize).toSet
+    val live = history.flatMap(s => s.dirs ++ s.deleteDirs)
+      .map(d => root.resolve(d).normalize).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val stream = Files.list(dataRoot)
-    val orphans =
-      try stream.iterator().asScala
-        .filter(p => !live.contains(p.normalize))
-        .filter(p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoff
-          catch { case _: java.nio.file.NoSuchFileException => false })
-        .toList
-      finally stream.close()
-    orphans.foreach(deleteTree)
-    orphans.size
+    // both staging roots: data commits land under data/, positional
+    // delete files under deletes/ — a writer dying mid-DML can orphan
+    // either kind
+    Seq("data", "deletes").map { sub =>
+      val subRoot = root.resolve(sub)
+      if (!Files.isDirectory(subRoot)) 0
+      else {
+        val stream = Files.list(subRoot)
+        val orphans =
+          try stream.iterator().asScala
+            .filter(p => !live.contains(p.normalize))
+            .filter(p =>
+              try Files.getLastModifiedTime(p).toMillis < cutoff
+              catch { case _: java.nio.file.NoSuchFileException => false })
+            .toList
+          finally stream.close()
+        orphans.foreach(deleteTree)
+        orphans.size
+      }
+    }.sum
   }
 
   private def deleteTree(p: Path): Unit = LakeFs.deleteTree(p)
@@ -728,9 +829,11 @@ private object Manifest {
       .mkString("{", ",", "}")
     val dirSchemasJson =
       if (s.dirSchemaJsons.isEmpty) "" else s""""dirSchemas":${arr(s.dirSchemaJsons)},"""
+    val deleteDirsJson =
+      if (s.deleteDirs.isEmpty) "" else s""""deleteDirs":${arr(s.deleteDirs)},"""
     s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
       s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
-      dirSchemasJson +
+      dirSchemasJson + deleteDirsJson +
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -762,7 +865,8 @@ private object Manifest {
       schemaJson = n.get("schemaJson").asText(),
       timestampMs = n.get("timestampMs").asLong(),
       meta = meta,
-      dirSchemaJsons = if (n.has("dirSchemas")) strs("dirSchemas") else Nil))
+      dirSchemaJsons = if (n.has("dirSchemas")) strs("dirSchemas") else Nil,
+      deleteDirs = if (n.has("deleteDirs")) strs("deleteDirs") else Nil))
   }
 }
 

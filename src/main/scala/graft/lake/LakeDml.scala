@@ -1,32 +1,120 @@
 package graft.lake
 
+import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+/** How a row-level DML statement materializes its result. */
+sealed trait DmlStrategy
+object DmlStrategy {
+  /** Measure the touched-file footprint and pick: merge-on-read when
+    * the statement touches a small fraction of the table's files,
+    * copy-on-write when it rewrites most of them anyway (a delete
+    * file covering every data file adds read cost for no write
+    * savings). Threshold: `graft.lake.morMaxTouchedFileRatio`
+    * (default 0.5).
+    */
+  case object Auto extends DmlStrategy
+  /** Always rewrite touched snapshots whole (Iceberg v1 shape). */
+  case object CopyOnWrite extends DmlStrategy
+  /** Always write positional delete files (Iceberg v2 shape). */
+  case object MergeOnRead extends DmlStrategy
+}
 
 /** Row-level DML over lake tables — the MERGE INTO / UPDATE / DELETE
   * surface the reference enables through
   * `IcebergSparkSessionExtensions` but never exercises
   * (/root/reference/dags/utils/constants/constant.py:48; SURVEY.md §4).
   *
-  * Implemented as declarative read-transform-overwrite snapshots: each
-  * statement is a single Spark plan (filter / conditional projection /
-  * outer join) followed by one atomic snapshot commit, so Catalyst
-  * plans the heavy lifting and the commit inherits the lake layer's
-  * snapshot isolation. Copy-on-write semantics — the same strategy
-  * Iceberg's Spark writer defaults to.
+  * Two materializations, selected per statement ([[DmlStrategy]]):
+  *
+  *  - **Copy-on-write**: one declarative read-transform-overwrite plan
+  *    (filter / conditional projection / outer join) + one atomic
+  *    snapshot commit. Simple reads, expensive writes.
+  *  - **Merge-on-read** (Iceberg v2): matched rows become positional
+  *    delete files; updated/inserted rows land in one small appended
+  *    dir; every untouched file is carried forward byte-identical.
+  *    At 100 TB this is the difference between a 1-row MERGE writing
+  *    kilobytes and rewriting terabytes. Scans anti-join the delete
+  *    files until the next [[LakeTable.compact]] folds them away.
+  *
+  * Both shapes are single Spark plans ending in one optimistic commit,
+  * so Catalyst plans the heavy lifting and the commit inherits the
+  * lake layer's snapshot isolation (`expectedBase` fails a statement
+  * that raced a concurrent commit rather than losing it).
   */
 object LakeDml {
+
+  private def morMaxTouchedRatio: Double =
+    sys.props.getOrElse("graft.lake.morMaxTouchedFileRatio", "0.5").toDouble
+
+  /** Data files in the snapshot, counted from the local listing. (With
+    * manifest-level file lists this becomes pure metadata; the dir
+    * walk is the local-FS stand-in.)
+    */
+  private def dataFileCount(table: LakeTable, snap: Snapshot): Long = {
+    import scala.jdk.CollectionConverters._
+    snap.dirs.map { d =>
+      val p = table.root.resolve(d)
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val stream = Files.walk(p)
+        try stream.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+        finally stream.close()
+      }
+    }.sum
+  }
+
+  /** Stage the positional-delete rows for `matched`, then decide the
+    * strategy from their actual footprint: the staged parquet is tiny,
+    * so re-reading it for (row count, distinct file count) costs
+    * nothing next to the scan that produced it. Returns the staged dir
+    * (to be published by [[LakeTable.commitMor]]) when merge-on-read
+    * won, plus the matched-row count; on COW (or no match) the staged
+    * dir is removed again.
+    */
+  private def stageAndDecide(table: LakeTable, base: Snapshot,
+                             matched: DataFrame, strategy: DmlStrategy)
+      : (Option[java.nio.file.Path], Long) = {
+    val spark = table.spark
+    // dot-prefixed staging name: invisible to manifests, reclaimed by
+    // the orphan sweep if this statement dies before committing
+    val staged = table.root.resolve(s"deletes/.staging-${java.util.UUID.randomUUID()}")
+    DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
+      .write.mode("overwrite").parquet(staged.toString)
+    val del = spark.read.schema(DeleteFiles.schema).parquet(staged.toString)
+    val agg = del.agg(count(lit(1)), countDistinct(col(DeleteFiles.FileField))).head
+    val (rows, touchedFiles) = (agg.getLong(0), agg.getLong(1))
+    def discard(): Unit = LakeFs.deleteTree(staged)
+    if (rows == 0) { discard(); return (None, 0L) }
+    val mor = strategy match {
+      case DmlStrategy.MergeOnRead => true
+      case DmlStrategy.CopyOnWrite => false
+      case DmlStrategy.Auto =>
+        val total = dataFileCount(table, base)
+        touchedFiles <= math.max(1L, (total * morMaxTouchedRatio).toLong)
+    }
+    if (mor) (Some(staged), rows) else { discard(); (None, rows) }
+  }
 
   /** DELETE FROM t WHERE cond. Rows where `cond` is TRUE are removed;
     * FALSE and NULL rows are kept (SQL DELETE semantics).
     */
-  def delete(table: LakeTable, cond: Column): Snapshot = {
-    val base = table.latest
-    val df = table.read(base.map(_.version))
-    val kept = df.where(!coalesce(cond, lit(false)))
-    table.write(kept, WriteMode.Overwrite,
-      base.map(_.partitionBy).getOrElse(Nil),
-      expectedBase = base.map(_.version)) // fail instead of losing a concurrent commit
+  def delete(table: LakeTable, cond: Column,
+             strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+    val base = table.latest.getOrElse(
+      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+    val hit = coalesce(cond, lit(false))
+    val (delRows, matchedRows) = stageAndDecide(table, base,
+      table.readWithPos(Some(base.version)).where(hit), strategy)
+    delRows match {
+      case _ if matchedRows == 0 => base // nothing matched: no new snapshot
+      case Some(staged) => table.commitMor("delete", staged, None, base)
+      case None =>
+        val kept = table.read(Some(base.version)).where(!hit)
+        table.write(kept, WriteMode.Overwrite, base.partitionBy,
+          expectedBase = Some(base.version)) // fail instead of losing a concurrent commit
+    }
   }
 
   /** UPDATE t SET col = expr, ... WHERE cond. All SET expressions and
@@ -34,20 +122,33 @@ object LakeDml {
     * SQL UPDATE semantics) — a sequential foldLeft of withColumns would
     * feed already-updated columns into later SETs and the condition.
     */
-  def update(table: LakeTable, cond: Column, set: Map[String, Column]): Snapshot = {
-    val base = table.latest
-    val df = table.read(base.map(_.version))
-    require(set.keySet.subsetOf(df.columns.toSet), s"unknown SET columns: ${set.keySet -- df.columns}")
+  def update(table: LakeTable, cond: Column, set: Map[String, Column],
+             strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+    val base = table.latest.getOrElse(
+      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+    val cols = base.schema.fieldNames.toSeq
+    require(set.keySet.subsetOf(cols.toSet), s"unknown SET columns: ${set.keySet -- cols}")
     val hit = coalesce(cond, lit(false))
-    val out = df.columns.toSeq.map { c =>
-      set.get(c) match {
-        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
-        case None    => col(c)
-      }
+    val matched = table.readWithPos(Some(base.version)).where(hit)
+    val (delRows, matchedRows) = stageAndDecide(table, base, matched, strategy)
+    delRows match {
+      case _ if matchedRows == 0 => base
+      case Some(staged) =>
+        // matched rows move: their old positions die, their updated
+        // images append. Untouched rows never leave their files.
+        val updated = matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+        table.commitMor("update", staged, Some(updated), base)
+      case None =>
+        val df = table.read(Some(base.version))
+        val out = cols.map { c =>
+          set.get(c) match {
+            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }
+        table.write(df.select(out: _*), WriteMode.Overwrite, base.partitionBy,
+          expectedBase = Some(base.version))
     }
-    table.write(df.select(out: _*), WriteMode.Overwrite,
-      base.map(_.partitionBy).getOrElse(Nil),
-      expectedBase = base.map(_.version))
   }
 
   /** MERGE INTO target USING source ON key equality:
@@ -61,10 +162,12 @@ object LakeDml {
     */
   def merge(table: LakeTable, source: DataFrame, keys: Seq[String],
             set: Map[String, Column] = Map.empty,
-            insertNotMatched: Boolean = true): Snapshot = {
-    val base = table.latest
-    val target = table.read(base.map(_.version))
-    val cols = target.columns.toSeq
+            insertNotMatched: Boolean = true,
+            strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+    val base = table.latest.getOrElse(
+      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+    val target = table.readWithPos(Some(base.version))
+    val cols = base.schema.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad merge keys: $keys")
     require(keys.forall(source.columns.contains), s"merge keys missing from source: ${keys.filterNot(source.columns.contains)}")
 
@@ -89,19 +192,47 @@ object LakeDml {
     val srcCols = source.columns.toSet
     def srcOr(c: String, alt: => Column): Column =
       if (srcCols.contains(c)) src(s"_src_$c") else alt
-    val out = cols.map { c =>
-      val fromSrc =
-        if (set.nonEmpty) set.getOrElse(c, tgt(c))
-        else srcOr(c, sys.error(s"MERGE source lacks column '$c'; supply `set` or a full-width source"))
-      val insert = if (insertNotMatched) srcOr(c, lit(null)) else lit(null)
-      when(matched, fromSrc)
-        .when(srcOnly, insert)
-        .otherwise(tgt(c)).as(c)
+    def fromSrc(c: String): Column =
+      if (set.nonEmpty) set.getOrElse(c, tgt(c))
+      else srcOr(c, sys.error(s"MERGE source lacks column '$c'; supply `set` or a full-width source"))
+    def insertCol(c: String): Column =
+      if (insertNotMatched) srcOr(c, lit(null)) else lit(null)
+
+    val (delRows, matchedRows) = stageAndDecide(table, base,
+      joined.where(matched).select(tgt(LakePos.FileCol).as(LakePos.FileCol),
+        tgt(LakePos.PosCol).as(LakePos.PosCol)), strategy)
+    delRows match {
+      case Some(staged) =>
+        // only the rows the MERGE actually produces move; the rest of
+        // the target stays in place (an insert-only MERGE of N rows
+        // into a 100 TB table writes N rows)
+        val produced = joined
+          .where(if (insertNotMatched) matched || srcOnly else matched)
+          .select(cols.map(c =>
+            when(matched, fromSrc(c)).otherwise(insertCol(c)).as(c)): _*)
+        table.commitMor("merge", staged, Some(produced), base)
+      case None if matchedRows == 0 =>
+        // no matched rows: the MERGE reduces to appending the
+        // source-only rows (or to a no-op when inserts are off) — no
+        // reason to rewrite a single target file
+        if (!insertNotMatched) base
+        else {
+          val inserts = joined.where(srcOnly).select(cols.map(c =>
+            insertCol(c).cast(base.schema(c).dataType).as(c)): _*)
+          table.write(inserts, WriteMode.Append, Nil,
+            expectedBase = Some(base.version))
+        }
+      case None =>
+        // copy-on-write rewrite
+        val out = cols.map { c =>
+          when(matched, fromSrc(c))
+            .when(srcOnly, insertCol(c))
+            .otherwise(tgt(c)).as(c)
+        }
+        val merged = (if (insertNotMatched) joined else joined.where(!srcOnly))
+          .select(out: _*)
+        table.write(merged, WriteMode.Overwrite, base.partitionBy,
+          expectedBase = Some(base.version))
     }
-    val merged = (if (insertNotMatched) joined else joined.where(!srcOnly))
-      .select(out: _*)
-    table.write(merged, WriteMode.Overwrite,
-      base.map(_.partitionBy).getOrElse(Nil),
-      expectedBase = base.map(_.version))
   }
 }

@@ -91,9 +91,12 @@ private[lake] object SchemaIds {
     * onto `cur` (the snapshot's current schema): match by id, fall
     * back to name, null-fill added columns, cast widened ones. The
     * identity case short-circuits so non-evolved tables pay nothing.
+    * `extra` columns (e.g. merge-on-read position columns) pass
+    * through untouched at the end.
     */
-  def align(df: DataFrame, phys: StructType, cur: StructType): DataFrame = {
-    if (phys.json == cur.json) return df
+  def align(df: DataFrame, phys: StructType, cur: StructType,
+            extra: Seq[String] = Nil): DataFrame = {
+    if (phys.json == cur.json && extra.isEmpty) return df
     val physById: Map[Long, StructField] =
       phys.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
     val physHasIds = physById.nonEmpty
@@ -108,7 +111,7 @@ private[lake] object SchemaIds {
         case Some(pf) => col(pf.name).cast(cf.dataType).as(cf.name)
         case None     => lit(null).cast(cf.dataType).as(cf.name)
       }
-    }
+    } ++ extra.map(col)
     df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(out): _*)
   }
 }

@@ -60,7 +60,8 @@ private[lake] object SnapshotRead {
 
   def partitionedFrame(spark: SparkSession, root: Path, dirs: Seq[String],
                        fields: Seq[PartitionField], userSchema: StructType,
-                       statsKeep: Option[Set[String]] = None): DataFrame = {
+                       statsKeep: Option[Set[String]] = None,
+                       withPos: Boolean = false): DataFrame = {
     val partCols = StructType(fields.map(f =>
       StructField(f.name, f.partitionType(userSchema), nullable = true)))
     val zone = spark.sessionState.conf.sessionLocalTimeZone
@@ -119,8 +120,14 @@ private[lake] object SnapshotRead {
       .baseRelationToDataFrame(rel)
     // relation output is dataSchema ++ partition columns; restore the
     // user-schema order (+ hidden transform columns at the end, which
-    // scan() filters on and then drops)
+    // scan() filters on and then drops; + merge-on-read position
+    // columns from the file-source `_metadata` struct when asked)
     import org.apache.spark.sql.functions.col
-    df.select((userSchema.fieldNames.toSeq ++ fields.filter(_.hidden).map(_.name)).map(col): _*)
+    val pos =
+      if (withPos) Seq(col("_metadata.file_path").as(LakePos.FileCol),
+        col("_metadata.row_index").as(LakePos.PosCol))
+      else Nil
+    df.select((userSchema.fieldNames.toSeq ++ fields.filter(_.hidden).map(_.name)).map(col)
+      ++ pos: _*)
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.lake.{LakeCatalog, LakeDml, WriteMode}
+import graft.lake.{DmlStrategy, LakeCatalog, LakeDml, WriteMode}
 import graft.pipeline.Medallion
 import graft.state.WatermarkStore
 
@@ -180,6 +180,33 @@ object LakeQueries {
     ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     LakeDml.merge(cat.table("silver.customer"), updates.unionByName(inserts),
       keys = Seq("c_custkey"))
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
+  /** The same upsert as [[mergeUpsert]] forced through MERGE-ON-READ
+    * (Iceberg v2 row-level deletes): matched rows die via a positional
+    * delete file, updated/inserted rows land in one small appended
+    * dir, and every untouched data file is carried forward
+    * byte-identical. The oracle SQL is identical — strategy must not
+    * change semantics — and the commit shape (delete dir + no rewrite)
+    * is asserted in LakeDmlSpec.
+    */
+  def mergeMorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)
+    val updates = customer.filter($"c_nationkey" < 5)
+      .withColumn("c_acctbal", $"c_acctbal" * 2)
+    val inserts = Seq(
+      (-1L, "NEW A", 0, 100.0, "BUILDING"),
+      (-2L, "NEW B", 1, 200.0, "MACHINERY"),
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val t = cat.table("silver.customer")
+    val snap = LakeDml.merge(t, updates.unionByName(inserts),
+      keys = Seq("c_custkey"), strategy = DmlStrategy.MergeOnRead)
+    require(snap.deleteDirs.nonEmpty && snap.op == "merge",
+      s"expected a merge-on-read commit, got op=${snap.op}")
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 

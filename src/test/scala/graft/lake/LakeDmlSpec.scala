@@ -133,6 +133,136 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(t.latest.get.partitionBy === Seq("days(ts)"))
   }
 
+  // -- merge-on-read ------------------------------------------------------
+
+  /** Parquet data files currently on disk under the snapshot's dirs. */
+  private def dataFiles(t: LakeTable): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    t.latest.get.dirs.flatMap { d =>
+      val p = t.root.resolve(d)
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList
+      finally s.close()
+    }.toSet
+  }
+
+  private def wideTable() = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-mor-").toString)
+    val df = (1L to 400L).map(i => (i, s"name$i", i * 1.0)).toDF("id", "name", "v")
+    cat.write(df.repartition(8), "ns.w", WriteMode.Overwrite)
+    cat.table("ns.w")
+  }
+
+  test("MOR: 1-row MERGE writes a delete file + tiny append, rewrites NO existing file") {
+    val t = wideTable()
+    val before = dataFiles(t)
+    assert(before.size === 8)
+    val src = Seq((7L, "SEVEN", -7.0), (999L, "new", 9.0)).toDF("id", "name", "v")
+    val snap = LakeDml.merge(t, src, keys = Seq("id"), strategy = DmlStrategy.MergeOnRead)
+    assert(snap.op === "merge")
+    assert(snap.deleteDirs.size === 1)
+    // every pre-merge file still on disk AND still referenced
+    assert(dataFiles(t).intersect(before) === before)
+    // exactly one new (small) data dir was appended
+    assert(snap.dirs.size === 2)
+    // content is the merge result
+    val rows = t.read(None).orderBy($"id").collect()
+    assert(rows.length === 401)
+    assert(rows.find(_.getLong(0) == 7L).get.getString(1) === "SEVEN")
+    assert(rows.find(_.getLong(0) == 999L).get.getString(1) === "new")
+    // the delete file names exactly one position
+    val delDir = t.root.resolve(snap.deleteDirs.head)
+    assert(spark.read.parquet(delDir.toString).count() === 1)
+  }
+
+  test("MOR: delete removes rows without touching data files; time travel sees them back") {
+    val t = wideTable()
+    val before = dataFiles(t)
+    val v1 = t.latest.get.version
+    val snap = LakeDml.delete(t, $"id" <= 10L, strategy = DmlStrategy.MergeOnRead)
+    assert(snap.op === "delete" && snap.deleteDirs.size === 1 && snap.dirs.size === 1)
+    assert(dataFiles(t) === before) // zero data churn
+    assert(t.read(None).count() === 390)
+    assert(t.read(Some(v1)).count() === 400) // pre-delete snapshot unaffected
+    // deletes COMPOUND: a second MOR delete applies on top of the first
+    LakeDml.delete(t, $"id" > 390L, strategy = DmlStrategy.MergeOnRead)
+    assert(t.read(None).count() === 380)
+    assert(t.latest.get.deleteDirs.size === 2)
+    // update after deletes only sees surviving rows
+    LakeDml.update(t, $"id" === 5L, Map("v" -> lit(1.0)), strategy = DmlStrategy.MergeOnRead)
+    assert(t.read(None).count() === 380) // id=5 was already deleted → no match, no-op
+  }
+
+  test("MOR: update moves only matched rows; compact folds deletes away") {
+    val t = wideTable()
+    LakeDml.update(t, $"id" === 3L, Map("v" -> lit(333.0)), strategy = DmlStrategy.MergeOnRead)
+    assert(t.latest.get.deleteDirs.nonEmpty)
+    assert(t.read(None).filter($"id" === 3L).head.getDouble(2) === 333.0)
+    assert(t.read(None).count() === 400)
+    val compacted = t.compact(targetPartitions = 2)
+    assert(compacted.deleteDirs.isEmpty) // folded into rewritten data
+    assert(t.read(None).count() === 400)
+    assert(t.read(None).filter($"id" === 3L).head.getDouble(2) === 333.0)
+  }
+
+  test("MOR: Auto picks merge-on-read for selective DML, copy-on-write for bulk") {
+    val t = wideTable()
+    // selective: 1 row of 400 across 8 files → MOR
+    val s1 = LakeDml.delete(t, $"id" === 1L)
+    assert(s1.op === "delete" && s1.deleteDirs.nonEmpty)
+    // bulk: everything matches → every file touched → COW overwrite
+    val s2 = LakeDml.delete(t, $"id" > 1L)
+    assert(s2.op === "overwrite" && s2.deleteDirs.isEmpty)
+    assert(t.read(None).count() === 0)
+  }
+
+  test("MOR: forced strategies produce the expected commit shapes") {
+    val t = freshTable()
+    val cow = LakeDml.update(t, $"id" === 1L, Map("v" -> lit(0.0)),
+      strategy = DmlStrategy.CopyOnWrite)
+    assert(cow.op === "overwrite" && cow.deleteDirs.isEmpty)
+    val mor = LakeDml.update(t, $"id" === 2L, Map("v" -> lit(0.0)),
+      strategy = DmlStrategy.MergeOnRead)
+    assert(mor.op === "update" && mor.deleteDirs.size === 1)
+    assert(t.read(None).orderBy($"id").select($"v").as[Double].collect().toSeq
+      === Seq(0.0, 0.0, 30.0))
+  }
+
+  test("MOR: no-match DML is a no-op snapshot; no-match MERGE appends inserts only") {
+    val t = wideTable()
+    val v = t.latest.get.version
+    assert(LakeDml.delete(t, $"id" === -1L).version === v)
+    assert(LakeDml.update(t, $"id" === -1L, Map("v" -> lit(0.0))).version === v)
+    val src = Seq((1001L, "x", 1.0)).toDF("id", "name", "v")
+    val s = LakeDml.merge(t, src, keys = Seq("id"))
+    assert(s.op === "append" && s.deleteDirs.isEmpty)
+    assert(t.read(None).count() === 401)
+  }
+
+  test("MOR: works on hidden-partitioned tables; expiry reclaims delete dirs") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-mor-hp-").toString)
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0), (2L, "2024-01-02 10:00:00", 20.0),
+      (3L, "2024-01-02 11:00:00", 30.0), (4L, "2024-01-03 10:00:00", 40.0))
+      .toDF("id", "s", "v").select($"id", to_timestamp($"s").as("ts"), $"v")
+    cat.write(df, "ns.hp", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.hp")
+    val snap = LakeDml.update(t, $"id" === 2L, Map("v" -> lit(99.0)),
+      strategy = DmlStrategy.MergeOnRead)
+    assert(snap.deleteDirs.size === 1)
+    assert(t.read(None).columns.toSeq === Seq("id", "ts", "v"))
+    assert(t.read(None).filter($"id" === 2L).head.getDouble(2) === 99.0)
+    assert(t.read(None).count() === 4)
+    // compact folds, then expiry drops the MOR snapshot's delete dir
+    t.compact(1)
+    val (manifests, dirs) = t.expireSnapshots(retainLast = 1)
+    assert(manifests === 2)
+    assert(dirs >= 2) // v1 data dir + v2 delete dir (+ v2's appended dir)
+    assert(!Files.isDirectory(t.root.resolve(snap.deleteDirs.head)))
+    assert(t.read(None).count() === 4)
+  }
+
   test("merge pairs null-key rows instead of deleting them") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-null-").toString)
     cat.write(
