@@ -82,8 +82,12 @@ object StreamQueries {
     val events = Tables(spark, dir).events
     cat.write(events.filter($"event_id" % 2 === 0), "bronze.ev", WriteMode.Overwrite)
     cat.write(events.filter($"event_id" % 2 =!= 0), "bronze.ev", WriteMode.Append)
+    // a rewrite commit mid-history: with skipRewriteCommits the
+    // consumer passes over it instead of dying or double-delivering
+    cat.table("bronze.ev").compact(targetPartitions = 4)
     val out = LakeQueries.scratchDir("graft-lakestream-out-")
-    val q = graft.streaming.StreamingLakeSource.committedStream(cat.table("bronze.ev"))
+    val q = graft.streaming.StreamingLakeSource.committedStream(cat.table("bronze.ev"),
+      skipRewriteCommits = true)
       .writeStream.format("parquet")
       .option("path", out.resolve("data").toString)
       .option("checkpointLocation", out.resolve("ckpt").toString)

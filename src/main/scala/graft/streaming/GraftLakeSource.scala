@@ -10,8 +10,9 @@ import graft.lake.LakeTable
 
 /** Manifest-driven streaming source over a lake table: offsets are
   * SNAPSHOT VERSIONS, and a micro-batch delivers exactly the data
-  * dirs that entered the table in `(startVersion, endVersion]` — the
-  * Delta/Iceberg streaming-source shape.
+  * dirs that entered the table through APPEND commits in
+  * `(startVersion, endVersion]` — the Delta/Iceberg streaming-source
+  * shape.
   *
   * This closes the raw-glob [[StreamingLakeSource]] delivery window:
   * a dir staged by a writer that later dies (or loses its commit
@@ -21,22 +22,42 @@ import graft.lake.LakeTable
   * immutable manifests on replay — deterministic redelivery, which is
   * what makes the file/foreachBatch sinks downstream exactly-once.
   *
+  * Scale controls (options):
+  *  - `maxCommitsPerTrigger`: admission control. A consumer restarting
+  *    after long lag gets its backlog as BOUNDED micro-batches of at
+  *    most this many commit versions each, instead of one batch
+  *    spanning the whole outage (at 100 TB, a week of lag must not
+  *    become a single multi-TB batch). Offsets are versions, so the
+  *    engine's offset log splits the range deterministically.
+  *  - `skipRewriteCommits`: rewrite tolerance (Delta's
+  *    `skipChangeCommits` shape). Data-rewriting commits —
+  *    overwrite/compact/DML — are SKIPPED, keyed off the manifest `op`
+  *    field, so background compaction (which this repo itself
+  *    recommends) no longer kills every live consumer. Rows changed by
+  *    skipped commits are not re-delivered; the stream remains a feed
+  *    of appended rows only. Metadata-only commits (create, schema
+  *    evolution) are always skipped — they move no data.
+  *
   * Contracts (checked, loud failures over silent drift):
-  *  - append-only tables: an overwrite/compact/DML commit introduces
-  *    REWRITTEN dirs that would re-deliver as fresh rows; same as any
-  *    compacted upstream, restart with a fresh checkpoint.
-  *  - snapshot retention must cover consumer lag: `expireSnapshots`
-  *    may delete a manifest an offline consumer still needs — getBatch
-  *    then fails naming the missing version.
-  *  - schema is pinned at stream start; a mid-stream schema evolution
-  *    commit fails the batch that first covers it (restart pins the
+  *  - without `skipRewriteCommits`, a data-rewriting commit fails the
+  *    batch that covers it, naming the version and op — silently
+  *    re-delivering rewritten dirs as fresh rows would duplicate data.
+  *  - snapshot retention must cover consumer lag: every manifest in
+  *    the covered range must still exist (versions are walked
+  *    one-by-one to classify ops) — getBatch fails naming the missing
+  *    version otherwise.
+  *  - schema is pinned at stream start; a delivered dir written under
+  *    a different schema generation fails the batch (restart pins the
   *    new schema), rather than null-filling renamed columns.
   *
   * Usage:
   * {{{
   *   spark.readStream.format(classOf[GraftLakeSourceProvider].getName)
-  *     .option("path", table.root.toString).load()
-  *   // or StreamingLakeSource.committedStream(table)
+  *     .option("path", table.root.toString)
+  *     .option("maxCommitsPerTrigger", "16")
+  *     .option("skipRewriteCommits", "true")
+  *     .load()
+  *   // or StreamingLakeSource.committedStream(table, ...)
   * }}}
   */
 class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
@@ -58,17 +79,28 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            params: Map[String, String]): Source =
-    new GraftLakeSource(ctx, tableFor(ctx, params), schema)
+                            params: Map[String, String]): Source = {
+    val maxCommits = params.get("maxcommitspertrigger").orElse(params.get("maxCommitsPerTrigger"))
+      .map(_.toInt)
+    maxCommits.foreach(n => require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n"))
+    val skipRewrites = params.get("skiprewritecommits").orElse(params.get("skipRewriteCommits"))
+      .exists(_.toBoolean)
+    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites)
+  }
 }
 
 class GraftLakeSource(ctx: SQLContext, table: LakeTable,
-                      userSchema: Option[StructType]) extends Source {
+                      userSchema: Option[StructType],
+                      maxCommitsPerTrigger: Option[Int] = None,
+                      skipRewriteCommits: Boolean = false) extends Source {
 
   private val pinned: StructType = userSchema.getOrElse(
     table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.root}")).schema)
   private val pinnedJson = pinned.json
+
+  /** Commit ops that move no data — always safe to pass over. */
+  private val MetadataOps = Set("create", "rename", "add-column", "drop", "widen")
 
   {
     val identity = table.latest.toSeq.flatMap(_.partitionBy)
@@ -80,8 +112,24 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
 
   override def schema: StructType = pinned
 
-  override def getOffset: Option[V1Offset] =
-    table.latest.map(s => LongOffset(s.version))
+  /** Highest version this source has served (or been initialized to by
+    * the engine's recovery getBatch) — the base for admission control.
+    * The engine re-initializes it on restart by replaying the last
+    * logged batch, so capped offsets never regress below committed
+    * progress; if they ever did, getBatch's empty-range guard delivers
+    * an empty batch rather than duplicate rows.
+    */
+  @volatile private var highWater: Long = 0L
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = table.latest.map(_.version).getOrElse(0L)
+    val target = maxCommitsPerTrigger match {
+      case Some(n) => math.min(latest, highWater + n)
+      case None    => latest
+    }
+    val off = math.max(highWater, target) // never move backwards
+    if (off <= 0) None else Some(LongOffset(off))
+  }
 
   // offsets arrive as LongOffset live and as SerializedOffset(json)
   // after checkpoint recovery; LongOffset.json is the plain number
@@ -93,27 +141,50 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(0L)
     val hi = versionOf(end)
-    def dirsOf(v: Long): Seq[(String, String)] = // (dir, write-time schema)
-      if (v <= 0) Nil
-      else {
-        val s = table.snapshotAt(v).getOrElse(throw new IllegalStateException(
-          s"snapshot v$v of ${table.root} is gone (expired?); the stream needs " +
-            "retention >= consumer lag — restart with a fresh checkpoint"))
-        s.dirs.indices.map(i => (s.dirs(i), s.dirSchemaJson(i))).toSeq
+    highWater = math.max(highWater, math.max(lo, hi))
+    def snapAt(v: Long) = table.snapshotAt(v).getOrElse(throw new IllegalStateException(
+      s"snapshot v$v of ${table.root} is gone (expired?); the stream needs " +
+        "retention >= consumer lag — restart with a fresh checkpoint"))
+    // walk the covered versions one-by-one so each commit is
+    // classified by its op: appends deliver their new dirs, metadata
+    // commits pass, rewrites skip or fail. O(maxCommitsPerTrigger)
+    // manifest reads per batch.
+    var prevDirs: Set[String] = if (lo <= 0) Set.empty else snapAt(lo).dirs.toSet
+    val added = Seq.newBuilder[(String, String)] // (dir, write-time schema)
+    for (v <- lo + 1 to hi) {
+      val s = snapAt(v)
+      val newDirs = s.dirs.indices
+        .filter(i => !prevDirs.contains(s.dirs(i)))
+        .map(i => (s.dirs(i), s.dirSchemaJson(i)))
+      s.op match {
+        case "append"                       => added ++= newDirs
+        // a SEEDING overwrite (first commit, or overwrite of a
+        // data-less table) rewrites nothing — it is an append in
+        // overwrite clothing, and the standard way tables are born
+        case "overwrite" if prevDirs.isEmpty => added ++= newDirs
+        case op if MetadataOps.contains(op) => () // no data motion
+        case op =>
+          if (!skipRewriteCommits) throw new IllegalStateException(
+            s"commit v$v of ${table.root} is a data-rewriting '$op'; this stream delivers " +
+              "appends only. Set option(\"skipRewriteCommits\", \"true\") to pass over " +
+              "rewrite commits (their row changes are not delivered), or restart with a " +
+              "fresh checkpoint to re-read the rewritten table.")
+        // skipped: rewritten/changed dirs are never delivered
       }
-    val before = dirsOf(lo).map(_._1).toSet
-    val added = dirsOf(hi).filterNot { case (d, _) => before.contains(d) }
-    added.foreach { case (d, sj) =>
+      prevDirs = s.dirs.toSet
+    }
+    val batch = added.result()
+    batch.foreach { case (d, sj) =>
       if (sj != pinnedJson) throw new IllegalStateException(
         s"dir $d of ${table.root} was written under a different schema generation than " +
           "this stream pinned at start; restart the stream to pick up the evolved schema")
     }
     val spark = ctx.sparkSession
     val rdd =
-      if (added.isEmpty) spark.sparkContext
+      if (batch.isEmpty) spark.sparkContext
         .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else {
-        val paths = added.map { case (d, _) => table.root.resolve(d).toString }
+        val paths = batch.map { case (d, _) => table.root.resolve(d).toString }
         // recursiveFileLookup: hive subdirs of transform specs are
         // listed through without partition inference (hidden values
         // are not part of the user schema)

@@ -75,9 +75,14 @@ object StreamingLakeSource {
     * committed appends — prefer this over [[appendsStream]] unless
     * the file-source's per-file checkpointing is specifically wanted.
     */
-  def committedStream(table: LakeTable): DataFrame =
-    table.spark.readStream
+  def committedStream(table: LakeTable,
+                      maxCommitsPerTrigger: Option[Int] = None,
+                      skipRewriteCommits: Boolean = false): DataFrame = {
+    val reader = table.spark.readStream
       .format(classOf[GraftLakeSourceProvider].getName)
       .option("path", table.root.toString)
-      .load()
+      .option("skipRewriteCommits", skipRewriteCommits.toString)
+    maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
+    reader.load()
+  }
 }

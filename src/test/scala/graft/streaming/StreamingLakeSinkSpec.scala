@@ -199,6 +199,82 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 4)
   }
 
+  test("admission control: a 20-commit backlog drains in bounded micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("sladm-").toString)
+    val ckpt = Files.createTempDirectory("sladm-ckpt-").toString
+    val out = Files.createTempDirectory("sladm-out-").toString
+    cat.write(Seq((0L, "seed")).toDF("id", "s"), "ns.a", WriteMode.Overwrite)
+    (1L to 19L).foreach(i =>
+      cat.write(Seq((i, s"r$i")).toDF("id", "s"), "ns.a", WriteMode.Append))
+    val t = cat.table("ns.a")
+    assert(t.latest.get.version === 20L)
+    val q = StreamingLakeSource.committedStream(t, maxCommitsPerTrigger = Some(4))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    // everything drained...
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === (0L to 19L).toArray)
+    // ...and no single batch spanned more than 4 commit versions
+    val spans = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty)
+      .map(p => (Option(p.sources.head.startOffset).map(_.trim.toLong).getOrElse(0L),
+        Option(p.sources.head.endOffset).map(_.trim.toLong).getOrElse(0L)))
+      .filter { case (s, e) => e > s }
+    assert(spans.nonEmpty && spans.forall { case (s, e) => e - s <= 4 },
+      s"batch spans exceeded the cap: $spans")
+    assert(spans.size >= 5) // 20 commits / 4 per trigger
+  }
+
+  test("skipRewriteCommits: mid-stream compaction and MOR DML don't kill the consumer") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.{DmlStrategy, LakeDml, WriteMode}
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slskip-").toString)
+    val ckpt = Files.createTempDirectory("slskip-ckpt-").toString
+    val out = Files.createTempDirectory("slskip-out-").toString
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.s", WriteMode.Overwrite) // v1 seed
+    cat.write(Seq((3L, "c")).toDF("id", "s"), "ns.s", WriteMode.Append)               // v2
+    val t = cat.table("ns.s")
+    def drain(): Unit = {
+      val q = StreamingLakeSource.committedStream(t, skipRewriteCommits = true)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 3) // seeding overwrite + append both deliver
+    // background compaction mid-stream: skipped, NOT redelivered, NOT fatal
+    t.compact(1)                                                                       // v3
+    cat.write(Seq((4L, "d")).toDF("id", "s"), "ns.s", WriteMode.Append)                // v4
+    drain()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L))
+    // a MOR delete commit is a rewrite too: skipped (its row changes
+    // are not delivered), later appends still flow
+    LakeDml.delete(t, $"id" === 1L, strategy = DmlStrategy.MergeOnRead)                // v5
+    cat.write(Seq((5L, "e")).toDF("id", "s"), "ns.s", WriteMode.Append)                // v6
+    drain()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L, 5L))
+
+    // WITHOUT the option, the same history fails loud at the compact commit
+    val ckpt2 = Files.createTempDirectory("slskip-ckpt2-").toString
+    val out2 = Files.createTempDirectory("slskip-out2-").toString
+    val q2 = StreamingLakeSource.committedStream(t)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q2.awaitTermination())
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(err).exists(_.contains("data-rewriting")))
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
