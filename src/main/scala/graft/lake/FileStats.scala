@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.nio.file.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -95,14 +94,15 @@ private[lake] object FileStats {
     * at the unique `<uuid>/` commit-dir segment so URI scheme
     * differences can't shift it.
     */
-  def relativeKey(pathOrUri: String, commitDir: Path): String = {
-    val marker = "/" + commitDir.getFileName.toString + "/"
+  def relativeKey(pathOrUri: String, commitDirName: String): String = {
+    val marker = "/" + commitDirName + "/"
     val i = pathOrUri.indexOf(marker)
     if (i < 0) pathOrUri.substring(pathOrUri.lastIndexOf('/') + 1)
     else pathOrUri.substring(i + marker.length)
   }
 
-  def collect(spark: SparkSession, dir: Path, cols: Seq[String]): String = {
+  def collect(spark: SparkSession, dir: org.apache.hadoop.fs.Path,
+              cols: Seq[String]): String = {
     val df = spark.read.parquet(dir.toString)
     val present = cols.filter(df.columns.contains)
     require(present.nonEmpty, s"no stats columns $cols in ${df.columns.toSeq}")
@@ -115,7 +115,7 @@ private[lake] object FileStats {
     present.foreach(colsNode.add)
     val filesNode = rootNode.putObject("files")
     rows.foreach { r =>
-      val fNode = filesNode.putArray(relativeKey(r.getString(0), dir))
+      val fNode = filesNode.putArray(relativeKey(r.getString(0), dir.getName))
       present.indices.foreach { i =>
         val pair = fNode.addArray()
         pair.add(encode(r.get(1 + 2 * i)))

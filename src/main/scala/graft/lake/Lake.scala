@@ -1,8 +1,8 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -81,21 +81,39 @@ object LakeTable {
     sys.props.getOrElse("graft.lake.staleClaimMs", "60000").toLong
 }
 
-final class LakeTable(val spark: SparkSession, val root: Path) {
-  private def versionsDir: Path = root.resolve("_versions")
+final class LakeTable(val spark: SparkSession, rootSpec: String) {
+  /** Local java.nio constructor (tests, local tools). */
+  def this(spark: SparkSession, root: Path) = this(spark, root.toString)
 
-  private def manifestPath(v: Long): Path = versionsDir.resolve(f"v$v%08d.json")
+  private[graft] val io = new LakeIo(
+    new HPath(rootSpec).getFileSystem(spark.sessionState.newHadoopConf()))
+  /** Qualified Hadoop root — the canonical table location, any scheme. */
+  private[lake] val rootQ: HPath = io.qualify(new HPath(rootSpec))
+  /** Scheme-qualified location string (for options, manifests, logs). */
+  def rootLocation: String = rootQ.toString
+  /** Absolute location of a child path under the table root. */
+  private[graft] def loc(child: String): HPath = new HPath(rootQ, child)
+  def location(child: String): String = loc(child).toString
+  /** Local-filesystem view of the root — only valid for `file://`
+    * warehouses (tests and local tooling); cluster code should use
+    * [[rootLocation]]/[[location]].
+    */
+  lazy val root: Path = Paths.get(rootQ.toUri)
+  override def toString: String = rootLocation
 
-  def history: Seq[Snapshot] = {
-    if (!Files.isDirectory(versionsDir)) return Nil
-    val stream = Files.list(versionsDir)
-    try
-      stream.iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
-        .toSeq.sortBy(_.getFileName.toString)
-        .flatMap(p => Manifest.read(p))
-    finally stream.close() // Files.list leaks an fd per call otherwise
-  }
+  /** The scheme-appropriate atomic claim/publish primitives. */
+  private[lake] val arbiter: CommitArbiter = CommitArbiter.forRoot(io, rootQ)
+
+  private def versionsDir: HPath = loc("_versions")
+
+  private def manifestPath(v: Long): HPath = new HPath(versionsDir, f"v$v%08d.json")
+
+  private def manifestNames(): Seq[String] =
+    io.list(versionsDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}\\.json")).sorted
+
+  def history: Seq[Snapshot] =
+    manifestNames().flatMap(n => Manifest.read(io, new HPath(versionsDir, n)))
 
   /** Snapshot metadata as a DataFrame — the engine's analog of
     * Iceberg's `<table>.snapshots` / `<table>.history` metadata tables
@@ -114,23 +132,14 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * (lexicographic = numeric for the zero-padded scheme) and reads
     * only that manifest — `history` parses all and is for audit use.
     */
-  def latest: Option[Snapshot] = {
-    if (!Files.isDirectory(versionsDir)) return None
-    val stream = Files.list(versionsDir)
-    val maxName =
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("v\\d{8}\\.json"))
-        .maxOption
-      finally stream.close()
-    maxName.flatMap(n => Manifest.read(versionsDir.resolve(n)))
-  }
+  def latest: Option[Snapshot] =
+    manifestNames().maxOption.flatMap(n => Manifest.read(io, new HPath(versionsDir, n)))
 
   /** Direct manifest lookup (no listing): the committed snapshot at
     * `v`, or None if never committed / expired.
     */
   private[graft] def snapshotAt(v: Long): Option[Snapshot] =
-    if (v <= 0) None else Manifest.read(manifestPath(v))
+    if (v <= 0) None else Manifest.read(io, manifestPath(v))
 
   /** Timestamp time travel resolution: the greatest version committed
     * at or before `tsMs` (Iceberg's `FOR TIMESTAMP AS OF` contract).
@@ -149,10 +158,10 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       s"no snapshot of $root at or before timestamp $tsMs (first commit is later, or expired)"))))
 
   private def resolve(version: Option[Long]): Snapshot = version match {
-    case Some(v) => Manifest.read(manifestPath(v))
-      .getOrElse(throw new IllegalArgumentException(s"no version $v at $root"))
+    case Some(v) => Manifest.read(io, manifestPath(v))
+      .getOrElse(throw new IllegalArgumentException(s"no version $v at $rootLocation"))
     case None => latest
-      .getOrElse(throw new IllegalArgumentException(s"empty lake table at $root"))
+      .getOrElse(throw new IllegalArgumentException(s"empty lake table at $rootLocation"))
   }
 
   /** Snapshot read INCLUDING derived partition columns (`_p_…` — Spark
@@ -200,7 +209,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         .withColumn(LakePos.PosCol, col("_metadata.row_index"))
     val fields = snap.partitionBy.map(PartitionField.parse)
     val reader = spark.read.schema(snap.schema)
-    def absPaths(dirs: Seq[String]) = dirs.map(d => root.resolve(d).toString)
+    def absPaths(dirs: Seq[String]) = dirs.map(location)
     def emptyFrame(): DataFrame = {
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
@@ -231,7 +240,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
         json <- snap.meta.get(FileStats.MetaKey)
         if preds.nonEmpty && snap.dirs.size == 1
         kept <- FileStats.surviving(json, preds, snap.schema)
-      } yield kept.toSeq.sorted.map(f => root.resolve(snap.dirs.head).resolve(f).toString)
+      } yield kept.toSeq.sorted.map(f => new HPath(loc(snap.dirs.head), f).toString)
       pruned match {
         case Some(paths) if paths.isEmpty => emptyFrame()
         case Some(paths)                  => alignedRead(snap.dirSchemaJson(0), paths)
@@ -245,13 +254,8 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
             .reduce(_ unionByName _)
       }
     } else {
-      def hasHiveSubdirs(d: String): Boolean = {
-        val p = root.resolve(d)
-        if (!Files.isDirectory(p)) return false
-        val stream = Files.list(p)
-        try stream.iterator().asScala.exists(_.getFileName.toString.contains('='))
-        finally stream.close()
-      }
+      def hasHiveSubdirs(d: String): Boolean =
+        io.list(loc(d)).exists(_.getPath.getName.contains('='))
       val (partitioned, bare) = snap.dirs.partition(hasHiveSubdirs)
       def nullFillMissing(f: DataFrame): DataFrame =
         fields.filterNot(pf => f.columns.contains(pf.name))
@@ -266,7 +270,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       } yield kept
       val frames =
         (if (partitioned.nonEmpty)
-          Seq(SnapshotRead.partitionedFrame(spark, root, partitioned, fields, snap.schema,
+          Seq(SnapshotRead.partitionedFrame(this, partitioned, fields, snap.schema,
             statsKeep, withPos = needPos))
          else Nil) ++
         (if (bare.nonEmpty)
@@ -295,9 +299,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * Delete files store paths relative to it (relocatable manifests).
     */
   private[lake] lazy val qualifiedRootPrefix: String = {
-    val hp = new org.apache.hadoop.fs.Path(root.toUri)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val q = fs.makeQualified(hp).toString
+    val q = rootQ.toString
     if (q.endsWith("/")) q else q + "/"
   }
 
@@ -366,7 +368,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
                            carriedSchemasOverride: Option[Seq[String]] = None,
                            expectedBaseSchema: Option[Option[String]] = None,
                            newDeleteDirs: Seq[String] = Nil): Snapshot = {
-    Files.createDirectories(versionsDir)
+    io.mkdirs(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
     val deadline = System.currentTimeMillis() + math.max(2 * LakeTable.StaleClaimMs, 10000L)
@@ -379,7 +381,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       expectedBase.foreach { eb =>
         val cur = base.map(_.version).getOrElse(0L)
         if (cur != eb) throw new java.util.ConcurrentModificationException(
-          s"table $root moved from v$eb to v$cur since the operation read its base; retry the operation")
+          s"table $rootLocation moved from v$eb to v$cur since the operation read its base; retry the operation")
       }
       // append spec revalidation INSIDE the retry loop: the spec was
       // resolved against the base visible at write() time, but a lost
@@ -390,7 +392,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       if (carryForward) base.foreach { b =>
         if (b.partitionBy.nonEmpty && b.partitionBy != partitionBy)
           throw new java.util.ConcurrentModificationException(
-            s"append spec $partitionBy no longer matches table spec ${b.partitionBy} at $root " +
+            s"append spec $partitionBy no longer matches table spec ${b.partitionBy} at $rootLocation " +
               "(spec changed concurrently); retry the append")
       }
       // schema revalidation: an append's merged schema (and any fresh
@@ -400,14 +402,11 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       expectedBaseSchema.foreach { expected =>
         if (base.map(_.schemaJson) != expected)
           throw new java.util.ConcurrentModificationException(
-            s"table $root schema changed concurrently since the append was planned; retry the append")
+            s"table $rootLocation schema changed concurrently since the append was planned; retry the append")
       }
       val next = base.map(_.version).getOrElse(0L) + 1
-      val claim = versionsDir.resolve(f"v$next%08d.claim")
-      val claimed =
-        try { Files.createFile(claim); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (claimed) {
+      val claim = new HPath(versionsDir, f"v$next%08d.claim")
+      if (arbiter.tryClaim(claim)) {
         val carriedDirs = if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil
         val dirs = carriedDirs ++ newDirs
         // per-dir write-time schemas travel with the dirs: carried
@@ -437,33 +436,25 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
           ts, meta, dirSchemas, deleteDirs)
-        val tmp = Files.createTempFile(versionsDir, ".manifest", ".tmp")
-        Files.writeString(tmp, Manifest.toJson(snap))
-        // publish with an atomic NO-REPLACE primitive: a rename would
-        // silently overwrite a manifest published by a writer that
-        // reclaimed our claim as stale (slow-writer lost-commit race)
-        try Files.createLink(manifestPath(next), tmp)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
-            throw new java.util.ConcurrentModificationException(
-              s"commit v$next to $root was overtaken (claim reclaimed as stale); retry the operation")
-        }
-        Files.deleteIfExists(tmp)
-        Files.deleteIfExists(claim) // served its purpose; don't accumulate
+        // publish with the arbiter's atomic NO-REPLACE primitive: a
+        // plain overwrite would silently clobber a manifest published
+        // by a writer that reclaimed our claim as stale (slow-writer
+        // lost-commit race)
+        if (!arbiter.publishIfAbsent(manifestPath(next), Manifest.toJson(snap)))
+          throw new java.util.ConcurrentModificationException(
+            s"commit v$next to $rootLocation was overtaken (claim reclaimed as stale); retry the operation")
+        arbiter.releaseClaim(claim) // served its purpose; don't accumulate
         return snap
       }
       // claim race lost: wait for the winner's manifest, reclaiming
       // orphaned claims whose writer died mid-commit
-      if (!Files.exists(manifestPath(next))) {
-        try {
-          val age = System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis
-          if (age > LakeTable.StaleClaimMs) Files.deleteIfExists(claim)
-        } catch { case _: java.nio.file.NoSuchFileException => () } // winner just published
-      }
+      if (!io.exists(manifestPath(next)))
+        arbiter.claimAgeMs(claim).foreach { age => // None = winner just published
+          if (age > LakeTable.StaleClaimMs) arbiter.releaseClaim(claim)
+        }
       Thread.sleep(5)
     }
-    throw new IllegalStateException(s"could not commit to $root after $attempts attempts")
+    throw new IllegalStateException(s"could not commit to $rootLocation after $attempts attempts")
   }
 
   /** Materialize transform-derived partition columns and write the
@@ -479,7 +470,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
       .foldLeft(df)((d, f) => d.withColumn(f.name, f.derive(d)))
     val writer = withParts.write.mode("overwrite")
     (if (fields.nonEmpty) writer.partitionBy(fields.map(_.name): _*) else writer)
-      .parquet(root.resolve(dirName).toString)
+      .parquet(location(dirName))
   }
 
   /** Write a new snapshot. Overwrite replaces the file set (the
@@ -517,7 +508,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     // skipping composes with partition pruning inside the file index
     val statsMeta =
       if (statsBy.nonEmpty)
-        Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsBy))
+        Map(FileStats.MetaKey -> FileStats.collect(spark, loc(dirName), statsBy))
       else Map.empty[String, String]
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
@@ -556,13 +547,13 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * snapshot's current schema: MOR can never change the table schema,
     * because the untouched files keep their bytes.
     */
-  private[lake] def commitMor(op: String, stagedDeletes: Path,
+  private[lake] def commitMor(op: String, stagedDeletes: HPath,
                               newData: Option[DataFrame], base: Snapshot): Snapshot = {
     val delDir = s"deletes/${UUID.randomUUID().toString}"
-    Files.createDirectories(root.resolve("deletes"))
+    io.mkdirs(loc("deletes"))
     // the staged dir was written under a dot-name the orphan sweep can
-    // reclaim if this commit dies; publishing is a local move
-    Files.move(stagedDeletes, root.resolve(delDir))
+    // reclaim if this commit dies; publishing is a same-FS move
+    io.move(stagedDeletes, loc(delDir))
     val newDirs = newData.map { df =>
       import org.apache.spark.sql.functions.col
       val coerced = df.select(base.schema.fields.toSeq
@@ -719,7 +710,7 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     // zorderBy columns get useful ranges, not just a leading one)
     val statsMeta =
       if (statsCols.nonEmpty)
-        Map(FileStats.MetaKey -> FileStats.collect(spark, root.resolve(dirName), statsCols))
+        Map(FileStats.MetaKey -> FileStats.collect(spark, loc(dirName), statsCols))
       else Map.empty[String, String]
     // the field-id high-water mark survives compaction (commit meta is
     // per-snapshot, and losing it would allow dropped-id reuse)
@@ -763,9 +754,9 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     // delete manifests first: a concurrent reader that resolved an
     // expired version may still finish if its dirs are shared with a
     // retained snapshot; dirs go second and only when unreferenced
-    expired.foreach(s => Files.deleteIfExists(manifestPath(s.version)))
+    expired.foreach(s => io.delete(manifestPath(s.version)))
     val deadDirs = expired.flatMap(s => s.dirs ++ s.deleteDirs).distinct.filterNot(live)
-    deadDirs.foreach(d => deleteTree(root.resolve(d)))
+    deadDirs.foreach(d => io.delete(loc(d)))
     (expired.size, deadDirs.size)
   }
 
@@ -776,42 +767,19 @@ final class LakeTable(val spark: SparkSession, val root: Path) {
     * staged before its manifest exists). Returns dirs removed.
     */
   def removeOrphanFiles(graceMs: Long = 60 * 60 * 1000L): Int = {
-    val live = history.flatMap(s => s.dirs ++ s.deleteDirs)
-      .map(d => root.resolve(d).normalize).toSet
+    // liveness by root-relative name ("data/<uuid>"), scheme-agnostic
+    val live = history.flatMap(s => s.dirs ++ s.deleteDirs).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     // both staging roots: data commits land under data/, positional
     // delete files under deletes/ — a writer dying mid-DML can orphan
     // either kind
     Seq("data", "deletes").map { sub =>
-      val subRoot = root.resolve(sub)
-      if (!Files.isDirectory(subRoot)) 0
-      else {
-        val stream = Files.list(subRoot)
-        val orphans =
-          try stream.iterator().asScala
-            .filter(p => !live.contains(p.normalize))
-            .filter(p =>
-              try Files.getLastModifiedTime(p).toMillis < cutoff
-              catch { case _: java.nio.file.NoSuchFileException => false })
-            .toList
-          finally stream.close()
-        orphans.foreach(deleteTree)
-        orphans.size
-      }
+      val orphans = io.list(loc(sub))
+        .filter(st => !live.contains(s"$sub/${st.getPath.getName}"))
+        .filter(_.getModificationTime < cutoff)
+      orphans.foreach(st => io.delete(st.getPath))
+      orphans.size
     }.sum
-  }
-
-  private def deleteTree(p: Path): Unit = LakeFs.deleteTree(p)
-}
-
-/** Shared recursive delete (table drops, expiry, orphan sweeps). */
-private[lake] object LakeFs {
-  def deleteTree(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    val paths = Files.walk(p)
-    try paths.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally paths.close()
   }
 }
 
@@ -837,9 +805,9 @@ private object Manifest {
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
-  def read(p: Path): Option[Snapshot] = {
-    if (!Files.exists(p)) return None
-    val txt = Files.readString(p)
+  def read(io: LakeIo, p: HPath): Option[Snapshot] = {
+    if (!io.exists(p)) return None
+    val txt = io.readString(p)
     // jackson-databind ships with Spark and is the one JSON parser we
     // can rely on offline; the manifest shape is flat.
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -876,11 +844,13 @@ private object Manifest {
   * (dags/etl.py:49,72,90).
   */
 final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
-  private def resolve(ident: String): Path = {
+  private def resolve(ident: String): String = {
     val parts = ident.split('.')
     require(parts.nonEmpty && parts.forall(p => p.nonEmpty && !p.contains('/')),
       s"bad table identifier: $ident")
-    Paths.get(warehouse, parts: _*)
+    // string-join rather than java.nio: the warehouse may live on any
+    // Hadoop scheme (s3a://bucket/wh), which nio paths cannot carry
+    (warehouse.stripSuffix("/") +: parts).mkString("/")
   }
 
   def table(ident: String): LakeTable = new LakeTable(spark, resolve(ident))

@@ -51,7 +51,7 @@ private[lake] object DeleteFiles {
     */
   def applyTo(data: DataFrame, table: LakeTable, deleteDirs: Seq[String]): DataFrame = {
     if (deleteDirs.isEmpty) return data
-    val paths = deleteDirs.map(d => table.root.resolve(d).toString)
+    val paths = deleteDirs.map(table.location)
     val del = table.spark.read.schema(schema).parquet(paths: _*)
       .select(
         concat(lit(table.qualifiedRootPrefix), col(FileField)).as("_gr_del_file"),

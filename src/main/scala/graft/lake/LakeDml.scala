@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,22 +47,12 @@ object LakeDml {
   private def morMaxTouchedRatio: Double =
     sys.props.getOrElse("graft.lake.morMaxTouchedFileRatio", "0.5").toDouble
 
-  /** Data files in the snapshot, counted from the local listing. (With
-    * manifest-level file lists this becomes pure metadata; the dir
-    * walk is the local-FS stand-in.)
+  /** Data files in the snapshot, counted from the filesystem listing.
+    * (With manifest-level file lists this becomes pure metadata; the
+    * recursive listing is the filesystem stand-in.)
     */
-  private def dataFileCount(table: LakeTable, snap: Snapshot): Long = {
-    import scala.jdk.CollectionConverters._
-    snap.dirs.map { d =>
-      val p = table.root.resolve(d)
-      if (!Files.isDirectory(p)) 0L
-      else {
-        val stream = Files.walk(p)
-        try stream.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
-        finally stream.close()
-      }
-    }.sum
-  }
+  private def dataFileCount(table: LakeTable, snap: Snapshot): Long =
+    snap.dirs.map(d => table.io.countFiles(table.loc(d), ".parquet")).sum
 
   /** Stage the positional-delete rows for `matched`, then decide the
     * strategy from their actual footprint: the staged parquet is tiny,
@@ -75,17 +64,17 @@ object LakeDml {
     */
   private def stageAndDecide(table: LakeTable, base: Snapshot,
                              matched: DataFrame, strategy: DmlStrategy)
-      : (Option[java.nio.file.Path], Long) = {
+      : (Option[org.apache.hadoop.fs.Path], Long) = {
     val spark = table.spark
     // dot-prefixed staging name: invisible to manifests, reclaimed by
     // the orphan sweep if this statement dies before committing
-    val staged = table.root.resolve(s"deletes/.staging-${java.util.UUID.randomUUID()}")
+    val staged = table.loc(s"deletes/.staging-${java.util.UUID.randomUUID()}")
     DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
       .write.mode("overwrite").parquet(staged.toString)
     val del = spark.read.schema(DeleteFiles.schema).parquet(staged.toString)
     val agg = del.agg(count(lit(1)), countDistinct(col(DeleteFiles.FileField))).head
     val (rows, touchedFiles) = (agg.getLong(0), agg.getLong(1))
-    def discard(): Unit = LakeFs.deleteTree(staged)
+    def discard(): Unit = { table.io.delete(staged); () }
     if (rows == 0) { discard(); return (None, 0L) }
     val mor = strategy match {
       case DmlStrategy.MergeOnRead => true
@@ -103,7 +92,7 @@ object LakeDml {
   def delete(table: LakeTable, cond: Column,
              strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     val base = table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val hit = coalesce(cond, lit(false))
     val (delRows, matchedRows) = stageAndDecide(table, base,
       table.readWithPos(Some(base.version)).where(hit), strategy)
@@ -125,7 +114,7 @@ object LakeDml {
   def update(table: LakeTable, cond: Column, set: Map[String, Column],
              strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     val base = table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val cols = base.schema.fieldNames.toSeq
     require(set.keySet.subsetOf(cols.toSet), s"unknown SET columns: ${set.keySet -- cols}")
     val hit = coalesce(cond, lit(false))
@@ -165,7 +154,7 @@ object LakeDml {
             insertNotMatched: Boolean = true,
             strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     val base = table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val target = table.readWithPos(Some(base.version))
     val cols = base.schema.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad merge keys: $keys")

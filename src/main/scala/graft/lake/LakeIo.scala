@@ -1,0 +1,164 @@
+package graft.lake
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+
+/** All lake-layer filesystem access behind the Hadoop `FileSystem`
+  * API, so any scheme Hadoop can mount serves as a warehouse —
+  * `file://` today, `hdfs://` and `s3a://` (the reference's actual
+  * warehouse, `s3a://mybucket` per
+  * /root/reference/dags/utils/constants/constant.py:49-54) on a real
+  * cluster. Data-plane reads/writes already go through Spark (which
+  * speaks Hadoop paths natively); this facade covers the metadata
+  * plane: manifest listing/reading, dir deletes, staging moves.
+  *
+  * The two ATOMICITY-critical commit steps (version claim, manifest
+  * publish) are deliberately NOT here — they live behind
+  * [[CommitArbiter]], because their correct implementation is
+  * scheme-specific.
+  */
+private[lake] final class LakeIo(val fs: FileSystem) {
+  def qualify(p: HPath): HPath = fs.makeQualified(p)
+  def exists(p: HPath): Boolean = fs.exists(p)
+  def isDir(p: HPath): Boolean =
+    try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
+  def mkdirs(p: HPath): Unit = { fs.mkdirs(p); () }
+  def list(dir: HPath): Seq[FileStatus] =
+    if (!isDir(dir)) Nil
+    else fs.listStatus(dir).toSeq
+  def mtimeMs(p: HPath): Option[Long] =
+    try Some(fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+  def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  def delete(p: HPath): Boolean = fs.delete(p, true)
+  /** Move (same-FS rename); fails loudly rather than half-moving. */
+  def move(src: HPath, dst: HPath): Unit =
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  /** Count files under `p` (recursive) whose name ends with `suffix`. */
+  def countFiles(p: HPath, suffix: String): Long = {
+    if (!isDir(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(suffix)) n += 1 }
+    n
+  }
+}
+
+/** The commit protocol's two atomic primitives, isolated per storage
+  * scheme. A lake commit is: (1) CLAIM the next version with an
+  * atomic create-if-absent, (2) PUBLISH the manifest with an atomic
+  * write-if-absent. Everything else in the protocol (rebase on lost
+  * claim, stale-claim reclaim, expectedBase checks) is
+  * scheme-independent and stays in [[LakeTable.commit]].
+  *
+  *  - `file://` → [[LocalCommitArbiter]]: POSIX O_EXCL create + hard
+  *    link, both atomic on a local filesystem.
+  *  - `hdfs://` (and any store with atomic namespace ops) →
+  *    [[FsCommitArbiter]]: `create(overwrite = false)` is an atomic
+  *    namespace operation, and `rename` refuses an existing
+  *    destination — together the same claim/publish semantics.
+  *  - **S3 / object stores**: neither primitive exists natively —
+  *    `create(overwrite=false)` is check-then-act over eventual
+  *    listings and rename is copy+delete. The scale-safe strategies
+  *    are (a) S3 conditional PUT (`If-None-Match: *`, which S3 now
+  *    supports) giving exactly the create-if-absent primitive both
+  *    methods need, or (b) a catalog-arbitrated pointer swap (the
+  *    Iceberg REST/Glue/JDBC-catalog model: the catalog CASes the
+  *    current-manifest pointer, storage holds only immutable files).
+  *    Either slots in as a third arbiter without touching the commit
+  *    protocol; this offline build documents rather than ships them.
+  */
+private[lake] trait CommitArbiter {
+  /** Atomically create the claim marker; false if someone else holds it. */
+  def tryClaim(claim: HPath): Boolean
+  /** Age of an existing claim, or None when it vanished (winner published). */
+  def claimAgeMs(claim: HPath): Option[Long]
+  def releaseClaim(claim: HPath): Unit
+  /** Publish `content` at `manifest` iff absent: false = overtaken. */
+  def publishIfAbsent(manifest: HPath, content: String): Boolean
+}
+
+private[lake] object CommitArbiter {
+  /** Force the generic Hadoop arbiter on file:// roots (tests prove
+    * the HDFS-shaped path end-to-end without an HDFS cluster).
+    */
+  def forceFs: Boolean = sys.props.get("graft.lake.forceFsArbiter").exists(_.toBoolean)
+
+  def forRoot(io: LakeIo, qualifiedRoot: HPath): CommitArbiter = {
+    val scheme = qualifiedRoot.toUri.getScheme
+    if (scheme == "file" && !forceFs) new LocalCommitArbiter
+    else new FsCommitArbiter(io)
+  }
+}
+
+/** POSIX arbiter: O_EXCL exclusive create for the claim; temp-file +
+  * hard-link for the publish. A hard link (not a rename) because link
+  * FAILS when the destination exists — a rename would silently
+  * overwrite a manifest published by a writer that reclaimed our
+  * claim as stale (the slow-writer lost-commit race).
+  */
+private[lake] final class LocalCommitArbiter extends CommitArbiter {
+  import java.nio.file.{Files, Path, Paths}
+  private def p(h: HPath): Path = Paths.get(h.toUri)
+
+  def tryClaim(claim: HPath): Boolean =
+    try { Files.createFile(p(claim)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def claimAgeMs(claim: HPath): Option[Long] =
+    try Some(System.currentTimeMillis() - Files.getLastModifiedTime(p(claim)).toMillis)
+    catch { case _: java.nio.file.NoSuchFileException => None
+            case _: java.io.IOException => None }
+
+  def releaseClaim(claim: HPath): Unit = Files.deleteIfExists(p(claim))
+
+  def publishIfAbsent(manifest: HPath, content: String): Boolean = {
+    val target = p(manifest)
+    val tmp = Files.createTempFile(target.getParent, ".manifest", ".tmp")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp); false }
+  }
+}
+
+/** Hadoop-generic arbiter for stores with atomic namespace operations
+  * (HDFS and kin): `create(overwrite = false)` refuses an existing
+  * file atomically, and `rename` refuses an existing destination —
+  * no-replace publish without hard links. See [[CommitArbiter]] for
+  * why S3 needs a conditional-PUT or catalog arbiter instead.
+  */
+private[lake] final class FsCommitArbiter(io: LakeIo) extends CommitArbiter {
+  def tryClaim(claim: HPath): Boolean =
+    try { io.fs.create(claim, false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException => false // racing create on some FSs surfaces as plain IOE
+    }
+
+  def claimAgeMs(claim: HPath): Option[Long] = io.mtimeMs(claim)
+    .map(t => System.currentTimeMillis() - t)
+
+  def releaseClaim(claim: HPath): Unit =
+    try { io.fs.delete(claim, false); () } catch { case _: java.io.IOException => () }
+
+  def publishIfAbsent(manifest: HPath, content: String): Boolean = {
+    val tmp = new HPath(manifest.getParent, s".manifest-${UUID.randomUUID()}.tmp")
+    val out = io.fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // HDFS rename atomically refuses an existing destination; the
+    // exists() pre-check is defense for filesystems (e.g. Hadoop's
+    // local FS) whose rename inherits overwriting rename(2) semantics
+    val ok =
+      if (io.exists(manifest)) false
+      else try io.fs.rename(tmp, manifest) catch { case _: java.io.IOException => false }
+    if (!ok) try { io.fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
+    ok
+  }
+}

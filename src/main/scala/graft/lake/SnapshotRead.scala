@@ -1,7 +1,5 @@
 package graft.lake
 
-import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -44,7 +42,7 @@ private[lake] object SnapshotRead {
       roots: Seq[org.apache.hadoop.fs.Path],
       schemaOpt: Option[StructType],
       spec: org.apache.spark.sql.execution.datasources.PartitionSpec,
-      commitDir: Path,
+      commitDirName: String,
       keep: Set[String])
     extends InMemoryFileIndex(spark, roots, Map.empty, schemaOpt,
       userSpecifiedPartitionSpec = Some(spec)) {
@@ -54,14 +52,15 @@ private[lake] object SnapshotRead {
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
       super.listFiles(partitionFilters, dataFilters).map { pd =>
         pd.copy(files = pd.files.filter(f =>
-          keep.contains(FileStats.relativeKey(f.getPath.toString, commitDir))))
+          keep.contains(FileStats.relativeKey(f.getPath.toString, commitDirName))))
       }
   }
 
-  def partitionedFrame(spark: SparkSession, root: Path, dirs: Seq[String],
+  def partitionedFrame(table: LakeTable, dirs: Seq[String],
                        fields: Seq[PartitionField], userSchema: StructType,
                        statsKeep: Option[Set[String]] = None,
                        withPos: Boolean = false): DataFrame = {
+    val spark = table.spark
     val partCols = StructType(fields.map(f =>
       StructField(f.name, f.partitionType(userSchema), nullable = true)))
     val zone = spark.sessionState.conf.sessionLocalTimeZone
@@ -71,40 +70,35 @@ private[lake] object SnapshotRead {
       else Cast(Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
     }
     // leaf partition dirs: one nesting level per field, in spec order
-    // (writeDataDir partitions by fields in that order)
-    def leafDirs(base: Path, depth: Int): Seq[(Path, List[String])] =
+    // (writeDataDir partitions by fields in that order) — listed
+    // through the table's Hadoop filesystem, so any warehouse scheme
+    // works
+    def leafDirs(base: HPath, depth: Int): Seq[(HPath, List[String])] =
       if (depth == fields.size) Seq((base, Nil))
       else {
-        val stream = Files.list(base)
-        val subs =
-          try stream.iterator().asScala
-            .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains('='))
-            .toList
-          finally stream.close()
-        subs.flatMap { d =>
-          val nm = d.getFileName.toString
+        val subs = table.io.list(base)
+          .filter(st => st.isDirectory && st.getPath.getName.contains('='))
+        subs.flatMap { st =>
+          val nm = st.getPath.getName
           val raw = nm.substring(nm.indexOf('=') + 1)
-          leafDirs(d, depth + 1).map { case (p, vs) => (p, raw :: vs) }
+          leafDirs(st.getPath, depth + 1).map { case (p, vs) => (p, raw :: vs) }
         }
       }
-    val fs = new HPath(root.toUri).getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = dirs.flatMap(d => leafDirs(root.resolve(d), 0)).map { case (p, raws) =>
+    val fs = table.io.fs
+    val parts = dirs.flatMap(d => leafDirs(table.loc(d), 0)).map { case (p, raws) =>
       val row = InternalRow.fromSeq(raws.zip(partCols.fields).map {
         case (raw, f) => parseValue(raw, f.dataType)
       })
       // qualify exactly like the index's own listing, so partition
-      // paths and listed leaf dirs compare equal (string form, NOT
-      // p.toUri: a directory URI carries a trailing slash that
-      // survives Hadoop Path construction and breaks the dir-equality
-      // match in listFiles)
-      PartitionPath(row, fs.makeQualified(new HPath(p.toString)))
+      // paths and listed leaf dirs compare equal
+      PartitionPath(row, fs.makeQualified(p))
     }
     val index = statsKeep match {
       case Some(keep) =>
         // stats pruning only applies to single-dir snapshots (see
         // LakeTable.readRaw), so dirs.head IS the commit dir
         new StatsPrunedFileIndex(spark, parts.map(_.path), Some(userSchema),
-          PartitionSpec(partCols, parts), root.resolve(dirs.head), keep)
+          PartitionSpec(partCols, parts), new HPath(dirs.head).getName, keep)
       case None =>
         new InMemoryFileIndex(spark, parts.map(_.path), Map.empty,
           Some(userSchema),

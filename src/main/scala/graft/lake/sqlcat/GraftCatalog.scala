@@ -1,8 +1,8 @@
 package graft.lake.sqlcat
 
-import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
@@ -119,10 +119,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  // -- warehouse filesystem (any Hadoop scheme) ---------------------------
+
+  private def whPath(parts: String*): HPath =
+    new HPath((warehouse.stripSuffix("/") +: parts).mkString("/"))
+  private def io = new graft.lake.LakeIo(
+    whPath().getFileSystem(SparkSession.active.sessionState.newHadoopConf()))
+
   override def dropTable(ident: Identifier): Boolean = {
     val t = lakeTable(ident)
     val existed = t.latest.nonEmpty
-    if (existed) deleteTree(t.root)
+    if (existed) t.io.delete(t.rootQ)
     existed
   }
 
@@ -131,33 +138,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (from.latest.isEmpty) throw new NoSuchTableException(oldIdent)
     val to = lakeTable(newIdent)
     if (to.latest.nonEmpty) throw new TableAlreadyExistsException(newIdent.toString)
-    Files.createDirectories(to.root.getParent)
-    Files.move(from.root, to.root)
+    io.mkdirs(to.rootQ.getParent)
+    io.move(from.rootQ, to.rootQ)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(p => Files.isDirectory(p.resolve("_versions")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    val dir = whPath(namespace: _*)
+    if (!io.isDir(dir)) throw new NoSuchNamespaceException(namespace)
+    io.list(dir)
+      .filter(st => st.isDirectory && io.isDir(new HPath(st.getPath, "_versions")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
-    finally stream.close()
   }
 
   // -- namespaces: directories under the warehouse ------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val dir = Paths.get(warehouse)
-    if (!Files.isDirectory(dir)) return Array.empty
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString))
+  override def listNamespaces(): Array[Array[String]] =
+    io.list(whPath())
+      .filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
       .toArray
-    finally stream.close()
-  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -165,7 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(Paths.get(warehouse, namespace: _*))
+    io.isDir(whPath(namespace: _*))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -173,27 +173,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit = {
-    Files.createDirectories(Paths.get(warehouse, namespace: _*))
-    ()
-  }
+                               metadata: util.Map[String, String]): Unit =
+    io.mkdirs(whPath(namespace: _*))
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) return false
-    if (!cascade) {
-      val stream = Files.list(dir)
-      val empty = try !stream.iterator().hasNext finally stream.close()
-      require(empty, s"namespace ${namespace.mkString(".")} is not empty")
-    }
-    deleteTree(dir)
-    true
+    val dir = whPath(namespace: _*)
+    if (!io.isDir(dir)) return false
+    if (!cascade)
+      require(io.list(dir).isEmpty, s"namespace ${namespace.mkString(".")} is not empty")
+    io.delete(dir)
   }
-
-  private def deleteTree(p: java.nio.file.Path): Unit = graft.lake.LakeFs.deleteTree(p)
 }
 
 /** Catalog-resolved handle to a lake table: identity + live metadata.
@@ -227,7 +219,7 @@ final class GraftSparkTable(tableName: String, val lake: LakeTable,
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put(TableCatalog.PROP_PROVIDER, "graft")
-    m.put(TableCatalog.PROP_LOCATION, lake.root.toString)
+    m.put(TableCatalog.PROP_LOCATION, lake.rootLocation)
     snap.foreach(s => m.put("graft.snapshot.version", s.version.toString))
     m
   }

@@ -90,11 +90,10 @@ final class Medallion(
     // under the table root — the lake's shared filesystem — so
     // executors and driver see the same files on any cluster manager
     // (a driver-local java.io.tmpdir would break off-driver executors).
-    val stagingDir = bronze.root.resolve(s"_staging/${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.createDirectories(stagingDir.getParent)
+    val stagingDir = bronze.location(s"_staging/${java.util.UUID.randomUUID()}")
     try {
-      source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir.toString)
-      val delta = spark.read.parquet(stagingDir.toString)
+      source.filter(col(tsCol) > lit(wm)).write.mode("overwrite").parquet(stagingDir)
+      val delta = spark.read.parquet(stagingDir)
       val stats = delta.agg(max(col(tsCol)).as("mx"), count(lit(1)).as("n")).head
       val maxTs = stats.getTimestamp(0)
       val n = stats.getLong(1)
@@ -106,12 +105,9 @@ final class Medallion(
       state.advance(pipeline, "extract", WatermarkStore.fromMicros(newWmUs))
       n
     } finally {
-      // the staged copy is only needed until the commit
-      import scala.jdk.CollectionConverters._
-      val paths = java.nio.file.Files.walk(stagingDir)
-      try paths.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally paths.close()
+      // the staged copy is only needed until the commit; delete only
+      // THIS run's uuid dir — a concurrent extract may be staging
+      bronze.io.delete(new org.apache.hadoop.fs.Path(stagingDir))
     }
   }
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -66,14 +65,14 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
   private def tableFor(ctx: SQLContext, params: Map[String, String]): LakeTable = {
     val path = params.getOrElse("path",
       throw new IllegalArgumentException("graft-lake source needs option(\"path\", <table root>)"))
-    new LakeTable(ctx.sparkSession, Paths.get(path))
+    new LakeTable(ctx.sparkSession, path)
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String, params: Map[String, String]): (String, StructType) = {
     val table = tableFor(ctx, params)
     val snap = table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     (shortName(), schema.getOrElse(snap.schema))
   }
 
@@ -96,7 +95,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
 
   private val pinned: StructType = userSchema.getOrElse(
     table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}")).schema)
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}")).schema)
   private val pinnedJson = pinned.json
 
   /** Commit ops that move no data — always safe to pass over. */
@@ -143,7 +142,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     val hi = versionOf(end)
     highWater = math.max(highWater, math.max(lo, hi))
     def snapAt(v: Long) = table.snapshotAt(v).getOrElse(throw new IllegalStateException(
-      s"snapshot v$v of ${table.root} is gone (expired?); the stream needs " +
+      s"snapshot v$v of ${table.rootLocation} is gone (expired?); the stream needs " +
         "retention >= consumer lag — restart with a fresh checkpoint"))
     // walk the covered versions one-by-one so each commit is
     // classified by its op: appends deliver their new dirs, metadata
@@ -165,7 +164,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
         case op if MetadataOps.contains(op) => () // no data motion
         case op =>
           if (!skipRewriteCommits) throw new IllegalStateException(
-            s"commit v$v of ${table.root} is a data-rewriting '$op'; this stream delivers " +
+            s"commit v$v of ${table.rootLocation} is a data-rewriting '$op'; this stream delivers " +
               "appends only. Set option(\"skipRewriteCommits\", \"true\") to pass over " +
               "rewrite commits (their row changes are not delivered), or restart with a " +
               "fresh checkpoint to re-read the rewritten table.")
@@ -176,7 +175,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     val batch = added.result()
     batch.foreach { case (d, sj) =>
       if (sj != pinnedJson) throw new IllegalStateException(
-        s"dir $d of ${table.root} was written under a different schema generation than " +
+        s"dir $d of ${table.rootLocation} was written under a different schema generation than " +
           "this stream pinned at start; restart the stream to pick up the evolved schema")
     }
     val spark = ctx.sparkSession
@@ -184,7 +183,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
       if (batch.isEmpty) spark.sparkContext
         .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else {
-        val paths = batch.map { case (d, _) => table.root.resolve(d).toString }
+        val paths = batch.map { case (d, _) => table.location(d) }
         // recursiveFileLookup: hive subdirs of transform specs are
         // listed through without partition inference (hidden values
         // are not part of the user schema)

@@ -50,7 +50,7 @@ object StreamingLakeSource {
     */
   def appendsStream(table: LakeTable): DataFrame = {
     val snap = table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.root}"))
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val identity = snap.partitionBy.map(graft.lake.PartitionField.parse).filterNot(_.hidden)
     require(identity.isEmpty,
       s"appendsStream cannot deliver identity partition columns ${identity.map(_.name)} " +
@@ -60,13 +60,13 @@ object StreamingLakeSource {
     // only rename/widen) would silently null-fill the renamed column
     // instead of going through the field-id alignment batch reads use
     require(snap.dirs.indices.forall(i => snap.dirSchemaJson(i) == snap.schemaJson),
-      s"appendsStream requires a single schema generation at ${table.root}: " +
+      s"appendsStream requires a single schema generation at ${table.rootLocation}: " +
         "the table has dirs written under a pre-evolution schema; compact() it first " +
         "(rewrites every file to the current schema) or consume snapshots batchwise")
     table.spark.readStream
       .schema(snap.schema)
       .option("recursiveFileLookup", "true")
-      .parquet(table.root.resolve("data").toString + "/*")
+      .parquet(table.location("data") + "/*")
   }
 
   /** Committed-only variant: the manifest-driven [[GraftLakeSource]]
@@ -80,7 +80,7 @@ object StreamingLakeSource {
                       skipRewriteCommits: Boolean = false): DataFrame = {
     val reader = table.spark.readStream
       .format(classOf[GraftLakeSourceProvider].getName)
-      .option("path", table.root.toString)
+      .option("path", table.rootLocation)
       .option("skipRewriteCommits", skipRewriteCommits.toString)
     maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
     reader.load()
