@@ -50,6 +50,7 @@ object SparkEntry {
     "lake_maintenance"      -> (LakeQueries.maintenance _),
     "lake_hidden_partition" -> (LakeQueries.hiddenPartition _),
     "lake_sql_merge"        -> (LakeQueries.sqlMerge _),
+    "lake_metadata_tables"  -> (LakeQueries.metadataTables _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
@@ -248,6 +249,13 @@ object SparkEntry {
         |  FROM m)
         |SELECT * FROM u WHERE NOT (c_nationkey >= 20)
         |ORDER BY c_custkey""".stripMargin,
+
+    // two single-task commits over an identity-partitioned table →
+    // exactly 2 files and 2× the rows per partition value
+    "lake_metadata_tables" ->
+      """SELECT c_mktsegment, CAST(2 AS BIGINT) AS n_files,
+        |       COUNT(*) * 2 AS n_rows
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "lake_update_delete" ->
       """SELECT c_custkey, c_name, c_nationkey,

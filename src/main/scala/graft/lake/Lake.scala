@@ -124,8 +124,56 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     import sp.implicits._
     history
       .map(s => (s.version, s.op, s.timestampMs, s.dirs.size,
-        s.partitionBy.mkString(",")))
-      .toDF("version", "op", "timestamp_ms", "n_dirs", "partition_by")
+        s.partitionBy.mkString(","), s.deleteDirs.size))
+      .toDF("version", "op", "timestamp_ms", "n_dirs", "partition_by", "n_delete_dirs")
+  }
+
+  /** Iceberg's `<table>.files` metadata table: one row per data file
+    * of the snapshot — relative path, commit dir, partition subpath
+    * ('' for unpartitioned), on-disk size, and the LIVE record count
+    * (merge-on-read deletes already subtracted; a fully-deleted file
+    * reports 0). File paths/sizes come from the manifest-dir listing
+    * (driver-side metadata scale); record counts are one column-less
+    * distributed aggregate over the snapshot.
+    */
+  def files(version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, regexp_extract, substring}
+    val snap = resolve(version)
+    val sp = spark
+    import sp.implicits._
+    val listed = snap.dirs.flatMap { d =>
+      val it = if (io.isDir(loc(d))) Some(io.fs.listFiles(loc(d), true)) else None
+      val b = Seq.newBuilder[(String, String, Long)]
+      it.foreach { i =>
+        while (i.hasNext) {
+          val st = i.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            b += ((s"$d/${FileStats.relativeKey(st.getPath.toString, new HPath(d).getName)}",
+              d, st.getLen))
+        }
+      }
+      b.result()
+    }
+    val files = listed.toDF("file", "dir", "size_bytes")
+    val prefix = qualifiedRootPrefix
+    val live = scanImpl(Nil, version, keepPos = true)
+      .groupBy(substring(col(LakePos.FileCol), prefix.length + 1, Int.MaxValue).as("file"))
+      .agg(count(lit(1)).as("record_count"))
+    files.join(live, Seq("file"), "left")
+      .withColumn("record_count", coalesce(col("record_count"), lit(0L)))
+      .withColumn("partition",
+        regexp_extract(col("file"), "^data/[^/]+/(.*)/[^/]*$", 1))
+      .select($"file", $"dir", $"partition", $"size_bytes", $"record_count")
+  }
+
+  /** Iceberg's `<table>.partitions` metadata table: per partition
+    * subpath ('' for unpartitioned), live file and record counts.
+    */
+  def partitionsTable(version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    files(version)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("n_rows"))
   }
 
   /** O(1) in manifest parses: resolves the max version from file names
@@ -438,13 +486,19 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           ts, meta, dirSchemas, deleteDirs)
         // publish with the arbiter's atomic NO-REPLACE primitive: a
         // plain overwrite would silently clobber a manifest published
-        // by a writer that reclaimed our claim as stale (slow-writer
-        // lost-commit race)
-        if (!arbiter.publishIfAbsent(manifestPath(next), Manifest.toJson(snap)))
-          throw new java.util.ConcurrentModificationException(
-            s"commit v$next to $rootLocation was overtaken (claim reclaimed as stale); retry the operation")
-        arbiter.releaseClaim(claim) // served its purpose; don't accumulate
-        return snap
+        // by a concurrent writer. A failed publish means we lost
+        // despite holding a claim — either our claim was reclaimed as
+        // stale, or the store's claim create was not truly atomic
+        // (check-then-act local FS) and two writers claimed the same
+        // version. Both cases are safe to REBASE AND RETRY: nothing of
+        // ours was published, the staged dirs recommit under the next
+        // version, and the loop's expectedBase/spec/schema
+        // revalidation decides whether the retry is still legal.
+        if (arbiter.publishIfAbsent(manifestPath(next), Manifest.toJson(snap))) {
+          arbiter.releaseClaim(claim) // served its purpose; don't accumulate
+          return snap
+        }
+        arbiter.releaseClaim(claim) // v`next` is published; the claim is junk now
       }
       // claim race lost: wait for the winner's manifest, reclaiming
       // orphaned claims whose writer died mid-commit

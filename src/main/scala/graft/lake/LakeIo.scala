@@ -158,7 +158,17 @@ private[lake] final class FsCommitArbiter(io: LakeIo) extends CommitArbiter {
     val ok =
       if (io.exists(manifest)) false
       else try io.fs.rename(tmp, manifest) catch { case _: java.io.IOException => false }
-    if (!ok) try { io.fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }
-    ok
+    if (!ok) { try { io.fs.delete(tmp, false); () } catch { case _: java.io.IOException => () }; false }
+    else {
+      // read-back verification: on a store whose rename OVERWRITES
+      // (local FS), two near-simultaneous publishers can both rename
+      // "successfully" — only the writer whose bytes actually landed
+      // may report success (manifest contents are writer-unique: every
+      // commit carries fresh uuid dir names). On HDFS this read
+      // always matches. Stores lacking both atomic primitives (S3)
+      // need the conditional-PUT/catalog arbiter — see CommitArbiter.
+      try io.readString(manifest) == content
+      catch { case _: java.io.IOException => false }
+    }
   }
 }

@@ -57,8 +57,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val t = lakeTable(ident)
-    if (t.latest.isEmpty) throw new NoSuchTableException(ident)
-    new GraftSparkTable(s"$catName.${identString(ident)}", t, None)
+    if (t.latest.nonEmpty)
+      return new GraftSparkTable(s"$catName.${identString(ident)}", t, None)
+    // metadata-table addressing (Iceberg parity): `ns.t.files`,
+    // `ns.t.partitions`, `ns.t.snapshots`, `ns.t.history` resolve
+    // against the parent table when `ns.t` exists
+    if (ident.namespace().nonEmpty &&
+        GraftSparkTable.MetaTables.contains(ident.name().toLowerCase)) {
+      val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+      val pt = lakeTable(parent)
+      if (pt.latest.nonEmpty)
+        return new GraftSparkTable(s"$catName.${identString(ident)}", pt, None,
+          metaTable = Some(ident.name().toLowerCase))
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `FOR VERSION AS OF n` time travel. */
@@ -194,14 +206,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * layer's own read/commit paths before any capability is consulted.
   */
 final class GraftSparkTable(tableName: String, val lake: LakeTable,
-                            val pinnedVersion: Option[Long]) extends Table {
+                            val pinnedVersion: Option[Long],
+                            metaTable: Option[String] = None) extends Table {
   private def snap = pinnedVersion match {
     case Some(v) => lake.history.find(_.version == v)
     case None    => lake.latest
   }
 
+  /** The metadata frame this handle addresses (None = the data table).
+    * Built fresh per call: metadata tables reflect the live state.
+    */
+  def metaFrame: Option[org.apache.spark.sql.DataFrame] = metaTable.map {
+    case "files"      => lake.files(pinnedVersion)
+    case "partitions" => lake.partitionsTable(pinnedVersion)
+    case _            => lake.snapshots // "snapshots" and "history"
+  }
+
   override def name(): String = tableName
-  override def schema(): StructType = snap.map(_.schema).getOrElse(new StructType())
+  override def schema(): StructType =
+    metaFrame.map(_.schema)
+      .orElse(snap.map(_.schema)).getOrElse(new StructType())
   override def capabilities(): util.Set[TableCapability] = util.Collections.emptySet()
 
   override def partitioning(): Array[Transform] =
@@ -226,6 +250,9 @@ final class GraftSparkTable(tableName: String, val lake: LakeTable,
 }
 
 object GraftSparkTable {
+  /** Addressable metadata tables (Iceberg's inspection-table names). */
+  val MetaTables: Set[String] = Set("files", "partitions", "snapshots", "history")
+
   /** DSv2 partition Transform → manifest spec string. */
   def transformToSpec(t: Transform): String = {
     def colOf(): String = {

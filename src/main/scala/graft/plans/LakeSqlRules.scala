@@ -50,12 +50,20 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (r, r.table.asInstanceOf[GraftSparkTable])
     }
 
+  /** Metadata tables (`t.files` etc.) are read-only projections. */
+  private def requireDataTable(gst: GraftSparkTable, what: String): GraftSparkTable = {
+    if (gst.metaFrame.isDefined) throw new UnsupportedOperationException(
+      s"$what on metadata table ${gst.name()} is not supported (read-only)")
+    gst
+  }
+
   /** Replace a graft DSv2 relation with the snapshot scan plan, keeping
     * the relation's output exprIds (the resolved query above references
     * them).
     */
   private def readPlan(r: DataSourceV2Relation, gst: GraftSparkTable): LogicalPlan = {
-    val child = gst.lake.read(gst.pinnedVersion).queryExecution.analyzed
+    val child = gst.metaFrame.getOrElse(gst.lake.read(gst.pinnedVersion))
+      .queryExecution.analyzed
     val resolver = spark.sessionState.conf.resolver
     val out = r.output.map { attr =>
       val src = child.output.find(a => resolver(a.name, attr.name)).getOrElse(
@@ -100,13 +108,14 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case a: AppendData =>
       gstOf(a.table) match {
-        case Some((_, gst)) => GraftWriteCommand(gst, substituteReads(a.query), overwrite = false)
+        case Some((_, gst)) => GraftWriteCommand(requireDataTable(gst, "INSERT"), substituteReads(a.query), overwrite = false)
         case None           => substituteReads(plan)
       }
 
     case o: OverwriteByExpression =>
       gstOf(o.table) match {
-        case Some((_, gst)) =>
+        case Some((_, gst0)) =>
+          val gst = requireDataTable(gst0, "INSERT OVERWRITE")
           o.deleteExpr match {
             case Literal(true, BooleanType) => ()
             case other => throw new UnsupportedOperationException(
@@ -127,7 +136,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case d: DeleteFromTable =>
       gstOf(d.table) match {
-        case Some((_, gst)) =>
+        case Some((_, gst0)) =>
+          val gst = requireDataTable(gst0, "DELETE")
           noSubqueries(d.condition, "DELETE")
           GraftDeleteCommand(gst, rebind(d.condition))
         case None => substituteReads(plan)
@@ -135,7 +145,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case u: UpdateTable =>
       gstOf(u.table) match {
-        case Some((_, gst)) =>
+        case Some((_, gst0)) =>
+          val gst = requireDataTable(gst0, "UPDATE")
           u.condition.foreach(noSubqueries(_, "UPDATE"))
           val set = u.assignments.map { as =>
             val name = stripCast(as.key) match {
@@ -154,7 +165,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable =>
       gstOf(m.targetTable) match {
-        case Some((tRel, gst)) =>
+        case Some((tRel, gst0)) =>
+          val gst = requireDataTable(gst0, "MERGE INTO")
           val tgtSet = AttributeSet(tRel.output)
           val srcSet = m.sourceTable.outputSet
           def unsupported(msg: String): Nothing =

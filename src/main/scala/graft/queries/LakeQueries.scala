@@ -210,6 +210,30 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Metadata inspection tables (Iceberg's `.files` / `.partitions` /
+    * `.snapshots` parity): build an identity-partitioned table with
+    * two single-task commits (deterministic 2 files per partition),
+    * then report per-partition live file and row counts from the
+    * `.partitions` metadata table. The oracle recomputes the same
+    * numbers relationally from the raw data.
+    */
+  def metadataTables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(1), "bronze.cmeta", WriteMode.Overwrite,
+      partitionBy = Seq("c_mktsegment"))
+    cat.write(customer.repartition(1), "bronze.cmeta", WriteMode.Append)
+    val t = cat.table("bronze.cmeta")
+    require(t.snapshots.collect().map(_.getString(1)).toSeq == Seq("overwrite", "append"),
+      "snapshots metadata table must list both commits")
+    t.partitionsTable()
+      .select(
+        regexp_extract($"partition", "=(.*)$", 1).as("c_mktsegment"),
+        $"n_files", $"n_rows")
+      .orderBy($"c_mktsegment")
+  }
+
   private val sqlCatalogCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The reference's headline Iceberg capability as ACTUAL SQL: MERGE

@@ -64,6 +64,22 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       s"SELECT * FROM $c.ns.tst TIMESTAMP AS OF timestamp_millis(${v1.timestampMs - 1})").collect())
   }
 
+  test("metadata tables address through SQL: t.files / t.partitions / t.snapshots") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample().repartition(1), "ns.mt", WriteMode.Overwrite)
+    cat.write(sample().repartition(1), "ns.mt", WriteMode.Append)
+    assert(spark.sql(s"SELECT sum(record_count) AS n FROM $c.ns.mt.files").head.getLong(0) === 6)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.mt.files").head.getLong(0) === 2)
+    val p = spark.sql(s"SELECT n_files, n_rows FROM $c.ns.mt.partitions").head
+    assert(p.getLong(0) === 2 && p.getLong(1) === 6)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.mt.snapshots").head.getLong(0) === 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.mt.history").head.getLong(0) === 2)
+    // read-only: DML against a metadata table fails loudly
+    val err = intercept[Exception](
+      spark.sql(s"DELETE FROM $c.ns.mt.files WHERE record_count > 0"))
+    assert(err.getMessage.contains("read-only") || err.getMessage.contains("metadata table"))
+  }
+
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.w", WriteMode.Overwrite)

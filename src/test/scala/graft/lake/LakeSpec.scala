@@ -267,6 +267,37 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables: files/partitions track live rows through MOR deletes") {
+    val cat = freshCat()
+    cat.write(sample().repartition(1), "ns.md", WriteMode.Overwrite)
+    cat.write(sample().repartition(1), "ns.md", WriteMode.Append)
+    val t = cat.table("ns.md")
+    val f0 = t.files().collect()
+    assert(f0.length === 2)
+    assert(f0.map(_.getAs[Long]("record_count")).sum === 6)
+    assert(f0.forall(_.getAs[Long]("size_bytes") > 0))
+    assert(f0.forall(_.getAs[String]("partition") === ""))
+    // MOR delete: files stay, live record counts drop
+    LakeDml.delete(t, $"id" === 1L, strategy = DmlStrategy.MergeOnRead)
+    val f1 = t.files().collect()
+    assert(f1.length === 2)
+    assert(f1.map(_.getAs[Long]("record_count")).sum === 4)
+    // partitions aggregate; snapshots report the delete commit
+    val p = t.partitionsTable().head
+    assert(p.getAs[Long]("n_files") === 2 && p.getAs[Long]("n_rows") === 4)
+    assert(t.snapshots.orderBy($"version").collect()
+      .map(r => (r.getString(1), r.getAs[Int]("n_delete_dirs"))).toSeq
+      === Seq(("overwrite", 0), ("append", 0), ("delete", 1)))
+    // time travel: the pre-delete snapshot still reports 6 live rows
+    assert(t.files(Some(2L)).collect().map(_.getAs[Long]("record_count")).sum === 6)
+    // partitioned table: partition subpath is exposed
+    cat.write(sample().repartition(1), "ns.mdp", WriteMode.Overwrite,
+      partitionBy = Seq("name"))
+    val fp = cat.table("ns.mdp").files().collect()
+    assert(fp.map(_.getAs[String]("partition")).sorted.toSeq
+      === Seq("name=a", "name=b", "name=c"))
+  }
+
   test("snapshots metadata table reflects history") {
     val cat = freshCat()
     cat.write(sample(), "ns.m", WriteMode.Overwrite)
