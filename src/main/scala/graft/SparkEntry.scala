@@ -51,6 +51,7 @@ object SparkEntry {
     "lake_hidden_partition" -> (LakeQueries.hiddenPartition _),
     "lake_sql_merge"        -> (LakeQueries.sqlMerge _),
     "lake_metadata_tables"  -> (LakeQueries.metadataTables _),
+    "lake_spec_evolution"   -> (LakeQueries.specEvolution _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
@@ -279,6 +280,14 @@ object SparkEntry {
         |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
 
     "lake_hidden_partition" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    // layout evolution (unpartitioned -> days(ts)) must never change
+    // semantics: the scan over both generations equals a plain filter
+    "lake_spec_evolution" ->
       """SELECT * FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'

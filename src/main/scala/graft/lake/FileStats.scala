@@ -25,7 +25,27 @@ import org.apache.spark.sql.types.StructType
   * probe whose domain mismatches, is always kept.
   */
 private[lake] object FileStats {
+  /** Legacy single-blob key: stats for a snapshot whose ONLY dir is
+    * the one the blob describes. Still read (old manifests), no longer
+    * written.
+    */
   val MetaKey = "graft.stats"
+  /** Per-dir stats keys (`graft.stats:data/<uuid>`): each commit dir
+    * carries its own blob, so appends carry prior dirs' stats forward
+    * untouched and file skipping survives append-heavy tables — no
+    * compaction required to re-arm it.
+    */
+  val DirKeyPrefix = "graft.stats:"
+  def dirKey(dirName: String): String = DirKeyPrefix + dirName
+  /** The table's stats-column set (comma-joined), persisted in the
+    * snapshot meta: set by `statsBy` writes and sorted/z-ordered
+    * compactions, inherited by appends so every new dir auto-collects
+    * min/max on the same columns.
+    */
+  val StatsColsKey = "graft.statsCols"
+  def joinCols(cols: Seq[String]): String = cols.mkString(",")
+  def splitCols(s: String): Seq[String] =
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
 
   /** Ordered comparison key: Left = numeric domain, Right = string.
     * NaN/Infinity have no BigDecimal form → None, which both encodes

@@ -61,10 +61,29 @@ final case class Snapshot(
     // positions in the data dirs; scans anti-join them out. Appends
     // carry them forward; overwrite/compact clear them (a rewrite
     // folds deletes into the data).
-    deleteDirs: Seq[String] = Nil) {
+    deleteDirs: Seq[String] = Nil,
+    // partition spec per dir (';'-joined spec strings, parallel to
+    // `dirs`; empty string = unpartitioned dir, Nil = every dir was
+    // written under `partitionBy`). Spec EVOLUTION (Iceberg's
+    // `ALTER TABLE ... REPLACE PARTITION FIELD`) records each
+    // generation's layout here: old dirs keep their directories and
+    // still prune via their own spec, new writes land under the
+    // current one.
+    dirSpecs: Seq[String] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def dirSchemaJson(i: Int): String =
     if (dirSchemaJsons.isEmpty) schemaJson else dirSchemaJsons(i)
+  def dirSpec(i: Int): Seq[String] =
+    if (dirSpecs.isEmpty) partitionBy else Snapshot.splitSpec(dirSpecs(i))
+}
+
+object Snapshot {
+  /** ';' separates spec entries in the manifest — specs themselves
+    * contain commas (`bucket(4, c)`), so ',' would be ambiguous.
+    */
+  def joinSpec(spec: Seq[String]): String = spec.mkString(";")
+  def splitSpec(s: String): Seq[String] =
+    if (s.isEmpty) Nil else s.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
 }
 
 sealed trait WriteMode
@@ -244,6 +263,25 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * grouping costs one first-level directory listing per commit dir,
     * not a recursive file listing.
     */
+  /** All partition fields any dir generation of `snap` uses, plus the
+    * current spec — one entry per distinct derived column name. Spec
+    * evolution can put several generations in one snapshot; frames
+    * from every generation align on this union (missing columns
+    * null-filled), and scan() projects predicates onto each field so
+    * every generation prunes via its own layout. `ambiguous` names —
+    * two generations deriving the SAME column name from DIFFERENT
+    * transforms (bucket(4,c) → bucket(8,c)) — are excluded from
+    * predicate projection (a probe derived for one layout would
+    * wrongly prune the other) but still null-filled and dropped.
+    */
+  private[lake] def specFields(snap: Snapshot): (Seq[PartitionField], Set[String]) = {
+    val specs = (snap.partitionBy +: snap.dirs.indices.map(snap.dirSpec))
+      .flatten.distinct.map(PartitionField.parse)
+    val byName = specs.groupBy(_.name)
+    (byName.values.map(_.head).toSeq.sortBy(_.name),
+      byName.filter(_._2.size > 1).keySet)
+  }
+
   private def readRaw(snap: Snapshot, preds: Seq[LakePredicate] = Nil,
                       withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -255,14 +293,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       if (!needPos) df
       else df.withColumn(LakePos.FileCol, col("_metadata.file_path"))
         .withColumn(LakePos.PosCol, col("_metadata.row_index"))
-    val fields = snap.partitionBy.map(PartitionField.parse)
-    val reader = spark.read.schema(snap.schema)
-    def absPaths(dirs: Seq[String]) = dirs.map(location)
+    val cur = snap.schema
+    val hiddenFields = specFields(snap)._1.filter(_.hidden)
     def emptyFrame(): DataFrame = {
       val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
-      val withParts = fields.filter(_.hidden).foldLeft(empty)((df, pf) =>
-        df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
+        new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+      val withParts = hiddenFields.foldLeft(empty)((df, pf) =>
+        df.withColumn(pf.name, lit(null).cast(pf.partitionType(cur))))
       if (!needPos) withParts
       else withParts
         .withColumn(LakePos.FileCol, lit(null).cast(org.apache.spark.sql.types.StringType))
@@ -270,61 +307,69 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     }
     // a freshly-created (DDL) table has a schema but no data dirs
     if (snap.dirs.isEmpty) return emptyFrame()
-    if (fields.isEmpty) {
-      // manifest-level file skipping: a single-dir snapshot carrying
-      // per-file min/max (compact/statsBy writes) resolves predicates
-      // against the manifest stats FIRST — files whose range cannot
-      // match never enter the relation, so their footers are never
-      // read. Single-dir only: stats describe the commit that wrote
-      // them, and multi-dir snapshots (appends after a compact) carry
-      // no stats key, so no file is ever wrongly skipped.
-      val cur = snap.schema
-      def alignedRead(physJson: String, paths: Seq[String]): DataFrame = {
-        val phys = DataType.fromJson(physJson).asInstanceOf[StructType]
-        SchemaIds.align(attachPos(spark.read.schema(phys).parquet(paths: _*)),
-          phys, cur, posNames)
-      }
-      val pruned = for {
-        json <- snap.meta.get(FileStats.MetaKey)
-        if preds.nonEmpty && snap.dirs.size == 1
-        kept <- FileStats.surviving(json, preds, snap.schema)
-      } yield kept.toSeq.sorted.map(f => new HPath(loc(snap.dirs.head), f).toString)
-      pruned match {
-        case Some(paths) if paths.isEmpty => emptyFrame()
-        case Some(paths)                  => alignedRead(snap.dirSchemaJson(0), paths)
-        case None                         =>
-          // one relation per schema GENERATION (rename/drop/widen are
-          // metadata-only commits: old dirs keep their write-time
-          // column names/types and align to the current schema by
-          // field id) — uniform tables collapse to a single group
-          snap.dirs.indices.groupBy(snap.dirSchemaJson).toSeq.sortBy(_._2.head)
-            .map { case (sj, idxs) => alignedRead(sj, absPaths(idxs.map(snap.dirs))) }
-            .reduce(_ unionByName _)
-      }
-    } else {
-      def hasHiveSubdirs(d: String): Boolean =
-        io.list(loc(d)).exists(_.getPath.getName.contains('='))
-      val (partitioned, bare) = snap.dirs.partition(hasHiveSubdirs)
-      def nullFillMissing(f: DataFrame): DataFrame =
-        fields.filterNot(pf => f.columns.contains(pf.name))
-          .foldLeft(f)((df, pf) =>
-            df.withColumn(pf.name, lit(null).cast(pf.partitionType(snap.schema))))
-      // manifest file skipping composes with partition pruning: the
-      // keep-set filters FILES inside the (single-commit-dir) index
-      val statsKeep = for {
-        json <- snap.meta.get(FileStats.MetaKey)
-        if preds.nonEmpty && snap.dirs.size == 1
-        kept <- FileStats.surviving(json, preds, snap.schema)
+
+    // manifest-level file skipping, PER DIR: each dir's stats blob
+    // (written by the commit that created it, carried forward since)
+    // yields the files that can satisfy `preds`; dirs without stats
+    // keep all their files — no file is ever wrongly skipped. Legacy
+    // single-blob manifests count only when their dir is the
+    // snapshot's sole one (the blob describes exactly that commit).
+    def keepFor(i: Int): Option[Set[String]] =
+      if (preds.isEmpty) None
+      else for {
+        json <- snap.meta.get(FileStats.dirKey(snap.dirs(i)))
+          .orElse(if (snap.dirs.size == 1) snap.meta.get(FileStats.MetaKey) else None)
+        kept <- FileStats.surviving(json, preds, cur)
       } yield kept
-      val frames =
-        (if (partitioned.nonEmpty)
-          Seq(SnapshotRead.partitionedFrame(this, partitioned, fields, snap.schema,
-            statsKeep, withPos = needPos))
-         else Nil) ++
-        (if (bare.nonEmpty)
-          Seq(nullFillMissing(attachPos(reader.parquet(absPaths(bare): _*)))) else Nil)
-      frames.reduce(_ unionByName _)
+    // surviving file paths of dir i (whole dir when unpruned; Nil when
+    // stats prove nothing can match — the blob lists every file of the
+    // dir, so surviving keys enumerate without a filesystem listing)
+    def prunedPaths(i: Int): Seq[String] = keepFor(i) match {
+      case Some(k) => k.toSeq.sorted.map(f => new HPath(loc(snap.dirs(i)), f).toString)
+      case None    => Seq(location(snap.dirs(i)))
     }
+
+    def hasHiveSubdirs(d: String): Boolean =
+      io.list(loc(d)).exists(_.getPath.getName.contains('='))
+    // Dir generations: dirs with a partition spec AND hive subdirs
+    // read through ONE manifest-driven relation PER SPEC (partition
+    // pruning within each); everything else — unpartitioned
+    // generations, zero-row dirs, pre-spec dirs — reads file-aligned,
+    // grouped per schema generation (rename/drop/widen are
+    // metadata-only commits: old dirs keep their write-time column
+    // names/types and align to the current schema by field id).
+    // Uniform tables still collapse to at most two relations.
+    val (hiveIdx, bareIdx) = snap.dirs.indices.partition(i =>
+      snap.dirSpec(i).nonEmpty && hasHiveSubdirs(snap.dirs(i)))
+
+    val hiveFrames = hiveIdx.groupBy(i => Snapshot.joinSpec(snap.dirSpec(i))).toSeq
+      .sortBy(_._2.head).map { case (specStr, idxs) =>
+        val gFields = Snapshot.splitSpec(specStr).map(PartitionField.parse)
+        val keepMap = idxs.flatMap(i => keepFor(i).map(snap.dirs(i) -> _)).toMap
+        SnapshotRead.partitionedFrame(this, idxs.map(snap.dirs), gFields, cur,
+          keepMap, withPos = needPos)
+      }
+    val bareFrames = bareIdx.groupBy(snap.dirSchemaJson).toSeq.sortBy(_._2.head)
+      .flatMap { case (sj, idxs) =>
+        val paths = idxs.flatMap(prunedPaths)
+        if (paths.isEmpty) None // stats pruned the whole generation
+        else {
+          val phys = DataType.fromJson(sj).asInstanceOf[StructType]
+          Some(SchemaIds.align(attachPos(spark.read.schema(phys).parquet(paths: _*)),
+            phys, cur, posNames))
+        }
+      }
+    val frames = hiveFrames ++ bareFrames
+    if (frames.isEmpty) return emptyFrame()
+    // align every generation on the full derived-column union before
+    // unioning: a generation lacking another generation's partition
+    // column carries typed nulls there, and scan()'s null-escape keeps
+    // its rows past that column's projected predicates
+    val aligned = frames.map { f =>
+      hiddenFields.filterNot(pf => f.columns.contains(pf.name))
+        .foldLeft(f)((df, pf) => df.withColumn(pf.name, lit(null).cast(pf.partitionType(cur))))
+    }
+    aligned.reduce(_ unionByName _)
   }
 
   /** Read the table at `version` (latest when None). Immutable snapshot
@@ -366,7 +411,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                        keepPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = resolve(version)
-    val fields = snap.partitionBy.map(PartitionField.parse)
+    val (fields, ambiguous) = specFields(snap)
     val schema = snap.schema
     def typed(c: String, v: Any) = lit(v).cast(schema(c).dataType)
     val raw = preds.map {
@@ -379,10 +424,14 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // source" — those rows must fall through to the exact raw
     // predicate instead of being pruned (Iceberg's spec-evolution
     // contract: files without the transform stay scannable).
-    // Directory pruning still applies wherever the value is present.
+    // Directory pruning still applies wherever the value is present —
+    // including OLD spec generations, whose fields are in the union
+    // too, so each generation prunes via its own layout. Ambiguous
+    // names (same column, different transforms across generations)
+    // never project.
     val projected = for {
       p <- preds
-      f <- fields if f.source == p.col
+      f <- fields if f.source == p.col && !ambiguous.contains(f.name)
       proj <- f.project(p, schema(p.col).dataType)
     } yield proj || col(f.name).isNull
     // merge-on-read deletes apply BEFORE user filters semantically,
@@ -415,7 +464,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            newDirSchemas: Seq[String] = Nil,
                            carriedSchemasOverride: Option[Seq[String]] = None,
                            expectedBaseSchema: Option[Option[String]] = None,
-                           newDeleteDirs: Seq[String] = Nil): Snapshot = {
+                           newDeleteDirs: Seq[String] = Nil,
+                           allowSpecChange: Boolean = false,
+                           carryStats: Boolean = true,
+                           newDirSpecs: Seq[String] = Nil): Snapshot = {
     io.mkdirs(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -437,7 +489,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       // stale spec over a concurrently changed one would union
       // incompatibly-partitioned dirs. (An empty base spec stays
       // appendable-with-spec: those dirs read through the null-escape.)
-      if (carryForward) base.foreach { b =>
+      // Spec-evolution commits (`set-spec`) change the spec on
+      // purpose and skip the check — per-dir specs keep old dirs
+      // readable under their own layout.
+      if (carryForward && !allowSpecChange) base.foreach { b =>
         if (b.partitionBy.nonEmpty && b.partitionBy != partitionBy)
           throw new java.util.ConcurrentModificationException(
             s"append spec $partitionBy no longer matches table spec ${b.partitionBy} at $rootLocation " +
@@ -470,6 +525,37 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         // store Nil when uniform — keeps pre-evolution manifests small
         val dirSchemas =
           if (dirSchemas0.forall(_ == schemaJson)) Nil else dirSchemas0.toSeq
+        // per-dir partition specs travel exactly like per-dir schemas:
+        // carried dirs keep theirs, new dirs take this commit's spec,
+        // and a uniform table stores Nil (manifests stay small)
+        val specStr = Snapshot.joinSpec(partitionBy)
+        val carriedSpecs =
+          if (carryForward)
+            base.map(b => b.dirs.indices.map(i => Snapshot.joinSpec(b.dirSpec(i)))).getOrElse(Nil)
+          else Nil
+        val dirSpecs0 = carriedSpecs ++
+          (if (newDirSpecs.nonEmpty) newDirSpecs else newDirs.map(_ => specStr))
+        val dirSpecsOut =
+          if (dirSpecs0.forall(_ == specStr)) Nil else dirSpecs0.toSeq
+        // per-dir file stats survive any dir-preserving commit: carried
+        // dirs keep their stats blobs and the table keeps its
+        // stats-column set (schema-evolution commits opt out — renames
+        // could make old-name stats prune a future same-named column).
+        // A base holding the legacy single-blob key is upgraded to the
+        // per-dir form on the way through.
+        val carriedStats: Map[String, String] =
+          if (!carryForward || !carryStats) Map.empty
+          else base.map { b =>
+            val perDir = b.meta.filter { case (k, _) =>
+              k == FileStats.StatsColsKey || k.startsWith(FileStats.DirKeyPrefix)
+            }
+            val legacy = b.meta.get(FileStats.MetaKey) match {
+              case Some(blob) if b.dirs.size == 1 =>
+                Map(FileStats.dirKey(b.dirs.head) -> blob)
+              case _ => Map.empty[String, String]
+            }
+            legacy ++ perDir
+          }.getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
         // (the rewrite they describe no longer exists)
@@ -483,7 +569,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         val ts = math.max(System.currentTimeMillis(),
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          ts, meta, dirSchemas, deleteDirs)
+          ts, carriedStats ++ meta, dirSchemas, deleteDirs, dirSpecsOut)
         // publish with the arbiter's atomic NO-REPLACE primitive: a
         // plain overwrite would silently clobber a manifest published
         // by a concurrent writer. A failed publish means we lost
@@ -527,6 +613,29 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .parquet(location(dirName))
   }
 
+  /** The table's persisted stats-column set (what appends auto-collect
+    * min/max on).
+    */
+  private def inheritedStatsCols(base: Option[Snapshot]): Seq[String] =
+    base.flatMap(_.meta.get(FileStats.StatsColsKey))
+      .map(FileStats.splitCols).getOrElse(Nil)
+
+  /** Stats meta for one just-written dir: the per-dir blob plus the
+    * refreshed stats-column set. Columns absent from the written frame
+    * are skipped (a post-rename append must not crash on stale names),
+    * and a zero-file dir (empty frame under a partition spec) collects
+    * nothing.
+    */
+  private def statsMetaFor(dirName: String, cols: Seq[String],
+                           written: Seq[String]): Map[String, String] = {
+    val present = cols.filter(written.contains)
+    if (present.isEmpty || io.countFiles(loc(dirName), ".parquet") == 0)
+      Map.empty
+    else Map(
+      FileStats.dirKey(dirName) -> FileStats.collect(spark, loc(dirName), present),
+      FileStats.StatsColsKey -> FileStats.joinCols(present))
+  }
+
   /** Write a new snapshot. Overwrite replaces the file set (the
     * reference's only mode, dags/etl.py:53); Append carries prior dirs
     * forward untouched. `partitionBy` takes identity columns or
@@ -559,11 +668,14 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     writeDataDir(df, dirName, effectiveSpec)
     // per-file min/max for the manifest (file skipping at scan time);
     // under partition specs the keys are dir-relative paths and the
-    // skipping composes with partition pruning inside the file index
-    val statsMeta =
-      if (statsBy.nonEmpty)
-        Map(FileStats.MetaKey -> FileStats.collect(spark, loc(dirName), statsBy))
-      else Map.empty[String, String]
+    // skipping composes with partition pruning inside the file index.
+    // Appends AUTO-COLLECT on the table's persisted stats-column set
+    // (one cheap aggregate over the just-written dir), so skipping
+    // survives append-heavy tables without waiting for a compaction.
+    val statsMeta = statsMetaFor(dirName,
+      if (statsBy.nonEmpty) statsBy
+      else if (mode == WriteMode.Append) inheritedStatsCols(base) else Nil,
+      df.columns)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
@@ -616,11 +728,18 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       writeDataDir(coerced, dirName, base.partitionBy)
       dirName
     }.toSeq
+    // the new data dir auto-collects stats like any append (carried
+    // dirs keep theirs through the commit's stats carry; deletes never
+    // invalidate min/max — removing rows only shrinks true ranges, so
+    // manifest ranges stay a safe over-approximation)
+    val statsMeta = newDirs.headOption.map(d =>
+      statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
+      .getOrElse(Map.empty[String, String])
     // the field-id high-water mark survives (commit meta is per-snapshot)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit(op, newDirs, carryForward = true, base.partitionBy, base.schemaJson,
-      meta = idMeta, expectedBase = Some(base.version),
+      meta = statsMeta ++ idMeta, expectedBase = Some(base.version),
       newDirSchemas = newDirs.map(_ => base.schemaJson),
       newDeleteDirs = Seq(delDir))
   }
@@ -656,9 +775,37 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // the dropped column's id from being reissued by a later append
     val idMeta = Map(SchemaIds.LastIdKey ->
       math.max(idFloor, SchemaIds.maxId(annotated)).toString)
+    // stats blobs and the stats-column set are keyed by COLUMN NAME:
+    // after a rename/drop they could match a future same-named column
+    // and wrongly prune — drop them (conservative; next statsBy write
+    // or sorted compact re-arms skipping)
     commit(op, Nil, carryForward = true, snap.partitionBy, f(annotated).json,
       meta = idMeta, expectedBase = Some(snap.version),
-      carriedSchemasOverride = Some(carried))
+      carriedSchemasOverride = Some(carried), carryStats = false)
+  }
+
+  /** Partition-spec evolution (Iceberg's `ALTER TABLE ... ADD/DROP/
+    * REPLACE PARTITION FIELD`): a METADATA-ONLY commit that changes
+    * the spec future writes use. Existing dirs keep their directories
+    * AND their recorded spec, so scans keep pruning each generation
+    * via its own layout — no data moves until the next [[compact]],
+    * which rewrites everything under the current spec and folds the
+    * generations back to one. (Iceberg's spec-evolution contract:
+    * old files keep their partition tuples, new files get the new
+    * ones, and split planning prunes each by what it has.)
+    */
+  def setPartitionSpec(newSpec: Seq[String]): Snapshot = {
+    val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val fields = newSpec.map(PartitionField.parse)
+    val schema = snap.schema
+    fields.foreach(f => require(schema.fieldNames.contains(f.source),
+      s"partition source '${f.source}' is not a column of $rootLocation"))
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"duplicate partition field names in $newSpec")
+    val idMeta = snap.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    commit("set-spec", Nil, carryForward = true, newSpec, snap.schemaJson,
+      meta = idMeta, expectedBase = Some(snap.version), allowSpecChange = true)
   }
 
   /** Rename a column, keeping its field id: existing files resolve to
@@ -667,7 +814,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def renameColumn(oldName: String, newName: String): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
-    require(snap.partitionBy.isEmpty,
+    require(snap.partitionBy.isEmpty && snap.dirs.indices.forall(snap.dirSpec(_).isEmpty),
       s"renameColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
     evolveSchema("rename", { cur =>
       require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $root")
@@ -695,7 +842,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def dropColumn(name: String): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
-    val sources = snap.partitionBy.map(PartitionField.parse).map(_.source)
+    // every spec generation counts: a column sourcing an OLD dir's
+    // spec is still needed to read/prune those dirs
+    val sources = (snap.partitionBy +: snap.dirs.indices.map(snap.dirSpec))
+      .flatten.distinct.map(PartitionField.parse).map(_.source)
     require(!sources.contains(name),
       s"cannot drop '$name': it sources partition spec ${snap.partitionBy}")
     evolveSchema("drop", { cur =>
@@ -711,7 +861,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def widenColumn(name: String, newType: DataType): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
-    require(snap.partitionBy.isEmpty,
+    require(snap.partitionBy.isEmpty && snap.dirs.indices.forall(snap.dirSpec(_).isEmpty),
       s"widenColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
     evolveSchema("widen", { cur =>
       require(cur.fieldNames.contains(name), s"no column '$name' at $root")
@@ -761,17 +911,38 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // compaction is where file ranges become disjoint on the cluster
     // columns — collect per-file min/max there so scans skip files
     // from the manifest (z-order bounds EVERY listed dimension, so all
-    // zorderBy columns get useful ranges, not just a leading one)
-    val statsMeta =
-      if (statsCols.nonEmpty)
-        Map(FileStats.MetaKey -> FileStats.collect(spark, loc(dirName), statsCols))
-      else Map.empty[String, String]
+    // zorderBy columns get useful ranges, not just a leading one).
+    // A plain compact (no sort) inherits the table's stats-column set:
+    // its random clustering gives loose ranges, but the set survives
+    // so subsequent appends keep auto-collecting.
+    val statsMeta = statsMetaFor(dirName,
+      if (statsCols.nonEmpty) statsCols else inheritedStatsCols(Some(snap)),
+      snap.schema.fieldNames.toSeq)
     // the field-id high-water mark survives compaction (commit meta is
     // per-snapshot, and losing it would allow dropped-id reuse)
     val idMeta = snap.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
       meta = statsMeta ++ idMeta, expectedBase = Some(snap.version))
+  }
+
+  /** Rollback (Iceberg's `rollback_to_snapshot`): re-commit the target
+    * version's complete state — dirs, schema, spec generations, delete
+    * files, stats — as a NEW version. History stays immutable (the bad
+    * commits remain time-travel-readable until expired); the data dirs
+    * are shared, immutable, and never copied. Fails when the target
+    * was expired or the table moved since `latest` was read.
+    */
+  def rollbackTo(version: Long): Snapshot = {
+    val cur = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    require(version != cur.version, s"table $rootLocation is already at v$version")
+    val target = snapshotAt(version).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot v$version at $rootLocation (never committed, or expired)"))
+    commit("rollback", target.dirs, carryForward = false, target.partitionBy,
+      target.schemaJson, meta = target.meta, expectedBase = Some(cur.version),
+      newDirSchemas = target.dirs.indices.map(target.dirSchemaJson),
+      newDeleteDirs = target.deleteDirs, allowSpecChange = true,
+      newDirSpecs = target.dirs.indices.map(i => Snapshot.joinSpec(target.dirSpec(i))))
   }
 
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
@@ -853,9 +1024,11 @@ private object Manifest {
       if (s.dirSchemaJsons.isEmpty) "" else s""""dirSchemas":${arr(s.dirSchemaJsons)},"""
     val deleteDirsJson =
       if (s.deleteDirs.isEmpty) "" else s""""deleteDirs":${arr(s.deleteDirs)},"""
+    val dirSpecsJson =
+      if (s.dirSpecs.isEmpty) "" else s""""dirSpecs":${arr(s.dirSpecs)},"""
     s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
       s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
-      dirSchemasJson + deleteDirsJson +
+      dirSchemasJson + deleteDirsJson + dirSpecsJson +
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -888,7 +1061,8 @@ private object Manifest {
       timestampMs = n.get("timestampMs").asLong(),
       meta = meta,
       dirSchemaJsons = if (n.has("dirSchemas")) strs("dirSchemas") else Nil,
-      deleteDirs = if (n.has("deleteDirs")) strs("deleteDirs") else Nil))
+      deleteDirs = if (n.has("deleteDirs")) strs("deleteDirs") else Nil,
+      dirSpecs = if (n.has("dirSpecs")) strs("dirSpecs") else Nil))
   }
 }
 

@@ -32,33 +32,50 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[lake] object SnapshotRead {
 
-  /** [[InMemoryFileIndex]] that additionally drops files outside a
-    * manifest-stats keep set ([[FileStats]]): file skipping composes
-    * with partition pruning inside the one scan relation, and skipped
-    * files never reach the parquet reader.
+  /** [[InMemoryFileIndex]] that additionally drops files outside the
+    * per-dir manifest-stats keep sets ([[FileStats]]): file skipping
+    * composes with partition pruning inside the one scan relation, and
+    * skipped files never reach the parquet reader. `keep` maps a
+    * commit dir's table-relative name (`data/<uuid>`) to the relative
+    * file keys that can match; dirs absent from the map keep all their
+    * files (no stats → conservative).
     */
   private final class StatsPrunedFileIndex(
       spark: SparkSession,
       roots: Seq[org.apache.hadoop.fs.Path],
       schemaOpt: Option[StructType],
       spec: org.apache.spark.sql.execution.datasources.PartitionSpec,
-      commitDirName: String,
-      keep: Set[String])
+      keep: Map[String, Set[String]])
     extends InMemoryFileIndex(spark, roots, Map.empty, schemaOpt,
       userSpecifiedPartitionSpec = Some(spec)) {
+    // commit dir ("data/<uuid>") + dir-relative file key of a listed
+    // file, from the LAST "data" path segment: partition subdirs are
+    // always `name=value` (never a bare "data"), so the last match is
+    // the table's data root even when the warehouse path itself
+    // contains a "data" segment
+    private def dirAndKey(p: org.apache.hadoop.fs.Path): Option[(String, String)] = {
+      val segs = p.toUri.getPath.split('/')
+      val i = segs.lastIndexWhere(_ == "data")
+      if (i < 0 || i + 2 >= segs.length) None
+      else Some((segs(i) + "/" + segs(i + 1), segs.drop(i + 2).mkString("/")))
+    }
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
       super.listFiles(partitionFilters, dataFilters).map { pd =>
-        pd.copy(files = pd.files.filter(f =>
-          keep.contains(FileStats.relativeKey(f.getPath.toString, commitDirName))))
+        pd.copy(files = pd.files.filter { f =>
+          dirAndKey(f.getPath) match {
+            case Some((dir, key)) => keep.get(dir).forall(_.contains(key))
+            case None             => true // unidentifiable → keep
+          }
+        })
       }
   }
 
   def partitionedFrame(table: LakeTable, dirs: Seq[String],
                        fields: Seq[PartitionField], userSchema: StructType,
-                       statsKeep: Option[Set[String]] = None,
+                       statsKeep: Map[String, Set[String]] = Map.empty,
                        withPos: Boolean = false): DataFrame = {
     val spark = table.spark
     val partCols = StructType(fields.map(f =>
@@ -93,17 +110,14 @@ private[lake] object SnapshotRead {
       // paths and listed leaf dirs compare equal
       PartitionPath(row, fs.makeQualified(p))
     }
-    val index = statsKeep match {
-      case Some(keep) =>
-        // stats pruning only applies to single-dir snapshots (see
-        // LakeTable.readRaw), so dirs.head IS the commit dir
+    val index =
+      if (statsKeep.nonEmpty)
         new StatsPrunedFileIndex(spark, parts.map(_.path), Some(userSchema),
-          PartitionSpec(partCols, parts), new HPath(dirs.head).getName, keep)
-      case None =>
+          PartitionSpec(partCols, parts), statsKeep)
+      else
         new InMemoryFileIndex(spark, parts.map(_.path), Map.empty,
           Some(userSchema),
           userSpecifiedPartitionSpec = Some(PartitionSpec(partCols, parts)))
-    }
     // data files hold the user schema minus identity partition columns
     // (partitionBy lifts those into the directory names)
     val identNames = fields.filterNot(_.hidden).map(_.name).toSet

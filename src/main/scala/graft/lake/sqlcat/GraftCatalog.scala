@@ -29,7 +29,7 @@ import graft.lake.{LakeCatalog, LakeTable, PartitionField}
   *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
   * }}}
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -130,6 +130,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     loadTable(ident)
   }
+
+  // -- SQL maintenance procedures (`CALL graft.system.compact(...)`) ------
+
+  /** Iceberg-style `system` namespace; a bare name also resolves. */
+  private def isSystemNs(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!isSystemNs(ident.namespace()))
+      throw new UnsupportedOperationException(
+        s"no procedure namespace ${ident.namespace().mkString(".")} in catalog $catName (use $catName.system)")
+    GraftProcedures.load(ident.name(), s => lakeCat.table(s)).getOrElse(
+      throw new UnsupportedOperationException(
+        s"no procedure ${ident.name()} in catalog $catName (have: ${GraftProcedures.Names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!isSystemNs(namespace)) Array.empty
+    else GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
 
   // -- warehouse filesystem (any Hadoop scheme) ---------------------------
 

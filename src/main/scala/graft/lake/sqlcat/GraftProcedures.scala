@@ -1,0 +1,139 @@
+package graft.lake.sqlcat
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.lake.{LakeTable, Snapshot}
+
+/** SQL-callable maintenance procedures (Spark 4 DSv2 `ProcedureCatalog`)
+  * — the `CALL` surface Iceberg ships as `system.*` procedures and the
+  * reference enables through its extensions
+  * (/root/reference/dags/utils/constants/constant.py:43-50):
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'ns.t', target_partitions => 4, sort_by => 'id')
+  *   CALL graft.system.expire_snapshots(table => 'ns.t', retain_last => 1)
+  *   CALL graft.system.remove_orphan_files(table => 'ns.t', grace_ms => 0)
+  *   CALL graft.system.set_partition_spec(table => 'ns.t', spec => 'days(ts)')
+  *   CALL graft.system.rollback_to_version(table => 'ns.t', version => 3)
+  * }}}
+  *
+  * Each wraps the already-tested [[LakeTable]] maintenance API and
+  * returns a one-row result (versions/counts) through a [[LocalScan]].
+  * At cluster scale these are the operations a scheduler fires against
+  * a 100 TB table from plain SQL — no JVM client code needed.
+  */
+private[sqlcat] object GraftProcedures {
+
+  /** One procedure: parameter list (slot 0 is always the table
+    * identifier), result schema, and the action over the resolved
+    * table + bound argument row.
+    */
+  private final class Proc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      resolve: String => LakeTable,
+      run: (LakeTable, InternalRow) => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft lake maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates table state
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val table = resolve(input.getUTF8String(0).toString)
+      val result = run(table, input)
+      val row: InternalRow = new GenericInternalRow(result.map {
+        case s: String => UTF8String.fromString(s)
+        case other     => other.asInstanceOf[AnyRef]
+      }.toArray[Any])
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = Array(row)
+      }
+      util.List.of(scan).iterator()
+    }
+  }
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def pDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Split a user-supplied column list (',') or spec list (';' — spec
+    * strings themselves contain commas, `bucket(4, c)`).
+    */
+  private def cols(s: String): Seq[String] =
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  def load(name: String, resolve: String => LakeTable): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(new Proc("compact",
+        Array(p("table", StringType), p("target_partitions", IntegerType),
+          pDefault("sort_by", StringType, "''"), pDefault("zorder_by", StringType, "''")),
+        StructType(Seq(StructField("version", LongType), StructField("op", StringType))),
+        resolve,
+        (t, in) => {
+          val tp = in.getInt(1)
+          val sortBy = cols(in.getUTF8String(2).toString)
+          val zorderBy = cols(in.getUTF8String(3).toString)
+          require(sortBy.isEmpty || zorderBy.isEmpty,
+            "compact takes sort_by OR zorder_by, not both")
+          val snap =
+            if (zorderBy.nonEmpty) t.compactZOrder(tp, zorderBy)
+            else t.compact(tp, sortBy)
+          Seq(snap.version, snap.op)
+        }))
+
+      case "expire_snapshots" => Some(new Proc("expire_snapshots",
+        Array(p("table", StringType), pDefault("retain_last", IntegerType, "-1"),
+          pDefault("older_than_ms", LongType, "-1")),
+        StructType(Seq(StructField("expired_manifests", IntegerType),
+          StructField("deleted_dirs", IntegerType))),
+        resolve,
+        (t, in) => {
+          val retain = in.getInt(1)
+          val olderThan = in.getLong(2)
+          require((retain > 0) ^ (olderThan >= 0),
+            "expire_snapshots takes exactly one of retain_last / older_than_ms")
+          val (m, d) =
+            if (retain > 0) t.expireSnapshots(retain)
+            else t.expireSnapshotsOlderThan(olderThan)
+          Seq(m, d)
+        }))
+
+      case "remove_orphan_files" => Some(new Proc("remove_orphan_files",
+        Array(p("table", StringType),
+          pDefault("grace_ms", LongType, (60 * 60 * 1000L).toString)),
+        StructType(Seq(StructField("removed_dirs", IntegerType))),
+        resolve,
+        (t, in) => Seq(t.removeOrphanFiles(in.getLong(1)))))
+
+      case "set_partition_spec" => Some(new Proc("set_partition_spec",
+        Array(p("table", StringType), p("spec", StringType)),
+        StructType(Seq(StructField("version", LongType))),
+        resolve,
+        (t, in) => Seq(t.setPartitionSpec(
+          Snapshot.splitSpec(in.getUTF8String(1).toString)).version)))
+
+      case "rollback_to_version" => Some(new Proc("rollback_to_version",
+        Array(p("table", StringType), p("version", LongType)),
+        StructType(Seq(StructField("previous_version", LongType),
+          StructField("current_version", LongType))),
+        resolve,
+        (t, in) => {
+          val prev = t.latest.map(_.version).getOrElse(0L)
+          Seq(prev, t.rollbackTo(in.getLong(1)).version)
+        }))
+
+      case _ => None
+    }
+
+  val Names: Seq[String] = Seq("compact", "expire_snapshots",
+    "remove_orphan_files", "set_partition_spec", "rollback_to_version")
+}

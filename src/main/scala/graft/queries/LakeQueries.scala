@@ -164,6 +164,33 @@ object LakeQueries {
       .orderBy($"event_id")
   }
 
+  /** Partition-spec evolution end-to-end (Iceberg's `ALTER TABLE ...
+    * REPLACE PARTITION FIELD`): half the events land UNPARTITIONED
+    * (sorted, with per-file ts stats), the spec evolves to `days(ts)`,
+    * the other half appends day-partitioned, and one ts-range scan
+    * covers both generations — gen-1 prunes via its manifest file
+    * stats, gen-2 via day-directory pruning (asserted in LakeSpec).
+    * The result is a plain range filter over events: layout evolution
+    * must never change semantics.
+    */
+  def specEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.LakePredicate._
+    val cat = freshCatalog(spark)
+    val events = Tables(spark, dir).events
+    val t = cat.table("bronze.events_evo")
+    t.write(events.filter(pmod($"event_id", lit(2)) === 0)
+        .repartitionByRange(4, $"ts").sortWithinPartitions($"ts"),
+      WriteMode.Overwrite, statsBy = Seq("ts"))
+    t.setPartitionSpec(Seq("days(ts)"))
+    cat.write(events.filter(pmod($"event_id", lit(2)) === 1),
+      "bronze.events_evo", WriteMode.Append) // inherits days(ts)
+    t.scan(Seq(
+      GtEq("ts", java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      LtEq("ts", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))))
+      .orderBy($"event_id")
+  }
+
   /** MERGE INTO (upsert): doubles acctbal for matched keys, inserts two
     * new rows for unmatched keys.
     */

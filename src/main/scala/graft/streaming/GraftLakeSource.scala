@@ -99,7 +99,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
   private val pinnedJson = pinned.json
 
   /** Commit ops that move no data — always safe to pass over. */
-  private val MetadataOps = Set("create", "rename", "add-column", "drop", "widen")
+  private val MetadataOps = Set("create", "rename", "add-column", "drop", "widen", "set-spec")
 
   {
     val identity = table.latest.toSeq.flatMap(_.partitionBy)

@@ -236,6 +236,48 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(v === 10.0 + applied.sum, s"v=$v after updates $applied")
   }
 
+  test("CALL procedures: compact, expire, orphans, set_partition_spec, rollback") {
+    val (c, cat) = freshCatalog()
+    val df = spark.range(0, 200).select($"id", ($"id" % 7).cast("double").as("v"))
+    cat.write(df.repartition(6), "ns.pr", WriteMode.Overwrite)  // v1
+    cat.write(df.repartition(6), "ns.pr", WriteMode.Append)     // v2
+    val t = cat.table("ns.pr")
+
+    // sorted compaction through SQL; result row carries the new version
+    val comp = spark.sql(
+      s"CALL $c.system.compact(table => 'ns.pr', target_partitions => 2, sort_by => 'id')").head
+    assert(comp.getLong(0) === 3L && comp.getString(1) === "compact")
+    assert(t.read(None).count() === 400)
+    assert(t.scan(Seq(LakePredicate.EqualTo("id", 13L))).inputFiles.length === 1) // stats armed
+
+    // spec evolution through SQL
+    assert(spark.sql(
+      s"CALL $c.system.set_partition_spec(table => 'ns.pr', spec => 'bucket(2, id)')")
+      .head.getLong(0) === 4L)
+    cat.write(df.limit(10), "ns.pr", WriteMode.Append)          // v5, bucket-partitioned
+    assert(t.read(None).count() === 410)
+
+    // rollback through SQL: back to the compacted v3 state
+    val rb = spark.sql(
+      s"CALL $c.system.rollback_to_version(table => 'ns.pr', version => 3)").head
+    assert(rb.getLong(0) === 5L && rb.getLong(1) === 6L)
+    assert(t.read(None).count() === 400)
+    assert(t.latest.get.partitionBy.isEmpty) // v3's spec restored
+
+    // expiry + orphan sweep through SQL (positional args)
+    val exp = spark.sql(s"CALL $c.system.expire_snapshots('ns.pr', 1)").head
+    assert(exp.getInt(0) === 5)
+    assert(spark.sql(s"CALL $c.system.remove_orphan_files('ns.pr', 0)").head.getInt(0) >= 0)
+    assert(t.read(None).count() === 400) // latest survives everything
+
+    // unknown procedure fails with the available list (Spark wraps it
+    // in FAILED_TO_LOAD_ROUTINE; ours is in the cause chain)
+    val e = intercept[Exception](spark.sql(s"CALL $c.system.nope('ns.pr')"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(msgs.contains("no procedure"), msgs)
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)

@@ -16,6 +16,22 @@ class LakeSpec extends AnyFunSuite {
     Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "v")
 
+  /** Files the executed plan actually scanned — partition pruning and
+    * listFiles-level stats pruning are invisible to
+    * `DataFrame.inputFiles` (it reads the unfiltered index), so the
+    * scan metric is the ground truth.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+  }
+
   test("overwrite then read latest") {
     val cat = freshCat()
     cat.write(sample(), "ns.t", WriteMode.Overwrite)
@@ -530,7 +546,7 @@ class LakeSpec extends AnyFunSuite {
     cat.write(pts.repartition(8), "ns.fs", WriteMode.Overwrite)
     cat.table("ns.fs").compactZOrder(8, Seq("x", "y"))
     val t = cat.table("ns.fs")
-    assert(t.latest.get.meta.contains("graft.stats"))
+    assert(t.latest.get.meta.keys.exists(_.startsWith("graft.stats:")))
     val all = t.read(None)
     // z-order bounds BOTH dims per file: a tight range on either
     // column must drop most files from the relation itself (no
@@ -547,7 +563,7 @@ class LakeSpec extends AnyFunSuite {
       all.where($"y" >= 0 && $"y" <= 7).orderBy($"x", $"y").collect().toSeq)
   }
 
-  test("manifest file stats: sorted compaction + equality probe reads few files; appends disable stats") {
+  test("manifest file stats: sorted compaction + equality probe reads few files; appends auto-collect") {
     import LakePredicate._
     val cat = freshCat()
     val df = spark.range(0, 2000).select($"id", ($"id" % 97).cast("double").as("v"))
@@ -557,13 +573,131 @@ class LakeSpec extends AnyFunSuite {
     val probe = t.scan(Seq(EqualTo("id", 1234L)))
     assert(probe.inputFiles.length === 1, s"expected 1 file, got ${probe.inputFiles.length}")
     assert(probe.select($"v").as[Double].head === (1234 % 97).toDouble)
-    // an append invalidates single-dir stats: the new snapshot has no
-    // stats key, so nothing is wrongly skipped
-    cat.write(df.where($"id" < 5), "ns.fe", WriteMode.Append)
-    assert(!t.latest.get.meta.contains("graft.stats"))
-    assert(t.scan(Seq(EqualTo("id", 1234L))).count() === 1)
+    // an append AUTO-COLLECTS stats on the inherited stats-column set:
+    // the compacted dir keeps its blob, the new dir gets its own, and
+    // skipping keeps working with NO compaction in between
+    val snap2 = cat.write(df.where($"id" < 5).repartition(1), "ns.fe", WriteMode.Append)
+    assert(snap2.dirs.forall(d => snap2.meta.contains("graft.stats:" + d)),
+      s"every dir should carry stats, got keys ${snap2.meta.keys.filter(_.startsWith("graft.stats"))}")
+    // probe away from the appended [0,5) range: its dir is skipped too,
+    // so the scan still reads exactly 1 of the 6 live files
+    val probe2 = t.scan(Seq(EqualTo("id", 1234L)))
+    assert(probe2.inputFiles.length === 1,
+      s"append must not disarm skipping: read ${probe2.inputFiles.length} files")
+    assert(probe2.count() === 1)
+    // probe INTO the appended range: both covering files read, rows exact
     assert(t.scan(Seq(EqualTo("id", 3L))).count() === 2) // one per commit dir
     assert(t.read(None).count() === 2005)
+    // a second append chains the inheritance without any explicit statsBy
+    val snap3 = cat.write(df.where($"id" >= 1990).repartition(1), "ns.fe", WriteMode.Append)
+    assert(snap3.dirs.forall(d => snap3.meta.contains("graft.stats:" + d)))
+    assert(t.scan(Seq(EqualTo("id", 100L))).inputFiles.length === 1)
+  }
+
+  test("spec evolution: unpartitioned -> days(ts); both generations prune via their own layout") {
+    import LakePredicate._
+    val cat = freshCat()
+    // generation 1: unpartitioned, 4 files sorted by ts with stats
+    val g1 = spark.range(0, 400).select(
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long").plus($"id" * 3600).cast("timestamp").as("ts"),
+      $"id")
+    cat.table("ns.se").write(g1.repartitionByRange(4, $"ts").sortWithinPartitions($"ts"),
+      WriteMode.Overwrite, statsBy = Seq("ts"))
+    val t = cat.table("ns.se")
+    // evolve: future writes partition by days(ts)
+    t.setPartitionSpec(Seq("days(ts)"))
+    assert(t.latest.get.op === "set-spec")
+    // generation 2: day-partitioned appends (hours 0..399 past Mar 1)
+    val g2 = spark.range(400, 800).select(
+      to_timestamp(lit("2024-03-01 00:00:00")).cast("long").plus(($"id" - 400) * 3600).cast("timestamp").as("ts"),
+      $"id")
+    cat.write(g2, "ns.se", WriteMode.Append)
+    val snap = t.latest.get
+    assert(snap.partitionBy === Seq("days(ts)"))
+    assert(snap.dirSpec(0).isEmpty && snap.dirSpec(snap.dirs.size - 1) === Seq("days(ts)"))
+    // full read sees both generations, user schema clean
+    val all = t.read(None)
+    assert(all.count() === 800)
+    assert(all.columns.toSeq === Seq("ts", "id"))
+    val totalFiles = scannedFiles(t.read(None))
+    assert(t.read(None).inputFiles.count(!_.contains("_p_ts_day=")) === 4) // gen-1 files
+    // a probe into generation 2: gen-2 prunes to the one day dir, and
+    // gen-1's per-file ts stats (statsBy write) skip all 4 of its
+    // files at the path level (disjoint ranges)
+    val day = t.scan(Seq(
+      GtEq("ts", java.sql.Timestamp.valueOf("2024-03-05 00:00:00")),
+      LtEq("ts", java.sql.Timestamp.valueOf("2024-03-05 23:59:59"))))
+    assert(day.count() === 24)
+    assert(day.inputFiles.count(!_.contains("_p_ts_day=")) === 0,
+      "gen-1 should be stats-skipped entirely")
+    assert(scannedFiles(day) < totalFiles, s"${scannedFiles(day)} vs $totalFiles")
+    // a probe into generation 1 file-skips: 1 of 4 gen-1 files; every
+    // gen-2 day dir is partition-pruned (disjoint ranges) → the
+    // executed plan reads exactly 1 file across both generations
+    val early = t.scan(Seq(LtEq("ts", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))))
+    assert(early.count() === 49)
+    assert(scannedFiles(early) === 1,
+      s"expected 1 scanned file, got ${scannedFiles(early)}")
+    // results identical to the unpruned filter (soundness)
+    assert(early.orderBy($"id").collect().toSeq ===
+      all.where($"ts" <= "2024-01-03 00:00:00").orderBy($"id").collect().toSeq)
+    // compact folds the generations back into ONE layout under the
+    // current spec; data unchanged
+    t.compact(4)
+    assert(t.read(None).count() === 800)
+    assert(t.latest.get.dirSpecs.isEmpty) // uniform again
+    assert(t.read(None).inputFiles.forall(_.contains("_p_ts_day=")))
+  }
+
+  test("spec evolution: identity -> bucket transform; old identity dirs keep reading and pruning") {
+    import LakePredicate._
+    val cat = freshCat()
+    val g1 = spark.range(0, 300).select(($"id" % 3).cast("int").as("region"), $"id")
+    cat.write(g1, "ns.sid", WriteMode.Overwrite, partitionBy = Seq("region"))
+    val t = cat.table("ns.sid")
+    t.setPartitionSpec(Seq("bucket(4, id)"))
+    val g2 = spark.range(300, 600).select(($"id" % 3).cast("int").as("region"), $"id")
+    cat.write(g2, "ns.sid", WriteMode.Append)
+    val all = t.read(None)
+    assert(all.count() === 600)
+    assert(all.columns.toSeq === Seq("region", "id"))
+    // identity column restored for gen-1 rows (it lives in dir names)
+    assert(all.where($"region".isNull).count() === 0)
+    assert(all.groupBy($"region").count().count() === 3)
+    val totalFiles = scannedFiles(t.read(None))
+    // equality probe on the bucket source prunes gen-2 to one of four
+    // buckets; gen-1 rows unaffected (null-escape keeps all its dirs)
+    val probe = t.scan(Seq(EqualTo("id", 450L)))
+    assert(probe.count() === 1)
+    assert(scannedFiles(probe) < totalFiles,
+      s"bucket pruning should drop gen-2 dirs: ${scannedFiles(probe)}/$totalFiles")
+    // region probe still prunes gen-1's OLD identity dirs (1 of 3)
+    val reg = t.scan(Seq(EqualTo("region", 1)))
+    assert(reg.count() === 200)
+    assert(scannedFiles(reg) < totalFiles,
+      s"identity pruning should drop gen-1 dirs: ${scannedFiles(reg)}/$totalFiles")
+  }
+
+  test("spec evolution survives the manifest round-trip and DML") {
+    val cat = freshCat()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).cast("double").as("v"))
+    cat.write(df, "ns.sdml", WriteMode.Overwrite)
+    val t = cat.table("ns.sdml")
+    t.setPartitionSpec(Seq("bucket(2, id)"))
+    cat.write(spark.range(100, 200).select($"id", lit(0.5).as("v")), "ns.sdml", WriteMode.Append)
+    // manifest round-trip preserves per-dir specs
+    val reread = cat.table("ns.sdml").latest.get
+    assert(reread.dirSpec(0).isEmpty && reread.dirSpec(1) === Seq("bucket(2, id)"))
+    // DML across generations: MOR delete + CoW update both stay exact
+    LakeDml.delete(t, $"id" === 50L || $"id" === 150L)
+    assert(t.read(None).count() === 198)
+    LakeDml.update(t, $"id" === 0L, Map("v" -> lit(9.9)), DmlStrategy.CopyOnWrite)
+    val after = t.read(None)
+    assert(after.count() === 198)
+    assert(after.where($"id" === 0L).select($"v").as[Double].head === 9.9)
+    // CoW rewrite landed under the CURRENT spec → uniform again
+    assert(t.latest.get.dirSpecs.isEmpty)
+    assert(t.read(None).inputFiles.forall(_.contains("_p_id_bucket=")))
   }
 
   test("file stats tolerate NaN/Infinity: no crash, NaN-stat files stay unprunable") {
@@ -576,7 +710,7 @@ class LakeSpec extends AnyFunSuite {
     cat.write(df.repartition(4), "ns.nan", WriteMode.Overwrite)
     cat.table("ns.nan").compact(4, sortBy = Seq("v")) // must not throw on NaN max
     val t = cat.table("ns.nan")
-    assert(t.latest.get.meta.contains("graft.stats"))
+    assert(t.latest.get.meta.keys.exists(_.startsWith("graft.stats:")))
     val got = t.scan(Seq(GtEq("v", 90.0)))
     assert(got.where(!isnan($"v") && $"v" =!= Double.PositiveInfinity).count() === 10)
   }
@@ -594,7 +728,7 @@ class LakeSpec extends AnyFunSuite {
     cat.write(df.repartition(8), "ns.pz", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
     cat.table("ns.pz").compactZOrder(8, Seq("x", "y"))
     val t = cat.table("ns.pz")
-    assert(t.latest.get.meta.contains("graft.stats"))
+    assert(t.latest.get.meta.keys.exists(_.startsWith("graft.stats:")))
     // listFiles-level pruning is invisible to DataFrame.inputFiles
     // (it reads the unfiltered index) — read the scan's numFiles metric
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
@@ -638,7 +772,7 @@ class LakeSpec extends AnyFunSuite {
     cat.table("ns.sb").write(df.repartitionByRange(4, $"id").sortWithinPartitions($"id"),
       WriteMode.Overwrite, statsBy = Seq("id"))
     val t = cat.table("ns.sb")
-    assert(t.latest.get.meta.contains("graft.stats"))
+    assert(t.latest.get.meta.keys.exists(_.startsWith("graft.stats:")))
     val hit = t.scan(Seq(GtEq("id", 900L)))
     assert(hit.inputFiles.length === 1)
     assert(hit.count() === 100)

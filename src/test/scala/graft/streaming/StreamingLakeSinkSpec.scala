@@ -275,6 +275,31 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(messages(err).exists(_.contains("data-rewriting")))
   }
 
+  test("mid-stream setPartitionSpec is metadata-only: consumers continue, post-evolution appends flow") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slspec-").toString)
+    val ckpt = Files.createTempDirectory("slspec-ckpt-").toString
+    val out = Files.createTempDirectory("slspec-out-").toString
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.sp", WriteMode.Overwrite) // v1
+    val t = cat.table("ns.sp")
+    def drain(): Unit = {
+      val q = StreamingLakeSource.committedStream(t) // NO skip option needed
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // spec evolution mid-stream: a metadata-only commit, not a rewrite
+    t.setPartitionSpec(Seq("bucket(2, id)"))                                           // v2
+    cat.write(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), "ns.sp", WriteMode.Append)    // v3
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.select($"id").as[Long].collect().sorted === Array(1L, 2L, 3L, 4L))
+    assert(got.columns.sorted === Array("id", "s")) // hidden column never leaks
+  }
+
   test("streaming sink into a hidden-partitioned table prunes like batch") {
     import graft.lake.LakePredicate._
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slakep-").toString)
