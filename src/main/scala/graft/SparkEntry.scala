@@ -52,6 +52,7 @@ object SparkEntry {
     "lake_sql_merge"        -> (LakeQueries.sqlMerge _),
     "lake_metadata_tables"  -> (LakeQueries.metadataTables _),
     "lake_spec_evolution"   -> (LakeQueries.specEvolution _),
+    "lake_incremental_read" -> (LakeQueries.incrementalRead _),
     "pipeline_gold"         -> (LakeQueries.pipelineGold _),
     "pipeline_traindata"    -> (TextQueries.trainingMix _),
     "t_lang_id"          -> (TextQueries.langIdConfusion _),
@@ -292,6 +293,13 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin,
+
+    // incremental append read over (v1, v4]: the two appended slices
+    // (o_orderkey % 3 IN (1, 2)); the seed slice (% 3 = 0) and the
+    // compaction rewrite in the range are not delivered
+    "lake_incremental_read" ->
+      """SELECT * FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "pipeline_gold" ->
       "SELECT event_type, COUNT(*) AS total_count FROM events GROUP BY 1 ORDER BY 1",

@@ -98,7 +98,25 @@ object LakeTable {
     */
   def StaleClaimMs: Long =
     sys.props.getOrElse("graft.lake.staleClaimMs", "60000").toLong
+
+  /** Commit ops that move no data — incremental walks always pass over
+    * them. (`rewrite-deletes` folds delete FILES; the data dirs an
+    * append-feed delivers are untouched by it.)
+    */
+  private[graft] val MetadataOps =
+    Set("create", "rename", "add-column", "drop", "widen", "set-spec", "rewrite-deletes")
 }
+
+/** An incremental walk ([[LakeTable.appendedDirs]]) covered a commit
+  * that REWROTE data (overwrite/compact/DML). Callers surface their own
+  * recovery advice (restart checkpoint, widen the range, opt into
+  * skipping).
+  */
+final class RewriteCommitException(val version: Long, val op: String, root: String)
+  extends IllegalStateException(
+    s"commit v$version of $root is a data-rewriting '$op'; incremental reads deliver " +
+      "appends only. Pass skipRewrites=true to pass over rewrite commits (their row " +
+      "changes are not delivered), or re-read the full table.")
 
 final class LakeTable(val spark: SparkSession, rootSpec: String) {
   /** Local java.nio constructor (tests, local tools). */
@@ -223,6 +241,92 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   def readAsOf(tsMs: Long): DataFrame =
     read(Some(versionAt(tsMs).getOrElse(throw new IllegalArgumentException(
       s"no snapshot of $root at or before timestamp $tsMs (first commit is later, or expired)"))))
+
+  /** Data dirs that entered the table through APPEND commits in
+    * `(lo, hi]`, each with its write-time schema json — the shared walk
+    * behind both the batch incremental read ([[readIncremental]]) and
+    * the streaming source ([[graft.streaming.GraftLakeSource]]).
+    *
+    * Classification by manifest `op`, version by version (O(hi−lo)
+    * manifest reads, no filesystem listing):
+    *  - `append` delivers its new dirs; so does a SEEDING overwrite
+    *    (first commit, or overwrite of a data-less table) — an append
+    *    in overwrite clothing, and the standard way tables are born;
+    *  - metadata-only commits (create, schema/spec evolution,
+    *    delete-file rewrites) move no data and pass;
+    *  - data-rewriting commits (overwrite/compact/DML) THROW
+    *    [[RewriteCommitException]] unless `skipRewrites` — silently
+    *    re-delivering rewritten dirs as fresh rows would duplicate
+    *    data, and silently skipping them without opt-in would hide
+    *    that changed rows are not delivered.
+    *
+    * Every manifest in the range must still exist (retention must
+    * cover the read window) — fails naming the missing version.
+    */
+  private[graft] def appendedDirs(lo: Long, hi: Long,
+                                  skipRewrites: Boolean): Seq[(String, String)] = {
+    def snapAt2(v: Long) = snapshotAt(v).getOrElse(throw new IllegalStateException(
+      s"snapshot v$v of $rootLocation is gone (expired?); incremental reads need " +
+        "snapshot retention >= the read window"))
+    var prevDirs: Set[String] = if (lo <= 0) Set.empty else snapAt2(lo).dirs.toSet
+    val added = Seq.newBuilder[(String, String)]
+    for (v <- lo + 1 to hi) {
+      val s = snapAt2(v)
+      val newDirs = s.dirs.indices
+        .filter(i => !prevDirs.contains(s.dirs(i)))
+        .map(i => (s.dirs(i), s.dirSchemaJson(i)))
+      s.op match {
+        case "append"                        => added ++= newDirs
+        case "overwrite" if prevDirs.isEmpty => added ++= newDirs
+        case op if LakeTable.MetadataOps.contains(op) => ()
+        case op => if (!skipRewrites) throw new RewriteCommitException(v, op, rootLocation)
+      }
+      prevDirs = s.dirs.toSet
+    }
+    added.result()
+  }
+
+  /** Incremental append scan (Iceberg's incremental read): the rows
+    * that entered the table through APPEND commits in
+    * `(fromVersion, toVersion]`, read straight from those commits'
+    * immutable dirs. This is the batch face of the streaming source —
+    * a scheduler that processes "what arrived since my last run"
+    * resolves its watermark to a version and reads exactly the delta,
+    * never rescanning the table (at 100 TB, THE difference between an
+    * incremental pipeline and a daily full scan).
+    *
+    * Rows are returned as appended — later row-level deletes are not
+    * applied (they name positions in files this read may not cover;
+    * Iceberg's incremental append scan has the same contract).
+    * Dirs written under older schema generations align to the
+    * `toVersion` schema by field id. Rewriting commits in the range
+    * fail loud unless `skipRewrites` (their changed rows are then NOT
+    * delivered).
+    */
+  def readIncremental(fromVersion: Long, toVersion: Option[Long] = None,
+                      skipRewrites: Boolean = false): DataFrame = {
+    val hi = toVersion.orElse(latest.map(_.version)).getOrElse(
+      throw new IllegalArgumentException(s"empty lake table at $rootLocation"))
+    val target = resolve(Some(hi))
+    val identity = target.partitionBy.map(PartitionField.parse).filterNot(_.hidden)
+    require(identity.isEmpty,
+      s"incremental read cannot deliver identity partition columns ${identity.map(_.name)} " +
+        "(values live in dir names, not files); use transform specs")
+    val cur = target.schema
+    val batch = appendedDirs(fromVersion, hi, skipRewrites)
+    if (batch.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+    // one relation per write-time schema generation; recursiveFileLookup
+    // lists through hidden-partition subdirs (derived values are not
+    // part of the user schema)
+    batch.groupBy(_._2).toSeq.sortBy(_._2.head._1).map { case (sj, group) =>
+      val phys = DataType.fromJson(sj).asInstanceOf[StructType]
+      val paths = group.map { case (d, _) => location(d) }
+      SchemaIds.align(
+        spark.read.schema(phys).option("recursiveFileLookup", "true").parquet(paths: _*),
+        phys, cur)
+    }.reduce(_ unionByName _)
+  }
 
   private def resolve(version: Option[Long]): Snapshot = version match {
     case Some(v) => Manifest.read(io, manifestPath(v))

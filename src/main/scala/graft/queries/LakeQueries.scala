@@ -191,6 +191,32 @@ object LakeQueries {
       .orderBy($"event_id")
   }
 
+  /** Incremental append read (Iceberg's incremental scan / the batch
+    * face of the streaming source): four commits — seed, append,
+    * compact (a data REWRITE), append — and `readIncremental(from=1)`
+    * must deliver exactly the two appended slices. The rewrite in the
+    * range is first proven to fail loud (delivering rewritten dirs as
+    * fresh rows would duplicate data), then passed over via
+    * `skipRewrites` — the Delta `skipChangeCommits` contract. At
+    * 100 TB this is what lets a daily consumer read "what arrived
+    * since my last run" without rescanning the table.
+    */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+    cat.write(orders.filter($"o_orderkey" % 3 === 0), "bronze.orders_inc", WriteMode.Overwrite) // v1
+    cat.write(orders.filter($"o_orderkey" % 3 === 1), "bronze.orders_inc", WriteMode.Append)    // v2
+    val t = cat.table("bronze.orders_inc")
+    t.compact(targetPartitions = 1)                                                             // v3 rewrite
+    cat.write(orders.filter($"o_orderkey" % 3 === 2), "bronze.orders_inc", WriteMode.Append)    // v4
+    val failed =
+      try { t.readIncremental(fromVersion = 1); false }
+      catch { case _: graft.lake.RewriteCommitException => true }
+    require(failed, "a rewrite inside the incremental range must fail loud without skipRewrites")
+    t.readIncremental(fromVersion = 1, skipRewrites = true).orderBy($"o_orderkey")
+  }
+
   /** MERGE INTO (upsert): doubles acctbal for matched keys, inserts two
     * new rows for unmatched keys.
     */

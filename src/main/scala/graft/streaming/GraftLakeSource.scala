@@ -98,9 +98,6 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
       throw new IllegalStateException(s"empty lake table at ${table.rootLocation}")).schema)
   private val pinnedJson = pinned.json
 
-  /** Commit ops that move no data — always safe to pass over. */
-  private val MetadataOps = Set("create", "rename", "add-column", "drop", "widen", "set-spec")
-
   {
     val identity = table.latest.toSeq.flatMap(_.partitionBy)
       .map(graft.lake.PartitionField.parse).filterNot(_.hidden)
@@ -141,38 +138,17 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     val lo = start.map(versionOf).getOrElse(0L)
     val hi = versionOf(end)
     highWater = math.max(highWater, math.max(lo, hi))
-    def snapAt(v: Long) = table.snapshotAt(v).getOrElse(throw new IllegalStateException(
-      s"snapshot v$v of ${table.rootLocation} is gone (expired?); the stream needs " +
-        "retention >= consumer lag — restart with a fresh checkpoint"))
-    // walk the covered versions one-by-one so each commit is
-    // classified by its op: appends deliver their new dirs, metadata
-    // commits pass, rewrites skip or fail. O(maxCommitsPerTrigger)
+    // the shared incremental walk (LakeTable.appendedDirs) classifies
+    // each covered commit by its op: appends deliver their new dirs,
+    // metadata commits pass, rewrites skip or fail. O(maxCommitsPerTrigger)
     // manifest reads per batch.
-    var prevDirs: Set[String] = if (lo <= 0) Set.empty else snapAt(lo).dirs.toSet
-    val added = Seq.newBuilder[(String, String)] // (dir, write-time schema)
-    for (v <- lo + 1 to hi) {
-      val s = snapAt(v)
-      val newDirs = s.dirs.indices
-        .filter(i => !prevDirs.contains(s.dirs(i)))
-        .map(i => (s.dirs(i), s.dirSchemaJson(i)))
-      s.op match {
-        case "append"                       => added ++= newDirs
-        // a SEEDING overwrite (first commit, or overwrite of a
-        // data-less table) rewrites nothing — it is an append in
-        // overwrite clothing, and the standard way tables are born
-        case "overwrite" if prevDirs.isEmpty => added ++= newDirs
-        case op if MetadataOps.contains(op) => () // no data motion
-        case op =>
-          if (!skipRewriteCommits) throw new IllegalStateException(
-            s"commit v$v of ${table.rootLocation} is a data-rewriting '$op'; this stream delivers " +
-              "appends only. Set option(\"skipRewriteCommits\", \"true\") to pass over " +
-              "rewrite commits (their row changes are not delivered), or restart with a " +
-              "fresh checkpoint to re-read the rewritten table.")
-        // skipped: rewritten/changed dirs are never delivered
-      }
-      prevDirs = s.dirs.toSet
+    val batch = try table.appendedDirs(lo, hi, skipRewriteCommits) catch {
+      case e: graft.lake.RewriteCommitException => throw new IllegalStateException(
+        s"commit v${e.version} of ${table.rootLocation} is a data-rewriting '${e.op}'; this " +
+          "stream delivers appends only. Set option(\"skipRewriteCommits\", \"true\") to pass " +
+          "over rewrite commits (their row changes are not delivered), or restart with a " +
+          "fresh checkpoint to re-read the rewritten table.", e)
     }
-    val batch = added.result()
     batch.foreach { case (d, sj) =>
       if (sj != pinnedJson) throw new IllegalStateException(
         s"dir $d of ${table.rootLocation} was written under a different schema generation than " +

@@ -788,4 +788,64 @@ class LakeSpec extends AnyFunSuite {
     assert(reread.meta.filterNot(_._1.startsWith("graft.")) ===
       Map("watermark_ms" -> "12345", "note" -> "x\"y"))
   }
+
+  test("incremental read: appends in range, seed excluded, empty range empty") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.inc", WriteMode.Overwrite)                       // v1 seed
+    cat.write(sample().withColumn("id", $"id" + 10), "ns.inc", WriteMode.Append) // v2
+    cat.write(sample().withColumn("id", $"id" + 20), "ns.inc", WriteMode.Append) // v3
+    val t = cat.table("ns.inc")
+    assert(t.readIncremental(fromVersion = 1).select("id").as[Long].collect().sorted
+      === Seq(11L, 12L, 13L, 21L, 22L, 23L))
+    // sub-range: only v3's rows
+    assert(t.readIncremental(fromVersion = 2, toVersion = Some(3)).select("id")
+      .as[Long].collect().sorted === Seq(21L, 22L, 23L))
+    // empty range (caught up) delivers zero rows with the table schema
+    val empty = t.readIncremental(fromVersion = 3)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("id", "name", "v"))
+    // from version 0 includes the seeding overwrite
+    assert(t.readIncremental(fromVersion = 0).count() === 9)
+  }
+
+  test("incremental read: rewrites fail loud, skipRewrites passes over them") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.incr", WriteMode.Overwrite)                      // v1
+    val t = cat.table("ns.incr")
+    t.compact(targetPartitions = 1)                                          // v2 rewrite
+    cat.write(sample().withColumn("id", $"id" + 10), "ns.incr", WriteMode.Append) // v3
+    val e = intercept[RewriteCommitException](t.readIncremental(fromVersion = 1))
+    assert(e.version === 2L && e.op === "compact")
+    assert(t.readIncremental(fromVersion = 1, skipRewrites = true)
+      .select("id").as[Long].collect().sorted === Seq(11L, 12L, 13L))
+  }
+
+  test("incremental read aligns old schema generations by field id") {
+    val cat = freshCat()
+    cat.write(sample(), "ns.ince", WriteMode.Overwrite)                      // v1 (id,name,v)
+    val t = cat.table("ns.ince")
+    t.renameColumn("name", "label")                                          // v2 metadata-only
+    cat.write(Seq((10L, "x", 1.0)).toDF("id", "label", "v"), "ns.ince", WriteMode.Append) // v3
+    val inc = t.readIncremental(fromVersion = 0)
+    assert(inc.columns.toSeq === Seq("id", "label", "v"))
+    // v1's dir was written under the old column name; field ids align it
+    assert(inc.select("label").as[String].collect().sorted === Seq("a", "b", "c", "x"))
+  }
+
+  test("incremental read: hidden-partitioned dirs deliver; identity partitions reject") {
+    val cat = freshCat()
+    val days = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))).toDF("id", "ts")
+    cat.write(days, "ns.inch", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    cat.write(days.withColumn("id", $"id" + 10), "ns.inch", WriteMode.Append)
+    val t = cat.table("ns.inch")
+    // hidden values live only in dir names, but they are derived — the
+    // user columns are all in the files, so the delta reads fine
+    assert(t.readIncremental(fromVersion = 1).select("id").as[Long].collect().sorted
+      === Seq(11L, 12L))
+    cat.write(sample(), "ns.incid", WriteMode.Overwrite, partitionBy = Seq("name"))
+    val err = intercept[IllegalArgumentException](
+      cat.table("ns.incid").readIncremental(fromVersion = 0))
+    assert(err.getMessage.contains("identity partition"))
+  }
 }

@@ -1,87 +1,88 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB correctness gate.
+"""Local pre-check of SparkEntry.oracleSql vs Verify parquet dumps.
+
+Mirrors the driver's CORRECTNESS gate: for each query, run the oracle SQL
+in DuckDB over the sf parquet tables, sort columns by name, sort rows,
+and hash-compare against the Spark result parquet. Driver-side tooling
+only (duckdb/pyarrow are not dependencies of the library).
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
-
-Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
-the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against
-the sfDir parquet tables, and compares: columns sorted by name, rows
-sorted by all columns, exact value equality (floats compared exactly —
-the engine is expected to be bit-stable via decimal-routed aggregates).
-
-Driver-side tooling only — NOT part of the Scala library.
 """
-import sys, json, glob, os
+import sys, os, json, hashlib
 import duckdb
-import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for a stable total sort across dtypes (incl. NaN/None)
-    s = df.astype(str)
-    order = s.sort_values(by=list(s.columns)).index
-    return df.loc[order].reset_index(drop=True)
+import datetime
 
-def main(sf_dir: str, out_dir: str) -> int:
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    # date == midnight timestamp (engines disagree on date-fn return types)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d 00:00:00.000000")
+    return str(v)
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    declared = set(oracle)
-    qn = os.path.join(out_dir, "query_names.json")
-    if os.path.exists(qn):
-        declared |= set(json.load(open(qn)))  # rows-only queries too
-    fails = 0
-    names = sorted(set(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d))) | declared)
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = json.load(open(os.path.join(out_dir, "query_names.json")))
+    bad = []
     for name in names:
-        if not os.path.isdir(os.path.join(out_dir, name)):
-            print(f"  [FAIL-miss] {name}: declared but no result written")
-            fails += 1
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            bad.append((name, "no spark output"))
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(got)} rows"
-                  + ("  ** EMPTY **" if len(got) == 0 else ""))
+            print(f"  {name}: rows-only (no oracle)")
             continue
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            sp = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+            sp_cols = [c[0] for c in con.description]
+            oc = con.execute(oracle[name]).fetchall()
+            oc_cols = [c[0] for c in con.description]
         except Exception as e:
-            print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
-            fails += 1
+            bad.append((name, f"exec error: {e}"))
             continue
-        g, w = normalize(got), normalize(want)
-        if list(g.columns) != list(w.columns):
-            print(f"  [FAIL-cols] {name}: spark={list(g.columns)} duckdb={list(w.columns)}")
-            fails += 1
+        if sorted(sp_cols) != sorted(oc_cols):
+            bad.append((name, f"schema: spark={sorted(sp_cols)} oracle={sorted(oc_cols)}"))
             continue
-        if len(g) != len(w):
-            print(f"  [FAIL-rows] {name}: spark={len(g)} duckdb={len(w)}")
-            fails += 1
+        if len(sp) != len(oc):
+            bad.append((name, f"rows: spark={len(sp)} oracle={len(oc)}"))
             continue
-        # exact compare; report first differing cell
-        ok = True
-        for c in g.columns:
-            a, b = g[c], w[c]
-            try:
-                neq = ~((a == b) | (a.isna() & b.isna()))
-            except Exception:
-                neq = a.astype(str) != b.astype(str)
-            if neq.any():
-                i = int(neq.idxmax())
-                print(f"  [FAIL-val ] {name}.{c} row {i}: spark={a[i]!r} duckdb={b[i]!r}")
-                ok = False
-                fails += 1
-                break
-        if ok:
-            print(f"  [OK       ] {name}: {len(g)} rows")
-    print(f"{'PASS' if fails == 0 else 'FAIL'}: {len(names)} queries, {fails} failures")
-    return 1 if fails else 0
+        hs, ho = frame_hash(sp_cols, sp), frame_hash(oc_cols, oc)
+        if hs != ho:
+            bad.append((name, "hash mismatch"))
+        else:
+            print(f"  {name}: OK ({len(sp)} rows)")
+    print()
+    if bad:
+        print(f"FAILED {len(bad)}:")
+        for n, why in bad:
+            print(f"  {n}: {why}")
+        sys.exit(1)
+    print(f"ALL MATCH ({len(names)} queries)")
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main(sys.argv[1], sys.argv[2])
