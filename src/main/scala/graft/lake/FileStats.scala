@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.StructType
   * Pruning is conservative: a file with missing/null stats, or a
   * probe whose domain mismatches, is always kept.
   */
-private[lake] object FileStats {
+private[graft] object FileStats {
   /** Legacy single-blob key: stats for a snapshot whose ONLY dir is
     * the one the blob describes. Still read (old manifests), no longer
     * written.
@@ -43,6 +43,13 @@ private[lake] object FileStats {
     * min/max on the same columns.
     */
   val StatsColsKey = "graft.statsCols"
+  /** Per-dir data size (`graft.bytes:data/<uuid>` → total file bytes),
+    * recorded by the commit that wrote the dir and carried with it.
+    * Powers byte-based streaming admission control
+    * (`maxBytesPerTrigger`) without any scan-time filesystem listing.
+    */
+  val BytesKeyPrefix = "graft.bytes:"
+  def bytesKey(dirName: String): String = BytesKeyPrefix + dirName
   def joinCols(cols: Seq[String]): String = cols.mkString(",")
   def splitCols(s: String): Seq[String] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)

@@ -571,7 +571,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            newDeleteDirs: Seq[String] = Nil,
                            allowSpecChange: Boolean = false,
                            carryStats: Boolean = true,
-                           newDirSpecs: Seq[String] = Nil): Snapshot = {
+                           newDirSpecs: Seq[String] = Nil,
+                           deleteDirsOverride: Option[Seq[String]] = None): Snapshot = {
     io.mkdirs(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -660,11 +661,19 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             }
             legacy ++ perDir
           }.getOrElse(Map.empty)
+        // per-dir byte sizes ride with their dirs on EVERY
+        // dir-preserving commit — unlike column stats they survive
+        // schema evolution (a rename does not change file sizes)
+        val carriedBytes: Map[String, String] =
+          if (!carryForward) Map.empty
+          else base.map(_.meta.filter(_._1.startsWith(FileStats.BytesKeyPrefix)))
+            .getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
-        // (the rewrite they describe no longer exists)
-        val deleteDirs =
-          (if (carryForward) base.map(_.deleteDirs).getOrElse(Nil) else Nil) ++ newDeleteDirs
+        // (the rewrite they describe no longer exists). A delete-file
+        // rewrite REPLACES the set wholesale via the override.
+        val deleteDirs = deleteDirsOverride.getOrElse(
+          (if (carryForward) base.map(_.deleteDirs).getOrElse(Nil) else Nil) ++ newDeleteDirs)
         // strictly monotonic commit timestamps: two commits inside one
         // millisecond would otherwise be indistinguishable to
         // timestamp time travel (`FOR TIMESTAMP AS OF` resolves the
@@ -673,7 +682,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         val ts = math.max(System.currentTimeMillis(),
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          ts, carriedStats ++ meta, dirSchemas, deleteDirs, dirSpecsOut)
+          ts, carriedStats ++ carriedBytes ++ meta, dirSchemas, deleteDirs, dirSpecsOut)
         // publish with the arbiter's atomic NO-REPLACE primitive: a
         // plain overwrite would silently clobber a manifest published
         // by a concurrent writer. A failed publish means we lost
@@ -780,6 +789,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       if (statsBy.nonEmpty) statsBy
       else if (mode == WriteMode.Append) inheritedStatsCols(base) else Nil,
       df.columns)
+    // dir size for byte-based streaming admission control — one listing
+    // of the dir this write just produced
+    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
@@ -797,7 +809,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = currentSchema.json,
-      meta = meta ++ statsMeta ++ idMeta,
+      meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
       expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
       // the merged schema above derives from THIS base read: a lost
       // claim race against a schema-changing commit must fail (and be
@@ -1028,6 +1040,32 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
       meta = statsMeta ++ idMeta, expectedBase = Some(snap.version))
+  }
+
+  /** Fold all positional delete dirs into one (Iceberg's
+    * `rewrite_position_deletes`): merge-on-read DML accretes one small
+    * delete dir per statement, and every scan pays one relation +
+    * anti-join build per dir — a month of trickle upserts turns the
+    * read path into hundreds of tiny delete file reads. This rewrites
+    * the union (deduplicated — the same position can be deleted by two
+    * statements) into one dir WITHOUT touching data files: cheap
+    * maintenance between real compactions, and a metadata-safe commit
+    * for append feeds (streaming consumers pass over it — the data
+    * dirs they deliver are untouched).
+    */
+  def rewritePositionDeletes(targetPartitions: Int = 1): Snapshot = {
+    val base = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    if (base.deleteDirs.size <= 1) return base
+    val staged = loc(s"deletes/.staging-${UUID.randomUUID().toString}")
+    io.mkdirs(loc("deletes"))
+    spark.read.schema(DeleteFiles.schema).parquet(base.deleteDirs.map(location): _*)
+      .distinct()
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(staged.toString)
+    val delDir = s"deletes/${UUID.randomUUID().toString}"
+    io.move(staged, loc(delDir))
+    commit("rewrite-deletes", Nil, carryForward = true, base.partitionBy, base.schemaJson,
+      expectedBase = Some(base.version), deleteDirsOverride = Some(Seq(delDir)))
   }
 
   /** Rollback (Iceberg's `rollback_to_snapshot`): re-commit the target

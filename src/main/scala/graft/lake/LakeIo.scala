@@ -46,6 +46,20 @@ private[lake] final class LakeIo(val fs: FileSystem) {
     while (it.hasNext) { if (it.next().getPath.getName.endsWith(suffix)) n += 1 }
     n
   }
+
+  /** Total bytes of data files under `p` (recursive). One listing of a
+    * dir the caller just wrote — commit-time metadata cost.
+    */
+  def dirBytes(p: HPath): Long = {
+    if (!isDir(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) n += f.getLen
+    }
+    n
+  }
 }
 
 /** The commit protocol's two atomic primitives, isolated per storage

@@ -20,6 +20,7 @@ import graft.lake.{LakeTable, Snapshot}
   *   CALL graft.system.remove_orphan_files(table => 'ns.t', grace_ms => 0)
   *   CALL graft.system.set_partition_spec(table => 'ns.t', spec => 'days(ts)')
   *   CALL graft.system.rollback_to_version(table => 'ns.t', version => 3)
+  *   CALL graft.system.rewrite_position_deletes(table => 'ns.t')
   * }}}
   *
   * Each wraps the already-tested [[LakeTable]] maintenance API and
@@ -121,6 +122,18 @@ private[sqlcat] object GraftProcedures {
         (t, in) => Seq(t.setPartitionSpec(
           Snapshot.splitSpec(in.getUTF8String(1).toString)).version)))
 
+      case "rewrite_position_deletes" => Some(new Proc("rewrite_position_deletes",
+        Array(p("table", StringType), pDefault("target_partitions", IntegerType, "1")),
+        StructType(Seq(StructField("version", LongType),
+          StructField("delete_dirs", IntegerType))),
+        resolve,
+        (t, in) => {
+          val snap = t.rewritePositionDeletes(in.getInt(1))
+          // Seq[Any] stops scala's numeric widening: a plain Seq(Long, Int)
+          // infers Seq[Long] and the Int slot would carry a boxed Long
+          Seq[Any](snap.version, snap.deleteDirs.size)
+        }))
+
       case "rollback_to_version" => Some(new Proc("rollback_to_version",
         Array(p("table", StringType), p("version", LongType)),
         StructType(Seq(StructField("previous_version", LongType),
@@ -135,5 +148,6 @@ private[sqlcat] object GraftProcedures {
     }
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
-    "remove_orphan_files", "set_partition_spec", "rollback_to_version")
+    "remove_orphan_files", "set_partition_spec", "rollback_to_version",
+    "rewrite_position_deletes")
 }

@@ -28,6 +28,14 @@ import graft.lake.LakeTable
   *    spanning the whole outage (at 100 TB, a week of lag must not
   *    become a single multi-TB batch). Offsets are versions, so the
   *    engine's offset log splits the range deterministically.
+  *  - `maxBytesPerTrigger`: byte-based admission control — commit
+  *    sizes vary wildly (a trickle append vs a bulk backfill), so a
+  *    count cap alone can still admit a multi-TB batch. Sizes come
+  *    from the manifest's per-dir `graft.bytes:` keys (recorded at
+  *    commit time; no filesystem listing on the hot path). Soft cap:
+  *    the commit that crosses it is included, so one oversized commit
+  *    can never starve progress. Composes with the count cap —
+  *    whichever bound hits first ends the batch.
   *  - `skipRewriteCommits`: rewrite tolerance (Delta's
   *    `skipChangeCommits` shape). Data-rewriting commits —
   *    overwrite/compact/DML — are SKIPPED, keyed off the manifest `op`
@@ -82,16 +90,20 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
     val maxCommits = params.get("maxcommitspertrigger").orElse(params.get("maxCommitsPerTrigger"))
       .map(_.toInt)
     maxCommits.foreach(n => require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n"))
+    val maxBytes = params.get("maxbytespertrigger").orElse(params.get("maxBytesPerTrigger"))
+      .map(_.toLong)
+    maxBytes.foreach(n => require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"))
     val skipRewrites = params.get("skiprewritecommits").orElse(params.get("skipRewriteCommits"))
       .exists(_.toBoolean)
-    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites)
+    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites, maxBytes)
   }
 }
 
 class GraftLakeSource(ctx: SQLContext, table: LakeTable,
                       userSchema: Option[StructType],
                       maxCommitsPerTrigger: Option[Int] = None,
-                      skipRewriteCommits: Boolean = false) extends Source {
+                      skipRewriteCommits: Boolean = false,
+                      maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   private val pinned: StructType = userSchema.getOrElse(
     table.latest.getOrElse(
@@ -119,12 +131,55 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
 
   override def getOffset: Option[V1Offset] = {
     val latest = table.latest.map(_.version).getOrElse(0L)
-    val target = maxCommitsPerTrigger match {
-      case Some(n) => math.min(latest, highWater + n)
-      case None    => latest
-    }
+    val target =
+      if (maxCommitsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) latest
+      else admit(latest)
     val off = math.max(highWater, target) // never move backwards
     if (off <= 0) None else Some(LongOffset(off))
+  }
+
+  /** Admission control: walk versions past the high-water mark,
+    * admitting until the commit-count or byte cap is reached. Byte
+    * sizes come from the manifest (`graft.bytes:` per-dir keys written
+    * at commit time) — no filesystem listing here. The cap is SOFT:
+    * at least one version is always admitted, and the version that
+    * crosses the byte cap is included (Delta's `maxBytesPerTrigger`
+    * shape — progress is never starved by one oversized commit).
+    * A dir with no recorded size (pre-upgrade manifests) counts as
+    * cap-filling, degrading to one-commit batches rather than
+    * unbounded ones.
+    */
+  private def admit(latest: Long): Long = {
+    val commitCap = maxCommitsPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val byteCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    def satAdd(a: Long, b: Long): Long = { val s = a + b; if (s < a) Long.MaxValue else s }
+    var prevDirs: Option[Set[String]] =
+      if (highWater <= 0) Some(Set.empty) else table.snapshotAt(highWater).map(_.dirs.toSet)
+    var v = highWater
+    var commits = 0L
+    var bytes = 0L
+    while (v < latest && commits < commitCap && bytes < byteCap) {
+      v += 1
+      table.snapshotAt(v) match {
+        case None =>
+          // manifest expired mid-walk: stop capping and let getBatch
+          // fail loud with its retention message
+          return latest
+        case Some(s) =>
+          commits += 1
+          val newDirs = prevDirs match {
+            case Some(pd) => s.dirs.filterNot(pd.contains)
+            case None     => s.dirs
+          }
+          val isAppend = s.op == "append" || (s.op == "overwrite" && prevDirs.exists(_.isEmpty))
+          if (isAppend) newDirs.foreach { d =>
+            bytes = satAdd(bytes,
+              s.meta.get(graft.lake.FileStats.bytesKey(d)).map(_.toLong).getOrElse(byteCap))
+          }
+          prevDirs = Some(s.dirs.toSet)
+      }
+    }
+    v
   }
 
   // offsets arrive as LongOffset live and as SerializedOffset(json)

@@ -77,12 +77,14 @@ object StreamingLakeSource {
     */
   def committedStream(table: LakeTable,
                       maxCommitsPerTrigger: Option[Int] = None,
-                      skipRewriteCommits: Boolean = false): DataFrame = {
+                      skipRewriteCommits: Boolean = false,
+                      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val reader = table.spark.readStream
       .format(classOf[GraftLakeSourceProvider].getName)
       .option("path", table.rootLocation)
       .option("skipRewriteCommits", skipRewriteCommits.toString)
     maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader.load()
   }
 }

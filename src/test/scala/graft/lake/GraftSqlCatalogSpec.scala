@@ -270,6 +270,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"CALL $c.system.remove_orphan_files('ns.pr', 0)").head.getInt(0) >= 0)
     assert(t.read(None).count() === 400) // latest survives everything
 
+    // delete-file rewrite through SQL: two MOR deletes fold to one dir
+    LakeDml.delete(t, $"id" === 0L, strategy = DmlStrategy.MergeOnRead)
+    LakeDml.delete(t, $"id" === 1L, strategy = DmlStrategy.MergeOnRead)
+    val rpd = spark.sql(s"CALL $c.system.rewrite_position_deletes(table => 'ns.pr')").head
+    assert(rpd.getInt(1) === 1) // folded delete-dir count
+    assert(t.read(None).count() === 396) // ids are doubled; 2 deletes × 2 rows
+
     // unknown procedure fails with the available list (Spark wraps it
     // in FAILED_TO_LOAD_ROUTINE; ours is in the cause chain)
     val e = intercept[Exception](spark.sql(s"CALL $c.system.nope('ns.pr')"))

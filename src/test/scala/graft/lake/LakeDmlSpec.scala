@@ -276,4 +276,28 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(rows.length === 2)
     assert(rows.map(_.getString(1)).toSeq === Seq("a", "updated"))
   }
+
+  test("rewrite_position_deletes folds delete dirs; data untouched; append feed unaffected") {
+    val t = wideTable()
+    LakeDml.delete(t, $"id" <= 5L, strategy = DmlStrategy.MergeOnRead)
+    LakeDml.delete(t, $"id" >= 6L && $"id" <= 8L, strategy = DmlStrategy.MergeOnRead)
+    LakeDml.delete(t, $"id" > 395L, strategy = DmlStrategy.MergeOnRead)
+    assert(t.latest.get.deleteDirs.size === 3)
+    val before = dataFiles(t)
+    val snap = t.rewritePositionDeletes()
+    assert(snap.op === "rewrite-deletes" && snap.deleteDirs.size === 1)
+    assert(dataFiles(t) === before) // zero data churn
+    assert(t.read(None).select($"id").as[Long].collect().sorted === (9L to 395L).toArray)
+    val folded = spark.read.parquet(t.location(snap.deleteDirs.head))
+    assert(folded.count() === folded.distinct().count() && folded.count() === 13)
+    // metadata-safe for incremental walks: no rewrite exception
+    assert(t.appendedDirs(snap.version - 1, snap.version, skipRewrites = false).isEmpty)
+    // single delete dir → calling again is a no-op, not a new commit
+    assert(t.rewritePositionDeletes().version === snap.version)
+    // expiry reclaims the three folded-away delete dirs
+    t.expireSnapshots(retainLast = 1)
+    import scala.jdk.CollectionConverters._
+    val liveDeleteDirs = Files.list(t.root.resolve("deletes")).iterator().asScala.size
+    assert(liveDeleteDirs === 1)
+  }
 }

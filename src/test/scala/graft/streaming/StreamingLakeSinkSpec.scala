@@ -230,6 +230,38 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spans.size >= 5) // 20 commits / 4 per trigger
   }
 
+  test("maxBytesPerTrigger: backlog drains one commit per batch under a tiny byte cap") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slbytes-").toString)
+    val ckpt = Files.createTempDirectory("slbytes-ckpt-").toString
+    val out = Files.createTempDirectory("slbytes-out-").toString
+    cat.write(Seq((0L, "seed")).toDF("id", "s"), "ns.b", WriteMode.Overwrite)
+    (1L to 7L).foreach(i =>
+      cat.write(Seq((i, s"r$i")).toDF("id", "s"), "ns.b", WriteMode.Append))
+    val t = cat.table("ns.b")
+    // every commit recorded its dir size in the manifest
+    val snap = t.latest.get
+    val sizes = snap.meta.filter(_._1.startsWith("graft.bytes:")).values.map(_.toLong)
+    assert(sizes.size === 8 && sizes.forall(_ > 0), s"per-dir byte sizes missing: ${snap.meta}")
+    // a 1-byte cap forces the soft-cap minimum: one commit per batch
+    val q = StreamingLakeSource.committedStream(t, maxBytesPerTrigger = Some(1L))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === (0L to 7L).toArray)
+    val spans = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty)
+      .map(p => (Option(p.sources.head.startOffset).map(_.trim.toLong).getOrElse(0L),
+        Option(p.sources.head.endOffset).map(_.trim.toLong).getOrElse(0L)))
+      .filter { case (s, e) => e > s }
+    assert(spans.size === 8 && spans.forall { case (s, e) => e - s === 1 },
+      s"expected 8 single-commit batches, got: $spans")
+  }
+
   test("skipRewriteCommits: mid-stream compaction and MOR DML don't kill the consumer") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.lake.{DmlStrategy, LakeDml, WriteMode}
