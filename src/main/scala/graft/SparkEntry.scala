@@ -62,6 +62,10 @@ object SparkEntry {
     "t_winnow_overlap"   -> (TextQueries.winnowOverlap _),
     "t_hash_sample"      -> ((s: SparkSession, d: String) => TextQueries.hashSample(s, d)),
     "t_token_budget"     -> ((s: SparkSession, d: String) => TextQueries.tokenBudget(s, d)),
+    "t_contamination"    -> (TextQueries.contamination _),
+    "t_pii_redact"       -> (TextQueries.piiRedact _),
+    "t_repetition"       -> (TextQueries.repetition _),
+    "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
     "d_dedup_minhash"    -> (SimQueries.minhashLsh _),
@@ -419,6 +423,58 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
         |       MAX(doc_id) AS last_doc_id
         |FROM c WHERE cum <= 20000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // word 4-gram overlap vs the held-out benchmark slice (doc_id % 50
+    // = 0); the engine joins on 64-bit gram hashes, the oracle states
+    // the string-gram ground truth (same argument as d_ngram_jaccard)
+    "t_contamination" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM w),
+        |bench AS (SELECT * FROM g WHERE doc_id % 50 = 0),
+        |train AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+        |SELECT t.doc_id, count(DISTINCT b.doc_id) AS n_bench, min(b.doc_id) AS first_bench
+        |FROM train t JOIN bench b ON len(list_intersect(t.s, b.s)) > 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // both engines append the same synthetic contact line, then redact
+    // it by pattern (regex subset Java and RE2 treat identically)
+    "t_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' Contact: user' || doc_id || '@mail.example or +1 555 0' || doc_id || '.' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d ]+\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\+\d[\d ]+\d', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // duplicate-word and top-bigram fractions over the FILTERED word
+    // sequence (integer-derived doubles: both engines divide the same
+    // exact longs)
+    "t_repetition" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |ws AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+        |       list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1]) AS bgs FROM w),
+        |b AS (SELECT doc_id, bg, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM ws) GROUP BY doc_id, bg),
+        |bt AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM b GROUP BY doc_id)
+        |SELECT ws.doc_id, ws.n_words,
+        |  1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words AS dup_word_frac,
+        |  CAST(bt.top_bigram_n AS DOUBLE) / bt.n_bigrams AS top_bigram_frac
+        |FROM ws JOIN bt ON ws.doc_id = bt.doc_id ORDER BY ws.doc_id""".stripMargin,
+
+    // p ∝ n^0.5 temperature mixture; the cross-source normalizer sums
+    // exact integer milli-weights so the float ratios are bit-identical
+    "t_domain_mixture" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sw FROM documents GROUP BY source),
+        |t AS (SELECT sum(sw) AS total FROM s)
+        |SELECT source, n_docs,
+        |  round(CAST(sw AS DOUBLE) / total, 6) AS weight,
+        |  CAST(floor(CAST(1000.0 AS DOUBLE) * sw / total) AS BIGINT) AS target_docs
+        |FROM s, t ORDER BY source""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_docs,

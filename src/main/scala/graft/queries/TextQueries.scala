@@ -149,6 +149,108 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Benchmark-contamination detection — the eval-integrity check every
+    * training-corpus build runs: flag training documents sharing any
+    * word 4-gram with a held-out benchmark set (here: every 50th doc).
+    * Inverted-index SEMI-join shape: both sides explode to
+    * (gram-hash, doc) rows and meet on the 8-byte hash — never a
+    * doc×doc comparison, and the benchmark side is tiny, so AQE
+    * broadcasts it. Same hash-for-string equality argument as
+    * `d_ngram_jaccard`: xxh64 collisions across a corpus's gram
+    * vocabulary are negligible, so the DuckDB oracle states the
+    * string-gram ground truth.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ShingleHashFunctions.shingle_hashes
+    val grams = Tables(spark, dir).documents
+      .select($"doc_id", explode(shingle_hashes(TextOps.words($"text"), 4)).as("g"))
+    val bench = grams.where($"doc_id" % 50 === 0).select($"g", $"doc_id".as("b_id"))
+    val train = grams.where($"doc_id" % 50 =!= 0)
+    train.join(bench, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"b_id").as("n_bench"), min($"b_id").as("first_bench"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction — scrub emails and phone numbers before training.
+    * The fixture text carries no PII, so a deterministic contact line
+    * derived from doc_id is appended first (both engines build the
+    * same string), then redacted away by pattern. Patterns stay inside
+    * the regex subset Java and RE2 treat identically (char classes,
+    * +/{m,}, no backrefs/lookaround). Scan-stage narrow transform —
+    * at 100 TB this is a free rider on the first pass over the corpus.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+\\d[\\d ]+\\d"
+    val withPii = concat($"text", lit(" Contact: user"), $"doc_id",
+      lit("@mail.example or +1 555 0"), $"doc_id", lit("."))
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        regexp_count(withPii, lit(email)).cast("long").as("n_emails"),
+        regexp_count(withPii, lit(phone)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(withPii, email, "<EMAIL>"), phone, "<PHONE>")
+          .as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Repetition signals (Gopher-style quality filters): per document,
+    * the duplicate-word fraction and the top-bigram fraction — the two
+    * cheapest detectors of boilerplate/gibberish loops. Words explode
+    * to (doc, rank, word) rows and every aggregate is keyed by doc_id:
+    * one shuffle on a high-cardinality key, no global state, linear at
+    * corpus scale.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, dir).documents
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .where($"w" =!= "")
+    // bigrams over the FILTERED word sequence (double spaces must not
+    // break adjacency — the oracle's list_filter does the same)
+    val nxt = lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"pos"))
+    val bi = words.withColumn("nw", nxt).where($"nw".isNotNull)
+      .select($"doc_id", concat($"w", lit(" "), $"nw").as("bg"))
+    val biTop = bi.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+    val wordStats = words.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct($"w").as("n_distinct"))
+    wordStats.join(biTop, Seq("doc_id"))
+      .select(
+        $"doc_id", $"n_words",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_words").as("dup_word_frac"),
+        ($"top_bigram_n".cast("double") / $"n_bigrams").as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Temperature-scaled domain mixture (the `p ∝ n^α` sampling rule,
+    * α = 0.5): per-source weights and document targets for a
+    * 1000-doc budget. Floating sums across rows are order-dependent,
+    * so the cross-source normalizer sums exact integer milli-weights
+    * (`floor(sqrt(n)·1e6)`) — both engines produce bit-identical
+    * ratios. One tiny aggregate (sources are a bounded key space) +
+    * one broadcastable window over it.
+    */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables(spark, dir).documents
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sw", floor(sqrt($"n_docs".cast("double")) * 1e6).cast("long"))
+    val total = sum($"sw").over(Window.partitionBy())
+    perSource
+      .select(
+        $"source", $"n_docs",
+        round($"sw".cast("double") / total, 6).as("weight"),
+        floor(lit(1000.0) * $"sw" / total).cast("long").as("target_docs"))
+      .orderBy($"source")
+  }
+
   /** Winnowing overlap detection: doc pairs sharing ≥ `minShared`
     * rolling-hash fingerprints (substring-level near-dup, robust to
     * word reordering outside the shared runs). Inverted-index join on
