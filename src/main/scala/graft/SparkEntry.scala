@@ -44,6 +44,7 @@ object SparkEntry {
     "lake_time_travel"      -> (LakeQueries.timeTravel _),
     "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
+    "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
@@ -236,6 +237,22 @@ object SparkEntry {
         |FROM customer
         |UNION ALL SELECT CAST(-1 AS BIGINT), 'NEW A', CAST(0 AS INT), 100.0, 'BUILDING'
         |UNION ALL SELECT CAST(-2 AS BIGINT), 'NEW B', CAST(1 AS INT), 200.0, 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // two equality-delete upserts over the base customer table: the
+    // second wins on the overlap (3..8 over <5), new keys insert as
+    // their negated custkey — closed-form CASE over the raw parquet
+    "lake_eq_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_nationkey BETWEEN 3 AND 8 THEN -c_acctbal
+        |       WHEN c_nationkey < 5 THEN c_acctbal + 1000.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_nationkey BETWEEN 3 AND 8 THEN 'UPSERT2'
+        |       WHEN c_nationkey < 5 THEN 'UPSERT1'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |UNION ALL SELECT -c_custkey, c_name, c_nationkey, 0.0, 'NEWKEY'
+        |FROM customer WHERE c_nationkey = 20
         |ORDER BY c_custkey""".stripMargin,
 
     // MERGE (double acctbal under nation<5, insert 2) → UPDATE (negate

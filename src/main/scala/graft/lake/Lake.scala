@@ -4,7 +4,7 @@ import java.nio.file.{Path, Paths}
 import java.util.UUID
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal Iceberg-semantics lake table layer over versioned Parquet
   * snapshots.
@@ -69,12 +69,28 @@ final case class Snapshot(
     // generation's layout here: old dirs keep their directories and
     // still prune via their own spec, new writes land under the
     // current one.
-    dirSpecs: Seq[String] = Nil) {
+    dirSpecs: Seq[String] = Nil,
+    // equality delete entries (Iceberg v2's second delete-file kind),
+    // encoded "<seq>|<cols>|<dir>" (EqDelete): each dir holds parquet
+    // rows of KEY VALUES deleting every matching row in data dirs with
+    // commit sequence < seq. The upsert write path (streaming CDC
+    // ingest) appends a data dir + one of these per batch — no
+    // read-modify-write. Carried like positional deletes; cleared by
+    // rewrites (overwrite/compact fold them into the data).
+    eqDeletes: Seq[String] = Nil,
+    // commit sequence per data dir, parallel to `dirs` (Iceberg's
+    // data-sequence-number): the version whose commit added the dir.
+    // Nil = legacy manifest, all dirs sequence 0 — every equality
+    // delete (whose seq is a real version >= 1) applies to them.
+    dirSeqs: Seq[Long] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def dirSchemaJson(i: Int): String =
     if (dirSchemaJsons.isEmpty) schemaJson else dirSchemaJsons(i)
   def dirSpec(i: Int): Seq[String] =
     if (dirSpecs.isEmpty) partitionBy else Snapshot.splitSpec(dirSpecs(i))
+  def dirSeq(i: Int): Long = if (dirSeqs.isEmpty) 0L else dirSeqs(i)
+  /** Dirs of equality delete entries (for liveness/maintenance). */
+  def eqDeleteDirs: Seq[String] = eqDeletes.map(EqDelete.decode(_).dir)
 }
 
 object Snapshot {
@@ -316,9 +332,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val batch = appendedDirs(fromVersion, hi, skipRewrites)
     if (batch.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
-    // one relation per write-time schema generation; recursiveFileLookup
-    // lists through hidden-partition subdirs (derived values are not
-    // part of the user schema)
+    readDirsAligned(batch, cur)
+  }
+
+  /** Read a set of (dir, write-time schema) pairs aligned to `cur`:
+    * one relation per schema generation, field-id alignment across
+    * renames/widens, recursiveFileLookup through hidden-partition
+    * subdirs (derived values are not part of the user schema).
+    */
+  private def readDirsAligned(batch: Seq[(String, String)], cur: StructType): DataFrame =
     batch.groupBy(_._2).toSeq.sortBy(_._2.head._1).map { case (sj, group) =>
       val phys = DataType.fromJson(sj).asInstanceOf[StructType]
       val paths = group.map { case (d, _) => location(d) }
@@ -326,6 +348,105 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         spark.read.schema(phys).option("recursiveFileLookup", "true").parquet(paths: _*),
         phys, cur)
     }.reduce(_ unionByName _)
+
+  /** Row-level changelog between versions (Iceberg's changelog scan /
+    * Delta's Change Data Feed): every row-level change committed in
+    * `(fromVersion, toVersion]`, tagged `_change_type`
+    * ('insert'/'delete') and `_commit_version`. An update is a delete
+    * + insert at the same version. This is the READ face of CDC: a
+    * downstream consumer (index refresh, cache invalidation, derived
+    * table) processes exactly what changed, never rescanning the
+    * table.
+    *
+    * Changes derive from MANIFEST DIFFS, not data diffs — O(commits)
+    * driver work plus reads bounded by the changed dirs/delete files:
+    *   - new data dirs → 'insert' rows, read straight from the dirs;
+    *   - new positional delete files → 'delete' rows, materialized by
+    *     a coordinate semi-join against the PRIOR snapshot (the rows
+    *     were live then by construction — DML stages deletes from the
+    *     deletes-applied scan);
+    *   - new equality delete files (upserts) → 'delete' rows,
+    *     materialized by a null-safe key semi-join against the prior
+    *     snapshot, mirroring scan-time sequence semantics (only
+    *     strictly-older rows die).
+    *
+    * Compaction / delete-file rewrites / metadata commits move no
+    * logical rows and are passed over. A commit that REMOVES data dirs
+    * (overwrite, copy-on-write DML, rollback) has no row-level
+    * changelog; it fails loud naming the version, or is passed over
+    * with `skipRewrites=true` (its changes are then NOT delivered) —
+    * the same contract as the incremental append read.
+    */
+  def readChanges(fromVersion: Long, toVersion: Option[Long] = None,
+                  skipRewrites: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val hi = toVersion.orElse(latest.map(_.version)).getOrElse(
+      throw new IllegalArgumentException(s"empty lake table at $rootLocation"))
+    val target = resolve(Some(hi))
+    val identity = target.partitionBy.map(PartitionField.parse).filterNot(_.hidden)
+    require(identity.isEmpty,
+      s"changelog read cannot deliver identity partition columns ${identity.map(_.name)} " +
+        "(values live in dir names, not files); use transform specs")
+    val cur = target.schema
+    val userCols = cur.fieldNames.toSeq
+    def tagged(df: DataFrame, change: String, v: Long): DataFrame =
+      df.select(userCols.map(col): _*)
+        .withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v))
+    def snapAt2(v: Long) = snapshotAt(v).getOrElse(throw new IllegalStateException(
+      s"snapshot v$v of $rootLocation is gone (expired?); changelog reads need " +
+        "snapshot retention >= the read window"))
+    val frames = Seq.newBuilder[DataFrame]
+    var prev = if (fromVersion <= 0) None else Some(snapAt2(fromVersion))
+    for (v <- fromVersion + 1 to hi) {
+      val s = snapAt2(v)
+      val noRowChange = LakeTable.MetadataOps.contains(s.op) || s.op == "compact"
+      val prevDirs = prev.map(_.dirs.toSet).getOrElse(Set.empty)
+      val removed = prevDirs -- s.dirs.toSet
+      if (noRowChange) ()
+      else if (removed.nonEmpty) {
+        if (!skipRewrites) throw new RewriteCommitException(v, s.op, rootLocation)
+      } else {
+        // deletes first (CDC convention: an update reads as delete+insert)
+        val prevPosDeletes = prev.map(_.deleteDirs.toSet).getOrElse(Set.empty)
+        val newPosDeletes = s.deleteDirs.filterNot(prevPosDeletes)
+        if (newPosDeletes.nonEmpty) {
+          val delRows = spark.read.schema(DeleteFiles.schema)
+            .parquet(newPosDeletes.map(location): _*)
+            .select(
+              concat(lit(qualifiedRootPrefix), col(DeleteFiles.FileField)).as("_gr_del_file"),
+              col(DeleteFiles.PosField).as("_gr_del_pos"))
+          val prior = readWithPos(Some(v - 1))
+          frames += tagged(prior.join(delRows,
+            prior(LakePos.FileCol) === delRows("_gr_del_file") &&
+              prior(LakePos.PosCol) === delRows("_gr_del_pos"),
+            "left_semi"), "delete", v)
+        }
+        val prevEq = prev.map(_.eqDeletes.toSet).getOrElse(Set.empty)
+        s.eqDeletes.filterNot(prevEq).map(EqDelete.decode).foreach { e =>
+          val delSchema = StructType(e.cols.map(c =>
+            StructField(c, cur(c).dataType, nullable = true)))
+          val del = spark.read.schema(delSchema).parquet(location(e.dir))
+            .select(e.cols.map(c => col(c).as(s"_gr_del_$c")): _*)
+          val prior = read(Some(v - 1))
+          frames += tagged(prior.join(del,
+            e.cols.map(c => prior(c) <=> del(s"_gr_del_$c")).reduce(_ && _),
+            "left_semi"), "delete", v)
+        }
+        val newDirs = s.dirs.indices
+          .filter(i => !prevDirs.contains(s.dirs(i)))
+          .map(i => (s.dirs(i), s.dirSchemaJson(i)))
+        if (newDirs.nonEmpty)
+          frames += tagged(readDirsAligned(newDirs, cur), "insert", v)
+      }
+      prev = Some(s)
+    }
+    val out = frames.result()
+    if (out.isEmpty) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+      tagged(empty, "insert", 0L).where(lit(false))
+    } else out.reduce(_ unionByName _)
   }
 
   private def resolve(version: Option[Long]): Snapshot = version match {
@@ -391,7 +512,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     import org.apache.spark.sql.functions.{col, lit}
     // merge-on-read: live delete files force position columns through
     // every leaf relation so the anti-join upstairs has coordinates
-    val needPos = withPos || snap.deleteDirs.nonEmpty
+    // (equality deletes also need the file path, to derive the row's
+    // commit sequence)
+    val needPos = withPos || snap.deleteDirs.nonEmpty || snap.eqDeletes.nonEmpty
     val posNames = if (needPos) Seq(LakePos.FileCol, LakePos.PosCol) else Nil
     def attachPos(df: DataFrame): DataFrame =
       if (!needPos) df
@@ -541,8 +664,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // merge-on-read deletes apply BEFORE user filters semantically,
     // but anti-join and row filters commute, so the filters stay
     // pushable into the scan
-    val base = DeleteFiles.applyTo(readRaw(snap, preds, withPos = keepPos),
-      this, snap.deleteDirs)
+    val base = EqualityDeletes.applyTo(
+      DeleteFiles.applyTo(readRaw(snap, preds, withPos = keepPos),
+        this, snap.deleteDirs),
+      this, snap)
     val filtered = (raw ++ projected).foldLeft(base)(_ where _)
     val noHidden = fields.filter(_.hidden).map(_.name).foldLeft(filtered)(_ drop _)
     if (keepPos) noHidden
@@ -572,7 +697,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            allowSpecChange: Boolean = false,
                            carryStats: Boolean = true,
                            newDirSpecs: Seq[String] = Nil,
-                           deleteDirsOverride: Option[Seq[String]] = None): Snapshot = {
+                           deleteDirsOverride: Option[Seq[String]] = None,
+                           newEqDeletes: Seq[(Seq[String], String)] = Nil,
+                           eqDeletesOverride: Option[Seq[String]] = None,
+                           newDirSeqs: Seq[Long] = Nil): Snapshot = {
     io.mkdirs(versionsDir)
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -674,6 +802,24 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         // rewrite REPLACES the set wholesale via the override.
         val deleteDirs = deleteDirsOverride.getOrElse(
           (if (carryForward) base.map(_.deleteDirs).getOrElse(Nil) else Nil) ++ newDeleteDirs)
+        // equality deletes ride the same carry rule; entries minted by
+        // THIS commit take the FINAL version as their sequence — a
+        // rebase after a lost claim race re-resolves `next`, keeping
+        // the invariant that a delete's seq exceeds every prior dir's
+        val eqDeletesOut = eqDeletesOverride.getOrElse(
+          (if (carryForward) base.map(_.eqDeletes).getOrElse(Nil) else Nil) ++
+            newEqDeletes.map { case (cs, d) => EqDelete.encode(EqDelete(next, cs, d)) })
+        // per-dir commit sequences: carried dirs keep theirs (legacy →
+        // 0), new dirs take this commit's version unless the caller
+        // restores historical ones (rollback)
+        val carriedSeqs =
+          if (carryForward)
+            base.map(b => b.dirs.indices.map(b.dirSeq)).getOrElse(Nil)
+          else Nil
+        val dirSeqs0 = carriedSeqs ++
+          (if (newDirSeqs.nonEmpty) newDirSeqs else newDirs.map(_ => next))
+        val dirSeqsOut: Seq[Long] =
+          if (dirSeqs0.forall(_ == 0L)) Nil else dirSeqs0.toSeq
         // strictly monotonic commit timestamps: two commits inside one
         // millisecond would otherwise be indistinguishable to
         // timestamp time travel (`FOR TIMESTAMP AS OF` resolves the
@@ -682,7 +828,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         val ts = math.max(System.currentTimeMillis(),
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          ts, carriedStats ++ carriedBytes ++ meta, dirSchemas, deleteDirs, dirSpecsOut)
+          ts, carriedStats ++ carriedBytes ++ meta, dirSchemas, deleteDirs, dirSpecsOut,
+          eqDeletesOut, dirSeqsOut)
         // publish with the arbiter's atomic NO-REPLACE primitive: a
         // plain overwrite would silently clobber a manifest published
         // by a concurrent writer. A failed publish means we lost
@@ -818,6 +965,62 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None)
   }
 
+  /** Streaming/CDC upsert (the Flink→Iceberg upsert write shape):
+    * append `df` as a new data dir AND write one equality delete file
+    * on `keys` retiring every OLDER row with a matching key — one
+    * commit, no read-modify-write, cost proportional to the BATCH, not
+    * the table. This is what makes continuous CDC ingest viable at
+    * 100 TB: a MERGE (even merge-on-read) must scan the table to find
+    * matches; an equality-delete upsert never reads existing data —
+    * matching is deferred to scan time (one broadcast anti-join per
+    * key set) until `compact()` folds it in.
+    *
+    * Sequence semantics make the single commit sound: the delete's
+    * sequence is the committed version and applies only to dirs with
+    * a STRICTLY SMALLER sequence, so the batch's own rows survive.
+    * Rows within `df` must be unique on `keys` (the same contract
+    * Iceberg's upsert-mode writers impose per checkpoint); duplicate
+    * keys in one batch would land as duplicate live rows.
+    *
+    * The batch cannot change the table schema (untouched files keep
+    * their bytes — same contract as [[commitMor]]); columns are
+    * coerced to the snapshot schema. An empty table accepts the first
+    * upsert as a plain create-with-data.
+    */
+  def upsert(df: DataFrame, keys: Seq[String],
+             meta: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val base = latest.getOrElse { return write(df, WriteMode.Overwrite, meta = meta) }
+    val schema = base.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"upsert key '$k' is not a column of $rootLocation (${schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.functions.col
+    val coerced = df.select(schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // stage the delete file first (key values only, deduplicated —
+    // the delete side of every future scan's anti-join stays minimal)
+    io.mkdirs(loc("eqdeletes"))
+    val staged = loc(s"eqdeletes/.staging-${UUID.randomUUID().toString}")
+    coerced.select(keys.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(staged.toString)
+    val delDir = s"eqdeletes/${UUID.randomUUID().toString}"
+    io.move(staged, loc(delDir))
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    writeDataDir(coerced, dirName, base.partitionBy)
+    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+      schema.fieldNames.toSeq)
+    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
+    val idMeta = base.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    commit("upsert", Seq(dirName), carryForward = true, base.partitionBy,
+      base.schemaJson, meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
+      newDirSchemas = Seq(base.schemaJson),
+      newEqDeletes = Seq((keys, delDir)),
+      // the coercion above resolved types against THIS schema; a
+      // concurrent evolution must fail the commit, not be hidden
+      expectedBaseSchema = Some(Some(base.schemaJson)))
+  }
+
   /** Merge-on-read DML commit: stage one positional-delete dir (and
     * optionally one new data dir for updated/inserted rows), then
     * commit both carrying every existing dir forward untouched — the
@@ -878,6 +1081,20 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   // travel to a pre-rename version reads the old name, because every
   // snapshot pins its own schema.
 
+  /** Renaming or dropping a column that live equality deletes key on
+    * would break their value matching — silently resurrecting deleted
+    * rows. Deletes key by NAME (they are small value files, not
+    * id-mapped data files), so the evolution must wait for a
+    * `compact()` to fold the deletes in first. Widening is safe (the
+    * stored values upcast on read like data files do).
+    */
+  private def requireNoEqDeleteOn(snap: Snapshot, col: String, op: String): Unit = {
+    val keyed = snap.eqDeletes.map(EqDelete.decode).filter(_.cols.contains(col))
+    require(keyed.isEmpty,
+      s"cannot $op column '$col' at $rootLocation: ${keyed.size} live equality delete(s) " +
+        "key on it; run compact() first to fold the deletes into data")
+  }
+
   private def evolveSchema(op: String, f: StructType => StructType): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
     val idFloor = snap.meta.get(SchemaIds.LastIdKey).map(_.toLong).getOrElse(0L)
@@ -932,6 +1149,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
     require(snap.partitionBy.isEmpty && snap.dirs.indices.forall(snap.dirSpec(_).isEmpty),
       s"renameColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
+    requireNoEqDeleteOn(snap, oldName, "rename")
     evolveSchema("rename", { cur =>
       require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $root")
       require(!cur.fieldNames.contains(newName), s"column '$newName' already exists at $root")
@@ -964,6 +1182,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .flatten.distinct.map(PartitionField.parse).map(_.source)
     require(!sources.contains(name),
       s"cannot drop '$name': it sources partition spec ${snap.partitionBy}")
+    requireNoEqDeleteOn(snap, name, "drop")
     evolveSchema("drop", { cur =>
       require(cur.fieldNames.contains(name), s"no column '$name' at $root")
       require(cur.fields.length > 1, s"cannot drop the last column of $root")
@@ -1084,7 +1303,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       target.schemaJson, meta = target.meta, expectedBase = Some(cur.version),
       newDirSchemas = target.dirs.indices.map(target.dirSchemaJson),
       newDeleteDirs = target.deleteDirs, allowSpecChange = true,
-      newDirSpecs = target.dirs.indices.map(i => Snapshot.joinSpec(target.dirSpec(i))))
+      newDirSpecs = target.dirs.indices.map(i => Snapshot.joinSpec(target.dirSpec(i))),
+      // equality-delete state restores EXACTLY: original sequences and
+      // per-dir sequences must survive, or the seq<delSeq semantics
+      // would re-delete (or resurrect) the wrong rows
+      eqDeletesOverride = Some(target.eqDeletes),
+      newDirSeqs = target.dirs.indices.map(target.dirSeq))
   }
 
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
@@ -1117,12 +1341,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     if (expired.isEmpty) return (0, 0)
     val gone = expired.map(_.version).toSet
     val retained = all.filterNot(s => gone.contains(s.version))
-    val live = retained.flatMap(s => s.dirs ++ s.deleteDirs).toSet
+    val live = retained.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet
     // delete manifests first: a concurrent reader that resolved an
     // expired version may still finish if its dirs are shared with a
     // retained snapshot; dirs go second and only when unreferenced
     expired.foreach(s => io.delete(manifestPath(s.version)))
-    val deadDirs = expired.flatMap(s => s.dirs ++ s.deleteDirs).distinct.filterNot(live)
+    val deadDirs = expired.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs)
+      .distinct.filterNot(live)
     deadDirs.foreach(d => io.delete(loc(d)))
     (expired.size, deadDirs.size)
   }
@@ -1135,12 +1360,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def removeOrphanFiles(graceMs: Long = 60 * 60 * 1000L): Int = {
     // liveness by root-relative name ("data/<uuid>"), scheme-agnostic
-    val live = history.flatMap(s => s.dirs ++ s.deleteDirs).toSet
+    val live = history.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    // both staging roots: data commits land under data/, positional
-    // delete files under deletes/ — a writer dying mid-DML can orphan
-    // either kind
-    Seq("data", "deletes").map { sub =>
+    // all three staging roots: data commits land under data/,
+    // positional delete files under deletes/, equality delete files
+    // under eqdeletes/ — a writer dying mid-commit can orphan any kind
+    Seq("data", "deletes", "eqdeletes").map { sub =>
       val orphans = io.list(loc(sub))
         .filter(st => !live.contains(s"$sub/${st.getPath.getName}"))
         .filter(_.getModificationTime < cutoff)
@@ -1168,9 +1393,14 @@ private object Manifest {
       if (s.deleteDirs.isEmpty) "" else s""""deleteDirs":${arr(s.deleteDirs)},"""
     val dirSpecsJson =
       if (s.dirSpecs.isEmpty) "" else s""""dirSpecs":${arr(s.dirSpecs)},"""
+    val eqDeletesJson =
+      if (s.eqDeletes.isEmpty) "" else s""""eqDeletes":${arr(s.eqDeletes)},"""
+    val dirSeqsJson =
+      if (s.dirSeqs.isEmpty) ""
+      else s""""dirSeqs":${s.dirSeqs.mkString("[", ",", "]")},"""
     s"""{"version":${s.version},"op":"${esc(s.op)}","dirs":${arr(s.dirs)},""" +
       s""""partitionBy":${arr(s.partitionBy)},"timestampMs":${s.timestampMs},""" +
-      dirSchemasJson + deleteDirsJson + dirSpecsJson +
+      dirSchemasJson + deleteDirsJson + dirSpecsJson + eqDeletesJson + dirSeqsJson +
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -1204,7 +1434,14 @@ private object Manifest {
       meta = meta,
       dirSchemaJsons = if (n.has("dirSchemas")) strs("dirSchemas") else Nil,
       deleteDirs = if (n.has("deleteDirs")) strs("deleteDirs") else Nil,
-      dirSpecs = if (n.has("dirSpecs")) strs("dirSpecs") else Nil))
+      dirSpecs = if (n.has("dirSpecs")) strs("dirSpecs") else Nil,
+      eqDeletes = if (n.has("eqDeletes")) strs("eqDeletes") else Nil,
+      dirSeqs =
+        if (!n.has("dirSeqs")) Nil
+        else {
+          val a = n.get("dirSeqs")
+          (0 until a.size()).map(a.get(_).asLong())
+        }))
   }
 }
 

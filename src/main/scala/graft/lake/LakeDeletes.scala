@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.Column
 
 /** Column names for row positions exposed on merge-on-read scans.
   * Every data-file relation can surface the file-source `_metadata`
@@ -60,5 +61,72 @@ private[lake] object DeleteFiles {
       data(LakePos.FileCol) === del("_gr_del_file") &&
         data(LakePos.PosCol) === del("_gr_del_pos"),
       "left_anti")
+  }
+}
+
+/** One equality delete entry (Iceberg v2 equality delete files): a
+  * parquet dir of KEY VALUES that deletes every matching row in data
+  * files committed BEFORE the delete (strictly smaller commit
+  * sequence). This is what makes a streaming CDC/upsert sink possible
+  * without read-modify-write: each batch appends its rows plus an
+  * equality delete on the keys, retiring prior versions of those keys
+  * — the Flink→Iceberg upsert write shape.
+  */
+private[lake] final case class EqDelete(seq: Long, cols: Seq[String], dir: String)
+
+private[lake] object EqDelete {
+  /** Manifest encoding `"<seq>|<col1,col2>|<dir>"` — column names are
+    * identifiers and dirs are uuid paths, so neither contains '|'.
+    */
+  def encode(e: EqDelete): String = s"${e.seq}|${e.cols.mkString(",")}|${e.dir}"
+  def decode(s: String): EqDelete = {
+    val Array(seq, cols, dir) = s.split('|')
+    EqDelete(seq.toLong, cols.split(',').toSeq, dir)
+  }
+}
+
+private[lake] object EqualityDeletes {
+  /** Anti-join `data` (carrying [[LakePos]] columns) against the
+    * snapshot's equality delete entries. Sequence semantics are
+    * Iceberg v2's: a delete with sequence S applies only to rows from
+    * data dirs with commit sequence < S — the same commit's appended
+    * rows (and later appends) survive, which is exactly what lets one
+    * upsert commit delete old key versions while inserting new ones.
+    *
+    * Per-row sequence is derived from the row's file path: the first
+    * two path segments under the table root name the commit dir
+    * (`data/<uuid>`), joined against a broadcast dir→seq lookup built
+    * from the manifest — O(dirs) driver-side rows, never data-scaled.
+    * Key matching is null-safe (`<=>`), and delete values read under
+    * the current schema's types (widening after the delete was written
+    * upcasts the stored values the same way it upcasts data files).
+    */
+  def applyTo(data: DataFrame, table: LakeTable, snap: Snapshot): DataFrame = {
+    val entries = snap.eqDeletes.map(EqDelete.decode)
+    if (entries.isEmpty) return data
+    val spark = table.spark
+    val seqRows = snap.dirs.indices.map(i => (snap.dirs(i), snap.dirSeq(i)))
+    import spark.implicits._
+    val seqDf = seqRows.toDF("_gr_dirname", "_gr_dirseq")
+    val dirOf: Column = substring_index(
+      substring(col(LakePos.FileCol), table.qualifiedRootPrefix.length + 1, Int.MaxValue),
+      "/", 2)
+    val withSeq = data.withColumn("_gr_dirname", dirOf)
+      .join(broadcast(seqDf), "_gr_dirname")
+    val schema = snap.schema
+    val applied = entries.groupBy(_.cols).toSeq.sortBy(_._2.head.dir)
+      .foldLeft(withSeq) { case (acc, (cols, group)) =>
+        val delSchema = StructType(cols.map(c =>
+          StructField(c, schema(c).dataType, nullable = true)))
+        val del = group.map { e =>
+          spark.read.schema(delSchema).parquet(table.location(e.dir))
+            .withColumn("_gr_del_seq", lit(e.seq))
+        }.reduce(_ union _)
+          .select(cols.map(c => col(c).as(s"_gr_del_$c")) :+ col("_gr_del_seq"): _*)
+        val cond = cols.map(c => acc(c) <=> del(s"_gr_del_$c")).reduce(_ && _) &&
+          acc("_gr_dirseq") < del("_gr_del_seq")
+        acc.join(del, cond, "left_anti")
+      }
+    applied.drop("_gr_dirname", "_gr_dirseq")
   }
 }

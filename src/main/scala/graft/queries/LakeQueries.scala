@@ -263,6 +263,46 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Equality-delete upsert chain (Iceberg v2 equality delete files —
+    * the Flink→Iceberg CDC/upsert ingest shape): two upsert batches
+    * land on a base table, each committing ONE appended dir plus ONE
+    * key-valued delete file, never reading or rewriting existing data
+    * — the write cost of maintaining a continuously-updated 100 TB
+    * table tracks the BATCH size, not the table size. Sequence
+    * semantics (delete applies only to strictly-older dirs) let each
+    * commit retire prior key versions while its own rows survive; the
+    * commit shape is asserted inline, and the second upsert must win
+    * on the overlap. Both batches derive from the ORIGINAL table so
+    * the oracle is a closed-form CASE over the raw parquet.
+    */
+  def eqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)
+    val t = cat.table("silver.customer")
+    val before = t.latest.get
+    val batch1 = customer.filter($"c_nationkey" < 5)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000.0)
+      .withColumn("c_mktsegment", lit("UPSERT1"))
+    val batch2 = customer.filter($"c_nationkey".between(3, 8))
+      .withColumn("c_acctbal", -$"c_acctbal")
+      .withColumn("c_mktsegment", lit("UPSERT2"))
+      .unionByName(customer.filter($"c_nationkey" === 20).select(
+        (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+        lit(0.0).as("c_acctbal"), lit("NEWKEY").as("c_mktsegment")))
+    t.upsert(batch1, Seq("c_custkey"))
+    val snap = t.upsert(batch2, Seq("c_custkey"))
+    // scale shape: two upserts = two delete files + two appended dirs;
+    // every pre-existing data dir carried forward byte-identical
+    require(snap.op == "upsert" && snap.eqDeletes.size == 2 &&
+      snap.dirs.take(before.dirs.size) == before.dirs &&
+      snap.dirs.size == before.dirs.size + 2,
+      s"expected equality-delete upsert commits, got op=${snap.op} " +
+        s"eqDeletes=${snap.eqDeletes.size} dirs=${snap.dirs.size}")
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
   /** Metadata inspection tables (Iceberg's `.files` / `.partitions` /
     * `.snapshots` parity): build an identity-partitioned table with
     * two single-task commits (deterministic 2 files per partition),

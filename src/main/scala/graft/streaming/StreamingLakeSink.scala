@@ -42,4 +42,34 @@ object StreamingLakeSink {
         ()
       }
       .start()
+
+  /** Start a CDC/upsert stream: each micro-batch lands as ONE
+    * equality-delete upsert commit ([[graft.lake.LakeTable.upsert]]) —
+    * new rows append, older rows with the same `keys` are retired by a
+    * key-valued delete file, and NO existing data is read or
+    * rewritten. This is the Flink→Iceberg upsert-mode sink shape: the
+    * only viable way to maintain a continuously-updated 100 TB table
+    * from a change stream (a per-batch MERGE would scan the table
+    * every trigger).
+    *
+    * Rows are deduplicated on `keys` within each batch (the upsert
+    * contract); a batch replayed after a failure re-upserts the same
+    * rows — identical values land, so the table converges to the same
+    * state (the extra commit is folded by the next `compact()`).
+    */
+  def upsertStream(stream: DataFrame, catalog: LakeCatalog, ident: String,
+                   keys: Seq[String], checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catalog.table(ident).upsert(
+          batch.dropDuplicates(keys),
+          keys,
+          meta = Map("graft.streamBatchId" -> batchId.toString))
+        ()
+      }
+      .start()
 }

@@ -357,4 +357,38 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     got.collect()
     assert(got.queryExecution.executedPlan.toString.contains("_p_ts_day"))
   }
+
+  test("upsert stream: each batch is one equality-delete commit; last writer wins across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("supsert-").toString)
+    val ckpt = Files.createTempDirectory("supsert-ckpt-").toString
+    val src = Files.createTempDirectory("supsert-src-")
+    def writeBatchFile(n: Int, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("id", "name", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/b$n")
+    val schema = Seq((0L, "", 0.0)).toDF("id", "name", "v").schema
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src.toString)
+      val q = StreamingLakeSink.upsertStream(stream, cat, "ns.state", Seq("id"), ckpt)
+      q.awaitTermination()
+    }
+    writeBatchFile(1, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    drain()
+    assert(cat.read("ns.state").count() === 2)
+    // second drain: a CDC batch updating id=2 and inserting id=3
+    writeBatchFile(2, Seq((2L, "b2", 20.0), (3L, "c", 3.0)))
+    drain()
+    val t = cat.table("ns.state")
+    val rows = t.read(None).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    // the update batch landed as an upsert commit (equality delete +
+    // append), never rewriting batch 1's files
+    val snap = t.latest.get
+    assert(snap.op === "upsert" && snap.eqDeletes.nonEmpty)
+    // no new files → re-draining is a no-op (checkpoint tracks offsets)
+    drain()
+    assert(t.latest.get.version === snap.version)
+  }
 }
