@@ -45,6 +45,7 @@ object SparkEntry {
     "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
+    "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
@@ -254,6 +255,29 @@ object SparkEntry {
         |UNION ALL SELECT -c_custkey, c_name, c_nationkey, 0.0, 'NEWKEY'
         |FROM customer WHERE c_nationkey = 20
         |ORDER BY c_custkey""".stripMargin,
+
+    // 4-version history over disjoint key ranges → closed-form
+    // changelog: appended rows insert at v2, MOR-deleted rows emit
+    // their prior values at v3, the upsert deletes old images and
+    // inserts new ones at v4
+    "lake_cdc_read" ->
+      """SELECT -c_custkey AS c_custkey, c_name, c_nationkey,
+        |       0.0 AS c_acctbal, 'APPEND' AS c_mktsegment,
+        |       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_nationkey = 5
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       'delete', CAST(3 AS BIGINT)
+        |FROM customer WHERE c_nationkey >= 20
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       'delete', CAST(4 AS BIGINT)
+        |FROM customer WHERE c_nationkey < 3
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0, 'UPSERT',
+        |       'insert', CAST(4 AS BIGINT)
+        |FROM customer WHERE c_nationkey < 3
+        |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
 
     // MERGE (double acctbal under nation<5, insert 2) → UPDATE (negate
     // BUILDING balances) → DELETE (nation >= 20), all as SQL statements

@@ -303,6 +303,35 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Version-range changelog read (Iceberg changelog scan / Delta CDF):
+    * build a 4-version history — base overwrite, append of new keys,
+    * merge-on-read DELETE, equality-delete upsert — then read every
+    * row-level change in `(v1, v4]` with `_change_type` and
+    * `_commit_version`. Each mutation derives from the ORIGINAL
+    * customer table over DISJOINT key ranges, so the expected
+    * changelog is a closed-form union over the raw parquet. The CDC
+    * consumer cost tracks the CHANGED rows (manifest-diff reads +
+    * bounded semi-joins against the prior snapshot), never a table
+    * diff.
+    */
+  def cdcRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)  // v1
+    val t = cat.table("silver.customer")
+    t.write(customer.filter($"c_nationkey" === 5).select(                        // v2
+      (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      lit(0.0).as("c_acctbal"), lit("APPEND").as("c_mktsegment")),
+      WriteMode.Append)
+    LakeDml.delete(t, $"c_nationkey" >= 20, strategy = DmlStrategy.MergeOnRead)  // v3
+    t.upsert(customer.filter($"c_nationkey" < 3)                                 // v4
+      .withColumn("c_acctbal", $"c_acctbal" + 500.0)
+      .withColumn("c_mktsegment", lit("UPSERT")), Seq("c_custkey"))
+    t.readChanges(1)
+      .orderBy($"_commit_version", $"_change_type", $"c_custkey")
+  }
+
   /** Metadata inspection tables (Iceberg's `.files` / `.partitions` /
     * `.snapshots` parity): build an identity-partitioned table with
     * two single-task commits (deterministic 2 files per partition),

@@ -1,0 +1,107 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Version-range changelog reads (Iceberg changelog scan / Delta CDF
+  * shape): row-level inserts/deletes derived from manifest diffs, with
+  * positional and equality delete files materialized against the
+  * prior snapshot.
+  */
+class LakeChangesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh() = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("chg-spec-").toString)
+    cat.write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"),
+      "ns.t", WriteMode.Overwrite)
+    cat.table("ns.t")
+  }
+
+  private def changes(t: LakeTable, from: Long, to: Option[Long] = None,
+                      skip: Boolean = false) =
+    t.readChanges(from, to, skip).orderBy($"_commit_version", $"_change_type", $"id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("appends produce inserts at their commit versions") {
+    val t = fresh()
+    t.write(Seq((4L, "d", 40.0)).toDF("id", "name", "v"), WriteMode.Append)
+    t.write(Seq((5L, "e", 50.0)).toDF("id", "name", "v"), WriteMode.Append)
+    assert(changes(t, 1) === Seq(
+      (4L, "d", 40.0, "insert", 2L),
+      (5L, "e", 50.0, "insert", 3L)))
+    // full-range read includes the initial overwrite's rows as inserts
+    assert(changes(t, 0).count(_._4 == "insert") === 5)
+    // empty range
+    assert(changes(t, 3) === Seq())
+  }
+
+  test("MOR delete emits the deleted rows' prior values") {
+    val t = fresh()
+    LakeDml.delete(t, $"id" === 2L, strategy = DmlStrategy.MergeOnRead)
+    assert(changes(t, 1) === Seq((2L, "b", 20.0, "delete", 2L)))
+  }
+
+  test("MOR update is delete+insert at one version") {
+    val t = fresh()
+    LakeDml.update(t, $"id" === 3L, Map("v" -> lit(99.0)),
+      strategy = DmlStrategy.MergeOnRead)
+    assert(changes(t, 1) === Seq(
+      (3L, "c", 30.0, "delete", 2L),
+      (3L, "c", 99.0, "insert", 2L)))
+  }
+
+  test("upsert emits deletes of retired key versions plus its inserts") {
+    val t = fresh()
+    t.upsert(Seq((2L, "b2", 200.0), (9L, "new", 900.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(changes(t, 1) === Seq(
+      (2L, "b", 20.0, "delete", 2L),
+      (2L, "b2", 200.0, "insert", 2L),
+      (9L, "new", 900.0, "insert", 2L)))
+    // a second upsert of the same key deletes the FIRST upsert's row
+    t.upsert(Seq((2L, "b3", 300.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(changes(t, 2) === Seq(
+      (2L, "b2", 200.0, "delete", 3L),
+      (2L, "b3", 300.0, "insert", 3L)))
+  }
+
+  test("compaction and delete-file rewrites are passed over silently") {
+    val t = fresh()
+    t.upsert(Seq((2L, "b2", 200.0)).toDF("id", "name", "v"), Seq("id"))
+    LakeDml.delete(t, $"id" === 1L, strategy = DmlStrategy.MergeOnRead)
+    LakeDml.delete(t, $"id" === 3L, strategy = DmlStrategy.MergeOnRead)
+    t.rewritePositionDeletes()
+    val pre = changes(t, 1, Some(4))
+    t.compact(1)
+    // the fold moves no logical rows: same changelog, no failure
+    assert(changes(t, 1) === pre)
+    // and nothing after the compact version
+    assert(changes(t, t.latest.get.version) === Seq())
+  }
+
+  test("rewriting commits fail loud; skipRewrites passes over them") {
+    val t = fresh()
+    t.write(Seq((4L, "d", 40.0)).toDF("id", "name", "v"), WriteMode.Append)
+    t.write(Seq((9L, "z", 0.0)).toDF("id", "name", "v"), WriteMode.Overwrite)
+    t.write(Seq((5L, "e", 50.0)).toDF("id", "name", "v"), WriteMode.Append)
+    val e = intercept[RewriteCommitException](t.readChanges(1))
+    assert(e.version === 3L)
+    assert(changes(t, 1, skip = true) === Seq(
+      (4L, "d", 40.0, "insert", 2L),
+      (5L, "e", 50.0, "insert", 4L)))
+  }
+
+  test("changelog aligns schema generations (rename mid-range)") {
+    val t = fresh()
+    t.write(Seq((4L, "d", 40.0)).toDF("id", "name", "v"), WriteMode.Append)
+    t.renameColumn("name", "label")
+    t.write(Seq((5L, "e", 50.0)).toDF("id", "label", "v"), WriteMode.Append)
+    val got = t.readChanges(1).orderBy($"_commit_version")
+    assert(got.columns.toSeq === Seq("id", "label", "v", "_change_type", "_commit_version"))
+    assert(got.select($"label").as[String].collect().sorted === Array("d", "e"))
+  }
+}
