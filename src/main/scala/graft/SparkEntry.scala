@@ -46,6 +46,7 @@ object SparkEntry {
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
+    "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
@@ -254,6 +255,16 @@ object SparkEntry {
         |FROM customer
         |UNION ALL SELECT -c_custkey, c_name, c_nationkey, 0.0, 'NEWKEY'
         |FROM customer WHERE c_nationkey = 20
+        |ORDER BY c_custkey""".stripMargin,
+
+    // staged batch (negated nation-7 keys) published after audit —
+    // final state is base plus the staged rows
+    "lake_wap_tag" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT -c_custkey, c_name, c_nationkey, 0.0, 'STAGED'
+        |FROM customer WHERE c_nationkey = 7
         |ORDER BY c_custkey""".stripMargin,
 
     // 4-version history over disjoint key ranges → closed-form

@@ -1311,6 +1311,140 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       newDirSeqs = target.dirs.indices.map(target.dirSeq))
   }
 
+  // -- tags & write-audit-publish -----------------------------------------
+
+  private def refsDir: HPath = loc("_refs")
+  private def refPath(name: String): HPath = new HPath(refsDir, s"$name.json")
+  private def stagedDirPath: HPath = loc("_staged")
+  private def stagedPath(id: String): HPath = new HPath(stagedDirPath, s"$id.json")
+  private val RefName = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  /** Create an immutable named tag on a snapshot (Iceberg's
+    * `ALTER TABLE ... CREATE TAG`): a retention anchor and a stable
+    * name for time travel (`readTag` / SQL `VERSION AS OF 'name'`).
+    * Creation is the arbiter's atomic create-if-absent — two racers
+    * cannot both claim a name. Tagged snapshots survive
+    * `expireSnapshots` until the tag is dropped: at 100 TB, tags are
+    * how audits/reproducibility pin a dataset release while routine
+    * retention keeps trimming history around it.
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    require(RefName.matches(name), s"bad tag name '$name'")
+    val v = version.orElse(latest.map(_.version)).getOrElse(
+      throw new IllegalStateException(s"empty table at $root"))
+    require(snapshotAt(v).nonEmpty, s"no snapshot v$v at $rootLocation to tag")
+    io.mkdirs(refsDir)
+    require(arbiter.publishIfAbsent(refPath(name), s"""{"name":"${name}","version":$v}"""),
+      s"tag '$name' already exists at $rootLocation")
+    v
+  }
+
+  def dropTag(name: String): Boolean = io.delete(refPath(name))
+
+  def tagVersion(name: String): Option[Long] = {
+    if (!io.exists(refPath(name))) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Some(om.readTree(io.readString(refPath(name))).get("version").asLong())
+  }
+
+  /** All tags as (name, version), sorted by name. */
+  def tags: Seq[(String, Long)] =
+    io.list(refsDir).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).sorted
+      .flatMap(n => tagVersion(n).map(n -> _))
+
+  def readTag(name: String): DataFrame =
+    read(Some(tagVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' at $rootLocation"))))
+
+  /** Stage an append WITHOUT publishing it (Iceberg's
+    * write-audit-publish pattern): data lands in a normal immutable
+    * dir, described by a staged manifest under `_staged/` that no
+    * reader resolves. Audit the candidate with [[readStaged]], then
+    * [[publishStaged]] — which only commits metadata (the data was
+    * already written) — or [[discardStaged]]. At 100 TB this is how a
+    * pipeline validates a day's load (row counts, null ratios,
+    * distribution checks) before ANY consumer can see it, without
+    * writing the data twice.
+    *
+    * The frame is coerced to the current table schema at stage time
+    * (same contract as [[upsert]]); publish revalidates that the
+    * schema hasn't moved since.
+    */
+  def stageAppend(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val base = latest.getOrElse(
+      throw new IllegalStateException(s"empty table at $root — create or write it first"))
+    val coerced = df.select(base.schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    writeDataDir(coerced, dirName, base.partitionBy)
+    val id = UUID.randomUUID().toString
+    io.mkdirs(stagedDirPath)
+    val json =
+      s"""{"id":"$id","dirs":["$dirName"],"baseSchemaJson":${Manifest.quote(base.schemaJson)},""" +
+        s""""partitionBy":${base.partitionBy.map(Manifest.quote).mkString("[", ",", "]")},""" +
+        s""""timestampMs":${System.currentTimeMillis()}}"""
+    require(arbiter.publishIfAbsent(stagedPath(id), json),
+      s"staged commit '$id' already exists (uuid collision?)")
+    id
+  }
+
+  private def stagedInfo(id: String): (Seq[String], String) = {
+    require(io.exists(stagedPath(id)), s"no staged commit '$id' at $rootLocation")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(io.readString(stagedPath(id)))
+    val a = n.get("dirs")
+    ((0 until a.size()).map(a.get(_).asText()), n.get("baseSchemaJson").asText())
+  }
+
+  /** The table AS IF the staged commit were published: current
+    * snapshot plus the staged rows — the audit read.
+    */
+  def readStaged(id: String): DataFrame = {
+    val (dirs, schemaJson) = stagedInfo(id)
+    val cur = resolve(None).schema
+    read(None).unionByName(readDirsAligned(dirs.map(_ -> schemaJson), cur))
+  }
+
+  /** Publish a staged append as a real commit. Metadata-only: the
+    * data dirs were written at stage time. Fails (leaving the staged
+    * commit intact for re-audit) if the schema evolved since staging.
+    */
+  def publishStaged(id: String, meta: Map[String, String] = Map.empty): Snapshot = {
+    val (dirs, stagedSchema) = stagedInfo(id)
+    val base = latest.getOrElse(
+      throw new IllegalStateException(s"empty table at $root"))
+    require(base.schemaJson == stagedSchema,
+      s"table schema changed since staging '$id'; discard and re-stage")
+    val statsMeta = dirs.headOption.map(d =>
+      statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
+      .getOrElse(Map.empty[String, String])
+    val bytesMeta = dirs.map(d =>
+      FileStats.bytesKey(d) -> io.dirBytes(loc(d)).toString).toMap
+    val idMeta = base.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    val snap = commit("append", dirs, carryForward = true, base.partitionBy,
+      base.schemaJson, meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
+      newDirSchemas = dirs.map(_ => base.schemaJson),
+      expectedBaseSchema = Some(Some(base.schemaJson)))
+    io.delete(stagedPath(id))
+    snap
+  }
+
+  /** Discard a staged append: data dirs and staged manifest go. */
+  def discardStaged(id: String): Unit = {
+    val (dirs, _) = stagedInfo(id)
+    io.delete(stagedPath(id))
+    dirs.foreach(d => io.delete(loc(d)))
+  }
+
+  /** Dirs referenced by live staged commits (orphan-sweep liveness). */
+  private def stagedLiveDirs: Set[String] =
+    io.list(stagedDirPath).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .flatMap(n => scala.util.Try(stagedInfo(n.stripSuffix(".json"))._1).getOrElse(Nil))
+      .toSet
+
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
     * newest `retainLast` manifests, then delete data dirs no surviving
     * manifest references. Bounds metadata growth and reclaims storage;
@@ -1337,7 +1471,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     expireImpl(all, all.dropRight(1).filter(_.timestampMs < olderThanMs))
   }
 
-  private def expireImpl(all: Seq[Snapshot], expired: Seq[Snapshot]): (Int, Int) = {
+  private def expireImpl(all: Seq[Snapshot], expired0: Seq[Snapshot]): (Int, Int) = {
+    // tagged snapshots are retention anchors: expiry flows around them
+    // until the tag is dropped (Iceberg's ref-aware expiry)
+    val tagged = tags.map(_._2).toSet
+    val expired = expired0.filterNot(s => tagged.contains(s.version))
     if (expired.isEmpty) return (0, 0)
     val gone = expired.map(_.version).toSet
     val retained = all.filterNot(s => gone.contains(s.version))
@@ -1359,8 +1497,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * staged before its manifest exists). Returns dirs removed.
     */
   def removeOrphanFiles(graceMs: Long = 60 * 60 * 1000L): Int = {
-    // liveness by root-relative name ("data/<uuid>"), scheme-agnostic
-    val live = history.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet
+    // liveness by root-relative name ("data/<uuid>"), scheme-agnostic;
+    // staged (write-audit-publish) commits keep their dirs alive until
+    // published or discarded
+    val live = history.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet ++
+      stagedLiveDirs
     val cutoff = System.currentTimeMillis() - graceMs
     // all three staging roots: data commits land under data/,
     // positional delete files under deletes/, equality delete files
@@ -1378,11 +1519,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
 private object Manifest {
   // Hand-rolled (de)serialization over the tiny fixed manifest shape —
   // avoids coupling to the shaded JSON libs inside the Spark jars.
+  private def esc(x: String): String = x.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** JSON string literal (shared with ref/staged-manifest writers). */
+  def quote(s: String): String = "\"" + esc(s) + "\""
+
   def toJson(s: Snapshot): String = {
-    def esc(x: String) = x.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val metaJson = s.meta.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }

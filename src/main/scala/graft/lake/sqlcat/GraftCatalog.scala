@@ -73,13 +73,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     throw new NoSuchTableException(ident)
   }
 
-  /** `FOR VERSION AS OF n` time travel. */
+  /** `FOR VERSION AS OF n` time travel — a snapshot number, or a TAG
+    * name (`VERSION AS OF 'release-1'`), Iceberg's ref-based travel.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = lakeTable(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"graft version must be a snapshot number, got '$version'")
-    }
+    val v = version.toLongOption
+      .orElse(t.tagVersion(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft version must be a snapshot number or tag name, got '$version'"))
     if (t.history.forall(_.version != v)) throw new NoSuchTableException(ident)
     new GraftSparkTable(s"$catName.${identString(ident)}@v$v", t, Some(v))
   }

@@ -332,6 +332,38 @@ object LakeQueries {
       .orderBy($"_commit_version", $"_change_type", $"c_custkey")
   }
 
+  /** Write-audit-publish + tags: stage an append (data written once,
+    * invisible to every reader), audit it as table-as-if-published,
+    * publish it as a metadata-only commit, and pin the pre-publish
+    * state under an immutable tag that survives retention. The audit
+    * gates are asserted inline (staged rows invisible; audit read
+    * sees them; tag still resolves the old state after publish) —
+    * the oracle checks the published result.
+    */
+  def wapTag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)
+    val t = cat.table("silver.customer")
+    t.createTag("pre-load")
+    val batch = customer.filter($"c_nationkey" === 7).select(
+      (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      lit(0.0).as("c_acctbal"), lit("STAGED").as("c_mktsegment"))
+    val nBase = customer.count()
+    val nBatch = batch.count()
+    val id = t.stageAppend(batch)
+    require(t.read(None).count() == nBase,
+      "staged rows must be invisible before publish")
+    require(t.readStaged(id).count() == nBase + nBatch,
+      "audit read must see table-as-if-published")
+    require(t.history.size == 1, "staging must not create a version")
+    t.publishStaged(id)
+    require(t.readTag("pre-load").count() == nBase,
+      "tag must keep resolving the pre-publish snapshot")
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
   /** Metadata inspection tables (Iceberg's `.files` / `.partitions` /
     * `.snapshots` parity): build an identity-partitioned table with
     * two single-task commits (deterministic 2 files per partition),

@@ -50,6 +50,18 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tt").head.getDouble(0) === 600.0)
   }
 
+  test("VERSION AS OF resolves tag names (ref-based travel)") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.tag", WriteMode.Overwrite)
+    cat.table("ns.tag").createTag("release-1")
+    cat.write(sample().withColumn("v", $"v" * 10), "ns.tag", WriteMode.Overwrite)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tag VERSION AS OF 'release-1'")
+      .head.getDouble(0) === 60.0)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.tag").head.getDouble(0) === 600.0)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $c.ns.tag VERSION AS OF 'no-such-tag'").collect())
+  }
+
   test("FOR TIMESTAMP AS OF time-travels through SQL") {
     val (c, cat) = freshCatalog()
     val v1 = cat.write(sample(), "ns.tst", WriteMode.Overwrite)

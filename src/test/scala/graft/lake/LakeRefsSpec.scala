@@ -1,0 +1,96 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Tags (named immutable snapshot refs) and write-audit-publish
+  * staged commits.
+  */
+class LakeRefsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh() = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("refs-spec-").toString)
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.t", WriteMode.Overwrite)
+    cat.table("ns.t")
+  }
+
+  test("tag pins a version; readTag time-travels; duplicate tag fails") {
+    val t = fresh()
+    val v1 = t.createTag("release-1")
+    t.write(Seq((3L, "c")).toDF("id", "s"), WriteMode.Append)
+    assert(t.readTag("release-1").count() === 2)
+    assert(t.read(None).count() === 3)
+    assert(t.tagVersion("release-1") === Some(v1))
+    assert(t.tags === Seq("release-1" -> v1))
+    intercept[IllegalArgumentException](t.createTag("release-1"))
+    intercept[IllegalArgumentException](t.createTag("bad/name"))
+  }
+
+  test("expiry flows around tagged snapshots until the tag drops") {
+    val t = fresh()
+    t.createTag("keep")
+    t.write(Seq((3L, "c")).toDF("id", "s"), WriteMode.Append)
+    t.write(Seq((4L, "d")).toDF("id", "s"), WriteMode.Append)
+    val (gone1, _) = t.expireSnapshots(1)
+    assert(gone1 === 1) // v2 expired; v1 is tagged, v3 latest
+    assert(t.readTag("keep").count() === 2)
+    t.dropTag("keep")
+    val (gone2, _) = t.expireSnapshots(1)
+    assert(gone2 === 1) // v1 now expirable
+    assert(t.tagVersion("keep") === None)
+  }
+
+  test("write-audit-publish: staged rows invisible until publish") {
+    val t = fresh()
+    val id = t.stageAppend(Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    // no reader sees staged data; history has no new version
+    assert(t.read(None).count() === 2)
+    assert(t.history.size === 1)
+    // audit sees table-as-if-published
+    assert(t.readStaged(id).count() === 4)
+    val snap = t.publishStaged(id)
+    assert(snap.op === "append" && t.read(None).count() === 4)
+    // staged manifest consumed
+    intercept[IllegalArgumentException](t.readStaged(id))
+  }
+
+  test("discarded staged commit disappears; orphan sweep spares live staged dirs") {
+    val t = fresh()
+    val id1 = t.stageAppend(Seq((5L, "e")).toDF("id", "s"))
+    val id2 = t.stageAppend(Seq((6L, "f")).toDF("id", "s"))
+    t.discardStaged(id2)
+    intercept[IllegalArgumentException](t.readStaged(id2))
+    // a zero-grace orphan sweep must NOT reclaim id1's staged dir
+    t.removeOrphanFiles(graceMs = 0)
+    assert(t.readStaged(id1).count() === 3)
+    t.publishStaged(id1)
+    assert(t.read(None).count() === 3)
+  }
+
+  test("publish fails if the schema evolved since staging; staged commit survives") {
+    val t = fresh()
+    val id = t.stageAppend(Seq((3L, "c")).toDF("id", "s"))
+    t.renameColumn("s", "label")
+    val e = intercept[IllegalArgumentException](t.publishStaged(id))
+    assert(e.getMessage.contains("schema changed"))
+    t.discardStaged(id)
+  }
+
+  test("staged appends respect hidden partition specs at publish") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("refs-spec-").toString)
+    val df = spark.range(0, 10).select($"id",
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2026-02-01 00:00:00")).as("ts"))
+    cat.table("ns.p").write(df, WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.p")
+    val id = t.stageAppend(spark.range(10, 15).select($"id",
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2026-02-02 00:00:00")).as("ts")))
+    t.publishStaged(id)
+    assert(t.read(None).count() === 15)
+    assert(t.latest.get.partitionBy === Seq("days(ts)"))
+  }
+}
