@@ -68,6 +68,7 @@ object SparkEntry {
     "t_contamination"    -> (TextQueries.contamination _),
     "t_pii_redact"       -> (TextQueries.piiRedact _),
     "t_repetition"       -> (TextQueries.repetition _),
+    "t_dup_span"         -> (TextQueries.dupSpan _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
@@ -516,6 +517,23 @@ object SparkEntry {
         |  1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words AS dup_word_frac,
         |  CAST(bt.top_bigram_n AS DOUBLE) / bt.n_bigrams AS top_bigram_frac
         |FROM ws JOIN bt ON ws.doc_id = bt.doc_id ORDER BY ws.doc_id""".stripMargin,
+
+    // global 5-gram frequency → per-doc duplicated-span coverage; the
+    // oracle replays the gram build as list slices over the filtered
+    // word sequence
+    "t_dup_span" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        |      FROM w WHERE len(w) >= 5),
+        |f AS (SELECT gram, count(*) AS gf FROM g GROUP BY gram),
+        |d AS (SELECT g.doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN f.gf >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |      FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams,
+        |  CAST(n_dup AS DOUBLE) / n_grams AS dup_frac,
+        |  (CAST(n_dup AS DOUBLE) / n_grams) <= 0.5 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // p ∝ n^0.5 temperature mixture; the cross-source normalizer sums
     // exact integer milli-weights so the float ratios are bit-identical

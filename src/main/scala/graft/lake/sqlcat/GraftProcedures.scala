@@ -134,6 +134,23 @@ private[sqlcat] object GraftProcedures {
           Seq[Any](snap.version, snap.deleteDirs.size)
         }))
 
+      case "create_tag" => Some(new Proc("create_tag",
+        Array(p("table", StringType), p("tag", StringType),
+          pDefault("version", LongType, "-1")),
+        StructType(Seq(StructField("version", LongType))),
+        resolve,
+        (t, in) => {
+          val v = in.getLong(2)
+          Seq(t.createTag(in.getUTF8String(1).toString,
+            if (v >= 0) Some(v) else None))
+        }))
+
+      case "drop_tag" => Some(new Proc("drop_tag",
+        Array(p("table", StringType), p("tag", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        resolve,
+        (t, in) => Seq(t.dropTag(in.getUTF8String(1).toString))))
+
       case "rollback_to_version" => Some(new Proc("rollback_to_version",
         Array(p("table", StringType), p("version", LongType)),
         StructType(Seq(StructField("previous_version", LongType),
@@ -149,5 +166,5 @@ private[sqlcat] object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
-    "rewrite_position_deletes")
+    "rewrite_position_deletes", "create_tag", "drop_tag")
 }

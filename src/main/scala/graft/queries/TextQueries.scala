@@ -251,6 +251,47 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Cross-document repeated-span coverage (the exact-substring dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): per document, the fraction of its 5-word-gram
+    * positions whose gram occurs ANYWHERE ELSE in the corpus (global
+    * frequency ≥ 2), plus the keep decision at the 0.5 threshold.
+    * Catches boilerplate and partially-copied spans that doc-level
+    * Jaccard misses (a 90%-unique doc with one viral paragraph).
+    *
+    * Shape: one window pass builds grams via `lead` (no token-array
+    * materialization beyond the explode), global frequency is a hash
+    * aggregate on the gram, coverage re-joins per occurrence. Gram
+    * keys here are the raw strings so the DuckDB oracle can replay
+    * the pipeline verbatim; the production swap is 64-bit gram hashes
+    * for 8-byte shuffle keys (`d_ngram_jaccard` demonstrates that
+    * pattern) — frequencies, and therefore every downstream fraction,
+    * are identical under any collision-free keying.
+    */
+  def dupSpan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, dir).documents
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .where($"w" =!= "")
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = words
+      .select($"doc_id", concat_ws(" ", $"w",
+        lead($"w", 1).over(win), lead($"w", 2).over(win),
+        lead($"w", 3).over(win), lead($"w", 4).over(win)).as("gram"),
+        lead($"w", 4).over(win).isNotNull.as("full"))
+      .where($"full").drop("full")
+    val freq = grams.groupBy($"gram").agg(count(lit(1)).as("gf"))
+    grams.join(freq, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"gf" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_grams",
+        ($"n_dup".cast("double") / $"n_grams").as("dup_frac"),
+        ($"n_dup".cast("double") / $"n_grams" <= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing overlap detection: doc pairs sharing ≥ `minShared`
     * rolling-hash fingerprints (substring-level near-dup, robust to
     * word reordering outside the shared runs). Inverted-index join on

@@ -297,6 +297,21 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(msgs.contains("no procedure"), msgs)
   }
 
+  test("CALL create_tag / drop_tag round-trips with SQL tag travel") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.ct", WriteMode.Overwrite)
+    val v = spark.sql(s"CALL $c.system.create_tag(table => 'ns.ct', tag => 'r1')")
+      .head.getLong(0)
+    assert(v === 1L)
+    cat.write(sample().withColumn("v", $"v" * 10), "ns.ct", WriteMode.Overwrite)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.ct VERSION AS OF 'r1'")
+      .head.getDouble(0) === 60.0)
+    assert(spark.sql(s"CALL $c.system.drop_tag(table => 'ns.ct', tag => 'r1')")
+      .head.getBoolean(0))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $c.ns.ct VERSION AS OF 'r1'").collect())
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)
