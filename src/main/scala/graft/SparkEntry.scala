@@ -86,6 +86,7 @@ object SparkEntry {
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
+    "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
@@ -777,6 +778,21 @@ object SparkEntry {
     "s_lake_commit_stream" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the CDC stream must deliver exactly the closed-form changelog:
+    // v1 base inserts, v2 appended rows, v3 MOR-deleted originals,
+    // v4 upsert delete+insert pairs
+    "s_lake_cdc_stream" ->
+      """WITH ch AS (
+        |  SELECT c_acctbal, 'insert' AS ct, 1 AS v FROM customer
+        |  UNION ALL SELECT 0.0, 'insert', 2 FROM customer WHERE c_nationkey = 5
+        |  UNION ALL SELECT c_acctbal, 'delete', 3 FROM customer WHERE c_nationkey >= 20
+        |  UNION ALL SELECT c_acctbal, 'delete', 4 FROM customer WHERE c_nationkey < 3
+        |  UNION ALL SELECT c_acctbal + 500.0, 'insert', 4 FROM customer WHERE c_nationkey < 3)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s_stream_join" ->
       """SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts FROM

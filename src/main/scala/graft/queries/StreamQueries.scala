@@ -99,6 +99,44 @@ object StreamQueries {
       .orderBy($"event_type")
   }
 
+  /** Change-data-feed STREAM consumed end-to-end: the same 4-version
+    * history as `lake_cdc_read` (overwrite, append, MOR delete,
+    * equality-delete upsert) drained through
+    * [[graft.streaming.StreamingLakeSource.changesStream]] into a
+    * parquet sink — proving the streaming face of the changelog
+    * delivers exactly the batch face's rows (the oracle is the
+    * closed-form changelog plus v1's base inserts). Downstream
+    * summarized per change type for a compact deterministic result.
+    */
+  def lakeCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DmlStrategy, LakeCatalog, LakeDml, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-cdc-").toString)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)   // v1
+    val t = cat.table("silver.customer")
+    t.write(customer.filter($"c_nationkey" === 5).select(                         // v2
+      (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      lit(0.0).as("c_acctbal"), lit("APPEND").as("c_mktsegment")),
+      WriteMode.Append)
+    LakeDml.delete(t, $"c_nationkey" >= 20, strategy = DmlStrategy.MergeOnRead)   // v3
+    t.upsert(customer.filter($"c_nationkey" < 3)                                  // v4
+      .withColumn("c_acctbal", $"c_acctbal" + 500.0)
+      .withColumn("c_mktsegment", lit("UPSERT")), Seq("c_custkey"))
+    val out = LakeQueries.scratchDir("graft-cdcstream-out-")
+    val q = graft.streaming.StreamingLakeSource.changesStream(t)
+      .writeStream.format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.resolve("data").toString)
+      .groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.SqlCompat.sumd($"c_acctbal").as("sum_bal"))
+      .orderBy($"_commit_version", $"_change_type")
+  }
+
   /** CSV write → read roundtrip with explicit schema (reference S7/S8). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -81,7 +81,10 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
     val table = tableFor(ctx, params)
     val snap = table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
-    (shortName(), schema.getOrElse(snap.schema))
+    val base = schema.getOrElse(snap.schema)
+    val changeFeed = params.get("changefeed").orElse(params.get("changeFeed"))
+      .exists(_.toBoolean)
+    (shortName(), if (changeFeed) GraftLakeSource.changeSchema(base) else base)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -95,19 +98,45 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
     maxBytes.foreach(n => require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"))
     val skipRewrites = params.get("skiprewritecommits").orElse(params.get("skipRewriteCommits"))
       .exists(_.toBoolean)
-    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites, maxBytes)
+    val changeFeed = params.get("changefeed").orElse(params.get("changeFeed"))
+      .exists(_.toBoolean)
+    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites,
+      maxBytes, changeFeed)
   }
+}
+
+object GraftLakeSource {
+  /** Schema of a change-feed stream: the user schema plus the CDC
+    * columns [[graft.lake.LakeTable.readChanges]] emits.
+    */
+  def changeSchema(user: StructType): StructType =
+    StructType(user.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }
 
 class GraftLakeSource(ctx: SQLContext, table: LakeTable,
                       userSchema: Option[StructType],
                       maxCommitsPerTrigger: Option[Int] = None,
                       skipRewriteCommits: Boolean = false,
-                      maxBytesPerTrigger: Option[Long] = None) extends Source {
+                      maxBytesPerTrigger: Option[Long] = None,
+                      changeFeed: Boolean = false) extends Source {
 
-  private val pinned: StructType = userSchema.getOrElse(
-    table.latest.getOrElse(
-      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}")).schema)
+  private val pinned: StructType = {
+    val fromTable = table.latest.getOrElse(
+      throw new IllegalStateException(s"empty lake table at ${table.rootLocation}")).schema
+    userSchema match {
+      // the engine hands sourceSchema's result back through `schema`;
+      // in change-feed mode that already carries the CDC columns —
+      // pin the USER part (the table's own schema generation)
+      case Some(s) if changeFeed => StructType(s.fields.toSeq.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version"))
+      case Some(s) => s
+      case None    => fromTable
+    }
+  }
   private val pinnedJson = pinned.json
 
   {
@@ -118,7 +147,8 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
         "(values live in dir names, not files); use transform specs")
   }
 
-  override def schema: StructType = pinned
+  override def schema: StructType =
+    if (changeFeed) GraftLakeSource.changeSchema(pinned) else pinned
 
   /** Highest version this source has served (or been initialized to by
     * the engine's recovery getBatch) — the base for admission control.
@@ -193,6 +223,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     val lo = start.map(versionOf).getOrElse(0L)
     val hi = versionOf(end)
     highWater = math.max(highWater, math.max(lo, hi))
+    if (changeFeed) return changeBatch(lo, hi)
     // the shared incremental walk (LakeTable.appendedDirs) classifies
     // each covered commit by its op: appends deliver their new dirs,
     // metadata commits pass, rewrites skip or fail. O(maxCommitsPerTrigger)
@@ -225,6 +256,39 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
       }
     // the streaming engine requires an isStreaming plan for batches
     org.apache.spark.sql.GraftColumnBridge.streamingDataFrame(spark, rdd, pinned)
+  }
+
+  /** Change-feed micro-batch: the row-level changelog of
+    * `(lo, hi]` ([[LakeTable.readChanges]]) wrapped as a streaming
+    * batch — Delta's CDF streaming read. Replays are deterministic
+    * (changes derive from immutable manifests and delete files), which
+    * keeps downstream exactly-once sinks exactly-once. The plan runs
+    * distributed; only its RDD is handed to the engine.
+    */
+  private def changeBatch(lo: Long, hi: Long): DataFrame = {
+    val spark = ctx.sparkSession
+    val out = GraftLakeSource.changeSchema(pinned)
+    // schema must not have moved: readChanges aligns generations to
+    // the range end, which would silently rename this stream's pinned
+    // columns mid-flight
+    table.snapshotAt(hi).foreach { s =>
+      if (s.schemaJson != pinnedJson) throw new IllegalStateException(
+        s"lake table ${table.rootLocation} evolved its schema inside this stream's range; " +
+          "restart the stream to pick up the new schema")
+    }
+    val rdd =
+      if (lo >= hi) spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
+      else {
+        val df = try table.readChanges(lo, Some(hi), skipRewriteCommits) catch {
+          case e: graft.lake.RewriteCommitException => throw new IllegalStateException(
+            s"commit v${e.version} of ${table.rootLocation} is a data-rewriting '${e.op}' with " +
+              "no row-level changelog. Set option(\"skipRewriteCommits\", \"true\") to pass over " +
+              "it (its changes are not delivered), or restart from a fresh checkpoint.", e)
+        }
+        df.select(out.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+          .queryExecution.toRdd
+      }
+    org.apache.spark.sql.GraftColumnBridge.streamingDataFrame(spark, rdd, out)
   }
 
   override def stop(): Unit = ()

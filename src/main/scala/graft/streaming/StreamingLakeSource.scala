@@ -87,4 +87,26 @@ object StreamingLakeSource {
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader.load()
   }
+
+  /** Change-data-feed stream (Delta CDF streaming shape): each
+    * micro-batch delivers the row-level changelog of a span of
+    * commits — user columns plus `_change_type` ('insert'/'delete')
+    * and `_commit_version`. The continuous face of
+    * [[graft.lake.LakeTable.readChanges]]: downstream tables, indexes
+    * and caches stay in sync with an upsert-maintained 100 TB table
+    * by processing deltas, never rescanning it. Admission control
+    * composes (`maxCommitsPerTrigger` bounds each batch's commit
+    * span).
+    */
+  def changesStream(table: LakeTable,
+                    maxCommitsPerTrigger: Option[Int] = None,
+                    skipRewriteCommits: Boolean = false): DataFrame = {
+    val reader = table.spark.readStream
+      .format(classOf[GraftLakeSourceProvider].getName)
+      .option("path", table.rootLocation)
+      .option("changeFeed", "true")
+      .option("skipRewriteCommits", skipRewriteCommits.toString)
+    maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
+    reader.load()
+  }
 }

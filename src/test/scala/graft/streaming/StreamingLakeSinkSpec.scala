@@ -358,6 +358,43 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(got.queryExecution.executedPlan.toString.contains("_p_ts_day"))
   }
 
+  test("change-feed stream: CDC rows flow per commit span; restarts resume by version") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.{DmlStrategy, LakeDml, WriteMode}
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("cdf-").toString)
+    val ckpt = Files.createTempDirectory("cdf-ckpt-").toString
+    val sink = Files.createTempDirectory("cdf-out-").toString
+    cat.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"),
+      "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    def drain(): Unit = {
+      val q = StreamingLakeSource.changesStream(t)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // v1 overwrite on empty table = inserts
+    val first = spark.read.parquet(sink)
+    assert(first.count() === 2)
+    assert(first.select($"_change_type").distinct().as[String].collect() === Array("insert"))
+
+    // upsert + MOR delete land as CDC rows on the next drain
+    t.upsert(Seq((2L, "b2", 200.0), (3L, "c", 30.0)).toDF("id", "name", "v"), Seq("id"))
+    LakeDml.delete(t, $"id" === 1L, strategy = DmlStrategy.MergeOnRead)
+    drain()
+    val rows = spark.read.parquet(sink)
+      .select($"id", $"name", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (2L, "b", "delete", 2L), (2L, "b2", "insert", 2L), (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 3L)))
+    // no new commits → drains add nothing
+    drain()
+    assert(spark.read.parquet(sink).count() === 6)
+  }
+
   test("upsert stream: each batch is one equality-delete commit; last writer wins across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val cat = new LakeCatalog(spark, Files.createTempDirectory("supsert-").toString)
