@@ -181,6 +181,16 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .toDF("version", "op", "timestamp_ms", "n_dirs", "partition_by", "n_delete_dirs")
   }
 
+  /** Iceberg's `<table>.refs` metadata table: named refs (tags) with
+    * the snapshot they pin.
+    */
+  def refsTable: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    tags.map { case (n, v) => (n, "tag", v) }
+      .toDF("name", "type", "version")
+  }
+
   /** Iceberg's `<table>.files` metadata table: one row per data file
     * of the snapshot — relative path, commit dir, partition subpath
     * ('' for unpartitioned), on-disk size, and the LIVE record count
@@ -1285,6 +1295,44 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     io.move(staged, loc(delDir))
     commit("rewrite-deletes", Nil, carryForward = true, base.partitionBy, base.schemaJson,
       expectedBase = Some(base.version), deleteDirsOverride = Some(Seq(delDir)))
+  }
+
+  /** Fold all equality delete files into ONE dir per key set, keeping
+    * each row's ORIGINAL commit sequence in a per-row column — the
+    * equality-delete face of `rewrite_position_deletes`. A month of
+    * trickle upserts accretes one tiny delete dir per commit; scans
+    * already pay only one anti-join per key set, but the union behind
+    * it reads O(commits) small files — this rewrites it to one
+    * relation without touching data files or changing any delete's
+    * effect. Metadata-safe commit (`rewrite-deletes`): append feeds
+    * pass over it.
+    */
+  def rewriteEqualityDeletes(targetPartitions: Int = 1): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val entries = base.eqDeletes.map(EqDelete.decode)
+    if (entries.size <= 1) return base
+    val schema = base.schema
+    io.mkdirs(loc("eqdeletes"))
+    val folded = entries.groupBy(_.cols).toSeq.sortBy(_._1.mkString(",")).map {
+      case (_, Seq(single)) => single
+      case (cols, group) =>
+        val delSchema = org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, schema(c).dataType, nullable = true)))
+        val merged = group.map(e => EqualityDeletes.deleteRows(this, delSchema, e))
+          .reduce(_ union _)
+          .select(cols.map(col) :+ col("_gr_del_seq").as(EqDelete.SeqField): _*)
+          .distinct() // identical (key, seq) rows from replayed batches
+          .repartition(targetPartitions)
+        val staged = loc(s"eqdeletes/.staging-${UUID.randomUUID().toString}")
+        merged.write.mode("overwrite").parquet(staged.toString)
+        val dir = s"eqdeletes/${UUID.randomUUID().toString}"
+        io.move(staged, loc(dir))
+        EqDelete(EqDelete.PerRowSeq, cols, dir)
+    }
+    commit("rewrite-deletes", Nil, carryForward = true, base.partitionBy, base.schemaJson,
+      expectedBase = Some(base.version),
+      eqDeletesOverride = Some(folded.map(EqDelete.encode)))
   }
 
   /** Rollback (Iceberg's `rollback_to_snapshot`): re-commit the target

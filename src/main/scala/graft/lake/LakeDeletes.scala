@@ -75,6 +75,14 @@ private[lake] object DeleteFiles {
 private[lake] final case class EqDelete(seq: Long, cols: Seq[String], dir: String)
 
 private[lake] object EqDelete {
+  /** Sentinel sequence: the delete dir carries a per-row [[SeqField]]
+    * column instead of one uniform sequence — the shape
+    * `rewriteEqualityDeletes` produces when folding many trickle
+    * commits into one file (their original sequences must survive).
+    */
+  val PerRowSeq: Long = -1L
+  val SeqField = "_gr_seq"
+
   /** Manifest encoding `"<seq>|<col1,col2>|<dir>"` — column names are
     * identifiers and dirs are uuid paths, so neither contains '|'.
     */
@@ -118,15 +126,29 @@ private[lake] object EqualityDeletes {
       .foldLeft(withSeq) { case (acc, (cols, group)) =>
         val delSchema = StructType(cols.map(c =>
           StructField(c, schema(c).dataType, nullable = true)))
-        val del = group.map { e =>
-          spark.read.schema(delSchema).parquet(table.location(e.dir))
-            .withColumn("_gr_del_seq", lit(e.seq))
-        }.reduce(_ union _)
+        val del = group.map { e => deleteRows(table, delSchema, e) }.reduce(_ union _)
           .select(cols.map(c => col(c).as(s"_gr_del_$c")) :+ col("_gr_del_seq"): _*)
         val cond = cols.map(c => acc(c) <=> del(s"_gr_del_$c")).reduce(_ && _) &&
           acc("_gr_dirseq") < del("_gr_del_seq")
         acc.join(del, cond, "left_anti")
       }
     applied.drop("_gr_dirname", "_gr_dirseq")
+  }
+
+  /** Key rows of one delete entry with their sequence attached —
+    * uniform (`lit(seq)`) for single-commit files, per-row
+    * ([[EqDelete.SeqField]]) for folded files.
+    */
+  private[lake] def deleteRows(table: LakeTable, delSchema: StructType,
+                               e: EqDelete): DataFrame = {
+    val spark = table.spark
+    if (e.seq != EqDelete.PerRowSeq)
+      spark.read.schema(delSchema).parquet(table.location(e.dir))
+        .withColumn("_gr_del_seq", lit(e.seq))
+    else
+      spark.read.schema(StructType(delSchema.fields.toSeq :+
+          StructField(EqDelete.SeqField, LongType, nullable = false)))
+        .parquet(table.location(e.dir))
+        .withColumnRenamed(EqDelete.SeqField, "_gr_del_seq")
   }
 }

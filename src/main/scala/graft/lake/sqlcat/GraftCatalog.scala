@@ -240,6 +240,7 @@ final class GraftSparkTable(tableName: String, val lake: LakeTable,
   def metaFrame: Option[org.apache.spark.sql.DataFrame] = metaTable.map {
     case "files"      => lake.files(pinnedVersion)
     case "partitions" => lake.partitionsTable(pinnedVersion)
+    case "refs"       => lake.refsTable
     case _            => lake.snapshots // "snapshots" and "history"
   }
 
@@ -272,7 +273,7 @@ final class GraftSparkTable(tableName: String, val lake: LakeTable,
 
 object GraftSparkTable {
   /** Addressable metadata tables (Iceberg's inspection-table names). */
-  val MetaTables: Set[String] = Set("files", "partitions", "snapshots", "history")
+  val MetaTables: Set[String] = Set("files", "partitions", "snapshots", "history", "refs")
 
   /** DSv2 partition Transform → manifest spec string. */
   def transformToSpec(t: Transform): String = {

@@ -134,6 +134,16 @@ private[sqlcat] object GraftProcedures {
           Seq[Any](snap.version, snap.deleteDirs.size)
         }))
 
+      case "rewrite_equality_deletes" => Some(new Proc("rewrite_equality_deletes",
+        Array(p("table", StringType), pDefault("target_partitions", IntegerType, "1")),
+        StructType(Seq(StructField("version", LongType),
+          StructField("eq_delete_entries", IntegerType))),
+        resolve,
+        (t, in) => {
+          val snap = t.rewriteEqualityDeletes(in.getInt(1))
+          Seq[Any](snap.version, snap.eqDeletes.size)
+        }))
+
       case "create_tag" => Some(new Proc("create_tag",
         Array(p("table", StringType), p("tag", StringType),
           pDefault("version", LongType, "-1")),
@@ -166,5 +176,5 @@ private[sqlcat] object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
-    "rewrite_position_deletes", "create_tag", "drop_tag")
+    "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag")
 }

@@ -306,8 +306,12 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     cat.write(sample().withColumn("v", $"v" * 10), "ns.ct", WriteMode.Overwrite)
     assert(spark.sql(s"SELECT sum(v) AS s FROM $c.ns.ct VERSION AS OF 'r1'")
       .head.getDouble(0) === 60.0)
+    assert(spark.sql(s"SELECT name, type, version FROM $c.ns.ct.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("r1", "tag", 1L)))
     assert(spark.sql(s"CALL $c.system.drop_tag(table => 'ns.ct', tag => 'r1')")
       .head.getBoolean(0))
+    assert(spark.sql(s"SELECT * FROM $c.ns.ct.refs").count() === 0)
     intercept[Exception](
       spark.sql(s"SELECT * FROM $c.ns.ct VERSION AS OF 'r1'").collect())
   }

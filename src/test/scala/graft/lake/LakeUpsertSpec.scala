@@ -151,6 +151,30 @@ class LakeUpsertSpec extends AnyFunSuite {
     assert(t.read(None).count() === 7) // 3 originals + 4 distinct new keys
   }
 
+  test("rewriteEqualityDeletes folds trickle commits; sequences survive bit-exact") {
+    val t = fresh()
+    t.upsert(Seq((1L, "a1", 11.0)).toDF("id", "name", "v"), Seq("id"))
+    // an append BETWEEN upserts: its id=1 row must outlive the FIRST
+    // upsert's delete (older seq) but die to the SECOND's — folding
+    // must preserve exactly that
+    t.write(Seq((1L, "mid", 0.0)).toDF("id", "name", "v"), WriteMode.Append)
+    t.upsert(Seq((2L, "b1", 21.0)).toDF("id", "name", "v"), Seq("id"))
+    t.upsert(Seq((1L, "a2", 12.0)).toDF("id", "name", "v"), Seq("id"))
+    val before = byId(t)
+    assert(t.latest.get.eqDeletes.size === 3)
+    val snap = t.rewriteEqualityDeletes()
+    assert(snap.eqDeletes.size === 1)
+    assert(EqDelete.decode(snap.eqDeletes.head).seq === EqDelete.PerRowSeq)
+    assert(byId(t) === before)
+    assert(before.filter(_._1 == 1L).map(_._2).toSet === Set("a2"))
+    // the "mid" append row died to the later upsert; a1 died too
+    // post-fold upserts keep composing
+    t.upsert(Seq((3L, "c1", 31.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(byId(t).filter(_._1 == 3L).map(_._2) === Seq("c1"))
+    // maintenance commit is metadata-safe for append feeds
+    assert(snap.op === "rewrite-deletes")
+  }
+
   test("upsert on a hidden-partitioned table prunes and matches") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("upsert-spec-").toString)
     val df = spark.range(0, 100).select(
