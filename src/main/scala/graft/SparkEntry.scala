@@ -69,6 +69,7 @@ object SparkEntry {
     "t_pii_redact"       -> (TextQueries.piiRedact _),
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
+    "t_seq_pack"         -> ((s, d) => TextQueries.seqPack(s, d)),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
@@ -518,6 +519,27 @@ object SparkEntry {
         |  1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words AS dup_word_frac,
         |  CAST(bt.top_bigram_n AS DOUBLE) / bt.n_bigrams AS top_bigram_frac
         |FROM ws JOIN bt ON ws.doc_id = bt.doc_id ORDER BY ws.doc_id""".stripMargin,
+
+    // concat-and-chunk packing at L=512: prefix sums per source, bins
+    // from floored division, tail pad modulo L
+    "t_seq_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(n_tokens) AS total_tokens,
+        |  CAST(floor(MAX(cum) / 512.0) AS BIGINT) AS n_full_seqs,
+        |  SUM(CASE WHEN CAST(floor((cum - 1) / 512.0) AS BIGINT) >
+        |                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END) AS n_spanning,
+        |  (512 - (MAX(cum) % 512)) % 512 AS tail_pad
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // global 5-gram frequency → per-doc duplicated-span coverage; the
     // oracle replays the gram build as list slices over the filtered

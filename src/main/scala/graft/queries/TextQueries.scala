@@ -251,6 +251,37 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Sequence packing (concat-and-chunk, the GPT-pretraining batch
+    * layout): per source, documents concatenate in doc_id order and
+    * chunk into fixed `seqLen`-token training sequences. Each doc's
+    * START bin is `floor(prev_cum_tokens / L)` — one window cumsum,
+    * no collect, no driver loop: the same prefix-sum shape `tokenBudget`
+    * uses, so packing a 100 TB corpus is a sort-free window over the
+    * (source, doc_id) ordering. Reported per source: docs, tokens,
+    * full sequences produced, boundary-spanning docs (whose attention
+    * masks cross a chunk edge), and tail waste in the last partial
+    * sequence.
+    */
+  def seqPack(spark: SparkSession, dir: String, seqLen: Long = 512L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val docs = Tables(spark, dir).documents
+      .select($"source", $"doc_id", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("start_bin", floor(($"cum" - $"n_tokens") / seqLen).cast("long"))
+      .withColumn("end_bin", floor(($"cum" - 1) / seqLen).cast("long"))
+    docs.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        floor(max($"cum") / seqLen).cast("long").as("n_full_seqs"),
+        sum(when($"end_bin" > $"start_bin", 1L).otherwise(0L)).as("n_spanning"),
+        pmod(lit(seqLen) - pmod(max($"cum"), lit(seqLen)), lit(seqLen)).as("tail_pad"))
+      .orderBy($"source")
+  }
+
   /** Cross-document repeated-span coverage (the exact-substring dedup
     * signal of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): per document, the fraction of its 5-word-gram
