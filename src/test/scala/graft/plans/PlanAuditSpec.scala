@@ -78,4 +78,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") <= 2, p)
   }
+
+  test("upsert-table scan applies deletes as BROADCAST anti-joins; filters still push to parquet") {
+    import graft.lake.{LakeCatalog, LakePredicate, LakeDml, DmlStrategy, WriteMode}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val cat = new LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("plan-upsert-").toString)
+    cat.write(spark.range(0, 5000).select($"id", ($"id" % 97).cast("double").as("v")),
+      "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    t.upsert(spark.range(10, 20).select($"id", lit(-1.0).as("v")), Seq("id"))
+    LakeDml.delete(t, $"id" === 4999L, strategy = DmlStrategy.MergeOnRead)
+    val df = t.scan(Seq(LakePredicate.LtEq("id", 100L)))
+    val p = finalPlan(df)
+    // both delete kinds (positional coordinates, equality keys) probe
+    // as broadcast hash anti-joins — the corpus side never shuffles
+    // for merge-on-read
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the user predicate still reaches the parquet scan on the fact side
+    assert(p.contains("PushedFilters: [IsNotNull(id), LessThanOrEqual(id,100)")
+      || p.contains("LessThanOrEqual(id,100)"), p)
+  }
+
+  test("seq packing reuses the window's partitioning for the aggregate — one exchange") {
+    // window over (source, doc_id) then groupBy(source): the aggregate
+    // must ride the window's hashpartitioning(source), not re-shuffle
+    val p = finalPlan(graft.queries.TextQueries.seqPack(spark, dir))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 1, p)
+  }
 }
