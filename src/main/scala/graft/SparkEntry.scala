@@ -70,6 +70,7 @@ object SparkEntry {
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
     "t_seq_pack"         -> ((s, d) => TextQueries.seqPack(s, d)),
+    "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
@@ -628,6 +629,33 @@ object SparkEntry {
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, hamming FROM pr WHERE hamming <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // per-vector int8 quantization fidelity: double-precision ordered
+    // left folds replay bit-for-bit (list_reduce = aggregate), rounding
+    // absorbs any last-ulp divergence
+    "e_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, x,
+        |    greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127.0 AS scale
+        |  FROM e),
+        |d AS (
+        |  SELECT vec_id, x, scale,
+        |    list_transform(x, v -> floor(v / scale + 0.5) * scale) AS deq
+        |  FROM s),
+        |m AS (
+        |  SELECT vec_id, scale,
+        |    list_reduce(list_transform(range(1, len(x) + 1),
+        |      i -> (x[i] - deq[i]) * (x[i] - deq[i])), (a, b) -> a + b) / len(x) AS mse,
+        |    list_reduce(list_transform(range(1, len(x) + 1),
+        |      i -> x[i] * deq[i]), (a, b) -> a + b) /
+        |      (sqrt(list_reduce(list_transform(x, v -> v * v), (a, b) -> a + b)) *
+        |       sqrt(list_reduce(list_transform(deq, v -> v * v), (a, b) -> a + b))) AS cosf
+        |  FROM d)
+        |SELECT vec_id, round(scale, 6) AS q_scale, round(mse, 9) AS mse,
+        |       round(cosf, 6) AS cos_fidelity
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     // id-set compare only: sim values differ cross-engine in the last
     // ulps, but the rank-10/11 margin dwarfs float error (see

@@ -179,4 +179,41 @@ object SimQueries {
       .select($"doc_id", $"media_type", $"n_bytes", $"width", $"height")
       .orderBy($"doc_id")
   }
+
+  /** Symmetric int8 embedding quantization (4× storage compression for
+    * ANN indexes): per vector, scale = max|x|/127, q_i = ⌊x_i/scale +
+    * 0.5⌋, and the fidelity metrics every compression decision needs —
+    * reconstruction MSE and cosine(original, dequantized). All
+    * arithmetic is double-precision left folds in element order, so
+    * the DuckDB oracle reproduces it bit-for-bit (`list_reduce` =
+    * `aggregate`); outputs round to 6 decimals to absorb any last-ulp
+    * divergence. Scale shape: two narrow projections per row (amax
+    * materialized FIRST — referencing an aggregate-over-array lambda
+    * inside a second lambda would inline and re-run it per element,
+    * the O(d²) Catalyst pitfall SCALE.md documents for WordShingles).
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = transform($"embedding", e => e.cast("double"))
+    val fold = (arr: org.apache.spark.sql.Column) =>
+      aggregate(arr, lit(0.0), (acc, e) => acc + e)
+    Tables(spark, dir).embeddings
+      .select($"vec_id", x.as("x"))
+      .withColumn("amax", greatest(array_max(transform($"x", e => abs(e))), lit(1e-12)))
+      .withColumn("scale", $"amax" / 127.0)
+      .withColumn("deq",
+        transform($"x", e => floor(e / $"scale" + 0.5) * $"scale"))
+      .select(
+        $"vec_id",
+        round($"scale", 6).as("q_scale"),
+        round(
+          fold(zip_with($"x", $"deq", (a, b) => (a - b) * (a - b))) / size($"x"),
+          9).as("mse"),
+        round(
+          fold(zip_with($"x", $"deq", _ * _)) /
+            (sqrt(fold(transform($"x", e => e * e))) *
+              sqrt(fold(transform($"deq", e => e * e)))),
+          6).as("cos_fidelity"))
+      .orderBy($"vec_id")
+  }
 }
