@@ -201,8 +201,11 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
             case Some(pd) => s.dirs.filterNot(pd.contains)
             case None     => s.dirs
           }
-          val isAppend = s.op == "append" || (s.op == "overwrite" && prevDirs.exists(_.isEmpty))
-          if (isAppend) newDirs.foreach { d =>
+          // every op's NEW dirs count toward the byte cap (append,
+          // upsert, MOR DML — in change-feed mode all of them deliver
+          // rows; in append mode the extra conservatism only tightens
+          // batches, never loosens them)
+          newDirs.foreach { d =>
             bytes = satAdd(bytes,
               s.meta.get(graft.lake.FileStats.bytesKey(d)).map(_.toLong).getOrElse(byteCap))
           }
