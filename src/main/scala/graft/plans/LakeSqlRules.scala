@@ -57,12 +57,67 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     gst
   }
 
+  /** Simple comparison conjuncts of a SQL filter as [[graft.lake.LakePredicate]]s
+    * — the handle that buys SQL reads the SAME hidden-partition dir
+    * pruning and manifest file skipping the programmatic `scan(preds)`
+    * path gets. Sound by construction: every extracted predicate is
+    * IMPLIED by the original filter (strict bounds relax to inclusive
+    * ones), the filter itself stays in the plan for exact semantics,
+    * and scan() only ever uses predicates to DROP provably-dead
+    * dirs/files.
+    */
+  private def lakePreds(cond: Expression,
+                        r: DataSourceV2Relation): Seq[graft.lake.LakePredicate] = {
+    import graft.lake.{LakePredicate => LP}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    val attrs = r.outputSet
+    // literal side, through type-coercion wrappers: `id = 317` analyzes
+    // as EqualTo(id, Cast(317 AS BIGINT)) — any deterministic foldable
+    // expression collapses to its value (constant folding has not run
+    // yet in post-hoc resolution)
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case _ if e.foldable && e.deterministic =>
+          scala.util.Try(Literal.create(e.eval(), e.dataType)).toOption
+        case _ => None
+      }
+    }
+    def value(l: Literal): Option[Any] =
+      if (l.value == null) None else Some(convertToScala(l.value, l.dataType))
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, Lit(l)) if attrs.contains(a) =>
+        value(l).map(LP.EqualTo(a.name, _))
+      case EqualTo(Lit(l), a: AttributeReference) if attrs.contains(a) =>
+        value(l).map(LP.EqualTo(a.name, _))
+      case GreaterThanOrEqual(a: AttributeReference, Lit(l)) if attrs.contains(a) =>
+        value(l).map(LP.GtEq(a.name, _))
+      case LessThanOrEqual(Lit(l), a: AttributeReference) if attrs.contains(a) =>
+        value(l).map(LP.GtEq(a.name, _))
+      case LessThanOrEqual(a: AttributeReference, Lit(l)) if attrs.contains(a) =>
+        value(l).map(LP.LtEq(a.name, _))
+      case GreaterThanOrEqual(Lit(l), a: AttributeReference) if attrs.contains(a) =>
+        value(l).map(LP.LtEq(a.name, _))
+      // strict bounds relax to inclusive — still implied, still prune
+      case GreaterThan(a: AttributeReference, Lit(l)) if attrs.contains(a) =>
+        value(l).map(LP.GtEq(a.name, _))
+      case LessThan(Lit(l), a: AttributeReference) if attrs.contains(a) =>
+        value(l).map(LP.GtEq(a.name, _))
+      case LessThan(a: AttributeReference, Lit(l)) if attrs.contains(a) =>
+        value(l).map(LP.LtEq(a.name, _))
+      case GreaterThan(Lit(l), a: AttributeReference) if attrs.contains(a) =>
+        value(l).map(LP.LtEq(a.name, _))
+      case _ => None
+    }
+  }
+
   /** Replace a graft DSv2 relation with the snapshot scan plan, keeping
     * the relation's output exprIds (the resolved query above references
     * them).
     */
-  private def readPlan(r: DataSourceV2Relation, gst: GraftSparkTable): LogicalPlan = {
-    val child = gst.metaFrame.getOrElse(gst.lake.read(gst.pinnedVersion))
+  private def readPlan(r: DataSourceV2Relation, gst: GraftSparkTable,
+                       preds: Seq[graft.lake.LakePredicate] = Nil): LogicalPlan = {
+    val child = gst.metaFrame.getOrElse(gst.lake.scan(preds, gst.pinnedVersion))
       .queryExecution.analyzed
     val resolver = spark.sessionState.conf.resolver
     val out = r.output.map { attr =>
@@ -74,7 +129,33 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(out, child)
   }
 
+  /** The relation under a (possibly aliased) filter child — the
+    * analyzer wraps every catalog table in `SubqueryAlias` layers,
+    * which preserve exprIds, so predicates resolved against the alias
+    * still name the relation's attributes.
+    */
+  @annotation.tailrec
+  private def throughAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => throughAliases(c)
+    case other               => other
+  }
+
   private def substituteReads(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // WHERE over the (aliased) relation — the analyzer's shape for
+    // SELECT ... WHERE: push its comparison conjuncts into the scan
+    // so manifests prune dirs/files BEFORE the relation is built; the
+    // filter stays above for exact semantics
+    case Filter(cond, child) if (throughAliases(child) match {
+          case r: DataSourceV2Relation => r.table.isInstanceOf[GraftSparkTable]
+          case _                       => false
+        }) =>
+      val r = throughAliases(child).asInstanceOf[DataSourceV2Relation]
+      val gst = r.table.asInstanceOf[GraftSparkTable]
+      val swapped = child.transform {
+        case rr: DataSourceV2Relation if rr eq r =>
+          readPlan(r, gst, lakePreds(cond, r))
+      }
+      Filter(cond, swapped)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
       readPlan(r, r.table.asInstanceOf[GraftSparkTable])
   }

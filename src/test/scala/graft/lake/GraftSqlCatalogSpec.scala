@@ -316,6 +316,35 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM $c.ns.ct VERSION AS OF 'r1'").collect())
   }
 
+  test("SQL WHERE prunes hidden partitions and manifest-skips files") {
+    val (c, cat) = freshCatalog()
+    val df = spark.range(0, 1000).select(
+      $"id",
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2026-01-01 00:00:00"))
+        .plus(org.apache.spark.sql.functions.expr("make_interval(0,0,0,CAST(id/100 AS INT),0,0,0)"))
+        .as("ts"),
+      ($"id" % 7).cast("double").as("v"))
+    cat.table("ns.hp").write(df, WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    // hidden-partition pruning: a ts range through plain SQL must show
+    // partition filters on the derived _p_ column, like scan(preds)
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM $c.ns.hp WHERE ts >= TIMESTAMP '2026-01-09 00:00:00'")
+    assert(q.head.getLong(0) === 200L) // days 8,9 → ids 800..999
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("_p_ts_day"), plan)
+
+    // manifest file skipping: sorted compaction arms per-file stats;
+    // an equality probe through SQL must open a subset of the files
+    cat.write(spark.range(0, 600).select($"id", ($"id" % 13).cast("double").as("v")),
+      "ns.fs", WriteMode.Overwrite)
+    cat.table("ns.fs").compact(targetPartitions = 6, sortBy = Seq("id"))
+    val probe = spark.sql(s"SELECT v FROM $c.ns.fs WHERE id = 317")
+    assert(probe.head.getDouble(0) === (317 % 13).toDouble)
+    assert(probe.inputFiles.length === 1,
+      s"expected stats to skip to 1 of 6 files, read ${probe.inputFiles.length}")
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)
