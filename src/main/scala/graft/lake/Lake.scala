@@ -645,9 +645,16 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     scanImpl(preds, version, keepPos = false)
 
   private def scanImpl(preds: Seq[LakePredicate], version: Option[Long],
-                       keepPos: Boolean): DataFrame = {
+                       keepPos: Boolean): DataFrame =
+    scanOf(resolve(version), preds, keepPos)
+
+  /** Scan an explicit snapshot value — also used with a SUBSET view of
+    * a snapshot (same delete files, fewer dirs) by the incremental
+    * binpack compaction.
+    */
+  private def scanOf(snap: Snapshot, preds: Seq[LakePredicate],
+                     keepPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val snap = resolve(version)
     val (fields, ambiguous) = specFields(snap)
     val schema = snap.schema
     def typed(c: String, v: Any) = lit(v).cast(schema(c).dataType)
@@ -821,13 +828,16 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             newEqDeletes.map { case (cs, d) => EqDelete.encode(EqDelete(next, cs, d)) })
         // per-dir commit sequences: carried dirs keep theirs (legacy →
         // 0), new dirs take this commit's version unless the caller
-        // restores historical ones (rollback)
+        // restores historical ones (rollback) or mixes kept + fresh
+        // dirs (binpack compaction; -1 = "this commit's version",
+        // resolved HERE so a rebase after a lost claim race re-stamps)
         val carriedSeqs =
           if (carryForward)
             base.map(b => b.dirs.indices.map(b.dirSeq)).getOrElse(Nil)
           else Nil
         val dirSeqs0 = carriedSeqs ++
-          (if (newDirSeqs.nonEmpty) newDirSeqs else newDirs.map(_ => next))
+          (if (newDirSeqs.nonEmpty) newDirSeqs.map(s => if (s == -1L) next else s)
+           else newDirs.map(_ => next))
         val dirSeqsOut: Seq[Long] =
           if (dirSeqs0.forall(_ == 0L)) Nil else dirSeqs0.toSeq
         // strictly monotonic commit timestamps: two commits inside one
@@ -1269,6 +1279,65 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
       meta = statsMeta ++ idMeta, expectedBase = Some(snap.version))
+  }
+
+  /** Incremental binpack compaction (Iceberg's `rewrite_data_files`
+    * binpack strategy with a size threshold): rewrite ONLY the commit
+    * dirs at or under `maxDirBytes` into one sized dir, carrying every
+    * larger dir untouched — at 100 TB "compact the table" is never one
+    * job; maintenance folds the small-file debt of recent trickle
+    * commits while the big, already-well-sized dirs stay in place.
+    * Cost tracks the SMALL dirs, not the table.
+    *
+    * Delete-file semantics are preserved exactly: the subset is read
+    * with all current deletes applied (so rewritten rows are the live
+    * ones), delete files are carried for the kept dirs, positional
+    * entries naming rewritten files match nothing afterwards, and the
+    * new dir's commit sequence exempts it from already-applied
+    * equality deletes while future ones (higher seq) still bind.
+    * Kept dirs keep their stats blobs and byte sizes; the folded dir
+    * auto-collects stats on the table's stats-column set.
+    */
+  def compactBinPack(maxDirBytes: Long, targetPartitions: Int = 1): Snapshot = {
+    val base = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    def bytesOf(d: String): Long =
+      base.meta.get(FileStats.bytesKey(d)).map(_.toLong).getOrElse(io.dirBytes(loc(d)))
+    val smallIdx = base.dirs.indices.filter(i => bytesOf(base.dirs(i)) <= maxDirBytes)
+    if (smallIdx.size <= 1) return base
+    val keepIdx = base.dirs.indices.filterNot(smallIdx.contains)
+    // subset view: same schema/specs/deletes, only the small dirs —
+    // scanOf applies every delete file, so the rewrite materializes
+    // exactly the subset's LIVE rows
+    val sub = base.copy(
+      dirs = smallIdx.map(base.dirs),
+      dirSchemaJsons = smallIdx.map(base.dirSchemaJson),
+      dirSpecs = smallIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))),
+      dirSeqs = smallIdx.map(base.dirSeq))
+    val df = scanOf(sub, Nil, keepPos = false).repartition(targetPartitions)
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    writeDataDir(df, dirName, base.partitionBy)
+    // kept dirs keep their stats/bytes meta; the folded dir collects
+    // fresh stats and bytes
+    val keptMeta = base.meta.filter { case (k, _) =>
+      keepIdx.map(base.dirs).exists(d =>
+        k == FileStats.dirKey(d) || k == FileStats.bytesKey(d))
+    } ++ base.meta.get(FileStats.StatsColsKey).map(FileStats.StatsColsKey -> _)
+    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+      base.schema.fieldNames.toSeq)
+    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
+    val idMeta = base.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    commit("compact", keepIdx.map(base.dirs) :+ dirName, carryForward = false,
+      base.partitionBy, base.schemaJson,
+      meta = keptMeta ++ statsMeta ++ bytesMeta ++ idMeta,
+      expectedBase = Some(base.version),
+      newDirSchemas = keepIdx.map(base.dirSchemaJson) :+ base.schemaJson,
+      newDirSpecs = keepIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))) :+
+        Snapshot.joinSpec(base.partitionBy),
+      newDirSeqs = keepIdx.map(base.dirSeq) :+ -1L,
+      deleteDirsOverride = Some(base.deleteDirs),
+      eqDeletesOverride = Some(base.eqDeletes),
+      allowSpecChange = true)
   }
 
   /** Fold all positional delete dirs into one (Iceberg's

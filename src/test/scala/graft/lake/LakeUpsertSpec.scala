@@ -175,6 +175,34 @@ class LakeUpsertSpec extends AnyFunSuite {
     assert(snap.op === "rewrite-deletes")
   }
 
+  test("binpack compaction folds only small dirs; deletes and upserts keep composing") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("binpack-").toString)
+    // one BIG commit, then trickle commits
+    cat.write(spark.range(0, 300000).select($"id", ($"id" % 9).cast("double").as("v")),
+      "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    val bigDir = t.latest.get.dirs.head
+    for (i <- 1 to 4)
+      t.write(spark.range(400000L + i, 400001L + i).select($"id", lit(0.0).as("v")),
+        WriteMode.Append)
+    // MOR delete hitting both big and small dirs, plus an upsert
+    LakeDml.delete(t, $"id" === 7L || $"id" === 400002L, strategy = DmlStrategy.MergeOnRead)
+    t.upsert(spark.range(400003L, 400004L).select($"id", lit(99.0).as("v")), Seq("id"))
+    val before = t.read(None).orderBy($"id").collect().toSeq
+    val snap = t.compactBinPack(maxDirBytes = 256 * 1024)
+    // the big dir is carried untouched; the trickle dirs fold into one
+    assert(snap.dirs.contains(bigDir))
+    assert(snap.dirs.size === 2, snap.dirs.mkString(","))
+    assert(t.read(None).orderBy($"id").collect().toSeq === before)
+    // deletes still bind: id=7 (big dir, positional) stays dead, and a
+    // LATER upsert retires a row that was just rewritten
+    t.upsert(spark.range(400004L, 400005L).select($"id", lit(-1.0).as("v")), Seq("id"))
+    val live = t.read(None).where($"id" >= 400000L).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(live === Seq((400001L, 0.0), (400003L, 99.0), (400004L, -1.0)))
+    assert(t.read(None).where($"id" === 7L).count() === 0)
+  }
+
   test("upsert on a hidden-partitioned table prunes and matches") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("upsert-spec-").toString)
     val df = spark.range(0, 100).select(
