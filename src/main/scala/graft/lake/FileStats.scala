@@ -181,22 +181,29 @@ private[graft] object FileStats {
       }
       val keep = applicable.forall { p =>
         val (lo, hi) = range(p.col)
-        val pv = p match {
-          case LakePredicate.EqualTo(_, v) => v
-          case LakePredicate.GtEq(_, v)    => v
-          case LakePredicate.LtEq(_, v)    => v
-        }
-        (toKey(pv), lo, hi) match {
-          case (None, _, _) => true // null probe: matches nothing, but keep semantics to the row filter
-          case (Some(v), Some(l), Some(h)) => p match {
-            case _: LakePredicate.EqualTo => (leq(l, v), leq(v, h)) match {
-              case (Some(a), Some(b)) => a && b
-              case _                  => true
-            }
-            case _: LakePredicate.GtEq => leq(v, h).getOrElse(true)
-            case _: LakePredicate.LtEq => leq(l, v).getOrElse(true)
+        // can a point probe `v` fall inside this file's [lo, hi]?
+        // (null probe / missing stats / cross-domain compare → keep;
+        // only provable emptiness prunes)
+        def pointIn(pv: Any): Boolean = (toKey(pv), lo, hi) match {
+          case (None, _, _) => true
+          case (Some(v), Some(l), Some(h)) => (leq(l, v), leq(v, h)) match {
+            case (Some(a), Some(b)) => a && b
+            case _                  => true
           }
-          case _ => true // missing stats → keep
+          case _ => true
+        }
+        p match {
+          case LakePredicate.EqualTo(_, v) => pointIn(v)
+          // IN = disjunction of point probes: keep if ANY could match
+          case LakePredicate.In(_, vs)     => vs.exists(pointIn)
+          case LakePredicate.GtEq(_, v) => (toKey(v), hi) match {
+            case (Some(k), Some(h)) => leq(k, h).getOrElse(true)
+            case _                  => true
+          }
+          case LakePredicate.LtEq(_, v) => (toKey(v), lo) match {
+            case (Some(k), Some(l)) => leq(l, k).getOrElse(true)
+            case _                  => true
+          }
         }
       }
       if (keep) kept += e.getKey

@@ -662,6 +662,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       case LakePredicate.EqualTo(c, v) => col(c) === typed(c, v)
       case LakePredicate.GtEq(c, v)    => col(c) >= typed(c, v)
       case LakePredicate.LtEq(c, v)    => col(c) <= typed(c, v)
+      case LakePredicate.In(c, vs) =>
+        if (vs.isEmpty) lit(false)
+        else vs.map(v => col(c) === typed(c, v)).reduce(_ || _)
     }
     // null-escape on every projected filter: a null partition value
     // means "this dir predates the spec / wrote zero rows / null

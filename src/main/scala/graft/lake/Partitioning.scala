@@ -27,6 +27,11 @@ object LakePredicate {
   final case class EqualTo(col: String, value: Any) extends LakePredicate
   final case class GtEq(col: String, value: Any) extends LakePredicate
   final case class LtEq(col: String, value: Any) extends LakePredicate
+  /** Multi-point membership (`col IN (…)`): prunes like a disjunction
+    * of equality probes — dirs via per-value partition projections,
+    * files via any-value-in-range stats checks.
+    */
+  final case class In(col: String, values: Seq[Any]) extends LakePredicate
 }
 
 sealed trait PartitionField {
@@ -68,7 +73,7 @@ object PartitionField {
     def derive(df: org.apache.spark.sql.DataFrame): Column = col(source)
     def project(p: LakePredicate,
                 sourceType: org.apache.spark.sql.types.DataType): Option[Column] =
-      None // raw filter already covers it
+      None // raw filter already covers it (all predicate shapes)
     def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
       schema(source).dataType
     def spec: String = source
@@ -83,8 +88,11 @@ object PartitionField {
       def l(v: Any) = PartitionField.utcDay(lit(v).cast(sourceType))
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
+        case In(_, vs) if vs.nonEmpty =>
+          Some(vs.map(v => col(name) === l(v)).reduce(_ || _))
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
+        case _             => None
       }
     }
     def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
@@ -101,8 +109,11 @@ object PartitionField {
       def l(v: Any) = trunc(PartitionField.utcDay(lit(v).cast(sourceType)), "month")
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
+        case In(_, vs) if vs.nonEmpty =>
+          Some(vs.map(v => col(name) === l(v)).reduce(_ || _))
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
+        case _             => None
       }
     }
     def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
@@ -116,10 +127,14 @@ object PartitionField {
     def derive(df: org.apache.spark.sql.DataFrame): Column =
       pmod(xxhash64(col(source)), lit(n)).cast("int")
     def project(p: LakePredicate,
-                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = p match {
-      case EqualTo(_, v) =>
-        Some(col(name) === pmod(xxhash64(lit(v).cast(sourceType)), lit(n)).cast("int"))
-      case _ => None // hashing destroys order
+                sourceType: org.apache.spark.sql.types.DataType): Option[Column] = {
+      def b(v: Any) = pmod(xxhash64(lit(v).cast(sourceType)), lit(n)).cast("int")
+      p match {
+        case EqualTo(_, v) => Some(col(name) === b(v))
+        case In(_, vs) if vs.nonEmpty =>
+          Some(vs.map(v => col(name) === b(v)).reduce(_ || _))
+        case _ => None // hashing destroys order
+      }
     }
     def partitionType(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.IntegerType
@@ -142,6 +157,8 @@ object PartitionField {
       def t(v: Any): Column = truncOf(lit(v).cast(sourceType), isStr)
       p match {
         case EqualTo(_, v) => Some(col(name) === t(v))
+        case In(_, vs) if vs.nonEmpty =>
+          Some(vs.map(v => col(name) === t(v)).reduce(_ || _))
         case GtEq(_, v)    => Some(col(name) >= t(v))
         case LtEq(_, v)    => Some(col(name) <= t(v))
       }

@@ -76,17 +76,22 @@ private[sqlcat] object GraftProcedures {
     name.toLowerCase match {
       case "compact" => Some(new Proc("compact",
         Array(p("table", StringType), p("target_partitions", IntegerType),
-          pDefault("sort_by", StringType, "''"), pDefault("zorder_by", StringType, "''")),
+          pDefault("sort_by", StringType, "''"), pDefault("zorder_by", StringType, "''"),
+          pDefault("small_dir_bytes", LongType, "-1")),
         StructType(Seq(StructField("version", LongType), StructField("op", StringType))),
         resolve,
         (t, in) => {
           val tp = in.getInt(1)
           val sortBy = cols(in.getUTF8String(2).toString)
           val zorderBy = cols(in.getUTF8String(3).toString)
+          val smallBytes = in.getLong(4)
           require(sortBy.isEmpty || zorderBy.isEmpty,
             "compact takes sort_by OR zorder_by, not both")
+          require(smallBytes < 0 || (sortBy.isEmpty && zorderBy.isEmpty),
+            "binpack (small_dir_bytes) does not combine with sort_by/zorder_by")
           val snap =
-            if (zorderBy.nonEmpty) t.compactZOrder(tp, zorderBy)
+            if (smallBytes >= 0) t.compactBinPack(smallBytes, tp)
+            else if (zorderBy.nonEmpty) t.compactZOrder(tp, zorderBy)
             else t.compact(tp, sortBy)
           Seq(snap.version, snap.op)
         }))

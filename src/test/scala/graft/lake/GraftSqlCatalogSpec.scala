@@ -343,6 +343,23 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(probe.head.getDouble(0) === (317 % 13).toDouble)
     assert(probe.inputFiles.length === 1,
       s"expected stats to skip to 1 of 6 files, read ${probe.inputFiles.length}")
+
+    // IN-list probes prune as a disjunction of points: two values in
+    // the same sorted file → still 1 file; spread values → 2
+    val inProbe = spark.sql(s"SELECT v FROM $c.ns.fs WHERE id IN (317, 25)")
+    assert(inProbe.collect().length === 2)
+    assert(inProbe.inputFiles.length === 2,
+      s"expected IN stats-skip to 2 of 6 files, read ${inProbe.inputFiles.length}")
+
+    // IN on a bucket-partitioned table prunes dirs via per-value
+    // bucket projection
+    cat.table("ns.bk").write(
+      spark.range(0, 400).select($"id", ($"id" * 2).as("y")),
+      WriteMode.Overwrite, partitionBy = Seq("bucket(8, id)"))
+    val bq = spark.sql(s"SELECT y FROM $c.ns.bk WHERE id IN (3, 9)")
+    assert(bq.collect().map(_.getLong(0)).sorted === Array(6L, 18L))
+    val bplan = bq.queryExecution.executedPlan.toString
+    assert(bplan.contains("_p_id_bucket"), bplan)
   }
 
   test("unsupported MERGE shapes fail loudly, not wrongly") {
