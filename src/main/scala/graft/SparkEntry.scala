@@ -47,6 +47,7 @@ object SparkEntry {
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
+    "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
@@ -259,6 +260,18 @@ object SparkEntry {
         |FROM customer
         |UNION ALL SELECT -c_custkey, c_name, c_nationkey, 0.0, 'NEWKEY'
         |FROM customer WHERE c_nationkey = 20
+        |ORDER BY c_custkey""".stripMargin,
+
+    // base + three trickle batches (negated nation 0..2 keys), MOR
+    // delete of nation>=20, then a partial rewrite that must not
+    // change content
+    "lake_binpack" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_nationkey < 20
+        |UNION ALL
+        |SELECT -c_custkey, c_name, c_nationkey, 0.0,
+        |       'TRICKLE' || CAST(c_nationkey AS VARCHAR)
+        |FROM customer WHERE c_nationkey <= 2
         |ORDER BY c_custkey""".stripMargin,
 
     // staged batch (negated nation-7 keys) published after audit —

@@ -364,6 +364,37 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Incremental binpack compaction: a well-sized base commit plus
+    * trickle appends; `compactBinPack` folds ONLY the trickle dirs
+    * (the base dir is asserted carried byte-identical), with a
+    * merge-on-read delete in between proving delete semantics survive
+    * the partial rewrite. Content is the closed-form union the oracle
+    * recomputes.
+    */
+  def binPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(2), "bronze.c", WriteMode.Overwrite)
+    val t = cat.table("bronze.c")
+    val bigDir = t.latest.get.dirs.head
+    // trickle: three tiny appends of derived rows (negated keys)
+    for (nk <- Seq(0, 1, 2))
+      t.write(customer.filter($"c_nationkey" === nk).select(
+        (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+        lit(0.0).as("c_acctbal"), lit(s"TRICKLE$nk").as("c_mktsegment")),
+        WriteMode.Append)
+    LakeDml.delete(t, $"c_nationkey" >= 20, strategy = DmlStrategy.MergeOnRead)
+    // threshold from the base dir's ACTUAL size (scale-factor-proof):
+    // everything smaller folds, the base dir is carried
+    val bigBytes = t.files().where($"dir" === bigDir)
+      .agg(sum($"size_bytes")).head.getLong(0)
+    val snap = t.compactBinPack(maxDirBytes = bigBytes - 1)
+    require(snap.dirs.contains(bigDir) && snap.dirs.size == 2,
+      s"binpack must carry the big dir and fold the trickle dirs, got ${snap.dirs.size}")
+    cat.read("bronze.c").orderBy($"c_custkey")
+  }
+
   /** Metadata inspection tables (Iceberg's `.files` / `.partitions` /
     * `.snapshots` parity): build an identity-partitioned table with
     * two single-task commits (deterministic 2 files per partition),
