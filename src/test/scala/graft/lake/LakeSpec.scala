@@ -452,6 +452,17 @@ class LakeSpec extends AnyFunSuite {
         .where($"ts" >= lo && $"ts" <= hi && $"name" === nm && $"qty" >= qlo)
         .orderBy($"id").collect().toSeq
       assert(got === want, s"trial $trial: preds=$preds")
+
+      // IN-list projection soundness: random multi-point probes on the
+      // bucket-partitioned and truncate-partitioned columns
+      val names = (0 until 3).map(_ => s"k${tr.nextInt(40)}").distinct
+      val qs = (0 until 3).map(_ => tr.nextInt(1000)).distinct
+      val inPreds = Seq(In("name", names), In("qty", qs))
+      val gotIn = t.scan(inPreds).orderBy($"id").collect().toSeq
+      val wantIn = t.read(None)
+        .where($"name".isin(names: _*) && $"qty".isin(qs: _*))
+        .orderBy($"id").collect().toSeq
+      assert(gotIn === wantIn, s"trial $trial: inPreds=$inPreds")
     }
   }
 
