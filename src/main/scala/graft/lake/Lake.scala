@@ -1565,6 +1565,22 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .flatMap(n => scala.util.Try(stagedInfo(n.stripSuffix(".json"))._1).getOrElse(Nil))
       .toSet
 
+  /** Pending write-audit-publish commits as a DataFrame — the
+    * operational "what is staged and since when" view (ids feed
+    * [[readStaged]]/[[publishStaged]]/[[discardStaged]]).
+    */
+  def stagedCommits: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    io.list(stagedDirPath).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .map { p =>
+        val n = om.readTree(io.readString(p))
+        (n.get("id").asText(), n.get("dirs").size(), n.get("timestampMs").asLong())
+      }.sortBy(_._3)
+      .toDF("id", "n_dirs", "staged_at_ms")
+  }
+
   /** Snapshot expiry (Iceberg's `expire_snapshots`): drop all but the
     * newest `retainLast` manifests, then delete data dirs no surviving
     * manifest references. Bounds metadata growth and reclaims storage;

@@ -70,6 +70,18 @@ class LakeRefsSpec extends AnyFunSuite {
     assert(t.read(None).count() === 3)
   }
 
+  test("stagedCommits lists pending WAP commits until publish/discard") {
+    val t = fresh()
+    assert(t.stagedCommits.count() === 0)
+    val id1 = t.stageAppend(Seq((3L, "c")).toDF("id", "s"))
+    val id2 = t.stageAppend(Seq((4L, "d")).toDF("id", "s"))
+    val listed = t.stagedCommits.collect().map(_.getString(0)).toSet
+    assert(listed === Set(id1, id2))
+    t.publishStaged(id1)
+    t.discardStaged(id2)
+    assert(t.stagedCommits.count() === 0)
+  }
+
   test("publish fails if the schema evolved since staging; staged commit survives") {
     val t = fresh()
     val id = t.stageAppend(Seq((3L, "c")).toDF("id", "s"))
