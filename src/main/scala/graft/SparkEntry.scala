@@ -77,6 +77,7 @@ object SparkEntry {
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
     "d_dedup_minhash"    -> (SimQueries.minhashLsh _),
     "d_simhash_pairs"    -> (SimQueries.simhashPairs _),
+    "d_fuzzy_match"      -> (SimQueries.fuzzyMatch _),
     "e_cosine_dup_pairs" -> (SimQueries.cosineDupPairs _),
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
@@ -100,6 +101,8 @@ object SparkEntry {
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
+    "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
+    "a_gap_fill"         -> (AnalyticsQueries.gapFill _),
     "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
     "a_outer_cross"      -> (AnalyticsQueries.outerCrossJoins _),
     "a_date_arithmetic"  -> (AnalyticsQueries.dateArithmetic _),
@@ -945,6 +948,44 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+
+    "a_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       GROUPING(o_orderstatus) AS g_status,
+        |       GROUPING(o_orderpriority) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority, g_status, g_priority""".stripMargin,
+
+    // (type × hour) grid over 2024-01-02, silent hours as zeros
+    "a_gap_fill" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+        |hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+        |            TIMESTAMP '2024-01-02 23:00:00', INTERVAL 1 HOUR)) AS hour),
+        |c AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |      GROUP BY 1, 2)
+        |SELECT t.event_type, h.hour,
+        |       COALESCE(c.n, 0) AS n, COALESCE(c.sum_value, 0.0) AS sum_value
+        |FROM types t CROSS JOIN hours h
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
+        |ORDER BY t.event_type, h.hour""".stripMargin,
+
+    // blocked ER: equality join on the name-prefix block, edit
+    // distance only within blocks
+    "d_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+        |             substring(c_name, 1, length(c_name)-2) AS blk FROM customer)
+        |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "a_correlated_subq" ->
       """SELECT p_brand, p_partkey, p_retailprice

@@ -226,6 +226,50 @@ object AnalyticsQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** GROUPING SETS with grouping() markers — the explicit form between
+    * rollup and cube (per-dimension marginals plus the grand total,
+    * no cross products). Plans as ONE Expand + aggregate pass.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       grouping(o_orderstatus) AS g_status,
+        |       grouping(o_orderpriority) AS g_priority
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority, g_status, g_priority""".stripMargin)
+  }
+
+  /** Hourly gap-filled resample over one day (time-series
+    * densification): the (type × hour) grid left-joins the observed
+    * hourly aggregates, so silent hours materialize as zeros — the
+    * shape every downsampling dashboard and training-data time-bucket
+    * join needs. The grid is a broadcast cross of two tiny sides;
+    * the per-hour aggregate is one map-side-combined pass over the
+    * day's pruned scan.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = graft.SqlCompat.utcTimestamp("2024-01-02 00:00:00")
+    val hi = graft.SqlCompat.utcTimestamp("2024-01-03 00:00:00")
+    val ev = Tables(spark, dir).events
+    val counts = ev.where($"ts" >= lo && $"ts" < hi)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"), sumd($"value").as("sum_value"))
+    val types = ev.select($"event_type").distinct()
+    val hours = spark.range(0, 24).select(
+      (lit(lo).cast("timestamp") + expr("make_interval(0,0,0,0,CAST(id AS INT),0,0)")).as("hour"))
+    types.crossJoin(broadcast(hours))
+      .join(counts, Seq("event_type", "hour"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** Sketch aggregates for 100 TB interactive profiling:
     * approx_count_distinct (HLL++) next to the exact count so the
     * error is visible.

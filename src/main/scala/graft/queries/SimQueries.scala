@@ -180,6 +180,29 @@ object SimQueries {
       .orderBy($"doc_id")
   }
 
+  /** Blocked fuzzy matching (entity resolution): candidate pairs come
+    * from an equality join on a BLOCKING key (name minus its last two
+    * characters), then the expensive edit-distance check runs only
+    * within blocks — the classic ER shape that keeps a 100 TB match
+    * job at O(block²·blocks), never O(n²). The `levenshtein` kernel is
+    * codegen'd and engine-portable, so the oracle replays the whole
+    * pipeline.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, dir).customer
+      .select($"c_custkey", $"c_name",
+        expr("substring(c_name, 1, length(c_name)-2)").as("blk"))
+    val a = c.select($"blk", $"c_custkey".as("a_id"), $"c_name".as("a_name"))
+    val b = c.select($"blk", $"c_custkey".as("b_id"), $"c_name".as("b_name"))
+    a.join(b, Seq("blk"))
+      .where($"a_id" < $"b_id")
+      .withColumn("dist", levenshtein($"a_name", $"b_name"))
+      .where($"dist" <= 1)
+      .select($"a_id", $"b_id", $"dist")
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Symmetric int8 embedding quantization (4× storage compression for
     * ANN indexes): per vector, scale = max|x|/127, q_i = ⌊x_i/scale +
     * 0.5⌋, and the fidelity metrics every compression decision needs —
