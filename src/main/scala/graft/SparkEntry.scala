@@ -103,6 +103,7 @@ object SparkEntry {
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
     "a_gap_fill"         -> (AnalyticsQueries.gapFill _),
+    "a_histogram"        -> (AnalyticsQueries.histogram _),
     "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
     "a_outer_cross"      -> (AnalyticsQueries.outerCrossJoins _),
     "a_date_arithmetic"  -> (AnalyticsQueries.dateArithmetic _),
@@ -986,6 +987,14 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "a_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 400000.0 THEN 21
+        |            ELSE CAST(floor(o_totalprice / 20000.0) AS BIGINT) + 1 END AS bin,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a_correlated_subq" ->
       """SELECT p_brand, p_partkey, p_retailprice

@@ -270,6 +270,24 @@ object AnalyticsQueries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Fixed-bin histogram — the single-pass distribution profile every
+    * data-quality dashboard draws; bins compute in the scan
+    * projection (explicit floor arithmetic, engine-portable), so the
+    * only shuffle is the low-cardinality bin aggregate.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = when($"o_totalprice" < 0.0, lit(0L))
+      .when($"o_totalprice" >= 400000.0, lit(21L))
+      .otherwise(floor($"o_totalprice" / 20000.0).cast("long") + 1L)
+    Tables(spark, dir).orders
+      .select(bin.as("bin"), $"o_totalprice")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"))
+      .orderBy($"bin")
+  }
+
   /** Sketch aggregates for 100 TB interactive profiling:
     * approx_count_distinct (HLL++) next to the exact count so the
     * error is visible.
