@@ -551,12 +551,12 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(n_tokens) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(floor(MAX(cum) / 512.0) AS BIGINT) AS n_full_seqs,
-        |  SUM(CASE WHEN CAST(floor((cum - 1) / 512.0) AS BIGINT) >
+        |  CAST(SUM(CASE WHEN CAST(floor((cum - 1) / 512.0) AS BIGINT) >
         |                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
-        |           THEN 1 ELSE 0 END) AS n_spanning,
-        |  (512 - (MAX(cum) % 512)) % 512 AS tail_pad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+        |  CAST((512 - (MAX(cum) % 512)) % 512 AS BIGINT) AS tail_pad
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // global 5-gram frequency → per-doc duplicated-span coverage; the

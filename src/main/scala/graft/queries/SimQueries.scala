@@ -200,10 +200,17 @@ object SimQueries {
     val a = c.select($"blk", $"c_custkey".as("a_id"), $"c_name".as("a_name"))
       .repartition($"blk")
     val b = c.select($"blk", $"c_custkey".as("b_id"), $"c_name".as("b_name"))
+    // both sides hash-distribute on blk: the probe side explicitly (the
+    // fixture is one parquet file = one scan task, which would serialize
+    // every in-block distance eval), the build side via the join's own
+    // shuffle. No forced broadcast — at 100 TB the build side is the
+    // whole relation and shipping it to every executor is the classic
+    // ER scale-killer; AQE still picks broadcast when a side is
+    // genuinely under the threshold at runtime.
     // thresholded levenshtein (banded DP, early exit; returns -1 past
     // the bound) — measured ~3× the unbounded kernel on this shape,
     // and the win grows with string length at corpus scale
-    a.join(broadcast(b), Seq("blk"))
+    a.join(b, Seq("blk"))
       .where($"a_id" < $"b_id")
       .withColumn("dist", levenshtein($"a_name", $"b_name", 1))
       .where($"dist" >= 0)

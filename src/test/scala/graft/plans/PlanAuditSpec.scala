@@ -103,6 +103,28 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.contains("LessThanOrEqual(id,100)"), p)
   }
 
+  test("fuzzy match shuffles on the blocking key — no forced broadcast of the unbounded side") {
+    // with auto-broadcast disabled a broadcast() HINT would still plan
+    // a BroadcastExchange, so this run distinguishes "AQE chose
+    // broadcast because the side is small" (fine at sf0.001, gone at
+    // 100 TB) from "the query forces it" (the ER scale-killer)
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aabt = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", abt)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan(SimQueries.fuzzyMatch(spark, dir))
+      assert(!p.contains("BroadcastExchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // the probe side's explicit repartition(blk) distributes the
+      // in-block distance evals even when the input is one file
+      assert(p.contains("Exchange hashpartitioning(blk"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aabt)
+    }
+  }
+
   test("seq packing reuses the window's partitioning for the aggregate — one exchange") {
     // window over (source, doc_id) then groupBy(source): the aggregate
     // must ride the window's hashpartitioning(source), not re-shuffle
