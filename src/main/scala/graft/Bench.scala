@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps: parquet footers then carry real
+      // min/max stats (INT96 gets none), powering write-time stats
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions) // SQL DML over lake tables
       .getOrCreate()

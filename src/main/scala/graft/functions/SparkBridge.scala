@@ -21,6 +21,12 @@ object GraftColumnBridge {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Drain the listener bus (private[spark]) — lets tests assert
+    * job-count properties deterministically instead of sleeping.
+    */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** isStreaming-tagged frame over raw internal rows — what a v1
     * streaming Source's getBatch must hand the micro-batch engine.
     */

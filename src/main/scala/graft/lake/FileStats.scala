@@ -128,6 +128,180 @@ private[graft] object FileStats {
     else pathOrUri.substring(i + marker.length)
   }
 
+  /** Harvest per-file min/max from the parquet FOOTERS of a
+    * just-written dir — driver-side metadata reads, no Spark job, no
+    * data scan. This is the Iceberg shape (file metrics collected at
+    * write) and what keeps stats maintenance free on the write path:
+    * a COW rewrite that re-collects via [[collect]] costs a second
+    * table scan per statement, which is exactly the DML regression
+    * this replaces.
+    *
+    * Returns None (caller falls back to the scanning [[collect]]) when
+    * some requested column yields footer stats from NO file — the
+    * INT96-timestamp case (parquet writes no stats for INT96; session
+    * default `outputTimestampType=TIMESTAMP_MICROS` avoids it) and
+    * identity-partition columns (values live in the directory layout,
+    * not the files). Per-file gaps (a NaN-polluted double chunk, an
+    * empty file) stay conservative: the file is listed with a null
+    * range and is never skipped.
+    *
+    * Truncated binary stats are safe: parquet guarantees footer
+    * min/max are BOUNDS (max truncation increments the prefix), and
+    * pruning only needs bounds, not tight values.
+    */
+  def collectFromFooters(io: LakeIo, dir: org.apache.hadoop.fs.Path,
+                         cols: Seq[String]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val files = {
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      if (io.isDir(dir)) {
+        val it = io.fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) b += f
+        }
+      }
+      b.result()
+    }
+    if (files.isEmpty) return None
+    val perFile: Seq[(String, Seq[(Any, Any)])] = files.map { st =>
+      val ranges: Seq[(Any, Any)] =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            cols.map { c =>
+              val perBlock = blocks.map(_.getColumns.asScala
+                .find(_.getPath.toDotString == c).flatMap(footerRange))
+              // every row group must contribute a valid range, else the
+              // file is unprunable on this column
+              if (blocks.isEmpty || perBlock.exists(_.isEmpty)) (null, null)
+              else perBlock.flatten.reduce[(Any, Any)] { case ((lo1, hi1), (lo2, hi2)) =>
+                (minByKey(lo1, lo2), maxByKey(hi1, hi2))
+              }
+            }
+          } finally reader.close()
+        } catch { case _: Exception => cols.map(_ => (null: Any, null: Any)) }
+      (relativeKey(st.getPath.toString, dir.getName), ranges)
+    }
+    // a column no file can bound (INT96, partition-derived) → let the
+    // caller decide between scanning and giving up
+    val colServed = cols.indices.map(i => perFile.exists { case (_, rs) =>
+      rs(i)._1 != null || rs(i)._2 != null })
+    if (colServed.contains(false)) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.createObjectNode()
+    val colsNode = rootNode.putArray("cols")
+    cols.foreach(colsNode.add)
+    val filesNode = rootNode.putObject("files")
+    perFile.foreach { case (key, ranges) =>
+      val fNode = filesNode.putArray(key)
+      ranges.foreach { case (lo, hi) =>
+        val pair = fNode.addArray()
+        pair.add(encode(lo))
+        pair.add(encode(hi))
+      }
+    }
+    Some(om.writeValueAsString(rootNode))
+  }
+
+  private def minByKey(a: Any, b: Any): Any =
+    if (a == null || b == null) null
+    else (toKey(a), toKey(b)) match {
+      case (Some(ka), Some(kb)) => leq(ka, kb) match {
+        case Some(true)  => a
+        case Some(false) => b
+        case None        => null
+      }
+      case _ => null
+    }
+  private def maxByKey(a: Any, b: Any): Any =
+    if (a == null || b == null) null
+    else (toKey(a), toKey(b)) match {
+      case (Some(ka), Some(kb)) => leq(ka, kb) match {
+        case Some(true)  => b
+        case Some(false) => a
+        case None        => null
+      }
+      case _ => null
+    }
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Typed (min, max) of one column chunk from its footer statistics,
+    * mapped into the value domains [[toKey]] understands. None = no
+    * usable stats (absent, all-null, INT96, unordered binary).
+    */
+  private def footerRange(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[(Any, Any)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation._
+    val s = cc.getStatistics
+    if (s == null || !s.hasNonNullValue) return None
+    val pt = cc.getPrimitiveType
+    val lt = pt.getLogicalTypeAnnotation
+    def decimalOf(unscaled: BigInt): java.math.BigDecimal = {
+      val scale = lt.asInstanceOf[DecimalLogicalTypeAnnotation].getScale
+      new java.math.BigDecimal(unscaled.bigInteger, scale)
+    }
+    pt.getPrimitiveTypeName match {
+      case INT96 => None // parquet writes no (ordered) stats for INT96
+      case BOOLEAN => Some((s.genericGetMin, s.genericGetMax))
+      case INT32 => lt match {
+        case _: DateLogicalTypeAnnotation =>
+          def d(v: Any) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v.asInstanceOf[Integer].longValue()))
+          Some((d(s.genericGetMin), d(s.genericGetMax)))
+        case _: DecimalLogicalTypeAnnotation =>
+          Some((decimalOf(BigInt(s.genericGetMin.asInstanceOf[Integer].longValue())),
+            decimalOf(BigInt(s.genericGetMax.asInstanceOf[Integer].longValue()))))
+        case i: IntLogicalTypeAnnotation if !i.isSigned => None
+        case _ => Some((s.genericGetMin, s.genericGetMax))
+      }
+      case INT64 => lt match {
+        case t: TimestampLogicalTypeAnnotation =>
+          val (lo, hi) = (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some((tsFromMicros(lo), tsFromMicros(hi)))
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some((new java.sql.Timestamp(lo), new java.sql.Timestamp(hi)))
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              // floor the lower bound, ceil the upper — stay BOUNDS
+              Some((tsFromMicros(Math.floorDiv(lo, 1000L)),
+                tsFromMicros(-Math.floorDiv(-hi, 1000L))))
+          }
+        case _: DecimalLogicalTypeAnnotation =>
+          Some((decimalOf(BigInt(s.genericGetMin.asInstanceOf[java.lang.Long].longValue())),
+            decimalOf(BigInt(s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))))
+        case i: IntLogicalTypeAnnotation if !i.isSigned => None
+        case _: TimeLogicalTypeAnnotation => None
+        case _ => Some((s.genericGetMin, s.genericGetMax))
+      }
+      case FLOAT | DOUBLE => Some((s.genericGetMin, s.genericGetMax))
+      case BINARY | FIXED_LEN_BYTE_ARRAY => lt match {
+        case _: StringLogicalTypeAnnotation =>
+          def str(b: Any) = new String(
+            b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8)
+          Some((str(s.genericGetMin), str(s.genericGetMax)))
+        case _: DecimalLogicalTypeAnnotation =>
+          def dec(b: Any) = decimalOf(BigInt(
+            b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+          Some((dec(s.genericGetMin), dec(s.genericGetMax)))
+        case _ => None // raw binary: parquet order != our string domain
+      }
+      case _ => None
+    }
+  }
+
   def collect(spark: SparkSession, dir: org.apache.hadoop.fs.Path,
               cols: Seq[String]): String = {
     val df = spark.read.parquet(dir.toString)
@@ -150,6 +324,15 @@ private[graft] object FileStats {
       }
     }
     om.writeValueAsString(rootNode)
+  }
+
+  /** Number of files the blob describes — the blob lists every file of
+    * its commit dir, so this counts the dir's data files without a
+    * filesystem listing.
+    */
+  def fileCount(statsJson: String): Int = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.readTree(statsJson).get("files").size()
   }
 
   /** File names (relative to the commit dir) that can satisfy ALL

@@ -624,6 +624,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   private[lake] def readWithPos(version: Option[Long] = None): DataFrame =
     scanImpl(Nil, version, keepPos = true)
 
+  /** Probe-only public alias (scratch instrumentation). */
+  def readWithPosProbe(version: Option[Long] = None): DataFrame = readWithPos(version)
+
   /** Hadoop-qualified root with a trailing slash — the prefix under
     * which `_metadata.file_path` reports this table's data files.
     * Delete files store paths relative to it (relocatable manifests).
@@ -912,11 +915,20 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   private def statsMetaFor(dirName: String, cols: Seq[String],
                            written: Seq[String]): Map[String, String] = {
     val present = cols.filter(written.contains)
-    if (present.isEmpty || io.countFiles(loc(dirName), ".parquet") == 0)
-      Map.empty
-    else Map(
-      FileStats.dirKey(dirName) -> FileStats.collect(spark, loc(dirName), present),
-      FileStats.StatsColsKey -> FileStats.joinCols(present))
+    if (present.isEmpty) return Map.empty
+    // footers first: driver-side metadata reads, no second data scan
+    // per write/rewrite. The scanning aggregate remains the fallback
+    // for columns footers cannot bound (INT96 timestamps, identity-
+    // partition columns whose values live in the directory layout).
+    FileStats.collectFromFooters(io, loc(dirName), present) match {
+      case Some(blob) => Map(
+        FileStats.dirKey(dirName) -> blob,
+        FileStats.StatsColsKey -> FileStats.joinCols(present))
+      case None if io.countFiles(loc(dirName), ".parquet") == 0 => Map.empty
+      case None => Map(
+        FileStats.dirKey(dirName) -> FileStats.collect(spark, loc(dirName), present),
+        FileStats.StatsColsKey -> FileStats.joinCols(present))
+    }
   }
 
   /** Write a new snapshot. Overwrite replaces the file set (the
@@ -1755,8 +1767,9 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   def write(df: DataFrame, ident: String, mode: WriteMode = WriteMode.Overwrite,
             partitionBy: Seq[String] = Nil,
-            meta: Map[String, String] = Map.empty): Snapshot =
-    table(ident).write(df, mode, partitionBy, meta)
+            meta: Map[String, String] = Map.empty,
+            statsBy: Seq[String] = Nil): Snapshot =
+    table(ident).write(df, mode, partitionBy, meta, statsBy = statsBy)
 
   def read(ident: String, version: Option[Long] = None): DataFrame =
     table(ident).read(version)

@@ -54,40 +54,123 @@ object LakeDml {
   private def dataFileCount(table: LakeTable, snap: Snapshot): Long =
     snap.dirs.map(d => table.io.countFiles(table.loc(d), ".parquet")).sum
 
-  /** Decide the strategy from the matched rows' actual footprint, then
-    * stage the positional-delete rows ONLY when merge-on-read won.
+  /** Upper-bound the statement's touched-file footprint from manifest
+    * min/max stats alone — no data scan, no filesystem listing.
+    * Returns `(candidateFiles, totalFiles)` when the bound is
+    * meaningful: `preds` nonEmpty AND every data dir carries a stats
+    * blob that covers at least one predicate column. Partial coverage
+    * returns None (a vacuous bound would just bias the decision
+    * toward copy-on-write), and the caller falls back to measuring.
+    */
+  private def statsBound(table: LakeTable, snap: Snapshot,
+                         preds: Seq[LakePredicate]): Option[(Long, Long)] = {
+    if (preds.isEmpty || snap.dirs.isEmpty) return None
+    var cand = 0L
+    var total = 0L
+    snap.dirs.foreach { d =>
+      val blob = snap.meta.get(FileStats.dirKey(d))
+        .orElse(if (snap.dirs.size == 1) snap.meta.get(FileStats.MetaKey) else None)
+      blob match {
+        case Some(json) => FileStats.surviving(json, preds, snap.schema) match {
+          case Some(kept) =>
+            cand += kept.size
+            total += FileStats.fileCount(json)
+          case None => return None // stats don't cover the predicate columns
+        }
+        case None => return None // a dir without stats — bound is vacuous
+      }
+    }
+    Some((cand, total))
+  }
+
+  /** Decide the strategy, preferring manifest stats over measurement,
+    * then stage the positional-delete rows ONLY when merge-on-read won.
     *
-    * The decision pass is one aggregate over the matched scan
-    * projected down to the file-path metadata column — predicate
-    * pushdown and file skipping prune it like any selective read, and
-    * no data column is materialized. Staging-first (write the delete
-    * rows, then count them) was measured 2× slower on copy-on-write
-    * statements: the staged write is pure waste when the statement
-    * rewrites those files anyway, and COW is exactly what Auto picks
-    * for the spread-out predicates where `matched` is large. Returns
-    * the staged dir (to be published by [[LakeTable.commitMor]]) when
-    * merge-on-read won, plus the matched-row count.
+    * Decision ladder (`statsPreds` = predicates IMPLIED by the
+    * statement's match condition):
+    *
+    *  1. **Manifest stats** ([[statsBound]]): candidate files that
+    *     could hold a matched row, counted from min/max blobs on the
+    *     driver — zero Spark jobs. Zero candidates proves the
+    *     statement matches nothing; a candidate count under the MOR
+    *     threshold proves merge-on-read is safe (candidates
+    *     upper-bound touched files). Over the threshold → copy-on-
+    *     write (stats on the predicate columns are tight in practice;
+    *     this is the same static call Iceberg's per-table
+    *     write-mode property makes, made per statement).
+    *  2. **Fallback aggregate** when stats are absent/inapplicable:
+    *     one single-pass `(count, approx_count_distinct(file))` over
+    *     the matched scan projected to the file-path metadata column —
+    *     approx (HLL) instead of exact distinct keeps it one pass (no
+    *     Expand), and a ±2% file-count error is irrelevant against a
+    *     0.5 ratio threshold.
+    *
+    * When merge-on-read wins without measurement, the matched-row
+    * count comes from the staged delete files' parquet footers (a
+    * metadata-only count) — staging is never wasted work on a
+    * copy-on-write statement, preserving the r4 finding that
+    * staging-first measured 2× slower on COW shapes. A stats-decided
+    * copy-on-write runs NO pre-jobs at all — the statement's total
+    * cost is exactly the rewrite, as if no Auto decision existed. The
+    * residual no-op case that decision could miss (candidates above
+    * the threshold yet zero actual matches — stats egregiously loose
+    * on more than half the files AND an empty match) commits a
+    * content-identical overwrite; selective no-ops are caught free by
+    * the zero-candidate check or the staged MOR count. Explicit
+    * strategies report a zero/nonzero indicator from an `isEmpty`
+    * probe (early-exits on the first match); `matched` is by-name so
+    * paths that never measure never build the positional scan.
     */
   private def stageAndDecide(table: LakeTable, base: Snapshot,
-                             matched: DataFrame, strategy: DmlStrategy)
+                             matchedFrame: => DataFrame, strategy: DmlStrategy,
+                             statsPreds: Seq[LakePredicate] = Nil)
       : (Option[org.apache.hadoop.fs.Path], Long) = {
-    val agg = matched.agg(count(lit(1)), countDistinct(col(LakePos.FileCol))).head
-    val (rows, touchedFiles) = (agg.getLong(0), agg.getLong(1))
-    if (rows == 0) return (None, 0L)
-    val mor = strategy match {
-      case DmlStrategy.MergeOnRead => true
-      case DmlStrategy.CopyOnWrite => false
-      case DmlStrategy.Auto =>
-        val total = dataFileCount(table, base)
-        touchedFiles <= math.max(1L, (total * morMaxTouchedRatio).toLong)
-    }
-    if (!mor) return (None, rows)
+    lazy val matched = matchedFrame
+
     // dot-prefixed staging name: invisible to manifests, reclaimed by
     // the orphan sweep if this statement dies before committing
-    val staged = table.loc(s"deletes/.staging-${java.util.UUID.randomUUID()}")
-    DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
-      .write.mode("overwrite").parquet(staged.toString)
-    (Some(staged), rows)
+    def stageFirst(): (Option[org.apache.hadoop.fs.Path], Long) = {
+      val staged = table.loc(s"deletes/.staging-${java.util.UUID.randomUUID()}")
+      DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
+        .write.mode("overwrite").parquet(staged.toString)
+      val rows = matched.sparkSession.read.parquet(staged.toString).count()
+      if (rows == 0) { table.io.delete(staged); (None, 0L) }
+      else (Some(staged), rows)
+    }
+
+    strategy match {
+      case DmlStrategy.MergeOnRead => stageFirst()
+      case DmlStrategy.CopyOnWrite =>
+        (None, if (matched.isEmpty) 0L else 1L)
+      case DmlStrategy.Auto =>
+        statsBound(table, base, statsPreds) match {
+          case Some((cand, _)) if cand == 0 => (None, 0L) // provably no match
+          case Some((cand, total)) =>
+            // merge-on-read needs headroom: strictly fewer candidate
+            // files than the table has (a delete file covering EVERY
+            // file adds read cost for zero write savings — the
+            // single-file table edge where max(1,·) alone would
+            // always pick MOR)
+            if (cand < total &&
+                cand <= math.max(1L, (total * morMaxTouchedRatio).toLong)) stageFirst()
+            else (None, 1L) // stats-decided COW: the rewrite is the only job
+          case None =>
+            val agg = matched.agg(count(lit(1)),
+              approx_count_distinct(col(LakePos.FileCol))).head
+            val (rows, touchedFiles) = (agg.getLong(0), agg.getLong(1))
+            if (rows == 0) (None, 0L)
+            else {
+              val total = dataFileCount(table, base)
+              if (touchedFiles < total &&
+                  touchedFiles <= math.max(1L, (total * morMaxTouchedRatio).toLong)) {
+                val staged = table.loc(s"deletes/.staging-${java.util.UUID.randomUUID()}")
+                DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
+                  .write.mode("overwrite").parquet(staged.toString)
+                (Some(staged), rows)
+              } else (None, rows)
+            }
+        }
+    }
   }
 
   /** DELETE FROM t WHERE cond. Rows where `cond` is TRUE are removed;
@@ -98,8 +181,11 @@ object LakeDml {
     val base = table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val hit = coalesce(cond, lit(false))
+    // analysis-only extraction of the stats-boundable conjuncts of
+    // `cond` — powers the zero-job strategy decision above
+    val preds = PredicateExtract.fromCondition(table.read(Some(base.version)), cond)
     val (delRows, matchedRows) = stageAndDecide(table, base,
-      table.readWithPos(Some(base.version)).where(hit), strategy)
+      table.readWithPos(Some(base.version)).where(hit), strategy, preds)
     delRows match {
       case _ if matchedRows == 0 => base // nothing matched: no new snapshot
       case Some(staged) => table.commitMor("delete", staged, None, base)
@@ -122,8 +208,10 @@ object LakeDml {
     val cols = base.schema.fieldNames.toSeq
     require(set.keySet.subsetOf(cols.toSet), s"unknown SET columns: ${set.keySet -- cols}")
     val hit = coalesce(cond, lit(false))
-    val matched = table.readWithPos(Some(base.version)).where(hit)
-    val (delRows, matchedRows) = stageAndDecide(table, base, matched, strategy)
+    // lazy: a stats-decided COW never builds the positional scan
+    lazy val matched = table.readWithPos(Some(base.version)).where(hit)
+    val preds = PredicateExtract.fromCondition(table.read(Some(base.version)), cond)
+    val (delRows, matchedRows) = stageAndDecide(table, base, matched, strategy, preds)
     delRows match {
       case _ if matchedRows == 0 => base
       case Some(staged) =>
@@ -164,8 +252,28 @@ object LakeDml {
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad merge keys: $keys")
     require(keys.forall(source.columns.contains), s"merge keys missing from source: ${keys.filterNot(source.columns.contains)}")
 
-    val srcDup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(srcDup == 0, "MERGE source has duplicate keys — ambiguous match")
+    // ONE aggregate over the source covers three needs: the key-
+    // uniqueness check, per-key min/max ranges (every matched target
+    // row's key lies in the source's key range — the stats-boundable
+    // predicate that lets the strategy decision skip scanning the
+    // target), and per-key null counts (a null source key matches
+    // null target keys through the null-safe join, which min/max
+    // can't see — such a key contributes no range predicate)
+    val perKey = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    val srcAggCols = max(col("_n")) +: keys.flatMap(k =>
+      Seq(min(col(k)), max(col(k)), count(when(col(k).isNull, 1))))
+    val srcAgg = perKey.agg(srcAggCols.head, srcAggCols.tail: _*).head
+    val srcEmpty = srcAgg.isNullAt(0)
+    require(srcEmpty || srcAgg.getLong(0) <= 1,
+      "MERGE source has duplicate keys — ambiguous match")
+    val keyPreds =
+      if (srcEmpty) Nil
+      else keys.zipWithIndex.flatMap { case (k, i) =>
+        val (lo, hi, nulls) = (srcAgg.get(1 + 3 * i), srcAgg.get(2 + 3 * i),
+          srcAgg.getLong(3 + 3 * i))
+        if (nulls > 0 || lo == null || hi == null) Nil
+        else Seq(LakePredicate.GtEq(k, lo), LakePredicate.LtEq(k, hi))
+      }
 
     // presence markers instead of key-null tests: a null-safe (<=>)
     // join legitimately matches null-key rows on both sides, which
@@ -193,7 +301,7 @@ object LakeDml {
 
     val (delRows, matchedRows) = stageAndDecide(table, base,
       joined.where(matched).select(tgt(LakePos.FileCol).as(LakePos.FileCol),
-        tgt(LakePos.PosCol).as(LakePos.PosCol)), strategy)
+        tgt(LakePos.PosCol).as(LakePos.PosCol)), strategy, keyPreds)
     delRows match {
       case Some(staged) =>
         // only the rows the MERGE actually produces move; the rest of

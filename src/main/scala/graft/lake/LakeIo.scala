@@ -102,11 +102,134 @@ private[lake] object CommitArbiter {
     */
   def forceFs: Boolean = sys.props.get("graft.lake.forceFsArbiter").exists(_.toBoolean)
 
+  /** Force the conditional-PUT arbiter on file:// roots (tests prove
+    * the object-store-shaped path end-to-end without an object store).
+    */
+  def forceConditionalPut: Boolean =
+    sys.props.get("graft.lake.forceConditionalPutArbiter").exists(_.toBoolean)
+
   def forRoot(io: LakeIo, qualifiedRoot: HPath): CommitArbiter = {
     val scheme = qualifiedRoot.toUri.getScheme
-    if (scheme == "file" && !forceFs) new LocalCommitArbiter
+    if (forceConditionalPut) new ConditionalPutCommitArbiter(new FsConditionalStore(io))
+    else if (scheme == "file" && !forceFs) new LocalCommitArbiter
     else new FsCommitArbiter(io)
   }
+}
+
+/** The single primitive a modern object store offers for coordination:
+  * an atomic conditional write. S3 `PUT` with `If-None-Match: *`
+  * (supported since 2024), GCS `x-goog-if-generation-match: 0`, and
+  * ADLS `If-None-Match: *` all give exactly "create this key iff it
+  * does not exist" — evaluated atomically SERVER-side, immune to the
+  * eventual listings and copy+delete renames that make
+  * check-then-act over S3A unsound. Everything the commit protocol
+  * needs reduces to this one call (see
+  * [[ConditionalPutCommitArbiter]]); a production binding is a thin
+  * HTTP client per store.
+  */
+private[lake] trait ConditionalStore {
+  /** Atomically create `key` holding `content` iff absent: true = we
+    * created it; false = the key already existed (HTTP 412). May throw
+    * on transport failure AFTER the write landed (the lost-response
+    * case) — callers must treat a subsequent 412 + matching content as
+    * their own success.
+    */
+  def putIfAbsent(key: HPath, content: Array[Byte]): Boolean
+  def get(key: HPath): Option[Array[Byte]]
+  def delete(key: HPath): Unit
+  def mtimeMs(key: HPath): Option[Long]
+}
+
+/** Offline stand-in for a conditional-write object store, backed by
+  * the warehouse filesystem. The conditional check is serialized by a
+  * JVM-wide per-key lock — an honest emulation of the store's
+  * SERVER-side atomicity (all local[*] writers share this JVM, just
+  * as all S3 writers share the service's internal serialization). The
+  * protocol code above never exploits filesystem atomicity: swap this
+  * class for an S3/GCS/ADLS client and [[ConditionalPutCommitArbiter]]
+  * is unchanged.
+  */
+private[lake] final class FsConditionalStore(io: LakeIo) extends ConditionalStore {
+  import FsConditionalStore.lockFor
+  def putIfAbsent(key: HPath, content: Array[Byte]): Boolean =
+    lockFor(io.qualify(key).toString).synchronized {
+      if (io.exists(key)) false
+      else {
+        val out = io.fs.create(key, false)
+        try out.write(content) finally out.close()
+        true
+      }
+    }
+  def get(key: HPath): Option[Array[Byte]] =
+    try {
+      val in = io.fs.open(key)
+      try Some(in.readAllBytes()) finally in.close()
+    } catch { case _: java.io.IOException => None }
+  def delete(key: HPath): Unit =
+    try { io.fs.delete(key, false); () } catch { case _: java.io.IOException => () }
+  def mtimeMs(key: HPath): Option[Long] = io.mtimeMs(key)
+}
+
+private[lake] object FsConditionalStore {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+}
+
+/** Commit arbiter for conditional-write object stores — the missing
+  * third implementation the reference's own warehouse needs
+  * (`s3a://mybucket`, /root/reference/dags/utils/constants/constant.py:49-54):
+  * both protocol primitives map onto ONE store call, the atomic
+  * create-if-absent PUT.
+  *
+  * Retry semantics are where object stores differ from filesystems: a
+  * conditional PUT can LAND and then lose its response (timeout,
+  * connection reset). The SDK retry then sees 412 — from its own
+  * first attempt. Every operation here therefore resolves an
+  * ambiguous 412 by reading the key back and comparing content
+  * against what it tried to write: claims carry a writer-unique
+  * token, manifests are writer-unique by construction (fresh uuid dir
+  * names in every commit), so matching content proves ownership and
+  * the operation reports success idempotently. Without this check a
+  * lost response would turn a WON commit into a perceived loss, and
+  * the commit loop's rebase-and-retry would publish the same staged
+  * dirs twice under two versions.
+  */
+private[lake] final class ConditionalPutCommitArbiter(store: ConditionalStore)
+    extends CommitArbiter {
+  private val writerId =
+    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-${UUID.randomUUID()}"
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** putIfAbsent with transport-retry: an IOException may mean the
+    * write landed; retry, then let the 412 path's content compare
+    * decide ownership.
+    */
+  private def putResolvingOwnership(key: HPath, content: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (store.putIfAbsent(key, content)) return true
+        // 412: either a competitor's, or our own earlier attempt's
+        return store.get(key).exists(java.util.Arrays.equals(_, content))
+      } catch {
+        case _: java.io.IOException if attempt < 3 => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
+  def tryClaim(claim: HPath): Boolean =
+    putResolvingOwnership(claim, utf8(writerId))
+
+  def claimAgeMs(claim: HPath): Option[Long] =
+    store.mtimeMs(claim).map(t => System.currentTimeMillis() - t)
+
+  def releaseClaim(claim: HPath): Unit = store.delete(claim)
+
+  def publishIfAbsent(manifest: HPath, content: String): Boolean =
+    putResolvingOwnership(manifest, utf8(content))
 }
 
 /** POSIX arbiter: O_EXCL exclusive create for the claim; temp-file +

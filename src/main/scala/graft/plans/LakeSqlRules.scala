@@ -67,66 +67,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * dirs/files.
     */
   private def lakePreds(cond: Expression,
-                        r: DataSourceV2Relation): Seq[graft.lake.LakePredicate] = {
-    import graft.lake.{LakePredicate => LP}
-    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
-    val attrs = r.outputSet
-    // literal side, through type-coercion wrappers: `id = 317` analyzes
-    // as EqualTo(id, Cast(317 AS BIGINT)) — any deterministic foldable
-    // expression collapses to its value (constant folding has not run
-    // yet in post-hoc resolution)
-    object Lit {
-      def unapply(e: Expression): Option[Literal] = e match {
-        case l: Literal => Some(l)
-        case _ if e.foldable && e.deterministic =>
-          scala.util.Try(Literal.create(e.eval(), e.dataType)).toOption
-        case _ => None
-      }
-    }
-    // the attribute side, through NO-OP casts (in-list coercion wraps
-    // `id IN (...)` as `cast(id as bigint) IN (...)` even when id is
-    // already bigint; a type-CHANGING cast never strips — pushing the
-    // raw column against a differently-typed probe is not implied)
-    object Attr {
-      def unapply(e: Expression): Option[AttributeReference] = e match {
-        case a: AttributeReference => Some(a)
-        case c: Cast if c.dataType == c.child.dataType => unapply(c.child)
-        case _ => None
-      }
-    }
-    def value(l: Literal): Option[Any] =
-      if (l.value == null) None else Some(convertToScala(l.value, l.dataType))
-    conjuncts(cond).flatMap {
-      case EqualTo(Attr(a), Lit(l)) if attrs.contains(a) =>
-        value(l).map(LP.EqualTo(a.name, _))
-      case EqualTo(Lit(l), Attr(a)) if attrs.contains(a) =>
-        value(l).map(LP.EqualTo(a.name, _))
-      case GreaterThanOrEqual(Attr(a), Lit(l)) if attrs.contains(a) =>
-        value(l).map(LP.GtEq(a.name, _))
-      case LessThanOrEqual(Lit(l), Attr(a)) if attrs.contains(a) =>
-        value(l).map(LP.GtEq(a.name, _))
-      case LessThanOrEqual(Attr(a), Lit(l)) if attrs.contains(a) =>
-        value(l).map(LP.LtEq(a.name, _))
-      case GreaterThanOrEqual(Lit(l), Attr(a)) if attrs.contains(a) =>
-        value(l).map(LP.LtEq(a.name, _))
-      // strict bounds relax to inclusive — still implied, still prune
-      case GreaterThan(Attr(a), Lit(l)) if attrs.contains(a) =>
-        value(l).map(LP.GtEq(a.name, _))
-      case LessThan(Lit(l), Attr(a)) if attrs.contains(a) =>
-        value(l).map(LP.GtEq(a.name, _))
-      case LessThan(Attr(a), Lit(l)) if attrs.contains(a) =>
-        value(l).map(LP.LtEq(a.name, _))
-      case GreaterThan(Lit(l), Attr(a)) if attrs.contains(a) =>
-        value(l).map(LP.LtEq(a.name, _))
-      // IN over literals → multi-point pruning (non-null values only;
-      // a NULL element never equals-true, so dropping it is implied)
-      case In(Attr(a), list) if attrs.contains(a) &&
-          list.nonEmpty && list.forall(Lit.unapply(_).isDefined) =>
-        val vs = list.flatMap(e => value(Lit.unapply(e).get))
-        if (vs.isEmpty) None else Some(LP.In(a.name, vs))
-      case _ => None
-    }
-  }
+                        r: DataSourceV2Relation): Seq[graft.lake.LakePredicate] =
+    graft.lake.PredicateExtract.extract(cond, r.outputSet)
 
   /** Replace a graft DSv2 relation with the snapshot scan plan, keeping
     * the relation's output exprIds (the resolved query above references

@@ -224,7 +224,10 @@ object LakeQueries {
     import spark.implicits._
     val cat = freshCatalog(spark)
     val customer = Tables(spark, dir).customer
-    cat.write(customer, "silver.customer", WriteMode.Overwrite)
+    // declared stats on the merge key: the Auto strategy decision then
+    // reads manifest min/max blobs instead of scanning the target
+    cat.write(customer, "silver.customer", WriteMode.Overwrite,
+      statsBy = Seq("c_custkey"))
     val updates = customer.filter($"c_nationkey" < 5)
       .withColumn("c_acctbal", $"c_acctbal" * 2)
     val inserts = Seq(
@@ -438,7 +441,10 @@ object LakeQueries {
     spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
     val cat = new LakeCatalog(spark, wh)
     val customer = Tables(spark, dir).customer
-    cat.write(customer, "silver.customer", WriteMode.Overwrite)
+    // stats on the merge key + the UPDATE/DELETE predicate columns:
+    // every Auto strategy decision below resolves from manifest blobs
+    cat.write(customer, "silver.customer", WriteMode.Overwrite,
+      statsBy = Seq("c_custkey", "c_mktsegment", "c_nationkey"))
     val updates = customer.filter($"c_nationkey" < 5)
       .withColumn("c_acctbal", $"c_acctbal" * 2)
     val inserts = Seq(
@@ -462,7 +468,8 @@ object LakeQueries {
   def updateDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cat = freshCatalog(spark)
-    cat.write(Tables(spark, dir).customer, "silver.customer", WriteMode.Overwrite)
+    cat.write(Tables(spark, dir).customer, "silver.customer", WriteMode.Overwrite,
+      statsBy = Seq("c_mktsegment", "c_nationkey"))
     val t = cat.table("silver.customer")
     LakeDml.update(t, col("c_mktsegment") === "BUILDING",
       Map("c_acctbal" -> -col("c_acctbal")))

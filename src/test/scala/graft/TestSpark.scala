@@ -13,6 +13,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps: parquet footers then carry real
+      // min/max stats (INT96 gets none), powering write-time stats
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .config("spark.ui.enabled", "false")

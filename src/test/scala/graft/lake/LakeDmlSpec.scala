@@ -240,6 +240,73 @@ class LakeDmlSpec extends AnyFunSuite {
     assert(t.read(None).count() === 401)
   }
 
+  test("Auto decision resolves from manifest stats: zero jobs on a provable no-match") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-stats-").toString)
+    val df = (1L to 400L).map(i => (i, s"name$i", i * 1.0)).toDF("id", "name", "v")
+    cat.write(df.repartitionByRange(8, $"id").sortWithinPartitions($"id"), "ns.s",
+      WriteMode.Overwrite, statsBy = Seq("id"))
+    val t = cat.table("ns.s")
+    val v0 = t.latest.get.version
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // no file's [min,max] can contain the probe → decided on the
+      // driver from manifest blobs, no Spark job, no new snapshot
+      val s = LakeDml.delete(t, $"id" === 100000L)
+      org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark.sparkContext)
+      assert(s.version === v0)
+      assert(jobs === 0, s"expected a zero-job stats decision, ran $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // stats bound 1 of 8 range-disjoint files → merge-on-read without
+    // the decision aggregate; then a spread predicate → copy-on-write
+    val s1 = LakeDml.delete(t, $"id" <= 3L)
+    assert(s1.op === "delete" && s1.deleteDirs.nonEmpty)
+    val s2 = LakeDml.delete(t, $"id" >= 10L)
+    assert(s2.op === "overwrite" && s2.deleteDirs.isEmpty)
+    assert(t.read(None).select($"id").as[Long].collect().sorted === (4L to 9L).toArray)
+  }
+
+  test("merge Auto decision bounds touched files from source key ranges") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-stats-m-").toString)
+    val df = (1L to 400L).map(i => (i, s"name$i", i * 1.0)).toDF("id", "name", "v")
+    cat.write(df.repartitionByRange(8, $"id").sortWithinPartitions($"id"), "ns.s",
+      WriteMode.Overwrite, statsBy = Seq("id"))
+    val t = cat.table("ns.s")
+    // source keys span one file's range → stats pick merge-on-read
+    val src = Seq((1L, "u1", -1.0), (2L, "u2", -2.0)).toDF("id", "name", "v")
+    val s = LakeDml.merge(t, src, keys = Seq("id"))
+    assert(s.op === "merge" && s.deleteDirs.nonEmpty)
+    assert(t.read(None).filter($"id" <= 2L).select($"name").as[String].collect().sorted
+      === Array("u1", "u2"))
+  }
+
+  test("merge with a null source key ignores key ranges (null-safe match survives)") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-stats-n-").toString)
+    val base = (1L to 400L).map(i => (Some(i), s"name$i", i * 1.0)) :+
+      (Option.empty[Long], "n0", -5.0)
+    cat.write(base.toDF("id", "name", "v").repartitionByRange(8, $"id")
+        .sortWithinPartitions($"id"), "ns.s",
+      WriteMode.Overwrite, statsBy = Seq("id"))
+    val t = cat.table("ns.s")
+    // a null source key matches the null target key through the
+    // null-safe join, but min/max ranges can't see it: if the range
+    // bound [100000,100000] were trusted, the decision would claim
+    // zero matches and the null-key UPDATE would be silently dropped
+    val src = Seq((Option.empty[Long], "n1", -6.0), (Some(100000L), "new", 1.0))
+      .toDF("id", "name", "v")
+    LakeDml.merge(t, src, keys = Seq("id"))
+    val got = t.read(None).filter($"id".isNull || $"id" === 100000L)
+      .select($"name").as[String].collect().sorted
+    assert(got === Array("n1", "new"))
+  }
+
   test("MOR: works on hidden-partitioned tables; expiry reclaims delete dirs") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("dml-mor-hp-").toString)
     val df = Seq(
