@@ -47,6 +47,7 @@ object SparkEntry {
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
+    "lake_branch"           -> (LakeQueries.branchWap _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -286,6 +287,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT -c_custkey, c_name, c_nationkey, 0.0, 'STAGED'
         |FROM customer WHERE c_nationkey = 7
+        |ORDER BY c_custkey""".stripMargin,
+
+    // two branch validation writes fast-forwarded onto main — final
+    // state is base plus both audited batches
+    "lake_branch" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT -c_custkey, c_name, c_nationkey, 0.0, 'AUDIT1'
+        |FROM customer WHERE c_nationkey < 3
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_nationkey, -1.0, 'AUDIT2'
+        |FROM customer WHERE c_nationkey BETWEEN 10 AND 12
         |ORDER BY c_custkey""".stripMargin,
 
     // 4-version history over disjoint key ranges → closed-form

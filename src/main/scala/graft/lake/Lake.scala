@@ -159,6 +159,17 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
 
   private def versionsDir: HPath = loc("_versions")
 
+  // a branch is a parallel commit lineage under _branches/<name>/ with
+  // its own claim/manifest sequence; its manifests reference data dirs
+  // under the SAME table root, so every read/commit helper (scan,
+  // stats, delete application) works on branch snapshots unchanged
+  private def lineageVersionsDir(branch: Option[String]): HPath =
+    branch.map(b => loc(s"_branches/$b")).getOrElse(versionsDir)
+  private def lineageManifestPath(branch: Option[String], v: Long): HPath =
+    new HPath(lineageVersionsDir(branch), f"v$v%08d.json")
+  private def lineageLatest(branch: Option[String]): Option[Snapshot] =
+    branch.fold(latest)(branchHead)
+
   private def manifestPath(v: Long): HPath = new HPath(versionsDir, f"v$v%08d.json")
 
   private def manifestNames(): Seq[String] =
@@ -723,15 +734,16 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            deleteDirsOverride: Option[Seq[String]] = None,
                            newEqDeletes: Seq[(Seq[String], String)] = Nil,
                            eqDeletesOverride: Option[Seq[String]] = None,
-                           newDirSeqs: Seq[Long] = Nil): Snapshot = {
-    io.mkdirs(versionsDir)
+                           newDirSeqs: Seq[Long] = Nil,
+                           branch: Option[String] = None): Snapshot = {
+    io.mkdirs(lineageVersionsDir(branch))
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
     val deadline = System.currentTimeMillis() + math.max(2 * LakeTable.StaleClaimMs, 10000L)
     var attempts = 0
     while (System.currentTimeMillis() < deadline) {
       attempts += 1
-      val base = latest
+      val base = lineageLatest(branch)
       // read-modify-write commits (DML, compact) must fail rather than
       // silently discard a concurrent commit made after their base read
       expectedBase.foreach { eb =>
@@ -764,7 +776,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             s"table $rootLocation schema changed concurrently since the append was planned; retry the append")
       }
       val next = base.map(_.version).getOrElse(0L) + 1
-      val claim = new HPath(versionsDir, f"v$next%08d.claim")
+      val claim = new HPath(lineageVersionsDir(branch), f"v$next%08d.claim")
       if (arbiter.tryClaim(claim)) {
         val carriedDirs = if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil
         val dirs = carriedDirs ++ newDirs
@@ -866,7 +878,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         // ours was published, the staged dirs recommit under the next
         // version, and the loop's expectedBase/spec/schema
         // revalidation decides whether the retry is still legal.
-        if (arbiter.publishIfAbsent(manifestPath(next), Manifest.toJson(snap))) {
+        if (arbiter.publishIfAbsent(lineageManifestPath(branch, next), Manifest.toJson(snap))) {
           arbiter.releaseClaim(claim) // served its purpose; don't accumulate
           return snap
         }
@@ -874,7 +886,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       }
       // claim race lost: wait for the winner's manifest, reclaiming
       // orphaned claims whose writer died mid-commit
-      if (!io.exists(manifestPath(next)))
+      if (!io.exists(lineageManifestPath(branch, next)))
         arbiter.claimAgeMs(claim).foreach { age => // None = winner just published
           if (age > LakeTable.StaleClaimMs) arbiter.releaseClaim(claim)
         }
@@ -939,14 +951,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   def write(df: DataFrame, mode: WriteMode, partitionBy: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty,
             expectedBase: Option[Long] = None,
-            statsBy: Seq[String] = Nil): Snapshot = {
+            statsBy: Seq[String] = Nil,
+            branch: Option[String] = None): Snapshot = {
     // Append carries prior dirs forward, so its spec must be the
     // table's spec: an unspecified spec inherits the base snapshot's
     // (the common callers — streaming sink, incremental extract —
     // never re-state it), and a CONFLICTING spec is rejected up front:
     // committing it would union partitioned and unpartitioned dirs and
     // break every subsequent read of the table.
-    val base = latest
+    val base = lineageLatest(branch)
     val effectiveSpec = mode match {
       case WriteMode.Append =>
         base match {
@@ -997,7 +1010,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       // claim race against a schema-changing commit must fail (and be
       // re-planned) instead of publishing a schema that hides the
       // concurrent change
-      expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None)
+      expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None,
+      branch = branch)
   }
 
   /** Streaming/CDC upsert (the Flink→Iceberg upsert write shape):
@@ -1476,7 +1490,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   def tagVersion(name: String): Option[Long] = {
     if (!io.exists(refPath(name))) return None
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    Some(om.readTree(io.readString(refPath(name))).get("version").asLong())
+    val n = om.readTree(io.readString(refPath(name)))
+    // branch refs share the _refs namespace but are not tags
+    if (n.has("type") && n.get("type").asText() == "branch") None
+    else Some(n.get("version").asLong())
   }
 
   /** All tags as (name, version), sorted by name. */
@@ -1488,6 +1505,152 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   def readTag(name: String): DataFrame =
     read(Some(tagVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no tag '$name' at $rootLocation"))))
+
+  // -- branches (mutable refs; audit-then-publish lineage) ----------------
+
+  /** Create a named BRANCH at `version` (default: the current main
+    * head) — Iceberg's `ALTER TABLE ... CREATE BRANCH` surface and the
+    * multi-write half of write-audit-publish that staged single
+    * commits ([[stageAppend]]) cannot cover: a validation pipeline
+    * writes to the branch as many times as it needs
+    * ([[writeBranch]]), audits with [[readBranch]], then
+    * [[fastForward]] publishes the whole branch state onto main as
+    * ONE metadata-only commit. Until then no main reader sees any of
+    * it; [[dropBranch]] abandons it and the orphan sweep reclaims its
+    * dirs.
+    *
+    * A branch is a parallel commit lineage under `_branches/<name>/`
+    * using the SAME optimistic claim/publish protocol and the same
+    * data-dir namespace as main. Branch versions CONTINUE main's
+    * numbering from the base version, keeping commit sequences in one
+    * ordered space — carried equality deletes keep applying only to
+    * strictly-older dirs on the branch too.
+    */
+  def createBranch(name: String, version: Option[Long] = None): Long = {
+    require(RefName.matches(name), s"bad branch name '$name'")
+    val v = version.orElse(latest.map(_.version)).getOrElse(
+      throw new IllegalStateException(s"empty table at $root"))
+    val base = snapshotAt(v).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot v$v at $rootLocation to branch from"))
+    io.mkdirs(lineageVersionsDir(Some(name)))
+    // lineage first, ref second: a ref must never point at nothing
+    require(arbiter.publishIfAbsent(lineageManifestPath(Some(name), v),
+        Manifest.toJson(base.copy(op = "branch"))),
+      s"branch '$name' lineage already exists at $rootLocation")
+    io.mkdirs(refsDir)
+    if (!arbiter.publishIfAbsent(refPath(name),
+        s"""{"name":"${name}","type":"branch","base":$v}""")) {
+      io.delete(lineageVersionsDir(Some(name)))
+      throw new IllegalArgumentException(s"ref '$name' already exists at $rootLocation")
+    }
+    v
+  }
+
+  /** The main version a branch was created from, or None when no such
+    * branch exists.
+    */
+  def branchBase(name: String): Option[Long] = {
+    if (!io.exists(refPath(name))) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(io.readString(refPath(name)))
+    if (n.has("type") && n.get("type").asText() == "branch") Some(n.get("base").asLong())
+    else None
+  }
+
+  /** The branch's newest snapshot (its manifests live in the branch
+    * lineage dir; data dirs are shared with main's namespace).
+    */
+  def branchHead(name: String): Option[Snapshot] = {
+    val manifests = io.list(lineageVersionsDir(Some(name))).map(_.getPath)
+      .filter(_.getName.matches("v\\d{8}\\.json"))
+    if (manifests.isEmpty) None
+    else Manifest.read(io, manifests.maxBy(_.getName))
+  }
+
+  private def branchHistory(name: String): Seq[Snapshot] =
+    io.list(lineageVersionsDir(Some(name))).map(_.getPath)
+      .filter(_.getName.matches("v\\d{8}\\.json")).sortBy(_.getName)
+      .flatMap(p => Manifest.read(io, p))
+
+  /** All branches as (name, baseVersion, headVersion), sorted. */
+  def branches: Seq[(String, Long, Long)] =
+    io.list(refsDir).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).sorted
+      .flatMap(n => branchBase(n).flatMap(b => branchHead(n).map(h => (n, b, h.version))))
+
+  /** Append/overwrite on the branch lineage — full write semantics
+    * (schema merge, spec inheritance, stats auto-collect) against the
+    * BRANCH head; main is untouched.
+    */
+  def writeBranch(name: String, df: DataFrame, mode: WriteMode,
+                  partitionBy: Seq[String] = Nil,
+                  statsBy: Seq[String] = Nil): Snapshot = {
+    require(branchBase(name).nonEmpty, s"no branch '$name' at $rootLocation")
+    write(df, mode, partitionBy, statsBy = statsBy, branch = Some(name))
+  }
+
+  /** The table as the branch sees it — the audit read. */
+  def readBranch(name: String, version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => branchHistory(name).find(_.version == v).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot v$v on branch '$name' at $rootLocation"))
+      case None => branchHead(name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' at $rootLocation"))
+    }
+    scanOf(snap, Nil, keepPos = false)
+  }
+
+  /** Publish the branch head onto main as one metadata-only commit
+    * (Iceberg's `fast_forward` procedure). Requires main not to have
+    * moved since the branch was created — fast-forward is an ancestor
+    * move, anything else needs a rebase (re-branch from the new head
+    * and replay). The branch is dropped on success: its state IS
+    * main's state now.
+    */
+  def fastForward(name: String): Snapshot = {
+    val baseV = branchBase(name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $rootLocation"))
+    val head = branchHead(name).getOrElse(
+      throw new IllegalArgumentException(s"branch '$name' has no lineage at $rootLocation"))
+    val cur = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    if (cur.version != baseV) throw new java.util.ConcurrentModificationException(
+      s"main moved from v$baseV to v${cur.version} since branch '$name' was created; " +
+        "fast-forward must be an ancestor move — re-branch from the new head and replay")
+    // dirs minted ON the branch re-stamp to the published version (-1
+    // sentinel): their branch-lineage sequences may exceed main's next
+    // version, which would let them escape later equality deletes.
+    // Dirs inherited from the base keep their original sequences.
+    val baseDirs = branchHistory(name).headOption.map(_.dirs.toSet).getOrElse(Set.empty)
+    val snap = commit("fast-forward", head.dirs, carryForward = false, head.partitionBy,
+      head.schemaJson, meta = head.meta, expectedBase = Some(cur.version),
+      newDirSchemas = head.dirs.indices.map(head.dirSchemaJson),
+      newDeleteDirs = head.deleteDirs, allowSpecChange = true,
+      newDirSpecs = head.dirs.indices.map(i => Snapshot.joinSpec(head.dirSpec(i))),
+      eqDeletesOverride = Some(head.eqDeletes),
+      newDirSeqs = head.dirs.zipWithIndex.map { case (d, i) =>
+        if (baseDirs.contains(d)) head.dirSeq(i) else -1L
+      })
+    dropBranch(name)
+    snap
+  }
+
+  /** Drop the branch ref and lineage. Dirs only it referenced become
+    * orphans and are reclaimed by [[removeOrphanFiles]] after the
+    * grace period.
+    */
+  def dropBranch(name: String): Boolean = {
+    val had = io.delete(refPath(name))
+    io.delete(lineageVersionsDir(Some(name)))
+    had
+  }
+
+  /** Dirs any live branch references (liveness for expiry/orphan
+    * sweeps) — all branch lineage snapshots, not just heads, so a
+    * branch's own history stays readable while it exists.
+    */
+  private def branchLiveDirs: Set[String] =
+    branches.map(_._1).flatMap(branchHistory)
+      .flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet
 
   /** Stage an append WITHOUT publishing it (Iceberg's
     * write-audit-publish pattern): data lands in a normal immutable
@@ -1522,19 +1685,21 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     id
   }
 
-  private def stagedInfo(id: String): (Seq[String], String) = {
+  private def stagedInfo(id: String): (Seq[String], String, Seq[String]) = {
     require(io.exists(stagedPath(id)), s"no staged commit '$id' at $rootLocation")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(io.readString(stagedPath(id)))
     val a = n.get("dirs")
-    ((0 until a.size()).map(a.get(_).asText()), n.get("baseSchemaJson").asText())
+    val pb = n.get("partitionBy")
+    ((0 until a.size()).map(a.get(_).asText()), n.get("baseSchemaJson").asText(),
+      if (pb == null) Nil else (0 until pb.size()).map(pb.get(_).asText()))
   }
 
   /** The table AS IF the staged commit were published: current
     * snapshot plus the staged rows — the audit read.
     */
   def readStaged(id: String): DataFrame = {
-    val (dirs, schemaJson) = stagedInfo(id)
+    val (dirs, schemaJson, _) = stagedInfo(id)
     val cur = resolve(None).schema
     read(None).unionByName(readDirsAligned(dirs.map(_ -> schemaJson), cur))
   }
@@ -1544,11 +1709,17 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * commit intact for re-audit) if the schema evolved since staging.
     */
   def publishStaged(id: String, meta: Map[String, String] = Map.empty): Snapshot = {
-    val (dirs, stagedSchema) = stagedInfo(id)
+    val (dirs, stagedSchema, stagedSpec) = stagedInfo(id)
     val base = latest.getOrElse(
       throw new IllegalStateException(s"empty table at $root"))
     require(base.schemaJson == stagedSchema,
       s"table schema changed since staging '$id'; discard and re-stage")
+    // the staged dir was physically laid out under the spec current at
+    // stage time; publishing it under a DIFFERENT spec would read null
+    // partition values / wrong pruning for identity partitions
+    require(base.partitionBy == stagedSpec,
+      s"table partition spec changed since staging '$id' " +
+        s"(${stagedSpec.mkString(",")} -> ${base.partitionBy.mkString(",")}); discard and re-stage")
     val statsMeta = dirs.headOption.map(d =>
       statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
       .getOrElse(Map.empty[String, String])
@@ -1566,7 +1737,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
 
   /** Discard a staged append: data dirs and staged manifest go. */
   def discardStaged(id: String): Unit = {
-    val (dirs, _) = stagedInfo(id)
+    val (dirs, _, _) = stagedInfo(id)
     io.delete(stagedPath(id))
     dirs.foreach(d => io.delete(loc(d)))
   }
@@ -1627,7 +1798,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     if (expired.isEmpty) return (0, 0)
     val gone = expired.map(_.version).toSet
     val retained = all.filterNot(s => gone.contains(s.version))
-    val live = retained.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet
+    // live branches pin their dirs exactly like retained snapshots do
+    val live = retained.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet ++
+      branchLiveDirs
     // delete manifests first: a concurrent reader that resolved an
     // expired version may still finish if its dirs are shared with a
     // retained snapshot; dirs go second and only when unreferenced
@@ -1649,7 +1822,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // staged (write-audit-publish) commits keep their dirs alive until
     // published or discarded
     val live = history.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs).toSet ++
-      stagedLiveDirs
+      stagedLiveDirs ++ branchLiveDirs
     val cutoff = System.currentTimeMillis() - graceMs
     // all three staging roots: data commits land under data/,
     // positional delete files under deletes/, equality delete files

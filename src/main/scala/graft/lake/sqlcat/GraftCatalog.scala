@@ -78,10 +78,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = lakeTable(ident)
+    // ref-based travel resolves branches too: `VERSION AS OF 'audit'`
+    // reads the branch head (Iceberg's branch read surface)
+    if (version.toLongOption.isEmpty && t.branchBase(version).nonEmpty)
+      return new GraftSparkTable(s"$catName.${identString(ident)}@$version", t, None,
+        branchName = Some(version))
     val v = version.toLongOption
       .orElse(t.tagVersion(version))
       .getOrElse(throw new IllegalArgumentException(
-        s"graft version must be a snapshot number or tag name, got '$version'"))
+        s"graft version must be a snapshot number, tag or branch name, got '$version'"))
     if (t.history.forall(_.version != v)) throw new NoSuchTableException(ident)
     new GraftSparkTable(s"$catName.${identString(ident)}@v$v", t, Some(v))
   }
@@ -228,11 +233,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   */
 final class GraftSparkTable(tableName: String, val lake: LakeTable,
                             val pinnedVersion: Option[Long],
-                            metaTable: Option[String] = None) extends Table {
-  private def snap = pinnedVersion match {
-    case Some(v) => lake.history.find(_.version == v)
-    case None    => lake.latest
+                            metaTable: Option[String] = None,
+                            val branchName: Option[String] = None) extends Table {
+  private def snap = branchName match {
+    case Some(b) => lake.branchHead(b)
+    case None => pinnedVersion match {
+      case Some(v) => lake.history.find(_.version == v)
+      case None    => lake.latest
+    }
   }
+
+  /** Branch-head read for `VERSION AS OF '<branch>'` handles. */
+  def branchFrame: Option[org.apache.spark.sql.DataFrame] =
+    branchName.map(lake.readBranch(_))
 
   /** The metadata frame this handle addresses (None = the data table).
     * Built fresh per call: metadata tables reflect the live state.

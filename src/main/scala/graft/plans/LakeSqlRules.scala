@@ -76,7 +76,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def readPlan(r: DataSourceV2Relation, gst: GraftSparkTable,
                        preds: Seq[graft.lake.LakePredicate] = Nil): LogicalPlan = {
-    val child = gst.metaFrame.getOrElse(gst.lake.scan(preds, gst.pinnedVersion))
+    val child = gst.branchFrame.orElse(gst.metaFrame)
+      .getOrElse(gst.lake.scan(preds, gst.pinnedVersion))
       .queryExecution.analyzed
     val resolver = spark.sessionState.conf.resolver
     val out = r.output.map { attr =>

@@ -367,6 +367,41 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Branch-based write-audit-publish (Iceberg's `spark.wap.branch`
+    * surface): a branch takes MULTIPLE validation writes — the case
+    * single staged commits cannot cover — while main readers see
+    * nothing; fast-forward then publishes the whole branch state as
+    * ONE metadata-only main commit. Invisibility, branch visibility,
+    * and the single-commit publish are asserted inline; the oracle
+    * checks the published result.
+    */
+  def branchWap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)
+    val t = cat.table("silver.customer")
+    t.createBranch("audit")
+    val batch1 = customer.filter($"c_nationkey" < 3).select(
+      (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      lit(0.0).as("c_acctbal"), lit("AUDIT1").as("c_mktsegment"))
+    val batch2 = customer.filter($"c_nationkey".between(10, 12)).select(
+      ($"c_custkey" + 10000000L).as("c_custkey"), $"c_name", $"c_nationkey",
+      lit(-1.0).as("c_acctbal"), lit("AUDIT2").as("c_mktsegment"))
+    val nBase = customer.count()
+    t.writeBranch("audit", batch1, WriteMode.Append)
+    t.writeBranch("audit", batch2, WriteMode.Append)
+    require(t.read(None).count() == nBase,
+      "branch writes must be invisible on main before fast-forward")
+    require(t.history.size == 1, "branch writes must not create main versions")
+    val nBranch = t.readBranch("audit").count()
+    t.fastForward("audit")
+    require(t.read(None).count() == nBranch,
+      "fast-forward must publish exactly the audited branch state")
+    require(t.history.size == 2, "fast-forward is ONE metadata-only commit")
+    cat.read("silver.customer").orderBy($"c_custkey")
+  }
+
   /** Incremental binpack compaction: a well-sized base commit plus
     * trickle appends; `compactBinPack` folds ONLY the trickle dirs
     * (the base dir is asserted carried byte-identical), with a

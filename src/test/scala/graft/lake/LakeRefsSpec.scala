@@ -91,6 +91,88 @@ class LakeRefsSpec extends AnyFunSuite {
     t.discardStaged(id)
   }
 
+  test("branch writes are invisible on main; fast-forward publishes atomically") {
+    val t = fresh()
+    val base = t.createBranch("audit")
+    assert(base === 1L)
+    // multiple validation writes on the branch — the surface staged
+    // single commits cannot cover
+    t.writeBranch("audit", Seq((3L, "c")).toDF("id", "s"), WriteMode.Append)
+    t.writeBranch("audit", Seq((4L, "d")).toDF("id", "s"), WriteMode.Append)
+    assert(t.read(None).count() === 2)                   // main untouched
+    assert(t.readBranch("audit").count() === 4)          // branch sees both
+    assert(t.branches === Seq(("audit", 1L, 3L)))
+    val snap = t.fastForward("audit")
+    assert(snap.op === "fast-forward")
+    assert(t.read(None).count() === 4)                   // atomically visible
+    assert(t.branchBase("audit") === None)               // branch consumed
+    assert(t.history.map(_.version) === Seq(1L, 2L))     // ONE main commit
+  }
+
+  test("fast-forward refuses when main moved; dropBranch abandons cleanly") {
+    val t = fresh()
+    t.createBranch("audit")
+    t.writeBranch("audit", Seq((3L, "c")).toDF("id", "s"), WriteMode.Append)
+    t.write(Seq((9L, "z")).toDF("id", "s"), WriteMode.Append) // main advances
+    intercept[java.util.ConcurrentModificationException](t.fastForward("audit"))
+    assert(t.dropBranch("audit"))
+    assert(t.branchHead("audit").isEmpty)
+    assert(t.read(None).count() === 3)
+  }
+
+  test("expiry and orphan sweep respect branch liveness") {
+    val t = fresh()
+    t.write(Seq((3L, "c")).toDF("id", "s"), WriteMode.Append) // v2
+    t.createBranch("keep", Some(1L))                          // branch pins v1's dirs
+    t.write(Seq((4L, "d")).toDF("id", "s"), WriteMode.Append) // v3
+    t.expireSnapshots(1)                                      // v1, v2 manifests expire
+    // v1's dirs survive: the branch references them
+    assert(t.readBranch("keep").count() === 2)
+    assert(t.removeOrphanFiles(graceMs = 0L) === 0)           // nothing falsely orphaned
+    // branch-minted dirs become orphans only after the branch drops
+    t.writeBranch("keep", Seq((5L, "e")).toDF("id", "s"), WriteMode.Append)
+    t.dropBranch("keep")
+    assert(t.removeOrphanFiles(graceMs = 0L) >= 1)
+    assert(t.read(None).count() === 4)                        // main unharmed
+  }
+
+  test("tag and branch names share the ref namespace; tags list excludes branches") {
+    val t = fresh()
+    t.createBranch("wap")
+    intercept[IllegalArgumentException](t.createTag("wap"))
+    t.createTag("rel")
+    assert(t.tags.map(_._1) === Seq("rel"))
+    assert(t.branches.map(_._1) === Seq("wap"))
+    assert(t.tagVersion("wap") === None)
+  }
+
+  test("SQL VERSION AS OF reads a branch head") {
+    val wh = Files.createTempDirectory("refs-sql-").toString
+    val c = "grefsql1"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    t.createBranch("audit")
+    t.writeBranch("audit", Seq((3L, "c")).toDF("id", "s"), WriteMode.Append)
+    val got = spark.sql(s"SELECT id FROM $c.ns.t VERSION AS OF 'audit' ORDER BY id")
+      .as[Long].collect()
+    assert(got === Array(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT id FROM $c.ns.t").count() === 2)
+  }
+
+  test("branch DML via merge-on-read machinery stays off main") {
+    val t = fresh()
+    t.createBranch("fix")
+    // overwrite ON the branch (full rewrite semantics against branch head)
+    t.writeBranch("fix", Seq((1L, "A"), (2L, "B")).toDF("id", "s"), WriteMode.Overwrite)
+    assert(t.readBranch("fix").select("s").as[String].collect().sorted === Array("A", "B"))
+    assert(t.read(None).select("s").as[String].collect().sorted === Array("a", "b"))
+    t.fastForward("fix")
+    assert(t.read(None).select("s").as[String].collect().sorted === Array("A", "B"))
+  }
+
   test("staged appends respect hidden partition specs at publish") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("refs-spec-").toString)
     val df = spark.range(0, 10).select($"id",
