@@ -206,6 +206,59 @@ private[graft] object FileStats {
     Some(om.writeValueAsString(rootNode))
   }
 
+  /** Global (min, max) per requested column across every parquet file
+    * under `dir`, from footers only — driver-side, no Spark job, no
+    * value collect. A column with ANY nulls, missing stats, or an
+    * unbounded type is omitted: callers use the ranges to PRUNE or
+    * pre-filter a scan, and omission just means "no bound". Null
+    * omission is what keeps null-safe key matching sound — min/max
+    * cannot see null keys, so a nullable key must not prune.
+    */
+  def dirColumnRanges(io: LakeIo, dir: org.apache.hadoop.fs.Path,
+                      cols: Seq[String]): Map[String, (Any, Any)] = {
+    import scala.jdk.CollectionConverters._
+    if (!io.isDir(dir)) return Map.empty
+    var acc = Map.empty[String, (Any, Any)]
+    var dead = Set.empty[String]
+    val it = io.fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            cols.filterNot(dead).foreach { c =>
+              val perBlock = blocks.map(_.getColumns.asScala
+                .find(_.getPath.toDotString == c).flatMap { cc =>
+                  val s = cc.getStatistics
+                  // any nulls (or unknown null count) unbound the column
+                  if (s == null || !s.isNumNullsSet || s.getNumNulls != 0) None
+                  else footerRange(cc)
+                })
+              if (blocks.isEmpty || perBlock.exists(_.isEmpty)) dead += c
+              else {
+                val (lo, hi) = perBlock.flatten.reduce[(Any, Any)] {
+                  case ((l1, h1), (l2, h2)) => (minByKey(l1, l2), maxByKey(h1, h2))
+                }
+                if (lo == null || hi == null) dead += c
+                else acc += c -> (acc.get(c) match {
+                  case Some((al, ah)) =>
+                    val nl = minByKey(al, lo); val nh = maxByKey(ah, hi)
+                    if (nl == null || nh == null) { dead += c; (al, ah) }
+                    else (nl, nh)
+                  case None => (lo, hi)
+                })
+              }
+            }
+          } finally reader.close()
+        } catch { case _: Exception => dead ++= cols }
+      }
+    }
+    acc -- dead
+  }
+
   private def minByKey(a: Any, b: Any): Any =
     if (a == null || b == null) null
     else (toKey(a), toKey(b)) match {

@@ -388,7 +388,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     *     deletes-applied scan);
     *   - new equality delete files (upserts) → 'delete' rows,
     *     materialized by a null-safe key semi-join against the prior
-    *     snapshot, mirroring scan-time sequence semantics (only
+    *     snapshot RESTRICTED to the batch's key range (bounds read
+    *     from the delete file footers push into the scan as
+    *     predicates, so manifest stats / partition pruning cut each
+    *     per-commit scan to the touched region — a changelog batch
+    *     over N trickle upserts stays O(changed data), not N table
+    *     scans), mirroring scan-time sequence semantics (only
     *     strictly-older rows die).
     *
     * Compaction / delete-file rewrites / metadata commits move no
@@ -428,7 +433,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       else if (removed.nonEmpty) {
         if (!skipRewrites) throw new RewriteCommitException(v, s.op, rootLocation)
       } else {
-        // deletes first (CDC convention: an update reads as delete+insert)
+        // deletes first (CDC convention: an update reads as delete+insert).
+        // Prior-snapshot frames align to the CURRENT schema by field id
+        // (renames resolve, added columns null-fill) — a schema change
+        // inside the range after a delete commit must not break the walk.
+        lazy val prevSchema = snapAt2(v - 1).schema
         val prevPosDeletes = prev.map(_.deleteDirs.toSet).getOrElse(Set.empty)
         val newPosDeletes = s.deleteDirs.filterNot(prevPosDeletes)
         if (newPosDeletes.nonEmpty) {
@@ -437,7 +446,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             .select(
               concat(lit(qualifiedRootPrefix), col(DeleteFiles.FileField)).as("_gr_del_file"),
               col(DeleteFiles.PosField).as("_gr_del_pos"))
-          val prior = readWithPos(Some(v - 1))
+          val prior = SchemaIds.align(readWithPos(Some(v - 1)), prevSchema, cur,
+            Seq(LakePos.FileCol, LakePos.PosCol))
           frames += tagged(prior.join(delRows,
             prior(LakePos.FileCol) === delRows("_gr_del_file") &&
               prior(LakePos.PosCol) === delRows("_gr_del_pos"),
@@ -449,7 +459,18 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             StructField(c, cur(c).dataType, nullable = true)))
           val del = spark.read.schema(delSchema).parquet(location(e.dir))
             .select(e.cols.map(c => col(c).as(s"_gr_del_$c")): _*)
-          val prior = read(Some(v - 1))
+          // bound the per-commit prior scan by the delete batch's own
+          // key ranges, read from the delete file FOOTERS (no job, no
+          // collect): manifest stats + partition pruning then cut each
+          // scan to the touched key region, keeping a changelog batch
+          // over N trickle upserts at O(changed data), not N table
+          // scans. A column the batch holds nulls in contributes no
+          // bound (min/max cannot see null-safe matches); rows a bound
+          // drops provably cannot match any delete key.
+          val ranges = FileStats.dirColumnRanges(io, loc(e.dir), e.cols)
+          val rangePreds = e.cols.flatMap(c => ranges.get(c).toSeq.flatMap {
+            case (lo, hi) => Seq(LakePredicate.GtEq(c, lo), LakePredicate.LtEq(c, hi)) })
+          val prior = SchemaIds.align(scan(rangePreds, Some(v - 1)), prevSchema, cur)
           frames += tagged(prior.join(del,
             e.cols.map(c => prior(c) <=> del(s"_gr_del_$c")).reduce(_ && _),
             "left_semi"), "delete", v)

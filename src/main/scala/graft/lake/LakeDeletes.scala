@@ -83,10 +83,20 @@ private[lake] object EqDelete {
   val PerRowSeq: Long = -1L
   val SeqField = "_gr_seq"
 
-  /** Manifest encoding `"<seq>|<col1,col2>|<dir>"` — column names are
-    * identifiers and dirs are uuid paths, so neither contains '|'.
+  /** Manifest encoding `"<seq>|<col1,col2>|<dir>"`. Dirs are uuid
+    * paths (never contain '|'), but Spark column names may legally
+    * contain BOTH delimiters (backtick-quoted identifiers), so
+    * [[encode]] rejects such key names up front — a silently
+    * mis-splitting [[decode]] would corrupt delete application for
+    * the whole table.
     */
-  def encode(e: EqDelete): String = s"${e.seq}|${e.cols.mkString(",")}|${e.dir}"
+  def encode(e: EqDelete): String = {
+    val bad = e.cols.filter(c => c.contains('|') || c.contains(','))
+    require(bad.isEmpty,
+      s"equality-delete key columns may not contain '|' or ',': ${bad.mkString(", ")} " +
+        "(rename the column before using it as an upsert key)")
+    s"${e.seq}|${e.cols.mkString(",")}|${e.dir}"
+  }
   def decode(s: String): EqDelete = {
     val Array(seq, cols, dir) = s.split('|')
     EqDelete(seq.toLong, cols.split(',').toSeq, dir)

@@ -100,8 +100,22 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
       .exists(_.toBoolean)
     val changeFeed = params.get("changefeed").orElse(params.get("changeFeed"))
       .exists(_.toBoolean)
-    new GraftLakeSource(ctx, tableFor(ctx, params), schema, maxCommits, skipRewrites,
-      maxBytes, changeFeed)
+    val table = tableFor(ctx, params)
+    // Delta CDF's startingVersion shape: seed a FRESH stream at a
+    // chosen version ('latest' = only commits after stream start)
+    // instead of version 0 — on a table whose early history was
+    // expired (normal retention at scale) a from-0 stream can never
+    // start, and a consumer that only wants new changes should not
+    // have to replay the initial load.
+    val startingVersion = params.get("startingversion").orElse(params.get("startingVersion"))
+      .map {
+        case v if v.equalsIgnoreCase("latest") =>
+          table.latest.map(_.version).getOrElse(0L) + 1
+        case v => v.toLong
+      }
+    startingVersion.foreach(v => require(v >= 1, s"startingVersion must be >= 1, got $v"))
+    new GraftLakeSource(ctx, table, schema, maxCommits, skipRewrites,
+      maxBytes, changeFeed, startingVersion)
   }
 }
 
@@ -122,7 +136,14 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
                       maxCommitsPerTrigger: Option[Int] = None,
                       skipRewriteCommits: Boolean = false,
                       maxBytesPerTrigger: Option[Long] = None,
-                      changeFeed: Boolean = false) extends Source {
+                      changeFeed: Boolean = false,
+                      startingVersion: Option[Long] = None) extends Source {
+
+  /** Fresh-stream floor: the first batch starts AT `startingVersion`
+    * (exclusive lower offset = the version before it). Checkpointed
+    * restarts replay explicit offsets and never consult this.
+    */
+  private val seedOffset: Long = startingVersion.map(_ - 1).getOrElse(0L)
 
   private val pinned: StructType = {
     val fromTable = table.latest.getOrElse(
@@ -157,7 +178,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     * progress; if they ever did, getBatch's empty-range guard delivers
     * an empty batch rather than duplicate rows.
     */
-  @volatile private var highWater: Long = 0L
+  @volatile private var highWater: Long = seedOffset
 
   override def getOffset: Option[V1Offset] = {
     val latest = table.latest.map(_.version).getOrElse(0L)
@@ -223,7 +244,7 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val lo = start.map(versionOf).getOrElse(0L)
+    val lo = start.map(versionOf).getOrElse(seedOffset)
     val hi = versionOf(end)
     highWater = math.max(highWater, math.max(lo, hi))
     if (changeFeed) return changeBatch(lo, hi)

@@ -100,13 +100,19 @@ object StreamingLakeSource {
     */
   def changesStream(table: LakeTable,
                     maxCommitsPerTrigger: Option[Int] = None,
-                    skipRewriteCommits: Boolean = false): DataFrame = {
+                    skipRewriteCommits: Boolean = false,
+                    startingVersion: Option[String] = None): DataFrame = {
     val reader = table.spark.readStream
       .format(classOf[GraftLakeSourceProvider].getName)
       .option("path", table.rootLocation)
       .option("changeFeed", "true")
       .option("skipRewriteCommits", skipRewriteCommits.toString)
     maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
+    // a version number, or 'latest' to deliver only commits made after
+    // stream start (Delta CDF's startingVersion) — REQUIRED on tables
+    // whose early history was expired, where a from-0 CDC stream can
+    // never start
+    startingVersion.foreach(v => reader.option("startingVersion", v))
     reader.load()
   }
 }

@@ -104,4 +104,47 @@ class LakeChangesSpec extends AnyFunSuite {
     assert(got.columns.toSeq === Seq("id", "label", "v", "_change_type", "_commit_version"))
     assert(got.select($"label").as[String].collect().sorted === Array("d", "e"))
   }
+
+  test("schema evolves AFTER a delete commit in the range: prior-snapshot frames align") {
+    // MOR delete at v2, rename + add-column at v3/v4, then an append:
+    // the delete materialization reads the v1 snapshot, which must
+    // align by field id to the CURRENT schema (renamed values survive,
+    // added columns null-fill) instead of throwing on the select
+    val t = fresh()
+    LakeDml.delete(t, $"id" === 2L, strategy = DmlStrategy.MergeOnRead) // v2
+    t.renameColumn("name", "label")                                     // v3
+    t.addColumn("extra", org.apache.spark.sql.types.DoubleType)         // v4
+    t.write(Seq((6L, "f", 60.0, 1.5)).toDF("id", "label", "v", "extra"),
+      WriteMode.Append)                                                 // v5
+    val got = t.readChanges(1).orderBy($"_commit_version", $"id")
+    assert(got.columns.toSeq ===
+      Seq("id", "label", "v", "extra", "_change_type", "_commit_version"))
+    val del = got.filter($"_change_type" === "delete").collect()
+    assert(del.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(del.head.getString(1) === "b")   // renamed column's value survives
+    assert(del.head.isNullAt(3))            // added column null-fills
+    assert(got.filter($"_change_type" === "insert").select($"id").as[Long]
+      .collect().sorted === Array(6L))
+  }
+
+  test("upsert changelog with null keys still emits the null-safe delete") {
+    // footer-range pushdown must not prune away null-key matches: a
+    // column the batch holds nulls in contributes no bound
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("chg-null-").toString)
+    cat.write(Seq((Some(1L), "a", 10.0), (Option.empty[Long], "n", -1.0))
+      .toDF("id", "name", "v"), "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    t.upsert(Seq((Option.empty[Long], "n2", -2.0)).toDF("id", "name", "v"), Seq("id"))
+    val got = t.readChanges(1).orderBy($"_change_type")
+      .select($"name", $"_change_type").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("n", "delete"), ("n2", "insert")))
+  }
+
+  test("upsert key columns containing the manifest delimiters are rejected") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("chg-bad-").toString)
+    cat.write(Seq((1L, "a")).toDF("id", "x|y"), "ns.t", WriteMode.Overwrite)
+    val t = cat.table("ns.t")
+    intercept[IllegalArgumentException](
+      t.upsert(Seq((2L, "b")).toDF("id", "x|y"), Seq("x|y")))
+  }
 }

@@ -395,6 +395,37 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 6)
   }
 
+  test("change-feed stream startingVersion: skips expired history; 'latest' delivers only new commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("cdfsv-").toString)
+    cat.write(Seq((1L, "a")).toDF("id", "name"), "ns.t", WriteMode.Overwrite) // v1
+    val t = cat.table("ns.t")
+    t.write(Seq((2L, "b")).toDF("id", "name"), WriteMode.Append)              // v2
+    t.write(Seq((3L, "c")).toDF("id", "name"), WriteMode.Append)              // v3
+    t.expireSnapshots(2) // v1 gone — a from-0 CDC stream could never start
+    def drain(ckpt: String, sink: String, sv: Option[String]): Unit = {
+      val q = StreamingLakeSource.changesStream(t, startingVersion = sv)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // numeric floor: first batch starts AT v3
+    val (c1, s1) = (Files.createTempDirectory("cdfsv-c1-").toString,
+      Files.createTempDirectory("cdfsv-s1-").toString)
+    drain(c1, s1, Some("3"))
+    assert(spark.read.parquet(s1).select($"id").as[Long].collect().sorted === Array(3L))
+    // 'latest': nothing until a post-start commit arrives
+    val (c2, s2) = (Files.createTempDirectory("cdfsv-c2-").toString,
+      Files.createTempDirectory("cdfsv-s2-").toString)
+    drain(c2, s2, Some("latest"))
+    assert(!new java.io.File(s2).exists() || spark.read.parquet(s2).count() === 0)
+    t.write(Seq((4L, "d")).toDF("id", "name"), WriteMode.Append)
+    drain(c2, s2, Some("latest")) // checkpoint carries the seeded offset
+    assert(spark.read.parquet(s2).select($"id").as[Long].collect().sorted === Array(4L))
+  }
+
   test("upsert stream: each batch is one equality-delete commit; last writer wins across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val cat = new LakeCatalog(spark, Files.createTempDirectory("supsert-").toString)
