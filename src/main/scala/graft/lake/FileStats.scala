@@ -43,6 +43,25 @@ private[graft] object FileStats {
     * min/max on the same columns.
     */
   val StatsColsKey = "graft.statsCols"
+  /** The table's bloom-column set (comma-joined), persisted like
+    * [[StatsColsKey]]: writes enable parquet's built-in bloom filters
+    * for these columns (written inline with the data files — no extra
+    * job), and scans consult the footers' blooms to skip files for
+    * equality probes that min/max ranges cannot decide — the
+    * high-cardinality unsorted column case (an `email = ?` lookup on
+    * unclustered data skips nothing by range; a bloom says "definitely
+    * not here" per file).
+    */
+  val BloomColsKey = "graft.bloomCols"
+  /** The table's declared sort order (comma-joined ascending columns),
+    * persisted like [[StatsColsKey]]: every write range-distributes and
+    * sorts its rows on these columns (Iceberg's `write.distribution-
+    * mode=range` + sort-order pair), so each commit's files are
+    * range-DISJOINT on the sort key and per-file min/max stats stay
+    * tight — range scans keep skipping without waiting for a
+    * compaction, and compaction defaults to the same clustering.
+    */
+  val SortOrderKey = "graft.sortOrder"
   /** Per-dir data size (`graft.bytes:data/<uuid>` → total file bytes),
     * recorded by the commit that wrote the dir and carried with it.
     * Powers byte-based streaming admission control
@@ -204,6 +223,67 @@ private[graft] object FileStats {
       }
     }
     Some(om.writeValueAsString(rootNode))
+  }
+
+  /** May `file` contain a row matching EVERY probe? Tests the parquet
+    * footer bloom filters (written because the table declares
+    * [[BloomColsKey]]): a file is droppable only when some probe
+    * column's blooms say every candidate value is definitely absent
+    * from every row group. Missing blooms, unhashable types, or read
+    * errors keep the file — pruning is always conservative. Driver
+    * cost is one footer + bloom-bytes read per CANDIDATE file (files
+    * min/max stats already skipped are never opened).
+    */
+  def bloomMayContain(io: LakeIo, file: org.apache.hadoop.fs.Path,
+                      probes: Seq[(String, Seq[Any])]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, io.fs.getConf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        probes.forall { case (c, vs) =>
+          vs.exists { v =>
+            blocks.isEmpty || blocks.exists { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                case None => true // column absent (older generation) → keep
+                case Some(cc) =>
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+                  if (bf == null) true
+                  else bloomHash(bf, cc, v) match {
+                    case Some(h) => bf.findHash(h)
+                    case None    => true
+                  }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case _: Exception => true }
+  }
+
+  /** Probe value → parquet bloom hash, in the column's PHYSICAL
+    * domain. None = unhashable (type mismatch, null) → no pruning.
+    */
+  private def bloomHash(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+                        cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                        v: Any): Option[Long] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (v == null) return None
+    (cc.getPrimitiveType.getPrimitiveTypeName, v) match {
+      case (INT64, t: java.sql.Timestamp) =>
+        // INT64-micros timestamps (the session's output type)
+        Some(bf.hash(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L))
+      case (INT64, n: java.lang.Number) => Some(bf.hash(n.longValue()))
+      case (INT32, d: java.sql.Date) =>
+        Some(bf.hash(d.toLocalDate.toEpochDay.toInt))
+      case (INT32, n: java.lang.Number) => Some(bf.hash(n.intValue()))
+      case (DOUBLE, n: java.lang.Number) => Some(bf.hash(n.doubleValue()))
+      case (FLOAT, n: java.lang.Number) => Some(bf.hash(n.floatValue()))
+      case (BINARY, s: String) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+      case _ => None
+    }
   }
 
   /** Global (min, max) per requested column across every parquet file

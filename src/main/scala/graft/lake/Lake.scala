@@ -583,13 +583,50 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // keep all their files — no file is ever wrongly skipped. Legacy
     // single-blob manifests count only when their dir is the
     // snapshot's sole one (the blob describes exactly that commit).
-    def keepFor(i: Int): Option[Set[String]] =
+    def statsKeepFor(i: Int): Option[Set[String]] =
       if (preds.isEmpty) None
       else for {
         json <- snap.meta.get(FileStats.dirKey(snap.dirs(i)))
           .orElse(if (snap.dirs.size == 1) snap.meta.get(FileStats.MetaKey) else None)
         kept <- FileStats.surviving(json, preds, cur)
       } yield kept
+    // bloom pruning on top of range pruning: equality/IN probes on the
+    // table's declared bloom columns test candidate files' parquet
+    // footer blooms — the skip min/max cannot make on a
+    // high-cardinality unsorted column. Only files range stats KEPT
+    // are ever opened; tables with no bloom columns pay nothing here.
+    val bloomProbes: Seq[(String, Seq[Any])] =
+      if (preds.isEmpty) Nil
+      else {
+        val bloomCols = snap.meta.get(FileStats.BloomColsKey)
+          .map(FileStats.splitCols).getOrElse(Nil)
+        preds.collect {
+          case LakePredicate.EqualTo(c, v) if bloomCols.contains(c) => (c, Seq(v))
+          case LakePredicate.In(c, vs) if bloomCols.contains(c) && vs.nonEmpty => (c, vs)
+        }
+      }
+    def relFilesOf(i: Int): Seq[String] = {
+      val dirPath = loc(snap.dirs(i))
+      val marker = new HPath(snap.dirs(i)).getName
+      val b = Seq.newBuilder[String]
+      if (io.isDir(dirPath)) {
+        val it = io.fs.listFiles(dirPath, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) b += FileStats.relativeKey(f.toString, marker)
+        }
+      }
+      b.result()
+    }
+    def keepFor(i: Int): Option[Set[String]] = {
+      val ranged = statsKeepFor(i)
+      if (bloomProbes.isEmpty) ranged
+      else {
+        val candidates = ranged.map(_.toSeq).getOrElse(relFilesOf(i))
+        Some(candidates.filter(f => FileStats.bloomMayContain(io,
+          new HPath(loc(snap.dirs(i)), f), bloomProbes)).toSet)
+      }
+    }
     // surviving file paths of dir i (whole dir when unpruned; Nil when
     // stats prove nothing can match — the blob lists every file of the
     // dir, so surviving keys enumerate without a filesystem listing)
@@ -836,7 +873,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           if (!carryForward || !carryStats) Map.empty
           else base.map { b =>
             val perDir = b.meta.filter { case (k, _) =>
-              k == FileStats.StatsColsKey || k.startsWith(FileStats.DirKeyPrefix)
+              k == FileStats.StatsColsKey || k == FileStats.BloomColsKey ||
+                k == FileStats.SortOrderKey || k.startsWith(FileStats.DirKeyPrefix)
             }
             val legacy = b.meta.get(FileStats.MetaKey) match {
               case Some(blob) if b.dirs.size == 1 =>
@@ -923,14 +961,33 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * stores the specs, the dirs use the derived `_p_…` names.
     */
   private def writeDataDir(df: DataFrame, dirName: String,
-                           partitionBy: Seq[String]): Unit = {
+                           partitionBy: Seq[String],
+                           bloomCols: Seq[String] = Nil): Unit = {
     val fields = partitionBy.map(PartitionField.parse)
     val withParts = fields.filter(_.hidden)
       .foldLeft(df)((d, f) => d.withColumn(f.name, f.derive(d)))
-    val writer = withParts.write.mode("overwrite")
+    // declared bloom columns ride parquet's native per-row-group bloom
+    // filters — written inline with the files (no extra job), consulted
+    // at plan time for equality-probe file skipping (readRaw) AND by
+    // Spark's own row-group filtering during the scan
+    val writer0 = withParts.write.mode("overwrite")
+    val writer = bloomCols.filter(withParts.columns.contains)
+      .foldLeft(writer0)((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (fields.nonEmpty) writer.partitionBy(fields.map(_.name): _*) else writer)
       .parquet(location(dirName))
   }
+
+  /** The table's persisted bloom-column set (what writes enable
+    * parquet bloom filters on).
+    */
+  private def inheritedBloomCols(base: Option[Snapshot]): Seq[String] =
+    base.flatMap(_.meta.get(FileStats.BloomColsKey))
+      .map(FileStats.splitCols).getOrElse(Nil)
+
+  /** The table's persisted sort order (what writes cluster on). */
+  private def inheritedSortOrder(base: Option[Snapshot]): Seq[String] =
+    base.flatMap(_.meta.get(FileStats.SortOrderKey))
+      .map(FileStats.splitCols).getOrElse(Nil)
 
   /** The table's persisted stats-column set (what appends auto-collect
     * min/max on).
@@ -973,7 +1030,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             meta: Map[String, String] = Map.empty,
             expectedBase: Option[Long] = None,
             statsBy: Seq[String] = Nil,
-            branch: Option[String] = None): Snapshot = {
+            branch: Option[String] = None,
+            bloomBy: Seq[String] = Nil,
+            sortedBy: Seq[String] = Nil): Snapshot = {
     // Append carries prior dirs forward, so its spec must be the
     // table's spec: an unspecified spec inherits the base snapshot's
     // (the common callers — streaming sink, incremental extract —
@@ -994,17 +1053,43 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       case WriteMode.Overwrite => partitionBy
     }
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(df, dirName, effectiveSpec)
+    // stats/bloom column sets are TABLE properties in spirit: both
+    // inherit across appends AND overwrites (a copy-on-write DML
+    // rewrite must not silently disarm file skipping), refreshed when
+    // the caller re-declares them
+    val effectiveBloom =
+      if (bloomBy.nonEmpty) bloomBy else inheritedBloomCols(base)
+    // declared sort order: range-distribute + sort this write's rows so
+    // its files are range-disjoint on the sort key (the per-write cost
+    // of a persisted sort order — one shuffle — is what keeps per-file
+    // stats tight WITHOUT a compaction after every append)
+    val effectiveSort = (if (sortedBy.nonEmpty) sortedBy else inheritedSortOrder(base))
+      .filter(df.columns.contains)
+    val clustered = {
+      import org.apache.spark.sql.functions.col
+      if (effectiveSort.isEmpty) df
+      else df.repartitionByRange(effectiveSort.map(col): _*)
+        .sortWithinPartitions(effectiveSort.map(col): _*)
+    }
+    writeDataDir(clustered, dirName, effectiveSpec, effectiveBloom)
     // per-file min/max for the manifest (file skipping at scan time);
     // under partition specs the keys are dir-relative paths and the
     // skipping composes with partition pruning inside the file index.
-    // Appends AUTO-COLLECT on the table's persisted stats-column set
-    // (one cheap aggregate over the just-written dir), so skipping
+    // Writes AUTO-COLLECT on the table's persisted stats-column set
+    // (parquet footer reads over the just-written dir), so skipping
     // survives append-heavy tables without waiting for a compaction.
+    // sort columns join the stats set automatically — range-disjoint
+    // files are only worth anything if their min/max are in the manifest
     val statsMeta = statsMetaFor(dirName,
-      if (statsBy.nonEmpty) statsBy
-      else if (mode == WriteMode.Append) inheritedStatsCols(base) else Nil,
+      ((if (statsBy.nonEmpty) statsBy else inheritedStatsCols(base)) ++ effectiveSort)
+        .distinct,
       df.columns)
+    val bloomMeta =
+      if (effectiveBloom.isEmpty) Map.empty[String, String]
+      else Map(FileStats.BloomColsKey -> FileStats.joinCols(effectiveBloom))
+    val sortMeta =
+      if (effectiveSort.isEmpty) Map.empty[String, String]
+      else Map(FileStats.SortOrderKey -> FileStats.joinCols(effectiveSort))
     // dir size for byte-based streaming admission control — one listing
     // of the dir this write just produced
     val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
@@ -1025,7 +1110,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = currentSchema.json,
-      meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
+      meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ bloomMeta ++ sortMeta,
       expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
       // the merged schema above derives from THIS base read: a lost
       // claim race against a schema-changing commit must fail (and be
@@ -1076,7 +1161,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val delDir = s"eqdeletes/${UUID.randomUUID().toString}"
     io.move(staged, loc(delDir))
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(coerced, dirName, base.partitionBy)
+    writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       schema.fieldNames.toSeq)
     val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
@@ -1114,7 +1199,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       val coerced = df.select(base.schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val dirName = s"data/${UUID.randomUUID().toString}"
-      writeDataDir(coerced, dirName, base.partitionBy)
+      writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
       dirName
     }.toSeq
     // the new data dir auto-collects stats like any append (carried
@@ -1287,9 +1372,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * on the sort columns prune whole files — the cheap substitute for
     * indexes at 100 TB.
     */
-  def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot =
+  def compact(targetPartitions: Int, sortBy: Seq[String] = Nil): Snapshot = {
+    // a declared sort order is the table's default clustering: an
+    // unqualified compact() keeps honoring it instead of silently
+    // de-sorting the table
+    val effective =
+      if (sortBy.nonEmpty) sortBy else inheritedSortOrder(latest)
     rewriteClustered(targetPartitions,
-      sortBy.map(org.apache.spark.sql.functions.col), statsCols = sortBy)
+      effective.map(org.apache.spark.sql.functions.col), statsCols = effective)
+  }
 
   /** Z-order compaction (Iceberg's zorder rewrite strategy): files
     * cluster on the interleaved [[graft.functions.ZOrderCode]] of
@@ -1312,7 +1403,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       else base.repartitionByRange(targetPartitions, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(df, dirName, snap.partitionBy) // re-derives transform columns
+    writeDataDir(df, dirName, snap.partitionBy, inheritedBloomCols(Some(snap))) // re-derives transform columns
     // compaction is where file ranges become disjoint on the cluster
     // columns — collect per-file min/max there so scans skip files
     // from the manifest (z-order bounds EVERY listed dimension, so all
@@ -1365,7 +1456,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       dirSeqs = smallIdx.map(base.dirSeq))
     val df = scanOf(sub, Nil, keepPos = false).repartition(targetPartitions)
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(df, dirName, base.partitionBy)
+    writeDataDir(df, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     // kept dirs keep their stats/bytes meta; the folded dir collects
     // fresh stats and bytes
     val keptMeta = base.meta.filter { case (k, _) =>
@@ -1694,7 +1785,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val coerced = df.select(base.schema.fields.toSeq
       .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(coerced, dirName, base.partitionBy)
+    writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     val id = UUID.randomUUID().toString
     io.mkdirs(stagedDirPath)
     val json =
@@ -1962,8 +2053,11 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def write(df: DataFrame, ident: String, mode: WriteMode = WriteMode.Overwrite,
             partitionBy: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty,
-            statsBy: Seq[String] = Nil): Snapshot =
-    table(ident).write(df, mode, partitionBy, meta, statsBy = statsBy)
+            statsBy: Seq[String] = Nil,
+            bloomBy: Seq[String] = Nil,
+            sortedBy: Seq[String] = Nil): Snapshot =
+    table(ident).write(df, mode, partitionBy, meta, statsBy = statsBy,
+      bloomBy = bloomBy, sortedBy = sortedBy)
 
   def read(ident: String, version: Option[Long] = None): DataFrame =
     table(ident).read(version)
