@@ -48,6 +48,8 @@ object SparkEntry {
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_branch"           -> (LakeQueries.branchWap _),
+    "lake_sorted_scan"      -> (LakeQueries.sortedBloomScan _),
+    "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -288,6 +290,20 @@ object SparkEntry {
         |SELECT -c_custkey, c_name, c_nationkey, 0.0, 'STAGED'
         |FROM customer WHERE c_nationkey = 7
         |ORDER BY c_custkey""".stripMargin,
+
+    // the sorted/bloomed table holds every orders row; the checked
+    // range scan is a plain filter over it
+    "lake_sorted_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the committed transaction refreshes gold over ALL orders; the
+    // failed one rolls back and changes nothing
+    "lake_txn" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

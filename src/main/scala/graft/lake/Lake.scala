@@ -1778,50 +1778,75 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * (same contract as [[upsert]]); publish revalidates that the
     * schema hasn't moved since.
     */
-  def stageAppend(df: DataFrame): String = {
+  def stageAppend(df: DataFrame): String = stageWrite(df, WriteMode.Append)
+
+  /** Stage a write of either mode (the [[LakeTransaction]] building
+    * block): data lands now, invisible to every reader until
+    * [[publishStaged]].
+    */
+  def stageWrite(df: DataFrame, mode: WriteMode): String = {
     import org.apache.spark.sql.functions.col
     val base = latest.getOrElse(
       throw new IllegalStateException(s"empty table at $root — create or write it first"))
     val coerced = df.select(base.schema.fields.toSeq
       .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // staged data honors the declared sort order like any direct write:
+    // the audit window must not be a clustering-decay window
+    val sortCols = inheritedSortOrder(Some(base)).filter(coerced.columns.contains)
+    val clustered =
+      if (sortCols.isEmpty) coerced
+      else coerced.repartitionByRange(sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     val dirName = s"data/${UUID.randomUUID().toString}"
-    writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
+    writeDataDir(clustered, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     val id = UUID.randomUUID().toString
     io.mkdirs(stagedDirPath)
+    val modeStr = mode match {
+      case WriteMode.Append    => "append"
+      case WriteMode.Overwrite => "overwrite"
+    }
     val json =
       s"""{"id":"$id","dirs":["$dirName"],"baseSchemaJson":${Manifest.quote(base.schemaJson)},""" +
         s""""partitionBy":${base.partitionBy.map(Manifest.quote).mkString("[", ",", "]")},""" +
-        s""""timestampMs":${System.currentTimeMillis()}}"""
+        s""""mode":"$modeStr","timestampMs":${System.currentTimeMillis()}}"""
     require(arbiter.publishIfAbsent(stagedPath(id), json),
       s"staged commit '$id' already exists (uuid collision?)")
     id
   }
 
-  private def stagedInfo(id: String): (Seq[String], String, Seq[String]) = {
+  private def stagedInfo(id: String): (Seq[String], String, Seq[String], WriteMode) = {
     require(io.exists(stagedPath(id)), s"no staged commit '$id' at $rootLocation")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(io.readString(stagedPath(id)))
     val a = n.get("dirs")
     val pb = n.get("partitionBy")
+    val mode =
+      if (n.has("mode") && n.get("mode").asText() == "overwrite") WriteMode.Overwrite
+      else WriteMode.Append // legacy staged manifests are appends
     ((0 until a.size()).map(a.get(_).asText()), n.get("baseSchemaJson").asText(),
-      if (pb == null) Nil else (0 until pb.size()).map(pb.get(_).asText()))
+      if (pb == null) Nil else (0 until pb.size()).map(pb.get(_).asText()), mode)
   }
 
   /** The table AS IF the staged commit were published: current
     * snapshot plus the staged rows — the audit read.
     */
   def readStaged(id: String): DataFrame = {
-    val (dirs, schemaJson, _) = stagedInfo(id)
+    val (dirs, schemaJson, _, mode) = stagedInfo(id)
     val cur = resolve(None).schema
-    read(None).unionByName(readDirsAligned(dirs.map(_ -> schemaJson), cur))
+    val stagedRows = readDirsAligned(dirs.map(_ -> schemaJson), cur)
+    mode match {
+      case WriteMode.Append    => read(None).unionByName(stagedRows)
+      case WriteMode.Overwrite => stagedRows // the candidate REPLACES the table
+    }
   }
 
   /** Publish a staged append as a real commit. Metadata-only: the
     * data dirs were written at stage time. Fails (leaving the staged
     * commit intact for re-audit) if the schema evolved since staging.
     */
-  def publishStaged(id: String, meta: Map[String, String] = Map.empty): Snapshot = {
-    val (dirs, stagedSchema, stagedSpec) = stagedInfo(id)
+  def publishStaged(id: String, meta: Map[String, String] = Map.empty,
+                    expectedBase: Option[Long] = None): Snapshot = {
+    val (dirs, stagedSchema, stagedSpec, mode) = stagedInfo(id)
     val base = latest.getOrElse(
       throw new IllegalStateException(s"empty table at $root"))
     require(base.schemaJson == stagedSchema,
@@ -1839,17 +1864,31 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       FileStats.bytesKey(d) -> io.dirBytes(loc(d)).toString).toMap
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
-    val snap = commit("append", dirs, carryForward = true, base.partitionBy,
-      base.schemaJson, meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
+    val (op, carry) = mode match {
+      case WriteMode.Append    => ("append", true)
+      case WriteMode.Overwrite => ("overwrite", false)
+    }
+    // overwrite drops carried meta with the dirs it replaces; re-declare
+    // the table-property keys so file skipping and the sort contract
+    // survive a staged rewrite (same inheritance write() applies)
+    val propMeta =
+      if (carry) Map.empty[String, String]
+      else base.meta.filter { case (k, _) =>
+        k == FileStats.StatsColsKey || k == FileStats.BloomColsKey ||
+          k == FileStats.SortOrderKey
+      }
+    val snap = commit(op, dirs, carryForward = carry, base.partitionBy,
+      base.schemaJson, meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ propMeta,
       newDirSchemas = dirs.map(_ => base.schemaJson),
+      expectedBase = expectedBase,
       expectedBaseSchema = Some(Some(base.schemaJson)))
     io.delete(stagedPath(id))
     snap
   }
 
-  /** Discard a staged append: data dirs and staged manifest go. */
+  /** Discard a staged write: data dirs and staged manifest go. */
   def discardStaged(id: String): Unit = {
-    val (dirs, _, _) = stagedInfo(id)
+    val (dirs, _, _, _) = stagedInfo(id)
     io.delete(stagedPath(id))
     dirs.foreach(d => io.delete(loc(d)))
   }
@@ -2063,4 +2102,9 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     table(ident).read(version)
 
   def exists(ident: String): Boolean = table(ident).latest.nonEmpty
+
+  /** Open a multi-statement transaction over this catalog's tables
+    * (stage writes, then publish all-or-nothing — [[LakeTransaction]]).
+    */
+  def transaction(): LakeTransaction = new LakeTransaction(this)
 }

@@ -155,9 +155,15 @@ private[lake] final class FsConditionalStore(io: LakeIo) extends ConditionalStor
     lockFor(io.qualify(key).toString).synchronized {
       if (io.exists(key)) false
       else {
-        val out = io.fs.create(key, false)
+        // a store PUT is atomic to READERS (the object appears only
+        // complete); emulate that visibility with temp+rename so a
+        // concurrent manifest read can never observe a torn write —
+        // this is store-semantics fidelity, not protocol reliance
+        val tmp = new HPath(key.getParent, s".put-${UUID.randomUUID()}")
+        val out = io.fs.create(tmp, false)
         try out.write(content) finally out.close()
-        true
+        if (io.fs.rename(tmp, key)) true
+        else { io.fs.delete(tmp, false); false }
       }
     }
   def get(key: HPath): Option[Array[Byte]] =

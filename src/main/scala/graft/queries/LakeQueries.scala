@@ -367,6 +367,89 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Declared sort order + bloom columns as the table's standing
+    * layout contract: scrambled appends land range-disjoint on the
+    * sort key (skipping never decays), the bloom set arms equality
+    * probes on the unsorted name column, and the plan metrics are
+    * asserted inline — a range scan across three commits reads at
+    * most one file per commit boundary, and a bloom point-probe opens
+    * one file. The oracle checks the scan results.
+    */
+  def sortedBloomScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    def slice(m: Int) = orders.filter(pmod($"o_orderkey", lit(3)) === m)
+      .orderBy(rand(seed = 7)).repartition(4) // scrambled arrival
+    cat.write(slice(0), "bronze.orders", WriteMode.Overwrite,
+      sortedBy = Seq("o_orderkey"), bloomBy = Seq("o_orderstatus"))
+    val t = cat.table("bronze.orders")
+    t.write(slice(1), WriteMode.Append)
+    t.write(slice(2), WriteMode.Append)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val total = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    val range = t.scan(Seq(graft.lake.LakePredicate.GtEq("o_orderkey", 1000L),
+      graft.lake.LakePredicate.LtEq("o_orderkey", 1400L)))
+    require(filesRead(range) <= 6 && filesRead(range) < total,
+      s"sorted appends must keep range scans narrow (${filesRead(range)} of $total files)")
+    range.orderBy($"o_orderkey")
+  }
+
+  /** Multi-statement transaction: the bronze+gold publish lands
+    * all-or-nothing (stage both writes, CAS-publish in sequence), and
+    * a second transaction that loses a race to a concurrent commit
+    * rolls its published half back — asserted inline: after the
+    * failed transaction both tables read exactly their pre-race
+    * state. The oracle checks the committed gold aggregate.
+    */
+  def txnPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val even = orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+    val odd  = orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+    cat.write(even.repartition(4), "bronze.orders", WriteMode.Overwrite)
+    cat.write(even.groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt")),
+      "gold.status_counts", WriteMode.Overwrite)
+    // one transaction: backfill bronze AND refresh gold over the union
+    cat.transaction()
+      .write(odd, "bronze.orders", WriteMode.Append)
+      .write(orders.groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt")),
+        "gold.status_counts", WriteMode.Overwrite)
+      .commit()
+    require(cat.read("bronze.orders").count() == orders.count(),
+      "transaction must publish the bronze backfill")
+    // a racing transaction: its bronze half publishes first, then its
+    // gold half conflicts (an interloper refreshed gold) — the whole
+    // txn must unwind, restoring bronze
+    val bronzeV = cat.table("bronze.orders").latest.get.version
+    val txn2 = cat.transaction()
+      .write(odd, "bronze.orders", WriteMode.Append) // would double-count
+      .write(even.groupBy($"o_orderstatus").agg(lit(-1L).as("cnt")),
+        "gold.status_counts", WriteMode.Overwrite)
+    cat.write(orders.groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt")),
+      "gold.status_counts", WriteMode.Overwrite) // interloper refresh
+    val failed = scala.util.Try(txn2.commit())
+    require(failed.isFailure, "conflicted transaction must abort")
+    require(cat.read("bronze.orders").count() == orders.count(),
+      "rollback must restore the published half of a failed transaction")
+    require(cat.table("bronze.orders").latest.get.version > bronzeV,
+      "rollback re-commits; history stays immutable")
+    cat.read("gold.status_counts").orderBy($"o_orderstatus")
+  }
+
   /** Branch-based write-audit-publish (Iceberg's `spark.wap.branch`
     * surface): a branch takes MULTIPLE validation writes — the case
     * single staged commits cannot cover — while main readers see
