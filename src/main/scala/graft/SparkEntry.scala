@@ -50,6 +50,7 @@ object SparkEntry {
     "lake_branch"           -> (LakeQueries.branchWap _),
     "lake_sorted_scan"      -> (LakeQueries.sortedBloomScan _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
+    "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -304,6 +305,20 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the incrementally-maintained view equals the direct aggregate of
+    // the source's final state (initial %4∈{1,2} + appended %4=3,
+    // minus the MOR-deleted %8=2); sums ride exact integer cents
+    "lake_incr_view" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 2
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

@@ -1,0 +1,325 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate view: a gold table
+  * (`SELECT keys, aggs FROM source GROUP BY keys`) whose refresh cost
+  * tracks the source CHANGELOG, not the source size — the
+  * reference's gold layer (`/root/reference/dags/etl.py:80-96`)
+  * recomputes its grouped count from the full silver table every run;
+  * at 100 TB that full-table pass is the pipeline's whole cost, while
+  * the actual change per run is a few commits of trickle data.
+  *
+  * Mechanics per [[refresh]]:
+  *
+  *  1. The view's snapshot meta records the source version it
+  *     reflects ([[IncrementalView.SourceVersionKey]]).
+  *  2. Refresh reads `source.readChanges(recorded, current)` — cost
+  *     bounded by the changed data — and folds the signed deltas
+  *     per group: +row on insert, -row on delete.
+  *  3. COUNT and SUM are self-maintainable (count and non-null-count
+  *     ride along so SUM-of-all-nulls stays NULL, exact SQL
+  *     semantics). MIN/MAX are self-maintainable under inserts
+  *     (`least`/`greatest` fold); a group that saw a DELETE gets its
+  *     MIN/MAX recomputed from the source, restricted to exactly the
+  *     touched groups (semi-join, plus `In` pushdown into the scan
+  *     when the touched key set is small — manifest stats and
+  *     partition pruning then bound the recompute read).
+  *  4. The per-group results publish as ONE MERGE commit on the view:
+  *     changed groups update, new groups insert, vanished groups
+  *     (live-row count reaches zero) DELETE via the merge's
+  *     matched-delete arm. The commit is CAS-guarded on the view's
+  *     base version and carries the new source version in its meta —
+  *     a concurrent refresh loses the race loudly, never silently
+  *     double-applies.
+  *
+  * Fallback, honestly stated: a source commit that REMOVES data dirs
+  * (overwrite, copy-on-write DML, rollback) has no row-level
+  * changelog, and an expired snapshot breaks the walk — either case
+  * falls back to a FULL rebuild (overwrite commit, same meta
+  * contract). MOR deletes, equality-delete upserts, appends,
+  * compactions and metadata commits all stay on the incremental path.
+  *
+  * Scale: the delta aggregate shuffles changelog-sized data on the
+  * group keys; the view-side MERGE touches only changed groups; the
+  * only driver-side state is the optional bounded `In` key collection
+  * (capped, index-metadata-sized — same policy as IVF centroids).
+  */
+object IncrementalView {
+
+  /** Snapshot-meta key on the VIEW table: the source version this
+    * view state reflects.
+    */
+  val SourceVersionKey = "graft.view.sourceVersion"
+
+  /** Snapshot-meta key on the VIEW table: 'incremental' when the
+    * refresh folded a changelog, 'full' when it rebuilt — the audit
+    * signal that the O(changes) path actually ran (the commit op alone
+    * can't tell: the view-side MERGE may legitimately choose COW).
+    */
+  val RefreshModeKey = "graft.view.refreshMode"
+
+  /** Snapshot-meta key on the VIEW table: the persisted definition
+    * (source ident, group keys, agg specs as SQL strings) — what lets
+    * `CALL graft.system.refresh_view(view => 'ns.v')` re-refresh with
+    * no JVM client code carrying the definition.
+    */
+  val DefinitionKey = "graft.view.definition"
+
+  /** Aggregates the view maintains. `expr` forms evaluate against the
+    * source row (any deterministic column expression).
+    */
+  sealed trait ViewAgg { def out: String }
+  /** COUNT(*) per group. */
+  final case class GroupCount(out: String) extends ViewAgg
+  /** SUM(expr) per group — exact incremental maintenance, including
+    * the SUM-of-only-NULLs-is-NULL edge.
+    */
+  final case class Sum(expr: Column, out: String) extends ViewAgg
+  /** MIN(expr); recomputed for delete-touched groups. */
+  final case class Min(expr: Column, out: String) extends ViewAgg
+  /** MAX(expr); recomputed for delete-touched groups. */
+  final case class Max(expr: Column, out: String) extends ViewAgg
+
+  // hidden maintenance columns (dropped by [[read]])
+  private val N = "_n" // live rows per group: 0 = group vanished
+  private def nn(out: String) = s"_nn_$out" // non-null count per SUM
+
+  /** The view without its maintenance columns — what a consumer
+    * selects.
+    */
+  def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
+    val df = cat.read(viewIdent)
+    df.drop(df.columns.filter(_.startsWith("_")).toSeq: _*)
+  }
+
+  private val AggSpec =
+    "(?i)\\s*(count|sum|min|max)\\s*\\((.*)\\)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*".r
+
+  /** Parse SQL-string agg specs (`count(*) as cnt`, `sum(price * 100)
+    * as cents`, `min(ts) as first_ts`) — the serializable face of
+    * [[ViewAgg]] that persisted definitions and the `CALL` procedure
+    * speak.
+    */
+  def parseAggs(specs: Seq[String]): Seq[ViewAgg] = specs.map {
+    case AggSpec(fn, arg, out) => fn.toLowerCase match {
+      case "count" =>
+        require(arg.trim == "*", s"count takes '*' (got 'count($arg)'); " +
+          "count(expr) of a nullable expr is not self-maintainable — use sum(CASE...)")
+        GroupCount(out)
+      case "sum" => Sum(expr(arg), out)
+      case "min" => Min(expr(arg), out)
+      case "max" => Max(expr(arg), out)
+    }
+    case other => throw new IllegalArgumentException(
+      s"bad aggregate spec '$other'; want count(*)/sum(e)/min(e)/max(e) AS name")
+  }
+
+  /** Define-or-refresh with a serializable definition: persists
+    * `{source, keys, aggs}` in the view's snapshot meta so later
+    * refreshes need only the view name ([[refreshByName]] / the
+    * `refresh_view` SQL procedure).
+    */
+  def refreshSql(cat: LakeCatalog, sourceIdent: String, viewIdent: String,
+                 keys: Seq[String], aggSpecs: Seq[String]): Snapshot = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("source", sourceIdent)
+    val kn = root.putArray("keys"); keys.foreach(kn.add)
+    val an = root.putArray("aggs"); aggSpecs.foreach(an.add)
+    refresh(cat, sourceIdent, viewIdent, keys, parseAggs(aggSpecs),
+      extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)))
+  }
+
+  /** Refresh a view whose definition was persisted by [[refreshSql]] —
+    * the `CALL graft.system.refresh_view(view => ...)` body.
+    */
+  def refreshByName(cat: LakeCatalog, viewIdent: String): Snapshot = {
+    import scala.jdk.CollectionConverters._
+    val defJson = latestMeta(cat.table(viewIdent), DefinitionKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$viewIdent' has no persisted view definition; create it with refreshSql()"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(defJson)
+    val keys = node.get("keys").elements().asScala.map(_.asText()).toSeq
+    val specs = node.get("aggs").elements().asScala.map(_.asText()).toSeq
+    refresh(cat, node.get("source").asText(), viewIdent, keys, parseAggs(specs),
+      extraMeta = Map(DefinitionKey -> defJson))
+  }
+
+  /** Bring `viewIdent` up to date with `sourceIdent`. Returns the new
+    * view snapshot (or the current one when the source hasn't moved).
+    * First call (view absent) builds the view full; later calls are
+    * incremental per the class doc.
+    */
+  def refresh(cat: LakeCatalog, sourceIdent: String, viewIdent: String,
+              keys: Seq[String], aggs: Seq[ViewAgg],
+              extraMeta: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.nonEmpty, "view needs at least one group key")
+    require(aggs.nonEmpty, "view needs at least one aggregate")
+    val outs = aggs.map(_.out)
+    require(outs.distinct == outs, s"duplicate aggregate output names: $outs")
+    require(keys.intersect(outs).isEmpty, s"aggregate output shadows a key")
+    val src = cat.table(sourceIdent)
+    val cur = src.latest.getOrElse(throw new IllegalStateException(
+      s"view source '$sourceIdent' does not exist")).version
+    val viewT = cat.table(viewIdent)
+    // latest-first history walk: snapshot meta is per-commit, so a
+    // maintenance commit on the view (compact, expire) between
+    // refreshes must not amnesia the tracking state into a rebuild
+    val recorded = latestMeta(viewT, SourceVersionKey).map(_.toLong)
+
+    recorded match {
+      case Some(v) if v == cur => viewT.latest.get // up to date
+      case Some(v) if v < cur =>
+        try incremental(cat, src, viewT, v, cur, keys, aggs, extraMeta)
+        catch {
+          // no row-level changelog across a rewrite, or history
+          // expired under the recorded version: rebuild
+          case _: RewriteCommitException =>
+            fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+          case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("expired") =>
+            fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+        }
+      // source rolled back behind the view, or first build
+      case _ => fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+    }
+  }
+
+  /** Most recent snapshot carrying `key` (meta is per-commit; see the
+    * history-walk comments at the call sites). Absent table → None.
+    */
+  private def latestMeta(t: LakeTable, key: String): Option[String] =
+    if (t.latest.isEmpty) None
+    else t.history.sortBy(-_.version).iterator
+      .flatMap(_.meta.get(key)).nextOption()
+
+  /** Aggregate columns for a full computation over source rows. */
+  private def fullAggCols(aggs: Seq[ViewAgg]): Seq[Column] =
+    aggs.map {
+      case GroupCount(o) => count(lit(1)).as(o)
+      case Sum(e, o)     => sum(e).as(o)
+      case Min(e, o)     => min(e).as(o)
+      case Max(e, o)     => max(e).as(o)
+    } ++ (count(lit(1)).as(N) +: aggs.collect {
+      case Sum(e, o) => count(when(e.isNotNull, 1)).as(nn(o))
+    })
+
+  private def fullBuild(cat: LakeCatalog, src: LakeTable, viewIdent: String,
+                        cur: Long, keys: Seq[String], aggs: Seq[ViewAgg],
+                        extraMeta: Map[String, String]): Snapshot = {
+    val aggCols = fullAggCols(aggs)
+    val full = src.read(Some(cur)).groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    cat.write(full, viewIdent, WriteMode.Overwrite,
+      meta = extraMeta ++
+        Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "full"))
+  }
+
+  private def incremental(cat: LakeCatalog, src: LakeTable, viewT: LakeTable,
+                          from: Long, cur: Long, keys: Seq[String],
+                          aggs: Seq[ViewAgg],
+                          extraMeta: Map[String, String]): Snapshot = {
+    val changes = src.readChanges(from, Some(cur))
+    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+
+    // one changelog-sized aggregate: signed count/sum deltas, insert-
+    // side min/max folds, and whether any delete touched the group
+    val deltaCols = (sum(sign).as(s"_d$N") +:
+      max(when(sign < 0, lit(1)).otherwise(lit(0))).as("_d_hasdel") +:
+      aggs.collect {
+        case Sum(e, o) => Seq(
+          sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"_d_${nn(o)}"),
+          sum(sign * e).as(s"_d_$o"))
+        case Min(e, o) => Seq(min(when(sign > 0, e)).as(s"_d_$o"))
+        case Max(e, o) => Seq(max(when(sign > 0, e)).as(s"_d_$o"))
+      }.flatten).toSeq
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(deltaCols.head, deltaCols.tail: _*)
+
+    val old = viewT.read(None)
+    // group keys may hold NULL (a legitimate GROUP BY group): null-safe
+    // join. RIGHT outer on the delta side: untouched view groups never
+    // enter the refresh — the merge stays changelog-sized, not
+    // view-sized.
+    val j = old.as("o").join(delta.as("d"),
+      keys.map(k => old(k) <=> delta(k)).reduce(_ && _), "right_outer")
+    // presence probe: N is never null on a real view row, so a null
+    // here means the group is new (keys can't probe — NULL is a legal
+    // group key value)
+    val inOld = old.col(N)
+    val newN = coalesce(old.col(N), lit(0L)) + coalesce(delta.col(s"_d$N"), lit(0L))
+
+    def mergedCol(a: ViewAgg): Seq[Column] = a match {
+      case GroupCount(o) => Seq(newN.as(o))
+      case Sum(_, o) =>
+        val n2 = coalesce(old.col(nn(o)), lit(0L)) + coalesce(delta.col(s"_d_${nn(o)}"), lit(0L))
+        Seq(when(n2 === 0, lit(null)).otherwise(
+          coalesce(old.col(o), lit(0)) + coalesce(delta.col(s"_d_$o"), lit(0))).as(o),
+          n2.as(nn(o)))
+      // least/greatest skip nulls: an absent side simply doesn't bound
+      case Min(_, o) => Seq(least(old.col(o), delta.col(s"_d_$o")).as(o))
+      case Max(_, o) => Seq(greatest(old.col(o), delta.col(s"_d_$o")).as(o))
+    }
+    val keyCols = keys.map(k => coalesce(old(k), delta(k)).as(k))
+    val inc = j.select((keyCols ++ aggs.flatMap(mergedCol) :+ newN.as(N) :+
+      delta.col("_d_hasdel").as("_hasdel") :+
+      isnull(inOld).as("_isnew")): _*)
+      // a brand-new group netting to zero inside the range would insert
+      // a phantom empty group: drop it (an EXISTING group reaching zero
+      // stays — its marker row drives the view-side DELETE)
+      .where(!(col("_isnew") && col(N) === 0))
+
+    val hasMinMax = aggs.exists { case _: Min | _: Max => true; case _ => false }
+    val newRows =
+      if (!hasMinMax) inc.drop("_hasdel", "_isnew")
+      else {
+        // delete-touched, still-live groups: MIN/MAX can only be
+        // recomputed — but ONLY for those groups, from a source read
+        // bounded to them
+        val needRec = inc.where(col("_hasdel") === 1 && col(N) > 0)
+          .select(keys.map(col): _*)
+        val srcCur = boundedSourceRead(src, cur, needRec, keys)
+        val rec = srcCur.as("s").join(needRec.as("k"),
+            keys.map(k => srcCur(k) <=> needRec(k)).reduce(_ && _), "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(fullAggCols(aggs).head, fullAggCols(aggs).tail: _*)
+        val incKept = inc.as("i").join(rec.as("r"),
+            keys.map(k => inc(k) <=> rec(k)).reduce(_ && _), "left_anti")
+          .drop("_hasdel", "_isnew")
+        incKept.unionByName(rec)
+      }
+
+    // one commit: update changed groups, insert new ones, DELETE
+    // vanished ones; CAS on the view base + source-version meta
+    LakeDml.merge(viewT, newRows, keys,
+      deleteMatched = Some(col(s"_src_$N") === 0),
+      meta = extraMeta ++
+        Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
+  }
+
+  /** Source read for the MIN/MAX recompute, with the touched keys
+    * pushed into the scan as `In` predicates when the key set is
+    * small enough to hold on the driver (file skipping + partition
+    * pruning then bound the read); above the cap the semi-join alone
+    * restricts it.
+    */
+  private val InPushdownCap = 1000
+  private def boundedSourceRead(src: LakeTable, cur: Long,
+                                needRec: DataFrame, keys: Seq[String]): DataFrame = {
+    val sample = needRec.limit(InPushdownCap + 1).collect()
+    if (sample.length > InPushdownCap || sample.isEmpty) src.read(Some(cur))
+    else {
+      val preds = keys.zipWithIndex.flatMap { case (k, i) =>
+        val vals = sample.map(_.get(i)).toSeq
+        // a NULL group key can't ride an In predicate; drop the bound
+        // for that column (the semi-join stays exact)
+        if (vals.contains(null)) None
+        else Some(LakePredicate.In(k, vals.distinct))
+      }
+      src.scan(preds, Some(cur))
+    }
+  }
+}

@@ -1188,7 +1188,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * because the untouched files keep their bytes.
     */
   private[lake] def commitMor(op: String, stagedDeletes: HPath,
-                              newData: Option[DataFrame], base: Snapshot): Snapshot = {
+                              newData: Option[DataFrame], base: Snapshot,
+                              meta: Map[String, String] = Map.empty): Snapshot = {
     val delDir = s"deletes/${UUID.randomUUID().toString}"
     io.mkdirs(loc("deletes"))
     // the staged dir was written under a dot-name the orphan sweep can
@@ -1213,7 +1214,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit(op, newDirs, carryForward = true, base.partitionBy, base.schemaJson,
-      meta = statsMeta ++ idMeta, expectedBase = Some(base.version),
+      meta = meta ++ statsMeta ++ idMeta, expectedBase = Some(base.version),
       newDirSchemas = newDirs.map(_ => base.schemaJson),
       newDeleteDirs = Seq(delDir))
   }

@@ -233,18 +233,25 @@ object LakeDml {
   }
 
   /** MERGE INTO target USING source ON key equality:
-    * WHEN MATCHED THEN UPDATE SET ... / WHEN NOT MATCHED THEN INSERT *.
+    * WHEN MATCHED [AND cond] THEN DELETE / WHEN MATCHED THEN UPDATE
+    * SET ... / WHEN NOT MATCHED THEN INSERT *.
     *
     * `set` maps target column name → expression over the joined row
     * (source columns are exposed as `_src_<name>`); when empty,
     * matched rows take all source columns (classic upsert). Source must
     * be key-unique (enforced — a multi-match MERGE is ambiguous and
-    * errors in Iceberg/ANSI too).
+    * errors in Iceberg/ANSI too). `deleteMatched` is the Iceberg/Delta
+    * `WHEN MATCHED AND cond THEN DELETE` arm: matched rows satisfying
+    * it (same joined namespace as `set`; null reads as false) are
+    * removed instead of updated — the CDC-apply shape where a source
+    * op column decides update vs delete in ONE commit.
     */
   def merge(table: LakeTable, source: DataFrame, keys: Seq[String],
             set: Map[String, Column] = Map.empty,
             insertNotMatched: Boolean = true,
-            strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+            strategy: DmlStrategy = DmlStrategy.Auto,
+            deleteMatched: Option[Column] = None,
+            meta: Map[String, String] = Map.empty): Snapshot = {
     val base = table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val target = table.readWithPos(Some(base.version))
@@ -285,6 +292,8 @@ object LakeDml {
     val joined = tgt.join(src, joinCond, "full_outer")
     val matched = tgt("_t_present").isNotNull && src("_s_present").isNotNull
     val srcOnly = tgt("_t_present").isNull
+    // null-proofed delete arm; only meaningful on matched rows
+    val del = deleteMatched.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
 
     // resolve `_src_` columns only when they exist: a MERGE whose
     // source carries a subset of target columns is legal as long as the
@@ -307,11 +316,13 @@ object LakeDml {
         // only the rows the MERGE actually produces move; the rest of
         // the target stays in place (an insert-only MERGE of N rows
         // into a 100 TB table writes N rows)
+        // delete-matched rows die with their staged positions and
+        // produce no replacement image
         val produced = joined
-          .where(if (insertNotMatched) matched || srcOnly else matched)
+          .where(if (insertNotMatched) (matched && !del) || srcOnly else matched && !del)
           .select(cols.map(c =>
             when(matched, fromSrc(c)).otherwise(insertCol(c)).as(c)): _*)
-        table.commitMor("merge", staged, Some(produced), base)
+        table.commitMor("merge", staged, Some(produced), base, meta)
       case None if matchedRows == 0 =>
         // no matched rows: the MERGE reduces to appending the
         // source-only rows (or to a no-op when inserts are off) — no
@@ -320,7 +331,7 @@ object LakeDml {
         else {
           val inserts = joined.where(srcOnly).select(cols.map(c =>
             insertCol(c).cast(base.schema(c).dataType).as(c)): _*)
-          table.write(inserts, WriteMode.Append, Nil,
+          table.write(inserts, WriteMode.Append, Nil, meta = meta,
             expectedBase = Some(base.version))
         }
       case None =>
@@ -331,8 +342,9 @@ object LakeDml {
             .otherwise(tgt(c)).as(c)
         }
         val merged = (if (insertNotMatched) joined else joined.where(!srcOnly))
+          .where(!(matched && del))
           .select(out: _*)
-        table.write(merged, WriteMode.Overwrite, base.partitionBy,
+        table.write(merged, WriteMode.Overwrite, base.partitionBy, meta = meta,
           expectedBase = Some(base.version))
     }
   }

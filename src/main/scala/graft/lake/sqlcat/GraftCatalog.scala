@@ -148,7 +148,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!isSystemNs(ident.namespace()))
       throw new UnsupportedOperationException(
         s"no procedure namespace ${ident.namespace().mkString(".")} in catalog $catName (use $catName.system)")
-    GraftProcedures.load(ident.name(), s => lakeCat.table(s)).getOrElse(
+    GraftProcedures.load(ident.name(), s => lakeCat.table(s), () => lakeCat).getOrElse(
       throw new UnsupportedOperationException(
         s"no procedure ${ident.name()} in catalog $catName (have: ${GraftProcedures.Names.mkString(", ")})"))
   }

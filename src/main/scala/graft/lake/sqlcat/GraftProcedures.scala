@@ -72,8 +72,29 @@ private[sqlcat] object GraftProcedures {
   private def cols(s: String): Seq[String] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
 
-  def load(name: String, resolve: String => LakeTable): Option[UnboundProcedure] =
+  def load(name: String, resolve: String => LakeTable,
+           catalog: () => graft.lake.LakeCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
+      // refresh an incrementally-maintained materialized view whose
+      // definition was persisted by IncrementalView.refreshSql — the
+      // scheduler-facing face of the O(changes) gold refresh:
+      //   CALL graft.system.refresh_view(view => 'gold.by_cust')
+      case "refresh_view" => Some(new Proc("refresh_view",
+        Array(p("view", StringType)),
+        StructType(Seq(StructField("view_version", LongType),
+          StructField("source_version", LongType),
+          StructField("mode", StringType))),
+        resolve,
+        (_, in) => {
+          val snap = graft.lake.IncrementalView.refreshByName(
+            catalog(), in.getUTF8String(0).toString)
+          // an up-to-date view returns its CURRENT snapshot, which may
+          // be a maintenance commit carrying neither meta key
+          Seq(snap.version,
+            snap.meta.get(graft.lake.IncrementalView.SourceVersionKey)
+              .map(_.toLong).getOrElse(-1L),
+            snap.meta.getOrElse(graft.lake.IncrementalView.RefreshModeKey, "noop"))
+        }))
       case "compact" => Some(new Proc("compact",
         Array(p("table", StringType), p("target_partitions", IntegerType),
           pDefault("sort_by", StringType, "''"), pDefault("zorder_by", StringType, "''"),
@@ -181,5 +202,6 @@ private[sqlcat] object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
-    "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag")
+    "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag",
+    "refresh_view")
 }

@@ -212,8 +212,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val srcSet = m.sourceTable.outputSet
           def unsupported(msg: String): Nothing =
             throw new UnsupportedOperationException(
-              s"MERGE INTO graft tables supports ON key equality + WHEN MATCHED UPDATE " +
-                s"+ WHEN NOT MATCHED INSERT *; $msg")
+              s"MERGE INTO graft tables supports ON key equality + WHEN MATCHED " +
+                s"[AND cond THEN DELETE /] UPDATE + WHEN NOT MATCHED INSERT *; $msg")
           noSubqueries(m.mergeCondition, "MERGE ON")
           val keys = conjuncts(m.mergeCondition).map { c =>
             val (l, r) = c match {
@@ -235,23 +235,37 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           if (m.notMatchedBySourceActions.nonEmpty)
             unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
-          val set: Map[String, Column] = m.matchedActions match {
-            case Nil =>
-              // insert-only MERGE: matched rows keep the target values —
-              // an identity assignment on a key column expresses that
-              // through LakeDml's set-path
-              Map(keys.head -> org.apache.spark.sql.functions.col(keys.head))
-            case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
-              ua.assignments.map { as =>
-                val name = stripCast(as.key) match {
-                  case a: AttributeReference => a.name
-                  case other => unsupported(s"UPDATE of non-column $other")
-                }
-                noSubqueries(as.value, "MERGE UPDATE SET")
-                name -> rebind(as.value, srcSet)
-              }.toMap
-            case other => unsupported(s"matched actions: $other")
+          def setOf(ua: UpdateAction): Map[String, Column] =
+            ua.assignments.map { as =>
+              val name = stripCast(as.key) match {
+                case a: AttributeReference => a.name
+                case other => unsupported(s"UPDATE of non-column $other")
+              }
+              noSubqueries(as.value, "MERGE UPDATE SET")
+              name -> rebind(as.value, srcSet)
+            }.toMap
+          // matched rows keep the target values when no UPDATE applies —
+          // an identity assignment on a key column expresses that
+          // through LakeDml's set-path
+          val keepSet: Map[String, Column] =
+            Map(keys.head -> org.apache.spark.sql.functions.col(keys.head))
+          def delCondOf(da: DeleteAction): Column = {
+            da.condition.foreach(noSubqueries(_, "MERGE DELETE"))
+            da.condition.map(rebind(_, srcSet))
+              .getOrElse(org.apache.spark.sql.functions.lit(true))
           }
+          val (set, deleteMatched): (Map[String, Column], Option[Column]) =
+            m.matchedActions match {
+              case Nil => (keepSet, None)
+              case Seq(ua: UpdateAction) if ua.condition.isEmpty => (setOf(ua), None)
+              case Seq(da: DeleteAction) => (keepSet, Some(delCondOf(da)))
+              // WHEN MATCHED AND c THEN DELETE, WHEN MATCHED THEN UPDATE:
+              // first matching action wins, so the UPDATE covers !c
+              case Seq(da: DeleteAction, ua: UpdateAction)
+                  if da.condition.nonEmpty && ua.condition.isEmpty =>
+                (setOf(ua), Some(delCondOf(da)))
+              case other => unsupported(s"matched actions: $other")
+            }
           val insert = m.notMatchedActions match {
             case Nil => false
             case Seq(ia: InsertAction) if ia.condition.isEmpty =>
@@ -267,7 +281,8 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               true
             case other => unsupported(s"not-matched actions: $other")
           }
-          GraftMergeCommand(gst, substituteReads(m.sourceTable), keys, set, insert)
+          GraftMergeCommand(gst, substituteReads(m.sourceTable), keys, set, insert,
+            deleteMatched)
         case None => substituteReads(plan)
       }
 
@@ -321,11 +336,13 @@ case class GraftUpdateCommand(table: GraftSparkTable, cond: Column,
 
 case class GraftMergeCommand(table: GraftSparkTable, source: LogicalPlan,
                              keys: Seq[String], set: Map[String, Column],
-                             insertNotMatched: Boolean) extends LeafRunnableCommand {
+                             insertNotMatched: Boolean,
+                             deleteMatched: Option[Column] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     LakeDml.merge(table.lake, GraftColumnBridge.dataFrame(session, source),
-      keys, set, insertNotMatched)
+      keys, set, insertNotMatched, deleteMatched = deleteMatched)
     Nil
   }
 }

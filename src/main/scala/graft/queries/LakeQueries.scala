@@ -485,6 +485,44 @@ object LakeQueries {
     cat.read("silver.customer").orderBy($"c_custkey")
   }
 
+  /** Incrementally-maintained materialized aggregate view
+    * ([[graft.lake.IncrementalView]]): the reference's gold layer
+    * recomputes its grouped aggregate from the FULL silver table every
+    * run (`/root/reference/dags/etl.py:80-96`); here the refresh after
+    * an append + a merge-on-read delete folds only the CHANGELOG —
+    * asserted via the commit's refreshMode meta — including the
+    * delete-forced MIN/MAX recompute bounded to touched groups. SUMs
+    * ride exact integer cents so the incremental fold is bit-equal to
+    * the oracle's direct aggregate.
+    */
+  def incrView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.IncrementalView
+    import graft.lake.IncrementalView.{GroupCount, Max, Min, Sum}
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders.select(
+      $"o_custkey", $"o_orderkey", $"o_totalprice",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val aggs = Seq(GroupCount("cnt"), Sum(col("cents"), "sum_cents"),
+      Min(col("o_totalprice"), "min_price"), Max(col("o_totalprice"), "max_price"))
+    cat.write(orders.filter(pmod($"o_orderkey", lit(4)).isin(1, 2)).repartition(4),
+      "silver.orders", WriteMode.Overwrite)
+    val first = IncrementalView.refresh(cat, "silver.orders", "gold.by_cust",
+      Seq("o_custkey"), aggs)
+    require(first.meta(IncrementalView.RefreshModeKey) == "full",
+      "first refresh builds the view full")
+    // trickle: one append commit, one MOR delete commit
+    cat.write(orders.filter(pmod($"o_orderkey", lit(4)) === 3),
+      "silver.orders", WriteMode.Append)
+    LakeDml.delete(cat.table("silver.orders"),
+      pmod($"o_orderkey", lit(8)) === 2, strategy = DmlStrategy.MergeOnRead)
+    val snap = IncrementalView.refresh(cat, "silver.orders", "gold.by_cust",
+      Seq("o_custkey"), aggs)
+    require(snap.meta(IncrementalView.RefreshModeKey) == "incremental",
+      "append + MOR delete must refresh on the changelog path, not rebuild")
+    IncrementalView.read(cat, "gold.by_cust").orderBy($"o_custkey")
+  }
+
   /** Incremental binpack compaction: a well-sized base commit plus
     * trickle appends; `compactBinPack` folds ONLY the trickle dirs
     * (the base dir is asserted carried byte-identical), with a

@@ -183,6 +183,32 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0)))
   }
 
+  test("MERGE INTO with WHEN MATCHED THEN DELETE") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.md", WriteMode.Overwrite)
+    Seq((2L, "B", 200.0)).toDF("id", "name", "v").createOrReplaceTempView("md_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.md t USING md_src s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $c.ns.md ORDER BY id").as[Long].collect()
+      .toSeq === Seq(1L, 3L))
+  }
+
+  test("MERGE INTO: conditional DELETE + UPDATE + INSERT (CDC apply)") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.mcd", WriteMode.Overwrite)
+    Seq((1L, "A", 100.0, "u"), (2L, "b", 20.0, "d"), (7L, "g", 70.0, "u"))
+      .toDF("id", "name", "v", "op").createOrReplaceTempView("mcd_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.mcd t USING mcd_src s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)""".stripMargin)
+    val rows = spark.sql(s"SELECT id, name, v FROM $c.ns.mcd ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "A", 100.0), (3L, "c", 30.0), (7L, "g", 70.0)))
+  }
+
   test("partitioned table through SQL: CTAS PARTITIONED BY + pruned SELECT") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.psrc", WriteMode.Overwrite)
@@ -246,6 +272,24 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     val v = spark.sql(s"SELECT v FROM $c.ns.race WHERE id = 1").head.getDouble(0)
     val applied = succeeded.map(_.getName.stripPrefix("race-").toInt)
     assert(v === 10.0 + applied.sum, s"v=$v after updates $applied")
+  }
+
+  test("CALL refresh_view: persisted-definition materialized view refresh via SQL") {
+    val (c, cat) = freshCatalog()
+    cat.write(Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 5.0))
+      .toDF("id", "g", "v"), "ns.ev", WriteMode.Overwrite)
+    graft.lake.IncrementalView.refreshSql(cat, "ns.ev", "ns.ev_agg", Seq("g"),
+      Seq("count(*) AS cnt", "sum(v) AS sum_v"))
+    cat.write(Seq((4L, "y", 15.0)).toDF("id", "g", "v"), "ns.ev", WriteMode.Append)
+    val r = spark.sql(s"CALL $c.system.refresh_view(view => 'ns.ev_agg')").head
+    assert(r.getString(2) === "incremental")
+    assert(r.getLong(1) === cat.table("ns.ev").latest.get.version)
+    val got = graft.lake.IncrementalView.read(cat, "ns.ev_agg")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("x", 2L, 30.0), ("y", 2L, 20.0)))
+    // already fresh: mode reports no movement needed
+    val r2 = spark.sql(s"CALL $c.system.refresh_view(view => 'ns.ev_agg')").head
+    assert(r2.getLong(0) === r.getLong(0)) // same view version
   }
 
   test("CALL procedures: compact, expire, orphans, set_partition_spec, rollback") {

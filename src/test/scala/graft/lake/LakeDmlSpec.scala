@@ -59,6 +59,42 @@ class LakeDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeDml.merge(t, dup, keys = Seq("id")))
   }
 
+  test("merge matched-delete arm: CDC apply in one commit (upsert + delete)") {
+    val t = freshTable()
+    // a CDC batch: op column decides update vs delete
+    val src = Seq((1L, "a1", 11.0, "u"), (2L, "b", 20.0, "d"), (9L, "new", 90.0, "u"))
+      .toDF("id", "name", "v", "op")
+    LakeDml.merge(t, src, keys = Seq("id"),
+      set = Map("name" -> col("_src_name"), "v" -> col("_src_v")),
+      deleteMatched = Some(col("_src_op") === "d"))
+    val rows = t.read(None).orderBy($"id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a1", 11.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  test("merge matched-delete arm on the MOR path: no existing file rewritten") {
+    val t = freshTable()
+    val before = t.latest.get.dirs.toSet
+    val src = Seq((2L, "b", 20.0)).toDF("id", "name", "v")
+    val snap = LakeDml.merge(t, src, keys = Seq("id"),
+      deleteMatched = Some(lit(true)), insertNotMatched = false,
+      strategy = DmlStrategy.MergeOnRead)
+    assert(t.read(None).select($"id").as[Long].collect().sorted === Array(1L, 3L))
+    assert(before.subsetOf(snap.dirs.toSet)) // delete rode a delete file
+  }
+
+  test("merge matched-delete: NULL delete condition means keep (update)") {
+    val t = freshTable()
+    val src = Seq((1L, "a1", 11.0, null: String), (2L, "b2", 22.0, "d"))
+      .toDF("id", "name", "v", "op")
+    LakeDml.merge(t, src, keys = Seq("id"),
+      set = Map("name" -> col("_src_name"), "v" -> col("_src_v")),
+      deleteMatched = Some(col("_src_op") === "d"), insertNotMatched = false)
+    val rows = t.read(None).orderBy($"id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a1", 11.0), (3L, "c", 30.0)))
+  }
+
   test("merge without insert drops unmatched source rows") {
     val t = freshTable()
     val src = Seq((2L, "b2", 200.0), (9L, "new", 900.0)).toDF("id", "name", "v")
