@@ -95,6 +95,7 @@ object SparkEntry {
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
+    "s_view_maintain"      -> (StreamQueries.viewMaintain _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
@@ -905,6 +906,20 @@ object SparkEntry {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the continuously-maintained view equals the direct aggregate of
+    // the source's final state (all events, minus the MOR-deleted
+    // %5=0); sums ride exact integer milli-values
+    "s_view_maintain" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sum_millis,
+        |  MIN(event_type) AS min_type,
+        |  MAX(event_type) AS max_type
+        |FROM events
+        |WHERE event_id % 5 <> 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "s_stream_join" ->
       """SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts FROM

@@ -236,8 +236,14 @@ object IncrementalView {
         case Min(e, o) => Seq(min(when(sign > 0, e)).as(s"_d_$o"))
         case Max(e, o) => Seq(max(when(sign > 0, e)).as(s"_d_$o"))
       }.flatten).toSeq
+    // materialize once: the delta is changelog-sized (small by the
+    // whole premise), but its lineage — readChanges' per-commit
+    // delete-materialization semi-joins — is expensive, and downstream
+    // references it several times (merged rows, recompute key set,
+    // anti-join, plus the MERGE's own strategy decision aggregate)
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
+      .localCheckpoint()
 
     val old = viewT.read(None)
     // group keys may hold NULL (a legitimate GROUP BY group): null-safe

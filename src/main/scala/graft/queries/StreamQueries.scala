@@ -137,6 +137,44 @@ object StreamQueries {
       .orderBy($"_commit_version", $"_change_type")
   }
 
+  /** Continuously-maintained materialized view
+    * ([[graft.streaming.ViewMaintenance]]): per-user event aggregates
+    * stay fresh as the events lake table commits — first AvailableNow
+    * pass builds the view, a second pass folds an append + MOR delete
+    * incrementally (asserted via refreshMode meta), and the result
+    * must equal the direct aggregate of the source's final state.
+    * SUMs ride exact integer milli-values so the incremental fold is
+    * bit-equal to the oracle.
+    */
+  def viewMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DmlStrategy, IncrementalView, LakeCatalog, LakeDml, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-vm-").toString)
+    val events = Tables(spark, dir).events.select(
+      $"event_id", $"user_id", $"event_type",
+      round($"value" * 1000).cast("long").as("millis"))
+    cat.write(events.filter($"event_id" % 3 =!= 0), "bronze.ev", WriteMode.Overwrite)
+    val ckpt = LakeQueries.scratchDir("graft-vm-ckpt-").toString
+    def pass(): Unit = {
+      val q = graft.streaming.ViewMaintenance.maintain(cat, "bronze.ev",
+        "gold.by_user", Seq("user_id"),
+        Seq("count(*) AS cnt", "sum(millis) AS sum_millis",
+          "min(event_type) AS min_type", "max(event_type) AS max_type"), ckpt)
+      q.awaitTermination()
+    }
+    pass()
+    require(cat.table("gold.by_user").latest.get
+      .meta(IncrementalView.RefreshModeKey) == "full", "first pass builds full")
+    cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Append)
+    LakeDml.delete(cat.table("bronze.ev"), $"event_id" % 5 === 0,
+      strategy = DmlStrategy.MergeOnRead)
+    pass()
+    require(cat.table("gold.by_user").latest.get
+      .meta(IncrementalView.RefreshModeKey) == "incremental",
+      "maintenance must fold the changelog, not rebuild")
+    IncrementalView.read(cat, "gold.by_user").orderBy($"user_id")
+  }
+
   /** CSV write → read roundtrip with explicit schema (reference S7/S8). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
