@@ -49,6 +49,7 @@ object SparkEntry {
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_branch"           -> (LakeQueries.branchWap _),
     "lake_sorted_scan"      -> (LakeQueries.sortedBloomScan _),
+    "lake_meta_agg"         -> (LakeQueries.metaAgg _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
@@ -299,6 +300,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the engine answers from manifests alone (asserted in-query);
+    // the oracle recomputes by scanning the full table
+    "lake_meta_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(o_totalprice) AS min_tp,
+        |  MAX(o_totalprice) AS max_tp
+        |FROM orders""".stripMargin,
 
     // the committed transaction refreshes gold over ALL orders; the
     // failed one rolls back and changes nothing

@@ -69,6 +69,16 @@ private[graft] object FileStats {
     */
   val BytesKeyPrefix = "graft.bytes:"
   def bytesKey(dirName: String): String = BytesKeyPrefix + dirName
+  /** Per-dir ROW COUNT (`graft.rows:data/<uuid>` → total rows across
+    * the dir's parquet files), harvested from footers by the commit
+    * that wrote the dir and carried with it exactly like
+    * [[BytesKeyPrefix]]. Powers metadata-only aggregates
+    * ([[graft.lake.LakeTable.metadataRowCount]]): `count(*)` on a
+    * delete-free snapshot becomes a manifest sum — zero data read at
+    * any table size, the Iceberg/Delta "count from manifests" shape.
+    */
+  val RowsKeyPrefix = "graft.rows:"
+  def rowsKey(dirName: String): String = RowsKeyPrefix + dirName
   def joinCols(cols: Seq[String]): String = cols.mkString(",")
   def splitCols(s: String): Seq[String] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -284,6 +294,66 @@ private[graft] object FileStats {
         Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
       case _ => None
     }
+  }
+
+  /** Total row count across the parquet files under `dir`, from
+    * footers only — driver-side metadata reads, no Spark job. An
+    * empty dir counts 0; any unreadable footer → None (callers fall
+    * back to a scanning count). Parquet footers carry exact per-block
+    * row counts, so unlike min/max bounds this is never approximate.
+    */
+  def dirRowCount(io: LakeIo, dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!io.isDir(dir)) return Some(0L)
+    var total = 0L
+    val it = io.fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        } catch { case _: Exception => return None }
+      }
+    }
+    Some(total)
+  }
+
+  /** Global (lo, hi) of `col` across EVERY file of a stats blob, in
+    * the NUMERIC key domain — the exact-aggregate counterpart of
+    * [[surviving]]'s pruning reads. None when the blob doesn't cover
+    * the column, any file lacks a bound on it (all-null values or a
+    * stats-less chunk — pruning tolerates that as "unprunable", an
+    * exact MIN/MAX answer cannot), or the domain is non-numeric:
+    * parquet BINARY stats may be TRUNCATED bounds, sound for pruning
+    * but not for exact aggregate answers, so strings never qualify.
+    */
+  def blobNumericRange(statsJson: String, col: String): Option[(BigDecimal, BigDecimal)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(statsJson)
+    val colsNode = node.get("cols")
+    val idx = (0 until colsNode.size()).find(i => colsNode.get(i).asText() == col)
+      .getOrElse(return None)
+    var acc: Option[(BigDecimal, BigDecimal)] = None
+    val it = node.get("files").fields()
+    while (it.hasNext) {
+      val pair = it.next().getValue.get(idx)
+      def at(j: Int): Option[BigDecimal] =
+        if (pair.get(j).isNull) None
+        else decode(pair.get(j).asText()) match {
+          case Some(Left(n)) => Some(n)
+          case _             => None // string domain: truncation-unsafe
+        }
+      (at(0), at(1)) match {
+        case (Some(lo), Some(hi)) =>
+          acc = Some(acc.map { case (alo, ahi) => (alo.min(lo), ahi.max(hi)) }
+            .getOrElse((lo, hi)))
+        case _ => return None
+      }
+    }
+    acc
   }
 
   /** Global (min, max) per requested column across every parquet file

@@ -685,6 +685,61 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def read(version: Option[Long] = None): DataFrame = scan(Nil, version)
 
+  /** `count(*)` answered from MANIFEST metadata alone — zero Spark
+    * jobs, zero data read, at any table size (the Iceberg/Delta
+    * "count from manifests" shape; cf. Iceberg's file `record_count`
+    * metrics). Sums the per-dir row counts recorded at write time
+    * ([[FileStats.RowsKeyPrefix]]); a legacy dir without one falls
+    * back to a driver-side footer read of that dir only. None when
+    * the snapshot has live positional or equality delete files — they
+    * mask rows the manifests cannot see, so only a scan is exact;
+    * `compact()` folds them and re-arms the fast path.
+    */
+  def metadataRowCount(version: Option[Long] = None): Option[Long] =
+    metadataRowCountOf(resolve(version))
+
+  private[lake] def metadataRowCountOf(snap: Snapshot): Option[Long] = {
+    if (snap.deleteDirs.nonEmpty || snap.eqDeletes.nonEmpty) None
+    else snap.dirs.foldLeft(Option(0L)) { (acc, d) =>
+      acc.flatMap { a =>
+        snap.meta.get(FileStats.rowsKey(d)).map(_.toLong)
+          .orElse(FileStats.dirRowCount(io, loc(d)))
+          .map(a + _)
+      }
+    }
+  }
+
+  /** Exact row count: the metadata fast path when sound, else a scan. */
+  def countRows(version: Option[Long] = None): Long =
+    metadataRowCount(version).getOrElse(read(version).count())
+
+  /** Exact (MIN, MAX) of a NUMERIC column answered from the manifest
+    * stats blobs alone — the aggregate counterpart of file skipping.
+    * Values come back in the stats key domain (BigDecimal). None
+    * whenever metadata cannot be exact: live delete files (removing
+    * rows can tighten true bounds), a dir without a stats blob for
+    * the column, a file with no bound on it (all-null or stats-less),
+    * or a non-numeric column (parquet BINARY stats may be truncated
+    * bounds — fine for pruning, wrong for exact answers). Dirs the
+    * manifest knows are EMPTY (zero recorded rows) contribute
+    * nothing instead of unbinding the answer.
+    */
+  def metadataBounds(column: String, version: Option[Long] = None): Option[(BigDecimal, BigDecimal)] = {
+    val snap = resolve(version)
+    if (snap.deleteDirs.nonEmpty || snap.eqDeletes.nonEmpty) return None
+    var acc: Option[(BigDecimal, BigDecimal)] = None
+    snap.dirs.foreach { d =>
+      snap.meta.get(FileStats.dirKey(d)).flatMap(FileStats.blobNumericRange(_, column)) match {
+        case Some((lo, hi)) =>
+          acc = Some(acc.map { case (alo, ahi) => (alo.min(lo), ahi.max(hi)) }
+            .getOrElse((lo, hi)))
+        case None =>
+          if (!snap.meta.get(FileStats.rowsKey(d)).contains("0")) return None
+      }
+    }
+    acc
+  }
+
   /** Snapshot read that keeps the merge-on-read position columns
     * ([[LakePos.FileCol]], [[LakePos.PosCol]]) — the coordinates DML
     * needs to write positional delete files. Existing deletes are
@@ -883,12 +938,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             }
             legacy ++ perDir
           }.getOrElse(Map.empty)
-        // per-dir byte sizes ride with their dirs on EVERY
-        // dir-preserving commit — unlike column stats they survive
-        // schema evolution (a rename does not change file sizes)
+        // per-dir byte sizes and row counts ride with their dirs on
+        // EVERY dir-preserving commit — unlike column stats they
+        // survive schema evolution (a rename changes neither file
+        // sizes nor row counts)
         val carriedBytes: Map[String, String] =
           if (!carryForward) Map.empty
-          else base.map(_.meta.filter(_._1.startsWith(FileStats.BytesKeyPrefix)))
+          else base.map(_.meta.filter(kv =>
+            kv._1.startsWith(FileStats.BytesKeyPrefix) ||
+              kv._1.startsWith(FileStats.RowsKeyPrefix)))
             .getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
@@ -1002,6 +1060,19 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * and a zero-file dir (empty frame under a partition spec) collects
     * nothing.
     */
+  /** Byte size + row count of a just-written dir: one listing plus
+    * footer metadata reads, recorded in the commit meta and carried
+    * with the dir. Bytes power streaming admission control; rows
+    * power metadata-only `count(*)` ([[metadataRowCount]]). A dir
+    * whose footers cannot be read simply records no row count — the
+    * metadata count degrades to a footer re-read or a scan, never to
+    * a wrong answer.
+    */
+  private def footprintMetaFor(dirName: String): Map[String, String] =
+    Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString) ++
+      FileStats.dirRowCount(io, loc(dirName))
+        .map(n => FileStats.rowsKey(dirName) -> n.toString)
+
   private def statsMetaFor(dirName: String, cols: Seq[String],
                            written: Seq[String]): Map[String, String] = {
     val present = cols.filter(written.contains)
@@ -1092,7 +1163,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       else Map(FileStats.SortOrderKey -> FileStats.joinCols(effectiveSort))
     // dir size for byte-based streaming admission control — one listing
     // of the dir this write just produced
-    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
+    val bytesMeta = footprintMetaFor(dirName)
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
@@ -1164,7 +1235,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       schema.fieldNames.toSeq)
-    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
+    val bytesMeta = footprintMetaFor(dirName)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("upsert", Seq(dirName), carryForward = true, base.partitionBy,
@@ -1214,7 +1285,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit(op, newDirs, carryForward = true, base.partitionBy, base.schemaJson,
-      meta = meta ++ statsMeta ++ idMeta, expectedBase = Some(base.version),
+      meta = meta ++ statsMeta ++ newDirs.flatMap(footprintMetaFor) ++ idMeta,
+      expectedBase = Some(base.version),
       newDirSchemas = newDirs.map(_ => base.schemaJson),
       newDeleteDirs = Seq(delDir))
   }
@@ -1420,7 +1492,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val idMeta = snap.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
-      meta = statsMeta ++ idMeta, expectedBase = Some(snap.version))
+      meta = statsMeta ++ footprintMetaFor(dirName) ++ idMeta, expectedBase = Some(snap.version))
   }
 
   /** Incremental binpack compaction (Iceberg's `rewrite_data_files`
@@ -1462,11 +1534,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // fresh stats and bytes
     val keptMeta = base.meta.filter { case (k, _) =>
       keepIdx.map(base.dirs).exists(d =>
-        k == FileStats.dirKey(d) || k == FileStats.bytesKey(d))
+        k == FileStats.dirKey(d) || k == FileStats.bytesKey(d) ||
+          k == FileStats.rowsKey(d))
     } ++ base.meta.get(FileStats.StatsColsKey).map(FileStats.StatsColsKey -> _)
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
-    val bytesMeta = Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString)
+    val bytesMeta = footprintMetaFor(dirName)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", keepIdx.map(base.dirs) :+ dirName, carryForward = false,
@@ -1861,8 +1934,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val statsMeta = dirs.headOption.map(d =>
       statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
       .getOrElse(Map.empty[String, String])
-    val bytesMeta = dirs.map(d =>
-      FileStats.bytesKey(d) -> io.dirBytes(loc(d)).toString).toMap
+    val bytesMeta = dirs.flatMap(footprintMetaFor).toMap
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     val (op, carry) = mode match {

@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    // metadata-only count(*) over lake tables (see MetadataAgg)
+    ext.injectOptimizerRule(_ => new MetadataCountRule)
     // SQL over lake tables (SELECT / INSERT / CTAS / DELETE / UPDATE /
     // MERGE INTO through a GraftCatalog) — see LakeSqlRule
     ext.injectPostHocResolutionRule(session => new LakeSqlRule(session))

@@ -86,7 +86,19 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"column ${attr.name} missing from lake read of ${gst.name()}"))
       Alias(src, attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
     }
-    Project(out, child)
+    val proj = Project(out, child)
+    // a FULL data-table read can answer `count(*)` from manifests —
+    // tag the substitution (root AND scan plan: optimizer rules mint
+    // fresh Projects that drop tags) for MetadataCountRule to fold
+    if (preds.isEmpty && gst.metaFrame.isEmpty && gst.branchFrame.isEmpty) {
+      val lake = gst.lake
+      val pinned = gst.pinnedVersion
+      val thunk = () =>
+        scala.util.Try(lake.metadataRowCount(pinned)).toOption.flatten
+      proj.setTagValue(MetadataAgg.CountTag, thunk)
+      child.setTagValue(MetadataAgg.CountTag, thunk)
+    }
+    proj
   }
 
   /** The relation under a (possibly aliased) filter child — the

@@ -406,6 +406,44 @@ object LakeQueries {
     range.orderBy($"o_orderkey")
   }
 
+  /** Metadata-only aggregates (the Iceberg/Delta "count from
+    * manifests" shape): `count(*)` and numeric MIN/MAX answered from
+    * the manifest alone over a three-append table — zero data read at
+    * any table size. The fast path is ASSERTED in-query: both values
+    * must come from metadata (`metadataRowCount`/`metadataBounds`
+    * Some), and the SQL `count(*)` must fold to a [[org.apache.spark
+    * .sql.catalyst.plans.logical.LocalRelation]] with no scan in the
+    * optimized plan, agreeing with the API answer. The DuckDB oracle
+    * recomputes all three by actually scanning.
+    */
+  def metaAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = scratchDir("graft-lake-").toString
+    val c = s"gsqlq${sqlCatalogCounter.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    def slice(m: Int) = orders.filter(pmod($"o_orderkey", lit(3)) === m)
+    cat.write(slice(0), "bronze.orders", WriteMode.Overwrite,
+      statsBy = Seq("o_totalprice"))
+    val t = cat.table("bronze.orders")
+    t.write(slice(1), WriteMode.Append) // stats + row counts auto-collect
+    t.write(slice(2), WriteMode.Append)
+    val cnt = t.metadataRowCount().getOrElse(
+      sys.error("delete-free table must answer count(*) from manifests"))
+    val (lo, hi) = t.metadataBounds("o_totalprice").getOrElse(
+      sys.error("stats column must answer MIN/MAX from manifest blobs"))
+    val sql = spark.sql(s"SELECT count(*) AS cnt FROM $c.bronze.orders")
+    require(sql.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"SQL count(*) must fold to a metadata LocalRelation, got:\n" +
+        sql.queryExecution.optimizedPlan)
+    require(sql.head.getLong(0) == cnt, "SQL fold and API must agree")
+    Seq((cnt, lo.toDouble, hi.toDouble)).toDF("cnt", "min_tp", "max_tp")
+  }
+
   /** Multi-statement transaction: the bronze+gold publish lands
     * all-or-nothing (stage both writes, CAS-publish in sequence), and
     * a second transaction that loses a race to a concurrent commit
