@@ -87,16 +87,17 @@ class LakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(src, attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
     }
     val proj = Project(out, child)
-    // a FULL data-table read can answer `count(*)` from manifests —
-    // tag the substitution (root AND scan plan: optimizer rules mint
-    // fresh Projects that drop tags) for MetadataCountRule to fold
+    // a FULL data-table read can answer count(*)/min/max from
+    // manifests — tag the substitution (root AND scan plan: optimizer
+    // rules mint fresh Projects that drop tags) for MetadataCountRule
     if (preds.isEmpty && gst.metaFrame.isEmpty && gst.branchFrame.isEmpty) {
       val lake = gst.lake
       val pinned = gst.pinnedVersion
-      val thunk = () =>
-        scala.util.Try(lake.metadataRowCount(pinned)).toOption.flatten
-      proj.setTagValue(MetadataAgg.CountTag, thunk)
-      child.setTagValue(MetadataAgg.CountTag, thunk)
+      val answers = MetadataAgg.Answers(
+        () => scala.util.Try(lake.metadataRowCount(pinned)).toOption.flatten,
+        col => scala.util.Try(lake.metadataBounds(col, pinned)).toOption.flatten)
+      proj.setTagValue(MetadataAgg.Tag, answers)
+      child.setTagValue(MetadataAgg.Tag, answers)
     }
     proj
   }

@@ -435,13 +435,19 @@ object LakeQueries {
       sys.error("delete-free table must answer count(*) from manifests"))
     val (lo, hi) = t.metadataBounds("o_totalprice").getOrElse(
       sys.error("stats column must answer MIN/MAX from manifest blobs"))
-    val sql = spark.sql(s"SELECT count(*) AS cnt FROM $c.bronze.orders")
+    // the driver-checked result IS the folded SQL: asserted to plan as
+    // a metadata LocalRelation (no scan) and to agree with the API
+    val sql = spark.sql(
+      s"""SELECT count(*) AS cnt, min(o_totalprice) AS min_tp,
+         |  max(o_totalprice) AS max_tp FROM $c.bronze.orders""".stripMargin)
     require(sql.queryExecution.optimizedPlan
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
-      s"SQL count(*) must fold to a metadata LocalRelation, got:\n" +
+      s"SQL count/min/max must fold to a metadata LocalRelation, got:\n" +
         sql.queryExecution.optimizedPlan)
-    require(sql.head.getLong(0) == cnt, "SQL fold and API must agree")
-    Seq((cnt, lo.toDouble, hi.toDouble)).toDF("cnt", "min_tp", "max_tp")
+    val row = sql.head
+    require(row.getLong(0) == cnt && row.getDouble(1) == lo.toDouble &&
+      row.getDouble(2) == hi.toDouble, "SQL fold and API must agree")
+    sql
   }
 
   /** Multi-statement transaction: the bronze+gold publish lands

@@ -128,6 +128,37 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(tt.head.getLong(0) === 100L)
   }
 
+  test("SQL min/max fold: numeric stats columns through renames; strings/exprs decline") {
+    val (c, cat) = freshCatalog()
+    cat.write(df(1 to 100), "ns.mm", WriteMode.Overwrite, statsBy = Seq("id", "v"))
+    cat.write(df(101 to 120), "ns.mm", WriteMode.Append)
+
+    def folded(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+
+    val q = spark.sql(s"SELECT count(*) AS cnt, min(id) AS lo, max(v) AS hi FROM $c.ns.mm")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"expected a metadata fold, got:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head
+    assert(r.getLong(0) === 120L && r.getLong(1) === 1L && r.getDouble(2) === 180.0)
+
+    // a subquery rename still reaches the real column
+    val ren = spark.sql(s"SELECT min(x) FROM (SELECT v AS x FROM $c.ns.mm)")
+    assert(ren.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(ren.head.getDouble(0) === 1.5)
+
+    // string bounds may be truncated → decline; computed exprs → decline
+    assert(!folded(s"SELECT min(name) FROM $c.ns.mm"))
+    assert(spark.sql(s"SELECT min(name) FROM $c.ns.mm").head.getString(0) === "name1")
+    assert(!folded(s"SELECT max(v + 1.0) FROM $c.ns.mm"))
+    // a column outside the stats set poisons the WHOLE fold (all-or-scan)
+    val (c2, cat2) = freshCatalog()
+    cat2.write(df(1 to 50), "ns.ns", WriteMode.Overwrite) // no statsBy
+    assert(!folded(s"SELECT count(*), min(id) FROM $c2.ns.ns"))
+    val mixed = spark.sql(s"SELECT count(*), min(id) FROM $c2.ns.ns").head
+    assert(mixed.getLong(0) === 50L && mixed.getLong(1) === 1L)
+  }
+
   test("SQL fold declines anything it cannot prove; results stay exact") {
     val (c, cat) = freshCatalog()
     cat.write(df(1 to 100), "ns.f", WriteMode.Overwrite)
