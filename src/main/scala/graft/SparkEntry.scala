@@ -70,6 +70,7 @@ object SparkEntry {
     "t_fingerprint"      -> (TextQueries.fingerprints _),
     "t_winnow_overlap"   -> (TextQueries.winnowOverlap _),
     "t_hash_sample"      -> ((s: SparkSession, d: String) => TextQueries.hashSample(s, d)),
+    "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
     "t_token_budget"     -> ((s: SparkSession, d: String) => TextQueries.tokenBudget(s, d)),
     "t_contamination"    -> (TextQueries.contamination _),
     "t_pii_redact"       -> (TextQueries.piiRedact _),
@@ -324,7 +325,9 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  MIN(o_totalprice) AS min_price,
-        |  MAX(o_totalprice) AS max_price
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_cents
         |FROM orders
         |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 2
         |GROUP BY o_custkey
@@ -531,6 +534,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // portable md5 bucket: first 8 hex chars parsed big-endian, mod 100
+    // exact per-(source, lang) quotas ranked by the portable md5
+    "t_stratified_sample" ->
+      """SELECT doc_id, source, lang, rk FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40
+        |ORDER BY source, lang, rk""".stripMargin,
+
     "t_hash_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE (list_sum(list_transform(range(1, 9),

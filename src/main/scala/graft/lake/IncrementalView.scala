@@ -81,21 +81,35 @@ object IncrementalView {
   final case class Min(expr: Column, out: String) extends ViewAgg
   /** MAX(expr); recomputed for delete-touched groups. */
   final case class Max(expr: Column, out: String) extends ViewAgg
+  /** AVG(expr): maintained as a hidden exact SUM + non-null count
+    * (riding the same incremental machinery) and derived at read
+    * time as `sum / n_nonnull` — NULL when the group has no non-null
+    * values, which is SQL AVG semantics.
+    */
+  final case class Avg(expr: Column, out: String) extends ViewAgg
 
   // hidden maintenance columns (dropped by [[read]])
   private val N = "_n" // live rows per group: 0 = group vanished
   private def nn(out: String) = s"_nn_$out" // non-null count per SUM
+  private val AvgPrefix = "_av_" // hidden SUM backing an AVG output
 
   /** The view without its maintenance columns — what a consumer
     * selects.
     */
   def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
     val df = cat.read(viewIdent)
-    df.drop(df.columns.filter(_.startsWith("_")).toSeq: _*)
+    // AVG outputs are stored as hidden exact sums; derive them here
+    // (long/long and double/long both divide to double — SQL AVG)
+    val withAvgs = df.columns.filter(_.startsWith(AvgPrefix)).foldLeft(df) {
+      (d, c) => d.withColumn(c.stripPrefix(AvgPrefix),
+        org.apache.spark.sql.functions.col(c) /
+          org.apache.spark.sql.functions.col(nn(c)))
+    }
+    withAvgs.drop(withAvgs.columns.filter(_.startsWith("_")).toSeq: _*)
   }
 
   private val AggSpec =
-    "(?i)\\s*(count|sum|min|max)\\s*\\((.*)\\)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*".r
+    "(?i)\\s*(count|sum|min|max|avg)\\s*\\((.*)\\)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*".r
 
   /** Parse SQL-string agg specs (`count(*) as cnt`, `sum(price * 100)
     * as cents`, `min(ts) as first_ts`) — the serializable face of
@@ -111,9 +125,10 @@ object IncrementalView {
       case "sum" => Sum(expr(arg), out)
       case "min" => Min(expr(arg), out)
       case "max" => Max(expr(arg), out)
+      case "avg" => Avg(expr(arg), out)
     }
     case other => throw new IllegalArgumentException(
-      s"bad aggregate spec '$other'; want count(*)/sum(e)/min(e)/max(e) AS name")
+      s"bad aggregate spec '$other'; want count(*)/sum(e)/min(e)/max(e)/avg(e) AS name")
   }
 
   /** Define-or-refresh with a serializable definition: persists
@@ -161,6 +176,14 @@ object IncrementalView {
     val outs = aggs.map(_.out)
     require(outs.distinct == outs, s"duplicate aggregate output names: $outs")
     require(keys.intersect(outs).isEmpty, s"aggregate output shadows a key")
+    require(outs.forall(!_.startsWith("_")),
+      s"aggregate output names may not start with '_' (reserved): $outs")
+    // AVG rides the exact-SUM machinery: expand to a hidden sum whose
+    // ridden non-null count doubles as the divisor; read() derives
+    val maintained: Seq[ViewAgg] = aggs.map {
+      case Avg(e, o) => Sum(e, AvgPrefix + o)
+      case a         => a
+    }
     val src = cat.table(sourceIdent)
     val cur = src.latest.getOrElse(throw new IllegalStateException(
       s"view source '$sourceIdent' does not exist")).version
@@ -173,18 +196,18 @@ object IncrementalView {
     recorded match {
       case Some(v) if v == cur => viewT.latest.get // up to date
       case Some(v) if v < cur =>
-        try incremental(cat, src, viewT, v, cur, keys, aggs, extraMeta)
+        try incremental(cat, src, viewT, v, cur, keys, maintained, extraMeta)
         catch {
           // no row-level changelog across a rewrite, or history
           // expired under the recorded version: rebuild
           case _: RewriteCommitException =>
-            fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+            fullBuild(cat, src, viewIdent, cur, keys, maintained, extraMeta)
           case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.contains("expired") =>
-            fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+            fullBuild(cat, src, viewIdent, cur, keys, maintained, extraMeta)
         }
       // source rolled back behind the view, or first build
-      case _ => fullBuild(cat, src, viewIdent, cur, keys, aggs, extraMeta)
+      case _ => fullBuild(cat, src, viewIdent, cur, keys, maintained, extraMeta)
     }
   }
 

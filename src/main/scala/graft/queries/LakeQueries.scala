@@ -542,13 +542,16 @@ object LakeQueries {
   def incrView(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.IncrementalView
-    import graft.lake.IncrementalView.{GroupCount, Max, Min, Sum}
+    import graft.lake.IncrementalView.{Avg, GroupCount, Max, Min, Sum}
     val cat = freshCatalog(spark)
     val orders = Tables(spark, dir).orders.select(
       $"o_custkey", $"o_orderkey", $"o_totalprice",
       round($"o_totalprice" * 100).cast("long").as("cents"))
+    // avg over exact integer cents: sum and divisor are integers in
+    // both engines, so the one double division is bit-deterministic
     val aggs = Seq(GroupCount("cnt"), Sum(col("cents"), "sum_cents"),
-      Min(col("o_totalprice"), "min_price"), Max(col("o_totalprice"), "max_price"))
+      Min(col("o_totalprice"), "min_price"), Max(col("o_totalprice"), "max_price"),
+      Avg(col("cents"), "avg_cents"))
     cat.write(orders.filter(pmod($"o_orderkey", lit(4)).isin(1, 2)).repartition(4),
       "silver.orders", WriteMode.Overwrite)
     val first = IncrementalView.refresh(cat, "silver.orders", "gold.by_cust",

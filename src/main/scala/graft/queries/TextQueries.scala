@@ -126,6 +126,29 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Stratified sampling with exact per-stratum quotas: rank each
+    * (source, lang) stratum by a PORTABLE deterministic hash (md5 of
+    * the doc id, doc_id tiebreak) and keep the first `quota` — the
+    * "equal representation across sources and languages" sampling
+    * step of corpus construction, reproducible under retries, any
+    * partitioning, and across engines (unlike `sample()`/`rand`).
+    * One hash-partition shuffle on the stratum key + one window pass;
+    * nothing driver-side, so strata count and table size are free to
+    * grow. Complements [[hashSample]] (Bernoulli by rate) with exact
+    * fixed-size quotas per cell.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 40): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    Tables(spark, dir).documents
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= quota)
+      .select($"doc_id", $"source", $"lang", $"rk")
+      .orderBy($"source", $"lang", $"rk")
+  }
+
   /** Token-budget mixture selection: per source, admit documents in
     * doc_id order while the running token total stays within budget —
     * the "fill each mixture component to N tokens" step of corpus

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
-import IncrementalView.{GroupCount, Max, Min, Sum}
+import IncrementalView.{Avg, GroupCount, Max, Min, Sum}
 
 /** Incrementally-maintained materialized aggregate views: full first
   * build, changelog-bounded refresh, vanished-group deletes, MIN/MAX
@@ -174,10 +174,40 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(got === Set(("a", 3L, Some(35.0)), ("b", 1L, Some(30.0))))
   }
 
+  test("AVG maintains as exact hidden SUM; null-only groups read NULL") {
+    val cat = freshCat()
+    val avgs = Seq(GroupCount("cnt"), Avg(col("v"), "avg_v"))
+    IncrementalView.refresh(cat, "ns.src", "ns.view2", Seq("g"), avgs)
+    def got = IncrementalView.read(cat, "ns.view2")
+      .select("g", "cnt", "avg_v")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got === Set(("a", 2L, Some(15.0)), ("b", 1L, Some(30.0))))
+    // append incl. a null-only new group; incremental path must hold
+    cat.write(Seq(("a", 4L, Option(40.0)), ("c", 5L, Option.empty[Double]))
+      .toDF("g", "id", "v"), "ns.src", WriteMode.Append)
+    val s2 = IncrementalView.refresh(cat, "ns.src", "ns.view2", Seq("g"), avgs)
+    assert(s2.meta(IncrementalView.RefreshModeKey) === "incremental")
+    assert(got === Set(("a", 3L, Some(70.0 / 3)), ("b", 1L, Some(30.0)),
+      ("c", 1L, None)))
+    // delete drops a contributing row: avg follows the ridden counts
+    LakeDml.delete(cat.table("ns.src"), $"id" === 1L,
+      strategy = DmlStrategy.MergeOnRead)
+    val s3 = IncrementalView.refresh(cat, "ns.src", "ns.view2", Seq("g"), avgs)
+    assert(s3.meta(IncrementalView.RefreshModeKey) === "incremental")
+    assert(got === Set(("a", 2L, Some(30.0)), ("b", 1L, Some(30.0)),
+      ("c", 1L, None)))
+    // the persisted-definition surface speaks avg too
+    IncrementalView.refreshSql(cat, "ns.src", "ns.view3", Seq("g"),
+      Seq("count(*) as cnt", "avg(v) as avg_v"))
+    assert(IncrementalView.read(cat, "ns.view3").select("g", "cnt", "avg_v")
+      .as[(String, Long, Option[Double])].collect().toSet ===
+      Set(("a", 2L, Some(30.0)), ("b", 1L, Some(30.0)), ("c", 1L, None)))
+  }
+
   test("bad agg specs fail loudly") {
     val cat = freshCat()
     intercept[IllegalArgumentException](IncrementalView.refreshSql(cat, "ns.src",
-      "ns.view", Seq("g"), Seq("avg(v) AS a")))
+      "ns.view", Seq("g"), Seq("median(v) AS m")))
     intercept[IllegalArgumentException](IncrementalView.refreshSql(cat, "ns.src",
       "ns.view", Seq("g"), Seq("count(v) AS c")))
   }

@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.lake.{DmlStrategy, IncrementalView, LakeCatalog, LakeDml, WriteMode}
-import IncrementalView.{GroupCount, Max, Min, Sum}
+import IncrementalView.{Avg, GroupCount, Max, Min, Sum}
 
 /** Property: an incrementally-maintained view equals the direct
   * aggregate of the source's current state after ANY generated
@@ -62,7 +62,7 @@ class IncrementalViewPropSpec extends AnyFunSuite {
     4 -> Gen.const(Refresh))
 
   private val aggs = Seq(GroupCount("cnt"), Sum(col("v"), "sum_v"),
-    Min(col("v"), "min_v"), Max(col("v"), "max_v"))
+    Min(col("v"), "min_v"), Max(col("v"), "max_v"), Avg(col("v"), "avg_v"))
 
   test("view == direct aggregate under random commit/refresh interleavings") {
     forAllSampled(Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, opGen)), 8) { ops =>
@@ -76,12 +76,13 @@ class IncrementalViewPropSpec extends AnyFunSuite {
       def refreshAndCheck(): Unit = {
         IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
         val got = IncrementalView.read(cat, "ns.view")
-          .as[(Option[String], Long, Option[Double], Option[Double], Option[Double])]
+          .select("g", "cnt", "sum_v", "min_v", "max_v", "avg_v")
+          .as[(Option[String], Long, Option[Double], Option[Double], Option[Double], Option[Double])]
           .collect().toSet
         val want = cat.read("ns.src").groupBy("g")
           .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
-            min($"v").as("min_v"), max($"v").as("max_v"))
-          .as[(Option[String], Long, Option[Double], Option[Double], Option[Double])]
+            min($"v").as("min_v"), max($"v").as("max_v"), avg($"v").as("avg_v"))
+          .as[(Option[String], Long, Option[Double], Option[Double], Option[Double], Option[Double])]
           .collect().toSet
         assert(got === want, s"after ops prefix; history=${t.history.map(_.op)}")
       }
