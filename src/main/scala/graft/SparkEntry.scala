@@ -50,6 +50,7 @@ object SparkEntry {
     "lake_branch"           -> (LakeQueries.branchWap _),
     "lake_sorted_scan"      -> (LakeQueries.sortedBloomScan _),
     "lake_meta_agg"         -> (LakeQueries.metaAgg _),
+    "lake_zorder_scan"      -> (LakeQueries.zorderScan _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
@@ -300,6 +301,13 @@ object SparkEntry {
     "lake_sorted_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the z-ordered table holds every orders row; the checked probe is
+    // a plain custkey range over it
+    "lake_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 200
         |ORDER BY o_orderkey""".stripMargin,
 
     // the engine answers from manifests alone (asserted in-query);

@@ -62,6 +62,15 @@ private[graft] object FileStats {
     * compaction, and compaction defaults to the same clustering.
     */
   val SortOrderKey = "graft.sortOrder"
+  /** One persisted clustering declaration: plain range sort
+    * ("a,b") or z-order ("z:a,b") — a single key so a re-declaration
+    * REPLACES the old clustering instead of coexisting with it.
+    */
+  def encodeClustering(cols: Seq[String], z: Boolean): String =
+    (if (z) "z:" else "") + joinCols(cols)
+  def decodeClustering(s: String): (Seq[String], Boolean) =
+    if (s.startsWith("z:")) (splitCols(s.substring(2)), true)
+    else (splitCols(s), false)
   /** Per-dir data size (`graft.bytes:data/<uuid>` → total file bytes),
     * recorded by the commit that wrote the dir and carried with it.
     * Powers byte-based streaming admission control
@@ -79,6 +88,31 @@ private[graft] object FileStats {
     */
   val RowsKeyPrefix = "graft.rows:"
   def rowsKey(dirName: String): String = RowsKeyPrefix + dirName
+  /** Per-dir per-FILE row counts (`graft.filerows:data/<uuid>` → JSON
+    * {relative file key: rows}), from the same write-time footer pass
+    * as [[RowsKeyPrefix]]. Powers the `.files`/`.partitions` metadata
+    * tables without a data scan on delete-free snapshots — Iceberg's
+    * manifests-only files table, where record counts are write-time
+    * file metrics rather than a 100 TB read.
+    */
+  val FileRowsKeyPrefix = "graft.filerows:"
+  def fileRowsKey(dirName: String): String = FileRowsKeyPrefix + dirName
+
+  def encodeFileRows(rows: Seq[(String, Long)]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    rows.foreach { case (k, n) => node.put(k, n) }
+    om.writeValueAsString(node)
+  }
+
+  def decodeFileRows(s: String): Seq[(String, Long)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(s)
+    val b = Seq.newBuilder[(String, Long)]
+    val it = node.fields()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+    b.result()
+  }
   def joinCols(cols: Seq[String]): String = cols.mkString(",")
   def splitCols(s: String): Seq[String] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -302,10 +336,19 @@ private[graft] object FileStats {
     * back to a scanning count). Parquet footers carry exact per-block
     * row counts, so unlike min/max bounds this is never approximate.
     */
-  def dirRowCount(io: LakeIo, dir: org.apache.hadoop.fs.Path): Option[Long] = {
+  def dirRowCount(io: LakeIo, dir: org.apache.hadoop.fs.Path): Option[Long] =
+    dirFileRows(io, dir).map(_.map(_._2).sum)
+
+  /** Per-file (relative key → row count) under `dir`, from footers
+    * only — the per-file breakdown behind [[dirRowCount]] and the
+    * `.files` metadata table. Same conventions: empty dir → empty,
+    * any unreadable footer → None.
+    */
+  def dirFileRows(io: LakeIo,
+                  dir: org.apache.hadoop.fs.Path): Option[Seq[(String, Long)]] = {
     import scala.jdk.CollectionConverters._
-    if (!io.isDir(dir)) return Some(0L)
-    var total = 0L
+    if (!io.isDir(dir)) return Some(Nil)
+    val b = Seq.newBuilder[(String, Long)]
     val it = io.fs.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
@@ -313,12 +356,13 @@ private[graft] object FileStats {
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          try b += relativeKey(st.getPath.toString, dir.getName) ->
+            reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
           finally reader.close()
         } catch { case _: Exception => return None }
       }
     }
-    Some(total)
+    Some(b.result())
   }
 
   /** Global (lo, hi) of `col` across EVERY file of a stats blob, in

@@ -228,13 +228,34 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       }
       b.result()
     }
-    val files = listed.toDF("file", "dir", "size_bytes")
-    val prefix = qualifiedRootPrefix
-    val live = scanImpl(Nil, version, keepPos = true)
-      .groupBy(substring(col(LakePos.FileCol), prefix.length + 1, Int.MaxValue).as("file"))
-      .agg(count(lit(1)).as("record_count"))
-    files.join(live, Seq("file"), "left")
-      .withColumn("record_count", coalesce(col("record_count"), lit(0L)))
+    // record_count semantics are LIVE rows per file. On a delete-free
+    // snapshot those are the write-time footer counts recorded in the
+    // manifest (legacy dirs: one driver-side footer pass) — no data
+    // scan, the Iceberg manifests-only files table. Live delete files
+    // mask rows per file in ways manifests can't see → scan path.
+    val manifestCounts: Option[Map[String, Long]] =
+      if (snap.deleteDirs.nonEmpty || snap.eqDeletes.nonEmpty) None
+      else snap.dirs.foldLeft(Option(Map.empty[String, Long])) { (acc, d) =>
+        acc.flatMap { m =>
+          snap.meta.get(FileStats.fileRowsKey(d)).map(FileStats.decodeFileRows)
+            .orElse(FileStats.dirFileRows(io, loc(d)))
+            .map(fr => m ++ fr.map { case (k, n) => (s"$d/$k", n) })
+        }
+      }
+    val withCounts = manifestCounts match {
+      case Some(m) if listed.forall(f => m.contains(f._1)) =>
+        listed.map(f => (f._1, f._2, f._3, m(f._1)))
+          .toDF("file", "dir", "size_bytes", "record_count")
+      case _ =>
+        val files = listed.toDF("file", "dir", "size_bytes")
+        val prefix = qualifiedRootPrefix
+        val live = scanImpl(Nil, version, keepPos = true)
+          .groupBy(substring(col(LakePos.FileCol), prefix.length + 1, Int.MaxValue).as("file"))
+          .agg(count(lit(1)).as("record_count"))
+        files.join(live, Seq("file"), "left")
+          .withColumn("record_count", coalesce(col("record_count"), lit(0L)))
+    }
+    withCounts
       .withColumn("partition",
         regexp_extract(col("file"), "^data/[^/]+/(.*)/[^/]*$", 1))
       .select($"file", $"dir", $"partition", $"size_bytes", $"record_count")
@@ -946,7 +967,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           if (!carryForward) Map.empty
           else base.map(_.meta.filter(kv =>
             kv._1.startsWith(FileStats.BytesKeyPrefix) ||
-              kv._1.startsWith(FileStats.RowsKeyPrefix)))
+              kv._1.startsWith(FileStats.RowsKeyPrefix) ||
+              kv._1.startsWith(FileStats.FileRowsKeyPrefix)))
             .getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
@@ -1042,10 +1064,57 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     base.flatMap(_.meta.get(FileStats.BloomColsKey))
       .map(FileStats.splitCols).getOrElse(Nil)
 
-  /** The table's persisted sort order (what writes cluster on). */
-  private def inheritedSortOrder(base: Option[Snapshot]): Seq[String] =
+  /** The table's persisted clustering (columns, isZOrder) — what
+    * writes cluster on. One declaration: plain range sort or z-order.
+    */
+  private def inheritedClustering(base: Option[Snapshot]): (Seq[String], Boolean) =
     base.flatMap(_.meta.get(FileStats.SortOrderKey))
-      .map(FileStats.splitCols).getOrElse(Nil)
+      .map(FileStats.decodeClustering).getOrElse((Nil, false))
+
+  /** Apply a clustering declaration to a frame about to be written:
+    * range-distribute + sort within partitions, either on the columns
+    * (lexicographic — tight stats on the LEADING column) or on their
+    * Morton-interleaved [[graft.functions.ZOrderCode]] (tight stats on
+    * EVERY listed dimension). One shuffle per write — the cost of a
+    * persisted clustering that never decays between compactions.
+    */
+  private def clusterFrame(df: DataFrame, cols: Seq[String], z: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (cols.isEmpty) df
+    else if (z) {
+      val code = zorderCodeNormalized(df, cols)
+      df.repartitionByRange(code).sortWithinPartitions(code)
+    } else df.repartitionByRange(cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
+  /** Z-code over RANGE-NORMALIZED dimensions: raw bit interleaving is
+    * only balanced when dimensions span comparable magnitudes (a
+    * 16-bit orderkey next to an 11-bit custkey sorts orderkey-major
+    * and the trailing dimension stops pruning). Each column is scaled
+    * by its batch min/max into [1, 2): constant IEEE exponent, so the
+    * total-order bits reduce to the mantissa — a linear fixed-point
+    * fraction, exactly what Morton interleaving wants. Costs one
+    * columnar min/max aggregate over the batch per clustered write —
+    * the same reason Iceberg's zorder rewrite samples range
+    * boundaries. NULL dimensions yield NULL codes (sort together);
+    * a constant dimension degrades to a midpoint (no discrimination,
+    * no failure).
+    */
+  private def zorderCodeNormalized(df: DataFrame,
+                                   cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+        row.getDouble(2 * i) == row.getDouble(2 * i + 1)) lit(1.5)
+      else lit(1.0) + (col(c).cast("double") - lit(row.getDouble(2 * i))) /
+        (lit(row.getDouble(2 * i + 1)) - lit(row.getDouble(2 * i)))
+    }
+    graft.functions.ZOrderFunctions.zorder_code(scaled: _*)
+  }
 
   /** The table's persisted stats-column set (what appends auto-collect
     * min/max on).
@@ -1070,8 +1139,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   private def footprintMetaFor(dirName: String): Map[String, String] =
     Map(FileStats.bytesKey(dirName) -> io.dirBytes(loc(dirName)).toString) ++
-      FileStats.dirRowCount(io, loc(dirName))
-        .map(n => FileStats.rowsKey(dirName) -> n.toString)
+      FileStats.dirFileRows(io, loc(dirName)).map { fr =>
+        Map(FileStats.rowsKey(dirName) -> fr.map(_._2).sum.toString,
+          FileStats.fileRowsKey(dirName) -> FileStats.encodeFileRows(fr))
+      }.getOrElse(Map.empty[String, String])
 
   private def statsMetaFor(dirName: String, cols: Seq[String],
                            written: Seq[String]): Map[String, String] = {
@@ -1103,7 +1174,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             statsBy: Seq[String] = Nil,
             branch: Option[String] = None,
             bloomBy: Seq[String] = Nil,
-            sortedBy: Seq[String] = Nil): Snapshot = {
+            sortedBy: Seq[String] = Nil,
+            zorderBy: Seq[String] = Nil): Snapshot = {
+    require(sortedBy.isEmpty || zorderBy.isEmpty,
+      "declare sortedBy OR zorderBy, not both (one clustering per table)")
     // Append carries prior dirs forward, so its spec must be the
     // table's spec: an unspecified spec inherits the base snapshot's
     // (the common callers — streaming sink, incremental extract —
@@ -1134,14 +1208,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // its files are range-disjoint on the sort key (the per-write cost
     // of a persisted sort order — one shuffle — is what keeps per-file
     // stats tight WITHOUT a compaction after every append)
-    val effectiveSort = (if (sortedBy.nonEmpty) sortedBy else inheritedSortOrder(base))
-      .filter(df.columns.contains)
-    val clustered = {
-      import org.apache.spark.sql.functions.col
-      if (effectiveSort.isEmpty) df
-      else df.repartitionByRange(effectiveSort.map(col): _*)
-        .sortWithinPartitions(effectiveSort.map(col): _*)
-    }
+    val (declCols, declZ) =
+      if (sortedBy.nonEmpty) (sortedBy, false)
+      else if (zorderBy.nonEmpty) (zorderBy, true)
+      else inheritedClustering(base)
+    val effectiveSort = declCols.filter(df.columns.contains)
+    val clustered = clusterFrame(df, effectiveSort, declZ)
     writeDataDir(clustered, dirName, effectiveSpec, effectiveBloom)
     // per-file min/max for the manifest (file skipping at scan time);
     // under partition specs the keys are dir-relative paths and the
@@ -1160,7 +1232,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       else Map(FileStats.BloomColsKey -> FileStats.joinCols(effectiveBloom))
     val sortMeta =
       if (effectiveSort.isEmpty) Map.empty[String, String]
-      else Map(FileStats.SortOrderKey -> FileStats.joinCols(effectiveSort))
+      else Map(FileStats.SortOrderKey ->
+        FileStats.encodeClustering(effectiveSort, declZ))
     // dir size for byte-based streaming admission control — one listing
     // of the dir this write just produced
     val bytesMeta = footprintMetaFor(dirName)
@@ -1449,9 +1522,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // a declared sort order is the table's default clustering: an
     // unqualified compact() keeps honoring it instead of silently
     // de-sorting the table
-    val effective =
-      if (sortBy.nonEmpty) sortBy else inheritedSortOrder(latest)
-    rewriteClustered(targetPartitions,
+    val (effective, z) =
+      if (sortBy.nonEmpty) (sortBy, false) else inheritedClustering(latest)
+    if (z) rewriteClustered(targetPartitions, Nil, statsCols = effective,
+      zNormCols = effective)
+    else rewriteClustered(targetPartitions,
       effective.map(org.apache.spark.sql.functions.col), statsCols = effective)
   }
 
@@ -1462,15 +1537,26 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * lexicographic sort only serves its leading column.
     */
   def compactZOrder(targetPartitions: Int, zorderBy: Seq[String]): Snapshot =
-    rewriteClustered(targetPartitions, Seq(graft.functions.ZOrderFunctions
-      .zorder_code(zorderBy.map(org.apache.spark.sql.functions.col): _*)),
-      statsCols = zorderBy)
+    rewriteClustered(targetPartitions, Nil, statsCols = zorderBy,
+      zNormCols = zorderBy)
 
   private def rewriteClustered(targetPartitions: Int,
-                               sortCols: Seq[org.apache.spark.sql.Column],
-                               statsCols: Seq[String] = Nil): Snapshot = {
+                               sortCols0: Seq[org.apache.spark.sql.Column],
+                               statsCols: Seq[String] = Nil,
+                               zNormCols: Seq[String] = Nil): Snapshot = {
     val snap = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    // compaction rewrites data, never declarations: the table's
+    // clustering and bloom properties must survive it or the NEXT
+    // append silently de-clusters/disarms the table
+    val propMeta = snap.meta.filter { case (k, _) =>
+      k == FileStats.SortOrderKey || k == FileStats.BloomColsKey
+    }
     val base = read(Some(snap.version))
+    // z-order rewrites cluster on the range-normalized code (see
+    // zorderCodeNormalized) — computed against the FULL table here
+    val sortCols =
+      if (zNormCols.nonEmpty) Seq(zorderCodeNormalized(base, zNormCols))
+      else sortCols0
     val df =
       if (sortCols.isEmpty) base.repartition(targetPartitions)
       else base.repartitionByRange(targetPartitions, sortCols: _*)
@@ -1492,7 +1578,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val idMeta = snap.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
-      meta = statsMeta ++ footprintMetaFor(dirName) ++ idMeta, expectedBase = Some(snap.version))
+      meta = statsMeta ++ footprintMetaFor(dirName) ++ idMeta ++ propMeta,
+      expectedBase = Some(snap.version))
   }
 
   /** Incremental binpack compaction (Iceberg's `rewrite_data_files`
@@ -1535,8 +1622,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val keptMeta = base.meta.filter { case (k, _) =>
       keepIdx.map(base.dirs).exists(d =>
         k == FileStats.dirKey(d) || k == FileStats.bytesKey(d) ||
-          k == FileStats.rowsKey(d))
-    } ++ base.meta.get(FileStats.StatsColsKey).map(FileStats.StatsColsKey -> _)
+          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
+    } ++ base.meta.filter { case (k, _) =>
+      k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
+        k == FileStats.BloomColsKey
+    }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
     val bytesMeta = footprintMetaFor(dirName)
@@ -1866,11 +1956,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     // staged data honors the declared sort order like any direct write:
     // the audit window must not be a clustering-decay window
-    val sortCols = inheritedSortOrder(Some(base)).filter(coerced.columns.contains)
+    val (clusterCols0, clusterZ) = inheritedClustering(Some(base))
     val clustered =
-      if (sortCols.isEmpty) coerced
-      else coerced.repartitionByRange(sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
+      clusterFrame(coerced, clusterCols0.filter(coerced.columns.contains), clusterZ)
     val dirName = s"data/${UUID.randomUUID().toString}"
     writeDataDir(clustered, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
     val id = UUID.randomUUID().toString
@@ -2167,9 +2255,10 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
             meta: Map[String, String] = Map.empty,
             statsBy: Seq[String] = Nil,
             bloomBy: Seq[String] = Nil,
-            sortedBy: Seq[String] = Nil): Snapshot =
+            sortedBy: Seq[String] = Nil,
+            zorderBy: Seq[String] = Nil): Snapshot =
     table(ident).write(df, mode, partitionBy, meta, statsBy = statsBy,
-      bloomBy = bloomBy, sortedBy = sortedBy)
+      bloomBy = bloomBy, sortedBy = sortedBy, zorderBy = zorderBy)
 
   def read(ident: String, version: Option[Long] = None): DataFrame =
     table(ident).read(version)

@@ -406,6 +406,62 @@ object LakeQueries {
     range.orderBy($"o_orderkey")
   }
 
+  /** Declared z-order clustering: the table persists `zorderBy
+    * (o_orderkey, o_custkey)`, every append Morton-clusters its own
+    * files, and a range probe on the TRAILING dimension — the one a
+    * lexicographic sort cannot bound — still skips files, asserted
+    * in-query against the manifest file counts. Fixture-shape note:
+    * AQE would coalesce these tiny commits to one file each and hide
+    * intra-commit skipping (real files split on size), so the writes
+    * pin 8 clustered files per commit and restore the session conf.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    def slice(m: Int) = orders.filter(pmod($"o_orderkey", lit(3)) === m)
+      .orderBy(rand(seed = 11)) // scrambled arrival
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val (prevCoalesce, prevParts) = (spark.conf.get(coalesceKey), spark.conf.get(partsKey))
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(partsKey, "8")
+    val t = try {
+      cat.write(slice(0), "bronze.orders", WriteMode.Overwrite,
+        zorderBy = Seq("o_orderkey", "o_custkey"))
+      val t = cat.table("bronze.orders")
+      t.write(slice(1), WriteMode.Append)
+      t.write(slice(2), WriteMode.Append)
+      t
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set(partsKey, prevParts)
+    }
+    require(t.latest.get.meta(graft.lake.FileStats.SortOrderKey) ==
+      "z:o_orderkey,o_custkey", "z clustering must persist as a table property")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val total = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    // the TRAILING z dimension: lexicographic clustering cannot bound
+    // it; z-order must
+    val box = t.scan(Seq(graft.lake.LakePredicate.GtEq("o_custkey", 100L),
+      graft.lake.LakePredicate.LtEq("o_custkey", 200L)))
+    val read = filesRead(box)
+    require(read < total,
+      s"z-order must skip files on the trailing dimension ($read of $total)")
+    box.orderBy($"o_orderkey")
+  }
+
   /** Metadata-only aggregates (the Iceberg/Delta "count from
     * manifests" shape): `count(*)` and numeric MIN/MAX answered from
     * the manifest alone over a three-append table — zero data read at

@@ -57,14 +57,103 @@ class LakeSortOrderSpec extends AnyFunSuite {
     val t = cat.table("ns.s")
     t.write(shuffled(2000, 4000).repartition(4), WriteMode.Append)
     t.compact(targetPartitions = 4) // no sortBy argument: inherits
-    assert(t.latest.get.meta.get(FileStats.SortOrderKey).isEmpty === false
-      || t.latest.get.op === "compact")
+    // the declaration must SURVIVE the compact — or the next append
+    // silently de-clusters the table
+    assert(t.latest.get.meta.get(FileStats.SortOrderKey).contains("id"))
     val probe = t.scan(Seq(
       LakePredicate.GtEq("id", 100L), LakePredicate.LtEq("id", 150L)))
     assert(probe.count() === 51L)
     assert(scannedFiles(probe) === 1L,
       "post-compact files must stay clustered on the declared order")
     assert(t.read(None).count() === 4000L)
+  }
+
+  // grid data scrambled on arrival: x in [0,n), y = multiplicative
+  // hash of x (independent of x's order) — lexicographic (x,y)
+  // clustering bounds ONLY x; z-order bounds both
+  private def grid(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id".as("x"),
+      pmod($"id" * 2654435761L, lit(10000L)).as("y"))
+      .orderBy(rand(seed = 7))
+  private def yCount(lo: Long, hi: Long): Long =
+    spark.range(0, 6000).select(pmod($"id" * 2654435761L, lit(10000L)).as("y"))
+      .where($"y".between(lo, hi)).count()
+
+  test("zorderBy: every listed dimension prunes across appends; compact inherits; sortedBy control cannot") {
+    // tiny fixtures coalesce to one file per commit under AQE, which
+    // hides intra-commit pruning (production files split on size);
+    // pin 8 clustered output files per commit for the assertion
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(partsKey, "8")
+    val (t, t2) = try {
+      val cat = new LakeCatalog(spark, Files.createTempDirectory("zord-").toString)
+      cat.write(grid(0, 2000), "ns.z", WriteMode.Overwrite, zorderBy = Seq("x", "y"))
+      val t = cat.table("ns.z")
+      t.write(grid(2000, 4000), WriteMode.Append)
+      t.write(grid(4000, 6000), WriteMode.Append)
+      val cat2 = new LakeCatalog(spark, Files.createTempDirectory("zord-c-").toString)
+      cat2.write(grid(0, 2000), "ns.s", WriteMode.Overwrite, sortedBy = Seq("x", "y"))
+      val t2 = cat2.table("ns.s")
+      t2.write(grid(2000, 4000), WriteMode.Append)
+      t2.write(grid(4000, 6000), WriteMode.Append)
+      (t, t2)
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set(partsKey, prevParts)
+    }
+    assert(t.latest.get.meta(FileStats.SortOrderKey) === "z:x,y")
+    val total = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    assert(total >= 12, s"want several files per commit, got $total")
+
+    // the SECOND dimension prunes too — the whole point of z-order
+    val yProbe = t.scan(Seq(LakePredicate.GtEq("y", 7000L), LakePredicate.LtEq("y", 7050L)))
+    assert(yProbe.count() === yCount(7000L, 7050L))
+    val yRead = scannedFiles(yProbe)
+    assert(yRead < total, s"z-order must prune on y (read $yRead of $total)")
+    val xProbe = t.scan(Seq(LakePredicate.GtEq("x", 100L), LakePredicate.LtEq("x", 150L)))
+    assert(xProbe.count() === 51L)
+    assert(scannedFiles(xProbe) < total)
+
+    // control: lexicographic (x,y) cannot bound a y-only probe
+    val yCtl = t2.scan(Seq(LakePredicate.GtEq("y", 7000L), LakePredicate.LtEq("y", 7050L)))
+    assert(yCtl.count() === yCount(7000L, 7050L))
+    val t2total = t2.latest.get.dirs.map(d => t2.io.countFiles(t2.loc(d), ".parquet")).sum
+    val ctlRead = scannedFiles(yCtl)
+    assert(ctlRead === t2total,
+      s"lexicographic clustering should NOT prune the trailing dimension (control: $ctlRead of $t2total)")
+
+    // unqualified compact() keeps the z clustering AND the declaration
+    t.compact(targetPartitions = 8)
+    assert(t.latest.get.meta(FileStats.SortOrderKey) === "z:x,y")
+    val afterTotal = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    val yAfter = t.scan(Seq(LakePredicate.GtEq("y", 7000L), LakePredicate.LtEq("y", 7050L)))
+    assert(yAfter.count() === yCount(7000L, 7050L))
+    assert(scannedFiles(yAfter) < afterTotal)
+    assert(t.read(None).count() === 6000L)
+  }
+
+  test("compaction and binpack preserve bloom + clustering declarations") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("prop-keep-").toString)
+    cat.write(shuffled(0, 2000).repartition(4), "ns.k", WriteMode.Overwrite,
+      sortedBy = Seq("id"), bloomBy = Seq("v"))
+    val t = cat.table("ns.k")
+    t.compact(targetPartitions = 2)
+    assert(t.latest.get.meta.get(FileStats.SortOrderKey).contains("id"))
+    assert(t.latest.get.meta.get(FileStats.BloomColsKey).contains("v"))
+    // an append AFTER the compact still clusters (the decay bug this guards)
+    t.write(shuffled(2000, 4000).repartition(4), WriteMode.Append)
+    val probe = t.scan(Seq(LakePredicate.GtEq("id", 2100L), LakePredicate.LtEq("id", 2150L)))
+    assert(probe.count() === 51L)
+    val total = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    assert(scannedFiles(probe) < total, "post-compact appends must stay clustered")
+    t.write(shuffled(4000, 4100), WriteMode.Append)
+    t.compactBinPack(maxDirBytes = 32 * 1024)
+    assert(t.latest.get.meta.get(FileStats.SortOrderKey).contains("id"))
+    assert(t.latest.get.meta.get(FileStats.BloomColsKey).contains("v"))
   }
 
   test("a column missing from an evolved write does not break the sort contract") {

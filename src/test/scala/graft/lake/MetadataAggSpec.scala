@@ -108,6 +108,42 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(t.read().count() === 62L)
   }
 
+  test(".files/.partitions serve from manifests on delete-free snapshots — no data scan") {
+    val (_, cat) = freshCatalog()
+    cat.write(df(1 to 80), "ns.ft", WriteMode.Overwrite)
+    cat.write(df(81 to 100), "ns.ft", WriteMode.Append)
+    val t = cat.table("ns.ft")
+
+    def hasFileScan(d: org.apache.spark.sql.DataFrame): Boolean = {
+      d.collect()
+      // descend through AQE stage boundaries — completed stages hide
+      // their subtrees from a plain exists()
+      def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scan(q.plan)
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case other => other.children.exists(scan)
+      }
+      scan(d.queryExecution.executedPlan)
+    }
+
+    val f = t.files()
+    assert(!hasFileScan(f), "delete-free files table must not scan data")
+    assert(f.agg(sum($"record_count")).head.getLong(0) === 100L)
+    assert(t.partitionsTable().agg(sum($"n_rows")).head.getLong(0) === 100L)
+
+    // live deletes: record_count means LIVE rows → scan path, exact
+    LakeDml.delete(t, $"id" <= 30L, strategy = DmlStrategy.MergeOnRead)
+    val fd = t.files()
+    assert(hasFileScan(fd), "deletes force the live-count scan path")
+    assert(fd.agg(sum($"record_count")).head.getLong(0) === 70L)
+    t.compact(1)
+    assert(!hasFileScan(t.files()))
+    assert(t.files().agg(sum($"record_count")).head.getLong(0) === 70L)
+  }
+
   test("SQL count(*) folds to a LocalRelation — no scan in the plan") {
     val (c, cat) = freshCatalog()
     cat.write(df(1 to 100), "ns.s", WriteMode.Overwrite)
