@@ -51,6 +51,7 @@ object SparkEntry {
     "lake_sorted_scan"      -> (LakeQueries.sortedBloomScan _),
     "lake_meta_agg"         -> (LakeQueries.metaAgg _),
     "lake_zorder_scan"      -> (LakeQueries.zorderScan _),
+    "lake_add_files"        -> (LakeQueries.addFilesImport _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
@@ -308,6 +309,14 @@ object SparkEntry {
     "lake_zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // half of orders pre-exists as plain parquet and is imported
+    // in place (metadata-only, asserted in-query); the combined table
+    // must answer a probe exactly like the original full table
+    "lake_add_files" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 500 AND 700
         |ORDER BY o_orderkey""".stripMargin,
 
     // the engine answers from manifests alone (asserted in-query);

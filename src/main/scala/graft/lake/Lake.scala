@@ -121,6 +121,16 @@ object LakeTable {
     */
   private[graft] val MetadataOps =
     Set("create", "rename", "add-column", "drop", "widen", "set-spec", "rewrite-deletes")
+
+  /** A manifest dir entry OUTSIDE the table root: an absolute URI (or
+    * absolute path) registered by [[LakeTable.addFiles]]. Owned dirs
+    * are always root-relative (`data/<uuid>`), so the forms never
+    * collide. External dirs are data the table references but does NOT
+    * own — maintenance never deletes them; a rewrite (compact/DML/
+    * overwrite) adopts their rows into owned dirs.
+    */
+  private[graft] def externalDir(d: String): Boolean =
+    d.startsWith("/") || d.contains(":/")
 }
 
 /** An incremental walk ([[LakeTable.appendedDirs]]) covered a commit
@@ -249,8 +259,21 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       case _ =>
         val files = listed.toDF("file", "dir", "size_bytes")
         val prefix = qualifiedRootPrefix
+        // live-side key must mirror `listed`'s naming: root-relative
+        // for owned files, "<dir-uri>/<relative>" for imported external
+        // dirs (one prefix branch per external dir, commit-bounded)
+        val ownedKey = substring(col(LakePos.FileCol), prefix.length + 1, Int.MaxValue)
+        val liveKey = snap.dirs.filter(LakeTable.externalDir)
+          .foldLeft(ownedKey) { (acc, d) =>
+            val dl = location(d)
+            org.apache.spark.sql.functions.when(
+              col(LakePos.FileCol).startsWith(org.apache.spark.sql.functions.lit(dl + "/")),
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit(d + "/"),
+                substring(col(LakePos.FileCol), dl.length + 2, Int.MaxValue))).otherwise(acc)
+          }
         val live = scanImpl(Nil, version, keepPos = true)
-          .groupBy(substring(col(LakePos.FileCol), prefix.length + 1, Int.MaxValue).as("file"))
+          .groupBy(liveKey.as("file"))
           .agg(count(lit(1)).as("record_count"))
         files.join(live, Seq("file"), "left")
           .withColumn("record_count", coalesce(col("record_count"), lit(0L)))
@@ -465,7 +488,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           val delRows = spark.read.schema(DeleteFiles.schema)
             .parquet(newPosDeletes.map(location): _*)
             .select(
-              concat(lit(qualifiedRootPrefix), col(DeleteFiles.FileField)).as("_gr_del_file"),
+              DeleteFiles.qualifiedKey(col(DeleteFiles.FileField), qualifiedRootPrefix)
+                .as("_gr_del_file"),
               col(DeleteFiles.PosField).as("_gr_del_pos"))
           val prior = SchemaIds.align(readWithPos(Some(v - 1)), prevSchema, cur,
             Seq(LakePos.FileCol, LakePos.PosCol))
@@ -1092,14 +1116,24 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * only balanced when dimensions span comparable magnitudes (a
     * 16-bit orderkey next to an 11-bit custkey sorts orderkey-major
     * and the trailing dimension stops pruning). Each column is scaled
-    * by its batch min/max into [1, 2): constant IEEE exponent, so the
-    * total-order bits reduce to the mantissa — a linear fixed-point
-    * fraction, exactly what Morton interleaving wants. Costs one
-    * columnar min/max aggregate over the batch per clustered write —
-    * the same reason Iceberg's zorder rewrite samples range
-    * boundaries. NULL dimensions yield NULL codes (sort together);
-    * a constant dimension degrades to a midpoint (no discrimination,
-    * no failure).
+    * by its batch min/max into [1.0, 1.5]: every value in the window
+    * shares ONE IEEE exponent, so the total-order bits reduce to the
+    * mantissa — a linear fixed-point fraction, exactly what Morton
+    * interleaving wants. Two traps frame the window. Mapping the max
+    * to exactly 2.0 flips the EXPONENT: that bit outranks every
+    * mantissa bit in the interleave, so all max-valued rows of any
+    * dimension cluster together regardless of the others. Shrinking
+    * the window (e.g. [1, 1.5]) keeps the exponent but parks the data
+    * in the lower half of the mantissa, so the top interleaved bit is
+    * ~always 0 and the quadrant split degenerates the same way. The
+    * fix is a genuinely half-open [1, 2): scale the fraction by
+    * (1 - 1e-9), landing the max at 1.999999998 — same exponent, top
+    * mantissa bit still splits the range at its midpoint, and the
+    * 1e-9 relative distortion is far below any file boundary. Costs one columnar
+    * min/max aggregate over the batch per clustered write — the same
+    * reason Iceberg's zorder rewrite samples range boundaries. NULL
+    * dimensions yield NULL codes (sort together); a constant dimension
+    * degrades to a midpoint (no discrimination, no failure).
     */
   private def zorderCodeNormalized(df: DataFrame,
                                    cols: Seq[String]): org.apache.spark.sql.Column = {
@@ -1111,7 +1145,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
         row.getDouble(2 * i) == row.getDouble(2 * i + 1)) lit(1.5)
       else lit(1.0) + (col(c).cast("double") - lit(row.getDouble(2 * i))) /
-        (lit(row.getDouble(2 * i + 1)) - lit(row.getDouble(2 * i)))
+        (lit(row.getDouble(2 * i + 1)) - lit(row.getDouble(2 * i))) * lit(1.0 - 1e-9)
     }
     graft.functions.ZOrderFunctions.zorder_code(scaled: _*)
   }
@@ -1262,6 +1296,72 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       // concurrent change
       expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None,
       branch = branch)
+  }
+
+  /** Register existing parquet data as a data dir of this table WITHOUT
+    * copying, moving, or rewriting a single byte — Iceberg's
+    * `add_files` procedure (and, on an empty table, its
+    * `migrate`/`snapshot` in-place table adoption). At 100 TB this is
+    * the difference between a metadata-only commit and re-writing the
+    * whole warehouse to onboard it: the commit records the source dir's
+    * ABSOLUTE URI in the manifest, harvests per-file row counts and
+    * min/max stats from parquet FOOTERS (driver-side metadata reads, no
+    * data scan), and merges the source schema into the table's with
+    * fresh field ids — so imported data immediately gets file skipping,
+    * metadata-only `count(*)`, CDC delivery, and merge-on-read DML like
+    * any owned dir.
+    *
+    * Ownership semantics: the table REFERENCES the source, it does not
+    * own it. Retention/expiry never deletes external dirs; any rewrite
+    * (compact, binpack, copy-on-write DML, overwrite) adopts the rows
+    * into table-owned dirs and drops the reference.
+    *
+    * Not supported: hive-partitioned sources (`k=v` subdirs encode
+    * column values in the layout; import would silently drop them —
+    * rejected loud; read such data with Spark and `write()` it), and
+    * sources already inside the table root.
+    */
+  def addFiles(srcDir: String): Snapshot = {
+    val src = io.qualify(new HPath(srcDir))
+    require(io.isDir(src), s"add_files source is not a directory: $src")
+    val srcStr = src.toString
+    require(!(srcStr + "/").startsWith(qualifiedRootPrefix) && srcStr != rootQ.toString,
+      s"add_files source $srcStr is inside the table root — it is already table data")
+    require(io.list(src).forall(!_.getPath.getName.contains('=')),
+      s"add_files source $srcStr looks hive-partitioned (k=v subdirs); partition values " +
+        "living in the directory layout would be dropped by an in-place import — read it " +
+        "with Spark and write() it instead")
+    require(io.countFiles(src, ".parquet") > 0,
+      s"add_files source $srcStr contains no parquet files")
+    // schema from footers (metadata read); ids minted against the
+    // table's id high-water mark so a dropped column's id is never
+    // reused by an import
+    val srcSchema = spark.read.parquet(srcStr).schema
+    val base = latest
+    val idFloor = base.flatMap(_.meta.get(SchemaIds.LastIdKey)).map(_.toLong).getOrElse(0L)
+    val annotated = SchemaIds.annotate(srcSchema, base.map(_.schema), idFloor)
+    val currentSchema = base match {
+      case Some(b) => SchemaIds.merge(b.schema, srcSchema, idFloor)
+      case None    => annotated
+    }
+    val idMeta = Map(SchemaIds.LastIdKey -> math.max(idFloor,
+      math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotated))).toString)
+    // footer harvest: rows + bytes (metadata count(*), admission
+    // control) and min/max blobs on the inherited stats set — imported
+    // files skip like owned ones from the first scan
+    val statsMeta = statsMetaFor(srcStr,
+      inheritedStatsCols(base).filter(srcSchema.fieldNames.contains),
+      srcSchema.fieldNames)
+    commit("add-files", Seq(srcStr), carryForward = true,
+      partitionBy = base.map(_.partitionBy).getOrElse(Nil),
+      schemaJson = currentSchema.json,
+      meta = statsMeta ++ footprintMetaFor(srcStr) ++ idMeta,
+      newDirSchemas = Seq(annotated.json),
+      // the imported dir is an unpartitioned spec generation: on a
+      // partitioned table it reads through the null-escape like any
+      // pre-spec dir (no dir pruning, exact row filtering)
+      newDirSpecs = Seq(""),
+      expectedBaseSchema = Some(base.map(_.schemaJson)))
   }
 
   /** Streaming/CDC upsert (the Flink→Iceberg upsert write shape):
@@ -2117,8 +2217,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // expired version may still finish if its dirs are shared with a
     // retained snapshot; dirs go second and only when unreferenced
     expired.foreach(s => io.delete(manifestPath(s.version)))
+    // external (imported) dirs are referenced, never owned: retention
+    // must not destroy source data the table didn't write
     val deadDirs = expired.flatMap(s => s.dirs ++ s.deleteDirs ++ s.eqDeleteDirs)
-      .distinct.filterNot(live)
+      .distinct.filterNot(live).filterNot(LakeTable.externalDir)
     deadDirs.foreach(d => io.delete(loc(d)))
     (expired.size, deadDirs.size)
   }

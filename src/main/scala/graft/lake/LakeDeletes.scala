@@ -36,13 +36,32 @@ private[lake] object DeleteFiles {
     StructField(FileField, StringType, nullable = false),
     StructField(PosField, LongType, nullable = false)))
 
+  /** Stored [[FileField]] form of an absolute file path: root-relative
+    * for files under the table root (keeps the table relocatable),
+    * absolute for files of imported external dirs ([[LakeTable.addFiles]]
+    * registers data outside the root — relativizing those would corrupt
+    * the key). Owned relative keys always start `data/`, so the two
+    * forms never collide.
+    */
+  def storedKey(file: Column, rootPrefix: String): Column =
+    when(file.startsWith(lit(rootPrefix)),
+      substring(file, rootPrefix.length + 1, Int.MaxValue)).otherwise(file)
+
+  /** Inverse of [[storedKey]]: the qualified file path of a stored
+    * [[FileField]] value, either form.
+    */
+  def qualifiedKey(field: Column, rootPrefix: String): Column =
+    when(field.startsWith(lit("data/")), concat(lit(rootPrefix), field))
+      .otherwise(field)
+
   /** Project a frame carrying [[LakePos]] columns down to the delete
     * file schema, relativizing the absolute file path against the
-    * table's qualified root prefix.
+    * table's qualified root prefix (external files keep their absolute
+    * path — see [[storedKey]]).
     */
   def toDeleteRows(df: DataFrame, rootPrefix: String): DataFrame =
     df.select(
-      substring(col(LakePos.FileCol), rootPrefix.length + 1, Int.MaxValue).as(FileField),
+      storedKey(col(LakePos.FileCol), rootPrefix).as(FileField),
       col(LakePos.PosCol).as(PosField))
 
   /** Anti-join `data` (which carries [[LakePos]] columns) against the
@@ -55,7 +74,7 @@ private[lake] object DeleteFiles {
     val paths = deleteDirs.map(table.location)
     val del = table.spark.read.schema(schema).parquet(paths: _*)
       .select(
-        concat(lit(table.qualifiedRootPrefix), col(FileField)).as("_gr_del_file"),
+        qualifiedKey(col(FileField), table.qualifiedRootPrefix).as("_gr_del_file"),
         col(PosField).as("_gr_del_pos"))
     data.join(del,
       data(LakePos.FileCol) === del("_gr_del_file") &&
@@ -126,9 +145,18 @@ private[lake] object EqualityDeletes {
     val seqRows = snap.dirs.indices.map(i => (snap.dirs(i), snap.dirSeq(i)))
     import spark.implicits._
     val seqDf = seqRows.toDF("_gr_dirname", "_gr_dirseq")
-    val dirOf: Column = substring_index(
+    // owned files: first two root-relative path segments name the
+    // commit dir ("data/<uuid>"). Imported external dirs are named by
+    // their absolute URI instead — a prefix test per external dir
+    // (O(external dirs) case branches, driver-known and commit-bounded,
+    // never data-scaled) maps their files back to the manifest name.
+    val ownedDirOf: Column = substring_index(
       substring(col(LakePos.FileCol), table.qualifiedRootPrefix.length + 1, Int.MaxValue),
       "/", 2)
+    val dirOf: Column = snap.dirs.filter(LakeTable.externalDir)
+      .foldLeft(ownedDirOf)((acc, d) =>
+        when(col(LakePos.FileCol).startsWith(lit(table.location(d) + "/")), lit(d))
+          .otherwise(acc))
     val withSeq = data.withColumn("_gr_dirname", dirOf)
       .join(broadcast(seqDf), "_gr_dirname")
     val schema = snap.schema

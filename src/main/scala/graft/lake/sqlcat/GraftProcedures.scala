@@ -187,6 +187,21 @@ private[sqlcat] object GraftProcedures {
         resolve,
         (t, in) => Seq(t.dropTag(in.getUTF8String(1).toString))))
 
+      // in-place import of existing parquet (Iceberg's add_files):
+      //   CALL graft.system.add_files(table => 'ns.t', source => '/data/legacy')
+      // metadata-only — no byte of the source is copied or rewritten
+      case "add_files" => Some(new Proc("add_files",
+        Array(p("table", StringType), p("source", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("added_rows", LongType))),
+        resolve,
+        (t, in) => {
+          val snap = t.addFiles(in.getUTF8String(1).toString)
+          val dir = snap.dirs.last
+          Seq(snap.version,
+            snap.meta.get(graft.lake.FileStats.rowsKey(dir)).map(_.toLong).getOrElse(-1L))
+        }))
+
       case "rollback_to_version" => Some(new Proc("rollback_to_version",
         Array(p("table", StringType), p("version", LongType)),
         StructType(Seq(StructField("previous_version", LongType),
@@ -203,5 +218,5 @@ private[sqlcat] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
     "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag",
-    "refresh_view")
+    "refresh_view", "add_files")
 }

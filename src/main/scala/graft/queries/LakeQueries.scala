@@ -462,6 +462,43 @@ object LakeQueries {
     box.orderBy($"o_orderkey")
   }
 
+  /** In-place parquet import (Iceberg's `add_files`/`migrate`): half
+    * of `orders` pre-exists as plain parquet outside any table; a lake
+    * table holds the other half; `addFiles` registers the legacy dir by
+    * a METADATA-ONLY commit — asserted in-query: the manifest's new dir
+    * is the external source URI and the table's owned file set did not
+    * grow. The checked result is a range probe over the combined table,
+    * which must equal the same probe over the original full `orders`.
+    */
+  def addFilesImport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // "legacy" pre-existing parquet: odd orderkeys, written by plain
+    // Spark with no lake involvement
+    val legacy = scratchDir("graft-legacy-").toString
+    orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+      .repartitionByRange(4, $"o_orderkey")
+      .write.mode("overwrite").parquet(legacy)
+    cat.write(orders.filter(pmod($"o_orderkey", lit(2)) === 0),
+      "bronze.orders", WriteMode.Overwrite, statsBy = Seq("o_orderkey"))
+    val t = cat.table("bronze.orders")
+    val owned = t.latest.get.dirs.map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    val snap = t.addFiles(legacy)
+    require(graft.lake.LakeTable.externalDir(snap.dirs.last),
+      "import must reference the source dir, not copy it")
+    val ownedAfter = snap.dirs.filterNot(graft.lake.LakeTable.externalDir)
+      .map(d => t.io.countFiles(t.loc(d), ".parquet")).sum
+    require(ownedAfter == owned, "import moved data — add_files must be metadata-only")
+    // footer-harvested counts serve the metadata count(*) immediately
+    require(t.metadataRowCount().contains(t.read().count()),
+      "imported rows must be countable from the manifest")
+    t.scan(Seq(graft.lake.LakePredicate.GtEq("o_custkey", 500L),
+      graft.lake.LakePredicate.LtEq("o_custkey", 700L)))
+      .orderBy($"o_orderkey")
+  }
+
   /** Metadata-only aggregates (the Iceberg/Delta "count from
     * manifests" shape): `count(*)` and numeric MIN/MAX answered from
     * the manifest alone over a three-append table — zero data read at

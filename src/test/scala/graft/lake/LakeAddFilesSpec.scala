@@ -1,0 +1,162 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** In-place parquet import ([[LakeTable.addFiles]] — Iceberg's
+  * `add_files`/`migrate` shape): existing parquet becomes table data by
+  * a METADATA-ONLY commit referencing the source dir's absolute URI.
+  * The contract under test: no byte of the source is copied or
+  * rewritten; imported rows are indistinguishable from written ones
+  * (scans, stats skipping, metadata count, MOR DML, upserts, CDC); and
+  * the table never deletes data it only references.
+  */
+class LakeAddFilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(r: Range) =
+    r.map(i => (i.toLong, s"name$i", i * 1.5)).toDF("id", "name", "v")
+
+  /** Pre-existing parquet "legacy data" outside any table root. */
+  private def legacyDir(r: Range, files: Int = 2): String = {
+    val d = Files.createTempDirectory("addf-src-").toString
+    df(r).repartitionByRange(files, $"id").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def fresh(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("addf-wh-").toString)
+
+  test("migrate: import into a fresh table reads back exactly; nothing is copied") {
+    val cat = fresh()
+    val src = legacyDir(1 to 500)
+    val t = cat.table("ns.m")
+    val snap = t.addFiles(src)
+    assert(snap.op === "add-files")
+    assert(t.read().count() === 500L)
+    assert(t.read().agg(sum($"id")).head.getLong(0) === (1 to 500).map(_.toLong).sum)
+    // the manifest references the source; the table owns no data files
+    assert(snap.dirs.size === 1)
+    assert(LakeTable.externalDir(snap.dirs.head))
+    assert(!io(t).isDir(t.loc("data")) ||
+      io(t).countFiles(t.loc("data"), ".parquet") === 0)
+    // metadata-only count(*) works from the footer-harvested row counts
+    assert(t.metadataRowCount() === Some(500L))
+  }
+
+  private def io(t: LakeTable) = t.io
+
+  test("append-import into an existing table; schema merge adds missing columns as nulls") {
+    val cat = fresh()
+    cat.write(df(1 to 100).withColumn("extra", lit("x")), "ns.a", WriteMode.Overwrite)
+    val t = cat.table("ns.a")
+    t.addFiles(legacyDir(101 to 150)) // source lacks `extra`
+    assert(t.read().count() === 150L)
+    assert(t.read().where($"extra".isNull).count() === 50L)
+    assert(t.read().where($"id" > 100L && $"extra".isNull).count() === 50L)
+  }
+
+  test("imported files skip via footer-harvested stats") {
+    val cat = fresh()
+    // declare stats on id, then import: the import harvests min/max
+    // from the source footers, so a narrow probe must not open every file
+    cat.write(df(1 to 100), "ns.s", WriteMode.Overwrite, statsBy = Seq("id"))
+    val t = cat.table("ns.s")
+    t.addFiles(legacyDir(1001 to 2000, files = 4))
+    val total = t.latest.get.dirs.map(d => io(t).countFiles(t.loc(d), ".parquet")).sum
+    val probe = t.scan(Seq(LakePredicate.GtEq("id", 1100L), LakePredicate.LtEq("id", 1150L)))
+    assert(probe.count() === 51L)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val read = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    assert(read < total, s"import must carry footer stats (read $read of $total files)")
+  }
+
+  test("merge-on-read DELETE reaches imported rows; compact adopts them") {
+    val cat = fresh()
+    cat.write(df(1 to 50), "ns.d", WriteMode.Overwrite)
+    val t = cat.table("ns.d")
+    t.addFiles(legacyDir(51 to 150))
+    LakeDml.delete(t, $"id".between(100L, 120L), strategy = DmlStrategy.MergeOnRead)
+    assert(t.latest.get.deleteDirs.nonEmpty, "expected a positional delete file")
+    assert(t.read().count() === 129L)
+    assert(t.read().where($"id".between(100L, 120L)).count() === 0L)
+    // a rewrite adopts external data into owned dirs
+    t.compact(targetPartitions = 2)
+    assert(t.read().count() === 129L)
+    assert(t.latest.get.dirs.forall(!LakeTable.externalDir(_)))
+  }
+
+  test("equality-delete upsert retires imported rows (sequence semantics span the import)") {
+    val cat = fresh()
+    val t = cat.table("ns.u")
+    t.addFiles(legacyDir(1 to 100))
+    // retire ids 1..10 with new values; insert 101..105
+    val batch = (1 to 10).map(i => (i.toLong, s"NEW$i", -1.0)) ++
+      (101 to 105).map(i => (i.toLong, s"name$i", i * 1.5))
+    t.upsert(batch.toDF("id", "name", "v"), keys = Seq("id"))
+    assert(t.read().count() === 105L)
+    assert(t.read().where($"name".startsWith("NEW")).count() === 10L)
+    assert(t.read().where($"id" <= 10L && !$"name".startsWith("NEW")).count() === 0L)
+  }
+
+  test("CDC changelog delivers an import as inserts") {
+    val cat = fresh()
+    cat.write(df(1 to 20), "ns.c", WriteMode.Overwrite)
+    val t = cat.table("ns.c")
+    val v0 = t.latest.get.version
+    t.addFiles(legacyDir(21 to 60))
+    val ch = t.readChanges(v0, Some(t.latest.get.version))
+    assert(ch.where($"_change_type" === "insert").count() === 40L)
+    assert(ch.where($"_change_type" =!= "insert").count() === 0L)
+  }
+
+  test("retention never deletes external source data") {
+    val cat = fresh()
+    val src = legacyDir(1 to 100)
+    val t = cat.table("ns.r")
+    t.addFiles(src)
+    // overwrite makes the import's dir dead history; expiry must drop
+    // the manifest but leave the external files alone
+    t.write(df(200 to 210), WriteMode.Overwrite)
+    val (manifests, dirs) = t.expireSnapshots(retainLast = 1)
+    assert(manifests === 1)
+    assert(dirs === 0, "external dirs must never be deleted by retention")
+    assert(spark.read.parquet(src).count() === 100L, "source data must survive expiry")
+  }
+
+  test("guards: hive-partitioned, empty, and in-root sources are rejected") {
+    val cat = fresh()
+    val t = cat.table("ns.g")
+    t.write(df(1 to 10), WriteMode.Overwrite)
+    val hive = Files.createTempDirectory("addf-hive-").toString
+    df(1 to 20).withColumn("p", $"id" % 2).write.partitionBy("p").parquet(s"$hive/t")
+    intercept[IllegalArgumentException](t.addFiles(s"$hive/t"))
+    val empty = Files.createTempDirectory("addf-empty-").toString
+    intercept[IllegalArgumentException](t.addFiles(empty))
+    intercept[IllegalArgumentException](t.addFiles(t.location("data")))
+  }
+
+  test("SQL surface: CALL graft.system.add_files imports and reports rows") {
+    val name = "addfcat"
+    val wh = Files.createTempDirectory("addf-sql-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    cat.write(df(1 to 30), "ns.q", WriteMode.Overwrite)
+    val src = legacyDir(31 to 90)
+    val row = spark.sql(
+      s"CALL $name.system.add_files(table => 'ns.q', source => '$src')").head
+    assert(row.getLong(1) === 60L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $name.ns.q").head.getLong(0) === 90L)
+  }
+}
