@@ -52,6 +52,7 @@ object SparkEntry {
     "lake_meta_agg"         -> (LakeQueries.metaAgg _),
     "lake_zorder_scan"      -> (LakeQueries.zorderScan _),
     "lake_add_files"        -> (LakeQueries.addFilesImport _),
+    "lake_compact_where"    -> (LakeQueries.compactWhereScoped _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
@@ -309,6 +310,13 @@ object SparkEntry {
     "lake_zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the scoped compaction folds only the hot dirs (asserted
+    // in-query); the table equals orders minus the MOR-deleted band
+    "lake_compact_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey NOT BETWEEN 11000 AND 11200
         |ORDER BY o_orderkey""".stripMargin,
 
     // half of orders pre-exists as plain parquet and is imported

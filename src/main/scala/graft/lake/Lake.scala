@@ -1745,6 +1745,76 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       allowSpecChange = true)
   }
 
+  /** Predicate-scoped compaction (Iceberg's `rewrite_data_files(where
+    * => ...)`): rewrite ONLY the commit dirs that may hold matching
+    * rows, carry every provably-disjoint dir untouched. At 100 TB the
+    * whole-table `compact()` is a non-starter for routine maintenance —
+    * the operational shape is "fold the last day's trickle commits",
+    * and this bounds the rewrite to dirs whose manifest stats overlap
+    * the predicate (append-heavy tables write many narrow commit dirs,
+    * so dir granularity ≈ time/partition granularity there). The
+    * predicate only SCOPES the rewrite — selected dirs rewrite all
+    * their live rows, so a dropped/unextractable conjunct merely
+    * rewrites more, never loses rows. Stats-less dirs rewrite
+    * conservatively. The rewritten rows honor the table's declared
+    * clustering; kept dirs keep their stats/bytes; delete files carry
+    * for the kept dirs and are already folded into the rewritten rows.
+    */
+  def compactWhere(preds: Seq[LakePredicate], targetPartitions: Int = 1): Snapshot = {
+    require(preds.nonEmpty,
+      "compactWhere needs a predicate — use compact() for a full rewrite")
+    val base = latest.getOrElse(throw new IllegalStateException(s"empty table at $root"))
+    val cur = base.schema
+    def disjoint(i: Int): Boolean =
+      base.meta.get(FileStats.dirKey(base.dirs(i)))
+        .flatMap(FileStats.surviving(_, preds, cur))
+        .exists(_.isEmpty)
+    val rewriteIdx = base.dirs.indices.filterNot(disjoint)
+    if (rewriteIdx.isEmpty) return base
+    val keepIdx = base.dirs.indices.filterNot(rewriteIdx.contains)
+    val sub = base.copy(
+      dirs = rewriteIdx.map(base.dirs),
+      dirSchemaJsons = rewriteIdx.map(base.dirSchemaJson),
+      dirSpecs = rewriteIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))),
+      dirSeqs = rewriteIdx.map(base.dirSeq))
+    val live = scanOf(sub, Nil, keepPos = false)
+    val (clusterCols, clusterZ) = inheritedClustering(Some(base))
+    val effective = clusterCols.filter(live.columns.contains)
+    val df =
+      if (effective.isEmpty) live.repartition(targetPartitions)
+      else if (clusterZ) {
+        val code = zorderCodeNormalized(live, effective)
+        live.repartitionByRange(targetPartitions, code).sortWithinPartitions(code)
+      } else live.repartitionByRange(targetPartitions,
+        effective.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(effective.map(org.apache.spark.sql.functions.col): _*)
+    val dirName = s"data/${UUID.randomUUID().toString}"
+    writeDataDir(df, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
+    val keptMeta = base.meta.filter { case (k, _) =>
+      keepIdx.map(base.dirs).exists(d =>
+        k == FileStats.dirKey(d) || k == FileStats.bytesKey(d) ||
+          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
+    } ++ base.meta.filter { case (k, _) =>
+      k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
+        k == FileStats.BloomColsKey
+    }
+    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+      base.schema.fieldNames.toSeq)
+    val idMeta = base.meta.get(SchemaIds.LastIdKey)
+      .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
+    commit("compact", keepIdx.map(base.dirs) :+ dirName, carryForward = false,
+      base.partitionBy, base.schemaJson,
+      meta = keptMeta ++ statsMeta ++ footprintMetaFor(dirName) ++ idMeta,
+      expectedBase = Some(base.version),
+      newDirSchemas = keepIdx.map(base.dirSchemaJson) :+ base.schemaJson,
+      newDirSpecs = keepIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))) :+
+        Snapshot.joinSpec(base.partitionBy),
+      newDirSeqs = keepIdx.map(base.dirSeq) :+ -1L,
+      deleteDirsOverride = Some(base.deleteDirs),
+      eqDeletesOverride = Some(base.eqDeletes),
+      allowSpecChange = true)
+  }
+
   /** Fold all positional delete dirs into one (Iceberg's
     * `rewrite_position_deletes`): merge-on-read DML accretes one small
     * delete dir per statement, and every scan pays one relation +

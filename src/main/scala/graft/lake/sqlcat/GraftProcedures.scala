@@ -98,7 +98,8 @@ private[sqlcat] object GraftProcedures {
       case "compact" => Some(new Proc("compact",
         Array(p("table", StringType), p("target_partitions", IntegerType),
           pDefault("sort_by", StringType, "''"), pDefault("zorder_by", StringType, "''"),
-          pDefault("small_dir_bytes", LongType, "-1")),
+          pDefault("small_dir_bytes", LongType, "-1"),
+          pDefault("where", StringType, "''")),
         StructType(Seq(StructField("version", LongType), StructField("op", StringType))),
         resolve,
         (t, in) => {
@@ -106,12 +107,25 @@ private[sqlcat] object GraftProcedures {
           val sortBy = cols(in.getUTF8String(2).toString)
           val zorderBy = cols(in.getUTF8String(3).toString)
           val smallBytes = in.getLong(4)
+          val where = in.getUTF8String(5).toString
           require(sortBy.isEmpty || zorderBy.isEmpty,
             "compact takes sort_by OR zorder_by, not both")
           require(smallBytes < 0 || (sortBy.isEmpty && zorderBy.isEmpty),
             "binpack (small_dir_bytes) does not combine with sort_by/zorder_by")
+          require(where.isEmpty || (sortBy.isEmpty && zorderBy.isEmpty && smallBytes < 0),
+            "where-scoped compaction keeps the table's declared clustering and does " +
+              "not combine with sort_by/zorder_by/small_dir_bytes")
           val snap =
-            if (smallBytes >= 0) t.compactBinPack(smallBytes, tp)
+            if (where.nonEmpty) {
+              // scoping only: an unextractable conjunct widens the
+              // rewrite, never loses rows
+              val preds = graft.lake.PredicateExtract.fromCondition(
+                t.read(), org.apache.spark.sql.functions.expr(where))
+              require(preds.nonEmpty,
+                s"could not derive a scoping predicate from: $where")
+              t.compactWhere(preds, tp)
+            }
+            else if (smallBytes >= 0) t.compactBinPack(smallBytes, tp)
             else if (zorderBy.nonEmpty) t.compactZOrder(tp, zorderBy)
             else t.compact(tp, sortBy)
           Seq(snap.version, snap.op)

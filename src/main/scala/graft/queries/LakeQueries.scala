@@ -462,6 +462,37 @@ object LakeQueries {
     box.orderBy($"o_orderkey")
   }
 
+  /** Predicate-scoped compaction (Iceberg's `rewrite_data_files(where)`
+    * shape): orders lands in three ranged commits plus a MOR DELETE in
+    * the hot range; `compactWhere` folds ONLY the overlapping dirs —
+    * asserted in-query: the cold commit dirs survive by name. The
+    * checked result is the post-compact table (deletes folded), which
+    * must equal orders minus the deleted band.
+    */
+  def compactWhereScoped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // orderkeys are dense from 0 in the fixtures; the first two commits
+    // are cold, the open-ended third is hot at every sf
+    cat.write(orders.filter($"o_orderkey" < 5000), "bronze.orders",
+      WriteMode.Overwrite, statsBy = Seq("o_orderkey"))
+    val t = cat.table("bronze.orders")
+    t.write(orders.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000),
+      WriteMode.Append)
+    t.write(orders.filter($"o_orderkey" >= 10000), WriteMode.Append)
+    LakeDml.delete(t, $"o_orderkey".between(11000L, 11200L),
+      strategy = DmlStrategy.MergeOnRead)
+    val cold = t.latest.get.dirs.take(2).toSet
+    val snap = t.compactWhere(Seq(graft.lake.LakePredicate.GtEq("o_orderkey", 10000L)))
+    require(cold.subsetOf(snap.dirs.toSet),
+      "scoped compaction must not touch dirs disjoint from the predicate")
+    require(snap.dirs.size == cold.size + 1,
+      "overlapping dirs must fold to one")
+    t.read().orderBy($"o_orderkey")
+  }
+
   /** In-place parquet import (Iceberg's `add_files`/`migrate`): half
     * of `orders` pre-exists as plain parquet outside any table; a lake
     * table holds the other half; `addFiles` registers the legacy dir by
