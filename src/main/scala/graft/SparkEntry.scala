@@ -91,6 +91,7 @@ object SparkEntry {
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
+    "e_cosine_pq_topk"   -> (SimQueries.cosinePqTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_window_sliding"   -> (StreamQueries.sliding _),
@@ -809,6 +810,28 @@ object SparkEntry {
     // same fixture and exact-top-k oracle as e_cosine_ann_topk: both
     // index families must recover the provable exact answer
     "e_cosine_ivf_topk" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 10000000 * j.j AS vec_id,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.001 * j.j AS FLOAT) ELSE x END) AS embedding
+        |  FROM embeddings, (SELECT unnest(range(1, 6)) AS j) j
+        |  WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pl),
+        |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(p.pv, c.embedding) AS sim
+        |      FROM p JOIN corpus c ON c.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT probe_id, neighbor_id FROM r WHERE rk <= 5
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    // same fixture and exact-top-k oracle as the LSH/IVF variants: the
+    // compression family must also recover the provable exact answer
+    "e_cosine_pq_topk" ->
       """WITH pl AS (
         |  SELECT vec_id + 10000000 * j.j AS vec_id,
         |    list_transform(embedding, (x, i) -> CASE WHEN i = 1

@@ -167,6 +167,24 @@ object SimQueries {
       .orderBy($"probe_id", $"neighbor_id")
   }
 
+  /** Product-quantization ANN over the planted-neighbor corpus — the
+    * third index family (compression) next to LSH and IVF: the corpus
+    * is searched as m=8 four-bit-ish codes via per-probe ADC lookup
+    * tables, and only each probe's refine·k shortlist touches true
+    * vectors for the exact re-rank. Planted near-copies quantize to
+    * (nearly) the probe's own codes, so ADC ranks them at the top and
+    * the re-rank provably recovers the exact top-5 the oracle computes.
+    */
+  def cosinePqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withPlantedNeighbors(spark, dir)
+    val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+    graft.ops.PqAnn.annTopK(corpus, probes, k = 5, m = 8, ksub = 16, refine = 10)
+      .select($"probe_id", $"neighbor_id")
+      .orderBy($"probe_id", $"neighbor_id")
+  }
+
   /** Multimodal decode plumbing: binary media column → per-partition
     * batched feature extraction (STUB codec, deterministic). Projection
     * keeps only the closed-form features so the oracle can re-state
