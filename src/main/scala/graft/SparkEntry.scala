@@ -108,6 +108,7 @@ object SparkEntry {
     "a_word_frequencies" -> (AnalyticsQueries.wordFrequencies _),
     "a_pivot_events"     -> (AnalyticsQueries.pivotEvents _),
     "a_asof_join"        -> (AnalyticsQueries.asofJoin _),
+    "a_range_join"       -> (AnalyticsQueries.rangeJoin _),
     "a_percentiles"      -> (AnalyticsQueries.percentiles _),
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
@@ -1057,6 +1058,18 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'click') s
         |ON p.user_id = s.user_id AND p.ts >= s.state_ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // per error event: same-user clicks in the following 10 minutes
+    // (engine: binned equi-join; oracle: the naive range join)
+    "a_range_join" ->
+      """SELECT e.event_id,
+        |  CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "a_percentiles" ->
       """SELECT o_orderpriority,

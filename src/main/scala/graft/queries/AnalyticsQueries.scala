@@ -90,6 +90,46 @@ object AnalyticsQueries {
     * no per-row range probe) — the scalable formulation of ASOF JOIN;
     * DuckDB's native ASOF JOIN is the oracle.
     */
+  /** Binned range join (point-in-interval): for every error event,
+    * count the same user's clicks in the following 10 minutes. The
+    * inequality condition alone would plan as BroadcastNestedLoopJoin —
+    * O(errors · clicks); [[graft.ops.RangeJoin]] turns it into an
+    * equi-join on (user, time-bin) plus the exact filter, asserted
+    * in-query: the executed plan contains no nested-loop or cartesian
+    * node.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val errors = events.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts".as("lo"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("hi"))
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    val joined = graft.ops.RangeJoin.pointInInterval(
+      clicks, "ts", errors, "lo", "hi",
+      keys = Seq("user_id"), binSeconds = 600)
+    val counts = joined.groupBy($"event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    val out = errors.select($"event_id")
+      .join(counts, Seq("event_id"), "left")
+      .select($"event_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+      .orderBy($"event_id")
+    out.collect() // materialize so the executed plan is inspectable
+    def noLoops(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        noLoops(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => noLoops(q.plan)
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => false
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => false
+      case other => other.children.forall(noLoops)
+    }
+    require(noLoops(out.queryExecution.executedPlan),
+      "range join must plan as an equi-join on (keys, bin), never a nested loop")
+    out
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir).events
