@@ -53,6 +53,7 @@ object SparkEntry {
     "lake_zorder_scan"      -> (LakeQueries.zorderScan _),
     "lake_add_files"        -> (LakeQueries.addFilesImport _),
     "lake_compact_where"    -> (LakeQueries.compactWhereScoped _),
+    "lake_meta_delete"      -> (LakeQueries.metadataDelete _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_binpack"          -> (LakeQueries.binPack _),
@@ -312,6 +313,15 @@ object SparkEntry {
     "lake_zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the whole-dir delete is metadata-only (zero jobs, asserted
+    // in-query); a partial delete then exercises the exact fallback
+    "lake_meta_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 10000
+        |  AND o_orderkey NOT BETWEEN 7000 AND 7100
         |ORDER BY o_orderkey""".stripMargin,
 
     // the scoped compaction folds only the hot dirs (asserted

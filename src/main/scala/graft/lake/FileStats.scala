@@ -227,25 +227,38 @@ private[graft] object FileStats {
       b.result()
     }
     if (files.isEmpty) return None
-    val perFile: Seq[(String, Seq[(Any, Any)])] = files.map { st =>
-      val ranges: Seq[(Any, Any)] =
+    val perFile: Seq[(String, Seq[(Any, Any, Long)])] = files.map { st =>
+      val ranges: Seq[(Any, Any, Long)] =
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = reader.getFooter.getBlocks.asScala.toSeq
             cols.map { c =>
-              val perBlock = blocks.map(_.getColumns.asScala
-                .find(_.getPath.toDotString == c).flatMap(footerRange))
+              val chunks = blocks.map(_.getColumns.asScala
+                .find(_.getPath.toDotString == c))
+              val perBlock = chunks.map(_.flatMap(footerRange))
+              // exact per-file null count when every row group states
+              // one (-1 = unknown): what makes full-coverage proofs
+              // (metadata DELETE) sound — a NULL satisfies no
+              // comparison, so covered columns must be null-free
+              val nulls: Long = {
+                val perChunk = chunks.map(_.map(_.getStatistics))
+                if (perChunk.exists(s => s.isEmpty || s.get == null || !s.get.isNumNullsSet)) -1L
+                else perChunk.map(_.get.getNumNulls).sum
+              }
               // every row group must contribute a valid range, else the
               // file is unprunable on this column
-              if (blocks.isEmpty || perBlock.exists(_.isEmpty)) (null, null)
-              else perBlock.flatten.reduce[(Any, Any)] { case ((lo1, hi1), (lo2, hi2)) =>
-                (minByKey(lo1, lo2), maxByKey(hi1, hi2))
+              if (blocks.isEmpty || perBlock.exists(_.isEmpty)) (null, null, nulls)
+              else {
+                val (lo, hi) = perBlock.flatten.reduce[(Any, Any)] {
+                  case ((lo1, hi1), (lo2, hi2)) => (minByKey(lo1, lo2), maxByKey(hi1, hi2))
+                }
+                (lo, hi, nulls)
               }
             }
           } finally reader.close()
-        } catch { case _: Exception => cols.map(_ => (null: Any, null: Any)) }
+        } catch { case _: Exception => cols.map(_ => (null: Any, null: Any, -1L)) }
       (relativeKey(st.getPath.toString, dir.getName), ranges)
     }
     // a column no file can bound (INT96, partition-derived) → let the
@@ -260,10 +273,11 @@ private[graft] object FileStats {
     val filesNode = rootNode.putObject("files")
     perFile.foreach { case (key, ranges) =>
       val fNode = filesNode.putArray(key)
-      ranges.foreach { case (lo, hi) =>
+      ranges.foreach { case (lo, hi, nulls) =>
         val pair = fNode.addArray()
         pair.add(encode(lo))
         pair.add(encode(hi))
+        pair.add(nulls)
       }
     }
     Some(om.writeValueAsString(rootNode))
@@ -374,6 +388,106 @@ private[graft] object FileStats {
     * parquet BINARY stats may be TRUNCATED bounds, sound for pruning
     * but not for exact aggregate answers, so strings never qualify.
     */
+  /** One covering conjunct for metadata-DML proofs: comparison op
+    * ("eq" | "gt" | "gteq" | "lt" | "lteq") against a value already in
+    * blob key space ([[toKey]]'s numeric domain — numbers, timestamps,
+    * dates, booleans all canonicalize there). Built losslessly by
+    * `PredicateExtract.covering`: unlike scan-pruning predicates,
+    * strictness must survive (relaxing `>` to `>=` is sound for
+    * pruning but UNSOUND for proving every row matches).
+    */
+  private[graft] final case class Cover(col: String, op: String, v: BigDecimal)
+
+  /** `v` in blob key space, numeric domain only. */
+  private[graft] def coverValue(v: Any): Option[BigDecimal] =
+    toKey(v) match { case Some(Left(n)) => Some(n); case _ => None }
+
+  private def fileColStats(pair: com.fasterxml.jackson.databind.JsonNode)
+      : (Option[BigDecimal], Option[BigDecimal], Long) = {
+    def num(j: Int): Option[BigDecimal] =
+      if (pair.size() <= j || pair.get(j).isNull) None
+      else decode(pair.get(j).asText()) match {
+        case Some(Left(n)) => Some(n)
+        case _             => None
+      }
+    val nulls = if (pair.size() > 2) pair.get(2).asLong(-1L) else -1L
+    (num(0), num(1), nulls)
+  }
+
+  /** Does EVERY row of the blob's dir provably satisfy ALL `covers`?
+    * Requires per-file [lo, hi] on each covered column AND an exact
+    * ZERO null count (blob v2 third element; legacy blobs decline) —
+    * a NULL satisfies no comparison, so any or unknown nulls defeat
+    * the proof. Powers metadata-only DELETE: a fully-covered dir can
+    * be dropped from the manifest without reading a row.
+    */
+  def blobFullyMatches(statsJson: String, covers: Seq[Cover]): Boolean = {
+    if (covers.isEmpty) return false
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(statsJson)
+    val colsNode = node.get("cols")
+    val idxOf = covers.map { c =>
+      c -> (0 until colsNode.size()).find(i => colsNode.get(i).asText() == c.col)
+    }.toMap
+    if (idxOf.values.exists(_.isEmpty)) return false
+    val it = node.get("files").fields()
+    while (it.hasNext) {
+      val f = it.next().getValue
+      covers.foreach { c =>
+        val (lo, hi, nulls) = fileColStats(f.get(idxOf(c).get))
+        val ok = nulls == 0L && ((lo, hi) match {
+          case (Some(l), Some(h)) => c.op match {
+            case "eq"   => l == c.v && h == c.v
+            case "gteq" => l >= c.v
+            case "gt"   => l > c.v
+            case "lteq" => h <= c.v
+            case "lt"   => h < c.v
+            case _      => false
+          }
+          case _ => false
+        })
+        if (!ok) return false
+      }
+    }
+    true
+  }
+
+  /** Does provably NO row of the blob's dir satisfy the `covers`
+    * conjunction? Nulls are irrelevant here — a null row already fails
+    * the conjunction. One disprovable conjunct per file suffices.
+    */
+  def blobNoneMatch(statsJson: String, covers: Seq[Cover]): Boolean = {
+    if (covers.isEmpty) return false
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(statsJson)
+    val colsNode = node.get("cols")
+    val idxOf = covers.map { c =>
+      c -> (0 until colsNode.size()).find(i => colsNode.get(i).asText() == c.col)
+    }.toMap
+    val it = node.get("files").fields()
+    while (it.hasNext) {
+      val f = it.next().getValue
+      val fileExcluded = covers.exists { c =>
+        idxOf(c).exists { i =>
+          val (lo, hi, _) = fileColStats(f.get(i))
+          (lo, hi) match {
+            case (Some(l), Some(h)) => c.op match {
+              case "eq"   => c.v < l || c.v > h
+              case "gteq" => h < c.v
+              case "gt"   => h <= c.v
+              case "lteq" => l > c.v
+              case "lt"   => l >= c.v
+              case _      => false
+            }
+            case _ => false
+          }
+        }
+      }
+      if (!fileExcluded) return false
+    }
+    true
+  }
+
   def blobNumericRange(statsJson: String, col: String): Option[(BigDecimal, BigDecimal)] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(statsJson)
@@ -554,7 +668,8 @@ private[graft] object FileStats {
     val df = spark.read.parquet(dir.toString)
     val present = cols.filter(df.columns.contains)
     require(present.nonEmpty, s"no stats columns $cols in ${df.columns.toSeq}")
-    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val aggs = present.flatMap(c => Seq(min(col(c)), max(col(c)),
+      count(when(col(c).isNull, 1)).as(s"_n_$c")))
     val rows = df.groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -566,8 +681,9 @@ private[graft] object FileStats {
       val fNode = filesNode.putArray(relativeKey(r.getString(0), dir.getName))
       present.indices.foreach { i =>
         val pair = fNode.addArray()
-        pair.add(encode(r.get(1 + 2 * i)))
-        pair.add(encode(r.get(2 + 2 * i)))
+        pair.add(encode(r.get(1 + 3 * i)))
+        pair.add(encode(r.get(2 + 3 * i)))
+        pair.add(r.getLong(3 + 3 * i))
       }
     }
     om.writeValueAsString(rootNode)

@@ -173,6 +173,56 @@ object LakeDml {
     }
   }
 
+  /** Metadata-only DELETE (Iceberg's "metadata delete"): when manifest
+    * stats PROVE every dir is either fully covered by the predicate
+    * (all rows match: per-file ranges inside the bound, zero nulls on
+    * covered columns) or provably untouched (no file range can
+    * match), the statement is one manifest commit dropping the
+    * fully-covered dirs — zero Spark jobs, zero rows read. This is the
+    * 100 TB retention shape: `DELETE WHERE id < horizon` on an
+    * append-ordered table drops whole commit dirs from metadata
+    * instead of rewriting the warehouse. Requires LOSSLESS predicate
+    * extraction ([[PredicateExtract.covering]] — strictness
+    * preserved); any partial dir, stats gap, legacy blob (no null
+    * counts), or unmappable conjunct declines to the measured paths.
+    */
+  private def metadataDelete(table: LakeTable, base: Snapshot,
+                             cond: Column): Option[Snapshot] = {
+    val covers = PredicateExtract.coveringFromCondition(
+      table.read(Some(base.version)), cond).getOrElse(return None)
+    if (covers.isEmpty) return None
+    val full = scala.collection.mutable.ArrayBuffer.empty[Int]
+    base.dirs.indices.foreach { i =>
+      val blob = base.meta.get(FileStats.dirKey(base.dirs(i)))
+        .orElse(if (base.dirs.size == 1) base.meta.get(FileStats.MetaKey) else None)
+        .getOrElse(return None)
+      if (FileStats.blobFullyMatches(blob, covers)) full += i
+      else if (!FileStats.blobNoneMatch(blob, covers)) return None // partial
+    }
+    if (full.isEmpty) return None // pure no-op is the zero-candidate case
+    val keepIdx = base.dirs.indices.filterNot(full.contains)
+    // drop ONLY the dropped dirs' per-dir meta (stats/bytes/rows blobs,
+    // plus the legacy single-blob key); every table-property key
+    // (statsCols, sortOrder, bloomCols, field ids, view lineage, …)
+    // survives untouched — a metadata delete rewrites membership, not
+    // declarations
+    val droppedKeys: Set[String] = full.iterator.map(base.dirs).flatMap { d =>
+      Seq(FileStats.dirKey(d), FileStats.bytesKey(d),
+        FileStats.rowsKey(d), FileStats.fileRowsKey(d))
+    }.toSet ++ (if (base.dirs.size == 1) Set(FileStats.MetaKey) else Set.empty)
+    val keptMeta = base.meta.filter { case (k, _) => !droppedKeys.contains(k) }
+    Some(table.commit("delete", keepIdx.map(base.dirs), carryForward = false,
+      base.partitionBy, base.schemaJson,
+      meta = keptMeta,
+      expectedBase = Some(base.version),
+      newDirSchemas = keepIdx.map(base.dirSchemaJson),
+      newDirSpecs = keepIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))),
+      newDirSeqs = keepIdx.map(base.dirSeq),
+      deleteDirsOverride = Some(base.deleteDirs),
+      eqDeletesOverride = Some(base.eqDeletes),
+      allowSpecChange = true))
+  }
+
   /** DELETE FROM t WHERE cond. Rows where `cond` is TRUE are removed;
     * FALSE and NULL rows are kept (SQL DELETE semantics).
     */
@@ -181,6 +231,12 @@ object LakeDml {
     val base = table.latest.getOrElse(
       throw new IllegalStateException(s"empty lake table at ${table.rootLocation}"))
     val hit = coalesce(cond, lit(false))
+    // top of the Auto ladder: a provable whole-dir delete commits
+    // metadata only — no job at all
+    if (strategy == DmlStrategy.Auto) metadataDelete(table, base, cond) match {
+      case Some(snap) => return snap
+      case None       => ()
+    }
     // analysis-only extraction of the stats-boundable conjuncts of
     // `cond` — powers the zero-job strategy decision above
     val preds = PredicateExtract.fromCondition(table.read(Some(base.version)), cond)

@@ -100,4 +100,54 @@ private[graft] object PredicateExtract {
           extract(f.condition, f.child.outputSet)
       }.getOrElse(Nil)
     }.getOrElse(Nil)
+
+  /** LOSSLESS covering extraction for metadata-DML proofs: Some only
+    * when EVERY conjunct of `cond` maps to a [[FileStats.Cover]] —
+    * strictness preserved (relaxing `>` to `>=` prunes soundly but
+    * proves unsoundly), values canonicalized to blob key space. Any
+    * unmappable conjunct (OR, functions, string/binary domains, null
+    * literal, unresolved attr) → None and the caller must not use the
+    * coverage proof.
+    */
+  def covering(cond: Expression, attrs: AttributeSet): Option[Seq[FileStats.Cover]] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    def value(l: Literal): Option[BigDecimal] =
+      if (l.value == null) None
+      else FileStats.coverValue(convertToScala(l.value, l.dataType))
+    val covers = conjuncts(cond).map {
+      case EqualTo(Attr(a), Lit(l)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "eq", _))
+      case EqualTo(Lit(l), Attr(a)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "eq", _))
+      case GreaterThanOrEqual(Attr(a), Lit(l)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "gteq", _))
+      case LessThanOrEqual(Lit(l), Attr(a)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "gteq", _))
+      case GreaterThan(Attr(a), Lit(l)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "gt", _))
+      case LessThan(Lit(l), Attr(a)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "gt", _))
+      case LessThanOrEqual(Attr(a), Lit(l)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "lteq", _))
+      case GreaterThanOrEqual(Lit(l), Attr(a)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "lteq", _))
+      case LessThan(Attr(a), Lit(l)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "lt", _))
+      case GreaterThan(Lit(l), Attr(a)) if attrs.contains(a) =>
+        value(l).map(FileStats.Cover(a.name, "lt", _))
+      case _ => None
+    }
+    if (covers.exists(_.isEmpty)) None else Some(covers.flatten)
+  }
+
+  /** [[covering]] for a DataFrame-API condition (analysis only). */
+  def coveringFromCondition(df: org.apache.spark.sql.DataFrame,
+                            cond: org.apache.spark.sql.Column)
+      : Option[Seq[FileStats.Cover]] =
+    scala.util.Try {
+      df.where(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          covering(f.condition, f.child.outputSet)
+      }.flatten
+    }.toOption.flatten
 }

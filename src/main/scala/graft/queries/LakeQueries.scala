@@ -462,6 +462,47 @@ object LakeQueries {
     box.orderBy($"o_orderkey")
   }
 
+  /** Metadata-only DELETE (Iceberg's metadata delete): orders lands in
+    * three ranged commits; `DELETE WHERE o_orderkey >= 10000` drops the
+    * fully-covered third dir straight from the manifest — asserted
+    * in-query: ZERO Spark jobs ran during the statement and the
+    * surviving dirs are exactly the first two. The 100 TB retention
+    * shape: dropping an append-ordered table's old commits reads no
+    * rows. A second, PARTIAL delete then proves the fallback stays
+    * exact on the same table.
+    */
+  def metadataDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    cat.write(orders.filter($"o_orderkey" < 5000), "bronze.orders",
+      WriteMode.Overwrite, statsBy = Seq("o_orderkey"))
+    val t = cat.table("bronze.orders")
+    t.write(orders.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000),
+      WriteMode.Append)
+    t.write(orders.filter($"o_orderkey" >= 10000), WriteMode.Append)
+    val cold = t.latest.get.dirs.take(2)
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    val snap = try {
+      val s = LakeDml.delete(t, $"o_orderkey" >= 10000L)
+      org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark.sparkContext)
+      s
+    } finally spark.sparkContext.removeSparkListener(l)
+    require(jobs == 0, s"whole-dir delete must be metadata-only, ran $jobs jobs")
+    require(snap.dirs == cold, "only the fully-covered dir may drop")
+    // partial delete on the same table: provably NOT metadata-only,
+    // must still be exact
+    LakeDml.delete(t, $"o_orderkey".between(7000L, 7100L))
+    t.read().orderBy($"o_orderkey")
+  }
+
   /** Predicate-scoped compaction (Iceberg's `rewrite_data_files(where)`
     * shape): orders lands in three ranged commits plus a MOR DELETE in
     * the hot range; `compactWhere` folds ONLY the overlapping dirs —
