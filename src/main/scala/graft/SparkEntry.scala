@@ -1170,9 +1170,9 @@ object SparkEntry {
 
     "a_date_arithmetic" ->
       """SELECT o_orderkey,
-        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
-        |  date_trunc('quarter', o_orderdate) AS quarter_start,
+        |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

@@ -28,6 +28,27 @@ object Tables {
     org.apache.spark.sql.functions.timestamp_micros(GraftColumnBridge.column(
       IntegralDivide(GraftColumnBridge.expression(c.cast("long")), Literal(1000L))))
   }
+
+  /** Normalize a loaded timestamp column to session-TZ `TimestampType`
+    * regardless of the physical layout the fixture was generated with —
+    * the driver has shipped BOTH `TIMESTAMP(NANOS)` (reads as raw long
+    * under the legacy conf) and `timestamp[us]` / isAdjustedToUTC=false
+    * (reads as TIMESTAMP_NTZ) across rounds, so every events consumer
+    * dispatches on the type that actually loaded instead of assuming a
+    * unit. NTZ→Timestamp is value-preserving under the UTC session TZ
+    * all entry points set.
+    */
+  def normalizeTs(df: org.apache.spark.sql.DataFrame, name: String = "ts"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case LongType         => df.withColumn(name, tsFromNanos(col(name)))
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for timestamp column '$name': $other")
+    }
+  }
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
@@ -41,35 +62,50 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB does on the same file, so the
-    * oracle compare stays exact. Integer division (`div`) avoids the
-    * double-precision loss a `/ 1000` would give on epoch-nanos longs.
+  /** `events.ts` arrives in whatever timestamp layout the fixture
+    * generator used — TIMESTAMP(NANOS) (rejected by the vectorized
+    * reader; read as raw nanos under the legacy conf and truncated to
+    * µs, exactly what DuckDB does on the same file) or `timestamp[us]`
+    * NTZ (cast to session-TZ timestamp, value-preserving at UTC).
+    * [[Tables.normalizeTs]] dispatches on the loaded type so a fixture
+    * regeneration can never change query results.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", Tables.tsFromNanos(org.apache.spark.sql.functions.col("ts")))
+    Tables.normalizeTs(table("events"))
   }
 
   /** Events filtered by `ts > lowerBound` with the comparison done in
-    * the raw nanos domain, BEFORE the µs conversion: the predicate then
-    * reaches the parquet scan as a plain long comparison
+    * the RAW loaded domain, BEFORE any conversion: the predicate then
+    * reaches the parquet scan as a comparison on the stored column
     * (`PushedFilters: [GreaterThan(ts, ...)]`), so row groups and files
-    * outside the watermark are pruned from stats. Filtering the
-    * converted column instead wraps `ts` in `timestamp_micros(div)` and
-    * forfeits stats pruning — at 100 TB that is a full-lake scan.
+    * outside the watermark are pruned from footer stats. Filtering the
+    * converted column instead wraps `ts` in a cast/divide and forfeits
+    * stats pruning — at 100 TB that is a full-lake scan. Dispatches on
+    * the loaded type like [[events]].
     */
   def eventsAfter(lowerBound: java.sql.Timestamp): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // coarse raw-domain bound (superset of the exact predicate: any row
-    // whose truncated µs exceeds the bound has raw ns exceeding it too)
-    val lowerNanos = lowerBound.getTime * 1000000L // ms → ns
-    table("events")
-      .filter(col("ts") > lowerNanos)                       // pushed to parquet stats
-      .withColumn("ts", Tables.tsFromNanos(col("ts")))
-      .filter(col("ts") > lit(lowerBound))                  // exact, truncation-aware
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // coarse raw-nanos bound (superset of the exact predicate: any
+        // row whose truncated µs exceeds the bound has raw ns exceeding
+        // it too), then the exact truncation-aware µs predicate
+        val lowerNanos = lowerBound.getTime * 1000000L // ms → ns
+        raw.filter(col("ts") > lowerNanos)              // pushed to parquet stats
+          .withColumn("ts", Tables.tsFromNanos(col("ts")))
+          .filter(col("ts") > lit(lowerBound))
+      case TimestampNTZType =>
+        // compare in the stored NTZ domain (constant-folded literal →
+        // still pushed to parquet stats), THEN cast the column
+        raw.filter(col("ts") > lit(lowerBound).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") > lit(lowerBound))
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -21,11 +21,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // thrown queries must surface as `err` rows in CORRECTNESS, never as
+    // silently-missing keys (the round-5 lesson: 20 queries vanished)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +53,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq.filter(k => only.isEmpty || only(k))
         .sorted.map(q).mkString("[", ",", "]"))
+    // query → exception, so a broken query grades as `err`, not absence
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

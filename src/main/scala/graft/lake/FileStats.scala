@@ -191,6 +191,50 @@ private[graft] object FileStats {
     else pathOrUri.substring(i + marker.length)
   }
 
+  /** Driver-side footer I/O concurrency. Commit-time stats harvest and
+    * scan-time bloom probes each touch one footer per file; serially
+    * that is N round-trips in the commit/planning path — fine at 10
+    * files, a stall at a 10k-file commit against an object store. The
+    * cap bounds driver memory/connections (this is I/O fan-out, not
+    * CPU), mirroring Iceberg's `worker-pool` for manifest reads.
+    */
+  private[lake] val FooterPoolSize = 16
+  /** Peak observed concurrent footer reads — instrumentation for the
+    * concurrency spec (and for operators diagnosing commit latency).
+    */
+  private[lake] val activeFooterReads = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[lake] val peakFooterReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `f` over `items` on a bounded pool, preserving order. All
+    * tasks are submitted before any result is awaited, so N footer
+    * reads overlap up to [[FooterPoolSize]]-deep; the first thrown
+    * exception propagates to the caller like the serial loop's would.
+    * Single-item (and empty) inputs stay on the calling thread — no
+    * pool churn on the common tiny-commit path.
+    */
+  private def parFooter[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, FooterPoolSize))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = {
+              val n = activeFooterReads.incrementAndGet()
+              peakFooterReads.accumulateAndGet(n, Math.max(_, _))
+              try f(a) finally activeFooterReads.decrementAndGet()
+            }
+          })
+        }
+        futures.map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+  }
+
   /** Harvest per-file min/max from the parquet FOOTERS of a
     * just-written dir — driver-side metadata reads, no Spark job, no
     * data scan. This is the Iceberg shape (file metrics collected at
@@ -227,7 +271,7 @@ private[graft] object FileStats {
       b.result()
     }
     if (files.isEmpty) return None
-    val perFile: Seq[(String, Seq[(Any, Any, Long)])] = files.map { st =>
+    val perFile: Seq[(String, Seq[(Any, Any, Long)])] = parFooter(files) { st =>
       val ranges: Seq[(Any, Any, Long)] =
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
@@ -292,6 +336,19 @@ private[graft] object FileStats {
     * cost is one footer + bloom-bytes read per CANDIDATE file (files
     * min/max stats already skipped are never opened).
     */
+  /** Batch bloom filtering over a dir's candidate files: one footer +
+    * bloom-bytes read per file, fanned out on the footer pool instead
+    * of stalling scan planning on serial round-trips. Returns the
+    * candidates (relative keys) whose blooms cannot rule them out,
+    * preserving input order.
+    */
+  def bloomSurviving(io: LakeIo, dir: org.apache.hadoop.fs.Path,
+                     candidates: Seq[String],
+                     probes: Seq[(String, Seq[Any])]): Seq[String] =
+    parFooter(candidates) { f =>
+      f -> bloomMayContain(io, new org.apache.hadoop.fs.Path(dir, f), probes)
+    }.collect { case (f, true) => f }
+
   def bloomMayContain(io: LakeIo, file: org.apache.hadoop.fs.Path,
                       probes: Seq[(String, Seq[Any])]): Boolean = {
     import scala.jdk.CollectionConverters._
@@ -362,21 +419,25 @@ private[graft] object FileStats {
                   dir: org.apache.hadoop.fs.Path): Option[Seq[(String, Long)]] = {
     import scala.jdk.CollectionConverters._
     if (!io.isDir(dir)) return Some(Nil)
-    val b = Seq.newBuilder[(String, Long)]
-    val it = io.fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) {
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try b += relativeKey(st.getPath.toString, dir.getName) ->
-            reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally reader.close()
-        } catch { case _: Exception => return None }
+    val files = {
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = io.fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st
       }
+      b.result()
     }
-    Some(b.result())
+    val perFile = parFooter(files) { st =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Some(relativeKey(st.getPath.toString, dir.getName) ->
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      } catch { case _: Exception => None } // any unreadable footer → whole dir None
+    }
+    if (perFile.contains(None)) None else Some(perFile.flatten)
   }
 
   /** Global (lo, hi) of `col` across EVERY file of a stats blob, in
@@ -526,42 +587,58 @@ private[graft] object FileStats {
                       cols: Seq[String]): Map[String, (Any, Any)] = {
     import scala.jdk.CollectionConverters._
     if (!io.isDir(dir)) return Map.empty
+    val files = {
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = io.fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result()
+    }
+    // per-file footer reads fan out on the pool; the cross-file merge
+    // (with its "any unusable file kills the column" semantics) folds
+    // the ordered results on the calling thread
+    val perFile: Seq[Seq[Option[(Any, Any)]]] = parFooter(files) { st =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          cols.map { c =>
+            val perBlock = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == c).flatMap { cc =>
+                val s = cc.getStatistics
+                // any nulls (or unknown null count) unbound the column
+                if (s == null || !s.isNumNullsSet || s.getNumNulls != 0) None
+                else footerRange(cc)
+              })
+            if (blocks.isEmpty || perBlock.exists(_.isEmpty)) None
+            else {
+              val (lo, hi) = perBlock.flatten.reduce[(Any, Any)] {
+                case ((l1, h1), (l2, h2)) => (minByKey(l1, l2), maxByKey(h1, h2))
+              }
+              if (lo == null || hi == null) None else Some((lo, hi))
+            }
+          }
+        } finally reader.close()
+      } catch { case _: Exception => cols.map(_ => None) }
+    }
     var acc = Map.empty[String, (Any, Any)]
     var dead = Set.empty[String]
-    val it = io.fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) {
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.fs.getConf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val blocks = reader.getFooter.getBlocks.asScala.toSeq
-            cols.filterNot(dead).foreach { c =>
-              val perBlock = blocks.map(_.getColumns.asScala
-                .find(_.getPath.toDotString == c).flatMap { cc =>
-                  val s = cc.getStatistics
-                  // any nulls (or unknown null count) unbound the column
-                  if (s == null || !s.isNumNullsSet || s.getNumNulls != 0) None
-                  else footerRange(cc)
-                })
-              if (blocks.isEmpty || perBlock.exists(_.isEmpty)) dead += c
-              else {
-                val (lo, hi) = perBlock.flatten.reduce[(Any, Any)] {
-                  case ((l1, h1), (l2, h2)) => (minByKey(l1, l2), maxByKey(h1, h2))
-                }
-                if (lo == null || hi == null) dead += c
-                else acc += c -> (acc.get(c) match {
-                  case Some((al, ah)) =>
-                    val nl = minByKey(al, lo); val nh = maxByKey(ah, hi)
-                    if (nl == null || nh == null) { dead += c; (al, ah) }
-                    else (nl, nh)
-                  case None => (lo, hi)
-                })
-              }
-            }
-          } finally reader.close()
-        } catch { case _: Exception => dead ++= cols }
+    perFile.foreach { ranges =>
+      cols.indices.foreach { i =>
+        val c = cols(i)
+        if (!dead(c)) ranges(i) match {
+          case None => dead += c
+          case Some((lo, hi)) => acc += c -> (acc.get(c) match {
+            case Some((al, ah)) =>
+              val nl = minByKey(al, lo); val nh = maxByKey(ah, hi)
+              if (nl == null || nh == null) { dead += c; (al, ah) }
+              else (nl, nh)
+            case None => (lo, hi)
+          })
+        }
       }
     }
     acc -- dead

@@ -668,8 +668,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       if (bloomProbes.isEmpty) ranged
       else {
         val candidates = ranged.map(_.toSeq).getOrElse(relFilesOf(i))
-        Some(candidates.filter(f => FileStats.bloomMayContain(io,
-          new HPath(loc(snap.dirs(i)), f), bloomProbes)).toSet)
+        // bloom reads fan out on the footer pool — planning latency is
+        // candidates/poolSize round-trips, not candidates
+        Some(FileStats.bloomSurviving(io, loc(snap.dirs(i)),
+          candidates, bloomProbes).toSet)
       }
     }
     // surviving file paths of dir i (whole dir when unpruned; Nil when

@@ -223,7 +223,11 @@ object AnalyticsQueries {
         $"o_orderkey",
         date_add($"o_orderdate".cast("date"), 30).as("due_date"),
         datediff(lit(java.sql.Date.valueOf("2000-01-01")), $"o_orderdate".cast("date")).as("days_to_y2k"),
-        date_trunc("quarter", $"o_orderdate").as("quarter_start"),
+        // pin DATE on both sides: o_orderdate's physical flavor has
+        // drifted across fixture generations (tz-micros → NTZ-micros),
+        // and date_trunc's result type tracks its input in BOTH engines;
+        // truncating through DATE gives the same type in every layout
+        date_trunc("quarter", $"o_orderdate".cast("date")).cast("date").as("quarter_start"),
         last_day($"o_orderdate".cast("date")).as("month_end"))
       .orderBy($"o_orderkey")
   }

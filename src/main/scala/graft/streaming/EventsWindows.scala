@@ -115,9 +115,13 @@ object EventsWindows {
     * (stream-stream joins can't cross sessions).
     */
   private def eventsStreamIn(s: SparkSession, parquetPath: String): DataFrame = {
-    val raw = s.read.parquet(parquetPath).schema // nanos → ts is INT64 here
-    s.readStream.schema(raw).parquet(asStreamDir(parquetPath))
-      .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
+    // batch-infer the physical schema (nanos fixtures load ts as INT64
+    // under the legacy conf; micros-NTZ fixtures as TIMESTAMP_NTZ),
+    // then let normalizeTs dispatch — same rule as the batch loader, so
+    // stream/batch parity can't drift across fixture regenerations
+    val raw = s.read.parquet(parquetPath).schema
+    graft.Tables.normalizeTs(
+      s.readStream.schema(raw).parquet(asStreamDir(parquetPath)))
   }
 
   private def eventsStream(spark: SparkSession, parquetPath: String): DataFrame =

@@ -283,6 +283,30 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("footer harvest of a many-file commit issues concurrent reads, not a serial driver loop") {
+    val dir = Files.createTempDirectory("fanout-")
+    val hconf = spark.sessionState.newHadoopConf()
+    val hdir = new org.apache.hadoop.fs.Path(dir.toUri)
+    val io = new LakeIo(hdir.getFileSystem(hconf))
+    spark.range(0, 3200).select($"id", ($"id" % 7).cast("double").as("v"))
+      .repartition(32).write.mode("overwrite").parquet(dir.toString)
+    FileStats.peakFooterReads.set(0)
+    val blob = FileStats.collectFromFooters(io, hdir, Seq("id", "v"))
+    assert(blob.isDefined)
+    assert(FileStats.fileCount(blob.get) === 32)
+    // 32 submitted reads against a 16-thread pool must overlap
+    assert(FileStats.peakFooterReads.get() > 1,
+      s"footer harvest ran serially (peak=${FileStats.peakFooterReads.get()})")
+    // fan-out changed the I/O schedule, not the answer: global range is
+    // exact and every file is listed
+    assert(FileStats.blobNumericRange(blob.get, "id") ===
+      Some((BigDecimal(0), BigDecimal(3199))))
+    // row-count harvest rides the same pool
+    FileStats.peakFooterReads.set(0)
+    assert(FileStats.dirRowCount(io, hdir) === Some(3200L))
+    assert(FileStats.peakFooterReads.get() > 1)
+  }
+
   test("metadata tables: files/partitions track live rows through MOR deletes") {
     val cat = freshCat()
     cat.write(sample().repartition(1), "ns.md", WriteMode.Overwrite)

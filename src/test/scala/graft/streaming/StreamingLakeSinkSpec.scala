@@ -79,8 +79,8 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     val q1 = StreamingLakeSink.appendStream(raw, cat, "bronze.ev", srcCkpt)
     q1.awaitTermination()
     // stage 2: bronze lake AS A SOURCE → dedup → silver lake
-    val bronzeStream = StreamingLakeSource.appendsStream(cat.table("bronze.ev"))
-      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+    val bronzeStream = graft.Tables.normalizeTs(
+        StreamingLakeSource.appendsStream(cat.table("bronze.ev")))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val q2 = bronzeStream.writeStream
@@ -111,8 +111,8 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     // feed a days(ts)-partitioned bronze table through the sink: files
     // land nested under data/<uuid>/_p_ts_day=... — the source glob
     // must list through the partition level and deliver user columns
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q1 = StreamingLakeSink.appendStream(stream, cat, "bronze.pp", sinkCkpt,
       partitionBy = Seq("days(ts)"))
     q1.awaitTermination()
@@ -342,8 +342,8 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("slakep-src-")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(path))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", graft.Tables.tsFromNanos($"ts"))
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamingLakeSink.appendStream(stream, cat, "bronze.pe", checkpoint,
       partitionBy = Seq("days(ts)"))
     q.awaitTermination()
