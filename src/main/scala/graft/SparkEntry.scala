@@ -56,6 +56,7 @@ object SparkEntry {
     "lake_meta_delete"      -> (LakeQueries.metadataDelete _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
+    "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -369,6 +370,15 @@ object SparkEntry {
         |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 2
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    // real Iceberg v2 metadata roundtrip: two append snapshots
+    // (keys ≡ 0, 1 mod 3) minus an equality-delete commit (keys ≡ 3
+    // mod 6, a subset of the first append)
+    "lake_iceberg_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

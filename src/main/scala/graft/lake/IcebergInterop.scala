@@ -1,0 +1,704 @@
+package graft.lake
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interop with the APACHE ICEBERG table format itself — reading real
+  * Iceberg metadata (`metadata.json` → manifest-list Avro → manifest
+  * Avro → data/delete files) and exporting spec-compliant v2 tables,
+  * WITHOUT the Iceberg runtime on the classpath.
+  *
+  * This is the reference's actual on-disk contract
+  * (`iceberg-spark-runtime` pins, /root/reference/docker/Dockerfile:22-28;
+  * warehouse + catalog config,
+  * /root/reference/dags/utils/constants/constant.py:39-61): tables other
+  * engines can open. The graft lake format reimplements the SEMANTICS
+  * (no Iceberg jar exists offline for Spark 4.1/Scala 2.13 —
+  * SURVEY.md §7.1); this module closes the FORMAT gap from public
+  * knowledge only: the Iceberg table spec (format versions 1–2) and the
+  * Avro container format, whose files embed their own schemas — so a
+  * generic Avro reader plus field-name access parses any engine's
+  * manifests.
+  *
+  * Read path ([[IcebergTableReader]]): metadata resolution
+  * (version-hint or highest version file), snapshot selection (current /
+  * by id / as-of-timestamp), v2 sequence-number inheritance, live-file
+  * resolution (ADDED+EXISTING minus DELETED entries), POSITION deletes
+  * (anti-join on `_metadata.file_path`/`row_index` against the delete
+  * files' (file_path, pos) rows, path-canonicalized on both sides) and
+  * EQUALITY deletes (null-safe anti-join on the identifier columns,
+  * applied only to data files with strictly older data sequence
+  * numbers, per spec), identity-transform partition pruning from
+  * manifest entry partition tuples, and name-based projection to the
+  * table's current schema (missing columns null-filled with their
+  * declared type — add-column evolution; id-based column RENAME
+  * resolution is out of scope without footer field-id remapping, the
+  * one concession to reading by name).
+  *
+  * Scale shape: everything driver-side here is metadata-proportional
+  * (manifest entries), the delete application is the same
+  * broadcast-anti-join shape as the graft MOR path, and data files are
+  * grouped by their APPLICABLE delete set so one relation serves each
+  * equivalence class — no per-file unions.
+  *
+  * Export path ([[IcebergExport]]): append snapshots and
+  * equality/position-delete commits with manifest + manifest-list Avro,
+  * v2 metadata.json, and a `schema.name-mapping.default` property so
+  * real Iceberg readers can resolve the Spark-written parquet (which
+  * carries no Iceberg field ids) by name mapping.
+  */
+object IcebergFormat {
+  /** manifest entry statuses (spec) */
+  val Existing = 0; val Added = 1; val Deleted = 2
+  /** data_file content (spec) */
+  val DataContent = 0; val PositionDeletes = 1; val EqualityDeletes = 2
+
+  /** Iceberg primitive type string → Spark type (spec §Schemas).
+    * `timestamp` is WITHOUT zone in Iceberg → TimestampNTZ;
+    * `timestamptz` is the zone-adjusted flavor.
+    */
+  def sparkType(t: String): Option[DataType] = t match {
+    case "boolean"     => Some(BooleanType)
+    case "int"         => Some(IntegerType)
+    case "long"        => Some(LongType)
+    case "float"       => Some(FloatType)
+    case "double"      => Some(DoubleType)
+    case "date"        => Some(DateType)
+    case "timestamp"   => Some(TimestampNTZType)
+    case "timestamptz" => Some(TimestampType)
+    case "string"      => Some(StringType)
+    case "uuid"        => Some(StringType)
+    case "binary"      => Some(BinaryType)
+    case d if d.startsWith("decimal(") =>
+      val ps = d.stripPrefix("decimal(").stripSuffix(")").split(',')
+      Some(DecimalType(ps(0).trim.toInt, ps(1).trim.toInt))
+    case _ => None // nested / unknown: resolved by name from parquet
+  }
+
+  /** Spark type → Iceberg type string (export). */
+  def icebergType(t: DataType): String = t match {
+    case BooleanType      => "boolean"
+    case IntegerType      => "int"
+    case ShortType        => "int"
+    case ByteType         => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case DateType         => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType    => "timestamptz"
+    case StringType       => "string"
+    case BinaryType       => "binary"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export does not support column type $other")
+  }
+
+  /** Both sides of every file-path equality pass through this: Hadoop
+    * renders `file:///x` and `file:/x` interchangeably, and an engine's
+    * delete files may use either — canonicalizing scheme://+ → scheme:/
+    * on BOTH join sides preserves equality regardless of renderer.
+    */
+  def canonPath(c: Column): Column = regexp_replace(c, "^([a-zA-Z0-9+.-]+):/+", "$1:/")
+
+  // ---- Avro schemas for EXPORT (field names per the Iceberg spec; a
+  // generic reader — ours or Iceberg's — resolves them by name). ----
+  val ManifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+      |]},"field-id":2}
+      |]}""".stripMargin)
+}
+
+/** One live file resolved from the manifests. `partition` maps the
+  * spec's IDENTITY-transform source column names to their raw Avro
+  * values; non-identity transforms contribute nothing (no pruning).
+  */
+private[lake] final case class IcebergDataFile(path: String, format: String,
+    sequence: Long, content: Int, equalityIds: Seq[Int],
+    partition: Map[String, Any])
+
+private[lake] final case class IcebergSnapshot(id: Long, sequence: Long,
+    timestampMs: Long, manifestList: String, operation: String)
+
+/** Read a real Iceberg table directory (v1 or v2) without the Iceberg
+  * runtime. See [[IcebergFormat]] for scope.
+  */
+final class IcebergTableReader(spark: SparkSession, location: String) {
+  private val root = new HPath(location)
+  private val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ---- metadata resolution ----
+  private def metadataDir = new HPath(root, "metadata")
+
+  /** Current metadata file: `version-hint.text` when present (HadoopCatalog
+    * convention), else the highest-versioned `*.metadata.json`.
+    */
+  private def currentMetadataPath: HPath = {
+    val hint = new HPath(metadataDir, "version-hint.text")
+    if (io.exists(hint)) {
+      val v = io.readString(hint).trim
+      val p = new HPath(metadataDir, s"v$v.metadata.json")
+      if (io.exists(p)) return p
+      val gz = new HPath(metadataDir, s"v$v.gz.metadata.json")
+      if (io.exists(gz)) return gz
+    }
+    val candidates = io.list(metadataDir)
+      .filter(_.getPath.getName.endsWith(".metadata.json"))
+      .map(_.getPath)
+    require(candidates.nonEmpty, s"no *.metadata.json under $metadataDir")
+    // both naming schemes sort numerically: v<N>.metadata.json and
+    // <five-digit-N>-<uuid>.metadata.json
+    candidates.maxBy { p =>
+      val n = p.getName.stripPrefix("v").takeWhile(_.isDigit)
+      if (n.isEmpty) -1L else n.toLong
+    }
+  }
+
+  private lazy val meta = om.readTree(io.readString(currentMetadataPath))
+
+  def formatVersion: Int = meta.get("format-version").asInt
+
+  /** (field id, name, type string) of the CURRENT schema. */
+  lazy val schemaFields: Seq[(Int, String, String)] = {
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt else 0
+        val arr = meta.get("schemas")
+        (0 until arr.size()).map(arr.get)
+          .find(s => s.get("schema-id").asInt == cur)
+          .getOrElse(arr.get(arr.size() - 1))
+      } else meta.get("schema") // v1 single-schema form
+    val fields = schemaNode.get("fields")
+    (0 until fields.size()).map { i =>
+      val f = fields.get(i)
+      val t = f.get("type")
+      (f.get("id").asInt, f.get("name").asText,
+        if (t.isTextual) t.asText else t.toString)
+    }
+  }
+
+  /** Identity-transform partition fields of the given spec:
+    * spec field name → source column name.
+    */
+  private def identityFields(specId: Int): Map[String, String] = {
+    val specsNode =
+      if (meta.has("partition-specs")) {
+        val arr = meta.get("partition-specs")
+        (0 until arr.size()).map(arr.get)
+          .find(_.get("spec-id").asInt == specId)
+      } else None
+    val fieldsNode = specsNode.map(_.get("fields"))
+      .orElse(Option(meta.get("partition-spec"))) // v1 flat form
+    fieldsNode.map { fs =>
+      val idOf = schemaFields.map { case (id, name, _) => id -> name }.toMap
+      (0 until fs.size()).flatMap { i =>
+        val f = fs.get(i)
+        if (f.get("transform").asText != "identity") None
+        else idOf.get(f.get("source-id").asInt).map(src => f.get("name").asText -> src)
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  def snapshots: Seq[IcebergSnapshot] = {
+    val arr = meta.get("snapshots")
+    if (arr == null) Nil
+    else (0 until arr.size()).map { i =>
+      val s = arr.get(i)
+      IcebergSnapshot(
+        s.get("snapshot-id").asLong,
+        if (s.has("sequence-number")) s.get("sequence-number").asLong else 0L, // v1: all 0
+        s.get("timestamp-ms").asLong,
+        s.get("manifest-list").asText,
+        if (s.has("summary") && s.get("summary").has("operation"))
+          s.get("summary").get("operation").asText else "append")
+    }
+  }
+
+  def currentSnapshotId: Option[Long] =
+    Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong).filter(_ != -1L)
+
+  // ---- Avro plumbing: container files embed their schema; read
+  // generically, access fields by NAME with absent-field tolerance so
+  // v1 manifests (no content/sequence columns) parse with defaults ----
+  private def avroRecords(path: String): Seq[GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(resolve(path), io.fs.getConf)
+    val rdr = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (rdr.hasNext) b += rdr.next().asInstanceOf[GenericRecord]
+      b.result()
+    } finally rdr.close()
+  }
+
+  private def resolve(path: String): HPath = {
+    val p = new HPath(path)
+    if (p.isAbsolute || path.contains(":/")) p else new HPath(root, path)
+  }
+
+  private def field(r: GenericRecord, name: String): Option[Any] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    field(r, name).map(_.asInstanceOf[java.lang.Number].longValue())
+  private def intField(r: GenericRecord, name: String, dflt: Int): Int =
+    field(r, name).map(_.asInstanceOf[java.lang.Number].intValue()).getOrElse(dflt)
+  private def strField(r: GenericRecord, name: String): Option[String] =
+    field(r, name).map(_.toString)
+
+  /** Live data + delete files of one snapshot, with v2 sequence-number
+    * inheritance (a null entry sequence inherits the manifest's).
+    */
+  private def liveFiles(snap: IcebergSnapshot): Seq[IcebergDataFile] = {
+    import IcebergFormat._
+    avroRecords(snap.manifestList).flatMap { ml =>
+      val manifestPath = strField(ml, "manifest_path").get
+      val manifestSeq = longField(ml, "sequence_number").getOrElse(0L)
+      val specId = intField(ml, "partition_spec_id", 0)
+      val identity = identityFields(specId)
+      avroRecords(manifestPath).flatMap { e =>
+        val status = intField(e, "status", Added)
+        if (status == Deleted) None // removed by this snapshot: not scanned
+        else {
+          val seq = longField(e, "sequence_number").getOrElse(manifestSeq)
+          val df = field(e, "data_file").get.asInstanceOf[GenericRecord]
+          val partRec = field(df, "partition").map(_.asInstanceOf[GenericRecord])
+          val partVals: Map[String, Any] = partRec.map { pr =>
+            identity.flatMap { case (specField, srcCol) =>
+              Option(pr.getSchema.getField(specField))
+                .flatMap(_ => Option(pr.get(specField)))
+                .map(v => srcCol -> (v match {
+                  case cs: CharSequence => cs.toString
+                  case other => other
+                }))
+            }
+          }.getOrElse(Map.empty)
+          val eqIds = field(df, "equality_ids").map {
+            // GenericData.Array implements java.util.List
+            case l: java.util.List[_] =>
+              l.toArray.toSeq.map(_.asInstanceOf[java.lang.Number].intValue())
+            case other => throw new IllegalStateException(
+              s"unexpected equality_ids representation: ${other.getClass}")
+          }.getOrElse(Nil)
+          Some(IcebergDataFile(
+            strField(df, "file_path").get,
+            strField(df, "file_format").getOrElse("PARQUET").toUpperCase,
+            seq,
+            intField(df, "content", DataContent),
+            eqIds,
+            partVals))
+        }
+      }
+    }
+  }
+
+  /** Does `value` (raw Avro partition value) satisfy `p`? Unknown
+    * domains keep the file — pruning is conservative, like the graft
+    * stats path.
+    */
+  private def partitionKeeps(p: LakePredicate, value: Any): Boolean = {
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _                   => None
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (num(a), num(b)) match {
+      case (Some(x), Some(y)) => Some(x.compare(y))
+      case _ => (a, b) match {
+        case (s1: String, s2: String) => Some(s1.compareTo(s2))
+        case _                        => None
+      }
+    }
+    p match {
+      case LakePredicate.EqualTo(_, v) => cmp(value, v).forall(_ == 0)
+      case LakePredicate.In(_, vs)     => vs.isEmpty || vs.exists(v => cmp(value, v).forall(_ == 0))
+      case LakePredicate.GtEq(_, v)    => cmp(value, v).forall(_ >= 0)
+      case LakePredicate.LtEq(_, v)    => cmp(value, v).forall(_ <= 0)
+    }
+  }
+
+  /** Assemble the DataFrame of one snapshot (default: current).
+    *
+    * Delete application per the spec's sequence-number rules: a
+    * position delete with sequence S applies to data files with
+    * sequence <= S; an equality delete with sequence S applies to data
+    * files with sequence < S. Data files are grouped by their
+    * applicable delete-file SET, one relation + anti-join chain per
+    * group — group count is bounded by distinct commit sequences, not
+    * file count.
+    */
+  def read(snapshotId: Option[Long] = None, asOfTimestampMs: Option[Long] = None,
+           filters: Seq[LakePredicate] = Nil): DataFrame = {
+    import IcebergFormat._
+    val snap = (snapshotId, asOfTimestampMs) match {
+      case (Some(id), _) => snapshots.find(_.id == id)
+        .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+      case (None, Some(ts)) =>
+        val eligible = snapshots.filter(_.timestampMs <= ts)
+        require(eligible.nonEmpty, s"no snapshot at or before $ts")
+        eligible.maxBy(_.timestampMs)
+      case (None, None) =>
+        val cur = currentSnapshotId.getOrElse(
+          return spark.emptyDataFrame) // never-written table
+        snapshots.find(_.id == cur).get
+    }
+    val files = liveFiles(snap)
+    val dataFiles = files.filter(_.content == DataContent)
+      // identity partition pruning: drop files a predicate disproves
+      .filter(f => filters.forall(p =>
+        f.partition.get(p.col).forall(v => partitionKeeps(p, v))))
+    val posDeletes = files.filter(_.content == PositionDeletes)
+    val eqDeletes = files.filter(_.content == EqualityDeletes)
+    val idToName = schemaFields.map { case (id, name, _) => id -> name }.toMap
+
+    if (dataFiles.isEmpty) return emptyRelation
+    require(dataFiles.forall(_.format == "PARQUET"),
+      s"unsupported data file formats: ${dataFiles.map(_.format).distinct.filterNot(_ == "PARQUET")}")
+
+    // group data files by applicable delete set → one scan per class
+    val groups = dataFiles.groupBy { f =>
+      (posDeletes.filter(_.sequence >= f.sequence).map(_.path).sorted,
+        eqDeletes.filter(_.sequence > f.sequence).map(d => (d.path, d.equalityIds)).sortBy(_._1))
+    }
+    val parts = groups.toSeq.map { case ((posPaths, eqSet), fs) =>
+      val needPos = posPaths.nonEmpty
+      var df = spark.read.parquet(fs.map(f => resolve(f.path).toString): _*)
+      if (needPos) {
+        df = df
+          .withColumn("__if_path", canonPath(col("_metadata.file_path")))
+          .withColumn("__if_pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(posPaths.map(p => resolve(p).toString): _*)
+          .select(canonPath(col("file_path")).as("__df_path"), col("pos").as("__df_pos"))
+        df = df.join(broadcast(dels),
+            col("__if_path") === col("__df_path") && col("__if_pos") === col("__df_pos"),
+            "left_anti")
+          .drop("__if_path", "__if_pos")
+      }
+      eqSet.foreach { case (delPath, ids) =>
+        val cols = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(s"equality_id $id not in current schema")))
+        val dels = spark.read.parquet(resolve(delPath).toString)
+          .select(cols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+        df = df.join(broadcast(dels),
+          cols.map(c => df(c) <=> dels(s"__eq_$c")).reduce(_ && _), "left_anti")
+      }
+      df
+    }
+    val unioned = parts.reduce(_ unionByName _)
+
+    // name-based projection to the CURRENT schema: present columns pass
+    // through, added-but-unbackfilled columns null-fill with their
+    // declared type, dropped columns disappear
+    val present = unioned.columns.toSet
+    val projected = schemaFields.map { case (_, name, tpe) =>
+      if (present(name)) col(name)
+      else IcebergFormat.sparkType(tpe) match {
+        case Some(t) => lit(null).cast(t).as(name)
+        case None => throw new IllegalStateException(
+          s"column '$name' ($tpe) absent from data files and untypeable")
+      }
+    }
+    val out = unioned.select(projected: _*)
+    if (filters.isEmpty) out else out.where(filters.map(predColumn).reduce(_ && _))
+  }
+
+  private def predColumn(p: LakePredicate): Column = p match {
+    case LakePredicate.EqualTo(c, v) => col(c) === lit(v)
+    case LakePredicate.In(c, vs)     => col(c).isin(vs: _*)
+    case LakePredicate.GtEq(c, v)    => col(c) >= lit(v)
+    case LakePredicate.LtEq(c, v)    => col(c) <= lit(v)
+  }
+
+  private def emptyRelation: DataFrame = {
+    val fields = schemaFields.flatMap { case (_, name, tpe) =>
+      IcebergFormat.sparkType(tpe).map(t => StructField(name, t))
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
+  }
+}
+
+/** Export spec-compliant Iceberg v2 tables: append snapshots plus
+  * equality/position-delete commits. Metadata carries
+  * `schema.name-mapping.default` so real Iceberg readers resolve the
+  * Spark-written parquet (no embedded field ids) by name. See
+  * [[IcebergFormat]] for scope.
+  */
+final class IcebergExport(spark: SparkSession, location: String) {
+  import IcebergFormat._
+  private val root0 = new HPath(location)
+  private val io = new LakeIo(root0.getFileSystem(spark.sessionState.newHadoopConf()))
+  private val root = io.qualify(root0)
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def metadataDir = new HPath(root, "metadata")
+  private def dataDir = new HPath(root, "data")
+
+  private final case class State(version: Int, lastSeq: Long,
+      snapshots: Seq[com.fasterxml.jackson.databind.JsonNode],
+      schemaJson: Option[com.fasterxml.jackson.databind.JsonNode],
+      tableUuid: String)
+
+  private def state: State = {
+    val hint = new HPath(metadataDir, "version-hint.text")
+    if (!io.exists(hint)) State(0, 0L, Nil, None, java.util.UUID.randomUUID().toString)
+    else {
+      val v = io.readString(hint).trim.toInt
+      val node = om.readTree(io.readString(new HPath(metadataDir, s"v$v.metadata.json")))
+      val snaps = Option(node.get("snapshots"))
+        .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+      State(v, node.get("last-sequence-number").asLong, snaps,
+        Option(node.get("schemas")).map(_.get(0)), node.get("table-uuid").asText)
+    }
+  }
+
+  /** Sequential Iceberg field ids for a Spark schema (1-based, spec
+    * convention for fresh tables).
+    */
+  private def fieldIds(schema: StructType): Seq[(Int, StructField)] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) => (i + 1, f) }
+
+  private def schemaJson(schema: StructType): String = {
+    val fields = fieldIds(schema).map { case (id, f) =>
+      s"""{"id":$id,"name":"${f.name}","required":false,"type":"${icebergType(f.dataType)}"}"""
+    }.mkString(",")
+    s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
+  }
+
+  private def nameMappingJson(schema: StructType): String =
+    fieldIds(schema).map { case (id, f) =>
+      s"""{"field-id":$id,"names":["${f.name}"]}"""
+    }.mkString("[", ",", "]")
+
+  /** Write `df` as parquet data files; returns (absolute path, rows,
+    * bytes) per file. Row counts ride the same footer pool as lake
+    * commits.
+    */
+  private def writeDataFiles(df: DataFrame): Seq[(String, Long, Long)] = {
+    val dir = new HPath(dataDir, java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val rows = FileStats.dirFileRows(io, dir).getOrElse(
+      throw new IllegalStateException(s"unreadable footers under $dir")).toMap
+    io.list(dir).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      val key = FileStats.relativeKey(st.getPath.toString, dir.getName)
+      (io.qualify(st.getPath).toString, rows(key), st.getLen)
+    }
+  }
+
+  private def writeAvro(path: HPath, schema: Schema, records: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    val out = io.fs.create(path, true)
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+      w.close() // flushes + closes the stream
+    } finally { try out.close() catch { case _: java.io.IOException => () } }
+    io.fs.getFileStatus(path).getLen
+  }
+
+  private def manifestEntry(status: Int, seq: Long, snapshotId: Long,
+      content: Int, path: String, rows: Long, bytes: Long,
+      eqIds: Seq[Int]): GenericRecord = {
+    val e = new GenericData.Record(ManifestEntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", seq)
+    e.put("file_sequence_number", seq)
+    val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("partition", new GenericData.Record(
+      d.getSchema.getField("partition").schema()))
+    d.put("record_count", rows)
+    d.put("file_size_in_bytes", bytes)
+    if (eqIds.nonEmpty) d.put("equality_ids",
+      new java.util.ArrayList[Integer](eqIds.map(Int.box).asJavaList))
+    e.put("data_file", d)
+    e
+  }
+
+  private implicit class SeqOps[A](xs: Seq[A]) {
+    def asJavaList: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](xs.size)
+      xs.foreach(l.add); l
+    }
+  }
+
+  private def manifestListEntry(path: String, length: Long, content: Int,
+      seq: Long, snapshotId: Long, files: Int, rows: Long): GenericRecord = {
+    val r = new GenericData.Record(ManifestListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", length)
+    r.put("partition_spec_id", 0)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r.put("min_sequence_number", seq)
+    r.put("added_snapshot_id", snapshotId)
+    r.put("added_files_count", files)
+    r.put("existing_files_count", 0)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", rows)
+    r.put("existing_rows_count", 0)
+    r.put("deleted_rows_count", 0)
+    r
+  }
+
+  /** One commit: write data files (or delete files), a manifest, a
+    * manifest list carrying the prior snapshot's manifests forward, and
+    * the next metadata.json. Returns the new snapshot id.
+    */
+  private def commit(df: DataFrame, content: Int, eqCols: Seq[String],
+                     operation: String): Long = {
+    val st = state
+    val seq = st.lastSeq + 1
+    val snapshotId = seq
+    val schema = df.schema
+    val eqIds: Seq[Int] =
+      if (content != EqualityDeletes) Nil
+      else {
+        // the table schema is the base table's, not the delete keys':
+        // resolve equality ids against the EXISTING schema
+        require(st.schemaJson.isDefined, "equality delete on a never-written table")
+        val fields = st.schemaJson.get.get("fields")
+        eqCols.map { c =>
+          (0 until fields.size()).map(fields.get)
+            .find(_.get("name").asText == c)
+            .map(_.get("id").asInt)
+            .getOrElse(throw new IllegalArgumentException(s"no column '$c' in table schema"))
+        }
+      }
+    val files = writeDataFiles(df)
+    io.mkdirs(metadataDir)
+    val manifestPath = io.qualify(new HPath(metadataDir,
+      s"manifest-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
+    val entries = files.map { case (p, rows, bytes) =>
+      manifestEntry(Added, seq, snapshotId, content, p, rows, bytes, eqIds)
+    }
+    val mLen = writeAvro(manifestPath, ManifestEntrySchema, entries)
+    // carry prior manifests forward: previous snapshot's list + this one
+    val priorListEntries: Seq[GenericRecord] = st.snapshots.lastOption.map { s =>
+      val in = new org.apache.avro.mapred.FsInput(
+        new HPath(s.get("manifest-list").asText), io.fs.getConf)
+      val rdr = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (rdr.hasNext) b += rdr.next().asInstanceOf[GenericRecord]
+        b.result()
+      } finally rdr.close()
+    }.getOrElse(Nil)
+    // rebuild prior entries against OUR schema (field-name copy) so one
+    // writer schema serves the whole list file
+    val carried = priorListEntries.map { r =>
+      manifestListEntry(r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[java.lang.Number].longValue(),
+        r.get("content").asInstanceOf[java.lang.Number].intValue(),
+        r.get("sequence_number").asInstanceOf[java.lang.Number].longValue(),
+        r.get("added_snapshot_id").asInstanceOf[java.lang.Number].longValue(),
+        r.get("added_files_count").asInstanceOf[java.lang.Number].intValue(),
+        r.get("added_rows_count").asInstanceOf[java.lang.Number].longValue())
+    }
+    val listPath = io.qualify(new HPath(metadataDir,
+      s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
+    val totalRows = files.map(_._2).sum
+    writeAvro(listPath, ManifestListSchema,
+      carried :+ manifestListEntry(manifestPath.toString, mLen,
+        if (content == DataContent) 0 else 1, seq, snapshotId, files.size, totalRows))
+
+    val now = java.lang.System.currentTimeMillis()
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"sequence-number":$seq,"timestamp-ms":$now,
+         |"summary":{"operation":"$operation"},
+         |"manifest-list":"${listPath.toString}","schema-id":0}""".stripMargin
+    val allSnaps = st.snapshots.map(_.toString) :+ snapJson
+    val schemaJsonStr = if (content == DataContent) schemaJson(schema)
+      else st.schemaJson.get.toString
+    val nameMapping = if (content == DataContent) nameMappingJson(schema)
+      else om.readTree(io.readString(new HPath(metadataDir, s"v${st.version}.metadata.json")))
+        .get("properties").get("schema.name-mapping.default").asText
+    val lastColumnId = om.readTree(schemaJsonStr).get("fields").size()
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"${st.tableUuid}",
+         |"location":"${root.toString}","last-sequence-number":$seq,
+         |"last-updated-ms":$now,"last-column-id":$lastColumnId,
+         |"current-schema-id":0,"schemas":[$schemaJsonStr],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{"schema.name-mapping.default":${om.writeValueAsString(nameMapping)},
+         |"write.format.default":"parquet"},
+         |"current-snapshot-id":$snapshotId,
+         |"snapshots":[${allSnaps.mkString(",")}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+    val v = st.version + 1
+    val out = io.fs.create(new HPath(metadataDir, s"v$v.metadata.json"), true)
+    try out.write(metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val hint = io.fs.create(new HPath(metadataDir, "version-hint.text"), true)
+    try hint.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
+  }
+
+  /** Append snapshot. First append fixes the table schema. */
+  def append(df: DataFrame): Long = commit(df, DataContent, Nil, "append")
+
+  /** Equality-delete commit: rows matching any key tuple in `keys`
+    * (projected to `cols`) disappear from data files of all PRIOR
+    * sequences.
+    */
+  def equalityDelete(keys: DataFrame, cols: Seq[String]): Long =
+    commit(keys.select(cols.map(col): _*), EqualityDeletes, cols, "delete")
+
+  /** Position-delete commit: `coords` must have columns
+    * (file_path string, pos long) naming rows of EXISTING data files.
+    */
+  def positionDelete(coords: DataFrame): Long =
+    commit(coords.select(col("file_path"), col("pos")), PositionDeletes, Nil, "delete")
+}
+
+object IcebergExport {
+  /** Publish a graft lake table's CURRENT state (deletes applied, all
+    * hidden-partition columns stripped — `LakeTable.read` semantics) as
+    * a fresh Iceberg v2 table at `location` — the exit ramp: a graft
+    * warehouse becomes interchange-format data any Iceberg engine can
+    * open, via one append snapshot. Incremental publishing (snapshot
+    * per graft commit) would ride `readChanges` the same way; this
+    * ships the whole-table form the reference's overwrite-per-run
+    * pipeline (`dags/etl.py:51-54`) actually uses.
+    */
+  def fromLakeTable(table: LakeTable, location: String): Long =
+    new IcebergExport(table.spark, location).append(table.read(None))
+}

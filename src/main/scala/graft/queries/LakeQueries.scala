@@ -735,6 +735,34 @@ object LakeQueries {
     IncrementalView.read(cat, "gold.by_cust").orderBy($"o_custkey")
   }
 
+  /** REAL Iceberg-format roundtrip (the reference's actual on-disk
+    * contract — `iceberg-spark-runtime` pins,
+    * /root/reference/docker/Dockerfile:22-28): export two append
+    * snapshots plus an equality-delete commit as spec-compliant v2
+    * metadata (metadata.json + Avro manifest lists + Avro manifests,
+    * name-mapping property for the id-less parquet), then read the
+    * table back through [[graft.lake.IcebergTableReader]] — a
+    * from-scratch generic-Avro reader with sequence-number delete
+    * semantics. No Iceberg runtime on the classpath in either
+    * direction.
+    */
+  def icebergRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{IcebergExport, IcebergTableReader}
+    val loc = scratchDir("graft-iceberg-").toString
+    val exp = new IcebergExport(spark, loc)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 0).repartition(2))
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 1).repartition(2))
+    // equality delete: drop every key ≡ 3 (mod 6) — a strict subset of
+    // the first snapshot's rows, exercising the seq<deleteSeq rule
+    exp.equalityDelete(
+      orders.filter(pmod($"o_orderkey", lit(6)) === 3).select($"o_orderkey"),
+      Seq("o_orderkey"))
+    new IcebergTableReader(spark, loc).read().orderBy($"o_orderkey")
+  }
+
   /** Incremental binpack compaction: a well-sized base commit plus
     * trickle appends; `compactBinPack` folds ONLY the trickle dirs
     * (the base dir is asserted carried byte-identical), with a

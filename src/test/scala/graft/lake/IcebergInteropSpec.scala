@@ -1,0 +1,217 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The format-interop contract: tables written by [[IcebergExport]]
+  * follow the public Iceberg v2 spec closely enough that
+  * [[IcebergTableReader]] — a from-scratch generic-Avro reader —
+  * resolves snapshots, sequence numbers, deletes, and schema exactly.
+  * Fixtures beyond the exporter's surface (null-sequence inheritance,
+  * add-column evolution, path-form drift) are crafted by hand against
+  * the spec's field names.
+  */
+class IcebergInteropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("iceberg-interop-").toString
+
+  test("roundtrip: two appends and an equality delete read back exactly") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    val s1 = exp.append(base)
+    val s2 = exp.append(Seq((4L, "d", 40.0), (5L, "e", 50.0)).toDF("id", "name", "v"))
+    assert(s1 < s2)
+    val rdr = new IcebergTableReader(spark, loc)
+    assert(rdr.formatVersion === 2)
+    assert(rdr.snapshots.map(_.id) === Seq(s1, s2))
+    val full = rdr.read().orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(full.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // equality delete: ids 2 and 4 vanish from BOTH prior snapshots'
+    // files (delete seq > both data seqs)
+    exp.equalityDelete(Seq(Tuple1(2L), Tuple1(4L)).toDF("id"), Seq("id"))
+    val afterDel = new IcebergTableReader(spark, loc).read()
+      .orderBy($"id").select($"id").as[Long].collect()
+    assert(afterDel.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("time travel: snapshot-id and as-of-timestamp reads see historical content") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val s1 = exp.append(Seq((1L, "x")).toDF("id", "s"))
+    val rdr1 = new IcebergTableReader(spark, loc)
+    val t1 = rdr1.snapshots.find(_.id == s1).get.timestampMs
+    Thread.sleep(5)
+    exp.append(Seq((2L, "y")).toDF("id", "s"))
+    val rdr = new IcebergTableReader(spark, loc)
+    assert(rdr.read(snapshotId = Some(s1)).count() === 1)
+    assert(rdr.read().count() === 2)
+    assert(rdr.read(asOfTimestampMs = Some(t1)).select($"id").as[Long].collect() === Array(1L))
+  }
+
+  test("position deletes: (file_path, pos) rows drop exactly, across path renderings") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(spark.range(0, 100).select($"id", ($"id" % 3).as("m")))
+    // name rows 7 and 42 by their physical coordinates, using the
+    // file:/// rendering to exercise canonicalization on the join
+    val rdr0 = new IcebergTableReader(spark, loc)
+    val coords = rdr0.read() // re-scan WITH metadata to find coordinates
+    val targets = new IcebergTableReader(spark, loc).read()
+    // build coordinates from a raw scan of the same data files
+    val dataGlob = s"$loc/data/*"
+    val withPos = spark.read.parquet(spark.read.parquet(dataGlob + "/*.parquet")
+        .inputFiles: _*)
+      .select(col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("pos"), col("id"))
+    val del = withPos.where($"id".isin(7L, 42L))
+      .select(regexp_replace($"fp", "^file:/", "file:///").as("file_path"), $"pos")
+    assert(del.count() === 2)
+    exp.positionDelete(del)
+    val got = new IcebergTableReader(spark, loc).read().select($"id").as[Long].collect().sorted
+    assert(got.length === 98)
+    assert(!got.contains(7L) && !got.contains(42L))
+    assert(coords.count() === 100) // pre-delete reader unaffected (lazy check ordering)
+    assert(targets.count() === 100)
+  }
+
+  test("v2 sequence inheritance: null entry sequence inherits the manifest list's") {
+    import IcebergFormat._
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // hand-append a second snapshot whose manifest entries carry NULL
+    // sequence numbers (writers may rely on inheritance, per spec)
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(io.readString(new HPath(root, "metadata/v1.metadata.json")))
+    // data file for the new snapshot
+    val dir = new HPath(root, "data/manual")
+    Seq((3L, "c")).toDF("id", "s").coalesce(1).write.parquet(dir.toString)
+    val pf = io.fs.listStatus(dir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    def write(path: HPath, schema: org.apache.avro.Schema, rs: Seq[GenericRecord]): Long = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      val out = io.fs.create(path, true)
+      w.create(schema, out); rs.foreach(w.append); w.close()
+      io.fs.getFileStatus(path).getLen
+    }
+    val entry = new GenericData.Record(ManifestEntrySchema)
+    entry.put("status", Added)
+    entry.put("sequence_number", null) // INHERITED
+    val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+    d.put("content", DataContent)
+    d.put("file_path", io.qualify(pf).toString)
+    d.put("file_format", "PARQUET")
+    d.put("partition", new GenericData.Record(d.getSchema.getField("partition").schema()))
+    d.put("record_count", 1L)
+    d.put("file_size_in_bytes", io.fs.getFileStatus(pf).getLen)
+    entry.put("data_file", d)
+    val mPath = new HPath(root, "metadata/manifest-manual.avro")
+    val mLen = write(mPath, ManifestEntrySchema, Seq(entry))
+    // manifest list: prior snapshot's manifests + the new one at seq 2
+    val prior = meta.get("snapshots").get(0)
+    val priorList = prior.get("manifest-list").asText
+    val in = new org.apache.avro.mapred.FsInput(new HPath(priorList), io.fs.getConf)
+    val rdr = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val carried = try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (rdr.hasNext) b += rdr.next().asInstanceOf[GenericRecord]
+      b.result()
+    } finally rdr.close()
+    val mlRec = new GenericData.Record(ManifestListSchema)
+    mlRec.put("manifest_path", io.qualify(mPath).toString)
+    mlRec.put("manifest_length", mLen)
+    mlRec.put("partition_spec_id", 0)
+    mlRec.put("content", 0)
+    mlRec.put("sequence_number", 2L)
+    mlRec.put("min_sequence_number", 2L)
+    mlRec.put("added_snapshot_id", 2L)
+    mlRec.put("added_files_count", 1); mlRec.put("existing_files_count", 0)
+    mlRec.put("deleted_files_count", 0)
+    mlRec.put("added_rows_count", 1L); mlRec.put("existing_rows_count", 0L)
+    mlRec.put("deleted_rows_count", 0L)
+    val listPath = new HPath(root, "metadata/snap-manual.avro")
+    write(listPath, ManifestListSchema, carried :+ mlRec)
+    val metaStr = io.readString(new HPath(root, "metadata/v1.metadata.json"))
+    val snapJson = s"""{"snapshot-id":2,"sequence-number":2,"timestamp-ms":${System.currentTimeMillis()},"summary":{"operation":"append"},"manifest-list":"${io.qualify(listPath)}","schema-id":0}"""
+    val v2meta = metaStr
+      .replace(""""last-sequence-number":1""", """"last-sequence-number":2""")
+      .replace(""""current-snapshot-id":1""", """"current-snapshot-id":2""")
+      .replaceFirst("""\"snapshots\":\[""",
+        java.util.regex.Matcher.quoteReplacement(s""""snapshots":[$snapJson,"""))
+    val out = io.fs.create(new HPath(root, "metadata/v2.metadata.json"), true)
+    out.write(v2meta.getBytes("UTF-8")); out.close()
+    val hint = io.fs.create(new HPath(root, "metadata/version-hint.text"), true)
+    hint.write("2".getBytes("UTF-8")); hint.close()
+
+    val got = new IcebergTableReader(spark, loc).read()
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+    // an equality delete at seq 3 must hit the inherited-seq file too
+    // (inheritance gave it sequence 2 < 3)
+    new IcebergExport(spark, loc).equalityDelete(Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    val afterDel = new IcebergTableReader(spark, loc).read()
+      .select($"id").as[Long].collect().sorted
+    assert(afterDel.toSeq === Seq(1L, 2L))
+  }
+
+  test("schema evolution by name: an added column null-fills with its declared type") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "s"))
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    // hand-evolve the schema: add a double column the parquet lacks
+    val meta = io.readString(new HPath(root, "metadata/v1.metadata.json"))
+    val evolved = meta.replace(
+      """"type":"string"}]}""",
+      """"type":"string"},{"id":3,"name":"score","required":false,"type":"double"}]}""")
+    assert(evolved != meta, "schema splice failed — fixture drifted")
+    val out = io.fs.create(new HPath(root, "metadata/v2.metadata.json"), true)
+    out.write(evolved.getBytes("UTF-8")); out.close()
+    val hint = io.fs.create(new HPath(root, "metadata/version-hint.text"), true)
+    hint.write("2".getBytes("UTF-8")); hint.close()
+    val df = new IcebergTableReader(spark, loc).read()
+    assert(df.columns.toSeq === Seq("id", "s", "score"))
+    assert(df.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    val r = df.collect().head
+    assert(r.getLong(0) === 1L && r.isNullAt(2))
+  }
+
+  test("graft lake table publishes as an Iceberg table: MOR deletes applied, hidden partitions stripped") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("g2i-src-").toString)
+    val df = Seq(("2024-01-01 10:00:00", 1L, "a"), ("2024-01-02 10:00:00", 2L, "b"),
+        ("2024-01-03 10:00:00", 3L, "c"))
+      .toDF("s", "id", "name").select(to_timestamp($"s").as("ts"), $"id", $"name")
+    cat.write(df, "ns.t", WriteMode.Overwrite, partitionBy = Seq("days(ts)"))
+    val t = cat.table("ns.t")
+    LakeDml.delete(t, $"id" === 2L, strategy = DmlStrategy.MergeOnRead)
+    val loc = freshLoc()
+    IcebergExport.fromLakeTable(t, loc)
+    val got = new IcebergTableReader(spark, loc).read()
+    assert(got.columns.toSeq === Seq("ts", "id", "name")) // no _p_ leak
+    assert(got.select($"id").as[Long].collect().sorted === Array(1L, 3L))
+  }
+
+  test("reader groups data files by applicable delete set — eq deletes skip same-sequence files") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "old")).toDF("id", "s"))       // seq 1
+    exp.equalityDelete(Seq(Tuple1(1L)).toDF("id"), Seq("id")) // seq 2: deletes seq<2
+    exp.append(Seq((1L, "new")).toDF("id", "s"))       // seq 3: re-insert SAME key
+    val got = new IcebergTableReader(spark, loc).read()
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // the re-inserted row survives: its data sequence (3) is NOT < 2
+    assert(got.toSeq === Seq((1L, "new")))
+  }
+}
