@@ -435,6 +435,32 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     if (filters.isEmpty) out else out.where(filters.map(predColumn).reduce(_ && _))
   }
 
+  /** Incremental APPEND scan (Iceberg's `incremental read` /
+    * the reference's daily watermark consumption shape): rows of data
+    * files committed AFTER `fromSnapshotId` up to the current snapshot.
+    * Sound only over append-only history — any intermediate snapshot
+    * whose operation is not `append` (replace/overwrite/delete) fails
+    * loud rather than silently double- or under-delivering, matching
+    * Iceberg's own incremental-scan precondition. Cost tracks the NEW
+    * files (selected by data sequence number from manifests), never
+    * the table.
+    */
+  def readAppendsSince(fromSnapshotId: Long): DataFrame = {
+    val snaps = snapshots
+    val from = snaps.find(_.id == fromSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromSnapshotId"))
+    val cur = currentSnapshotId.flatMap(id => snaps.find(_.id == id))
+      .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    val intermediate = snaps.filter(s => s.sequence > from.sequence && s.sequence <= cur.sequence)
+    val nonAppend = intermediate.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental append scan crosses non-append snapshots: ${nonAppend.map(s => s"${s.id}(${s.operation})").mkString(", ")}")
+    val fresh = liveFiles(cur).filter(f =>
+      f.content == IcebergFormat.DataContent && f.sequence > from.sequence)
+    if (fresh.isEmpty) emptyRelation
+    else spark.read.parquet(fresh.map(f => resolve(f.path).toString): _*)
+  }
+
   private def predColumn(p: LakePredicate): Column = p match {
     case LakePredicate.EqualTo(c, v) => col(c) === lit(v)
     case LakePredicate.In(c, vs)     => col(c).isin(vs: _*)

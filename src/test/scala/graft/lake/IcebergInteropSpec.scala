@@ -188,6 +188,22 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(r.getLong(0) === 1L && r.isNullAt(2))
   }
 
+  test("incremental append scan delivers only post-snapshot files; non-append history fails loud") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val s1 = exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    exp.append(Seq((3L, "c")).toDF("id", "s"))
+    exp.append(Seq((4L, "d")).toDF("id", "s"))
+    val rdr = new IcebergTableReader(spark, loc)
+    val delta = rdr.readAppendsSince(s1).select($"id").as[Long].collect().sorted
+    assert(delta.toSeq === Seq(3L, 4L))
+    // a delete commit in range poisons the append-only precondition
+    exp.equalityDelete(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      new IcebergTableReader(spark, loc).readAppendsSince(s1))
+    assert(e.getMessage.contains("non-append"))
+  }
+
   test("graft lake table publishes as an Iceberg table: MOR deletes applied, hidden partitions stripped") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("g2i-src-").toString)
     val df = Seq(("2024-01-01 10:00:00", 1L, "a"), ("2024-01-02 10:00:00", 2L, "b"),
