@@ -25,12 +25,28 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    // job/stage/task counts expose fixed-overhead-dominated scenarios
+    // (many tiny jobs) vs data-dominated ones — per run, via listener
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+      }
+    })
     // warm run absorbs JIT/codegen, timed run measures steady state
     for (i <- 1 to 2) {
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
-      println(f"[probe] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the async listener bus drain
+      println(f"[probe] run $i: $sec%.2f s  jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     val df = fn(spark, sfDir)
     df.collect() // finalize AQE before reading the executed plan

@@ -133,7 +133,11 @@ object LakeDml {
       val staged = table.loc(s"deletes/.staging-${java.util.UUID.randomUUID()}")
       DeleteFiles.toDeleteRows(matched, table.qualifiedRootPrefix)
         .write.mode("overwrite").parquet(staged.toString)
-      val rows = matched.sparkSession.read.parquet(staged.toString).count()
+      // exact row count from the staged dir's parquet FOOTERS — zero
+      // Spark jobs (the dir was just written by this driver); the
+      // scanning count stays as the unreadable-footer fallback
+      val rows = FileStats.dirRowCount(table.io, staged).getOrElse(
+        matched.sparkSession.read.parquet(staged.toString).count())
       if (rows == 0) { table.io.delete(staged); (None, 0L) }
       else (Some(staged), rows)
     }
