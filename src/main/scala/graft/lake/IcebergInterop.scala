@@ -33,8 +33,10 @@ import org.apache.spark.sql.types._
   * files' (file_path, pos) rows, path-canonicalized on both sides) and
   * EQUALITY deletes (null-safe anti-join on the identifier columns,
   * applied only to data files with strictly older data sequence
-  * numbers, per spec), identity-transform partition pruning from
-  * manifest entry partition tuples, and name-based projection to the
+  * numbers, per spec), partition pruning from manifest entry partition
+  * tuples under identity AND projected transforms (day/hour/month/year
+  * epoch-unit floors, truncate[W]; bucket[N] conservatively keeps —
+  * its hash has no sound range projection), and name-based projection to the
   * table's current schema (missing columns null-filled with their
   * declared type — add-column evolution; id-based column RENAME
   * resolution is out of scope without footer field-id remapping, the
@@ -143,13 +145,14 @@ object IcebergFormat {
       |]}""".stripMargin)
 }
 
-/** One live file resolved from the manifests. `partition` maps the
-  * spec's IDENTITY-transform source column names to their raw Avro
-  * values; non-identity transforms contribute nothing (no pruning).
+/** One live file resolved from the manifests. `partition` carries
+  * (source column, transform, raw Avro partition value) per spec
+  * field; transforms without a sound bound projection (`bucket[N]`)
+  * contribute nothing to pruning.
   */
 private[lake] final case class IcebergDataFile(path: String, format: String,
     sequence: Long, content: Int, equalityIds: Seq[Int],
-    partition: Map[String, Any])
+    partition: Seq[(String, String, Any)])
 
 private[lake] final case class IcebergSnapshot(id: Long, sequence: Long,
     timestampMs: Long, manifestList: String, operation: String)
@@ -212,10 +215,10 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
   }
 
-  /** Identity-transform partition fields of the given spec:
-    * spec field name → source column name.
+  /** Partition fields of the given spec:
+    * spec field name → (source column name, transform string).
     */
-  private def identityFields(specId: Int): Map[String, String] = {
+  private def specFields(specId: Int): Map[String, (String, String)] = {
     val specsNode =
       if (meta.has("partition-specs")) {
         val arr = meta.get("partition-specs")
@@ -228,8 +231,8 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       val idOf = schemaFields.map { case (id, name, _) => id -> name }.toMap
       (0 until fs.size()).flatMap { i =>
         val f = fs.get(i)
-        if (f.get("transform").asText != "identity") None
-        else idOf.get(f.get("source-id").asInt).map(src => f.get("name").asText -> src)
+        idOf.get(f.get("source-id").asInt).map(src =>
+          f.get("name").asText -> (src, f.get("transform").asText))
       }.toMap
     }.getOrElse(Map.empty)
   }
@@ -289,7 +292,7 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       val manifestPath = strField(ml, "manifest_path").get
       val manifestSeq = longField(ml, "sequence_number").getOrElse(0L)
       val specId = intField(ml, "partition_spec_id", 0)
-      val identity = identityFields(specId)
+      val spec = specFields(specId)
       avroRecords(manifestPath).flatMap { e =>
         val status = intField(e, "status", Added)
         if (status == Deleted) None // removed by this snapshot: not scanned
@@ -297,16 +300,16 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
           val seq = longField(e, "sequence_number").getOrElse(manifestSeq)
           val df = field(e, "data_file").get.asInstanceOf[GenericRecord]
           val partRec = field(df, "partition").map(_.asInstanceOf[GenericRecord])
-          val partVals: Map[String, Any] = partRec.map { pr =>
-            identity.flatMap { case (specField, srcCol) =>
+          val partVals: Seq[(String, String, Any)] = partRec.map { pr =>
+            spec.toSeq.flatMap { case (specField, (srcCol, transform)) =>
               Option(pr.getSchema.getField(specField))
                 .flatMap(_ => Option(pr.get(specField)))
-                .map(v => srcCol -> (v match {
+                .map(v => (srcCol, transform, v match {
                   case cs: CharSequence => cs.toString
                   case other => other
                 }))
             }
-          }.getOrElse(Map.empty)
+          }.getOrElse(Nil)
           val eqIds = field(df, "equality_ids").map {
             // GenericData.Array implements java.util.List
             case l: java.util.List[_] =>
@@ -326,11 +329,53 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
   }
 
-  /** Does `value` (raw Avro partition value) satisfy `p`? Unknown
-    * domains keep the file — pruning is conservative, like the graft
-    * stats path.
+  /** Project a source-column predicate VALUE into a transform's
+    * partition domain (spec §Partition Transforms): every row of a
+    * file satisfies `transform(row) == partitionValue`, and each
+    * supported transform is monotone, so `row ⊙ V` implies
+    * `partitionValue ⊙ transform(V)` for ⊙ ∈ {==, >=, <=} — sound,
+    * conservative pruning. None = no sound projection (`bucket[N]` on
+    * range predicates, unknown transforms, undatable values) → keep.
+    * Temporal transforms count UTC epoch units of the micros value
+    * (day/hour as floor divisions; month/year via proleptic calendar).
     */
-  private def partitionKeeps(p: LakePredicate, value: Any): Boolean = {
+  private def projectBound(transform: String, v: Any): Option[Any] = {
+    def epochMillis: Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime)
+      case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay * 86400000L)
+      case _                     => None
+    }
+    def localDate: Option[java.time.LocalDate] = v match {
+      case t: java.sql.Timestamp =>
+        Some(java.time.Instant.ofEpochMilli(t.getTime)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case _                => None
+    }
+    transform match {
+      case "identity" => Some(v)
+      case "day" | "days"     => epochMillis.map(ms => Math.floorDiv(ms, 86400000L))
+      case "hour" | "hours"   => epochMillis.map(ms => Math.floorDiv(ms, 3600000L))
+      case "month" | "months" => localDate.map(d => (d.getYear - 1970) * 12L + (d.getMonthValue - 1))
+      case "year" | "years"   => localDate.map(d => (d.getYear - 1970).toLong)
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        v match {
+          case s: String => Some(s.take(w))
+          case n: java.lang.Number if !n.isInstanceOf[java.lang.Double] &&
+              !n.isInstanceOf[java.lang.Float] =>
+            Some(Math.floorDiv(n.longValue(), w.toLong) * w) // v - (v mod W), sign-correct
+          case _ => None
+        }
+      case _ => None // bucket[N] and unknowns: no sound range projection
+    }
+  }
+
+  /** Does a file whose partition value is `value` under `transform`
+    * possibly satisfy `p`? Unknown domains keep the file — pruning is
+    * conservative, like the graft stats path.
+    */
+  private def partitionKeeps(p: LakePredicate, transform: String, value: Any): Boolean = {
     def num(v: Any): Option[BigDecimal] = v match {
       case n: java.lang.Number => Some(BigDecimal(n.toString))
       case _                   => None
@@ -342,11 +387,17 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
         case _                        => None
       }
     }
+    def against(bound: Any, test: Int => Boolean): Boolean =
+      cmp(value, bound).forall(test)
     p match {
-      case LakePredicate.EqualTo(_, v) => cmp(value, v).forall(_ == 0)
-      case LakePredicate.In(_, vs)     => vs.isEmpty || vs.exists(v => cmp(value, v).forall(_ == 0))
-      case LakePredicate.GtEq(_, v)    => cmp(value, v).forall(_ >= 0)
-      case LakePredicate.LtEq(_, v)    => cmp(value, v).forall(_ <= 0)
+      case LakePredicate.EqualTo(_, v) =>
+        projectBound(transform, v).forall(b => against(b, _ == 0))
+      case LakePredicate.In(_, vs) =>
+        vs.isEmpty || vs.exists(v => projectBound(transform, v).forall(b => against(b, _ == 0)))
+      case LakePredicate.GtEq(_, v) =>
+        projectBound(transform, v).forall(b => against(b, _ >= 0))
+      case LakePredicate.LtEq(_, v) =>
+        projectBound(transform, v).forall(b => against(b, _ <= 0))
     }
   }
 
@@ -377,9 +428,11 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
     val files = liveFiles(snap)
     val dataFiles = files.filter(_.content == DataContent)
-      // identity partition pruning: drop files a predicate disproves
+      // partition pruning: drop files a predicate disproves through ANY
+      // of the column's spec fields (identity or projected transform)
       .filter(f => filters.forall(p =>
-        f.partition.get(p.col).forall(v => partitionKeeps(p, v))))
+        f.partition.forall { case (src, transform, v) =>
+          src != p.col || partitionKeeps(p, transform, v) }))
     val posDeletes = files.filter(_.content == PositionDeletes)
     val eqDeletes = files.filter(_.content == EqualityDeletes)
     val idToName = schemaFields.map { case (id, name, _) => id -> name }.toMap

@@ -188,6 +188,106 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(r.getLong(0) === 1L && r.isNullAt(2))
   }
 
+  test("day-transform partition pruning: a timestamp range skips other days' files from manifests alone") {
+    import IcebergFormat._
+    val loc = freshLoc()
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    // two data files in distinct days
+    def dayFile(name: String, day: String, ids: Seq[Long]): (String, Int) = {
+      val dir = new HPath(root, s"data/$name")
+      ids.map(i => (s"$day 10:0$i:00", i)).toDF("s", "id")
+        .select(to_timestamp($"s").as("ts"), $"id")
+        .coalesce(1).write.parquet(dir.toString)
+      val pf = io.fs.listStatus(dir).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      (io.qualify(pf).toString,
+        java.time.LocalDate.parse(day).toEpochDay.toInt)
+    }
+    val (f1, d1) = dayFile("a", "2024-01-05", Seq(1L, 2L))
+    val (f2, d2) = dayFile("b", "2024-03-20", Seq(3L, 4L))
+    // manifest entry schema WITH a day-partition field (the exporter's
+    // is unpartitioned, so craft the spec-shaped one by hand)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"ts_day","type":["null","int"],"default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    def entry(path: String, day: Int): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Added); e.put("sequence_number", 1L)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      d.put("content", DataContent); d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      val p = new GenericData.Record(d.getSchema.getField("partition").schema())
+      p.put("ts_day", day)
+      d.put("partition", p); d.put("record_count", 2L); d.put("file_size_in_bytes", 1L)
+      e.put("data_file", d)
+      e
+    }
+    def write(path: HPath, schema: org.apache.avro.Schema, rs: Seq[GenericRecord]): Long = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      val out = io.fs.create(path, true)
+      w.create(schema, out); rs.foreach(w.append); w.close()
+      io.fs.getFileStatus(path).getLen
+    }
+    io.mkdirs(new HPath(root, "metadata"))
+    val mPath = new HPath(root, "metadata/manifest-1.avro")
+    val mLen = write(mPath, entrySchema, Seq(entry(f1, d1), entry(f2, d2)))
+    val ml = new GenericData.Record(ManifestListSchema)
+    ml.put("manifest_path", io.qualify(mPath).toString); ml.put("manifest_length", mLen)
+    ml.put("partition_spec_id", 0); ml.put("content", 0)
+    ml.put("sequence_number", 1L); ml.put("min_sequence_number", 1L)
+    ml.put("added_snapshot_id", 1L)
+    ml.put("added_files_count", 2); ml.put("existing_files_count", 0)
+    ml.put("deleted_files_count", 0)
+    ml.put("added_rows_count", 4L); ml.put("existing_rows_count", 0L)
+    ml.put("deleted_rows_count", 0L)
+    val listPath = new HPath(root, "metadata/snap-1.avro")
+    write(listPath, ManifestListSchema, Seq(ml))
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"t","location":"${io.qualify(root)}",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"ts","required":false,"type":"timestamptz"},
+         |  {"id":2,"name":"id","required":false,"type":"long"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"ts_day","transform":"day","source-id":1,"field-id":1000}]}],
+         |"last-partition-id":1000,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"properties":{},
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+         |  "summary":{"operation":"append"},
+         |  "manifest-list":"${io.qualify(listPath)}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+    val out = io.fs.create(new HPath(root, "metadata/v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+    val hint = io.fs.create(new HPath(root, "metadata/version-hint.text"), true)
+    hint.write("1".getBytes("UTF-8")); hint.close()
+
+    val rdr = new IcebergTableReader(spark, loc)
+    assert(rdr.read().count() === 4) // unfiltered: both files
+    val cut = graft.SqlCompat.utcTimestamp("2024-02-01 00:00:00")
+    val pruned = rdr.read(filters = Seq(LakePredicate.GtEq("ts", cut)))
+    assert(pruned.select($"id").as[Long].collect().sorted === Array(3L, 4L))
+    // manifest-level pruning: the January file was never opened
+    assert(pruned.inputFiles.length === 1, pruned.inputFiles.mkString(","))
+    // equality within one day prunes to that day's file
+    val jan = graft.SqlCompat.utcTimestamp("2024-01-05 10:01:00")
+    val eq = rdr.read(filters = Seq(LakePredicate.EqualTo("ts", jan)))
+    assert(eq.inputFiles.length === 1)
+    assert(eq.select($"id").as[Long].collect() === Array(1L))
+  }
+
   test("incremental append scan delivers only post-snapshot files; non-append history fails loud") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
