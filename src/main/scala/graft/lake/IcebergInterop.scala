@@ -192,7 +192,25 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
   }
 
-  private lazy val meta = om.readTree(io.readString(currentMetadataPath))
+  /** metadata.json may be gzip-compressed (`write.metadata.compression-codec
+    * =gzip`, named `*.gz.metadata.json`) — sniff the gzip magic rather
+    * than trusting the name, since engines disagree on the naming.
+    */
+  private def readMetadataString(p: HPath): String = {
+    val in = io.fs.open(p)
+    try {
+      val bytes = in.readAllBytes()
+      val body =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try gz.readAllBytes() finally gz.close()
+        } else bytes
+      new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private lazy val meta = om.readTree(readMetadataString(currentMetadataPath))
 
   def formatVersion: Int = meta.get("format-version").asInt
 

@@ -165,6 +165,25 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(afterDel.toSeq === Seq(1L, 2L))
   }
 
+  test("gzip-compressed metadata.json reads transparently (codec sniffed by magic, not name)") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    // recompress the current metadata under the gzip naming convention
+    val raw = io.readString(new HPath(root, "metadata/v1.metadata.json"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw.getBytes("UTF-8")); gz.close()
+    io.fs.delete(new HPath(root, "metadata/v1.metadata.json"), false)
+    val out = io.fs.create(new HPath(root, "metadata/v1.gz.metadata.json"), true)
+    out.write(bos.toByteArray); out.close()
+    val got = new IcebergTableReader(spark, loc).read()
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
   test("schema evolution by name: an added column null-fills with its declared type") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
