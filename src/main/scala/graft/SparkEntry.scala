@@ -136,12 +136,20 @@ object SparkEntry {
       """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
+    // `ev` pins events.ts to µs TIMESTAMP on the oracle side: the fixture's
+    // physical flavor has drifted twice (r5 ns→µs, r6 µs→ns) and DuckDB
+    // answers in whatever the footer says, while Spark always normalizes to
+    // µs (Tables.normalizeTs). CAST is a no-op on µs, a truncation on ns —
+    // identical to the Spark side — so every events-derived timestamp
+    // output must route through `ev`, never raw `events`.
     "q_incremental_scan" ->
-      """SELECT event_id, ts, user_id, event_type FROM events
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_id, ts, user_id, event_type FROM ev
         |WHERE ts > TIMESTAMP '2024-01-28 00:00:00' ORDER BY event_id""".stripMargin,
 
     "q_topk_latest" ->
-      """SELECT event_id, ts, user_id, event_type FROM events
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_id, ts, user_id, event_type FROM ev
         |ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
 
     "q1_pricing_summary" ->
@@ -463,7 +471,8 @@ object SparkEntry {
         |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
 
     "lake_hidden_partition" ->
-      """SELECT * FROM events
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT * FROM ev
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin,
@@ -471,7 +480,8 @@ object SparkEntry {
     // layout evolution (unpartitioned -> days(ts)) must never change
     // semantics: the scan over both generations equals a plain filter
     "lake_spec_evolution" ->
-      """SELECT * FROM events
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT * FROM ev
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY event_id""".stripMargin,
@@ -930,36 +940,40 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s_window_tumbling" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s_stream_tumbling" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // a 1h/30m hopping window assigns each event to exactly the two
     // 30m-aligned starts in (ts-1h, ts]
     "s_window_sliding" ->
-      """SELECT ws, event_type, COUNT(*) AS n,
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM (
-        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM ev
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
-        |         event_type, value FROM events)
+        |         event_type, value FROM ev)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s_sessionize" ->
-      """WITH g AS (
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
         |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
+        |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
@@ -1013,11 +1027,12 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "s_stream_join" ->
-      """SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts FROM
-        |  (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT p.user_id, p.purchase_id, c.click_id, p.p_ts, c.c_ts FROM
+        |  (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM ev
         |   WHERE event_type = 'purchase') p
         |JOIN
-        |  (SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+        |  (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
         |   WHERE event_type = 'click') c
         |ON p.user_id = c.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
@@ -1070,12 +1085,13 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a_asof_join" ->
-      """SELECT p.user_id, p.event_id, p.ts,
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT p.user_id, p.event_id, p.ts,
         |       s.state_ts AS asof_ts, s.state_event_id AS asof_event_id
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |FROM (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts AS state_ts, event_id AS state_event_id
-        |      FROM events WHERE event_type = 'click') s
+        |      FROM ev WHERE event_type = 'click') s
         |ON p.user_id = s.user_id AND p.ts >= s.state_ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
@@ -1125,12 +1141,13 @@ object SparkEntry {
 
     // (type × hour) grid over 2024-01-02, silent hours as zeros
     "a_gap_fill" ->
-      """WITH types AS (SELECT DISTINCT event_type FROM events),
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |types AS (SELECT DISTINCT event_type FROM ev),
         |hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
         |            TIMESTAMP '2024-01-02 23:00:00', INTERVAL 1 HOUR)) AS hour),
         |c AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |      FROM events
+        |      FROM ev
         |      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
         |        AND ts < TIMESTAMP '2024-01-03 00:00:00'
         |      GROUP BY 1, 2)
