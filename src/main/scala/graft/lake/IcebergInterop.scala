@@ -379,7 +379,12 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       case t if t.startsWith("truncate[") =>
         val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
         v match {
-          case s: String => Some(s.take(w))
+          case s: String =>
+            // truncate[W] on strings counts Unicode CODE POINTS (spec),
+            // not UTF-16 units — s.take(w) would split surrogate pairs
+            // and diverge from the writer's partition value
+            val cps = s.codePoints().toArray
+            Some(if (cps.length <= w) s else new String(cps, 0, w))
           case n: java.lang.Number if !n.isInstanceOf[java.lang.Double] &&
               !n.isInstanceOf[java.lang.Float] =>
             Some(Math.floorDiv(n.longValue(), w.toLong) * w) // v - (v mod W), sign-correct
@@ -440,8 +445,9 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
         require(eligible.nonEmpty, s"no snapshot at or before $ts")
         eligible.maxBy(_.timestampMs)
       case (None, None) =>
-        val cur = currentSnapshotId.getOrElse(
-          return spark.emptyDataFrame) // never-written table
+        // never-written table: schema-typed empty, same as the
+        // no-data-files path, so downstream selects still analyze
+        val cur = currentSnapshotId.getOrElse(return emptyRelation)
         snapshots.find(_.id == cur).get
     }
     val files = liveFiles(snap)
@@ -466,7 +472,11 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
     val parts = groups.toSeq.map { case ((posPaths, eqSet), fs) =>
       val needPos = posPaths.nonEmpty
-      var df = spark.read.parquet(fs.map(f => resolve(f.path).toString): _*)
+      // mergeSchema: under add-column evolution a group may mix files
+      // with and without the new column; sampling one footer would
+      // silently drop values that exist on disk
+      var df = spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => resolve(f.path).toString): _*)
       if (needPos) {
         df = df
           .withColumn("__if_path", canonPath(col("_metadata.file_path")))
@@ -488,7 +498,9 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       }
       df
     }
-    val unioned = parts.reduce(_ unionByName _)
+    // heterogeneous groups (schema evolution split across delete
+    // classes) union by name with null-fill, not a strict-match throw
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
 
     // name-based projection to the CURRENT schema: present columns pass
     // through, added-but-unbackfilled columns null-fill with their
@@ -529,7 +541,8 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     val fresh = liveFiles(cur).filter(f =>
       f.content == IcebergFormat.DataContent && f.sequence > from.sequence)
     if (fresh.isEmpty) emptyRelation
-    else spark.read.parquet(fresh.map(f => resolve(f.path).toString): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(fresh.map(f => resolve(f.path).toString): _*)
   }
 
   private def predColumn(p: LakePredicate): Column = p match {
@@ -587,16 +600,20 @@ final class IcebergExport(spark: SparkSession, location: String) {
   private def fieldIds(schema: StructType): Seq[(Int, StructField)] =
     schema.fields.toSeq.zipWithIndex.map { case (f, i) => (i + 1, f) }
 
+  // column names (and the location) route through Jackson so a quote
+  // or backslash in an identifier cannot corrupt the emitted JSON
+  private def jstr(s: String): String = om.writeValueAsString(s)
+
   private def schemaJson(schema: StructType): String = {
     val fields = fieldIds(schema).map { case (id, f) =>
-      s"""{"id":$id,"name":"${f.name}","required":false,"type":"${icebergType(f.dataType)}"}"""
+      s"""{"id":$id,"name":${jstr(f.name)},"required":false,"type":"${icebergType(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
   }
 
   private def nameMappingJson(schema: StructType): String =
     fieldIds(schema).map { case (id, f) =>
-      s"""{"field-id":$id,"names":["${f.name}"]}"""
+      s"""{"field-id":$id,"names":[${jstr(f.name)}]}"""
     }.mkString("[", ",", "]")
 
   /** Write `df` as parquet data files; returns (absolute path, rows,
@@ -614,10 +631,19 @@ final class IcebergExport(spark: SparkSession, location: String) {
     }
   }
 
-  private def writeAvro(path: HPath, schema: Schema, records: Seq[GenericRecord]): Long = {
+  /** `meta` becomes Avro key-value file metadata — the Iceberg spec
+    * requires manifests to carry 'schema'/'partition-spec'/
+    * 'partition-spec-id'/'format-version'/'content' and manifest lists
+    * 'format-version' etc.; real readers (ManifestReader) parse these
+    * before touching any record, so omitting them makes the table
+    * unopenable outside this repo.
+    */
+  private def writeAvro(path: HPath, schema: Schema, records: Seq[GenericRecord],
+                        meta: Seq[(String, String)]): Long = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     val out = io.fs.create(path, true)
     try {
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
       w.create(schema, out)
       records.foreach(w.append)
       w.close() // flushes + closes the stream
@@ -699,12 +725,22 @@ final class IcebergExport(spark: SparkSession, location: String) {
       }
     val files = writeDataFiles(df)
     io.mkdirs(metadataDir)
+    // table schema at manifest-write time: the appended schema for data
+    // commits, the existing table schema for delete commits
+    val schemaJsonStr = if (content == DataContent) schemaJson(schema)
+      else st.schemaJson.get.toString
     val manifestPath = io.qualify(new HPath(metadataDir,
       s"manifest-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
     val entries = files.map { case (p, rows, bytes) =>
       manifestEntry(Added, seq, snapshotId, content, p, rows, bytes, eqIds)
     }
-    val mLen = writeAvro(manifestPath, ManifestEntrySchema, entries)
+    val mLen = writeAvro(manifestPath, ManifestEntrySchema, entries, Seq(
+      "schema" -> schemaJsonStr,
+      "schema-id" -> "0",
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> (if (content == DataContent) "data" else "deletes")))
     // carry prior manifests forward: previous snapshot's list + this one
     val priorListEntries: Seq[GenericRecord] = st.snapshots.lastOption.map { s =>
       val in = new org.apache.avro.mapred.FsInput(
@@ -732,23 +768,27 @@ final class IcebergExport(spark: SparkSession, location: String) {
     val totalRows = files.map(_._2).sum
     writeAvro(listPath, ManifestListSchema,
       carried :+ manifestListEntry(manifestPath.toString, mLen,
-        if (content == DataContent) 0 else 1, seq, snapshotId, files.size, totalRows))
+        if (content == DataContent) 0 else 1, seq, snapshotId, files.size, totalRows),
+      Seq(
+        "format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> seq.toString,
+        "parent-snapshot-id" -> st.snapshots.lastOption
+          .map(_.get("snapshot-id").asLong.toString).getOrElse("null")))
 
     val now = java.lang.System.currentTimeMillis()
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"sequence-number":$seq,"timestamp-ms":$now,
          |"summary":{"operation":"$operation"},
-         |"manifest-list":"${listPath.toString}","schema-id":0}""".stripMargin
+         |"manifest-list":${jstr(listPath.toString)},"schema-id":0}""".stripMargin
     val allSnaps = st.snapshots.map(_.toString) :+ snapJson
-    val schemaJsonStr = if (content == DataContent) schemaJson(schema)
-      else st.schemaJson.get.toString
     val nameMapping = if (content == DataContent) nameMappingJson(schema)
       else om.readTree(io.readString(new HPath(metadataDir, s"v${st.version}.metadata.json")))
         .get("properties").get("schema.name-mapping.default").asText
     val lastColumnId = om.readTree(schemaJsonStr).get("fields").size()
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"${st.tableUuid}",
-         |"location":"${root.toString}","last-sequence-number":$seq,
+         |"location":${jstr(root.toString)},"last-sequence-number":$seq,
          |"last-updated-ms":$now,"last-column-id":$lastColumnId,
          |"current-schema-id":0,"schemas":[$schemaJsonStr],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],

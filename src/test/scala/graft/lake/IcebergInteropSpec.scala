@@ -338,6 +338,72 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(got.select($"id").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("exported manifests and manifest lists carry the spec's required Avro file metadata") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "s"))
+    exp.equalityDelete(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    def metaOf(p: HPath): Map[String, String] = {
+      val in = new org.apache.avro.mapred.FsInput(p, io.fs.getConf)
+      val rdr = new org.apache.avro.file.DataFileReader(in,
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        import scala.jdk.CollectionConverters._
+        rdr.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+          .map(k => k -> rdr.getMetaString(k)).toMap
+      } finally rdr.close()
+    }
+    val files = io.fs.listStatus(new HPath(root, "metadata")).map(_.getPath)
+    val manifests = files.filter(_.getName.startsWith("manifest-"))
+    val lists = files.filter(_.getName.startsWith("snap-"))
+    assert(manifests.length === 2 && lists.length === 2)
+    manifests.foreach { m =>
+      val md = metaOf(m)
+      // ManifestReader refuses files missing these before reading a record
+      Seq("schema", "partition-spec", "partition-spec-id", "format-version", "content")
+        .foreach(k => assert(md.contains(k), s"${m.getName} missing '$k'"))
+      assert(md("format-version") === "2")
+      assert(md("partition-spec") === "[]")
+      // the schema value must itself be valid JSON of a struct
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(md("schema"))
+      assert(node.get("type").asText === "struct")
+    }
+    val contents = manifests.map(m => metaOf(m)("content")).sorted
+    assert(contents.toSeq === Seq("data", "deletes"))
+    lists.foreach { l =>
+      val md = metaOf(l)
+      Seq("format-version", "snapshot-id", "sequence-number", "parent-snapshot-id")
+        .foreach(k => assert(md.contains(k), s"${l.getName} missing '$k'"))
+    }
+  }
+
+  test("a backslash in a column name survives metadata JSON (escaped, not reinterpreted)") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    // `\b` raw-interpolated into JSON would parse as a backspace escape
+    // and silently rename the column
+    exp.append(Seq((1L, "x")).toDF("id", "a\\b"))
+    val rdr = new IcebergTableReader(spark, loc)
+    assert(rdr.schemaFields.map(_._2) === Seq("id", "a\\b"))
+    val got = rdr.read().orderBy($"id").collect().head
+    assert(got.getLong(0) === 1L && got.getString(1) === "x")
+  }
+
+  test("add-column evolution across appends: both files' values survive one group read") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "s"))                 // no `score`
+    exp.append(Seq((2L, "b", 9.5)).toDF("id", "s", "score"))   // with `score`
+    // one delete-free group scans BOTH files: without mergeSchema Spark
+    // samples one footer and may silently null the on-disk score
+    val got = new IcebergTableReader(spark, loc).read().orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got(0).isNullAt(2))
+    assert(got(1).getDouble(2) === 9.5)
+  }
+
   test("reader groups data files by applicable delete set — eq deletes skip same-sequence files") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
