@@ -35,8 +35,9 @@ import org.apache.spark.sql.types._
   * applied only to data files with strictly older data sequence
   * numbers, per spec), partition pruning from manifest entry partition
   * tuples under identity AND projected transforms (day/hour/month/year
-  * epoch-unit floors, truncate[W]; bucket[N] conservatively keeps —
-  * its hash has no sound range projection), and name-based projection to the
+  * epoch-unit floors, truncate[W]; bucket[N] prunes on equality/IN via
+  * the spec's murmur3 bucket index, keeps on ranges — the hash has no
+  * sound range projection), and name-based projection to the
   * table's current schema (missing columns null-filled with their
   * declared type — add-column evolution; id-based column RENAME
   * resolution is out of scope without footer field-id remapping, the
@@ -108,6 +109,71 @@ object IcebergFormat {
     */
   def canonPath(c: Column): Column = regexp_replace(c, "^([a-zA-Z0-9+.-]+):/+", "$1:/")
 
+  /** Standard 32-bit Murmur3 (x86 variant, seed 0) — the hash the
+    * Iceberg spec's `bucket[N]` transform is defined on (Appendix B).
+    * Implemented from the public algorithm; verified against the
+    * spec's published test vectors in `IcebergInteropSpec`.
+    */
+  def murmur3(bytes: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h1 = seed
+    val nblocks = bytes.length / 4
+    var i = 0
+    while (i < nblocks) {
+      var k1 = (bytes(4 * i) & 0xff) | ((bytes(4 * i + 1) & 0xff) << 8) |
+        ((bytes(4 * i + 2) & 0xff) << 16) | ((bytes(4 * i + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    val tail = nblocks * 4
+    var k1 = 0
+    if ((bytes.length & 3) >= 3) k1 ^= (bytes(tail + 2) & 0xff) << 16
+    if ((bytes.length & 3) >= 2) k1 ^= (bytes(tail + 1) & 0xff) << 8
+    if ((bytes.length & 3) >= 1) {
+      k1 ^= bytes(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= bytes.length
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b; h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35; h1 ^= h1 >>> 16
+    h1
+  }
+
+  private def longLE(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Iceberg bucket hash of a predicate value (spec Appendix B):
+    * int/long/date/timestamp hash their long form's little-endian
+    * bytes; strings their UTF-8 bytes; decimals the minimal
+    * two's-complement big-endian of the unscaled value; binary as-is.
+    * None = type the spec does not bucket (float/double) or a runtime
+    * type we can't map — callers must keep the file.
+    */
+  def bucketHash(v: Any): Option[Int] = v match {
+    case n: java.lang.Byte    => Some(murmur3(longLE(n.longValue())))
+    case n: java.lang.Short   => Some(murmur3(longLE(n.longValue())))
+    case n: java.lang.Integer => Some(murmur3(longLE(n.longValue())))
+    case n: java.lang.Long    => Some(murmur3(longLE(n.longValue())))
+    case s: String            => Some(murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case t: java.sql.Timestamp =>
+      val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      Some(murmur3(longLE(micros)))
+    case d: java.sql.Date     => Some(murmur3(longLE(d.toLocalDate.toEpochDay)))
+    case d: java.time.LocalDate => Some(murmur3(longLE(d.toEpochDay)))
+    case i: java.time.Instant =>
+      Some(murmur3(longLE(Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L)))
+    case d: java.math.BigDecimal => Some(murmur3(d.unscaledValue().toByteArray))
+    case d: BigDecimal        => Some(murmur3(d.underlying().unscaledValue().toByteArray))
+    case b: Array[Byte]       => Some(murmur3(b))
+    case _                    => None
+  }
+
+  /** `bucket[N]` partition index of a value, when hashable. */
+  def bucketIndex(n: Int, v: Any): Option[Int] =
+    bucketHash(v).map(h => (h & Integer.MAX_VALUE) % n)
+
   // ---- Avro schemas for EXPORT (field names per the Iceberg spec; a
   // generic reader — ours or Iceberg's — resolves them by name). ----
   val ManifestListSchema: Schema = new Schema.Parser().parse(
@@ -147,8 +213,7 @@ object IcebergFormat {
 
 /** One live file resolved from the manifests. `partition` carries
   * (source column, transform, raw Avro partition value) per spec
-  * field; transforms without a sound bound projection (`bucket[N]`)
-  * contribute nothing to pruning.
+  * field; `bucket[N]` prunes only under equality/IN predicates.
   */
 private[lake] final case class IcebergDataFile(path: String, format: String,
     sequence: Long, content: Int, equalityIds: Seq[Int],
@@ -352,8 +417,9 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     * file satisfies `transform(row) == partitionValue`, and each
     * supported transform is monotone, so `row ⊙ V` implies
     * `partitionValue ⊙ transform(V)` for ⊙ ∈ {==, >=, <=} — sound,
-    * conservative pruning. None = no sound projection (`bucket[N]` on
-    * range predicates, unknown transforms, undatable values) → keep.
+    * conservative pruning. None = no sound projection (`bucket[N]`,
+    * handled separately for equality in [[partitionKeeps]]; unknown
+    * transforms, undatable values) → keep.
     * Temporal transforms count UTC epoch units of the micros value
     * (day/hour as floor divisions; month/year via proleptic calendar).
     */
@@ -412,11 +478,21 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     }
     def against(bound: Any, test: Int => Boolean): Boolean =
       cmp(value, bound).forall(test)
-    p match {
-      case LakePredicate.EqualTo(_, v) =>
+    // bucket[N] admits EXACT equality projection (the spec's murmur3
+    // bucket index of the probe value) but no range projection
+    val bucketN: Option[Int] =
+      if (transform.startsWith("bucket["))
+        Some(transform.stripPrefix("bucket[").stripSuffix("]").toInt)
+      else None
+    def eqKeeps(v: Any): Boolean = bucketN match {
+      case Some(n) =>
+        IcebergFormat.bucketIndex(n, v).forall(b => against(b, _ == 0))
+      case None =>
         projectBound(transform, v).forall(b => against(b, _ == 0))
-      case LakePredicate.In(_, vs) =>
-        vs.isEmpty || vs.exists(v => projectBound(transform, v).forall(b => against(b, _ == 0)))
+    }
+    p match {
+      case LakePredicate.EqualTo(_, v) => eqKeeps(v)
+      case LakePredicate.In(_, vs)     => vs.isEmpty || vs.exists(eqKeeps)
       case LakePredicate.GtEq(_, v) =>
         projectBound(transform, v).forall(b => against(b, _ >= 0))
       case LakePredicate.LtEq(_, v) =>

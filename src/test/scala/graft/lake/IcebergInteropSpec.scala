@@ -307,6 +307,125 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(eq.select($"id").as[Long].collect() === Array(1L))
   }
 
+  test("bucket transform hash matches the Iceberg spec's published test vectors") {
+    import IcebergFormat._
+    // spec Appendix B: identical published vectors for int/long 34
+    assert(bucketHash(34).contains(2017239379))
+    assert(bucketHash(34L).contains(2017239379))
+    assert(bucketHash("iceberg").contains(1210000089))
+    assert(bucketHash(new java.math.BigDecimal("14.20")).contains(-500754589))
+    assert(bucketHash(java.sql.Date.valueOf("2017-11-16")).contains(-653330422))
+    assert(bucketHash(java.time.LocalDate.of(2017, 11, 16)).contains(-653330422))
+    val ts = graft.SqlCompat.utcTimestamp("2017-11-16 22:31:08")
+    assert(bucketHash(ts).contains(-2047944441))
+    assert(bucketHash(Array[Byte](0, 1, 2, 3)).contains(-188683207))
+    // float/double are not bucketable per spec → no hash → keep
+    assert(bucketHash(1.5d).isEmpty && bucketHash(1.5f).isEmpty)
+  }
+
+  test("bucket[N] partition pruning: an equality probe reads 1/N files from manifests alone") {
+    import IcebergFormat._
+    val loc = freshLoc()
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    val N = 4
+    val byBucket = (0L until 40L).groupBy(id => bucketIndex(N, id).get)
+    assert(byBucket.size === N, "fixture must populate every bucket")
+    // one data file per bucket, exactly as a bucket-partitioned writer lays out
+    def bucketFile(b: Int, ids: Seq[Long]): String = {
+      val dir = new HPath(root, s"data/b$b")
+      ids.map(i => (i, s"r$i")).toDF("id", "s").coalesce(1).write.parquet(dir.toString)
+      val pf = io.fs.listStatus(dir).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      io.qualify(pf).toString
+    }
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"id_bucket","type":["null","int"],"default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    def entry(path: String, bucket: Int, rows: Long): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Added); e.put("sequence_number", 1L)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      d.put("content", DataContent); d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      val p = new GenericData.Record(d.getSchema.getField("partition").schema())
+      p.put("id_bucket", bucket)
+      d.put("partition", p); d.put("record_count", rows); d.put("file_size_in_bytes", 1L)
+      e.put("data_file", d)
+      e
+    }
+    def write(path: HPath, schema: org.apache.avro.Schema, rs: Seq[GenericRecord]): Long = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      val out = io.fs.create(path, true)
+      w.create(schema, out); rs.foreach(w.append); w.close()
+      io.fs.getFileStatus(path).getLen
+    }
+    io.mkdirs(new HPath(root, "metadata"))
+    val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ids) =>
+      entry(bucketFile(b, ids), b, ids.size.toLong)
+    }
+    val mPath = new HPath(root, "metadata/manifest-1.avro")
+    val mLen = write(mPath, entrySchema, entries)
+    val ml = new GenericData.Record(ManifestListSchema)
+    ml.put("manifest_path", io.qualify(mPath).toString); ml.put("manifest_length", mLen)
+    ml.put("partition_spec_id", 0); ml.put("content", 0)
+    ml.put("sequence_number", 1L); ml.put("min_sequence_number", 1L)
+    ml.put("added_snapshot_id", 1L)
+    ml.put("added_files_count", N); ml.put("existing_files_count", 0)
+    ml.put("deleted_files_count", 0)
+    ml.put("added_rows_count", 40L); ml.put("existing_rows_count", 0L)
+    ml.put("deleted_rows_count", 0L)
+    val listPath = new HPath(root, "metadata/snap-1.avro")
+    write(listPath, ManifestListSchema, Seq(ml))
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"t","location":"${io.qualify(root)}",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"id_bucket","transform":"bucket[$N]","source-id":1,"field-id":1000}]}],
+         |"last-partition-id":1000,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"properties":{},
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+         |  "summary":{"operation":"append"},
+         |  "manifest-list":"${io.qualify(listPath)}","schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+    val out = io.fs.create(new HPath(root, "metadata/v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+    val hint = io.fs.create(new HPath(root, "metadata/version-hint.text"), true)
+    hint.write("1".getBytes("UTF-8")); hint.close()
+
+    val rdr = new IcebergTableReader(spark, loc)
+    assert(rdr.read().count() === 40) // unfiltered: all buckets
+    // equality probe: exactly the probe's bucket file is opened
+    val eq = rdr.read(filters = Seq(LakePredicate.EqualTo("id", 7L)))
+    assert(eq.inputFiles.length === 1, eq.inputFiles.mkString(","))
+    assert(eq.select($"id").as[Long].collect() === Array(7L))
+    // IN over two values lands in at most two bucket files
+    val vals = Seq(7L, 8L)
+    val distinctBuckets = vals.map(v => bucketIndex(N, v).get).distinct.length
+    val in = rdr.read(filters = Seq(LakePredicate.In("id", vals)))
+    assert(in.inputFiles.length === distinctBuckets, in.inputFiles.mkString(","))
+    assert(in.select($"id").as[Long].collect().sorted === vals.toArray)
+    // a range predicate has no sound bucket projection: keep every file
+    val rng = rdr.read(filters = Seq(LakePredicate.GtEq("id", 35L)))
+    assert(rng.inputFiles.length === N)
+    assert(rng.select($"id").as[Long].collect().sorted === (35L to 39L).toArray)
+  }
+
   test("incremental append scan delivers only post-snapshot files; non-append history fails loud") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
