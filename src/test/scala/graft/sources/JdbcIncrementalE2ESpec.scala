@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.sql.{DriverManager, Timestamp}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.state.WatermarkStore
+
+/** End-to-end proof of the incremental JDBC extract against a REAL
+  * database: embedded Derby (shipped on the Spark classpath), the same
+  * shape as the reference's Postgres pull
+  * (/root/reference/dags/etl.py:38-42). Two things must hold that the
+  * interface-level spec cannot show:
+  *
+  *  1. the watermark predicate reaches the DATABASE — proven two ways:
+  *     Spark's scan node reports the filter as pushed, and Derby's own
+  *     statement log (`derby.language.logStatementText`) records a
+  *     remote query whose WHERE clause carries the watermark column;
+  *  2. the read → commit → read loop is exactly-once per version over
+  *     real JDBC round-trips, including the partitioned-read path.
+  */
+class JdbcIncrementalE2ESpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // must be set before the Derby engine boots in this JVM
+  private lazy val derbyHome = {
+    val dir = Files.createTempDirectory("derby-e2e-")
+    System.setProperty("derby.system.home", dir.toString)
+    System.setProperty("derby.language.logStatementText", "true")
+    dir
+  }
+
+  private def withDb[A](db: String)(f: String => A): A = {
+    derbyHome // force property init
+    val url = s"jdbc:derby:memory:$db"
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE customer_data (
+          |  customer_id BIGINT NOT NULL,
+          |  name VARCHAR(100),
+          |  last_updated TIMESTAMP)""".stripMargin)
+      val ins = conn.prepareStatement(
+        "INSERT INTO customer_data VALUES (?, ?, ?)")
+      for (i <- 1 to 20) {
+        ins.setLong(1, i.toLong)
+        ins.setString(2, s"cust $i")
+        ins.setTimestamp(3, Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00"))
+        ins.addBatch()
+      }
+      ins.executeBatch()
+      f(url)
+    } finally conn.close()
+  }
+
+  private def cfg(url: String) = JdbcConfig(
+    url, "APP.customer_data", "app", "", driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+
+  test("watermark predicate is pushed into the database query (scan node + Derby statement log)") {
+    withDb("pushdown") { url =>
+      val st = new WatermarkStore(Files.createTempDirectory("jdbc-e2e-wm-"))
+      st.advance("etl", "extract", Timestamp.valueOf("2024-01-15 12:00:00"))
+      val src = new JdbcIncrementalSource(spark, cfg(url), st, "etl")
+      val df = src.read("LAST_UPDATED")
+      val got = df.select("CUSTOMER_ID").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (16L to 20L)) // strictly after the watermark
+      // Spark-side proof: the JDBC scan reports the predicate as pushed
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), plan)
+      assert(plan.contains("GreaterThan(LAST_UPDATED"), plan)
+      // DB-side proof: Derby logged a remote query whose WHERE clause
+      // filters on the watermark column — the predicate crossed the wire
+      val log = Paths.get(derbyHome.toString, "derby.log")
+      assert(Files.exists(log), s"no derby.log under $derbyHome")
+      val logged = Files.readString(log)
+      val remoteQueries = logged.linesIterator
+        .filter(l => l.contains("SELECT") && l.toUpperCase.contains("CUSTOMER_DATA"))
+        .toSeq
+      assert(remoteQueries.exists(l => l.contains("LAST_UPDATED") && l.contains(">")),
+        s"no WHERE on LAST_UPDATED in Derby's statement log:\n${remoteQueries.mkString("\n")}")
+    }
+  }
+
+  test("read → commit → read loop is exactly-once per version over real JDBC") {
+    withDb("incr") { url =>
+      val st = new WatermarkStore(Files.createTempDirectory("jdbc-e2e-loop-"))
+      val src = new JdbcIncrementalSource(spark, cfg(url), st, "etl")
+      // first pull: epoch watermark → everything
+      val first = src.read("LAST_UPDATED")
+      assert(first.count() === 20)
+      src.commit(first, "LAST_UPDATED")
+      assert(st.get("etl", "extract") === Timestamp.valueOf("2024-01-20 12:00:00"))
+      // second pull with nothing new: empty
+      assert(src.read("LAST_UPDATED").count() === 0)
+      // a late-arriving row appears exactly once
+      val conn = DriverManager.getConnection(url)
+      try {
+        val ins = conn.prepareStatement("INSERT INTO customer_data VALUES (?, ?, ?)")
+        ins.setLong(1, 21L); ins.setString(2, "cust 21")
+        ins.setTimestamp(3, Timestamp.valueOf("2024-02-01 08:00:00"))
+        ins.executeUpdate()
+      } finally conn.close()
+      val delta = src.read("LAST_UPDATED")
+      assert(delta.select("CUSTOMER_ID").collect().map(_.getLong(0)).toSeq === Seq(21L))
+      src.commit(delta, "LAST_UPDATED")
+      assert(src.read("LAST_UPDATED").count() === 0)
+    }
+  }
+
+  test("partitioned extract issues range-bounded parallel queries and still honors the watermark") {
+    withDb("par") { url =>
+      val st = new WatermarkStore(Files.createTempDirectory("jdbc-e2e-par-"))
+      st.advance("etl", "extract", Timestamp.valueOf("2024-01-10 12:00:00"))
+      val c = cfg(url).copy(partitionColumn = Some("CUSTOMER_ID"),
+        numPartitions = 4, lowerBound = 1L, upperBound = 21L)
+      val src = new JdbcIncrementalSource(spark, c, st, "etl")
+      val df = src.read("LAST_UPDATED")
+      assert(df.rdd.getNumPartitions === 4) // four concurrent range scans
+      val got = df.select("CUSTOMER_ID").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (11L to 20L)) // ranges union exactly; watermark applies per query
+    }
+  }
+}
