@@ -30,23 +30,61 @@ object PlanProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    // per-job wall time + call site: fixed-overhead scenarios need to
+    // know WHICH of their many tiny jobs eat the time
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        val site = Option(j.properties).flatMap { p =>
+          Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))
+            .orElse(Option(p.getProperty("spark.sql.execution.id")).map("sql exec " + _))
+        }.getOrElse("?").linesIterator.next().take(120)
+        jobStart.put(j.jobId, (System.nanoTime(), site)); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          jobTimes.add(((System.nanoTime() - t0) / 1e9, site))
+        }; ()
       }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
       }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId, s.description.linesIterator.next().take(100)); ()
+        case _ => ()
+      }
     })
     // warm run absorbs JIT/codegen, timed run measures steady state
     for (i <- 1 to 2) {
-      jobs.set(0); stages.set(0); tasks.set(0)
+      jobs.set(0); stages.set(0); tasks.set(0); jobTimes.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the async listener bus drain
       println(f"[probe] run $i: $sec%.2f s  jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      if (i == 2) {
+        import scala.jdk.CollectionConverters._
+        val byTime = jobTimes.asScala.toSeq.sortBy(-_._1)
+        val jobSum = byTime.map(_._1).sum
+        println(f"[probe] job wall-time sum: $jobSum%.2f s (gaps = ${sec - jobSum}%.2f s driver-side)")
+        byTime.take(12).foreach { case (t, site) =>
+          println(f"[probe]   $t%6.3f s  $site")
+        }
+        val bySite = byTime.groupBy(_._2).view
+          .mapValues(v => (v.size, v.map(_._1).sum)).toSeq.sortBy(-_._2._2)
+        println(s"[probe] by call site:")
+        bySite.take(10).foreach { case (site, (n, t)) =>
+          val desc = site.stripPrefix("sql exec ").toLongOption
+            .flatMap(id => Option(execDesc.get(id))).map(d => s"  [$d]").getOrElse("")
+          println(f"[probe]   $t%6.2f s  n=$n%-3d $site$desc")
+        }
+      }
     }
     val df = fn(spark, sfDir)
     df.collect() // finalize AQE before reading the executed plan

@@ -307,23 +307,32 @@ object IncrementalView {
       else {
         // delete-touched, still-live groups: MIN/MAX can only be
         // recomputed — but ONLY for those groups, from a source read
-        // bounded to them
-        val needRec = inc.where(col("_hasdel") === 1 && col(N) > 0)
+        // bounded to them. `inc` is referenced three times below
+        // (recompute key set, its driver-side In-pushdown sample, and
+        // the anti-join) — materialize the changelog-sized frame once
+        // instead of re-running the view⋈delta join per reference.
+        val incC = inc.localCheckpoint()
+        val needRec = incC.where(col("_hasdel") === 1 && col(N) > 0)
           .select(keys.map(col): _*)
         val srcCur = boundedSourceRead(src, cur, needRec, keys)
         val rec = srcCur.as("s").join(needRec.as("k"),
             keys.map(k => srcCur(k) <=> needRec(k)).reduce(_ && _), "left_semi")
           .groupBy(keys.map(col): _*)
           .agg(fullAggCols(aggs).head, fullAggCols(aggs).tail: _*)
-        val incKept = inc.as("i").join(rec.as("r"),
-            keys.map(k => inc(k) <=> rec(k)).reduce(_ && _), "left_anti")
+        val incKept = incC.as("i").join(rec.as("r"),
+            keys.map(k => incC(k) <=> rec(k)).reduce(_ && _), "left_anti")
           .drop("_hasdel", "_isnew")
         incKept.unionByName(rec)
       }
 
     // one commit: update changed groups, insert new ones, DELETE
-    // vanished ones; CAS on the view base + source-version meta
-    LakeDml.merge(viewT, newRows, keys,
+    // vanished ones; CAS on the view base + source-version meta.
+    // Materialize first: the merge evaluates its source three times
+    // (key-uniqueness/range aggregate, strategy probe, final write),
+    // and newRows' lineage — view⋈delta join plus the MIN/MAX
+    // recompute's bounded source read — is the expensive part of the
+    // refresh. The frame itself is changelog-sized.
+    LakeDml.merge(viewT, newRows.localCheckpoint(), keys,
       deleteMatched = Some(col(s"_src_$N") === 0),
       meta = extraMeta ++
         Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
