@@ -906,8 +906,13 @@ object IcebergExport {
   /** Publish a graft lake table's CURRENT state (deletes applied, all
     * hidden-partition columns stripped — `LakeTable.read` semantics) as
     * a fresh Iceberg v2 table at `location` — the exit ramp: a graft
-    * warehouse becomes interchange-format data any Iceberg engine can
-    * open, via one append snapshot. Incremental publishing (snapshot
+    * warehouse becomes interchange-format data written to the public
+    * Iceberg v2 spec (metadata.json, Avro manifests with the required
+    * key-value file metadata, name mapping), via one append snapshot.
+    * Spec conformance is asserted structurally in `IcebergInteropSpec`;
+    * no real Iceberg runtime exists offline to cross-verify against,
+    * so treat third-party opens as spec-derived, not runtime-proven.
+    * Incremental publishing (snapshot
     * per graft commit) would ride `readChanges` the same way; this
     * ships the whole-table form the reference's overwrite-per-run
     * pipeline (`dags/etl.py:51-54`) actually uses.

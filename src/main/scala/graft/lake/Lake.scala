@@ -2356,9 +2356,48 @@ private object Manifest {
       s""""meta":$metaJson,"schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
+  /** Parsed-manifest cache. Manifests are write-once (published via
+    * the arbiter's create-if-absent), so a live path's content never
+    * changes; the (mtime, length) check guards the one path-reuse case
+    * (a dropped-and-recreated branch lineage can mint a new manifest
+    * at an old path). Each `read` then costs one STAT round trip
+    * instead of GET + JSON parse — on an object store the difference
+    * between a HEAD and re-downloading stats-heavy manifests on every
+    * table operation.
+    */
+  private val MaxCached = 256
+  private val cache =
+    new java.util.LinkedHashMap[String, (Long, Long, Snapshot)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Snapshot)]): Boolean =
+        size() > MaxCached
+    }
+
   def read(io: LakeIo, p: HPath): Option[Snapshot] = {
-    if (!io.exists(p)) return None
-    val txt = io.readString(p)
+    val st =
+      try Some(io.fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.flatMap { s =>
+      val key = io.qualify(p).toString
+      val hit = cache.synchronized {
+        Option(cache.get(key)).collect {
+          case (m, l, snap) if m == s.getModificationTime && l == s.getLen => snap
+        }
+      }
+      hit.orElse {
+        // stat→read race (concurrent expire): absent file = no snapshot
+        val parsed =
+          try Some(parse(io.readString(p)))
+          catch { case _: java.io.FileNotFoundException => None }
+        parsed.foreach { sn =>
+          cache.synchronized { cache.put(key, (s.getModificationTime, s.getLen, sn)); () }
+        }
+        parsed
+      }
+    }
+  }
+
+  private def parse(txt: String): Snapshot = {
     // jackson-databind ships with Spark and is the one JSON parser we
     // can rely on offline; the manifest shape is flat.
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2376,7 +2415,7 @@ private object Manifest {
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
         b.result()
       }
-    Some(Snapshot(
+    Snapshot(
       version = n.get("version").asLong(),
       op = n.get("op").asText(),
       dirs = strs("dirs"),
@@ -2393,7 +2432,7 @@ private object Manifest {
         else {
           val a = n.get("dirSeqs")
           (0 until a.size()).map(a.get(_).asLong())
-        }))
+        })
   }
 }
 

@@ -173,6 +173,24 @@ class LakeRefsSpec extends AnyFunSuite {
     assert(t.read(None).select("s").as[String].collect().sorted === Array("A", "B"))
   }
 
+  test("a dropped-and-recreated branch never serves stale cached lineage") {
+    // the one path-reuse case in the write-once manifest scheme: drop
+    // a branch, recreate it, and commit again — the new manifest lands
+    // at a PATH an older (deleted) manifest once occupied, and the
+    // parsed-manifest cache must not serve the dead version
+    val t = fresh()
+    t.createBranch("b")
+    t.writeBranch("b", Seq((3L, "old")).toDF("id", "s"), WriteMode.Append)
+    assert(t.readBranch("b").count() === 3)
+    t.dropBranch("b")
+    Thread.sleep(5) // distinct mtime for the re-minted path
+    t.createBranch("b")
+    t.writeBranch("b", Seq((4L, "new1")).toDF("id", "s"), WriteMode.Append)
+    t.writeBranch("b", Seq((5L, "new2")).toDF("id", "s"), WriteMode.Append)
+    val got = t.readBranch("b").select("s").as[String].collect().sorted
+    assert(got === Array("a", "b", "new1", "new2"), got.mkString(","))
+  }
+
   test("staged appends respect hidden partition specs at publish") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("refs-spec-").toString)
     val df = spark.range(0, 10).select($"id",
