@@ -28,6 +28,7 @@ object SparkEntry {
     "q_gold_group_count" -> (RelationalQueries.goldGroupCount _),
     "q_silver_dedup"     -> (RelationalQueries.silverDedup _),
     "q_incremental_scan" -> (RelationalQueries.incrementalScan _),
+    "q_jdbc_extract"     -> (RelationalQueries.jdbcExtract _),
     "q_topk_latest"      -> (RelationalQueries.topkLatest _),
     "q1_pricing_summary" -> (RelationalQueries.pricingSummary _),
     "q3_revenue_topk"    -> (RelationalQueries.revenueTopk _),
@@ -151,6 +152,14 @@ object SparkEntry {
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT event_id, ts, user_id, event_type FROM ev
         |ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+
+    // the engine loads nation into embedded Derby and extracts rows
+    // past the 2024-01-10 watermark over JDBC; last_updated is
+    // 2024-01-01 + n_nationkey days, so the cut is n_nationkey > 9
+    "q_jdbc_extract" ->
+      """SELECT n_nationkey, n_name,
+        |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 1 DAY AS last_updated
+        |FROM nation WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

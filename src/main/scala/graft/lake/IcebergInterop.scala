@@ -546,13 +546,26 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       (posDeletes.filter(_.sequence >= f.sequence).map(_.path).sorted,
         eqDeletes.filter(_.sequence > f.sequence).map(d => (d.path, d.equalityIds)).sortBy(_._1))
     }
+    // read with the TABLE's declared schema when every field maps to a
+    // Spark type: no footer sampling at all (one less job per group),
+    // and under add-column evolution each file null-fills its missing
+    // columns by name instead of silently dropping on-disk values the
+    // sampled footer didn't mention. Untypeable fields (nested types
+    // resolved by name) fall back to a full footer merge — correct,
+    // just footer-cost-per-file.
+    val declared: Option[StructType] = {
+      val fields = schemaFields.map { case (_, name, tpe) =>
+        IcebergFormat.sparkType(tpe).map(t => StructField(name, t))
+      }
+      if (fields.forall(_.isDefined)) Some(StructType(fields.flatten)) else None
+    }
     val parts = groups.toSeq.map { case ((posPaths, eqSet), fs) =>
       val needPos = posPaths.nonEmpty
-      // mergeSchema: under add-column evolution a group may mix files
-      // with and without the new column; sampling one footer would
-      // silently drop values that exist on disk
-      var df = spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => resolve(f.path).toString): _*)
+      val reader = declared match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read.option("mergeSchema", "true")
+      }
+      var df = reader.parquet(fs.map(f => resolve(f.path).toString): _*)
       if (needPos) {
         df = df
           .withColumn("__if_path", canonPath(col("_metadata.file_path")))

@@ -58,6 +58,45 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
+  /** Reference S1+E1 end-to-end over a REAL database (dags/etl.py:38-42):
+    * the nation table is loaded into embedded Derby (the one SQL engine
+    * on the Spark classpath) through Spark's JDBC writer with a
+    * deterministic `last_updated` watermark column, then extracted back
+    * through [[graft.sources.JdbcIncrementalSource]] with the watermark
+    * predicate pushed into the database — so the JDBC scan row in the
+    * coverage matrix carries a DuckDB-verifiable oracle, not just specs.
+    * At production scale the same source shards the extract with
+    * `partitionColumn` range queries; nation is dimension-sized, the
+    * single-query path is the right plan.
+    */
+  def jdbcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{JdbcConfig, JdbcIncrementalSource}
+    import graft.state.WatermarkStore
+    // unique in-memory db per invocation: bench runs queries repeatedly
+    val db = "graftq" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    // synthetic but deterministic watermark column: epoch-fixed base +
+    // n_nationkey days, so the incremental cut is closed-form SQL
+    val src = Tables(spark, dir).nation
+      .select($"n_nationkey", $"n_name", $"n_regionkey",
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .+(expr("make_interval(0, 0, 0, n_nationkey, 0, 0, 0)")).as("last_updated"))
+    src.coalesce(1).write.format("jdbc")
+      .option("url", url).option("dbtable", "APP.nation_src")
+      .option("driver", driver).mode("overwrite").save()
+    val st = new WatermarkStore(
+      java.nio.file.Files.createTempDirectory("graft-jdbc-wm-"))
+    st.advance("etl", "extract", SqlCompat.utcTimestamp("2024-01-10 00:00:00"))
+    val cfg = JdbcConfig(url, "APP.nation_src", "app", "", driver = driver)
+    new JdbcIncrementalSource(spark, cfg, st, "etl")
+      .read("LAST_UPDATED")
+      .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+        col("LAST_UPDATED").as("last_updated"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Reference O1 (constant.py:74-78): latest-N by timestamp —
     * `TakeOrderedAndProject`, no full sort, no full shuffle.
     */
