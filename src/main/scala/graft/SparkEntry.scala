@@ -96,6 +96,7 @@ object SparkEntry {
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
     "e_cosine_pq_topk"   -> (SimQueries.cosinePqTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
+    "m_image_decode"     -> (SimQueries.imageDecode _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_window_sliding"   -> (StreamQueries.sliding _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
@@ -947,6 +948,28 @@ object SparkEntry {
         |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) // 7) % 64 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the engine encodes a (id+y)%256 vertical-gradient PNG per doc in
+    // the executors and decodes the actual pixels back through the
+    // JDK codec; PNG is lossless so the oracle states the features in
+    // closed form — mean luma over rows equals mean over pixels
+    // because each row is constant
+    // row y's gray value is (doc_id + y) % 256; with height <= 16 the
+    // mod wraps at most once, so the row-sum is closed-form:
+    // h*d + h(h-1)/2 - 256*max(0, d+h-256) with d = doc_id % 256.
+    // Mean over pixels equals mean over rows (each row is constant),
+    // and both engines divide the same exact integers.
+    "m_image_decode" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id // 3) % 9 AS INT) AS height,
+        |    CAST(doc_id % 256 AS BIGINT) AS d
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(height * d + height * (height - 1) // 2
+        |       - 256 * GREATEST(0, d + height - 256) AS DOUBLE) / height AS mean_luma
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "s_window_tumbling" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * star): media as opaque `binary` columns with typed metadata, and a
   * decode/feature-extract stage shaped for distributed batch execution.
   *
-  * The actual codec libraries (image/audio/video) are NOT in this
-  * container, so [[FakeCodec.decode]] is an explicitly marked STUB with
-  * a deterministic fake; everything Spark-side — schema, typed Dataset
-  * encoders, per-partition batch iteration, partition sizing — is real
-  * and tested. Swapping the stub for JavaCV/javax.imageio is a
-  * one-function change.
+  * IMAGE decode/resize/feature-extract is REAL: the JDK ships PNG/BMP/
+  * JPEG codecs (`javax.imageio`, headless-safe), so [[ImageCodec]]
+  * decodes actual pixels with no external library. Audio/video codecs
+  * are NOT in this container; [[FakeCodec.decode]] remains the
+  * explicitly marked deterministic STUB for those media types, and the
+  * dispatch in [[extractFeatures]] shows exactly where a JavaCV-style
+  * decoder would slot in.
   *
   * Scale notes: decode runs in `mapPartitions` so per-record codec
   * setup amortizes across a partition (the Scala analog of Python's
@@ -23,6 +24,86 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Real image codec over the JDK's built-in `javax.imageio`
+    * (PNG/BMP/JPEG readers/writers ship with every JVM; all paths here
+    * are headless-safe). PNG is lossless, so decoded features are
+    * bit-deterministic — the oracle for `m_image_decode` states them
+    * in closed form.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def encodePng(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgbAt(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (width, height, meanLuma, aHash64); None if the bytes
+      * are not a decodable image. meanLuma averages per-pixel integer
+      * (r+g+b)/3 — exact integer sum, one double division, so
+      * cross-engine reproducible. aHash64 is the standard 8×8
+      * average-hash over a nearest-neighbor downsample (bit i set when
+      * that cell's luma exceeds the 64-cell mean) — integer arithmetic
+      * only, deterministic across JVMs.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Double, Long)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / (w.toLong * h)
+        // 8×8 average hash: nearest-neighbor grid sample, integer mean
+        val cells = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val rgb = im.getRGB(((i % 8) * w) / 8, ((i / 8) * h) / 8)
+          cells(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          i += 1
+        }
+        val cellMean = cells.map(_.toLong).sum / 64
+        var hash = 0L
+        i = 0
+        while (i < 64) { if (cells(i) > cellMean) hash |= (1L << i); i += 1 }
+        (w, h, mean, hash)
+      }
+    }
+
+    /** Exact nearest-neighbor resize (decode → sample → re-encode PNG).
+      * Nearest-neighbor by integer index math — unlike Graphics2D
+      * filters, every output pixel equals a specific input pixel, so
+      * resizes are verifiable pixel-for-pixel.
+      */
+    def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        encodePng(tw, th, (x, y) => im.getRGB((x * w) / tw, (y * h) / th))
+      }
+    }
+  }
+
   /** A media row: opaque bytes + source metadata. */
   final case class MediaRecord(doc_id: Long, media_type: String, media: Array[Byte])
 
@@ -31,13 +112,14 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, brightness: Double, phash: Long)
 
-  /** STUB codec — stands in for the real image/audio decoder (`???` in
-    * spirit: the container has no codec libs). Deterministic in the
-    * input bytes so tests and oracles are stable.
+  /** STUB codec — stands in for the real AUDIO/VIDEO decoder (`???` in
+    * spirit: the container has no such codec libs; images decode for
+    * real through [[ImageCodec]]). Deterministic in the input bytes so
+    * tests and oracles are stable.
     */
   object FakeCodec {
     def decode(bytes: Array[Byte]): (Int, Int, Double, Long) = {
-      // real impl would be e.g. ImageIO.read(new ByteArrayInputStream(bytes))
+      // real impl would be e.g. a JavaCV FFmpegFrameGrabber
       val n = bytes.length
       var h = 1125899906842597L // deterministic FNV-ish roll
       var i = 0
@@ -57,7 +139,13 @@ object Multimodal {
     docs.select(col("doc_id"), lit("image/fake").as("media_type"),
       encode(col("text"), "UTF-8").as("media"))
 
-  /** Decode + feature-extract, batched per partition. */
+  /** media types [[ImageCodec]] decodes for real (JDK built-ins). */
+  private val RealImageTypes = Set("image/png", "image/bmp", "image/jpeg")
+
+  /** Decode + feature-extract, batched per partition. Real ImageIO
+    * decode for JDK-supported image types; the deterministic stub for
+    * everything else (audio/video — no codec libs in this container).
+    */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -65,7 +153,12 @@ object Multimodal {
     sized.as[MediaRecord].mapPartitions { batch =>
       // per-partition codec init would go here (amortized, like mapInPandas)
       batch.map { r =>
-        val (w, h, bright, ph) = FakeCodec.decode(r.media)
+        val (w, h, bright, ph) =
+          if (RealImageTypes(r.media_type))
+            ImageCodec.decode(r.media).getOrElse(
+              throw new IllegalArgumentException(
+                s"undecodable ${r.media_type} payload for doc ${r.doc_id}"))
+          else FakeCodec.decode(r.media)
         MediaFeatures(r.doc_id, r.media_type, r.media.length, w, h, bright, ph)
       }
     }
@@ -76,18 +169,24 @@ object Multimodal {
                                 width: Int, height: Int, media: Array[Byte])
 
   /** Resize stage: decode, scale to (targetW, targetH), re-encode.
-    * STUB resampler — a real one would go through the decoded pixel
-    * buffer; the stub keeps a deterministic byte transform so the
-    * pipeline shape (binary→binary, metadata updated) is testable.
+    * Real nearest-neighbor resample through the decoded pixel buffer
+    * for JDK-supported image types; deterministic byte-transform stub
+    * for everything else (the binary→binary pipeline shape either way).
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.map { r =>
-        // real impl: decode → bilinear resample → encode
-        val scale = math.max(1, r.media.length / math.max(1, targetW * targetH))
-        val out = r.media.indices.by(scale).map(r.media).toArray
+        val out =
+          if (RealImageTypes(r.media_type))
+            ImageCodec.resizeNearest(r.media, targetW, targetH).getOrElse(
+              throw new IllegalArgumentException(
+                s"undecodable ${r.media_type} payload for doc ${r.doc_id}"))
+          else {
+            val scale = math.max(1, r.media.length / math.max(1, targetW * targetH))
+            r.media.indices.by(scale).map(r.media).toArray
+          }
         ResizedMedia(r.doc_id, r.media_type, targetW, targetH, out)
       }
     }

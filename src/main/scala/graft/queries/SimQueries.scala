@@ -198,6 +198,36 @@ object SimQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL image decode end-to-end (no stub): per document, a
+    * deterministic gradient PNG is encoded in the executors through
+    * the JDK's built-in codec ([[graft.ops.Multimodal.ImageCodec]]),
+    * lands as an opaque `binary` column, and the decode stage reads the
+    * actual pixels back — width, height, and exact mean luminance. PNG
+    * is lossless and the gradient is closed-form, so the DuckDB oracle
+    * recomputes every feature without touching an image library. The
+    * shape is the production one: binary column in, `mapPartitions`
+    * batch decode, fixed-width feature columns out.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+    val media = ids.mapPartitions { batch =>
+      batch.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + ((id / 3) % 9).toInt
+        // vertical gradient: every pixel of row y is gray (id + y) % 256
+        val png = Multimodal.ImageCodec.encodePng(w, h, (_, y) => {
+          val g = ((id + y) % 256).toInt
+          (g << 16) | (g << 8) | g
+        })
+        Multimodal.MediaRecord(id, "image/png", png)
+      }
+    }.toDF()
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select($"doc_id", $"width", $"height", $"brightness".as("mean_luma"))
+      .orderBy($"doc_id")
+  }
+
   /** Blocked fuzzy matching (entity resolution): candidate pairs come
     * from an equality join on a BLOCKING key (name minus its last two
     * characters), then the expensive edit-distance check runs only

@@ -36,4 +36,58 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.doc_id).sorted
     assert(a === b)
   }
+
+  test("real PNG roundtrip: encode → decode recovers exact dimensions and pixels") {
+    import Multimodal.ImageCodec
+    // 20×10 gradient; PNG is lossless so every pixel must round-trip
+    val rgbAt = (x: Int, y: Int) => ((x * 12) << 16) | ((y * 25) << 8) | 77
+    val png = ImageCodec.encodePng(20, 10, rgbAt)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 20 && img.getHeight === 10)
+    for (y <- 0 until 10; x <- 0 until 20)
+      assert((img.getRGB(x, y) & 0xffffff) === rgbAt(x, y))
+    val Some((w, h, mean, _)) = ImageCodec.decode(png)
+    assert(w === 20 && h === 10)
+    // mean of per-pixel (r+g+b)/3 over the closed-form gradient
+    val want = (for (y <- 0 until 10; x <- 0 until 20)
+      yield ((x * 12) + (y * 25) + 77) / 3).map(_.toLong).sum.toDouble / 200
+    assert(mean === want)
+  }
+
+  test("real decode dispatches by media type; phash separates distinct images") {
+    import Multimodal.{ImageCodec, MediaRecord}
+    val dark = ImageCodec.encodePng(16, 16, (x, _) => if (x < 8) 0 else 0xffffff)
+    val light = ImageCodec.encodePng(16, 16, (_, y) => if (y < 8) 0xffffff else 0)
+    val media = Seq(
+      MediaRecord(1L, "image/png", dark),
+      MediaRecord(2L, "image/png", light),
+      MediaRecord(3L, "image/png", dark)).toDF()
+    val feats = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.map(f => (f.width, f.height)).toSeq === Seq((16, 16), (16, 16), (16, 16)))
+    assert(feats(0).phash === feats(2).phash) // identical images, identical hash
+    assert(feats(0).phash !== feats(1).phash) // different layout, different hash
+    assert(feats(0).brightness === 127.5)     // half black, half (255,255,255)
+  }
+
+  test("nearest-neighbor resize is pixel-exact against the index map") {
+    import Multimodal.{ImageCodec, MediaRecord}
+    val rgbAt = (x: Int, y: Int) => ((x * 7 + y * 13) % 251) * 0x010101
+    val src = ImageCodec.encodePng(32, 16, rgbAt)
+    val out = Multimodal.resize(spark,
+        Seq(MediaRecord(9L, "image/png", src)).toDF(), 8, 8)
+      .collect().head
+    assert(out.width === 8 && out.height === 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.media))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xffffff) === rgbAt((x * 32) / 8, (y * 16) / 8))
+  }
+
+  test("undecodable bytes under a real image type fail loud, not silently fake") {
+    import Multimodal.MediaRecord
+    val junk = Seq(MediaRecord(1L, "image/png", Array[Byte](1, 2, 3))).toDF()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(spark, junk).collect())
+    assert(e.getMessage != null)
+  }
 }
