@@ -97,6 +97,7 @@ object SparkEntry {
     "e_cosine_pq_topk"   -> (SimQueries.cosinePqTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "m_image_decode"     -> (SimQueries.imageDecode _),
+    "m_audio_decode"     -> (SimQueries.audioDecode _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_window_sliding"   -> (StreamQueries.sliding _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
@@ -954,6 +955,16 @@ object SparkEntry {
     // JDK codec; PNG is lossless so the oracle states the features in
     // closed form — mean luma over rows equals mean over pixels
     // because each row is constant
+    // ±a square wave over n frames: RMS = mean|x| = a exactly (PCM16
+    // is lossless; sqrt of the exact a² quotient is exact)
+    "m_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST(100 + (doc_id * 13) % 1000 AS DOUBLE) AS rms,
+        |  CAST(100 + (doc_id * 13) % 1000 AS DOUBLE) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // row y's gray value is (doc_id + y) % 256; with height <= 16 the
     // mod wraps at most once, so the row-sum is closed-form:
     // h*d + h(h-1)/2 - 256*max(0, d+h-256) with d = doc_id % 256.

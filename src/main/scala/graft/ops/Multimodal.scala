@@ -112,10 +112,89 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, brightness: Double, phash: Long)
 
-  /** STUB codec — stands in for the real AUDIO/VIDEO decoder (`???` in
-    * spirit: the container has no such codec libs; images decode for
-    * real through [[ImageCodec]]). Deterministic in the input bytes so
-    * tests and oracles are stable.
+  /** Real audio codec over the JDK's built-in `javax.sound.sampled`
+    * (WAV/PCM read+write ships with every JVM; pure format code, no
+    * audio device). PCM is lossless, so decoded signal statistics are
+    * bit-deterministic — the `m_audio_decode` oracle states them in
+    * closed form.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Mono 16-bit little-endian PCM → WAV container bytes. */
+    def encodeWavPcm16(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (sampleRate, nFrames, rms, meanAbs); None if the bytes
+      * are not decodable 16-bit PCM audio. Sums are exact longs; rms is
+      * sqrt of one exact-rounded double division, so a constant-
+      * amplitude signal recovers its amplitude bit-exactly.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Long, Double, Double)] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val n = data.length / 2
+          var sumSq = 0L; var sumAbs = 0L
+          var i = 0
+          while (i < n) {
+            val v: Int =
+              if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+              else ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+            sumSq += v.toLong * v; sumAbs += math.abs(v).toLong
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, (n / channels).toLong,
+            math.sqrt(sumSq.toDouble / n), sumAbs.toDouble / n))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Decoded audio signal statistics. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_frames: Long, rms: Double, mean_abs: Double)
+
+  /** WAV decode + signal statistics, batched per partition — the audio
+    * face of [[extractFeatures]], real through [[AudioCodec]].
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val (rate, frames, rms, meanAbs) = AudioCodec.decode(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"undecodable ${r.media_type} payload for doc ${r.doc_id}"))
+        AudioFeatures(r.doc_id, rate, frames, rms, meanAbs)
+      }
+    }
+  }
+
+  /** STUB codec — stands in for COMPRESSED audio (mp3/aac) and video
+    * decoders (`???` in spirit: the container has no such codec libs;
+    * images and WAV/PCM audio decode for real through [[ImageCodec]] /
+    * [[AudioCodec]]). Deterministic in the input bytes so tests and
+    * oracles are stable.
     */
   object FakeCodec {
     def decode(bytes: Array[Byte]): (Int, Int, Double, Long) = {

@@ -228,6 +228,32 @@ object SimQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL audio decode end-to-end: per document, a deterministic
+    * constant-amplitude square wave is PCM16/WAV-encoded in the
+    * executors through the JDK's built-in audio format code
+    * ([[graft.ops.Multimodal.AudioCodec]]), lands as a binary column,
+    * and the decode stage reads the actual samples back. PCM is
+    * lossless and the signal is closed-form (RMS and mean |x| of a
+    * ±a square wave are exactly a), so the DuckDB oracle recomputes
+    * every statistic without an audio library.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+    val media = ids.mapPartitions { batch =>
+      batch.map { id =>
+        val n = 100 + (id % 50).toInt
+        val amp = (100 + (id * 13) % 1000).toShort
+        val samples = Array.tabulate(n)(i => if (i % 2 == 0) amp else (-amp).toShort)
+        val wav = Multimodal.AudioCodec.encodeWavPcm16(8000f, samples)
+        Multimodal.MediaRecord(id, "audio/wav", wav)
+      }
+    }.toDF()
+    Multimodal.extractAudioFeatures(spark, media).toDF()
+      .select($"doc_id", $"sample_rate", $"n_frames", $"rms", $"mean_abs")
+      .orderBy($"doc_id")
+  }
+
   /** Blocked fuzzy matching (entity resolution): candidate pairs come
     * from an equality join on a BLOCKING key (name minus its last two
     * characters), then the expensive edit-distance check runs only

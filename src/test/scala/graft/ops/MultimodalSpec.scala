@@ -83,6 +83,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert((img.getRGB(x, y) & 0xffffff) === rgbAt((x * 32) / 8, (y * 16) / 8))
   }
 
+  test("real WAV roundtrip: PCM16 encode → decode recovers frames and exact signal stats") {
+    import Multimodal.{AudioCodec, MediaRecord}
+    // ±700 square wave, 240 frames at 16 kHz
+    val samples = Array.tabulate(240)(i => if (i % 2 == 0) 700.toShort else (-700).toShort)
+    val wav = AudioCodec.encodeWavPcm16(16000f, samples)
+    val Some((rate, frames, rms, meanAbs)) = AudioCodec.decode(wav)
+    assert(rate === 16000 && frames === 240L)
+    assert(rms === 700.0 && meanAbs === 700.0)
+    // through the distributed face
+    val feats = Multimodal.extractAudioFeatures(spark,
+      Seq(MediaRecord(5L, "audio/wav", wav)).toDF()).collect().head
+    assert(feats.n_frames === 240L && feats.rms === 700.0)
+    // junk is refused, not faked
+    assert(AudioCodec.decode(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("undecodable bytes under a real image type fail loud, not silently fake") {
     import Multimodal.MediaRecord
     val junk = Seq(MediaRecord(1L, "image/png", Array[Byte](1, 2, 3))).toDF()
