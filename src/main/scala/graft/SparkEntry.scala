@@ -98,6 +98,7 @@ object SparkEntry {
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "m_image_decode"     -> (SimQueries.imageDecode _),
     "m_audio_decode"     -> (SimQueries.audioDecode _),
+    "m_video_frames"     -> (SimQueries.videoFrames _),
     "s_window_tumbling"  -> (StreamQueries.tumbling _),
     "s_window_sliding"   -> (StreamQueries.sliding _),
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
@@ -964,6 +965,20 @@ object SparkEntry {
         |  CAST(100 + (doc_id * 13) % 1000 AS DOUBLE) AS rms,
         |  CAST(100 + (doc_id * 13) % 1000 AS DOUBLE) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // an n-frame GIF (n = 3 + doc_id%4), every 2nd frame sampled;
+    // frame f is constant gray (doc_id*5 + f*40) % 256, lossless end
+    // to end — list-context range() because the table-function form
+    // can't take column parameters in DuckDB
+    "m_video_frames" ->
+      """WITH k AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS n FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(unnest(list_filter(range(0, n), i -> i % 2 = 0)) AS INT) AS frame_idx
+        |      FROM k)
+        |SELECT doc_id, frame_idx,
+        |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST((doc_id * 5 + frame_idx * 40) % 256 AS DOUBLE) AS mean_luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // row y's gray value is (doc_id + y) % 256; with height <= 16 the
     // mod wraps at most once, so the row-sum is closed-form:

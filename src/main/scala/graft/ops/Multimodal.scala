@@ -112,6 +112,76 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, brightness: Double, phash: Long)
 
+  /** Real multi-frame codec over animated GIF — the one video-shaped
+    * container the JDK reads AND writes natively (`javax.imageio`'s
+    * GIF plugin handles frame sequences). Constant-palette frames
+    * round-trip losslessly, so frame sampling is verifiable
+    * pixel-for-pixel. Compressed video (h264 etc.) stays behind the
+    * documented stub.
+    */
+  object VideoCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+
+    /** Encode `frames` full frames of (width×height); `rgbAt(f, x, y)`
+      * supplies each pixel.
+      */
+    def encodeGif(width: Int, height: Int, frames: Int,
+                  rgbAt: (Int, Int, Int) => Int): Array[Byte] = {
+      val w = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { img.setRGB(x, y, rgbAt(f, x, y)); x += 1 }
+            y += 1
+          }
+          w.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        w.endWriteSequence()
+      } finally { ios.close(); w.dispose() }
+      bos.toByteArray
+    }
+
+    /** Every `everyNth` frame re-encoded as standalone PNG (so the
+      * image pipeline applies downstream), with its frame index; None
+      * if the bytes are not GIF. Frames are read raw (our writer emits
+      * full frames; partial-frame disposal compositing of arbitrary
+      * real-world GIFs is out of scope and documented).
+      */
+    def sampleFramesPng(bytes: Array[Byte], everyNth: Int): Option[Seq[(Int, Array[Byte])]] =
+      try {
+        val r = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n by everyNth).map { f =>
+            val raw = r.read(f)
+            // palette-typed frame → canonical RGB before PNG encode
+            val rgb = new BufferedImage(raw.getWidth, raw.getHeight,
+              BufferedImage.TYPE_INT_RGB)
+            val g = rgb.createGraphics()
+            g.drawImage(raw, 0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(rgb, "png", bos)
+            (f, bos.toByteArray)
+          })
+        } finally { iis.close(); r.dispose() }
+      } catch { case _: java.io.IOException => None
+                case _: IndexOutOfBoundsException => None }
+  }
+
   /** Real audio codec over the JDK's built-in `javax.sound.sampled`
     * (WAV/PCM read+write ships with every JVM; pure format code, no
     * audio device). PCM is lossless, so decoded signal statistics are
@@ -274,21 +344,29 @@ object Multimodal {
   /** A sampled frame of a (fake) video payload. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Frame sampling: one row per sampled frame (row fan-out, like a
-    * video → every-Nth-frame stage). STUB frame splitter: fixed-size
-    * byte windows stand in for decoded frames; the Spark shape
-    * (flatMap fan-out, frame index, per-partition batching) is real.
+  /** Frame sampling: one row per sampled frame (row fan-out, the
+    * video → every-Nth-frame stage). REAL GIF frame decode via
+    * [[VideoCodec]] — each sampled frame comes out as standalone PNG
+    * bytes, ready for the image pipeline; the byte-window STUB remains
+    * for compressed-video media types (no codec libs offline).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    frameBytes: Int = 64, everyNth: Int = 4): Dataset[MediaFrame] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.flatMap { r =>
-        val nFrames = math.max(1, r.media.length / frameBytes)
-        (0 until nFrames by everyNth).iterator.map { f =>
-          val from = f * frameBytes
-          val until = math.min(from + frameBytes, r.media.length)
-          MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.media, from, until))
+        if (r.media_type == "image/gif" || r.media_type == "video/gif")
+          VideoCodec.sampleFramesPng(r.media, everyNth).getOrElse(
+            throw new IllegalArgumentException(
+              s"undecodable ${r.media_type} payload for doc ${r.doc_id}"))
+            .iterator.map { case (f, png) => MediaFrame(r.doc_id, f, png) }
+        else {
+          val nFrames = math.max(1, r.media.length / frameBytes)
+          (0 until nFrames by everyNth).iterator.map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, r.media.length)
+            MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.media, from, until))
+          }
         }
       }
     }

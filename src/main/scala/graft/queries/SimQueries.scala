@@ -254,6 +254,39 @@ object SimQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL multi-frame (video-shaped) decode: per document, an animated
+    * GIF of constant-gray frames — gray of frame f is
+    * (doc_id*5 + f*40) % 256 — is encoded in the executors, every 2nd
+    * frame is sampled out as standalone PNG
+    * ([[graft.ops.Multimodal.VideoCodec]]), and each sampled frame
+    * re-decodes through the image pipeline. Both containers are
+    * lossless for constant frames, so the oracle states frame indexes
+    * and per-frame luminance in closed form.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+    val media = ids.mapPartitions { batch =>
+      batch.map { id =>
+        val n = 3 + (id % 4).toInt
+        val gif = Multimodal.VideoCodec.encodeGif(10, 8, n, (f, _, _) => {
+          val g = ((id * 5 + f * 40) % 256).toInt
+          (g << 16) | (g << 8) | g
+        })
+        Multimodal.MediaRecord(id, "video/gif", gif)
+      }
+    }.toDF()
+    val frames = Multimodal.sampleFrames(spark, media, everyNth = 2)
+    frames.mapPartitions { batch =>
+      batch.map { fr =>
+        val (w, h, mean, _) = Multimodal.ImageCodec.decode(fr.frame).getOrElse(
+          throw new IllegalArgumentException(s"bad sampled frame ${fr.frame_idx}"))
+        (fr.doc_id, fr.frame_idx, w, h, mean)
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height", "mean_luma")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Blocked fuzzy matching (entity resolution): candidate pairs come
     * from an equality join on a BLOCKING key (name minus its last two
     * characters), then the expensive edit-distance check runs only

@@ -99,6 +99,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioCodec.decode(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("real GIF frame sampling: every Nth frame round-trips pixel-exact as PNG") {
+    import Multimodal.{ImageCodec, MediaRecord, VideoCodec}
+    // 7 frames, frame f constant gray 30*f + 5
+    val gif = VideoCodec.encodeGif(12, 6, 7, (f, _, _) => {
+      val g = 30 * f + 5; (g << 16) | (g << 8) | g
+    })
+    val frames = Multimodal.sampleFrames(spark,
+        Seq(MediaRecord(3L, "video/gif", gif)).toDF(), everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
+    frames.foreach { fr =>
+      val Some((w, h, mean, _)) = ImageCodec.decode(fr.frame)
+      assert(w === 12 && h === 6)
+      assert(mean === (30 * fr.frame_idx + 5).toDouble) // constant frame: exact
+    }
+  }
+
   test("undecodable bytes under a real image type fail loud, not silently fake") {
     import Multimodal.MediaRecord
     val junk = Seq(MediaRecord(1L, "image/png", Array[Byte](1, 2, 3))).toDF()
