@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // memory-cached ImageIO streams: the default disk cache creates and
+  // deletes a temp FILE per encode/decode — pure filesystem overhead
+  // when every payload is an in-memory byte array
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image codec over the JDK's built-in `javax.imageio`
     * (PNG/BMP/JPEG readers/writers ship with every JVM; all paths here
     * are headless-safe). PNG is lossless, so decoded features are

@@ -211,6 +211,7 @@ object SimQueries {
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = ids.mapPartitions { batch =>
       batch.map { id =>
         val w = 8 + (id % 9).toInt
@@ -240,6 +241,7 @@ object SimQueries {
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = ids.mapPartitions { batch =>
       batch.map { id =>
         val n = 100 + (id % 50).toInt
@@ -265,7 +267,10 @@ object SimQueries {
     */
   def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // codec work is CPU-bound per record: spread it over every core
+    // (the documents file alone splits into too few input partitions)
     val ids = Tables(spark, dir).documents.select($"doc_id").as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = ids.mapPartitions { batch =>
       batch.map { id =>
         val n = 3 + (id % 4).toInt
