@@ -665,23 +665,62 @@ final class IcebergExport(spark: SparkSession, location: String) {
   private def metadataDir = new HPath(root, "metadata")
   private def dataDir = new HPath(root, "data")
 
+  /** One partition-spec field: spec field name, transform
+    * (`identity` | `day`), source column name.
+    */
+  private[lake] final case class SpecField(name: String, transform: String, srcCol: String)
+
   private final case class State(version: Int, lastSeq: Long,
       snapshots: Seq[com.fasterxml.jackson.databind.JsonNode],
       schemaJson: Option[com.fasterxml.jackson.databind.JsonNode],
-      tableUuid: String)
+      tableUuid: String, spec: Seq[SpecField])
 
   private def state: State = {
     val hint = new HPath(metadataDir, "version-hint.text")
-    if (!io.exists(hint)) State(0, 0L, Nil, None, java.util.UUID.randomUUID().toString)
+    if (!io.exists(hint)) State(0, 0L, Nil, None,
+      java.util.UUID.randomUUID().toString, Nil)
     else {
       val v = io.readString(hint).trim.toInt
       val node = om.readTree(io.readString(new HPath(metadataDir, s"v$v.metadata.json")))
       val snaps = Option(node.get("snapshots"))
         .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+      val schemaNode = Option(node.get("schemas")).map(_.get(0))
+      // partition spec 0 fields, source columns resolved by field id
+      val spec: Seq[SpecField] = (for {
+        specs <- Option(node.get("partition-specs")).toSeq
+        s <- (0 until specs.size()).map(specs.get)
+        if s.get("spec-id").asInt == 0
+        fields = s.get("fields")
+        f <- (0 until fields.size()).map(fields.get)
+      } yield {
+        val srcId = f.get("source-id").asInt
+        val srcCol = schemaNode.map { sn =>
+          val sf = sn.get("fields")
+          (0 until sf.size()).map(sf.get)
+            .find(_.get("id").asInt == srcId)
+            .map(_.get("name").asText)
+            .getOrElse(throw new IllegalStateException(s"no schema field id $srcId"))
+        }.getOrElse(throw new IllegalStateException("partition spec without schema"))
+        SpecField(f.get("name").asText, f.get("transform").asText, srcCol)
+      })
       State(v, node.get("last-sequence-number").asLong, snaps,
-        Option(node.get("schemas")).map(_.get(0)), node.get("table-uuid").asText)
+        schemaNode, node.get("table-uuid").asText, spec)
     }
   }
+
+  /** Parse the user-facing `partitionBy` forms: `"col"` (identity) or
+    * `"days(col)"` — the two transforms the exporter derives without a
+    * custom expression. (`bucket[N]` export would additionally need
+    * the murmur3 bucket as a Catalyst expression; the READER prunes
+    * bucket tables other engines write.)
+    */
+  private def parseSpec(partitionBy: Seq[String]): Seq[SpecField] =
+    partitionBy.map {
+      case s if s.startsWith("days(") && s.endsWith(")") =>
+        val c = s.stripPrefix("days(").stripSuffix(")").trim
+        SpecField(s"${c}_day", "day", c)
+      case c => SpecField(c.trim, "identity", c.trim)
+    }
 
   /** Sequential Iceberg field ids for a Spark schema (1-based, spec
     * convention for fresh tables).
@@ -706,18 +745,73 @@ final class IcebergExport(spark: SparkSession, location: String) {
     }.mkString("[", ",", "]")
 
   /** Write `df` as parquet data files; returns (absolute path, rows,
-    * bytes) per file. Row counts ride the same footer pool as lake
-    * commits.
+    * bytes, partition values by spec-field name) per file. Row counts
+    * ride the same footer pool as lake commits.
+    *
+    * Partitioned writes derive one `_ice_<name>` column per spec field
+    * (identity COPIES the source column so the data file keeps it —
+    * this reader does not reconstruct identity values from partition
+    * metadata) and hand it to Spark's `partitionBy`; per-file values
+    * are then parsed back from the hive-style path segments, converted
+    * to the spec's representation (day → epoch days int, date identity
+    * → epoch days int, numerics → int/long).
     */
-  private def writeDataFiles(df: DataFrame): Seq[(String, Long, Long)] = {
+  private def writeDataFiles(df: DataFrame,
+      spec: Seq[SpecField]): Seq[(String, Long, Long, Seq[(String, Any)])] = {
     val dir = new HPath(dataDir, java.util.UUID.randomUUID().toString)
-    df.write.mode("overwrite").parquet(dir.toString)
+    if (spec.isEmpty) {
+      df.write.mode("overwrite").parquet(dir.toString)
+    } else {
+      val withParts = spec.foldLeft(df) { (d, f) =>
+        val src = org.apache.spark.sql.functions.col(f.srcCol)
+        val derived = f.transform match {
+          case "identity" => src
+          case "day" => org.apache.spark.sql.functions.datediff(
+            src.cast(DateType),
+            org.apache.spark.sql.functions.lit("1970-01-01").cast(DateType))
+          case t => throw new IllegalArgumentException(s"unsupported export transform $t")
+        }
+        d.withColumn(s"_ice_${f.name}", derived)
+      }
+      withParts.write.mode("overwrite")
+        .partitionBy(spec.map(f => s"_ice_${f.name}"): _*).parquet(dir.toString)
+    }
     val rows = FileStats.dirFileRows(io, dir).getOrElse(
       throw new IllegalStateException(s"unreadable footers under $dir")).toMap
-    io.list(dir).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
-      val key = FileStats.relativeKey(st.getPath.toString, dir.getName)
-      (io.qualify(st.getPath).toString, rows(key), st.getLen)
+    val srcType: Map[String, DataType] =
+      spec.map(f => f.name -> df.schema(f.srcCol).dataType).toMap
+    def parseValue(f: SpecField, raw: String): Any = {
+      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      if (s == "__HIVE_DEFAULT_PARTITION__") null
+      else f.transform match {
+        case "day" => Integer.valueOf(s.toInt)
+        case "identity" => srcType(f.name) match {
+          case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
+          case LongType   => java.lang.Long.valueOf(s.toLong)
+          case DateType   => Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+          case StringType => s
+          case other => throw new IllegalArgumentException(
+            s"unsupported identity partition type $other")
+        }
+      }
     }
+    val b = Seq.newBuilder[(String, Long, Long, Seq[(String, Any)])]
+    val it = io.fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val key = FileStats.relativeKey(st.getPath.toString, dir.getName)
+        val segs = key.split('/').dropRight(1)
+          .map { seg =>
+            val i = seg.indexOf('=')
+            seg.substring("_ice_".length, i) -> seg.substring(i + 1)
+          }.toMap
+        val partVals = spec.map(f => f.name -> parseValue(f, segs.getOrElse(f.name,
+          throw new IllegalStateException(s"no partition segment for ${f.name} in $key"))))
+        b += ((io.qualify(st.getPath).toString, rows(key), st.getLen, partVals))
+      }
+    }
+    b.result()
   }
 
   /** `meta` becomes Avro key-value file metadata — the Iceberg spec
@@ -740,20 +834,63 @@ final class IcebergExport(spark: SparkSession, location: String) {
     io.fs.getFileStatus(path).getLen
   }
 
-  private def manifestEntry(status: Int, seq: Long, snapshotId: Long,
+  /** Avro type of one partition field (nullable union member). */
+  private def partAvroType(f: SpecField, srcTypes: Map[String, DataType]): String =
+    f.transform match {
+      case "day" => "int"
+      case "identity" => srcTypes(f.name) match {
+        case IntegerType | ShortType | ByteType | DateType => "int"
+        case LongType   => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"unsupported identity partition type $other")
+      }
+    }
+
+  /** Manifest entry schema whose partition record carries the spec's
+    * fields (spec field-ids start at 1000 per convention). The static
+    * [[IcebergFormat.ManifestEntrySchema]] is the empty-spec case.
+    */
+  private def entrySchemaFor(spec: Seq[SpecField],
+      srcTypes: Map[String, DataType]): Schema =
+    if (spec.isEmpty) ManifestEntrySchema
+    else {
+      val partFields = spec.zipWithIndex.map { case (f, i) =>
+        s"""{"name":${jstr(f.name)},"type":["null","${partAvroType(f, srcTypes)}"],"default":null,"field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+           |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+           |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+           |  {"name":"content","type":"int","field-id":134},
+           |  {"name":"file_path","type":"string","field-id":100},
+           |  {"name":"file_format","type":"string","field-id":101},
+           |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+           |  {"name":"record_count","type":"long","field-id":103},
+           |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+           |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+           |]},"field-id":2}
+           |]}""".stripMargin)
+    }
+
+  private def manifestEntry(schema: Schema, status: Int, seq: Long, snapshotId: Long,
       content: Int, path: String, rows: Long, bytes: Long,
-      eqIds: Seq[Int]): GenericRecord = {
-    val e = new GenericData.Record(ManifestEntrySchema)
+      eqIds: Seq[Int], partVals: Seq[(String, Any)]): GenericRecord = {
+    val e = new GenericData.Record(schema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", seq)
     e.put("file_sequence_number", seq)
-    val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+    val d = new GenericData.Record(schema.getField("data_file").schema())
     d.put("content", content)
     d.put("file_path", path)
     d.put("file_format", "PARQUET")
-    d.put("partition", new GenericData.Record(
-      d.getSchema.getField("partition").schema()))
+    val p = new GenericData.Record(d.getSchema.getField("partition").schema())
+    partVals.foreach { case (name, v) => p.put(name, v) }
+    d.put("partition", p)
     d.put("record_count", rows)
     d.put("file_size_in_bytes", bytes)
     if (eqIds.nonEmpty) d.put("equality_ids",
@@ -770,11 +907,12 @@ final class IcebergExport(spark: SparkSession, location: String) {
   }
 
   private def manifestListEntry(path: String, length: Long, content: Int,
-      seq: Long, snapshotId: Long, files: Int, rows: Long): GenericRecord = {
+      seq: Long, snapshotId: Long, files: Int, rows: Long,
+      specId: Int = 0): GenericRecord = {
     val r = new GenericData.Record(ManifestListSchema)
     r.put("manifest_path", path)
     r.put("manifest_length", length)
-    r.put("partition_spec_id", 0)
+    r.put("partition_spec_id", specId)
     r.put("content", content)
     r.put("sequence_number", seq)
     r.put("min_sequence_number", seq)
@@ -793,11 +931,27 @@ final class IcebergExport(spark: SparkSession, location: String) {
     * the next metadata.json. Returns the new snapshot id.
     */
   private def commit(df: DataFrame, content: Int, eqCols: Seq[String],
-                     operation: String): Long = {
+                     operation: String, partitionBy: Seq[String] = Nil): Long = {
     val st = state
     val seq = st.lastSeq + 1
     val snapshotId = seq
     val schema = df.schema
+    // the partition spec is fixed at first append (like the schema);
+    // later appends must restate it identically or omit it
+    val tableSpec: Seq[SpecField] =
+      if (st.spec.nonEmpty) {
+        val asked = parseSpec(partitionBy)
+        require(asked.isEmpty || asked == st.spec,
+          s"partition spec $asked does not match the table's ${st.spec}")
+        st.spec
+      } else parseSpec(partitionBy)
+    // this COMMIT's spec: data files use the table spec; delete files
+    // are written unpartitioned (spec 1 on a partitioned table)
+    val commitSpec = if (content == DataContent) tableSpec else Nil
+    val commitSpecId = if (tableSpec.isEmpty || content == DataContent) 0 else 1
+    if (content == DataContent)
+      tableSpec.foreach(f => require(schema.fieldNames.contains(f.srcCol),
+        s"partition source column '${f.srcCol}' missing from the appended frame"))
     val eqIds: Seq[Int] =
       if (content != EqualityDeletes) Nil
       else {
@@ -812,22 +966,38 @@ final class IcebergExport(spark: SparkSession, location: String) {
             .getOrElse(throw new IllegalArgumentException(s"no column '$c' in table schema"))
         }
       }
-    val files = writeDataFiles(df)
+    val files = writeDataFiles(df, commitSpec)
     io.mkdirs(metadataDir)
     // table schema at manifest-write time: the appended schema for data
     // commits, the existing table schema for delete commits
     val schemaJsonStr = if (content == DataContent) schemaJson(schema)
       else st.schemaJson.get.toString
+    // spec fields as metadata JSON (source ids resolve by position in
+    // the TABLE schema; spec field-ids start at 1000 per convention)
+    def specFieldsJson(spec: Seq[SpecField], forSchema: String): String =
+      spec.zipWithIndex.map { case (f, i) =>
+        val fields = om.readTree(forSchema).get("fields")
+        val srcId = (0 until fields.size()).map(fields.get)
+          .find(_.get("name").asText == f.srcCol)
+          .map(_.get("id").asInt)
+          .getOrElse(throw new IllegalStateException(s"no schema field '${f.srcCol}'"))
+        s"""{"name":${jstr(f.name)},"transform":"${f.transform}","source-id":$srcId,"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+    val commitSpecJson = specFieldsJson(commitSpec, schemaJsonStr)
     val manifestPath = io.qualify(new HPath(metadataDir,
       s"manifest-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
-    val entries = files.map { case (p, rows, bytes) =>
-      manifestEntry(Added, seq, snapshotId, content, p, rows, bytes, eqIds)
+    val srcTypes: Map[String, DataType] =
+      commitSpec.map(f => f.name -> schema(f.srcCol).dataType).toMap
+    val eSchema = entrySchemaFor(commitSpec, srcTypes)
+    val entries = files.map { case (p, rows, bytes, partVals) =>
+      manifestEntry(eSchema, Added, seq, snapshotId, content, p, rows, bytes,
+        eqIds, partVals)
     }
-    val mLen = writeAvro(manifestPath, ManifestEntrySchema, entries, Seq(
+    val mLen = writeAvro(manifestPath, eSchema, entries, Seq(
       "schema" -> schemaJsonStr,
       "schema-id" -> "0",
-      "partition-spec" -> "[]",
-      "partition-spec-id" -> "0",
+      "partition-spec" -> commitSpecJson,
+      "partition-spec-id" -> commitSpecId.toString,
       "format-version" -> "2",
       "content" -> (if (content == DataContent) "data" else "deletes")))
     // carry prior manifests forward: previous snapshot's list + this one
@@ -850,14 +1020,18 @@ final class IcebergExport(spark: SparkSession, location: String) {
         r.get("sequence_number").asInstanceOf[java.lang.Number].longValue(),
         r.get("added_snapshot_id").asInstanceOf[java.lang.Number].longValue(),
         r.get("added_files_count").asInstanceOf[java.lang.Number].intValue(),
-        r.get("added_rows_count").asInstanceOf[java.lang.Number].longValue())
+        r.get("added_rows_count").asInstanceOf[java.lang.Number].longValue(),
+        // each prior manifest keeps ITS spec — deletes on a partitioned
+        // table ride spec 1 and must not be re-stamped spec 0
+        specId = r.get("partition_spec_id").asInstanceOf[java.lang.Number].intValue())
     }
     val listPath = io.qualify(new HPath(metadataDir,
       s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
     val totalRows = files.map(_._2).sum
     writeAvro(listPath, ManifestListSchema,
       carried :+ manifestListEntry(manifestPath.toString, mLen,
-        if (content == DataContent) 0 else 1, seq, snapshotId, files.size, totalRows),
+        if (content == DataContent) 0 else 1, seq, snapshotId, files.size, totalRows,
+        specId = commitSpecId),
       Seq(
         "format-version" -> "2",
         "snapshot-id" -> snapshotId.toString,
@@ -875,13 +1049,20 @@ final class IcebergExport(spark: SparkSession, location: String) {
       else om.readTree(io.readString(new HPath(metadataDir, s"v${st.version}.metadata.json")))
         .get("properties").get("schema.name-mapping.default").asText
     val lastColumnId = om.readTree(schemaJsonStr).get("fields").size()
+    // spec 0 = the table's data spec; a partitioned table also carries
+    // the empty spec 1 its (unpartitioned) delete manifests reference
+    val tableSpecJson = specFieldsJson(tableSpec, schemaJsonStr)
+    val partitionSpecsJson =
+      if (tableSpec.isEmpty) """[{"spec-id":0,"fields":[]}]"""
+      else s"""[{"spec-id":0,"fields":$tableSpecJson},{"spec-id":1,"fields":[]}]"""
+    val lastPartitionId = 999 + tableSpec.size
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"${st.tableUuid}",
          |"location":${jstr(root.toString)},"last-sequence-number":$seq,
          |"last-updated-ms":$now,"last-column-id":$lastColumnId,
          |"current-schema-id":0,"schemas":[$schemaJsonStr],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,"default-sort-order-id":0,
+         |"default-spec-id":0,"partition-specs":$partitionSpecsJson,
+         |"last-partition-id":$lastPartitionId,"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"schema.name-mapping.default":${om.writeValueAsString(nameMapping)},
          |"write.format.default":"parquet"},
@@ -898,8 +1079,15 @@ final class IcebergExport(spark: SparkSession, location: String) {
     snapshotId
   }
 
-  /** Append snapshot. First append fixes the table schema. */
-  def append(df: DataFrame): Long = commit(df, DataContent, Nil, "append")
+  /** Append snapshot. First append fixes the table schema and (when
+    * `partitionBy` is given — `"col"` identity or `"days(col)"`) the
+    * partition spec; data files land hive-partitioned and manifest
+    * entries carry typed partition values, so any spec-conformant
+    * reader (including [[IcebergTableReader]]) prunes them from
+    * manifests alone.
+    */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    commit(df, DataContent, Nil, "append", partitionBy)
 
   /** Equality-delete commit: rows matching any key tuple in `keys`
     * (projected to `cols`) disappear from data files of all PRIOR

@@ -426,6 +426,46 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(rng.select($"id").as[Long].collect().sorted === (35L to 39L).toArray)
   }
 
+  test("partitioned export: days+identity spec round-trips with manifest pruning and deletes") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val df = Seq(
+      ("2024-01-05 10:00:00", 1L, "a", 3),
+      ("2024-01-05 11:00:00", 2L, "b", 3),
+      ("2024-03-20 09:00:00", 3L, "c", 7),
+      ("2024-03-20 10:00:00", 4L, "d", 7))
+      .toDF("s", "id", "name", "region")
+      .select(to_timestamp($"s").as("ts"), $"id", $"name", $"region")
+    exp.append(df, partitionBy = Seq("days(ts)", "region"))
+    // spec persists: a second append without restating it follows it
+    exp.append(Seq(("2024-03-20 12:00:00", 5L, "e", 7)).toDF("s", "id", "name", "region")
+      .select(to_timestamp($"s").as("ts"), $"id", $"name", $"region"))
+    val rdr = new IcebergTableReader(spark, loc)
+    val all = rdr.read()
+    assert(all.count() === 5)
+    // identity source column survives in the data files (not null-filled)
+    assert(all.where($"region" === 7).count() === 3)
+    // manifest pruning: a timestamp range opens only March files
+    val cut = graft.SqlCompat.utcTimestamp("2024-02-01 00:00:00")
+    val march = rdr.read(filters = Seq(LakePredicate.GtEq("ts", cut)))
+    assert(march.select($"id").as[Long].collect().sorted === Array(3L, 4L, 5L))
+    assert(march.inputFiles.forall(_.contains("_ice_ts_day=")), march.inputFiles.mkString(","))
+    assert(march.inputFiles.length < all.inputFiles.length)
+    // identity equality prunes to that region's files
+    val r3 = rdr.read(filters = Seq(LakePredicate.EqualTo("region", 3)))
+    assert(r3.select($"id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(r3.inputFiles.length < all.inputFiles.length)
+    // an (unpartitioned, spec-1) equality delete still applies across
+    // the partitioned data files
+    exp.equalityDelete(Seq(Tuple1(2L), Tuple1(4L)).toDF("id"), Seq("id"))
+    val after = new IcebergTableReader(spark, loc).read()
+    assert(after.select($"id").as[Long].collect().sorted === Array(1L, 3L, 5L))
+    // restating a DIFFERENT spec on append fails loud
+    val e = intercept[IllegalArgumentException](
+      exp.append(df, partitionBy = Seq("region")))
+    assert(e.getMessage.contains("partition spec"))
+  }
+
   test("incremental append scan delivers only post-snapshot files; non-append history fails loud") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
