@@ -1117,7 +1117,16 @@ object IcebergExport {
     * per graft commit) would ride `readChanges` the same way; this
     * ships the whole-table form the reference's overwrite-per-run
     * pipeline (`dags/etl.py:51-54`) actually uses.
+    *
+    * The graft table's own hidden-partition spec carries over where
+    * Iceberg export supports it (identity, `days(col)`); other
+    * transforms (months/hours/bucket/truncate) publish unpartitioned —
+    * correct, just unpruned on that dimension.
     */
-  def fromLakeTable(table: LakeTable, location: String): Long =
-    new IcebergExport(table.spark, location).append(table.read(None))
+  def fromLakeTable(table: LakeTable, location: String): Long = {
+    val spec = table.latest.map(_.partitionBy).getOrElse(Nil).filter { s =>
+      s.startsWith("days(") || s.matches("[A-Za-z_][A-Za-z0-9_]*")
+    }
+    new IcebergExport(table.spark, location).append(table.read(None), spec)
+  }
 }

@@ -492,9 +492,17 @@ class IcebergInteropSpec extends AnyFunSuite {
     LakeDml.delete(t, $"id" === 2L, strategy = DmlStrategy.MergeOnRead)
     val loc = freshLoc()
     IcebergExport.fromLakeTable(t, loc)
-    val got = new IcebergTableReader(spark, loc).read()
+    val rdr = new IcebergTableReader(spark, loc)
+    val got = rdr.read()
     assert(got.columns.toSeq === Seq("ts", "id", "name")) // no _p_ leak
     assert(got.select($"id").as[Long].collect().sorted === Array(1L, 3L))
+    // the graft table's days(ts) spec carried into the Iceberg export:
+    // a day probe prunes at the manifest level
+    val day3 = graft.SqlCompat.utcTimestamp("2024-01-03 00:00:00")
+    val pruned = rdr.read(filters = Seq(LakePredicate.GtEq("ts", day3)))
+    assert(pruned.select($"id").as[Long].collect() === Array(3L))
+    assert(pruned.inputFiles.length < got.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${got.inputFiles.length}")
   }
 
   test("exported manifests and manifest lists carry the spec's required Avro file metadata") {
