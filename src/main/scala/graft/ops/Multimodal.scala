@@ -196,21 +196,30 @@ object Multimodal {
   object AudioCodec {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-    /** Mono 16-bit little-endian PCM → WAV container bytes. */
+    /** Mono 16-bit little-endian PCM → WAV container bytes. The RIFF
+      * header is written directly (44 fixed bytes) — routing the
+      * encode through `AudioSystem.write` costs a provider-registry
+      * lookup per call, which serializes a 32-thread batch encode; the
+      * decode side stays on the real JDK codec.
+      */
     def encodeWavPcm16(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
-      val pcm = new Array[Byte](samples.length * 2)
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = sampleRate.toInt
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate * 2) // byte rate
+        .putShort(2)      // block align
+        .putShort(16)     // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
-      while (i < samples.length) {
-        pcm(2 * i) = (samples(i) & 0xff).toByte
-        pcm(2 * i + 1) = (samples(i) >> 8).toByte
-        i += 1
-      }
-      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
-      val ais = new AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
     }
 
     /** Decode → (sampleRate, nFrames, rms, meanAbs); None if the bytes
