@@ -709,18 +709,27 @@ final class IcebergExport(spark: SparkSession, location: String) {
   }
 
   /** Parse the user-facing `partitionBy` forms: `"col"` (identity) or
-    * `"days(col)"` — the two transforms the exporter derives without a
-    * custom expression. (`bucket[N]` export would additionally need
-    * the murmur3 bucket as a Catalyst expression; the READER prunes
-    * bucket tables other engines write.)
+    * `"days|months|hours|years(col)"` — the transforms the exporter
+    * derives with built-in date functions. (`bucket[N]` export would
+    * additionally need the murmur3 bucket as a Catalyst expression;
+    * the READER prunes bucket tables other engines write.)
     */
-  private def parseSpec(partitionBy: Seq[String]): Seq[SpecField] =
-    partitionBy.map {
-      case s if s.startsWith("days(") && s.endsWith(")") =>
-        val c = s.stripPrefix("days(").stripSuffix(")").trim
-        SpecField(s"${c}_day", "day", c)
-      case c => SpecField(c.trim, "identity", c.trim)
+  private def parseSpec(partitionBy: Seq[String]): Seq[SpecField] = {
+    def temporal(s: String, prefix: String, transform: String): Option[SpecField] =
+      if (s.startsWith(prefix + "(") && s.endsWith(")"))
+        Some {
+          val c = s.stripPrefix(prefix + "(").stripSuffix(")").trim
+          SpecField(s"${c}_$transform", transform, c)
+        }
+      else None
+    partitionBy.map { s =>
+      temporal(s, "days", "day")
+        .orElse(temporal(s, "months", "month"))
+        .orElse(temporal(s, "hours", "hour"))
+        .orElse(temporal(s, "years", "year"))
+        .getOrElse(SpecField(s.trim, "identity", s.trim))
     }
+  }
 
   /** Sequential Iceberg field ids for a Spark schema (1-based, spec
     * convention for fresh tables).
@@ -763,12 +772,16 @@ final class IcebergExport(spark: SparkSession, location: String) {
       df.write.mode("overwrite").parquet(dir.toString)
     } else {
       val withParts = spec.foldLeft(df) { (d, f) =>
-        val src = org.apache.spark.sql.functions.col(f.srcCol)
+        import org.apache.spark.sql.functions.{col => c, datediff, floor, lit, month, unix_timestamp, year}
+        val src = c(f.srcCol)
+        // epoch-unit transforms per the Iceberg spec (UTC session)
         val derived = f.transform match {
           case "identity" => src
-          case "day" => org.apache.spark.sql.functions.datediff(
-            src.cast(DateType),
-            org.apache.spark.sql.functions.lit("1970-01-01").cast(DateType))
+          case "day"   => datediff(src.cast(DateType), lit("1970-01-01").cast(DateType))
+          case "month" => ((year(src.cast(DateType)) - 1970) * 12 +
+            month(src.cast(DateType)) - 1)
+          case "year"  => year(src.cast(DateType)) - 1970
+          case "hour"  => floor(unix_timestamp(src) / 3600L).cast(IntegerType)
           case t => throw new IllegalArgumentException(s"unsupported export transform $t")
         }
         d.withColumn(s"_ice_${f.name}", derived)
@@ -784,7 +797,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
       val s = java.net.URLDecoder.decode(raw, "UTF-8")
       if (s == "__HIVE_DEFAULT_PARTITION__") null
       else f.transform match {
-        case "day" => Integer.valueOf(s.toInt)
+        case "day" | "month" | "hour" | "year" => Integer.valueOf(s.toInt)
         case "identity" => srcType(f.name) match {
           case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
           case LongType   => java.lang.Long.valueOf(s.toLong)
@@ -837,7 +850,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
   /** Avro type of one partition field (nullable union member). */
   private def partAvroType(f: SpecField, srcTypes: Map[String, DataType]): String =
     f.transform match {
-      case "day" => "int"
+      case "day" | "month" | "hour" | "year" => "int"
       case "identity" => srcTypes(f.name) match {
         case IntegerType | ShortType | ByteType | DateType => "int"
         case LongType   => "long"
@@ -1045,6 +1058,10 @@ final class IcebergExport(spark: SparkSession, location: String) {
          |"summary":{"operation":"$operation"},
          |"manifest-list":${jstr(listPath.toString)},"schema-id":0}""".stripMargin
     val allSnaps = st.snapshots.map(_.toString) :+ snapJson
+    // snapshot-log: (timestamp, id) per commit, spec-required history
+    val snapshotLog = (st.snapshots.map(s =>
+        s"""{"timestamp-ms":${s.get("timestamp-ms").asLong},"snapshot-id":${s.get("snapshot-id").asLong}}""") :+
+      s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""").mkString(",")
     val nameMapping = if (content == DataContent) nameMappingJson(schema)
       else om.readTree(io.readString(new HPath(metadataDir, s"v${st.version}.metadata.json")))
         .get("properties").get("schema.name-mapping.default").asText
@@ -1068,7 +1085,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
          |"write.format.default":"parquet"},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[${allSnaps.mkString(",")}],
-         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+         |"snapshot-log":[$snapshotLog],"metadata-log":[]}""".stripMargin
     val v = st.version + 1
     val out = io.fs.create(new HPath(metadataDir, s"v$v.metadata.json"), true)
     try out.write(metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

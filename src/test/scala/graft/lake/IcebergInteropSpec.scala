@@ -466,6 +466,29 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition spec"))
   }
 
+  test("month-partitioned export prunes from manifests; snapshot-log records history") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val df = Seq(("2024-01-05 10:00:00", 1L), ("2024-06-20 09:00:00", 2L))
+      .toDF("s", "id").select(to_timestamp($"s").as("ts"), $"id")
+    val s1 = exp.append(df, partitionBy = Seq("months(ts)"))
+    exp.append(Seq(("2024-06-21 09:00:00", 3L)).toDF("s", "id")
+      .select(to_timestamp($"s").as("ts"), $"id"))
+    val rdr = new IcebergTableReader(spark, loc)
+    val cut = graft.SqlCompat.utcTimestamp("2024-05-01 00:00:00")
+    val summer = rdr.read(filters = Seq(LakePredicate.GtEq("ts", cut)))
+    assert(summer.select($"id").as[Long].collect().sorted === Array(2L, 3L))
+    assert(summer.inputFiles.length < rdr.read().inputFiles.length)
+    // spec-required snapshot history is populated
+    val root = new HPath(loc)
+    val io = new LakeIo(root.getFileSystem(spark.sessionState.newHadoopConf()))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(io.readString(new HPath(root, "metadata/v2.metadata.json")))
+    val log = meta.get("snapshot-log")
+    assert(log.size() === 2)
+    assert(log.get(0).get("snapshot-id").asLong === s1)
+  }
+
   test("incremental append scan delivers only post-snapshot files; non-append history fails loud") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
