@@ -174,6 +174,32 @@ object IcebergFormat {
   def bucketIndex(n: Int, v: Any): Option[Int] =
     bucketHash(v).map(h => (h & Integer.MAX_VALUE) % n)
 
+  /** Bucket index with the SOURCE COLUMN's Iceberg type in hand: the
+    * spec hashes the column's representation, not the probe literal's
+    * runtime type — a decimal literal must rescale to the column's
+    * scale (a literal that cannot rescale exactly matches no stored
+    * value, but we conservatively keep), a timestamp probe against a
+    * `date` column hashes epoch DAYS, a date probe against a
+    * timestamp column hashes micros. None = keep the file.
+    */
+  def bucketIndexTyped(n: Int, v: Any, icebergType: Option[String]): Option[Int] = {
+    val coerced: Option[Any] = (icebergType, v) match {
+      case (Some(t), d: java.math.BigDecimal) if t.startsWith("decimal(") =>
+        val scale = t.stripPrefix("decimal(").stripSuffix(")").split(',')(1).trim.toInt
+        try Some(d.setScale(scale)) catch { case _: ArithmeticException => None }
+      case (Some(t), d: BigDecimal) if t.startsWith("decimal(") =>
+        val scale = t.stripPrefix("decimal(").stripSuffix(")").split(',')(1).trim.toInt
+        try Some(d.underlying().setScale(scale)) catch { case _: ArithmeticException => None }
+      case (Some("date"), ts: java.sql.Timestamp) =>
+        Some(java.time.Instant.ofEpochMilli(ts.getTime)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case (Some("timestamp" | "timestamptz"), d: java.sql.Date) =>
+        Some(new java.sql.Timestamp(d.toLocalDate.toEpochDay * 86400000L))
+      case _ => Some(v)
+    }
+    coerced.flatMap(cv => bucketIndex(n, cv))
+  }
+
   // ---- Avro schemas for EXPORT (field names per the Iceberg spec; a
   // generic reader — ours or Iceberg's — resolves them by name). ----
   val ManifestListSchema: Schema = new Schema.Parser().parse(
@@ -464,7 +490,8 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
     * possibly satisfy `p`? Unknown domains keep the file — pruning is
     * conservative, like the graft stats path.
     */
-  private def partitionKeeps(p: LakePredicate, transform: String, value: Any): Boolean = {
+  private def partitionKeeps(p: LakePredicate, transform: String, value: Any,
+                             srcType: Option[String]): Boolean = {
     def num(v: Any): Option[BigDecimal] = v match {
       case n: java.lang.Number => Some(BigDecimal(n.toString))
       case _                   => None
@@ -486,7 +513,7 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       else None
     def eqKeeps(v: Any): Boolean = bucketN match {
       case Some(n) =>
-        IcebergFormat.bucketIndex(n, v).forall(b => against(b, _ == 0))
+        IcebergFormat.bucketIndexTyped(n, v, srcType).forall(b => against(b, _ == 0))
       case None =>
         projectBound(transform, v).forall(b => against(b, _ == 0))
     }
@@ -527,12 +554,14 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
         snapshots.find(_.id == cur).get
     }
     val files = liveFiles(snap)
+    val colTypeOf: Map[String, String] =
+      schemaFields.map { case (_, name, tpe) => name -> tpe }.toMap
     val dataFiles = files.filter(_.content == DataContent)
       // partition pruning: drop files a predicate disproves through ANY
       // of the column's spec fields (identity or projected transform)
       .filter(f => filters.forall(p =>
         f.partition.forall { case (src, transform, v) =>
-          src != p.col || partitionKeeps(p, transform, v) }))
+          src != p.col || partitionKeeps(p, transform, v, colTypeOf.get(src)) }))
     val posDeletes = files.filter(_.content == PositionDeletes)
     val eqDeletes = files.filter(_.content == EqualityDeletes)
     val idToName = schemaFields.map { case (id, name, _) => id -> name }.toMap
@@ -793,8 +822,23 @@ final class IcebergExport(spark: SparkSession, location: String) {
       throw new IllegalStateException(s"unreadable footers under $dir")).toMap
     val srcType: Map[String, DataType] =
       spec.map(f => f.name -> df.schema(f.srcCol).dataType).toMap
+    // inverse of Spark's escapePathName: decode %XX sequences ONLY —
+    // URLDecoder would also turn a literal '+' into a space and
+    // corrupt string partition values
+    def unescapePath(raw: String): String = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '%' && i + 2 < raw.length) {
+          sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     def parseValue(f: SpecField, raw: String): Any = {
-      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      val s = unescapePath(raw)
       if (s == "__HIVE_DEFAULT_PARTITION__") null
       else f.transform match {
         case "day" | "month" | "hour" | "year" => Integer.valueOf(s.toInt)
@@ -987,15 +1031,16 @@ final class IcebergExport(spark: SparkSession, location: String) {
       else st.schemaJson.get.toString
     // spec fields as metadata JSON (source ids resolve by position in
     // the TABLE schema; spec field-ids start at 1000 per convention)
-    def specFieldsJson(spec: Seq[SpecField], forSchema: String): String =
+    def specFieldsJson(spec: Seq[SpecField], forSchema: String): String = {
+      lazy val fields = om.readTree(forSchema).get("fields")
       spec.zipWithIndex.map { case (f, i) =>
-        val fields = om.readTree(forSchema).get("fields")
         val srcId = (0 until fields.size()).map(fields.get)
           .find(_.get("name").asText == f.srcCol)
           .map(_.get("id").asInt)
           .getOrElse(throw new IllegalStateException(s"no schema field '${f.srcCol}'"))
         s"""{"name":${jstr(f.name)},"transform":"${f.transform}","source-id":$srcId,"field-id":${1000 + i}}"""
       }.mkString("[", ",", "]")
+    }
     val commitSpecJson = specFieldsJson(commitSpec, schemaJsonStr)
     val manifestPath = io.qualify(new HPath(metadataDir,
       s"manifest-$snapshotId-${java.util.UUID.randomUUID()}.avro"))
@@ -1141,9 +1186,27 @@ object IcebergExport {
     * correct, just unpruned on that dimension.
     */
   def fromLakeTable(table: LakeTable, location: String): Long = {
+    val df = table.read(None)
+    // only specs the exporter can actually derive AND whose source
+    // column type it can partition — anything else publishes
+    // unpartitioned (never fails an export that used to succeed)
+    def identitySupported(c: String): Boolean =
+      df.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case IntegerType | ShortType | ByteType | LongType | StringType | DateType => true
+        case _ => false
+      }
+    def temporalSupported(s: String, prefix: String): Boolean =
+      s.startsWith(prefix + "(") && s.endsWith(")") && {
+        val c = s.stripPrefix(prefix + "(").stripSuffix(")").trim
+        df.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case TimestampType | TimestampNTZType | DateType => true
+          case _ => false
+        }
+      }
     val spec = table.latest.map(_.partitionBy).getOrElse(Nil).filter { s =>
-      s.startsWith("days(") || s.matches("[A-Za-z_][A-Za-z0-9_]*")
+      Seq("days", "months", "hours", "years").exists(temporalSupported(s, _)) ||
+        (s.matches("[A-Za-z_][A-Za-z0-9_]*") && identitySupported(s))
     }
-    new IcebergExport(table.spark, location).append(table.read(None), spec)
+    new IcebergExport(table.spark, location).append(df, spec)
   }
 }

@@ -2379,7 +2379,13 @@ private object Manifest {
       catch { case _: java.io.FileNotFoundException => None }
     st.flatMap { s =>
       val key = io.qualify(p).toString
-      val hit = cache.synchronized {
+      // branch lineage is the one place a path can be REUSED with new
+      // content (drop + recreate + recommit); on stores with coarse
+      // mtime granularity (S3: seconds) the staleness guard could then
+      // serve the dead branch — don't cache those paths at all. Main
+      // lineage versions never reuse numbers, so the cache is exact.
+      val cacheable = !key.contains("/_branches/")
+      val hit = if (!cacheable) None else cache.synchronized {
         Option(cache.get(key)).collect {
           case (m, l, snap) if m == s.getModificationTime && l == s.getLen => snap
         }
@@ -2389,7 +2395,7 @@ private object Manifest {
         val parsed =
           try Some(parse(io.readString(p)))
           catch { case _: java.io.FileNotFoundException => None }
-        parsed.foreach { sn =>
+        if (cacheable) parsed.foreach { sn =>
           cache.synchronized { cache.put(key, (s.getModificationTime, s.getLen, sn)); () }
         }
         parsed

@@ -90,11 +90,21 @@ object RelationalQueries {
       java.nio.file.Files.createTempDirectory("graft-jdbc-wm-"))
     st.advance("etl", "extract", SqlCompat.utcTimestamp("2024-01-10 00:00:00"))
     val cfg = JdbcConfig(url, "APP.nation_src", "app", "", driver = driver)
-    new JdbcIncrementalSource(spark, cfg, st, "etl")
+    val extracted = new JdbcIncrementalSource(spark, cfg, st, "etl")
       .read("LAST_UPDATED")
       .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
         col("LAST_UPDATED").as("last_updated"))
       .orderBy(col("n_nationkey"))
+    // materialize the (dimension-sized) result, then DROP the
+    // in-memory database — Derby otherwise retains every uuid-named db
+    // in driver heap for the JVM's lifetime, which a bench loop turns
+    // into a leak. The extract itself stays the real JDBC scan above.
+    val rows = extracted.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), extracted.schema)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+    out
   }
 
   /** Reference O1 (constant.py:74-78): latest-N by timestamp —

@@ -321,6 +321,15 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(bucketHash(Array[Byte](0, 1, 2, 3)).contains(-188683207))
     // float/double are not bucketable per spec → no hash → keep
     assert(bucketHash(1.5d).isEmpty && bucketHash(1.5f).isEmpty)
+    // typed coercion: a probe literal rescales to the COLUMN's decimal
+    // scale before hashing (14.2 probed against decimal(9,2) must land
+    // in 14.20's bucket), and a too-precise literal keeps the file
+    assert(bucketIndexTyped(8, new java.math.BigDecimal("14.2"), Some("decimal(9, 2)"))
+      === bucketIndex(8, new java.math.BigDecimal("14.20")))
+    assert(bucketIndexTyped(8, new java.math.BigDecimal("14.205"), Some("decimal(9, 2)")).isEmpty)
+    // a timestamp probe against a date-bucketed column hashes epoch days
+    assert(bucketIndexTyped(8, ts, Some("date"))
+      === bucketIndex(8, java.time.LocalDate.of(2017, 11, 16)))
   }
 
   test("bucket[N] partition pruning: an equality probe reads 1/N files from manifests alone") {
