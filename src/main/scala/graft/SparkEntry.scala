@@ -58,6 +58,7 @@ object SparkEntry {
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
+    "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -398,6 +399,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Delta-log roundtrip: appends of keys ≡ 0, 1 (mod 3) minus a
+    // partition delete of '1-URGENT' (tombstones those two commits'
+    // files), plus a post-checkpoint append of keys ≡ 2 (all
+    // priorities, landing after the delete)
+    "lake_delta_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderkey % 3 IN (0, 1) AND o_orderpriority <> '1-URGENT')
+        |   OR o_orderkey % 3 = 2
         |ORDER BY o_orderkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final

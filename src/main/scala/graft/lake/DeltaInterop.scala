@@ -1,0 +1,763 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Real Delta Lake FORMAT interop — read and write `_delta_log` tables
+  * with no Delta runtime on the classpath.
+  *
+  * The graft lake layer reimplements lakehouse SEMANTICS (snapshots,
+  * atomic commit, MOR deletes) natively; this module closes the format
+  * gap for the OTHER major open table format, exactly as
+  * [[IcebergTableReader]]/[[IcebergExport]] do for Iceberg (the
+  * reference's declared format, docker/Dockerfile:22-28). Everything
+  * here follows the public Delta transaction-log protocol
+  * (delta.io PROTOCOL.md): versioned `%020d.json` commit files of
+  * newline-delimited actions (`protocol` / `metaData` / `add` /
+  * `remove` / `commitInfo`), optional parquet checkpoints named by
+  * `_last_checkpoint`, relative percent-encoded data-file paths, and
+  * partition values carried ONLY in `add.partitionValues` (partition
+  * columns are physically absent from the data files — the reader must
+  * re-inject them).
+  *
+  * Scale shape: log replay is driver-side METADATA work bounded by
+  * (checkpoint actions + tail commits), never a data scan — the same
+  * contract as the manifest-driven graft reader. Data reads build ONE
+  * relation per live partition-value tuple (files grouped, no per-file
+  * unions), with add.stats min/max file skipping and partition pruning
+  * applied before any footer is opened.
+  */
+object DeltaFormat {
+  /** Percent-encode a relative data path for `add.path` (RFC 3986
+    * unreserved + '/' kept, everything else %XX-escaped — the encoding
+    * real Delta writers apply via `Path.toUri`).
+    */
+  def encodePath(rel: String): String = {
+    val sb = new java.lang.StringBuilder(rel.length)
+    rel.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit || "-._~/".indexOf(c) >= 0) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[encodePath]]: decode %XX escapes ONLY (URLDecoder
+    * would also turn a literal '+' into a space).
+    */
+  def decodePath(enc: String): String = {
+    val buf = new java.io.ByteArrayOutputStream(enc.length)
+    var i = 0
+    while (i < enc.length) {
+      val c = enc.charAt(i)
+      if (c == '%' && i + 2 < enc.length) {
+        buf.write(Integer.parseInt(enc.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { buf.write(c.toInt); i += 1 }
+    }
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Serialize a partition value for `add.partitionValues` per the
+    * protocol's string rules (null stays a JSON null, handled by the
+    * caller).
+    */
+  def serializePartitionValue(v: Any): String = v match {
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp =>
+      // "yyyy-MM-dd HH:mm:ss[.SSSSSS]" in session (UTC) time
+      val ldt = t.toLocalDateTime
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
+    case other => other.toString
+  }
+
+  /** Typed comparison key for partition-value / stats pruning: numbers
+    * in the numeric domain, everything else string. Unparseable values
+    * → None → the file is kept (pruning stays conservative).
+    */
+  def cmpKey(dt: DataType, s: String): Option[Either[BigDecimal, String]] =
+    if (s == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           _: DecimalType =>
+        try Some(Left(BigDecimal(s))) catch { case _: NumberFormatException => None }
+      case DateType =>
+        try Some(Left(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)))
+        catch { case _: Exception => None }
+      case BooleanType => Some(Left(if (s == "true") BigDecimal(1) else BigDecimal(0)))
+      case _ => Some(Right(s))
+    }
+
+  def probeKey(dt: DataType, v: Any): Option[Either[BigDecimal, String]] = v match {
+    case null => None
+    case n: java.lang.Number => Some(Left(BigDecimal(n.toString)))
+    case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+    case t: java.sql.Timestamp =>
+      cmpKey(dt, serializePartitionValue(t))
+    case b: java.lang.Boolean => Some(Left(if (b) BigDecimal(1) else BigDecimal(0)))
+    case s: String => cmpKey(dt, s)
+    case other => cmpKey(dt, other.toString)
+  }
+
+  private def leq(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Option[Boolean] =
+    (a, b) match {
+      case (Left(x), Left(y))   => Some(x <= y)
+      case (Right(x), Right(y)) => Some(x <= y)
+      case _                    => None
+    }
+
+  /** May a value range [lo, hi] (either bound possibly unknown) satisfy
+    * the predicate? Unknown → keep.
+    */
+  def rangeKeeps(p: LakePredicate, dt: DataType,
+                 lo: Option[Either[BigDecimal, String]],
+                 hi: Option[Either[BigDecimal, String]]): Boolean = {
+    def pk(v: Any) = probeKey(dt, v)
+    p match {
+      case LakePredicate.EqualTo(_, v) => pk(v) match {
+        case None => true
+        case Some(k) =>
+          lo.flatMap(l => leq(l, k)).getOrElse(true) &&
+          hi.flatMap(h => leq(k, h)).getOrElse(true)
+      }
+      case LakePredicate.In(_, vs) =>
+        vs.exists(v => rangeKeeps(LakePredicate.EqualTo(p.col, v), dt, lo, hi))
+      case LakePredicate.GtEq(_, v) => (pk(v), hi) match {
+        case (Some(k), Some(h)) => leq(k, h).getOrElse(true)
+        case _ => true
+      }
+      case LakePredicate.LtEq(_, v) => (pk(v), lo) match {
+        case (Some(k), Some(l)) => leq(l, k).getOrElse(true)
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+}
+
+/** One live data file from log replay. `partitionValues` keeps the
+  * protocol's string form (null = null partition value).
+  */
+private[lake] final case class DeltaAddFile(
+    path: String, partitionValues: Seq[(String, String)], size: Long,
+    statsJson: Option[String])
+
+final class DeltaTableReader(spark: SparkSession, location: String) {
+  import DeltaFormat._
+
+  private val om = new ObjectMapper()
+  private[lake] val io = new LakeIo(
+    new HPath(location).getFileSystem(spark.sessionState.newHadoopConf()))
+  private val root: HPath = io.qualify(new HPath(location))
+  private def logDir = new HPath(root, "_delta_log")
+
+  private def commitName(v: Long) = f"$v%020d.json"
+  private def versionOf(name: String): Long = name.take(20).toLong
+
+  /** Commit versions present as JSON files, ascending. */
+  private def jsonVersions(): Seq[Long] =
+    io.list(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(versionOf).sorted
+
+  private def checkpointVersions(): Seq[Long] =
+    io.list(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+      .map(versionOf).distinct.sorted
+
+  /** `_last_checkpoint` hint, if present: (version, parts). */
+  private def lastCheckpointHint(): Option[(Long, Int)] = {
+    val p = new HPath(logDir, "_last_checkpoint")
+    if (!io.exists(p)) None
+    else {
+      val n = om.readTree(io.readString(p))
+      Some((n.get("version").asLong,
+        Option(n.get("parts")).map(_.asInt).getOrElse(1)))
+    }
+  }
+
+  def latestVersion: Option[Long] =
+    (jsonVersions() ++ checkpointVersions()).maxOption
+
+  /** Commit timestamps for timestamp-based time travel: commitInfo's
+    * timestamp when recorded, else the log file's modification time
+    * (the protocol's defined fallback).
+    */
+  private def commitTimestampMs(v: Long): Long = {
+    val p = new HPath(logDir, commitName(v))
+    val fromInfo =
+      try io.readString(p).split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(om.readTree).flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(ci => Option(ci.get("timestamp")).map(_.asLong))
+        .nextOption()
+      catch { case _: Exception => None }
+    fromInfo.orElse(io.mtimeMs(p)).getOrElse(0L)
+  }
+
+  private final class Replay {
+    val adds = scala.collection.mutable.LinkedHashMap[String, DeltaAddFile]()
+    var metaData: Option[JsonNode] = None
+    var protocol: Option[JsonNode] = None
+
+    def applyAction(n: JsonNode): Unit = {
+      Option(n.get("metaData")).filter(!_.isNull).foreach(m => metaData = Some(m))
+      Option(n.get("protocol")).filter(!_.isNull).foreach(p => protocol = Some(p))
+      Option(n.get("add")).filter(!_.isNull).foreach { a =>
+        require(Option(a.get("deletionVector")).forall(_.isNull),
+          s"data file ${a.get("path").asText} carries a deletion vector; " +
+            "deletion vectors are not supported by this reader")
+        val pv = Option(a.get("partitionValues")).filter(!_.isNull)
+          .map(m => m.properties().asScala.toSeq.map(e =>
+            e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)))
+          .getOrElse(Nil)
+        val path = a.get("path").asText
+        adds(path) = DeltaAddFile(path, pv,
+          Option(a.get("size")).map(_.asLong).getOrElse(0L),
+          Option(a.get("stats")).filter(n => !n.isNull && n.asText.nonEmpty)
+            .map(_.asText))
+      }
+      Option(n.get("remove")).filter(!_.isNull).foreach { r =>
+        adds.remove(r.get("path").asText); ()
+      }
+    }
+  }
+
+  /** Replay the log to `version` (or latest). Driver cost: one
+    * checkpoint parquet read + the JSON tail — never data files.
+    */
+  private def replayTo(version: Option[Long]): (Replay, Long) = {
+    val jsons = jsonVersions()
+    val cps = checkpointVersions()
+    val latest = (jsons ++ cps).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"no Delta log at $logDir"))
+    val target = version.getOrElse(latest)
+    require(target <= latest, s"version $target beyond latest $latest")
+    val r = new Replay
+    // newest usable checkpoint at or below target; hint is only an
+    // optimization and must not be trusted past the target version
+    val cp = cps.filter(_ <= target).maxOption
+    cp.foreach { cv =>
+      val parts = lastCheckpointHint() match {
+        case Some((v, p)) if v == cv => p
+        case _ =>
+          val multi = io.list(logDir).map(_.getPath.getName)
+            .filter(_.matches(f"$cv%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+          if (multi.nonEmpty) multi.size else 1
+      }
+      val paths: Seq[String] =
+        if (parts == 1) Seq(new HPath(logDir, f"$cv%020d.checkpoint.parquet").toString)
+        else (1 to parts).map(i =>
+          new HPath(logDir, f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet").toString)
+      val cpDf = spark.read.parquet(paths: _*)
+      // project through JSON to reuse one action-shape parser for both
+      // log and checkpoint forms
+      cpDf.toJSON.collect().foreach(line => r.applyAction(om.readTree(line)))
+    }
+    val from = cp.map(_ + 1).getOrElse(0L)
+    val need = (from to target).filter(v => jsons.contains(v))
+    require(cp.isDefined || jsons.headOption.contains(0L),
+      s"log truncated before any checkpoint: earliest commit ${jsons.headOption}")
+    require(need.size == (target - from + 1),
+      s"missing commit files in [$from, $target] at $logDir")
+    need.foreach { v =>
+      io.readString(new HPath(logDir, commitName(v))).split('\n')
+        .iterator.map(_.trim).filter(_.nonEmpty)
+        .foreach(line => r.applyAction(om.readTree(line)))
+    }
+    (r, target)
+  }
+
+  /** Replayed table state at a version, for the exporter: live adds
+    * (stats preserved), newest metaData, newest protocol, the resolved
+    * version. Protocol-validated.
+    */
+  private[lake] def stateAt(version: Option[Long])
+      : (Seq[DeltaAddFile], Option[JsonNode], Option[JsonNode], Long) = {
+    val (r, v) = replayTo(version)
+    checkProtocol(r)
+    (r.adds.values.toSeq, r.metaData, r.protocol, v)
+  }
+
+  private def checkProtocol(r: Replay): Unit = {
+    val minReader = r.protocol.flatMap(p => Option(p.get("minReaderVersion")))
+      .map(_.asInt).getOrElse(1)
+    val features: Seq[String] = r.protocol.flatMap(p => Option(p.get("readerFeatures")))
+      .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val supportedFeatures = Set("timestampNtz")
+    val unsupported = features.filterNot(supportedFeatures)
+    require(unsupported.isEmpty,
+      s"table requires unsupported reader features: ${unsupported.mkString(", ")}")
+    require(minReader <= 3, s"unsupported minReaderVersion $minReader")
+    val mapping = r.metaData.flatMap(m => Option(m.get("configuration")))
+      .filter(!_.isNull).flatMap(c => Option(c.get("delta.columnMapping.mode")))
+      .map(_.asText).getOrElse("none")
+    require(mapping == "none",
+      s"column mapping mode '$mapping' is not supported (physical names diverge)")
+  }
+
+  def schema(version: Option[Long] = None): StructType = {
+    val (r, _) = replayTo(version)
+    checkProtocol(r)
+    DataType.fromJson(r.metaData.getOrElse(
+      throw new IllegalStateException("no metaData action in log"))
+      .get("schemaString").asText).asInstanceOf[StructType]
+  }
+
+  /** Read the table at `versionAsOf` / `timestampAsOf` (default
+    * latest), with optional partition + file-stats pruning.
+    */
+  def read(versionAsOf: Option[Long] = None, timestampAsOf: Option[Long] = None,
+           filters: Seq[LakePredicate] = Nil): DataFrame = {
+    val version = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => Some(v)
+      case (None, Some(ts)) =>
+        val eligible = jsonVersions().filter(v => commitTimestampMs(v) <= ts)
+        require(eligible.nonEmpty, s"no commit at or before $ts")
+        Some(eligible.max)
+      case _ => None
+    }
+    val (r, _) = replayTo(version)
+    checkProtocol(r)
+    val meta = r.metaData.getOrElse(
+      throw new IllegalStateException("no metaData action in log"))
+    val tableSchema =
+      DataType.fromJson(meta.get("schemaString").asText).asInstanceOf[StructType]
+    val partCols: Seq[String] = Option(meta.get("partitionColumns"))
+      .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
+    val typeOf: Map[String, DataType] =
+      tableSchema.fields.map(f => f.name -> f.dataType).toMap
+
+    def partitionKeeps(f: DeltaAddFile): Boolean = filters.forall { p =>
+      f.partitionValues.find(_._1 == p.col) match {
+        case None => true
+        case Some((_, null)) => p match {
+          // a null partition value satisfies no comparison
+          case _: LakePredicate.EqualTo | _: LakePredicate.In |
+               _: LakePredicate.GtEq | _: LakePredicate.LtEq => false
+          case _ => true
+        }
+        case Some((c, v)) =>
+          val k = cmpKey(typeOf(c), v)
+          rangeKeeps(p, typeOf(c), k, k)
+      }
+    }
+
+    def statsKeep(f: DeltaAddFile): Boolean = f.statsJson match {
+      case None => true
+      case Some(js) =>
+        val stats = try om.readTree(js) catch { case _: Exception => return true }
+        filters.forall { p =>
+          if (partCols.contains(p.col)) true
+          else {
+            def bound(node: String): Option[Either[BigDecimal, String]] =
+              Option(stats.get(node)).filter(!_.isNull)
+                .flatMap(n => Option(n.get(p.col))).filter(!_.isNull)
+                .flatMap { v =>
+                  if (v.isNumber) Some(Left(BigDecimal(v.decimalValue())))
+                  else cmpKey(typeOf.getOrElse(p.col, StringType), v.asText)
+                }
+            (bound("minValues"), bound("maxValues")) match {
+              case (None, None) => true
+              case (lo, hi) => rangeKeeps(p, typeOf.getOrElse(p.col, StringType), lo, hi)
+            }
+          }
+        }
+    }
+
+    val live = r.adds.values.toSeq.filter(partitionKeeps).filter(statsKeep)
+    if (live.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+
+    // one relation per live partition-value tuple: partition columns
+    // are absent from the files and re-enter as typed literals
+    val groups = live.groupBy(_.partitionValues)
+    val frames = groups.toSeq.map { case (pv, files) =>
+      val paths = files.map(f => new HPath(root, decodePath(f.path)).toString)
+      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val withParts = pv.foldLeft(base) { case (d, (c, v)) =>
+        val t = typeOf.getOrElse(c,
+          throw new IllegalStateException(s"partition column $c missing from schema"))
+        d.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(t))
+      }
+      withParts.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Live data-file count after pruning — plan-assertion surface for
+    * specs ("this probe opened 1 of N files").
+    */
+  def liveFileCount(filters: Seq[LakePredicate] = Nil): Int =
+    read(filters = filters).inputFiles.length
+}
+
+/** Writes spec-compliant Delta tables: `%020d.json` commits published
+  * with put-if-absent (the object-store conditional PUT the protocol
+  * requires for concurrent writers), real per-file `add.stats` from
+  * parquet footers, partition values in `add.partitionValues`, and
+  * single-file parquet checkpoints + `_last_checkpoint`.
+  */
+final class DeltaExport(spark: SparkSession, location: String) {
+  import DeltaFormat._
+
+  private val om = new ObjectMapper()
+  private[lake] val io = new LakeIo(
+    new HPath(location).getFileSystem(spark.sessionState.newHadoopConf()))
+  private val root: HPath = io.qualify(new HPath(location))
+  private def logDir = new HPath(root, "_delta_log")
+
+  private def jsonVersions(): Seq[Long] =
+    io.list(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+
+  private def reader = new DeltaTableReader(spark, root.toString)
+
+  private def writeCommit(version: Long, lines: Seq[String]): Unit = {
+    io.mkdirs(logDir)
+    val p = new HPath(logDir, f"$version%020d.json")
+    // put-if-absent: a concurrent writer racing to the same version
+    // must lose loudly, not overwrite
+    val out =
+      try io.fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(s"commit $version already exists at $logDir", e)
+      }
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def jstr(s: String): String = om.writeValueAsString(s)
+
+  private def protocolLine: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaDataLine(schema: StructType, partitionBy: Seq[String]): String = {
+    val n = om.createObjectNode()
+    val m = n.putObject("metaData")
+    m.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", System.currentTimeMillis())
+    om.writeValueAsString(n)
+  }
+
+  import DeltaExport.State
+
+  private def state(): State = {
+    val rd = reader
+    if (rd.latestVersion.isEmpty) return State(-1L, None, Nil, Nil)
+    val (adds, metaData, _, v) = rd.stateAt(None)
+    val meta = metaData.getOrElse(
+      throw new IllegalStateException("no metaData action in log"))
+    val partCols = Option(meta.get("partitionColumns"))
+      .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    State(v, Some(meta.get("schemaString").asText), partCols, adds)
+  }
+
+  /** Write `df`'s rows as data files under `data/<uuid>`, returning
+    * (relativePath, size, partitionValues, statsJson) per file. Stats
+    * come from the parquet FOOTERS of the just-written files (one
+    * driver-side metadata pass, no second data scan): numRecords
+    * always; min/max for numeric, string, and date columns.
+    */
+  private def writeDataFiles(df: DataFrame, partitionBy: Seq[String])
+      : Seq[(String, Long, Seq[(String, String)], String)] = {
+    val dirName = java.util.UUID.randomUUID().toString
+    val dir = new HPath(new HPath(root, "data"), dirName)
+    if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dir.toString)
+    else df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dir.toString)
+    val rows = FileStats.dirFileRows(io, dir).getOrElse(
+      throw new IllegalStateException(s"unreadable footers under $dir")).toMap
+    val statCols = df.schema.fields.toIndexedSeq
+      .filterNot(f => partitionBy.contains(f.name))
+      .filter(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+             StringType | DateType | _: DecimalType => true
+        case _ => false
+      })
+    val blob = FileStats.collectFromFooters(io, dir, statCols.map(_.name))
+    val perFileRanges: Map[String, Seq[(Option[String], Option[String], Long)]] =
+      blob.map { js =>
+        val n = om.readTree(js)
+        val files = n.get("files")
+        files.properties().asScala.map { e =>
+          val arr = e.getValue
+          val ranges = (0 until arr.size()).map { i =>
+            val pair = arr.get(i)
+            def s(j: Int): Option[String] =
+              Option(pair.get(j)).filterNot(_.isNull).map(_.asText)
+            (s(0), s(1), pair.get(2).asLong)
+          }
+          e.getKey -> ranges.toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    // blob encodes "n:<decimal>"/"s:<string>"; re-type through the
+    // column's declared type for protocol-correct JSON stats
+    def statsJsonFor(key: String, numRecords: Long): String = {
+      val node = om.createObjectNode()
+      node.put("numRecords", numRecords)
+      val minN = node.putObject("minValues")
+      val maxN = node.putObject("maxValues")
+      val nullN = node.putObject("nullCount")
+      perFileRanges.get(key).foreach { ranges =>
+        statCols.zip(ranges).foreach { case (f, (lo, hi, nulls)) =>
+          def putVal(target: ObjectNode, enc: String): Unit = {
+            if (enc.startsWith("n:")) {
+              val bd = BigDecimal(enc.substring(2))
+              f.dataType match {
+                case ByteType | ShortType | IntegerType | LongType =>
+                  target.put(f.name, bd.toLong)
+                case DateType =>
+                  target.put(f.name,
+                    java.time.LocalDate.ofEpochDay(bd.toLong).toString)
+                case _ => target.put(f.name, bd.bigDecimal)
+              }
+            } else target.put(f.name, enc.substring(2))
+          }
+          lo.foreach(putVal(minN, _))
+          hi.foreach(putVal(maxN, _))
+          if (nulls >= 0) nullN.put(f.name, nulls)
+        }
+      }
+      om.writeValueAsString(node)
+    }
+
+    val srcType: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def unescapeSeg(raw: String): String = decodePath(raw)
+    val out = Seq.newBuilder[(String, Long, Seq[(String, String)], String)]
+    val it = io.fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val key = FileStats.relativeKey(st.getPath.toString, dirName)
+        val segs = key.split('/').dropRight(1).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> unescapeSeg(seg.substring(i + 1))
+        }.toMap
+        val pv: Seq[(String, String)] = partitionBy.map { c =>
+          val raw = segs.getOrElse(c,
+            throw new IllegalStateException(s"no partition segment for $c in $key"))
+          val v: String =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else srcType(c) match {
+              case DateType | TimestampType => raw // hive layout already serializes both
+              case _ => raw
+            }
+          c -> v
+        }
+        val rel = s"data/$dirName/$key"
+        out += ((rel, st.getLen, pv, statsJsonFor(key, rows(key))))
+      }
+    }
+    out.result()
+  }
+
+  private def addLine(rel: String, size: Long, pv: Seq[(String, String)],
+                      stats: String): String = {
+    val n = om.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", encodePath(rel))
+    val pvN = a.putObject("partitionValues")
+    pv.foreach { case (c, v) =>
+      if (v == null) pvN.putNull(c) else pvN.put(c, v)
+    }
+    a.put("size", size)
+    a.put("modificationTime", System.currentTimeMillis())
+    a.put("dataChange", true)
+    a.put("stats", stats)
+    om.writeValueAsString(n)
+  }
+
+  private def removeLine(path: String): String = {
+    val n = om.createObjectNode()
+    val r = n.putObject("remove")
+    r.put("path", path)
+    r.put("deletionTimestamp", System.currentTimeMillis())
+    r.put("dataChange", true)
+    om.writeValueAsString(n)
+  }
+
+  private def commitInfoLine(op: String): String = {
+    val n = om.createObjectNode()
+    val ci = n.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("operation", op)
+    ci.put("engineInfo", "graft-delta-export")
+    om.writeValueAsString(n)
+  }
+
+  private def validateSchema(st: State, schema: StructType,
+                             partitionBy: Seq[String]): Unit = {
+    st.schemaJson.foreach { js =>
+      require(js == schema.json,
+        "appended schema differs from the table schema; Delta export does not evolve schemas")
+    }
+    if (st.version >= 0)
+      require(partitionBy.isEmpty || partitionBy == st.partitionBy,
+        s"partition columns $partitionBy do not match the table's ${st.partitionBy}")
+  }
+
+  /** Append `df` as a new commit; first commit also writes protocol +
+    * metaData. Returns the committed version.
+    */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val st = state()
+    val effSpec = if (st.version >= 0) st.partitionBy else partitionBy
+    validateSchema(st, df.schema, partitionBy)
+    val files = writeDataFiles(df, effSpec)
+    val v = st.version + 1
+    val head = if (st.version < 0)
+      Seq(protocolLine, metaDataLine(df.schema, effSpec)) else Nil
+    writeCommit(v, commitInfoLine("WRITE") +: head ++:
+      files.map(f => addLine(f._1, f._2, f._3, f._4)))
+    v
+  }
+
+  /** Replace the table's contents: tombstone every live file, add the
+    * new ones — one atomic commit.
+    */
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val st = state()
+    val effSpec = if (st.version >= 0) st.partitionBy else partitionBy
+    validateSchema(st, df.schema, partitionBy)
+    val files = writeDataFiles(df, effSpec)
+    val v = st.version + 1
+    val head = if (st.version < 0)
+      Seq(protocolLine, metaDataLine(df.schema, effSpec)) else Nil
+    writeCommit(v, commitInfoLine("OVERWRITE") +: head ++:
+      (st.adds.map(a => removeLine(a.path)) ++
+        files.map(f => addLine(f._1, f._2, f._3, f._4))))
+    v
+  }
+
+  /** Metadata-only partition delete: tombstone every live file whose
+    * partition values satisfy ALL predicates (which must target
+    * partition columns — rows inside files are never rewritten).
+    */
+  def deleteWhere(filters: Seq[LakePredicate]): Long = {
+    val st = state()
+    require(st.version >= 0, "deleteWhere on a never-written table")
+    require(filters.nonEmpty, "deleteWhere requires at least one predicate")
+    filters.foreach(p => require(st.partitionBy.contains(p.col),
+      s"deleteWhere predicate on non-partition column '${p.col}' would need a data rewrite"))
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val doomed = st.adds.filter { a =>
+      filters.forall { p =>
+        a.partitionValues.find(_._1 == p.col) match {
+          case Some((_, null)) => false
+          case Some((c, v)) =>
+            val k = DeltaFormat.cmpKey(typeOf(c), v)
+            DeltaFormat.rangeKeeps(p, typeOf(c), k, k)
+          case None => false
+        }
+      }
+    }
+    val v = st.version + 1
+    writeCommit(v, commitInfoLine("DELETE") +: doomed.map(a => removeLine(a.path)))
+    v
+  }
+
+  /** Write a single-file parquet checkpoint of the current state and
+    * point `_last_checkpoint` at it — bounding future replays to the
+    * JSON tail (the many-commit scale lever of the Delta protocol).
+    */
+  def checkpoint(): Long = {
+    val st = state()
+    require(st.version >= 0, "checkpoint on a never-written table")
+    val v = st.version
+    val partitionBy = st.partitionBy
+    val schemaJson = st.schemaJson.get
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val cpSchema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+    val metaRow = Row(java.util.UUID.randomUUID().toString, null, null,
+      Row("parquet", Map.empty[String, String]), schemaJson, partitionBy,
+      Map.empty[String, String], System.currentTimeMillis())
+    val protoRow = Row(1, 2)
+    val addRows = st.adds.map { a =>
+      Row(a.path, a.partitionValues.toMap, a.size,
+        System.currentTimeMillis(), true, a.statsJson.orNull)
+    }
+    val rows: Seq[Row] =
+      Row(null, metaRow, null) +: Row(null, null, protoRow) +:
+        addRows.map(r => Row(r, null, null))
+    val df = spark.createDataFrame(rows.asJava, cpSchema)
+    // Spark writes a part file into a dir; the protocol wants ONE file
+    // at an exact name — stage then move
+    val tmp = new HPath(logDir, s".cp-tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = io.list(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $tmp"))
+    val target = new HPath(logDir, f"$v%020d.checkpoint.parquet")
+    io.fs.delete(target, false)
+    io.move(part, target)
+    io.delete(tmp)
+    val lc = om.createObjectNode()
+    lc.put("version", v)
+    lc.put("size", rows.size)
+    val lcPath = new HPath(logDir, "_last_checkpoint")
+    val out = io.fs.create(lcPath, true)
+    try out.write(om.writeValueAsString(lc)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+}
+
+object DeltaExport {
+  /** Current table state needed to validate a new commit. */
+  private final case class State(version: Long, schemaJson: Option[String],
+                                 partitionBy: Seq[String], adds: Seq[DeltaAddFile])
+
+  /** Publish a graft lake table's CURRENT snapshot as a Delta table.
+    * Identity partition specs carry over (Delta has no transform
+    * partitioning — `days(ts)`-style specs publish unpartitioned).
+    */
+  def fromLakeTable(table: LakeTable, location: String): Long = {
+    val exp = new DeltaExport(table.spark, location)
+    val specCols = table.latest.map { s =>
+      if (s.dirSpecs.nonEmpty) Snapshot.splitSpec(s.dirSpecs.last) else s.partitionBy
+    }.getOrElse(Nil)
+    val identity = specCols.nonEmpty && specCols.forall(c => !c.contains("("))
+    exp.overwrite(table.read(), if (identity) specCols else Nil)
+  }
+}

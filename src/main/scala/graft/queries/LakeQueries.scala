@@ -746,6 +746,33 @@ object LakeQueries {
     * semantics. No Iceberg runtime on the classpath in either
     * direction.
     */
+  /** Real Delta-format roundtrip (the OTHER open table format, via the
+    * public `_delta_log` protocol, no Delta runtime): two partitioned
+    * append commits, a parquet checkpoint, a metadata-only partition
+    * DELETE (tombstones), and a post-checkpoint append — read back
+    * through [[graft.lake.DeltaTableReader]]'s checkpoint + JSON-tail
+    * replay with partition values re-injected from `add.partitionValues`
+    * (the files physically lack the partition column).
+    */
+  def deltaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DeltaExport, DeltaTableReader, LakePredicate}
+    val loc = scratchDir("graft-delta-").toString
+    val exp = new DeltaExport(spark, loc)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 0),
+      partitionBy = Seq("o_orderpriority"))
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 1))
+    // checkpoint, then keep committing: the reader must replay
+    // checkpoint + JSON tail, not just one or the other
+    exp.checkpoint()
+    // metadata-only partition delete: applies to both earlier commits
+    exp.deleteWhere(Seq(LakePredicate.EqualTo("o_orderpriority", "1-URGENT")))
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 2))
+    new DeltaTableReader(spark, loc).read().orderBy($"o_orderkey")
+  }
+
   def icebergRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{IcebergExport, IcebergTableReader}

@@ -1,0 +1,241 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The Delta-format interop contract: tables written by [[DeltaExport]]
+  * follow the public Delta transaction-log protocol closely enough that
+  * [[DeltaTableReader]] — a from-scratch log-replay reader — resolves
+  * versions, tombstones, partition values, stats, and checkpoints
+  * exactly. Unsupported protocol surface (deletion vectors, column
+  * mapping, unknown reader features) must fail loud, never read wrong.
+  */
+class DeltaInteropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("delta-interop-").toString
+
+  private def logDir(loc: String) = new java.io.File(loc, "_delta_log")
+
+  test("roundtrip: append, append, overwrite — tombstones honored") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    assert(exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) === 0L)
+    assert(exp.append(Seq((3L, "c")).toDF("id", "name")) === 1L)
+    val rdr = new DeltaTableReader(spark, loc)
+    assert(rdr.read().orderBy($"id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite tombstones both prior commits' files in one commit
+    assert(exp.overwrite(Seq((9L, "z")).toDF("id", "name")) === 2L)
+    assert(new DeltaTableReader(spark, loc).read()
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+  }
+
+  test("time travel by version and by timestamp") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "name"))
+    exp.append(Seq((2L, "b")).toDF("id", "name"))
+    exp.overwrite(Seq((3L, "c")).toDF("id", "name"))
+    val rdr = new DeltaTableReader(spark, loc)
+    assert(rdr.read(versionAsOf = Some(0L)).as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a")))
+    assert(rdr.read(versionAsOf = Some(1L)).orderBy($"id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // timestamp far in the future resolves to the latest commit
+    assert(rdr.read(timestampAsOf = Some(System.currentTimeMillis() + 3600 * 1000L))
+      .as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+  }
+
+  test("partition values round-trip: nulls, spaces, '+', ':' and timestamps") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    val df = Seq(
+      (1L, "with space"), (2L, "a+b"), (3L, "x:y"), (4L, null.asInstanceOf[String]),
+      (5L, "plain")).toDF("id", "seg")
+    exp.append(df, partitionBy = Seq("seg"))
+    val back = new DeltaTableReader(spark, loc).read()
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "with space"), (2L, "a+b"), (3L, "x:y"),
+      (4L, null), (5L, "plain")))
+    // timestamp partition column: value re-enters typed through
+    // partitionValues (the files do NOT contain the column)
+    val loc2 = freshLoc()
+    val exp2 = new DeltaExport(spark, loc2)
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))).toDF("id", "ts")
+    exp2.append(ts, partitionBy = Seq("ts"))
+    val back2 = new DeltaTableReader(spark, loc2).read()
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+    assert(back2.toSeq === Seq((1L, "2024-03-01 10:30:00.0"), (2L, "2024-03-02 00:00:00.0")))
+  }
+
+  test("partition pruning reads only matching files") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    val df = (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 1.0)).toDF("id", "part", "v")
+    exp.append(df.repartition(4, $"part"), partitionBy = Seq("part"))
+    val rdr = new DeltaTableReader(spark, loc)
+    val all = rdr.read().inputFiles.length
+    val one = rdr.read(filters = Seq(LakePredicate.EqualTo("part", "p2"))).inputFiles.length
+    assert(all >= 4 && one < all)
+    assert(rdr.read(filters = Seq(LakePredicate.EqualTo("part", "p2")))
+      .agg(count(lit(1))).head.getLong(0) === 10L)
+    // a null partition value satisfies no equality
+    val none = rdr.read(filters = Seq(LakePredicate.EqualTo("part", "nope")))
+    assert(none.count() === 0L)
+  }
+
+  test("add.stats min/max skip files the probe cannot hit") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    // 4 separate appends with disjoint id ranges → 4+ files with
+    // disjoint [min,max]
+    for (b <- 0 until 4)
+      exp.append((b * 100 to b * 100 + 99).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "name").coalesce(1))
+    val rdr = new DeltaTableReader(spark, loc)
+    val all = rdr.read().inputFiles.length
+    val probed = rdr.read(filters = Seq(LakePredicate.EqualTo("id", 250L)))
+    assert(probed.inputFiles.length === 1 && all >= 4)
+    assert(probed.where($"id" === 250L).count() === 1L)
+    // range probe: GtEq keeps only the upper files
+    val upper = rdr.read(filters = Seq(LakePredicate.GtEq("id", 300L)))
+    assert(upper.inputFiles.length === 1)
+    // string stats prune too
+    val sProbe = rdr.read(filters = Seq(LakePredicate.LtEq("name", "r0")))
+    assert(sProbe.inputFiles.length < all)
+  }
+
+  test("checkpoint bounds replay: log truncated to the tail still reads") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "name"))
+    exp.append(Seq((2L, "b")).toDF("id", "name"))
+    exp.overwrite(Seq((3L, "c"), (4L, "d")).toDF("id", "name"))
+    assert(exp.checkpoint() === 2L)
+    exp.append(Seq((5L, "e")).toDF("id", "name"))
+    // delete the pre-checkpoint JSON commits: replay MUST come from the
+    // checkpoint + tail, proving the checkpoint is actually used
+    for (v <- 0L to 2L) {
+      val f = new java.io.File(logDir(loc), f"$v%020d.json")
+      assert(f.delete(), s"fixture: could not delete $f")
+    }
+    val back = new DeltaTableReader(spark, loc).read()
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(back === Seq((3L, "c"), (4L, "d"), (5L, "e")))
+    // time travel before the checkpoint is now impossible — loud, not wrong
+    intercept[Exception] {
+      new DeltaTableReader(spark, loc).read(versionAsOf = Some(1L)).collect()
+    }
+  }
+
+  test("metadata-only partition delete tombstones whole partitions") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    val df = (1 to 30).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
+    exp.append(df, partitionBy = Seq("part"))
+    exp.deleteWhere(Seq(LakePredicate.EqualTo("part", "p1")))
+    val back = new DeltaTableReader(spark, loc).read()
+    assert(back.where($"part" === "p1").count() === 0L)
+    assert(back.count() === 20L)
+    // non-partition predicate would need a data rewrite → refuse
+    intercept[IllegalArgumentException] {
+      exp.deleteWhere(Seq(LakePredicate.EqualTo("id", 5L)))
+    }
+  }
+
+  test("unsupported protocol surface fails loud") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "name"))
+    // hand-append a v1-style commit carrying a deletion vector
+    val dv = """{"add":{"path":"data/x/part-0.parquet","partitionValues":{},"size":1,
+      |"modificationTime":0,"dataChange":true,
+      |"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":2,"cardinality":3}}}"""
+      .stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath, dv)
+    intercept[IllegalArgumentException] {
+      new DeltaTableReader(spark, loc).read().collect()
+    }
+    // unknown reader feature
+    val loc2 = freshLoc()
+    new DeltaExport(spark, loc2).append(Seq((1L, "a")).toDF("id", "name"))
+    val feat = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+      |"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      .stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc2), f"${1L}%020d.json").toPath, feat)
+    intercept[IllegalArgumentException] {
+      new DeltaTableReader(spark, loc2).read().collect()
+    }
+    // column mapping
+    val loc3 = freshLoc()
+    new DeltaExport(spark, loc3).append(Seq((1L, "a")).toDF("id", "name"))
+    val schema = Seq((1L, "a")).toDF("id", "name").schema.json
+    val cm = ("""{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)},""" +
+      """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc3), f"${1L}%020d.json").toPath, cm)
+    intercept[IllegalArgumentException] {
+      new DeltaTableReader(spark, loc3).read().collect()
+    }
+  }
+
+  test("a racer's commit is observed, never overwritten") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "name"))
+    // a racer landed version 1 between our replay and our write: the
+    // exporter re-reads state, so the next append lands at version 2
+    // with the racer's commit intact (optimistic concurrency); the
+    // low-level publish is put-if-absent, so a true same-version race
+    // would lose loudly instead of clobbering
+    val racer = """{"commitInfo":{"timestamp":0,"operation":"WRITE"}}"""
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath, racer)
+    assert(exp.append(Seq((2L, "b")).toDF("id", "name")) === 2L)
+    assert(java.nio.file.Files.readString(
+      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath).trim === racer)
+    val back = new DeltaTableReader(spark, loc).read()
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("fromLakeTable publishes a lake snapshot as Delta, identity partitions carried") {
+    val loc = Files.createTempDirectory("delta-pub-").toString
+    val warehouse = Files.createTempDirectory("delta-pub-wh-").toString
+    val cat = new LakeCatalog(spark, warehouse)
+    val df = (1 to 20).map(i => (i.toLong, s"n$i", s"g${i % 2}")).toDF("id", "name", "grp")
+    cat.write(df, "bronze.pub", WriteMode.Overwrite, partitionBy = Seq("grp"))
+    DeltaExport.fromLakeTable(cat.table("bronze.pub"), loc)
+    val rdr = new DeltaTableReader(spark, loc)
+    assert(rdr.schema().fieldNames.toSeq === Seq("id", "name", "grp"))
+    assert(rdr.read().orderBy($"id").as[(Long, String, String)].collect().toSeq ===
+      (1 to 20).map(i => (i.toLong, s"n$i", s"g${i % 2}")))
+    // identity partition carried: a partition filter prunes files
+    val all = rdr.read().inputFiles.length
+    val pruned = rdr.read(filters = Seq(LakePredicate.EqualTo("grp", "g0"))).inputFiles.length
+    assert(pruned < all)
+  }
+
+  test("schema and spec drift on append are rejected") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a")).toDF("id", "name"))
+    intercept[IllegalArgumentException] {
+      exp.append(Seq((2L, "b", 1.0)).toDF("id", "name", "extra"))
+    }
+    intercept[IllegalArgumentException] {
+      exp.append(Seq((2L, "b")).toDF("id", "name"), partitionBy = Seq("name"))
+    }
+  }
+}
