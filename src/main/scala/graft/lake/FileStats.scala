@@ -78,6 +78,16 @@ private[graft] object FileStats {
     */
   val BytesKeyPrefix = "graft.bytes:"
   def bytesKey(dirName: String): String = BytesKeyPrefix + dirName
+
+  /** Per-dir marker for hive-partitioned EXTERNAL dirs registered by
+    * `addFiles`: the comma-joined column names whose values live in the
+    * source's `k=v` directory layout, not in the parquet files. Readers
+    * must re-materialize them via Spark partition discovery (basePath);
+    * carried with the dir like byte sizes (survives schema evolution —
+    * the layout does not change when an unrelated column renames).
+    */
+  val HiveColsKeyPrefix = "graft.hive:"
+  def hiveColsKey(dirName: String): String = HiveColsKeyPrefix + dirName
   /** Per-dir ROW COUNT (`graft.rows:data/<uuid>` → total rows across
     * the dir's parquet files), harvested from footers by the commit
     * that wrote the dir and carried with it exactly like

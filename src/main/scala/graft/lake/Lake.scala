@@ -345,19 +345,21 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * cover the read window) — fails naming the missing version.
     */
   private[graft] def appendedDirs(lo: Long, hi: Long,
-                                  skipRewrites: Boolean): Seq[(String, String)] = {
+                                  skipRewrites: Boolean): Seq[(String, String, Seq[String])] = {
     def snapAt2(v: Long) = snapshotAt(v).getOrElse(throw new IllegalStateException(
       s"snapshot v$v of $rootLocation is gone (expired?); incremental reads need " +
         "snapshot retention >= the read window"))
     var prevDirs: Set[String] = if (lo <= 0) Set.empty else snapAt2(lo).dirs.toSet
-    val added = Seq.newBuilder[(String, String)]
+    val added = Seq.newBuilder[(String, String, Seq[String])]
     for (v <- lo + 1 to hi) {
       val s = snapAt2(v)
       val newDirs = s.dirs.indices
         .filter(i => !prevDirs.contains(s.dirs(i)))
-        .map(i => (s.dirs(i), s.dirSchemaJson(i)))
+        .map(i => (s.dirs(i), s.dirSchemaJson(i), hiveColsOf(s, s.dirs(i))))
       s.op match {
-        case "append"                        => added ++= newDirs
+        // add-files is an APPENDING commit: it introduces a (possibly
+        // external) dir and rewrites nothing
+        case "append" | "add-files"          => added ++= newDirs
         case "overwrite" if prevDirs.isEmpty => added ++= newDirs
         case op if LakeTable.MetadataOps.contains(op) => ()
         case op => if (!skipRewrites) throw new RewriteCommitException(v, op, rootLocation)
@@ -400,19 +402,38 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     readDirsAligned(batch, cur)
   }
 
-  /** Read a set of (dir, write-time schema) pairs aligned to `cur`:
-    * one relation per schema generation, field-id alignment across
-    * renames/widens, recursiveFileLookup through hidden-partition
-    * subdirs (derived values are not part of the user schema).
+  /** Layout-encoded columns of `dir` in `s` (hive-partitioned
+    * add_files imports); empty for owned/plain dirs.
     */
-  private def readDirsAligned(batch: Seq[(String, String)], cur: StructType): DataFrame =
-    batch.groupBy(_._2).toSeq.sortBy(_._2.head._1).map { case (sj, group) =>
+  private def hiveColsOf(s: Snapshot, dir: String): Seq[String] =
+    s.meta.get(FileStats.hiveColsKey(dir)).map(FileStats.splitCols).getOrElse(Nil)
+
+  /** Read a set of (dir, write-time schema, layout cols) triples
+    * aligned to `cur`: one relation per schema generation, field-id
+    * alignment across renames/widens, recursiveFileLookup through
+    * hidden-partition subdirs (derived values are not part of the user
+    * schema). Layout-encoded dirs (hive imports) read one relation per
+    * dir with partition discovery instead — their column values live
+    * in the `k=v` dir names, not the files.
+    */
+  private def readDirsAligned(batch: Seq[(String, String, Seq[String])],
+                              cur: StructType): DataFrame = {
+    val (hive, plain) = batch.partition(_._3.nonEmpty)
+    val plainFrames = plain.groupBy(_._2).toSeq.sortBy(_._2.head._1).map { case (sj, group) =>
       val phys = DataType.fromJson(sj).asInstanceOf[StructType]
-      val paths = group.map { case (d, _) => location(d) }
+      val paths = group.map(_._1).map(location)
       SchemaIds.align(
         spark.read.schema(phys).option("recursiveFileLookup", "true").parquet(paths: _*),
         phys, cur)
-    }.reduce(_ unionByName _)
+    }
+    val hiveFrames = hive.map { case (d, sj, _) =>
+      val phys = DataType.fromJson(sj).asInstanceOf[StructType]
+      SchemaIds.align(
+        spark.read.schema(phys).option("basePath", location(d)).parquet(location(d)),
+        phys, cur)
+    }
+    (plainFrames ++ hiveFrames).reduce(_ unionByName _)
+  }
 
   /** Row-level changelog between versions (Iceberg's changelog scan /
     * Delta's Change Data Feed): every row-level change committed in
@@ -522,7 +543,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         }
         val newDirs = s.dirs.indices
           .filter(i => !prevDirs.contains(s.dirs(i)))
-          .map(i => (s.dirs(i), s.dirSchemaJson(i)))
+          .map(i => (s.dirs(i), s.dirSchemaJson(i), hiveColsOf(s, s.dirs(i))))
         if (newDirs.nonEmpty)
           frames += tagged(readDirsAligned(newDirs, cur), "insert", v)
       }
@@ -692,8 +713,25 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // metadata-only commits: old dirs keep their write-time column
     // names/types and align to the current schema by field id).
     // Uniform tables still collapse to at most two relations.
-    val (hiveIdx, bareIdx) = snap.dirs.indices.partition(i =>
-      snap.dirSpec(i).nonEmpty && hasHiveSubdirs(snap.dirs(i)))
+    // layout-encoded EXTERNAL dirs (hive-partitioned add_files
+    // imports): their partition columns exist only in the `k=v`
+    // directory names — read each through Spark partition discovery
+    // with the dir as basePath, so the values re-materialize typed
+    // (the dir schema declares them) and Catalyst partition-prunes on
+    // layout-column predicates
+    val extHiveIdx = snap.dirs.indices.filter(i =>
+      snap.meta.contains(FileStats.hiveColsKey(snap.dirs(i))))
+    val extHiveFrames = extHiveIdx.flatMap { i =>
+      val phys = DataType.fromJson(snap.dirSchemaJson(i)).asInstanceOf[StructType]
+      val paths = prunedPaths(i)
+      if (paths.isEmpty) None
+      else Some(SchemaIds.align(
+        attachPos(spark.read.schema(phys)
+          .option("basePath", location(snap.dirs(i))).parquet(paths: _*)),
+        phys, cur, posNames))
+    }
+    val (hiveIdx, bareIdx) = snap.dirs.indices.filterNot(extHiveIdx.contains)
+      .partition(i => snap.dirSpec(i).nonEmpty && hasHiveSubdirs(snap.dirs(i)))
 
     val hiveFrames = hiveIdx.groupBy(i => Snapshot.joinSpec(snap.dirSpec(i))).toSeq
       .sortBy(_._2.head).map { case (specStr, idxs) =>
@@ -712,7 +750,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
             phys, cur, posNames))
         }
       }
-    val frames = hiveFrames ++ bareFrames
+    val frames = extHiveFrames ++ hiveFrames ++ bareFrames
     if (frames.isEmpty) return emptyFrame()
     // align every generation on the full derived-column union before
     // unioning: a generation lacking another generation's partition
@@ -994,7 +1032,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           else base.map(_.meta.filter(kv =>
             kv._1.startsWith(FileStats.BytesKeyPrefix) ||
               kv._1.startsWith(FileStats.RowsKeyPrefix) ||
-              kv._1.startsWith(FileStats.FileRowsKeyPrefix)))
+              kv._1.startsWith(FileStats.FileRowsKeyPrefix) ||
+              kv._1.startsWith(FileStats.HiveColsKeyPrefix)))
             .getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
@@ -1318,10 +1357,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * (compact, binpack, copy-on-write DML, overwrite) adopts the rows
     * into table-owned dirs and drops the reference.
     *
-    * Not supported: hive-partitioned sources (`k=v` subdirs encode
-    * column values in the layout; import would silently drop them —
-    * rejected loud; read such data with Spark and `write()` it), and
-    * sources already inside the table root.
+    * Hive-partitioned sources (`k=v` subdirs): the layout columns are
+    * NOT in the files — the import infers them via Spark partition
+    * discovery, merges them into the table schema, and records the
+    * dir as layout-encoded ([[FileStats.hiveColsKey]]) so every read
+    * path re-materializes the values with a `basePath` discovery read
+    * (Catalyst partition-prunes those dirs on layout-column
+    * predicates for free). Still zero bytes copied.
     */
   def addFiles(srcDir: String): Snapshot = {
     val src = io.qualify(new HPath(srcDir))
@@ -1329,16 +1371,22 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val srcStr = src.toString
     require(!(srcStr + "/").startsWith(qualifiedRootPrefix) && srcStr != rootQ.toString,
       s"add_files source $srcStr is inside the table root — it is already table data")
-    require(io.list(src).forall(!_.getPath.getName.contains('=')),
-      s"add_files source $srcStr looks hive-partitioned (k=v subdirs); partition values " +
-        "living in the directory layout would be dropped by an in-place import — read it " +
-        "with Spark and write() it instead")
     require(io.countFiles(src, ".parquet") > 0,
       s"add_files source $srcStr contains no parquet files")
     // schema from footers (metadata read); ids minted against the
     // table's id high-water mark so a dropped column's id is never
-    // reused by an import
-    val srcSchema = spark.read.parquet(srcStr).schema
+    // reused by an import. A hive-partitioned source contributes its
+    // LAYOUT columns too (partition discovery infers them); the file
+    // footers alone give the file-resident set
+    val hiveLayout = io.list(src).exists(s =>
+      s.isDirectory && s.getPath.getName.contains('='))
+    val fileSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(srcStr).schema
+    val srcSchema = if (hiveLayout) spark.read.parquet(srcStr).schema else fileSchema
+    val hiveCols = srcSchema.fieldNames.filterNot(fileSchema.fieldNames.contains).toSeq
+    require(!hiveLayout || hiveCols.nonEmpty,
+      s"add_files source $srcStr has k=v subdirs but partition discovery inferred no " +
+        "layout columns — ambiguous layout, import refused")
     val base = latest
     val idFloor = base.flatMap(_.meta.get(SchemaIds.LastIdKey)).map(_.toLong).getOrElse(0L)
     val annotated = SchemaIds.annotate(srcSchema, base.map(_.schema), idFloor)
@@ -1350,14 +1398,18 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotated))).toString)
     // footer harvest: rows + bytes (metadata count(*), admission
     // control) and min/max blobs on the inherited stats set — imported
-    // files skip like owned ones from the first scan
+    // files skip like owned ones from the first scan. Layout columns
+    // have no footer stats (they are not in the files)
     val statsMeta = statsMetaFor(srcStr,
-      inheritedStatsCols(base).filter(srcSchema.fieldNames.contains),
-      srcSchema.fieldNames)
+      inheritedStatsCols(base).filter(fileSchema.fieldNames.contains),
+      fileSchema.fieldNames)
+    val hiveMeta: Map[String, String] =
+      if (hiveCols.isEmpty) Map.empty
+      else Map(FileStats.hiveColsKey(srcStr) -> FileStats.joinCols(hiveCols))
     commit("add-files", Seq(srcStr), carryForward = true,
       partitionBy = base.map(_.partitionBy).getOrElse(Nil),
       schemaJson = currentSchema.json,
-      meta = statsMeta ++ footprintMetaFor(srcStr) ++ idMeta,
+      meta = statsMeta ++ footprintMetaFor(srcStr) ++ idMeta ++ hiveMeta,
       newDirSchemas = Seq(annotated.json),
       // the imported dir is an unpartitioned spec generation: on a
       // partitioned table it reads through the null-escape like any
@@ -2167,7 +2219,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   def readStaged(id: String): DataFrame = {
     val (dirs, schemaJson, _, mode) = stagedInfo(id)
     val cur = resolve(None).schema
-    val stagedRows = readDirsAligned(dirs.map(_ -> schemaJson), cur)
+    val stagedRows = readDirsAligned(dirs.map(d => (d, schemaJson, Nil)), cur)
     mode match {
       case WriteMode.Append    => read(None).unionByName(stagedRows)
       case WriteMode.Overwrite => stagedRows // the candidate REPLACES the table

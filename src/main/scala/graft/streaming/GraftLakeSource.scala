@@ -259,17 +259,24 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
           "over rewrite commits (their row changes are not delivered), or restart with a " +
           "fresh checkpoint to re-read the rewritten table.", e)
     }
-    batch.foreach { case (d, sj) =>
+    batch.foreach { case (d, sj, hiveCols) =>
       if (sj != pinnedJson) throw new IllegalStateException(
         s"dir $d of ${table.rootLocation} was written under a different schema generation than " +
           "this stream pinned at start; restart the stream to pick up the evolved schema")
+      // a hive-imported dir's layout columns live in dir names; this
+      // source reads files under a pinned schema and would deliver
+      // nulls there — refuse instead of streaming wrong rows
+      if (hiveCols.nonEmpty) throw new IllegalStateException(
+        s"dir $d of ${table.rootLocation} is a hive-layout import (columns " +
+          s"${hiveCols.mkString(", ")} live in directory names); the commit stream cannot " +
+          "deliver it — read it with readIncremental/read instead")
     }
     val spark = ctx.sparkSession
     val rdd =
       if (batch.isEmpty) spark.sparkContext
         .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else {
-        val paths = batch.map { case (d, _) => table.location(d) }
+        val paths = batch.map { case (d, _, _) => table.location(d) }
         // recursiveFileLookup: hive subdirs of transform specs are
         // listed through without partition inference (hidden values
         // are not part of the user schema)

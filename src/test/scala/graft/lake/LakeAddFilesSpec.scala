@@ -133,16 +133,78 @@ class LakeAddFilesSpec extends AnyFunSuite {
     assert(spark.read.parquet(src).count() === 100L, "source data must survive expiry")
   }
 
-  test("guards: hive-partitioned, empty, and in-root sources are rejected") {
+  test("guards: empty and in-root sources are rejected") {
     val cat = fresh()
     val t = cat.table("ns.g")
     t.write(df(1 to 10), WriteMode.Overwrite)
-    val hive = Files.createTempDirectory("addf-hive-").toString
-    df(1 to 20).withColumn("p", $"id" % 2).write.partitionBy("p").parquet(s"$hive/t")
-    intercept[IllegalArgumentException](t.addFiles(s"$hive/t"))
     val empty = Files.createTempDirectory("addf-empty-").toString
     intercept[IllegalArgumentException](t.addFiles(empty))
     intercept[IllegalArgumentException](t.addFiles(t.location("data")))
+  }
+
+  test("hive-partitioned import: layout columns re-materialize typed on every read") {
+    val cat = fresh()
+    val hive = Files.createTempDirectory("addf-hive-").toString
+    df(1 to 40).withColumn("p", ($"id" % 2).cast("long"))
+      .write.partitionBy("p").parquet(s"$hive/t")
+    val t = cat.table("ns.hv")
+    val snap = t.addFiles(s"$hive/t")
+    // the layout column merged into the schema and its values came back
+    assert(t.read().columns.contains("p"))
+    assert(t.read().count() === 40L)
+    assert(t.read().where($"p" === 1L).count() === 20L)
+    assert(t.read().groupBy($"p").count().orderBy($"p")
+      .as[(Long, Long)].collect().toSeq === Seq((0L, 20L), (1L, 20L)))
+    // zero bytes copied: the manifest references the source URI
+    assert(snap.dirs.exists(d => d.startsWith("/") || d.contains(":/")))
+    // marker carried across a later append (dir-preserving commit)
+    t.write(df(41 to 50).withColumn("p", lit(7L)), WriteMode.Append)
+    assert(t.read().where($"p" === 7L).count() === 10L)
+    assert(t.read().where($"p" === 0L).count() === 20L)
+    // incremental read and CDC deliver the layout values, not nulls
+    val incr = t.readIncremental(0L, Some(snap.version))
+    assert(incr.where($"p".isNull).count() === 0L)
+    assert(incr.count() === 40L)
+    val changes = t.readChanges(0L, Some(snap.version))
+    assert(changes.where($"p".isNull).count() === 0L)
+    // rewrite adopts layout values into owned files as real columns
+    t.compact(targetPartitions = 2)
+    assert(t.latest.get.dirs.forall(d => !d.startsWith("/") && !d.contains(":/")))
+    assert(t.read().where($"p" === 1L).count() === 20L)
+  }
+
+  test("hive-partitioned import: string values with special characters survive") {
+    val cat = fresh()
+    val hive = Files.createTempDirectory("addf-hive2-").toString
+    val src = Seq((1L, "a b"), (2L, "x+y"), (3L, "p:q"), (4L, "plain"))
+      .toDF("id", "seg")
+    src.write.partitionBy("seg").parquet(s"$hive/t")
+    val t = cat.table("ns.hv2")
+    t.addFiles(s"$hive/t")
+    assert(t.read().orderBy($"id").select($"seg").as[String].collect().toSeq ===
+      Seq("a b", "x+y", "p:q", "plain"))
+  }
+
+  test("hive-partitioned import: commit stream refuses the dir loud") {
+    val cat = fresh()
+    val hive = Files.createTempDirectory("addf-hive3-").toString
+    df(1 to 10).withColumn("p", ($"id" % 2).cast("long"))
+      .write.partitionBy("p").parquet(s"$hive/t")
+    val t = cat.table("ns.hv3")
+    t.addFiles(s"$hive/t")
+    val ex = intercept[Exception] {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = spark.readStream.format(classOf[graft.streaming.GraftLakeSourceProvider].getName)
+        .option("path", t.rootLocation).load()
+        .writeStream.format("memory").queryName("hv3_refuse")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+      throw new IllegalStateException("stream should have failed on the hive import dir")
+    }
+    def chain(e: Throwable): Seq[String] =
+      if (e == null) Nil else e.getMessage +: chain(e.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("hive-layout import")))
   }
 
   test("SQL surface: CALL graft.system.add_files imports and reports rows") {
