@@ -106,6 +106,7 @@ object SparkEntry {
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
+    "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
@@ -1104,6 +1105,22 @@ object SparkEntry {
         |JOIN
         |  (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
         |   WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
+
+    // left-outer variant: both sides cut to max(ts) - 20 min (the
+    // stream's deterministic-eviction cutoff; the stream watermark
+    // still sees max(ts)), unmatched purchases carry null click cols
+    "s_stream_outer_join" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |co AS (SELECT max(ts) - INTERVAL 20 MINUTE AS c FROM ev)
+        |SELECT p.user_id, p.purchase_id, p.p_ts, c.click_id, c.c_ts FROM
+        |  (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM ev, co
+        |   WHERE event_type = 'purchase' AND ts <= co.c) p
+        |LEFT JOIN
+        |  (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev, co
+        |   WHERE event_type = 'click' AND ts <= co.c) c
         |ON p.user_id = c.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
         |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,

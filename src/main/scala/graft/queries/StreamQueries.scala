@@ -68,6 +68,20 @@ object StreamQueries {
       .orderBy($"user_id", $"purchase_id", $"click_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join, AvailableNow to
+    * completion: unmatched purchases emit null click columns only on
+    * state eviction, so both sides restrict to
+    * `ts <= max(ts) − 20 min` while the watermark (10 min delay) is
+    * assigned on the unfiltered stream — every outer result flushes
+    * deterministically and the emitted set equals the batch left
+    * outer join the DuckDB oracle states.
+    */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.streamStreamLeftOuterJoin(spark, s"$dir/events.parquet")
+      .orderBy($"user_id", $"purchase_id", $"click_id")
+  }
+
   /** Lake table consumed through the manifest-driven streaming source
     * ([[graft.streaming.GraftLakeSource]]): events land in a lake
     * table as two append commits, the committed stream drains them by

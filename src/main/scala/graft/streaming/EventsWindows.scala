@@ -194,6 +194,87 @@ object EventsWindows {
     runToMemory(joined.sparkSession, joined, "graft_ssj_", OutputMode.Append())
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: purchases
+    * with no click in the preceding `lookback` emit with null click
+    * columns — but only when their join state is EVICTED (outer
+    * results cannot emit while a match could still arrive). The
+    * deterministic-completion trick: the watermark is assigned on the
+    * UNFILTERED stream (so the final watermark reaches
+    * max(ts) − delay), and both sides then restrict to
+    * `ts <= max(ts) − holdback` with holdback > delay — every
+    * buffered row's eviction bound is STRICTLY below the final
+    * watermark, so AvailableNow's closing no-data batches flush every
+    * outer result. Without that ordering the tail of the stream never
+    * evicts and outer rows are silently withheld — the classic
+    * stream-stream outer-join gotcha.
+    */
+  def streamStreamLeftOuterJoin(spark: SparkSession, parquetPath: String,
+                                lookback: String = "1 hour",
+                                delay: String = "10 minutes",
+                                holdbackMinutes: Int = 20): DataFrame = {
+    val s = streamSession(spark)
+    // µs-exact cutoff (Timestamp.getTime would truncate to ms and
+    // diverge from the oracle's max(ts) - INTERVAL arithmetic)
+    val maxTs = graft.Tables.normalizeTs(s.read.parquet(parquetPath))
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofMinutes(holdbackMinutes.toLong)))
+    // each side keeps its post-cutoff tail flowing as SENTINEL rows
+    // (negative user ids, never joinable): Catalyst pushes filters
+    // below the watermark node, so a plain `ts <= cutoff` filter would
+    // cap the observed event time at the last surviving row and the
+    // final watermark would strand the newest real row's outer result.
+    // Sentinels carry the true max(ts) through the watermark, then
+    // fall out after the join.
+    def side(tpe: String, sentinelUser: Long) =
+      eventsStreamIn(s, parquetPath)
+        .withWatermark("ts", delay)
+        .where(col("event_type") === tpe && col("ts") <= lit(cutoff) ||
+          col("ts") > lit(cutoff))
+        .select(
+          when(col("ts") > lit(cutoff), lit(sentinelUser))
+            .otherwise(col("user_id")).as("user_id"),
+          col("event_id"), col("ts"))
+    val purchases = side("purchase", -1L)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = side("click", -2L)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .where(col("user_id") >= 0L) // drop watermark sentinels
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+    runToMemory(joined.sparkSession, joined, "graft_ssoj_", OutputMode.Append())
+  }
+
+  /** Batch equivalent of [[streamStreamLeftOuterJoin]] (same cutoff +
+    * interval semantics) — the parity oracle.
+    */
+  def leftOuterIntervalBatch(events: DataFrame, lookback: String = "1 hour",
+                             holdbackMinutes: Int = 20): DataFrame = {
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofMinutes(holdbackMinutes.toLong)))
+    val purchases = events
+      .where(col("event_type") === "purchase" && col("ts") <= lit(cutoff))
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = events
+      .where(col("event_type") === "click" && col("ts") <= lit(cutoff))
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Batch equivalent of [[streamStreamJoin]] (same interval
     * semantics) — the parity oracle.
     */

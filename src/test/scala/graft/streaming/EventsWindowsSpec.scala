@@ -79,6 +79,18 @@ class EventsWindowsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("stream-stream LEFT OUTER join equals the batch left outer join") {
+    val stream = EventsWindows.streamStreamLeftOuterJoin(spark, eventsPath)
+      .orderBy($"user_id", $"purchase_id", $"click_id").collect().toSeq
+    val batch = EventsWindows.leftOuterIntervalBatch(Tables(spark, dir).events)
+      .orderBy($"user_id", $"purchase_id", $"click_id").collect().toSeq
+    assert(stream.nonEmpty)
+    // the deterministic-eviction cutoff means outer results are NOT a
+    // subset: every unmatched purchase must have emitted its null row
+    assert(stream.exists(_.isNullAt(3)), "expected at least one unmatched purchase")
+    assert(stream === batch)
+  }
+
   test("sessionization invariant: session event counts sum to total events") {
     val sess = EventsWindows.sessionizeBatch(Tables(spark, dir).events)
     val total = Tables(spark, dir).events.count()
