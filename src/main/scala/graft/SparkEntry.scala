@@ -59,6 +59,7 @@ object SparkEntry {
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
+    "lake_delta_cdf"        -> (LakeQueries.deltaChangeFeed _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -412,6 +413,23 @@ object SparkEntry {
         |WHERE (o_orderkey % 3 IN (0, 1) AND o_orderpriority <> '1-URGENT')
         |   OR o_orderkey % 3 = 2
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Delta change feed: v0 = even keys (partitioned append), v1 = odd
+    // keys, v2 = partition delete of BUILDING (tombstoned files re-read
+    // as delete rows)
+    "lake_delta_cdf" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |       'insert', CAST(1 AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |       'delete', CAST(2 AS BIGINT)
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

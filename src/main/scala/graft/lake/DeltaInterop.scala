@@ -331,7 +331,6 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
       DataType.fromJson(meta.get("schemaString").asText).asInstanceOf[StructType]
     val partCols: Seq[String] = Option(meta.get("partitionColumns"))
       .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
     val typeOf: Map[String, DataType] =
       tableSchema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -373,14 +372,22 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     }
 
     val live = r.adds.values.toSeq.filter(partitionKeeps).filter(statsKeep)
-    if (live.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+    relationFor(live, tableSchema, partCols)
+  }
 
-    // one relation per live partition-value tuple: partition columns
-    // are absent from the files and re-enter as typed literals
-    val groups = live.groupBy(_.partitionValues)
-    val frames = groups.toSeq.map { case (pv, files) =>
-      val paths = files.map(f => new HPath(root, decodePath(f.path)).toString)
+  /** One relation per partition-value tuple over `files`: partition
+    * columns are absent from the files and re-enter as typed literals;
+    * empty input yields a schema-typed empty frame.
+    */
+  private def relationFor(files: Seq[DeltaAddFile], tableSchema: StructType,
+                          partCols: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
+    val typeOf: Map[String, DataType] =
+      tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val frames = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+      val paths = fs.map(f => new HPath(root, decodePath(f.path)).toString)
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
       val withParts = pv.foldLeft(base) { case (d, (c, v)) =>
         val t = typeOf.getOrElse(c,
@@ -397,6 +404,95 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     */
   def liveFileCount(filters: Seq[LakePredicate] = Nil): Int =
     read(filters = filters).inputFiles.length
+
+  /** File-granular row-level changelog of `(fromVersion, toVersion]` —
+    * the log-replay face of Delta's Change Data Feed for tables
+    * without `_change_data` files: per commit, `add` actions with
+    * `dataChange` deliver their rows as 'insert' and `remove` actions
+    * with `dataChange` re-read the tombstoned file (still on disk
+    * until vacuum) as 'delete'; rewrite commits (dataChange=false on
+    * both sides, the OPTIMIZE shape) pass through silently. An
+    * update-style rewrite is delete + insert at the same version —
+    * the standard CDC convention. Driver cost is O(commits) JSON
+    * parses; reads are bounded by the changed files.
+    */
+  def readChanges(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val jsons = jsonVersions()
+    val hi = toVersion.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(s"no Delta log at $logDir"))
+    val need = (fromVersion + 1) to hi
+    require(need.forall(jsons.contains),
+      s"changelog needs the JSON commits of (${fromVersion}, $hi] at $logDir; " +
+        "some were truncated (checkpointed history has no per-commit actions)")
+    // running state at fromVersion: remove actions name only a path —
+    // partitionValues/stats for the delete read come from here.
+    // fromVersion = -1 starts before the initial commit (Delta
+    // versions are 0-based), delivering v0's load as inserts.
+    val state = scala.collection.mutable.LinkedHashMap[String, DeltaAddFile]()
+    var metaNode: Option[JsonNode] = None
+    if (fromVersion >= 0) {
+      val (r, _) = replayTo(Some(fromVersion))
+      checkProtocol(r)
+      r.adds.values.foreach(a => state(a.path) = a)
+      metaNode = r.metaData
+    }
+    val frames = Seq.newBuilder[DataFrame]
+    for (v <- need) {
+      def metaOf = metaNode.getOrElse(
+        throw new IllegalStateException("no metaData action in log"))
+      val actions = io.readString(new HPath(logDir, commitName(v))).split('\n')
+        .iterator.map(_.trim).filter(_.nonEmpty).map(om.readTree).toSeq
+      actions.foreach(n => Option(n.get("metaData")).filter(!_.isNull)
+        .foreach(m => metaNode = Some(m)))
+      val tableSchema =
+        DataType.fromJson(metaOf.get("schemaString").asText).asInstanceOf[StructType]
+      val partCols: Seq[String] = Option(metaOf.get("partitionColumns"))
+        .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      def tagged(df: DataFrame, tpe: String): DataFrame =
+        df.withColumn("_change_type", lit(tpe))
+          .withColumn("_commit_version", lit(v))
+      val adds = Seq.newBuilder[DeltaAddFile]
+      val removes = Seq.newBuilder[DeltaAddFile]
+      actions.foreach { n =>
+        Option(n.get("add")).filter(!_.isNull).foreach { a =>
+          require(Option(a.get("deletionVector")).forall(_.isNull),
+            s"add at v$v carries a deletion vector; not supported")
+          val pv = Option(a.get("partitionValues")).filter(!_.isNull)
+            .map(m => m.properties().asScala.toSeq.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)))
+            .getOrElse(Nil)
+          val f = DeltaAddFile(a.get("path").asText, pv,
+            Option(a.get("size")).map(_.asLong).getOrElse(0L),
+            Option(a.get("stats")).filter(s => !s.isNull && s.asText.nonEmpty)
+              .map(_.asText))
+          if (Option(a.get("dataChange")).forall(_.asBoolean)) adds += f
+          state(f.path) = f
+        }
+        Option(n.get("remove")).filter(!_.isNull).foreach { rm =>
+          val path = rm.get("path").asText
+          val known = state.remove(path)
+          if (Option(rm.get("dataChange")).forall(_.asBoolean))
+            removes += known.getOrElse(DeltaAddFile(path, Nil, 0L, None))
+        }
+      }
+      val delFiles = removes.result()
+      val addFiles = adds.result()
+      if (delFiles.nonEmpty) frames += tagged(relationFor(delFiles, tableSchema, partCols), "delete")
+      if (addFiles.nonEmpty) frames += tagged(relationFor(addFiles, tableSchema, partCols), "insert")
+    }
+    val out = frames.result()
+    if (out.isEmpty) {
+      val meta = metaNode.getOrElse(
+        throw new IllegalStateException("no metaData action in log"))
+      val tableSchema =
+        DataType.fromJson(meta.get("schemaString").asText).asInstanceOf[StructType]
+      val partCols: Seq[String] = Option(meta.get("partitionColumns"))
+        .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      relationFor(Nil, tableSchema, partCols)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L)).where(lit(false))
+    } else out.reduce(_ unionByName _)
+  }
 }
 
 /** Writes spec-compliant Delta tables: `%020d.json` commits published

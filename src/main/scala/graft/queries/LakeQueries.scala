@@ -773,6 +773,27 @@ object LakeQueries {
     new DeltaTableReader(spark, loc).read().orderBy($"o_orderkey")
   }
 
+  /** Delta change-feed by log replay ([[graft.lake.DeltaTableReader]]
+    * `.readChanges`): the row-level changelog of a partitioned Delta
+    * table — v0/v1 appends deliver as inserts, a metadata-only
+    * partition delete re-reads its tombstoned files (still on disk)
+    * as delete rows with partition values re-injected.
+    */
+  def deltaChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DeltaExport, DeltaTableReader, LakePredicate}
+    val loc = scratchDir("graft-deltacdf-").toString
+    val exp = new DeltaExport(spark, loc)
+    val cust = Tables(spark, dir).customer
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment")
+    exp.append(cust.filter(pmod($"c_custkey", lit(2)) === 0),
+      partitionBy = Seq("c_mktsegment"))
+    exp.append(cust.filter(pmod($"c_custkey", lit(2)) === 1))
+    exp.deleteWhere(Seq(LakePredicate.EqualTo("c_mktsegment", "BUILDING")))
+    new DeltaTableReader(spark, loc).readChanges(-1L)
+      .orderBy($"_commit_version", $"_change_type", $"c_custkey")
+  }
+
   def icebergRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{IcebergExport, IcebergTableReader}

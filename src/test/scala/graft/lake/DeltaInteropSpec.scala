@@ -227,6 +227,59 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(pruned < all)
   }
 
+  test("readChanges: appends as inserts, tombstoned partitions as deletes") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    val df = (1 to 20).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
+    exp.append(df, partitionBy = Seq("part"))                      // v0
+    exp.append(Seq((21L, "p0")).toDF("id", "part"))                // v1
+    exp.deleteWhere(Seq(LakePredicate.EqualTo("part", "p1")))      // v2
+    val rdr = new DeltaTableReader(spark, loc)
+    val ch = rdr.readChanges(-1L)
+    assert(ch.where($"_change_type" === "insert" && $"_commit_version" === 0L)
+      .count() === 20L)
+    assert(ch.where($"_change_type" === "insert" && $"_commit_version" === 1L)
+      .select($"id").as[Long].collect().toSeq === Seq(21L))
+    // deletes carry the partition value re-injected from the tombstone
+    val dels = ch.where($"_change_type" === "delete")
+    assert(dels.count() === 10L)
+    assert(dels.where($"part" =!= "p1").count() === 0L)
+    assert(dels.select($"_commit_version").distinct().as[Long].collect().toSeq === Seq(2L))
+    // subrange: (0, 1] sees only the v1 insert
+    val sub = rdr.readChanges(0L, Some(1L))
+    assert(sub.count() === 1L)
+  }
+
+  test("readChanges: dataChange=false rewrites pass through silently") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // hand-craft an OPTIMIZE-shaped commit: same rows rewritten into a
+    // new file, add+remove both dataChange=false
+    val rdr0 = new DeltaTableReader(spark, loc)
+    val live = rdr0.read().inputFiles
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rewritten = new java.io.File(loc, "data/rewrite")
+    rewritten.mkdirs()
+    rdr0.read().coalesce(1).write.mode("overwrite").parquet(rewritten.toString + "/x")
+    val part = new java.io.File(rewritten, "x").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val addPath = "data/rewrite/x/" + part.getName
+    val removes = live.map { f =>
+      val rel = f.substring(f.indexOf("/data/") + 1)
+      s"""{"remove":{"path":"$rel","deletionTimestamp":0,"dataChange":false}}"""
+    }
+    val add = s"""{"add":{"path":"$addPath","partitionValues":{},"size":${part.length},""" +
+      s""""modificationTime":0,"dataChange":false}}"""
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath,
+      (removes :+ add).mkString("\n"))
+    val ch = new DeltaTableReader(spark, loc).readChanges(0L)
+    assert(ch.count() === 0L, "an OPTIMIZE-shaped commit must deliver no changes")
+    // and the table still reads the rewritten file
+    assert(new DeltaTableReader(spark, loc).read().count() === 2L)
+  }
+
   test("schema and spec drift on append are rejected") {
     val loc = freshLoc()
     val exp = new DeltaExport(spark, loc)
