@@ -174,6 +174,13 @@ object IcebergFormat {
   def bucketIndex(n: Int, v: Any): Option[Int] =
     bucketHash(v).map(h => (h & Integer.MAX_VALUE) % n)
 
+  /** Bucket index of a value whose hash domain is its long's
+    * little-endian bytes (int/long/date-days/timestamp-micros) — the
+    * write-path fast form ([[IcebergBucketExpr]]).
+    */
+  def bucketIndexOfLongBytes(n: Int, v: Long): Int =
+    (murmur3(longLE(v)) & Integer.MAX_VALUE) % n
+
   /** Bucket index with the SOURCE COLUMN's Iceberg type in hand: the
     * spec hashes the column's representation, not the probe literal's
     * runtime type — a decimal literal must rescale to the column's
@@ -235,6 +242,46 @@ object IcebergFormat {
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]},"field-id":2}
       |]}""".stripMargin)
+}
+
+/** Row-level `bucket[N]` transform for the EXPORT write path: the
+  * spec's murmur3 over the value's Iceberg byte form, reduced mod N —
+  * the same arithmetic [[IcebergFormat.bucketIndexTyped]] uses to
+  * prune on read, so written partition values and probe projections
+  * can never disagree. A Catalyst expression (not a UDF) evaluated on
+  * internal rows; CodegenFallback is fine here — it runs once per row
+  * of an export write, never in a scan hot path.
+  */
+private[lake] final case class IcebergBucketExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0, s"bucket count must be positive, got $n")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "iceberg_bucket"
+  override protected def nullSafeEval(input: Any): Any = {
+    import IcebergFormat._
+    child.dataType match {
+      case ByteType    => bucketIndexOfLongBytes(n, input.asInstanceOf[Byte].toLong)
+      case ShortType   => bucketIndexOfLongBytes(n, input.asInstanceOf[Short].toLong)
+      case IntegerType => bucketIndexOfLongBytes(n, input.asInstanceOf[Int].toLong)
+      // timestamps are µs longs internally — exactly the spec's hash domain
+      case LongType | TimestampType | TimestampNTZType =>
+        bucketIndexOfLongBytes(n, input.asInstanceOf[Long])
+      // dates are epoch-day ints internally; the spec hashes the days
+      case DateType    => bucketIndexOfLongBytes(n, input.asInstanceOf[Int].toLong)
+      case StringType  => bucketIndex(n, input.toString).orNull
+      case _: DecimalType =>
+        bucketIndex(n, input.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal).orNull
+      case BinaryType  => bucketIndex(n, input.asInstanceOf[Array[Byte]]).orNull
+      case other => throw new IllegalArgumentException(
+        s"bucket transform over unsupported type $other")
+    }
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): IcebergBucketExpr =
+    copy(child = newChild)
 }
 
 /** One live file resolved from the manifests. `partition` carries
@@ -751,11 +798,20 @@ final class IcebergExport(spark: SparkSession, location: String) {
           SpecField(s"${c}_$transform", transform, c)
         }
       else None
+    def bucket(s: String): Option[SpecField] =
+      if (s.startsWith("bucket(") && s.endsWith(")")) {
+        val parts = s.stripPrefix("bucket(").stripSuffix(")").split(',')
+        require(parts.length == 2, s"bucket spec needs (N, col), got '$s'")
+        val nv = parts(0).trim.toInt
+        val c = parts(1).trim
+        Some(SpecField(s"${c}_bucket", s"bucket[$nv]", c))
+      } else None
     partitionBy.map { s =>
       temporal(s, "days", "day")
         .orElse(temporal(s, "months", "month"))
         .orElse(temporal(s, "hours", "hour"))
         .orElse(temporal(s, "years", "year"))
+        .orElse(bucket(s))
         .getOrElse(SpecField(s.trim, "identity", s.trim))
     }
   }
@@ -811,6 +867,10 @@ final class IcebergExport(spark: SparkSession, location: String) {
             month(src.cast(DateType)) - 1)
           case "year"  => year(src.cast(DateType)) - 1970
           case "hour"  => floor(unix_timestamp(src) / 3600L).cast(IntegerType)
+          case b if b.startsWith("bucket[") =>
+            val n = b.stripPrefix("bucket[").stripSuffix("]").toInt
+            org.apache.spark.sql.GraftColumnBridge.column(IcebergBucketExpr(
+              org.apache.spark.sql.GraftColumnBridge.expression(src), n))
           case t => throw new IllegalArgumentException(s"unsupported export transform $t")
         }
         d.withColumn(s"_ice_${f.name}", derived)
@@ -842,6 +902,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
       if (s == "__HIVE_DEFAULT_PARTITION__") null
       else f.transform match {
         case "day" | "month" | "hour" | "year" => Integer.valueOf(s.toInt)
+        case b if b.startsWith("bucket[") => Integer.valueOf(s.toInt)
         case "identity" => srcType(f.name) match {
           case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
           case LongType   => java.lang.Long.valueOf(s.toLong)
@@ -895,6 +956,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
   private def partAvroType(f: SpecField, srcTypes: Map[String, DataType]): String =
     f.transform match {
       case "day" | "month" | "hour" | "year" => "int"
+      case b if b.startsWith("bucket[") => "int"
       case "identity" => srcTypes(f.name) match {
         case IntegerType | ShortType | ByteType | DateType => "int"
         case LongType   => "long"
@@ -1203,8 +1265,20 @@ object IcebergExport {
           case _ => false
         }
       }
+    def bucketSupported(s: String): Boolean =
+      s.startsWith("bucket(") && s.endsWith(")") && {
+        val parts = s.stripPrefix("bucket(").stripSuffix(")").split(',')
+        parts.length == 2 && parts(0).trim.forall(_.isDigit) &&
+          df.schema.fields.find(_.name == parts(1).trim).map(_.dataType).exists {
+            case ByteType | ShortType | IntegerType | LongType | StringType |
+                 DateType | TimestampType | TimestampNTZType | _: DecimalType |
+                 BinaryType => true
+            case _ => false
+          }
+      }
     val spec = table.latest.map(_.partitionBy).getOrElse(Nil).filter { s =>
       Seq("days", "months", "hours", "years").exists(temporalSupported(s, _)) ||
+        bucketSupported(s) ||
         (s.matches("[A-Za-z_][A-Za-z0-9_]*") && identitySupported(s))
     }
     new IcebergExport(table.spark, location).append(df, spec)

@@ -475,6 +475,49 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition spec"))
   }
 
+  test("bucket-partitioned export: write-side hashes agree with the reader's pruning") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val df = (1 to 64).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    exp.append(df, partitionBy = Seq("bucket(4, id)"))
+    val rdr = new IcebergTableReader(spark, loc)
+    val all = rdr.read()
+    assert(all.count() === 64)
+    // every row present, bucket dirs materialized
+    assert(all.inputFiles.forall(_.contains("_ice_id_bucket=")))
+    val nBuckets = all.inputFiles.map(f =>
+      f.split("_ice_id_bucket=")(1).split('/')(0)).distinct.length
+    assert(nBuckets === 4, s"64 sequential longs must land in all 4 buckets")
+    // equality probe prunes to exactly ONE bucket's files via the
+    // write-side hash — and finds its row (write/read hash agreement)
+    for (probe <- Seq(1L, 17L, 42L)) {
+      val hit = rdr.read(filters = Seq(LakePredicate.EqualTo("id", probe)))
+      val probeBuckets = hit.inputFiles.map(f =>
+        f.split("_ice_id_bucket=")(1).split('/')(0)).distinct
+      assert(probeBuckets.length === 1, s"probe $probe read ${probeBuckets.length} buckets")
+      assert(hit.where($"id" === probe).count() === 1L)
+    }
+    // string bucket: spec hash vector — bucket[16] of "iceberg" hashes
+    // to index 9 (murmur3 1210000089 from the published test vectors)
+    val loc2 = freshLoc()
+    val exp2 = new IcebergExport(spark, loc2)
+    exp2.append(Seq(("iceberg", 1L), ("other", 2L)).toDF("word", "id"),
+      partitionBy = Seq("bucket(16, word)"))
+    val rdr2 = new IcebergTableReader(spark, loc2)
+    val f = rdr2.read(filters = Seq(LakePredicate.EqualTo("word", "iceberg"))).inputFiles
+    assert(f.length === 1 && f.head.contains("_ice_word_bucket=9"), f.mkString(","))
+    // graft lake table with a bucket spec publishes bucket-partitioned
+    val wh = java.nio.file.Files.createTempDirectory("ice-bucket-wh-").toString
+    val cat = new LakeCatalog(spark, wh)
+    cat.write(df, "ns.b", WriteMode.Overwrite, partitionBy = Seq("bucket(4, id)"))
+    val loc3 = freshLoc()
+    IcebergExport.fromLakeTable(cat.table("ns.b"), loc3)
+    val pub = new IcebergTableReader(spark, loc3)
+    val probed = pub.read(filters = Seq(LakePredicate.EqualTo("id", 17L)))
+    assert(probed.inputFiles.length < pub.read().inputFiles.length)
+    assert(probed.where($"id" === 17L).count() === 1L)
+  }
+
   test("month-partitioned export prunes from manifests; snapshot-log records history") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
