@@ -60,6 +60,7 @@ object SparkEntry {
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
     "lake_delta_cdf"        -> (LakeQueries.deltaChangeFeed _),
+    "lake_hive_import"      -> (LakeQueries.hiveImport _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -430,6 +431,12 @@ object SparkEntry {
         |       'delete', CAST(2 AS BIGINT)
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
+
+    // hive-layout import (even keys, partition values only in dir
+    // names) + owned append (odd keys) = the whole table
+    "lake_hive_import" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

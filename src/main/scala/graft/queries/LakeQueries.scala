@@ -773,6 +773,32 @@ object LakeQueries {
     new DeltaTableReader(spark, loc).read().orderBy($"o_orderkey")
   }
 
+  /** Hive-partitioned in-place import: orders staged as a hive layout
+    * (partition values ONLY in `o_orderpriority=...` dir names), then
+    * [[graft.lake.LakeTable.addFiles]] adopts it metadata-only — the
+    * layout column re-materializes typed through partition discovery,
+    * composes with a later owned append, and Catalyst partition-prunes
+    * the external dir on layout-column predicates.
+    */
+  def hiveImport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = scratchDir("graft-hiveimp-").toString
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+    orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+    val cat = freshCatalog(spark)
+    val t = cat.table("bronze.hive_imp")
+    t.addFiles(src)
+    // owned append on top of the import: both generations union
+    t.write(orders.filter(pmod($"o_orderkey", lit(2)) === 1),
+      graft.lake.WriteMode.Append)
+    val out = t.read()
+    require(out.where($"o_orderpriority".isNull).count() == 0,
+      "layout column must re-materialize, never null-fill")
+    out.orderBy($"o_orderkey")
+  }
+
   /** Delta change-feed by log replay ([[graft.lake.DeltaTableReader]]
     * `.readChanges`): the row-level changelog of a partitioned Delta
     * table — v0/v1 appends deliver as inserts, a metadata-only
