@@ -110,6 +110,7 @@ object SparkEntry {
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
+    "s_delta_stream"     -> (StreamQueries.deltaStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
@@ -1090,6 +1091,12 @@ object SparkEntry {
     // the committed stream must deliver every event exactly once:
     // n = n_distinct = the batch per-type counts
     "s_lake_commit_stream" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Delta-log stream delivers both partitioned append commits
+    // and passes over the checkpoint — per-type counts equal batch
+    "s_delta_stream" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -146,7 +146,7 @@ object DeltaFormat {
 /** One live data file from log replay. `partitionValues` keeps the
   * protocol's string form (null = null partition value).
   */
-private[lake] final case class DeltaAddFile(
+private[graft] final case class DeltaAddFile(
     path: String, partitionValues: Seq[(String, String)], size: Long,
     statsJson: Option[String])
 
@@ -375,12 +375,61 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     relationFor(live, tableSchema, partCols)
   }
 
+  /** Table schema + partition columns at a version (streaming pin). */
+  private[graft] def metaInfo(version: Option[Long]): (StructType, Seq[String]) = {
+    val (r, _) = replayTo(version)
+    checkProtocol(r)
+    val meta = r.metaData.getOrElse(
+      throw new IllegalStateException("no metaData action in log"))
+    val ts = DataType.fromJson(meta.get("schemaString").asText).asInstanceOf[StructType]
+    val pc = Option(meta.get("partitionColumns"))
+      .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    (ts, pc)
+  }
+
+  /** Per-commit action summary for the streaming source: dataChange
+    * adds, whether the commit REWRITES data (dataChange removes), and
+    * any metaData replacement's schemaString. Fails loud when the
+    * commit's JSON was truncated away (checkpointed history has no
+    * per-commit actions).
+    */
+  private[graft] def commitSummary(v: Long): (Seq[DeltaAddFile], Boolean, Option[String]) = {
+    val p = new HPath(logDir, commitName(v))
+    require(io.exists(p),
+      s"commit $v of $logDir is gone (checkpoint-truncated?); streaming reads need the " +
+        "JSON history of the covered range — restart with a fresh checkpoint or startingVersion")
+    val adds = Seq.newBuilder[DeltaAddFile]
+    var rewrites = false
+    var newSchema: Option[String] = None
+    io.readString(p).split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(om.readTree).foreach { n =>
+        Option(n.get("metaData")).filter(!_.isNull)
+          .foreach(m => newSchema = Some(m.get("schemaString").asText))
+        Option(n.get("add")).filter(!_.isNull).foreach { a =>
+          require(Option(a.get("deletionVector")).forall(_.isNull),
+            s"add at v$v carries a deletion vector; not supported")
+          if (Option(a.get("dataChange")).forall(_.asBoolean)) {
+            val pv = Option(a.get("partitionValues")).filter(!_.isNull)
+              .map(m => m.properties().asScala.toSeq.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)))
+              .getOrElse(Nil)
+            adds += DeltaAddFile(a.get("path").asText, pv,
+              Option(a.get("size")).map(_.asLong).getOrElse(0L), None)
+          }
+        }
+        Option(n.get("remove")).filter(!_.isNull).foreach { rm =>
+          if (Option(rm.get("dataChange")).forall(_.asBoolean)) rewrites = true
+        }
+      }
+    (adds.result(), rewrites, newSchema)
+  }
+
   /** One relation per partition-value tuple over `files`: partition
     * columns are absent from the files and re-enter as typed literals;
     * empty input yields a schema-typed empty frame.
     */
-  private def relationFor(files: Seq[DeltaAddFile], tableSchema: StructType,
-                          partCols: Seq[String]): DataFrame = {
+  private[graft] def relationFor(files: Seq[DeltaAddFile], tableSchema: StructType,
+                                 partCols: Seq[String]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
     val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))

@@ -113,6 +113,40 @@ object StreamQueries {
       .orderBy($"event_type")
   }
 
+  /** Delta transaction log consumed as a STREAM end-to-end
+    * ([[graft.streaming.DeltaStreamingSource]], no Delta runtime):
+    * events land in a Delta table as two partitioned append commits
+    * plus an OPTIMIZE-shaped checkpoint, the version-offset stream
+    * drains them into a parquet sink, and per-type counts must equal
+    * the batch aggregation the DuckDB oracle states — partition
+    * values re-injected from the log, never from the files.
+    */
+  def deltaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.DeltaExport
+    val loc = LakeQueries.scratchDir("graft-deltasrc-").toString
+    val exp = new DeltaExport(spark, loc)
+    val events = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    exp.append(events.filter($"event_id" % 2 === 0), partitionBy = Seq("event_type"))
+    exp.append(events.filter($"event_id" % 2 =!= 0))
+    exp.checkpoint() // metadata-only; the stream passes over it
+    val out = LakeQueries.scratchDir("graft-deltastream-out-")
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamSourceProvider].getName)
+      .option("path", loc)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.resolve("data").toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("n_distinct"))
+      .orderBy($"event_type")
+  }
+
   /** Change-data-feed STREAM consumed end-to-end: the same 4-version
     * history as `lake_cdc_read` (overwrite, append, MOR delete,
     * equality-delete upsert) drained through
