@@ -94,6 +94,7 @@ object SparkEntry {
     "d_simhash_pairs"    -> (SimQueries.simhashPairs _),
     "d_fuzzy_match"      -> (SimQueries.fuzzyMatch _),
     "e_cosine_dup_pairs" -> (SimQueries.cosineDupPairs _),
+    "e_semantic_dedup"   -> (SimQueries.semanticDedup _),
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
@@ -793,6 +794,12 @@ object SparkEntry {
     "e_cosine_dup_pairs" ->
       """SELECT vec_id AS a_id, vec_id + 10000000 AS b_id
         |FROM embeddings ORDER BY a_id, b_id""".stripMargin,
+
+    // two planted copies per vector form 3-cliques; dedup keeps the
+    // originals, each labeled with its merged cluster's size
+    "e_semantic_dedup" ->
+      """SELECT vec_id, CAST(3 AS BIGINT) AS cluster_size
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // portable md5-bit simhash restated in SQL: bit i of a token's
     // contribution = bit i%4 of hex nibble i/4 of md5(token); vote sum

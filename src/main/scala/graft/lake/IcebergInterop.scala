@@ -798,6 +798,14 @@ final class IcebergExport(spark: SparkSession, location: String) {
           SpecField(s"${c}_$transform", transform, c)
         }
       else None
+    def trunc(s: String): Option[SpecField] =
+      if (s.startsWith("truncate(") && s.endsWith(")")) {
+        val parts = s.stripPrefix("truncate(").stripSuffix(")").split(',')
+        require(parts.length == 2, s"truncate spec needs (W, col), got '$s'")
+        val w = parts(0).trim.toInt
+        val c = parts(1).trim
+        Some(SpecField(s"${c}_trunc", s"truncate[$w]", c))
+      } else None
     def bucket(s: String): Option[SpecField] =
       if (s.startsWith("bucket(") && s.endsWith(")")) {
         val parts = s.stripPrefix("bucket(").stripSuffix(")").split(',')
@@ -812,6 +820,7 @@ final class IcebergExport(spark: SparkSession, location: String) {
         .orElse(temporal(s, "hours", "hour"))
         .orElse(temporal(s, "years", "year"))
         .orElse(bucket(s))
+        .orElse(trunc(s))
         .getOrElse(SpecField(s.trim, "identity", s.trim))
     }
   }
@@ -871,6 +880,19 @@ final class IcebergExport(spark: SparkSession, location: String) {
             val n = b.stripPrefix("bucket[").stripSuffix("]").toInt
             org.apache.spark.sql.GraftColumnBridge.column(IcebergBucketExpr(
               org.apache.spark.sql.GraftColumnBridge.expression(src), n))
+          case t if t.startsWith("truncate[") =>
+            import org.apache.spark.sql.functions.{pmod, substring}
+            val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+            df.schema(f.srcCol).dataType match {
+              // Spark's substring walks UTF-8 code points — the spec's
+              // unit (UTF-16 .take would split surrogate pairs)
+              case StringType => substring(src, 1, w)
+              // spec: v - (v mod W) with a POSITIVE mod
+              case ByteType | ShortType | IntegerType | LongType =>
+                src - pmod(src, lit(w))
+              case other => throw new IllegalArgumentException(
+                s"truncate export over unsupported type $other")
+            }
           case t => throw new IllegalArgumentException(s"unsupported export transform $t")
         }
         d.withColumn(s"_ice_${f.name}", derived)
@@ -903,6 +925,13 @@ final class IcebergExport(spark: SparkSession, location: String) {
       else f.transform match {
         case "day" | "month" | "hour" | "year" => Integer.valueOf(s.toInt)
         case b if b.startsWith("bucket[") => Integer.valueOf(s.toInt)
+        case t if t.startsWith("truncate[") => srcType(f.name) match {
+          case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
+          case LongType   => java.lang.Long.valueOf(s.toLong)
+          case StringType => s
+          case other => throw new IllegalArgumentException(
+            s"unsupported truncate partition type $other")
+        }
         case "identity" => srcType(f.name) match {
           case IntegerType | ShortType | ByteType => Integer.valueOf(s.toInt)
           case LongType   => java.lang.Long.valueOf(s.toLong)
@@ -957,6 +986,13 @@ final class IcebergExport(spark: SparkSession, location: String) {
     f.transform match {
       case "day" | "month" | "hour" | "year" => "int"
       case b if b.startsWith("bucket[") => "int"
+      case t if t.startsWith("truncate[") => srcTypes(f.name) match {
+        case IntegerType | ShortType | ByteType => "int"
+        case LongType   => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"unsupported truncate partition type $other")
+      }
       case "identity" => srcTypes(f.name) match {
         case IntegerType | ShortType | ByteType | DateType => "int"
         case LongType   => "long"
@@ -1276,9 +1312,18 @@ object IcebergExport {
             case _ => false
           }
       }
+    def truncateSupported(s: String): Boolean =
+      s.startsWith("truncate(") && s.endsWith(")") && {
+        val parts = s.stripPrefix("truncate(").stripSuffix(")").split(',')
+        parts.length == 2 && parts(0).trim.forall(_.isDigit) &&
+          df.schema.fields.find(_.name == parts(1).trim).map(_.dataType).exists {
+            case ByteType | ShortType | IntegerType | LongType | StringType => true
+            case _ => false
+          }
+      }
     val spec = table.latest.map(_.partitionBy).getOrElse(Nil).filter { s =>
       Seq("days", "months", "hours", "years").exists(temporalSupported(s, _)) ||
-        bucketSupported(s) ||
+        bucketSupported(s) || truncateSupported(s) ||
         (s.matches("[A-Za-z_][A-Za-z0-9_]*") && identitySupported(s))
     }
     new IcebergExport(table.spark, location).append(df, spec)

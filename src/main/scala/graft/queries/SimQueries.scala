@@ -81,6 +81,34 @@ object SimQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** SemDeDup-style embedding-space deduplication end to end: LSH
+    * near-dup pairs → large-star/small-star connected components →
+    * keep one representative (min id) per cluster. The corpus plants
+    * TWO identical copies of every vector (id, id+off, id+2off), so
+    * the pair stage must find each 3-clique completely, the cluster
+    * stage must merge it into one component, and the keep stage
+    * returns exactly the originals with cluster_size 3 — all stated in
+    * closed form by the oracle.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val off = 10000000L
+    val corpus = emb
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + off))
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off))
+    val pairs = Similarity.cosineDupPairs(corpus, threshold = 0.99, dim = 64)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val sizes = clusters.groupBy($"cluster_root")
+      .agg(count(lit(1)).as("cluster_size"))
+    val kept = Dedup.dedupByClusters(
+      corpus.select($"vec_id".as("doc_id")), pairs, "doc_id")
+    kept.join(sizes, kept("doc_id") === sizes("cluster_root"), "left")
+      .select($"doc_id".as("vec_id"),
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+      .orderBy($"vec_id")
+  }
+
   /** Exact brute-force cosine top-k for 5 probe vectors, projected to
     * the (probe, neighbor) id set: similarity VALUES are engine-
     * specific in the last ulps, but the id SET is stable — the rank-10

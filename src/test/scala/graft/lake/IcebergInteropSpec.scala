@@ -518,6 +518,32 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(probed.where($"id" === 17L).count() === 1L)
   }
 
+  test("truncate-partitioned export: string code-point and integer floor truncation round-trip") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    val df = Seq(
+      (1L, "alpha", -7L), (2L, "albatross", -3L), (3L, "beta", 5L),
+      (4L, "bounty", 17L), (5L, "al", 23L))
+      .toDF("id", "word", "n")
+    exp.append(df, partitionBy = Seq("truncate(2, word)", "truncate(10, n)"))
+    val rdr = new IcebergTableReader(spark, loc)
+    val all = rdr.read()
+    assert(all.count() === 5)
+    assert(all.inputFiles.forall(f =>
+      f.contains("_ice_word_trunc=") && f.contains("_ice_n_trunc=")))
+    // string equality probe prunes to the 'al' prefix files only
+    val al = rdr.read(filters = Seq(LakePredicate.EqualTo("word", "albatross")))
+    assert(al.inputFiles.length < all.inputFiles.length)
+    assert(al.where($"word" === "albatross").count() === 1L)
+    // negative int floor: -7 truncates to -10, not 0 (sign-correct mod)
+    assert(all.inputFiles.exists(_.contains("_ice_n_trunc=-10")),
+      all.inputFiles.mkString(","))
+    // range probe on the int dimension prunes low files
+    val hi = rdr.read(filters = Seq(LakePredicate.GtEq("n", 15L)))
+    assert(hi.inputFiles.length < all.inputFiles.length)
+    assert(hi.select($"id").as[Long].collect().sorted === Array(4L, 5L))
+  }
+
   test("month-partitioned export prunes from manifests; snapshot-log records history") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
