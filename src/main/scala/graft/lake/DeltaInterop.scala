@@ -148,7 +148,7 @@ object DeltaFormat {
   */
 private[graft] final case class DeltaAddFile(
     path: String, partitionValues: Seq[(String, String)], size: Long,
-    statsJson: Option[String])
+    statsJson: Option[String], dvJson: Option[String] = None)
 
 final class DeltaTableReader(spark: SparkSession, location: String) {
   import DeltaFormat._
@@ -210,18 +210,17 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
       Option(n.get("metaData")).filter(!_.isNull).foreach(m => metaData = Some(m))
       Option(n.get("protocol")).filter(!_.isNull).foreach(p => protocol = Some(p))
       Option(n.get("add")).filter(!_.isNull).foreach { a =>
-        require(Option(a.get("deletionVector")).forall(_.isNull),
-          s"data file ${a.get("path").asText} carries a deletion vector; " +
-            "deletion vectors are not supported by this reader")
         val pv = Option(a.get("partitionValues")).filter(!_.isNull)
           .map(m => m.properties().asScala.toSeq.map(e =>
             e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)))
           .getOrElse(Nil)
         val path = a.get("path").asText
+        val dv = Option(a.get("deletionVector")).filter(!_.isNull)
+          .map(d => new ObjectMapper().writeValueAsString(d))
         adds(path) = DeltaAddFile(path, pv,
           Option(a.get("size")).map(_.asLong).getOrElse(0L),
           Option(a.get("stats")).filter(n => !n.isNull && n.asText.nonEmpty)
-            .map(_.asText))
+            .map(_.asText), dv)
       }
       Option(n.get("remove")).filter(!_.isNull).foreach { r =>
         adds.remove(r.get("path").asText); ()
@@ -290,7 +289,7 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
       .map(_.asInt).getOrElse(1)
     val features: Seq[String] = r.protocol.flatMap(p => Option(p.get("readerFeatures")))
       .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-    val supportedFeatures = Set("timestampNtz")
+    val supportedFeatures = Set("timestampNtz", "deletionVectors")
     val unsupported = features.filterNot(supportedFeatures)
     require(unsupported.isEmpty,
       s"table requires unsupported reader features: ${unsupported.mkString(", ")}")
@@ -372,8 +371,42 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     }
 
     val live = r.adds.values.toSeq.filter(partitionKeeps).filter(statsKeep)
-    relationFor(live, tableSchema, partCols)
+    val (dvFiles, plainFiles) = live.partition(_.dvJson.isDefined)
+    val plainDf = relationFor(plainFiles, tableSchema, partCols)
+    if (dvFiles.isEmpty) return plainDf
+    // deletion vectors: the driver fetches each file's COMPRESSED
+    // bitmap (bounded by the descriptors' sizeInBytes), executors
+    // expand to (file, position) rows, and one anti-join on
+    // (canonical path, row_index) drops the deleted rows — the same
+    // coordinate shape as the Iceberg position-delete path
+    val withPos = relationFor(dvFiles, tableSchema, partCols, withPos = true)
+    val posRows: Seq[(String, Array[Byte])] = dvFiles.map { f =>
+      val d = parseDvDescriptor(f.dvJson.get)
+      (canonStr(new HPath(root, decodePath(f.path)).toString),
+        DeltaDv.readBitmap(io, root, d))
+    }
+    val sp = spark
+    import sp.implicits._
+    val posDf = sp.createDataset(posRows)
+      .flatMap { case (f, b) => Roaring64.decode(b).map(p => (f, p)) }
+      .toDF("_gr_dfile", "_gr_dpos")
+    val applied = withPos.join(posDf,
+        IcebergFormat.canonPath(col("_gr_file")) === col("_gr_dfile") &&
+          col("_gr_pos") === col("_gr_dpos"),
+        "left_anti")
+      .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+    if (plainFiles.isEmpty) applied else plainDf.unionByName(applied)
   }
+
+  private[graft] def parseDvDescriptor(js: String): DeltaDv.Descriptor = {
+    val n = om.readTree(js)
+    DeltaDv.Descriptor(n.get("storageType").asText, n.get("pathOrInlineDv").asText,
+      Option(n.get("offset")).filter(!_.isNull).map(_.asLong),
+      n.get("sizeInBytes").asInt, n.get("cardinality").asLong)
+  }
+
+  private[graft] def canonStr(p: String): String =
+    p.replaceFirst("^([a-zA-Z0-9+.-]+):/+", "$1:/")
 
   /** Table schema + partition columns at a version (streaming pin). */
   private[graft] def metaInfo(version: Option[Long]): (StructType, Seq[String]) = {
@@ -429,21 +462,32 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     * empty input yields a schema-typed empty frame.
     */
   private[graft] def relationFor(files: Seq[DeltaAddFile], tableSchema: StructType,
-                                 partCols: Seq[String]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+                                 partCols: Seq[String],
+                                 withPos: Boolean = false): DataFrame = {
+    val posCols = if (withPos) Seq("_gr_file", "_gr_pos") else Nil
+    if (files.isEmpty) {
+      val full = StructType(tableSchema.fields.toSeq ++ posCols.map {
+        case "_gr_file" => StructField("_gr_file", StringType)
+        case _          => StructField("_gr_pos", LongType)
+      })
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+    }
     val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
     val typeOf: Map[String, DataType] =
       tableSchema.fields.map(f => f.name -> f.dataType).toMap
     val frames = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
       val paths = fs.map(f => new HPath(root, decodePath(f.path)).toString)
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      val base =
+        if (!withPos) base0
+        else base0.withColumn("_gr_file", col("_metadata.file_path"))
+          .withColumn("_gr_pos", col("_metadata.row_index"))
       val withParts = pv.foldLeft(base) { case (d, (c, v)) =>
         val t = typeOf.getOrElse(c,
           throw new IllegalStateException(s"partition column $c missing from schema"))
         d.withColumn(c, (if (v == null) lit(null) else lit(v)).cast(t))
       }
-      withParts.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+      withParts.select((tableSchema.fieldNames.toSeq ++ posCols).map(col): _*)
     }
     frames.reduce(_ unionByName _)
   }
@@ -819,6 +863,77 @@ final class DeltaExport(spark: SparkSession, location: String) {
     v
   }
 
+  /** Row-level DELETE via deletion vectors (the protocol's
+    * minReaderVersion-3 `deletionVectors` feature): matching rows'
+    * (file, row_index) coordinates — existing DVs unioned in, so
+    * repeated deletes compose — encode as portable roaring bitmaps
+    * into ONE `deletion_vector_*.bin`, and each touched file is
+    * re-added with its descriptor in a single commit. No data file is
+    * rewritten; files with no matches are untouched. Driver state is
+    * bounded by the DELETED rows (coordinates + compressed bitmaps),
+    * not the table.
+    */
+  def deleteRows(cond: org.apache.spark.sql.Column): Long = {
+    import DeltaExport.canonOf
+    val st = state()
+    require(st.version >= 0, "deleteRows on a never-written table")
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val rdr = reader
+    val matched = rdr.relationFor(st.adds, schema, st.partitionBy, withPos = true)
+      .where(cond)
+      .select(col("_gr_file"), col("_gr_pos"))
+      .collect()
+      .map(r => (rdr.canonStr(r.getString(0)), r.getLong(1)))
+    if (matched.isEmpty) return st.version // nothing to delete, no commit
+    val byFile: Map[String, Array[Long]] =
+      matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+    val addByCanon: Map[String, DeltaAddFile] = st.adds.map { a =>
+      canonOf(root, a.path) -> a
+    }.toMap
+    val touched: Seq[(DeltaAddFile, Array[Long])] = byFile.toSeq.map { case (f, ps) =>
+      val a = addByCanon.getOrElse(f,
+        throw new IllegalStateException(s"matched file $f not in live adds"))
+      // union with the file's EXISTING deleted positions
+      val old = a.dvJson.map(js => Roaring64.decode(
+        DeltaDv.readBitmap(io, root, rdr.parseDvDescriptor(js)))).getOrElse(Array.empty[Long])
+      (a, (old ++ ps).distinct.sorted)
+    }.sortBy(_._1.path)
+    val descs = DeltaDv.writeDvFile(io, root,
+      touched.map { case (_, ps) => (Roaring64.encode(ps), ps.length.toLong) })
+    val protoLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val lines = touched.zip(descs).flatMap { case ((a, _), d) =>
+      Seq(removeLine(a.path), addWithDvLine(a, d))
+    }
+    val v = st.version + 1
+    writeCommit(v, commitInfoLine("DELETE") +: protoLine +: lines)
+    v
+  }
+
+  private def addWithDvLine(a: DeltaAddFile, d: DeltaDv.Descriptor): String = {
+    val n = om.createObjectNode()
+    val add = n.putObject("add")
+    add.put("path", a.path) // already encoded
+    val pvN = add.putObject("partitionValues")
+    a.partitionValues.foreach { case (c, v) =>
+      if (v == null) pvN.putNull(c) else pvN.put(c, v)
+    }
+    add.put("size", a.size)
+    add.put("modificationTime", System.currentTimeMillis())
+    add.put("dataChange", true)
+    // stats stay usable: min/max bounds remain VALID over the surviving
+    // rows (they can only be loose), numRecords is pre-DV physical
+    a.statsJson.foreach(add.put("stats", _))
+    val dv = add.putObject("deletionVector")
+    dv.put("storageType", d.storageType)
+    dv.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(dv.put("offset", _))
+    dv.put("sizeInBytes", d.sizeInBytes)
+    dv.put("cardinality", d.cardinality)
+    om.writeValueAsString(n)
+  }
+
   /** Write a single-file parquet checkpoint of the current state and
     * point `_last_checkpoint` at it — bounding future replays to the
     * JSON tail (the many-commit scale lever of the Delta protocol).
@@ -829,13 +944,20 @@ final class DeltaExport(spark: SparkSession, location: String) {
     val v = st.version
     val partitionBy = st.partitionBy
     val schemaJson = st.schemaJson.get
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("name", StringType),
@@ -858,8 +980,13 @@ final class DeltaExport(spark: SparkSession, location: String) {
       Map.empty[String, String], System.currentTimeMillis())
     val protoRow = Row(1, 2)
     val addRows = st.adds.map { a =>
+      val dvRow = a.dvJson.map { js =>
+        val d = reader.parseDvDescriptor(js)
+        Row(d.storageType, d.pathOrInlineDv, d.offset.map(Long.box).orNull,
+          d.sizeInBytes, d.cardinality)
+      }.orNull
       Row(a.path, a.partitionValues.toMap, a.size,
-        System.currentTimeMillis(), true, a.statsJson.orNull)
+        System.currentTimeMillis(), true, a.statsJson.orNull, dvRow)
     }
     val rows: Seq[Row] =
       Row(null, metaRow, null) +: Row(null, null, protoRow) +:
@@ -889,6 +1016,13 @@ final class DeltaExport(spark: SparkSession, location: String) {
 }
 
 object DeltaExport {
+  /** Canonical absolute form of an add.path (scheme-collapsed), the
+    * join key between _metadata.file_path and live adds.
+    */
+  private def canonOf(root: HPath, addPath: String): String =
+    new HPath(root, DeltaFormat.decodePath(addPath)).toString
+      .replaceFirst("^([a-zA-Z0-9+.-]+):/+", "$1:/")
+
   /** Current table state needed to validate a new commit. */
   private final case class State(version: Long, schemaJson: Option[String],
                                  partitionBy: Seq[String], adds: Seq[DeltaAddFile])

@@ -155,26 +155,15 @@ class DeltaInteropSpec extends AnyFunSuite {
     val loc = freshLoc()
     val exp = new DeltaExport(spark, loc)
     exp.append(Seq((1L, "a")).toDF("id", "name"))
-    // hand-append a v1-style commit carrying a deletion vector
-    val dv = """{"add":{"path":"data/x/part-0.parquet","partitionValues":{},"size":1,
-      |"modificationTime":0,"dataChange":true,
-      |"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":2,"cardinality":3}}}"""
+    // unknown reader feature (deletionVectors/timestampNtz ARE
+    // supported; v2Checkpoint is not)
+    val feat = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+      |"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
       .stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
-      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath, dv)
+      new java.io.File(logDir(loc), f"${1L}%020d.json").toPath, feat)
     intercept[IllegalArgumentException] {
       new DeltaTableReader(spark, loc).read().collect()
-    }
-    // unknown reader feature
-    val loc2 = freshLoc()
-    new DeltaExport(spark, loc2).append(Seq((1L, "a")).toDF("id", "name"))
-    val feat = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
-      |"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
-      .stripMargin.replace("\n", "")
-    java.nio.file.Files.writeString(
-      new java.io.File(logDir(loc2), f"${1L}%020d.json").toPath, feat)
-    intercept[IllegalArgumentException] {
-      new DeltaTableReader(spark, loc2).read().collect()
     }
     // column mapping
     val loc3 = freshLoc()
@@ -278,6 +267,102 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(ch.count() === 0L, "an OPTIMIZE-shaped commit must deliver no changes")
     // and the table still reads the rewritten file
     assert(new DeltaTableReader(spark, loc).read().count() === 2L)
+  }
+
+  test("roaring bitmap array: encode/decode round-trips sparse, dense, and 64-bit sets") {
+    val rnd = new scala.util.Random(42)
+    // sparse (array containers), dense (>4096 in one container → bitmap),
+    // and values above 2^32 (multiple high-key bitmaps)
+    val sparse = Array.fill(500)(rnd.nextInt(1 << 20).toLong).distinct.sorted
+    val dense = (0L until 6000L).map(_ * 2).toArray // 6000 in container 0 span
+    val wide = Array(1L, 65537L, (1L << 32) + 5L, (1L << 33) + 70000L)
+    for (set <- Seq(sparse, dense, wide, Array.empty[Long])) {
+      val back = Roaring64.decode(Roaring64.encode(set))
+      assert(back.toSeq === set.distinct.sorted.toSeq)
+    }
+    // run-container decode (encoder never emits runs; real files do):
+    // hand-build one 32-bit stream with a single run [10, 14]
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Roaring64.Magic); bb.putLong(1L); bb.putInt(0) // high key 0
+    bb.putInt(12347 | (0 << 16)) // run cookie, 1 container
+    bb.put(1.toByte)             // run flag bitset: container 0 is a run
+    bb.putShort(0.toShort); bb.putShort(4.toShort) // key 0, card-1 = 4
+    // n < 4 with runs → NO offset header
+    bb.putShort(1.toShort)       // 1 run
+    bb.putShort(10.toShort); bb.putShort(4.toShort) // start 10, len-1 4
+    val runBytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(Roaring64.decode(runBytes).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    // z85 round-trip
+    val bytes = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq === bytes.toSeq)
+  }
+
+  test("deletion vectors: deleteRows hides rows without rewriting files; deletes compose") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append((1 to 50).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1))
+    exp.append((51 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1))
+    val filesBefore = new DeltaTableReader(spark, loc).read().inputFiles.sorted
+    exp.deleteRows($"id".between(10L, 60L))
+    val rdr = new DeltaTableReader(spark, loc)
+    val after = rdr.read()
+    assert(after.count() === 49L)
+    assert(after.where($"id".between(10L, 60L)).count() === 0L)
+    // no data file rewritten — same physical files, rows masked
+    assert(after.inputFiles.sorted.toSeq === filesBefore.toSeq)
+    // a second delete on an already-vectored file UNIONS positions
+    exp.deleteRows($"id" === 70L)
+    val after2 = new DeltaTableReader(spark, loc).read()
+    assert(after2.count() === 48L)
+    assert(after2.where($"id".isin(10L, 55L, 70L)).count() === 0L)
+    // time travel before the deletes still sees every row
+    assert(new DeltaTableReader(spark, loc).read(versionAsOf = Some(1L)).count() === 100L)
+    // checkpoint carries the descriptors: truncate the JSON history,
+    // the DV must still apply from the checkpoint alone
+    exp.checkpoint()
+    exp.append(Seq((101L, "tail")).toDF("id", "name"))
+    for (v <- 0L to 3L)
+      assert(new java.io.File(logDir(loc), f"$v%020d.json").delete())
+    val fromCp = new DeltaTableReader(spark, loc).read()
+    assert(fromCp.count() === 49L)
+    assert(fromCp.where($"id" === 30L).count() === 0L)
+    // deleting nothing commits nothing
+    val vBefore = new DeltaTableReader(spark, loc).latestVersion.get
+    exp.deleteRows($"id" === 99999L)
+    assert(new DeltaTableReader(spark, loc).latestVersion.get === vBefore)
+  }
+
+  test("deletion vectors: inline (z85) descriptors and partitioned tables") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append((1 to 20).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part"),
+      partitionBy = Seq("part"))
+    exp.deleteRows($"id" <= 4L) // spans both partitions
+    val back = new DeltaTableReader(spark, loc).read()
+    assert(back.count() === 16L)
+    assert(back.where($"part".isNull).count() === 0L) // partition values intact
+    // hand-craft an inline DV on a fresh single-file table
+    val loc2 = freshLoc()
+    val exp2 = new DeltaExport(spark, loc2)
+    exp2.append((0 to 9).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1))
+    val bitmap = Roaring64.encode(Array(0L, 3L, 7L)) // row indexes in the file
+    // z85 needs a 4-byte multiple; the protocol pads inline DVs
+    val padded = java.util.Arrays.copyOf(bitmap, (bitmap.length + 3) / 4 * 4)
+    val rdr0 = new DeltaTableReader(spark, loc2)
+    val addPath = rdr0.read().inputFiles.head
+    val rel = addPath.substring(addPath.indexOf("/data/") + 1)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val line = (s"""{"remove":{"path":"$rel","deletionTimestamp":0,"dataChange":true}}""" + "\n" +
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":0,""" +
+      s""""dataChange":true,"deletionVector":{"storageType":"i",""" +
+      s""""pathOrInlineDv":${om.writeValueAsString(DeltaDv.z85Encode(padded))},""" +
+      s""""sizeInBytes":${padded.length},"cardinality":3}}}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(loc2), f"${1L}%020d.json").toPath, line)
+    val masked = new DeltaTableReader(spark, loc2).read()
+    assert(masked.count() === 7L)
+    assert(masked.select($"id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L))
   }
 
   test("schema and spec drift on append are rejected") {
