@@ -61,6 +61,7 @@ object SparkEntry {
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
     "lake_delta_cdf"        -> (LakeQueries.deltaChangeFeed _),
     "lake_hive_import"      -> (LakeQueries.hiveImport _),
+    "lake_delta_dv"         -> (LakeQueries.deltaDvDelete _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
@@ -439,6 +440,14 @@ object SparkEntry {
     "lake_hive_import" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // deletion vectors: two composed row-level deletes masked by
+    // roaring bitmaps, no file rewritten
+    "lake_delta_dv" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_totalprice <= 500000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // two branch validation writes fast-forwarded onto main — final
     // state is base plus both audited batches

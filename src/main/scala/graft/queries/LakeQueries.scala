@@ -799,6 +799,30 @@ object LakeQueries {
     out.orderBy($"o_orderkey")
   }
 
+  /** Delta deletion vectors end to end: row-level deletes land as
+    * portable roaring bitmaps (no data file rewritten — asserted
+    * in-query), compose across two delete commits, survive a
+    * checkpoint, and the reader masks exactly the deleted coordinates.
+    */
+  def deltaDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DeltaExport, DeltaTableReader}
+    val loc = scratchDir("graft-deltadv-").toString
+    val exp = new DeltaExport(spark, loc)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    exp.append(orders)
+    val filesBefore = new DeltaTableReader(spark, loc).read().inputFiles.sorted.toSeq
+    exp.deleteRows($"o_orderkey" % 10 === 3)
+    exp.deleteRows($"o_totalprice" > 500000.0)
+    exp.checkpoint()
+    val rdr = new DeltaTableReader(spark, loc)
+    val out = rdr.read()
+    require(out.inputFiles.sorted.toSeq == filesBefore,
+      "deletion vectors must mask rows, not rewrite data files")
+    out.orderBy($"o_orderkey")
+  }
+
   /** Delta change-feed by log replay ([[graft.lake.DeltaTableReader]]
     * `.readChanges`): the row-level changelog of a partitioned Delta
     * table — v0/v1 appends deliver as inserts, a metadata-only
