@@ -433,6 +433,11 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
         |       'delete', CAST(2 AS BIGINT)
         |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |       'delete', CAST(3 AS BIGINT)
+        |FROM customer
+        |WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 100 = 7
         |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
 
     // hive-layout import (even keys, partition values only in dir

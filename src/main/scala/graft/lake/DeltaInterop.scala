@@ -509,6 +509,27 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     * the standard CDC convention. Driver cost is O(commits) JSON
     * parses; reads are bounded by the changed files.
     */
+  private def posFrame(positions: Array[Long]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    sp.createDataset(positions.toSeq).toDF("_gr_dpos")
+  }
+
+  /** Rows of ONE file at the given row indexes (single-file relation —
+    * the position alone identifies the row).
+    */
+  private def rowsAt(f: DeltaAddFile, positions: Array[Long],
+                     ts: StructType, pc: Seq[String]): DataFrame =
+    relationFor(Seq(f), ts, pc, withPos = true)
+      .join(posFrame(positions), col("_gr_pos") === col("_gr_dpos"), "left_semi")
+      .select(ts.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** A single-file with-pos relation minus the given row indexes. */
+  private def rowsExcept(rel: DataFrame, positions: Array[Long],
+                         ts: StructType): DataFrame =
+    rel.join(posFrame(positions), col("_gr_pos") === col("_gr_dpos"), "left_anti")
+      .select(ts.fieldNames.map(col).toIndexedSeq: _*)
+
   def readChanges(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val jsons = jsonVersions()
     val hi = toVersion.orElse(latestVersion).getOrElse(
@@ -545,33 +566,64 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
         df.withColumn("_change_type", lit(tpe))
           .withColumn("_commit_version", lit(v))
       val adds = Seq.newBuilder[DeltaAddFile]
-      val removes = Seq.newBuilder[DeltaAddFile]
+      val removedPaths = Seq.newBuilder[String]
+      val prior: Map[String, DeltaAddFile] = state.toMap
       actions.foreach { n =>
         Option(n.get("add")).filter(!_.isNull).foreach { a =>
-          require(Option(a.get("deletionVector")).forall(_.isNull),
-            s"add at v$v carries a deletion vector; not supported")
           val pv = Option(a.get("partitionValues")).filter(!_.isNull)
             .map(m => m.properties().asScala.toSeq.map(e =>
               e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)))
             .getOrElse(Nil)
+          val dv = Option(a.get("deletionVector")).filter(!_.isNull)
+            .map(d => om.writeValueAsString(d))
           val f = DeltaAddFile(a.get("path").asText, pv,
             Option(a.get("size")).map(_.asLong).getOrElse(0L),
             Option(a.get("stats")).filter(s => !s.isNull && s.asText.nonEmpty)
-              .map(_.asText))
+              .map(_.asText), dv)
           if (Option(a.get("dataChange")).forall(_.asBoolean)) adds += f
           state(f.path) = f
         }
         Option(n.get("remove")).filter(!_.isNull).foreach { rm =>
           val path = rm.get("path").asText
-          val known = state.remove(path)
-          if (Option(rm.get("dataChange")).forall(_.asBoolean))
-            removes += known.getOrElse(DeltaAddFile(path, Nil, 0L, None))
+          state.remove(path)
+          if (Option(rm.get("dataChange")).forall(_.asBoolean)) removedPaths += path
         }
       }
-      val delFiles = removes.result()
       val addFiles = adds.result()
-      if (delFiles.nonEmpty) frames += tagged(relationFor(delFiles, tableSchema, partCols), "delete")
-      if (addFiles.nonEmpty) frames += tagged(relationFor(addFiles, tableSchema, partCols), "insert")
+      val addedPaths = addFiles.map(_.path).toSet
+      def positionsOf(f: DeltaAddFile): Array[Long] =
+        f.dvJson.map(js => Roaring64.decode(
+          DeltaDv.readBitmap(io, root, parseDvDescriptor(js)))).getOrElse(Array.empty)
+      // a remove whose path is re-added in the SAME commit is a
+      // deletion-vector (or metadata) update, not a file drop — handle
+      // through the add side as a position diff
+      val dropped = removedPaths.result().filterNot(addedPaths)
+        .flatMap(p => prior.get(p))
+      // full-file drops deliver their LIVE rows only: rows a DV had
+      // already masked were delivered as deletes when the DV landed
+      dropped.foreach { f =>
+        val masked = positionsOf(f)
+        val rel = relationFor(Seq(f), tableSchema, partCols, withPos = masked.nonEmpty)
+        val live =
+          if (masked.isEmpty) rel
+          else rowsExcept(rel, masked, tableSchema)
+        frames += tagged(live, "delete")
+      }
+      addFiles.foreach { f =>
+        prior.get(f.path) match {
+          case Some(old) =>
+            // DV update on a live file: newly-masked positions are
+            // deletes; positions un-masked never happen (DVs only grow)
+            val newlyMasked = (positionsOf(f).toSet -- positionsOf(old).toSet).toArray
+            if (newlyMasked.nonEmpty)
+              frames += tagged(rowsAt(f, newlyMasked, tableSchema, partCols), "delete")
+          case None =>
+            val masked = positionsOf(f)
+            val rel = relationFor(Seq(f), tableSchema, partCols, withPos = masked.nonEmpty)
+            val live = if (masked.isEmpty) rel else rowsExcept(rel, masked, tableSchema)
+            frames += tagged(live, "insert")
+        }
+      }
     }
     val out = frames.result()
     if (out.isEmpty) {

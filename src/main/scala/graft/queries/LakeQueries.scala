@@ -840,6 +840,9 @@ object LakeQueries {
       partitionBy = Seq("c_mktsegment"))
     exp.append(cust.filter(pmod($"c_custkey", lit(2)) === 1))
     exp.deleteWhere(Seq(LakePredicate.EqualTo("c_mktsegment", "BUILDING")))
+    // v3: a deletion-vector delete — the changelog must deliver the
+    // position DIFF as delete rows, not re-read whole files
+    exp.deleteRows(pmod($"c_custkey", lit(100)) === 7)
     new DeltaTableReader(spark, loc).readChanges(-1L)
       .orderBy($"_commit_version", $"_change_type", $"c_custkey")
   }

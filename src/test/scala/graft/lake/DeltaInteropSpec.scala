@@ -239,6 +239,31 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(sub.count() === 1L)
   }
 
+  test("readChanges: DV commits deliver position-diff deletes; drops deliver live rows only") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append((1 to 20).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1)) // v0
+    exp.deleteRows($"id" <= 5L)                                                      // v1 (DV)
+    exp.deleteRows($"id".isin(6L, 7L))                                               // v2 (DV grows)
+    val rdr = new DeltaTableReader(spark, loc)
+    val ch = rdr.readChanges(-1L)
+    assert(ch.where($"_change_type" === "insert").count() === 20L)
+    // v1 deletes exactly ids 1..5; v2 exactly 6,7 (position DIFF, not
+    // the whole vector again)
+    assert(ch.where($"_change_type" === "delete" && $"_commit_version" === 1L)
+      .select($"id").as[Long].collect().sorted.toSeq === (1L to 5L))
+    assert(ch.where($"_change_type" === "delete" && $"_commit_version" === 2L)
+      .select($"id").as[Long].collect().sorted.toSeq === Seq(6L, 7L))
+    // overwrite drops the DV'd file: delete rows = LIVE rows only
+    // (masked rows were already delivered at v1/v2)
+    exp.overwrite(Seq((100L, "z")).toDF("id", "name"))                               // v3
+    val ch3 = rdr.readChanges(2L, Some(3L))
+    assert(ch3.where($"_change_type" === "delete")
+      .select($"id").as[Long].collect().sorted.toSeq === (8L to 20L))
+    assert(ch3.where($"_change_type" === "insert")
+      .select($"id").as[Long].collect().toSeq === Seq(100L))
+  }
+
   test("readChanges: dataChange=false rewrites pass through silently") {
     val loc = freshLoc()
     val exp = new DeltaExport(spark, loc)
