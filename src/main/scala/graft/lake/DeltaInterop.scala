@@ -986,6 +986,41 @@ final class DeltaExport(spark: SparkSession, location: String) {
     om.writeValueAsString(n)
   }
 
+  /** VACUUM: physically delete data and deletion-vector files that are
+    * (a) not referenced by the CURRENT version and (b) older than the
+    * retention horizon — the Delta maintenance contract. Time travel
+    * to versions whose files were vacuumed stops working, exactly as
+    * in Delta; the default 7-day horizon protects in-flight readers.
+    * Returns the deleted paths. Never touches `_delta_log`.
+    */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val st = state()
+    require(st.version >= 0, "vacuum on a never-written table")
+    val rdr = reader
+    val live: Set[String] = st.adds.map(a => DeltaExport.canonOf(root, a.path)).toSet
+    val liveDvs: Set[String] = st.adds.flatMap(_.dvJson).map { js =>
+      rdr.canonStr(io.qualify(DeltaDv.dvPath(root, rdr.parseDvDescriptor(js))).toString)
+    }.toSet
+    val horizon = System.currentTimeMillis() - retentionMs
+    val deleted = Seq.newBuilder[String]
+    val it = io.fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = io.qualify(f.getPath)
+      val rel = p.toString.stripPrefix(root.toString)
+      val isLog = rel.contains("_delta_log")
+      val isData = p.getName.endsWith(".parquet") ||
+        p.getName.startsWith("deletion_vector_")
+      val canon = rdr.canonStr(p.toString)
+      if (!isLog && isData && !live.contains(canon) && !liveDvs.contains(canon) &&
+          f.getModificationTime < horizon) {
+        io.fs.delete(f.getPath, false)
+        deleted += p.toString
+      }
+    }
+    deleted.result()
+  }
+
   /** Write a single-file parquet checkpoint of the current state and
     * point `_last_checkpoint` at it — bounding future replays to the
     * JSON tail (the many-commit scale lever of the Delta protocol).

@@ -390,6 +390,33 @@ class DeltaInteropSpec extends AnyFunSuite {
       Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L))
   }
 
+  test("vacuum deletes only unreferenced files past the horizon") {
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    exp.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    exp.deleteRows($"id" === 1L) // a referenced deletion-vector file exists
+    exp.overwrite(Seq((9L, "z")).toDF("id", "name").coalesce(1))
+    // a generous horizon protects everything
+    assert(new DeltaExport(spark, loc).vacuum() === Nil)
+    // horizon 0: the tombstoned data file AND its now-unreferenced DV go
+    val deleted = new DeltaExport(spark, loc).vacuum(retentionMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(deleted.exists(_.endsWith(".parquet")))
+    assert(deleted.exists(_.contains("deletion_vector_")))
+    val rdr = new DeltaTableReader(spark, loc)
+    assert(rdr.read().as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // time travel to vacuumed history fails (files are gone), as in Delta
+    intercept[Exception] {
+      rdr.read(versionAsOf = Some(0L)).collect()
+    }
+    // live files and referenced DVs survive a second zero-horizon pass
+    val exp2 = new DeltaExport(spark, loc)
+    exp2.deleteRows($"id" === 9L)
+    val deleted2 = new DeltaExport(spark, loc).vacuum(retentionMs = 0L)
+    assert(deleted2 === Nil)
+    assert(new DeltaTableReader(spark, loc).read().count() === 0L)
+  }
+
   test("schema and spec drift on append are rejected") {
     val loc = freshLoc()
     val exp = new DeltaExport(spark, loc)
