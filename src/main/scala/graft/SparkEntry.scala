@@ -58,6 +58,7 @@ object SparkEntry {
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
+    "lake_iceberg_cdf"      -> (LakeQueries.icebergChangeFeed _),
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
     "lake_delta_cdf"        -> (LakeQueries.deltaChangeFeed _),
     "lake_hive_import"      -> (LakeQueries.hiveImport _),
@@ -406,6 +407,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 3
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Iceberg changelog: s2 insert (keys ≡ 1 mod 3), s3 equality
+    // deletes (≡ 3 mod 6), s4 position deletes (≡ 6 mod 12)
+    "lake_iceberg_cdf" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 6 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 12 = 6
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
 
     // Delta-log roundtrip: appends of keys ≡ 0, 1 (mod 3) minus a
     // partition delete of '1-URGENT' (tombstones those two commits'

@@ -710,6 +710,110 @@ final class IcebergTableReader(spark: SparkSession, location: String) {
       .parquet(fresh.map(f => resolve(f.path).toString): _*)
   }
 
+  /** Name-based projection of an arbitrary frame to the CURRENT
+    * schema: present columns pass, absent ones null-fill typed.
+    */
+  private def projectToSchema(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schemaFields.map { case (_, name, tpe) =>
+      if (present(name)) col(name)
+      else IcebergFormat.sparkType(tpe) match {
+        case Some(t) => lit(null).cast(t).as(name)
+        case None => throw new IllegalStateException(
+          s"column '$name' ($tpe) absent from data files and untypeable")
+      }
+    }: _*)
+  }
+
+  /** Row-level changelog of `(fromSnapshotId, toSnapshotId]` — the
+    * Iceberg changelog-scan shape for the histories this exporter
+    * family produces: per snapshot, NEW data files deliver their rows
+    * as 'insert'; new POSITION-delete files materialize the named
+    * coordinates' rows as 'delete' (one bounded read of exactly the
+    * named files); new EQUALITY-delete files materialize 'delete' rows
+    * by a null-safe key semi-join against the PRIOR snapshot's live
+    * read (rows were live then by the sequence rule). Snapshots that
+    * REMOVE data files (rewrites/overwrites) fail loud — a compaction
+    * is not a row change, and silently re-delivering rewritten rows
+    * would duplicate the feed. `_commit_version` carries the
+    * snapshot's sequence number.
+    */
+  def readChangesSince(fromSnapshotId: Long,
+                       toSnapshotId: Option[Long] = None): DataFrame = {
+    import IcebergFormat._
+    val snaps = snapshots.sortBy(_.sequence)
+    val from = snaps.find(_.id == fromSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $fromSnapshotId"))
+    val to = toSnapshotId
+      .map(id => snaps.find(_.id == id)
+        .getOrElse(throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(currentSnapshotId.flatMap(id => snaps.find(_.id == id)))
+      .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    val range = snaps.filter(s => s.sequence > from.sequence && s.sequence <= to.sequence)
+    def tagged(df: DataFrame, tpe: String, seq: Long): DataFrame =
+      projectToSchema(df).withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(seq))
+    val frames = Seq.newBuilder[DataFrame]
+    var prev = from
+    for (s <- range) {
+      val prevFiles = liveFiles(prev)
+      val curFiles = liveFiles(s)
+      val prevData = prevFiles.filter(_.content == DataContent).map(_.path).toSet
+      val prevDel = prevFiles.filter(_.content != DataContent).map(_.path).toSet
+      val curData = curFiles.filter(_.content == DataContent)
+      val removed = prevData -- curData.map(_.path).toSet
+      require(removed.isEmpty,
+        s"snapshot ${s.id} (${s.operation}) removes data files; the changelog covers " +
+          "append and delete-file snapshots only — read the table instead")
+      val addedData = curData.filterNot(f => prevData(f.path))
+      if (addedData.nonEmpty)
+        frames += tagged(spark.read.option("mergeSchema", "true")
+          .parquet(addedData.map(f => resolve(f.path).toString): _*), "insert", s.sequence)
+      val addedDeletes = curFiles.filter(f =>
+        f.content != DataContent && !prevDel(f.path))
+      addedDeletes.foreach { d =>
+        if (d.content == PositionDeletes) {
+          val coords = spark.read.parquet(resolve(d.path).toString)
+            .select(canonPath(col("file_path")).as("__df_path"), col("pos").as("__df_pos"))
+          // the delete file names its target files — read exactly those
+          val named = coords.select(col("__df_path")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val targets = prevFiles.filter(f => f.content == DataContent &&
+            named(canonStrIce(io.qualify(resolve(f.path)).toString)))
+          if (targets.nonEmpty) {
+            val rows = spark.read.option("mergeSchema", "true")
+              .parquet(targets.map(f => resolve(f.path).toString): _*)
+              .withColumn("__if_path", canonPath(col("_metadata.file_path")))
+              .withColumn("__if_pos", col("_metadata.row_index"))
+              .join(broadcast(coords),
+                col("__if_path") === col("__df_path") && col("__if_pos") === col("__df_pos"),
+                "left_semi")
+            frames += tagged(rows, "delete", s.sequence)
+          }
+        } else {
+          val idToName = schemaFields.map { case (id, name, _) => id -> name }.toMap
+          val cols = d.equalityIds.map(id => idToName.getOrElse(id,
+            throw new IllegalStateException(s"equality_id $id not in current schema")))
+          val keys = spark.read.parquet(resolve(d.path).toString)
+            .select(cols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+          val prior = read(snapshotId = Some(prev.id))
+          frames += tagged(prior.join(broadcast(keys),
+            cols.map(c => prior(c) <=> keys(s"__eq_$c")).reduce(_ && _),
+            "left_semi"), "delete", s.sequence)
+        }
+      }
+      prev = s
+    }
+    val out = frames.result()
+    if (out.isEmpty)
+      emptyRelation.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L)).where(lit(false))
+    else out.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def canonStrIce(p: String): String =
+    p.replaceFirst("^([a-zA-Z0-9+.-]+):/+", "$1:/")
+
   private def predColumn(p: LakePredicate): Column = p match {
     case LakePredicate.EqualTo(c, v) => col(c) === lit(v)
     case LakePredicate.In(c, vs)     => col(c).isin(vs: _*)

@@ -847,6 +847,39 @@ object LakeQueries {
       .orderBy($"_commit_version", $"_change_type", $"c_custkey")
   }
 
+  /** Iceberg changelog scan over an exported v2 history: an append
+    * delivers inserts, an equality-delete commit materializes its key
+    * matches as deletes against the prior snapshot, and a
+    * position-delete commit materializes exactly the named coordinates
+    * — all from the real Avro metadata, no Iceberg runtime.
+    */
+  def icebergChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{IcebergExport, IcebergTableReader}
+    val loc = scratchDir("graft-icecdf-").toString
+    val exp = new IcebergExport(spark, loc)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 0))
+    exp.append(orders.filter(pmod($"o_orderkey", lit(3)) === 1))
+    exp.equalityDelete(
+      orders.filter(pmod($"o_orderkey", lit(6)) === 3).select($"o_orderkey"),
+      Seq("o_orderkey"))
+    // position delete: the coordinates of keys ≡ 6 (mod 12) — even
+    // multiples of 6, in the first append, disjoint from the (odd)
+    // equality-deleted multiples of 3
+    val coords = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$loc/data")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .where(pmod($"o_orderkey", lit(12)) === 6)
+      .select($"file_path", $"pos")
+    exp.positionDelete(coords)
+    val rdr = new IcebergTableReader(spark, loc)
+    rdr.readChangesSince(rdr.snapshots.sortBy(_.sequence).head.id)
+      .orderBy($"_commit_version", $"_change_type", $"o_orderkey")
+  }
+
   def icebergRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{IcebergExport, IcebergTableReader}

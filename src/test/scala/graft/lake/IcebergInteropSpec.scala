@@ -544,6 +544,44 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(hi.select($"id").as[Long].collect().sorted === Array(4L, 5L))
   }
 
+  test("changelog scan: appends insert, position and equality deletes materialize rows") {
+    val loc = freshLoc()
+    val exp = new IcebergExport(spark, loc)
+    exp.append((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1)) // s1
+    exp.append((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1)) // s2
+    exp.equalityDelete(Seq(Tuple1(3L), Tuple1(15L)).toDF("id"), Seq("id")) // s3
+    // position delete: coordinates of id 7 (find them via metadata)
+    val coords = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$loc/data")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .where($"id" === 7L).select($"file_path", $"pos")
+    exp.positionDelete(coords) // s4
+    val rdr = new IcebergTableReader(spark, loc)
+    val ids = rdr.snapshots.sortBy(_.sequence).map(_.id)
+    val ch = rdr.readChangesSince(ids.head) // after s1
+    assert(ch.where($"_change_type" === "insert")
+      .select($"id").as[Long].collect().sorted.toSeq === (11L to 20L))
+    assert(ch.where($"_change_type" === "delete" && $"_commit_version" === 3L)
+      .select($"id").as[Long].collect().sorted.toSeq === Seq(3L, 15L))
+    assert(ch.where($"_change_type" === "delete" && $"_commit_version" === 4L)
+      .select($"id").as[Long].collect().toSeq === Seq(7L))
+    // subrange stops at the requested snapshot
+    val sub = rdr.readChangesSince(ids.head, toSnapshotId = Some(ids(1)))
+    assert(sub.where($"_change_type" === "delete").count() === 0L)
+    assert(sub.count() === 10L)
+    // a data-file-removing snapshot fails the changelog loud: overwrite
+    // the table via a fresh exporter-level append is additive, so craft
+    // the failure from the graft publish path instead
+    val wh = java.nio.file.Files.createTempDirectory("ice-cdc-wh-").toString
+    val cat = new LakeCatalog(spark, wh)
+    cat.write((1L to 5L).map(i => (i, s"x$i")).toDF("id", "name"), "ns.c", WriteMode.Overwrite)
+    val loc2 = freshLoc()
+    IcebergExport.fromLakeTable(cat.table("ns.c"), loc2)
+    val rdr2 = new IcebergTableReader(spark, loc2)
+    assert(rdr2.readChangesSince(rdr2.snapshots.head.id).count() === 0L)
+  }
+
   test("month-partitioned export prunes from manifests; snapshot-log records history") {
     val loc = freshLoc()
     val exp = new IcebergExport(spark, loc)
