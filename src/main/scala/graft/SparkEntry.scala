@@ -88,6 +88,8 @@ object SparkEntry {
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
     "t_seq_pack"         -> ((s, d) => TextQueries.seqPack(s, d)),
+    "t_bm25_topk"        -> ((s, d) => TextQueries.bm25TopK(s, d)),
+    "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
     "e_cosine_pq_topk"   -> (SimQueries.cosinePqTopK _),
+    "e_cosine_ivfpq_topk" -> (SimQueries.cosineIvfPqTopK _),
     "m_media_features"   -> (SimQueries.mediaFeatures _),
     "m_image_decode"     -> (SimQueries.imageDecode _),
     "m_audio_decode"     -> (SimQueries.audioDecode _),
@@ -782,6 +785,35 @@ object SparkEntry {
         |  (CAST(n_dup AS DOUBLE) / n_grams) <= 0.5 AS keep
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/(df+.5))); scores are
+    // positive so round-half-away and round-half-up agree; round(,6)
+    // absorbs last-ulp ln/summation-order drift between engines
+    "t_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1 + (g.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / g.avgdl))), 6) AS bm25
+        |FROM tf JOIN df USING (term) JOIN d ON tf.doc_id = d.doc_id CROSS JOIN g
+        |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
+
+    // corpus-unigram-LM mean token log-prob (CCNet-style quality
+    // score); avg over ≤~60 lns → summation-order drift ≪ round(,6)
+    "t_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |           FROM documents),
+        |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS corpus_tokens FROM lm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
+        |FROM t JOIN lm USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // p ∝ n^0.5 temperature mixture; the cross-source normalizer sums
     // exact integer milli-weights so the float ratios are bit-identical
     "t_domain_mixture" ->
@@ -950,6 +982,28 @@ object SparkEntry {
     // same fixture and exact-top-k oracle as the LSH/IVF variants: the
     // compression family must also recover the provable exact answer
     "e_cosine_pq_topk" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 10000000 * j.j AS vec_id,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.001 * j.j AS FLOAT) ELSE x END) AS embedding
+        |  FROM embeddings, (SELECT unnest(range(1, 6)) AS j) j
+        |  WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pl),
+        |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(p.pv, c.embedding) AS sim
+        |      FROM p JOIN corpus c ON c.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT probe_id, neighbor_id FROM r WHERE rk <= 5
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    // IVFADC (prune × compress × re-rank composed) must still recover
+    // the same provable exact top-5 as each family alone
+    "e_cosine_ivfpq_topk" ->
       """WITH pl AS (
         |  SELECT vec_id + 10000000 * j.j AS vec_id,
         |    list_transform(embedding, (x, i) -> CASE WHEN i = 1

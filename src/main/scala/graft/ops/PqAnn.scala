@@ -117,4 +117,69 @@ object PqAnn {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** IVFADC (Jégou et al. 2011 §III; FAISS `IVFx,PQy`) — the two prior
+    * index families composed the way a billion-vector deployment
+    * actually runs them: IVF prunes WHICH vectors are scored
+    * (`nprobe/nlist` of the corpus), PQ shrinks WHAT a scored
+    * candidate costs (m code ints via a broadcast per-probe LUT), and
+    * only the `refine·k` ADC shortlist ever touches a true vector for
+    * the exact cosine re-rank.
+    *
+    * Scale shape: both index artifacts are driver-bounded by
+    * parameters (nlist centroids, sampleN-trained codebooks), shipped
+    * into scan-stage expressions — assignment and encoding add zero
+    * shuffles to the corpus scan. The search joins probe→cells
+    * (broadcast: probes × nprobe rows) to codes on `centroid_id`, so
+    * the ADC pass is partitioned by cell and scores
+    * ~nprobe/nlist · |corpus| codes per probe; the re-rank is
+    * per-probe-top-k window work over refine·k rows.
+    */
+  def ivfAdcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, ksub: Int = 16, refine: Int = 10,
+                 sampleN: Int = 1024, iters: Int = 5,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centArr = IvfAnn.centroidArray(corpus, nlist, idCol, vecCol)
+    val cb = trainCodebooks(corpus, m, ksub, sampleN, iters, idCol, vecCol)
+    val encoded = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .withColumn("centroid_id", centroid_argmax(col("vec"), centArr))
+      .withColumn("_codes", pq_encode(normalize(col("vec")), cb))
+
+    val cents = corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(
+        centArr.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i, v.toSeq)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("_lut", pq_lut(normalize(col("probe_vec")), cb))
+      .join(broadcast(cents))
+      .withColumn("_sim", cosine_sim(col("probe_vec"), col("centroid_vec")))
+      .withColumn("_crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("_sim").desc, col("centroid_id"))))
+      .where(col("_crk") <= nprobe)
+      .select(col("probe_id"), col("probe_vec"), col("_lut"), col("centroid_id"))
+
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    encoded.join(broadcast(probeCells), Seq("centroid_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("_adc", pq_adc(col("_lut"), col("_codes"), ksub))
+      .withColumn("_ark", row_number().over(wAdc))
+      .where(col("_ark") <= refine * k)
+      .withColumn("sim", cosine_sim(col("probe_vec"), col("vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

@@ -213,6 +213,24 @@ object SimQueries {
       .orderBy($"probe_id", $"neighbor_id")
   }
 
+  /** IVFADC over the planted-neighbor corpus — IVF cell pruning ×
+    * PQ code compression × exact re-rank composed (the deployed
+    * billion-vector search plan; FAISS `IVF16,PQ8`). Planted
+    * near-copies share the probe's own best cell AND quantize to
+    * (nearly) its codes, so the pruned-and-compressed search still
+    * provably recovers the exact top-5 the DuckDB oracle computes.
+    */
+  def cosineIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withPlantedNeighbors(spark, dir)
+    val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+    graft.ops.PqAnn.ivfAdcTopK(corpus, probes, k = 5,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 10)
+      .select($"probe_id", $"neighbor_id")
+      .orderBy($"probe_id", $"neighbor_id")
+  }
+
   /** Multimodal decode plumbing: binary media column → per-partition
     * batched feature extraction (STUB codec, deterministic). Projection
     * keeps only the closed-form features so the oracle can re-state

@@ -372,4 +372,71 @@ object TextQueries {
       .orderBy($"shared_fp".desc, $"a_id", $"b_id")
       .limit(100)
   }
+
+  /** BM25 top-k retrieval for a fixed query-term set (the dataset-
+    * search / relevance-filter primitive every curation pipeline
+    * carries — "pull the docs about X out of the crawl").
+    *
+    * Scale shape: the term filter sits directly on the exploded scan,
+    * so the posting list materialized is ∝ matching docs × |query|,
+    * never the corpus token count; per-(doc,term) tf is one shuffle
+    * keyed by doc; df and the corpus stats are |query|-row and 1-row
+    * aggregates joined back by broadcast; top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "join", "window"),
+               k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", TextOps.words($"text").as("w"))
+      .select($"doc_id", $"w", size($"w").cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"w").as("term"))
+      .where($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // tf is unique per (doc, term) ⇒ df(term) = row count per term
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("s",
+        $"idf" * $"tf" * (k1 + 1.0) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(topK)
+  }
+
+  /** Unigram language-model quality score (the CCNet/KenLM-style
+    * perplexity filter, reduced to the corpus's own unigram LM): each
+    * document's mean token log-probability under corpus frequencies.
+    * Low scores flag rare-token/garbled text; high scores flag
+    * boilerplate-heavy text — both tails get cut in curation.
+    *
+    * Scale shape: the LM is one vocabulary-bounded aggregate; the
+    * scoring pass joins exploded tokens to it keyed by term (the
+    * count side is one row per key, so frequent-term skew degrades to
+    * a bigger-but-still-one-row lookup, not a fan-out), then one
+    * shuffle keyed by doc for the mean. No collect, no broadcast of
+    * anything corpus-sized.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+    val lm = toks.groupBy($"term").agg(count(lit(1)).as("tc"))
+    val totals = lm.agg(sum($"tc").cast("double").as("corpus_tokens"))
+    toks.join(lm, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", log($"tc".cast("double") / $"corpus_tokens").as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg($"lp"), 6).as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
 }

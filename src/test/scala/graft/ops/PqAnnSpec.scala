@@ -90,4 +90,33 @@ class PqAnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === exact)
   }
+
+  test("IVFADC (prune × compress × re-rank) recovers planted duplicates exactly") {
+    val base = corpus(128)
+    val planted = base.filter($"vec_id" < 2)
+      .select(explode(array((1 to 3).map { j =>
+        struct(($"vec_id" + lit(j * 1000L)).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.001 * j)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      }: _*)).as("p"))
+      .select($"p.vec_id".as("vec_id"), $"p.embedding".as("embedding"))
+    val all = base.unionByName(planted)
+    val probes = base.filter($"vec_id" < 2)
+    val got = PqAnn.ivfAdcTopK(all, probes, k = 3,
+        nlist = 8, nprobe = 3, m = 4, ksub = 8, refine = 8)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.VectorFunctions.cosine_sim
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"neighbor_id")
+    val exact = probes.select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+      .crossJoin(all.select($"vec_id".as("neighbor_id"), $"embedding".as("nv")))
+      .where($"probe_id" =!= $"neighbor_id")
+      .withColumn("sim", cosine_sim($"pv", $"nv"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+  }
 }
