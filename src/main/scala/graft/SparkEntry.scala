@@ -113,6 +113,7 @@ object SparkEntry {
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
+    "s_incremental_dedup" -> (StreamQueries.incrementalDedup _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
@@ -1177,6 +1178,22 @@ object SparkEntry {
     "s_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // at-ingest incremental dedup must converge to the exhaustive
+    // batch answer: kept = no 3-gram Jaccard ≥ 0.5 pair with a
+    // smaller id (same shingle CTE as d_dedup_minhash; banding
+    // recall on this fixture is exhaustive-verified there)
+    "s_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |dropped AS (SELECT DISTINCT b_id FROM p
+        |            WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5)
+        |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM dropped) AS kept
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
 
     // the committed stream must deliver every event exactly once:
     // n = n_distinct = the batch per-type counts

@@ -82,6 +82,22 @@ object StreamQueries {
       .orderBy($"user_id", $"purchase_id", $"click_id")
   }
 
+  /** Incremental MinHash dedup at ingest: the documents corpus arrives
+    * as four interleaved micro-batches (id % 4 slices, so later
+    * batches hold ids SMALLER than indexed ones — the retroactive-
+    * tombstone path runs, not just the happy order) and each batch
+    * LSH-joins against the signature index of everything already
+    * ingested. Order-independent drop rule (near-dup with any
+    * smaller-id doc) ⇒ the final kept set equals the batch exhaustive
+    * answer the DuckDB oracle states.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.IncrementalDedup.dedupAtIngest(
+      spark, Tables(spark, dir).documents,
+      LakeQueries.scratchDir("graft-incdedup-"))
+  }
+
   /** Lake table consumed through the manifest-driven streaming source
     * ([[graft.streaming.GraftLakeSource]]): events land in a lake
     * table as two append commits, the committed stream drains them by
