@@ -129,6 +129,7 @@ object SparkEntry {
     "a_range_join"       -> (AnalyticsQueries.rangeJoin _),
     "a_percentiles"      -> (AnalyticsQueries.percentiles _),
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
+    "a_zscore_outliers"  -> (AnalyticsQueries.zscoreOutliers _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
@@ -1439,6 +1440,23 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
         |       true AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mean/std from EXACT decimal Σx, Σx² (summation-order-free), then
+    // the identical double expression tree on both engines; ts column
+    // never emitted so no flavor pin needed
+    "a_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, n, s / n AS mean,
+        |        sqrt((s2 - s * s / n) / (n - 1.0)) AS std FROM st)
+        |SELECT e.event_type, e.event_id, e.value,
+        |  round((e.value - m.mean) / m.std, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.std) > 3.0
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
 
     "d_dedup_clusters" ->
       """WITH RECURSIVE

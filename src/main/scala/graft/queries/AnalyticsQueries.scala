@@ -360,4 +360,33 @@ object AnalyticsQueries {
           $"exact_orders" * 0.10).as("approx_ok"))
       .orderBy($"l_returnflag")
   }
+
+  /** Statistical QC / drift detection: per-type z-score outliers
+    * (|z| > 3) over event values — the data-quality monitor a
+    * continuously-fed pipeline runs on every batch.
+    *
+    * Cross-engine determinism: mean and variance derive from EXACT
+    * decimal Σx and Σx² (the [[SqlCompat]] rule — double summation
+    * order would differ between engines), then both engines evaluate
+    * the identical double expression tree on identical inputs.
+    * Scale shape: one tiny grouped aggregate (|event types| rows)
+    * broadcast back onto the scan — the outlier filter runs in the
+    * scan stage; no second shuffle, no window over the full stream.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec($"value")).cast("double").as("s"),
+        sum(dec($"value") * dec($"value")).cast("double").as("s2"))
+      .select($"event_type", $"n",
+        ($"s" / $"n").as("mean"),
+        sqrt(($"s2" - $"s" * $"s" / $"n") / ($"n" - 1.0)).as("std"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ($"value" - $"mean") / $"std")
+      .where(abs($"z") > 3.0)
+      .select($"event_type", $"event_id", $"value", round($"z", 6).as("z"))
+      .orderBy($"event_type", $"event_id")
+  }
 }
