@@ -130,6 +130,7 @@ object SparkEntry {
     "a_percentiles"      -> (AnalyticsQueries.percentiles _),
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
     "a_zscore_outliers"  -> (AnalyticsQueries.zscoreOutliers _),
+    "a_approx_percentile" -> (AnalyticsQueries.approxPercentiles _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
@@ -1440,6 +1441,13 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
         |       true AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sketch internals are engine-specific; the oracle pins the exact
+    // count and asserts every estimate landed within tolerance
+    "a_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  true AS p50_ok, true AS p95_ok, true AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mean/std from EXACT decimal Σx, Σx² (summation-order-free), then
     // the identical double expression tree on both engines; ts column

@@ -361,6 +361,33 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Quantile-sketch aggregation (`percentile_approx`, Spark's
+    * KLL/GK-family sketch): mergeable partial sketches are THE way to
+    * take percentiles at 100 TB — exact percentiles need a global sort
+    * or all values in one aggregation buffer. Like
+    * [[approxDistinct]], the sketch internals are engine-specific, so
+    * the emitted columns are the exact count plus `ok` booleans
+    * asserting the sketch's actual guarantee — a RANK bound, not a
+    * value bound (a value tolerance is meaningless in a sparse tail):
+    * each estimate must land inside the exact ±1%-quantile band, vs
+    * the sketch's configured rank error of 10⁻⁴.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pcts = array(lit(0.5), lit(0.95), lit(0.99))
+    Tables(spark, dir).events
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"value", pcts, lit(10000)).as("approx"),
+        expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D, 0.98D, 1.0D))").as("band"))
+      .select($"event_type", $"n",
+        ($"approx"(0).between($"band"(0), $"band"(1))).as("p50_ok"),
+        ($"approx"(1).between($"band"(2), $"band"(3))).as("p95_ok"),
+        ($"approx"(2).between($"band"(4), $"band"(5))).as("p99_ok"))
+      .orderBy($"event_type")
+  }
+
   /** Statistical QC / drift detection: per-type z-score outliers
     * (|z| > 3) over event values — the data-quality monitor a
     * continuously-fed pipeline runs on every batch.
