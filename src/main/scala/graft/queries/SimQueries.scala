@@ -98,11 +98,15 @@ object SimQueries {
       .unionByName(emb.withColumn("vec_id", $"vec_id" + off))
       .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off))
     val pairs = Similarity.cosineDupPairs(corpus, threshold = 0.99, dim = 64)
-    val clusters = Dedup.nearDupClusters(pairs)
+    // one clustering pass feeds BOTH consumers (sizes + drop set) —
+    // dedupByClusters would re-run the multi-round star contraction
+    val clusters = Dedup.nearDupClusters(pairs).localCheckpoint()
     val sizes = clusters.groupBy($"cluster_root")
       .agg(count(lit(1)).as("cluster_size"))
-    val kept = Dedup.dedupByClusters(
-      corpus.select($"vec_id".as("doc_id")), pairs, "doc_id")
+    val drop = clusters.where($"doc_id" =!= $"cluster_root")
+      .select($"doc_id")
+    val kept = corpus.select($"vec_id".as("doc_id"))
+      .join(drop, Seq("doc_id"), "left_anti")
     kept.join(sizes, kept("doc_id") === sizes("cluster_root"), "left")
       .select($"doc_id".as("vec_id"),
         coalesce($"cluster_size", lit(1L)).as("cluster_size"))
