@@ -29,6 +29,7 @@ object SparkEntry {
     "q_silver_dedup"     -> (RelationalQueries.silverDedup _),
     "q_incremental_scan" -> (RelationalQueries.incrementalScan _),
     "q_jdbc_extract"     -> (RelationalQueries.jdbcExtract _),
+    "q_jdbc_load"        -> (RelationalQueries.jdbcLoad _),
     "q_topk_latest"      -> (RelationalQueries.topkLatest _),
     "q1_pricing_summary" -> (RelationalQueries.pricingSummary _),
     "q3_revenue_topk"    -> (RelationalQueries.revenueTopk _),
@@ -177,6 +178,13 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
         |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 1 DAY AS last_updated
         |FROM nation WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
+
+    // gold counts published into Derby via atomic staged swap (a stale
+    // half first, then the full batch) and read back over JDBC: the
+    // answer equaling the direct aggregation proves idempotent replace
+    "q_jdbc_load" ->
+      """SELECT event_type, COUNT(*) AS total_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

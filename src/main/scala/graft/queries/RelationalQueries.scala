@@ -107,6 +107,44 @@ object RelationalQueries {
     out
   }
 
+  /** Reference S10 end-to-end: the warehouse LOAD the reference
+    * declared but never implemented ("loading Gold to ClickHouse",
+    * test-backup.pyc). Gold per-type counts publish into embedded
+    * Derby through [[graft.sources.JdbcSink.replace]] TWICE — first an
+    * intentionally stale half (events with even ids), then the full
+    * batch — so the read-back equaling the full aggregation proves the
+    * replace is an idempotent full swap, not an append or a partial
+    * overwrite. Extraction back through Spark's JDBC reader closes the
+    * loop; the DuckDB oracle states the same aggregation directly.
+    */
+  def jdbcLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.JdbcSink
+    val db = "graftl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val events = Tables(spark, dir).events
+    def gold(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type").agg(count(lit(1)).as("total_count"))
+    JdbcSink.replace(gold(events.filter($"event_id" % 2 === 0)).coalesce(1),
+      url, "APP.GOLD_COUNTS", driver)
+    JdbcSink.replace(gold(events).coalesce(1), url, "APP.GOLD_COUNTS", driver)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "APP.GOLD_COUNTS")
+      .option("driver", driver).load()
+      .select(col("EVENT_TYPE").as("event_type"),
+        col("TOTAL_COUNT").as("total_count"))
+      .orderBy(col("event_type"))
+    // materialize, then drop the in-memory db (same leak guard as
+    // jdbcExtract: Derby retains every uuid db for the JVM lifetime)
+    val rows = back.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), back.schema)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+    out
+  }
+
   /** Reference O1 (constant.py:74-78): latest-N by timestamp —
     * `TakeOrderedAndProject`, no full sort, no full shuffle.
     */

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Batch JDBC sink — the reference's declared-but-never-implemented
+  * warehouse load (S10: test-backup.pyc's DAG description "loading
+  * Gold to ClickHouse"; only the `clickhouse_driver` import survives).
+  *
+  * Spark's `df.write.jdbc` already gives the distributed INSERT path
+  * (per-partition batched statements). What it does NOT give is an
+  * atomic, idempotent publish: `mode("overwrite")` drops and refills
+  * the LIVE table, so warehouse readers see an empty or half-loaded
+  * table mid-write, and a failed job leaves the table destroyed.
+  * [[replace]] restores the lake-style commit contract over a plain
+  * SQL warehouse: the batch INSERTs into a fresh staging table at
+  * full write parallelism, then ONE transaction swaps staging into
+  * place — readers see the old rows or the new rows, never a state in
+  * between, and a re-run after any failure converges because staging
+  * is always rebuilt from scratch (a leftover orphan staging table is
+  * simply overwritten).
+  *
+  * At scale the swap cost is constant (two DDL statements) regardless
+  * of batch size; the data path shards per partition with
+  * `batchsize`-row inserts exactly like any Spark JDBC write.
+  */
+object JdbcSink {
+
+  /** Idempotent atomic replace of `table` (optionally
+    * `SCHEMA.TABLE`-qualified) with the contents of `df`.
+    */
+  def replace(df: DataFrame, url: String, table: String, driver: String,
+              batchSize: Int = 1000): Unit = {
+    val stg = s"${table}_STG"
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", stg)
+      .option("driver", driver)
+      .option("batchsize", batchSize.toString)
+      .mode("overwrite").save()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Derby DDL is transactional: DROP + RENAME commit together, so
+      // a reader connection sees the pre-swap table until the commit
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      if (exists(conn, table)) st.execute(s"DROP TABLE $table")
+      // RENAME targets take the bare (unqualified) name
+      st.execute(s"RENAME TABLE $stg TO ${table.split('.').last}")
+      conn.commit()
+      st.close()
+    } finally conn.close()
+  }
+
+  private def exists(conn: java.sql.Connection, table: String): Boolean = {
+    val parts = table.split('.')
+    val (schema, name) =
+      if (parts.length == 2) (parts(0).toUpperCase, parts(1).toUpperCase)
+      else (null, table.toUpperCase)
+    val rs = conn.getMetaData.getTables(null, schema, name, Array("TABLE"))
+    try rs.next() finally rs.close()
+  }
+}
