@@ -95,29 +95,42 @@ object IncrementalDedup {
         val prevBanded = readOrEmpty(bandsDir, bbandedC.schema)
         val prevSh = readOrEmpty(shDir, bshC.schema)
         // candidates: batch × index bucket collisions (either direction)
-        // + in-batch collisions; canonicalized u < v
-        val crossIdx = bbandedC.join(
-            prevBanded.select(col("band"), col("bh"), col("id").as("pid")),
-            Seq("band", "bh"))
+        // + in-batch collisions; canonicalized u < v. The BATCH side is
+        // broadcast: the history-sized index is then STREAMED against a
+        // hash table (one scan, zero index shuffle per batch) — the
+        // difference between O(batch) and O(history) network per
+        // trigger. (At production scale the index additionally lives
+        // bucketed by (band, bh) in a lake table, making the scan
+        // bucket-local too.)
+        val crossIdx = prevBanded.select(col("band"), col("bh"), col("id").as("pid"))
+          .join(broadcast(bbandedC), Seq("band", "bh"))
           .select(least(col("id"), col("pid")).as("u"),
             greatest(col("id"), col("pid")).as("v"))
         val inBatch = bbandedC.select(col("band"), col("bh"), col("id").as("a"))
           .join(bbandedC.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
           .where(col("a") < col("b"))
           .select(col("a").as("u"), col("b").as("v"))
-        val cand = crossIdx.unionByName(inBatch).distinct()
-        // exact verify on shingle-hash sets (batch ∪ index)
+        val cand = broadcast(crossIdx.unionByName(inBatch).distinct())
+        // exact verify on shingle-hash sets (batch ∪ index): candidate
+        // pairs are near-dup-density-sized, so THEY broadcast and the
+        // set store is likewise scanned, never shuffled
         val sets = bshC.unionByName(prevSh)
-        val drops = cand
-          .join(sets.select(col("id").as("u"), col("shingles").as("u_sh"), col("sz").as("u_sz")), Seq("u"))
-          .join(sets.select(col("id").as("v"), col("shingles").as("v_sh"), col("sz").as("v_sz")), Seq("v"))
+        val uSide = sets
+          .select(col("id").as("u"), col("shingles").as("u_sh"), col("sz").as("u_sz"))
+          .join(cand, Seq("u")) // candidate-sized result
+        val drops = sets
+          .select(col("id").as("v"), col("shingles").as("v_sh"), col("sz").as("v_sz"))
+          .join(broadcast(uSide), Seq("v"))
           .withColumn("inter", size(array_intersect(col("u_sh"), col("v_sh"))))
           .where(col("inter").cast("double") /
             (col("u_sz") + col("v_sz") - col("inter")) >= threshold)
           .select(col("v").as("id")).distinct() // larger id tombstoned
-        drops.write.mode("append").parquet(dropsDir)
-        bbandedC.write.mode("append").parquet(bandsDir)
-        bshC.write.mode("append").parquet(shDir)
+        // one file per artifact per trigger: a 32-way write of a
+        // batch-sized frame is pure small-file debt that every later
+        // trigger re-lists and re-opens
+        drops.coalesce(1).write.mode("append").parquet(dropsDir)
+        bbandedC.coalesce(1).write.mode("append").parquet(bandsDir)
+        bshC.coalesce(1).write.mode("append").parquet(shDir)
       }
       .option("checkpointLocation", workDir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
