@@ -115,6 +115,7 @@ object SparkEntry {
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_incremental_dedup" -> (StreamQueries.incrementalDedup _),
+    "orc_roundtrip"      -> (StreamQueries.orcRoundtrip _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
@@ -1184,6 +1185,14 @@ object SparkEntry {
 
     "csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    // events written as ORC and read back with a pushed filter must
+    // equal the parquet-side aggregation bit-for-bit
+    "orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n

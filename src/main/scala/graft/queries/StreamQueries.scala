@@ -248,4 +248,24 @@ object StreamQueries {
     CsvSource.read(spark, tmp, schema = Some(region.schema))
       .orderBy($"r_regionkey")
   }
+
+  /** ORC roundtrip — the second columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown, footer stats — the same
+    * scan economics as parquet). Events aggregate is written as ORC,
+    * read back with a pushed-down type filter, and must equal the
+    * parquet-side answer the oracle states: format interop without a
+    * single row drifting.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = LakeQueries.scratchDir("graft-orc-").toString + "/events"
+    Tables(spark, dir).events
+      .select($"event_id", $"event_type", $"value")
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .where($"event_type" =!= "error") // pushed into the ORC scan
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.SqlCompat.sumd($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
 }
