@@ -90,28 +90,44 @@ object Dedup {
     * bucket-join whose fan-out tracks true near-dup density, never
     * O(n²).
     */
-  def minHashLshPairs(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", n: Int = 3,
-                      numHashes: Int = 128, bands: Int = 32,
-                      threshold: Double = 0.5): DataFrame = {
+  /** Shared banded-minhash kernel: per-document shingle-hash sets
+    * ((id, sz, shingles) — the exact-verify side) and LSH band-bucket
+    * rows ((id, band, bh) — the candidate-join side). Batch
+    * ([[minHashLshPairs]]) and incremental
+    * ([[IncrementalDedup.dedupAtIngest]]) dedup both build on THIS
+    * definition, so their kept sets cannot drift apart.
+    *
+    * Shingles live as 64-bit hashes end to end: signature positions
+    * re-mix the 8-byte base hash (minhash_sig_hashes) instead of
+    * re-reading shingle strings, and the exact verify intersects hash
+    * sets (spurious intersection needs an xxh64 collision between two
+    * shingles of the same pair — negligible at any feasible corpus).
+    */
+  private[ops] def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
+                                    n: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // shingles as 64-bit hashes end to end: signature positions re-mix
-    // the 8-byte base hash (minhash_sig_hashes) instead of re-reading
-    // shingle strings, and the exact verify intersects hash sets (same
-    // negligible-collision argument as the jaccard join keys)
     val sh = docs.select(col(idCol).as("id"),
         graft.functions.ShingleHashFunctions
           .shingle_hashes(TextOps.words(col(textCol)), n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
       .where(col("sz") > 0)
-    val sig = sh.withColumn("sig",
-      graft.functions.ShingleHashFunctions.minhash_sig_hashes(col("shingles"), numHashes))
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sh
+      .withColumn("sig",
+        graft.functions.ShingleHashFunctions.minhash_sig_hashes(col("shingles"), numHashes))
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    (sh.select(col("id"), col("sz"), col("shingles")), banded)
+  }
+
+  def minHashLshPairs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3,
+                      numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame = {
+    val (sh, banded) = bandedSignatures(docs, textCol, idCol, n, numHashes, bands)
     val cand = bucketPairs(banded, Seq("band", "bh"), struct(col("id")))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()

@@ -30,29 +30,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalDedup {
 
-  /** Per-document banded minhash signatures + shingle-hash sets, the
-    * two index-side artifacts (mirrors [[Dedup.minHashLshPairs]]'s
-    * internals so batch and incremental dedup can never disagree).
-    */
-  private def signatures(docs: DataFrame, textCol: String, idCol: String,
-                         n: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
-    val r = numHashes / bands
-    val sh = docs.select(col(idCol).as("id"),
-        graft.functions.ShingleHashFunctions
-          .shingle_hashes(TextOps.words(col(textCol)), n).as("shingles"))
-      .withColumn("sz", size(col("shingles")))
-      .where(col("sz") > 0)
-    val banded = sh
-      .withColumn("sig",
-        graft.functions.ShingleHashFunctions.minhash_sig_hashes(col("shingles"), numHashes))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
-          .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    (sh.select(col("id"), col("sz"), col("shingles")), banded)
-  }
-
   /** Ingest `docs` as `slices` simulated arrivals (parquet file
     * stream, one file per trigger), maintaining the signature index
     * and tombstones under `workDir`; returns (doc_id, kept) for the
@@ -89,7 +66,8 @@ object IncrementalDedup {
       .parquet(s"$srcDir/*")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (bsh, bbanded) = signatures(batch, textCol, idCol, n, numHashes, bands)
+        val (bsh, bbanded) =
+          Dedup.bandedSignatures(batch, textCol, idCol, n, numHashes, bands)
         val bshC = bsh.localCheckpoint()        // sigs evaluate once, not per join branch
         val bbandedC = bbanded.localCheckpoint()
         val prevBanded = readOrEmpty(bandsDir, bbandedC.schema)

@@ -46,8 +46,8 @@ object IvfAnn {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     centroidsDf(corpus.sparkSession, centroidArray(corpus, nlist, idCol, vecCol))
 
-  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
-                          cents: Seq[Array[Float]]): DataFrame = {
+  private[ops] def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                               cents: Seq[Array[Float]]): DataFrame = {
     val schema = StructType(Seq(
       StructField("centroid_id", IntegerType, nullable = false),
       StructField("centroid_vec", ArrayType(FloatType, containsNull = false), nullable = false)))

@@ -146,27 +146,19 @@ object PqAnn {
       .withColumn("centroid_id", centroid_argmax(col("vec"), centArr))
       .withColumn("_codes", pq_encode(normalize(col("vec")), cb))
 
-    val cents = corpus.sparkSession.createDataFrame(
-      corpus.sparkSession.sparkContext.parallelize(
-        centArr.zipWithIndex.map { case (v, i) =>
-          org.apache.spark.sql.Row(i, v.toSeq)
-        }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("centroid_id",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid_vec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, containsNull = false),
-          nullable = false))))
+    val cents = IvfAnn.centroidsDf(corpus.sparkSession, centArr)
+    // the m·ksub-float LUT attaches AFTER the nprobe prune: computed
+    // per surviving (probe, cell) row instead of materialized once per
+    // centroid and dragged through the ranking window's shuffle
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-      .withColumn("_lut", pq_lut(normalize(col("probe_vec")), cb))
       .join(broadcast(cents))
       .withColumn("_sim", cosine_sim(col("probe_vec"), col("centroid_vec")))
       .withColumn("_crk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("_sim").desc, col("centroid_id"))))
       .where(col("_crk") <= nprobe)
-      .select(col("probe_id"), col("probe_vec"), col("_lut"), col("centroid_id"))
+      .select(col("probe_id"), col("probe_vec"),
+        pq_lut(normalize(col("probe_vec")), cb).as("_lut"), col("centroid_id"))
 
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("_adc").desc, col("neighbor_id"))

@@ -71,40 +71,30 @@ object RelationalQueries {
     */
   def jdbcExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.sources.{JdbcConfig, JdbcIncrementalSource}
+    import graft.sources.{DerbyMem, JdbcConfig, JdbcIncrementalSource}
     import graft.state.WatermarkStore
-    // unique in-memory db per invocation: bench runs queries repeatedly
-    val db = "graftq" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-    // synthetic but deterministic watermark column: epoch-fixed base +
-    // n_nationkey days, so the incremental cut is closed-form SQL
-    val src = Tables(spark, dir).nation
-      .select($"n_nationkey", $"n_name", $"n_regionkey",
-        to_timestamp(lit("2024-01-01 00:00:00"))
-          .+(expr("make_interval(0, 0, 0, n_nationkey, 0, 0, 0)")).as("last_updated"))
-    src.coalesce(1).write.format("jdbc")
-      .option("url", url).option("dbtable", "APP.nation_src")
-      .option("driver", driver).mode("overwrite").save()
-    val st = new WatermarkStore(
-      java.nio.file.Files.createTempDirectory("graft-jdbc-wm-"))
-    st.advance("etl", "extract", SqlCompat.utcTimestamp("2024-01-10 00:00:00"))
-    val cfg = JdbcConfig(url, "APP.nation_src", "app", "", driver = driver)
-    val extracted = new JdbcIncrementalSource(spark, cfg, st, "etl")
-      .read("LAST_UPDATED")
-      .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
-        col("LAST_UPDATED").as("last_updated"))
-      .orderBy(col("n_nationkey"))
-    // materialize the (dimension-sized) result, then DROP the
-    // in-memory database — Derby otherwise retains every uuid-named db
-    // in driver heap for the JVM's lifetime, which a bench loop turns
-    // into a leak. The extract itself stays the real JDBC scan above.
-    val rows = extracted.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), extracted.schema)
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
-    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
-    out
+    DerbyMem.withDb("graftq") { url =>
+      // synthetic but deterministic watermark column: epoch-fixed base +
+      // n_nationkey days, so the incremental cut is closed-form SQL
+      val src = Tables(spark, dir).nation
+        .select($"n_nationkey", $"n_name", $"n_regionkey",
+          to_timestamp(lit("2024-01-01 00:00:00"))
+            .+(expr("make_interval(0, 0, 0, n_nationkey, 0, 0, 0)")).as("last_updated"))
+      src.coalesce(1).write.format("jdbc")
+        .option("url", url).option("dbtable", "APP.nation_src")
+        .option("driver", DerbyMem.driver).mode("overwrite").save()
+      val st = new WatermarkStore(
+        java.nio.file.Files.createTempDirectory("graft-jdbc-wm-"))
+      st.advance("etl", "extract", SqlCompat.utcTimestamp("2024-01-10 00:00:00"))
+      val cfg = JdbcConfig(url, "APP.nation_src", "app", "", driver = DerbyMem.driver)
+      // materialize keeps the REAL JDBC scan above while detaching the
+      // result so the db can drop (Derby heap-leak guard in DerbyMem)
+      DerbyMem.materialize(new JdbcIncrementalSource(spark, cfg, st, "etl")
+        .read("LAST_UPDATED")
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("LAST_UPDATED").as("last_updated"))
+        .orderBy(col("n_nationkey")))
+    }
   }
 
   /** Reference S10 end-to-end: the warehouse LOAD the reference
@@ -119,30 +109,22 @@ object RelationalQueries {
     */
   def jdbcLoad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.sources.JdbcSink
-    val db = "graftl" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-    val events = Tables(spark, dir).events
-    def gold(df: org.apache.spark.sql.DataFrame) = df
-      .groupBy($"event_type").agg(count(lit(1)).as("total_count"))
-    JdbcSink.replace(gold(events.filter($"event_id" % 2 === 0)).coalesce(1),
-      url, "APP.GOLD_COUNTS", driver)
-    JdbcSink.replace(gold(events).coalesce(1), url, "APP.GOLD_COUNTS", driver)
-    val back = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", "APP.GOLD_COUNTS")
-      .option("driver", driver).load()
-      .select(col("EVENT_TYPE").as("event_type"),
-        col("TOTAL_COUNT").as("total_count"))
-      .orderBy(col("event_type"))
-    // materialize, then drop the in-memory db (same leak guard as
-    // jdbcExtract: Derby retains every uuid db for the JVM lifetime)
-    val rows = back.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), back.schema)
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
-    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
-    out
+    import graft.sources.{DerbyMem, JdbcSink}
+    DerbyMem.withDb("graftl") { url =>
+      val events = Tables(spark, dir).events
+      def gold(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"event_type").agg(count(lit(1)).as("total_count"))
+      JdbcSink.replace(gold(events.filter($"event_id" % 2 === 0)).coalesce(1),
+        url, "APP.GOLD_COUNTS", DerbyMem.driver)
+      JdbcSink.replace(gold(events).coalesce(1),
+        url, "APP.GOLD_COUNTS", DerbyMem.driver)
+      DerbyMem.materialize(spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "APP.GOLD_COUNTS")
+        .option("driver", DerbyMem.driver).load()
+        .select(col("EVENT_TYPE").as("event_type"),
+          col("TOTAL_COUNT").as("total_count"))
+        .orderBy(col("event_type")))
+    }
   }
 
   /** Reference O1 (constant.py:74-78): latest-N by timestamp —

@@ -52,9 +52,12 @@ object JdbcSink {
 
   private def exists(conn: java.sql.Connection, table: String): Boolean = {
     val parts = table.split('.')
+    // unqualified names resolve in the CURRENT schema — probing with a
+    // null schema would match a same-named table in any schema and send
+    // the swap down a DROP the unqualified statement cannot resolve
     val (schema, name) =
       if (parts.length == 2) (parts(0).toUpperCase, parts(1).toUpperCase)
-      else (null, table.toUpperCase)
+      else (conn.getSchema, table.toUpperCase)
     val rs = conn.getMetaData.getTables(null, schema, name, Array("TABLE"))
     try rs.next() finally rs.close()
   }

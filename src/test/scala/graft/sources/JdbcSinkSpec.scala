@@ -11,17 +11,9 @@ class JdbcSinkSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+  private val driver = DerbyMem.driver
 
-  private def withDb(f: String => Unit): Unit = {
-    val db = "sink" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val url = s"jdbc:derby:memory:$db;create=true"
-    try f(url)
-    finally {
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
-      catch { case _: java.sql.SQLException => () }
-    }
-  }
+  private def withDb(f: String => Unit): Unit = DerbyMem.withDb("sink")(f)
 
   private def readBack(url: String): Map[String, Long] =
     spark.read.format("jdbc")
