@@ -63,6 +63,7 @@ object SparkEntry {
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
     "lake_delta_cdf"        -> (LakeQueries.deltaChangeFeed _),
     "lake_hive_import"      -> (LakeQueries.hiveImport _),
+    "lake_federation"       -> (LakeQueries.federation _),
     "lake_delta_dv"         -> (LakeQueries.deltaDvDelete _),
     "lake_binpack"          -> (LakeQueries.binPack _),
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
@@ -475,6 +476,17 @@ object SparkEntry {
     "lake_hive_import" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // one plan over four formats (graft lake, Delta log replay,
+    // Iceberg metadata, JDBC) must equal the plain relational answer
+    "lake_federation" ->
+      """SELECT r.r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // deletion vectors: two composed row-level deletes masked by
     // roaring bitmaps, no file rewritten

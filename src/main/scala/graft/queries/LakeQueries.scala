@@ -1047,4 +1047,55 @@ object LakeQueries {
     m.run(Tables(spark, dir).events, tsCol = "ts", identityCols = Seq("event_type"))
       .orderBy($"event_type")
   }
+
+  /** Cross-format federation: ONE Spark plan joins a graft lake table
+    * (customer), a Delta table read by log replay (orders), an Iceberg
+    * v2 table read from its own metadata (nation), and a JDBC
+    * dimension (region in embedded Derby) — the "switch engines
+    * without moving data" promise made concrete. Catalyst treats every
+    * source as a relation: the two dimension sides broadcast, the
+    * fact-side join shuffles once on the key, and each format's own
+    * pruning (lake manifests, Delta add-stats, Iceberg manifests, JDBC
+    * pushdown) still applies upstream of the join.
+    */
+  def federation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DeltaExport, DeltaTableReader, IcebergExport, IcebergTableReader}
+    import graft.sources.DerbyMem
+    val t = Tables(spark, dir)
+    val cat = freshCatalog(spark)
+    cat.write(t.customer.select($"c_custkey", $"c_nationkey"),
+      "fed.customer", WriteMode.Overwrite)
+    val customer = cat.read("fed.customer")
+
+    val dloc = scratchDir("graft-feddelta-").toString
+    new DeltaExport(spark, dloc)
+      .append(t.orders.select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+    val orders = new DeltaTableReader(spark, dloc).read()
+
+    val iloc = scratchDir("graft-fedice-").toString
+    new IcebergExport(spark, iloc)
+      .append(t.nation.select($"n_nationkey", $"n_name", $"n_regionkey"))
+    val nation = new IcebergTableReader(spark, iloc).read()
+
+    val region = DerbyMem.withDb("fedr") { url =>
+      t.region.select($"r_regionkey", $"r_name")
+        .coalesce(1).write.format("jdbc")
+        .option("url", url).option("dbtable", "APP.region")
+        .option("driver", DerbyMem.driver).mode("overwrite").save()
+      DerbyMem.materialize(spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "APP.region")
+        .option("driver", DerbyMem.driver).load()
+        .select(col("R_REGIONKEY").as("r_regionkey"), col("R_NAME").as("r_name")))
+    }
+
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.SqlCompat.sumd($"o_totalprice").as("revenue"))
+      .orderBy($"r_name")
+  }
 }
