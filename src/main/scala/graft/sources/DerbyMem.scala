@@ -12,10 +12,25 @@ import org.apache.spark.sql.DataFrame
 object DerbyMem {
   val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
+  /** Derby engine-boot properties are frozen at FIRST connection in
+    * the JVM, whoever makes it — so every Derby user routes through
+    * this object, and the home dir + statement log location become
+    * deterministic regardless of suite/query ordering (the statement
+    * log is what the JDBC e2e spec reads to prove pushdown crossed
+    * the wire).
+    */
+  lazy val systemHome: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("derby-home-")
+    System.setProperty("derby.system.home", dir.toString)
+    System.setProperty("derby.language.logStatementText", "true")
+    dir
+  }
+
   /** Run `f` against a fresh in-memory database url; always drops the
     * database afterwards (SQLState 08006 on drop = success).
     */
   def withDb[T](prefix: String)(f: String => T): T = {
+    systemHome // pin engine-boot properties before any connection
     val db = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val url = s"jdbc:derby:memory:$db;create=true"
     try f(url)

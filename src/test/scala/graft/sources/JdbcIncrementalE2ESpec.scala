@@ -22,13 +22,10 @@ import graft.state.WatermarkStore
 class JdbcIncrementalE2ESpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  // must be set before the Derby engine boots in this JVM
-  private lazy val derbyHome = {
-    val dir = Files.createTempDirectory("derby-e2e-")
-    System.setProperty("derby.system.home", dir.toString)
-    System.setProperty("derby.language.logStatementText", "true")
-    dir
-  }
+  // shared engine home: boot properties are frozen at the JVM's FIRST
+  // Derby connection, which any suite may make — DerbyMem owns them so
+  // the statement log lands deterministically whatever runs first
+  private lazy val derbyHome = DerbyMem.systemHome
 
   private def withDb[A](db: String)(f: String => A): A = {
     derbyHome // force property init
