@@ -46,4 +46,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!got(5L) && got(2L))
     assert(!got(4L) && got(0L))
   }
+
+  test("kept set is invariant to how arrivals are sliced") {
+    def run(slices: Int): Map[Long, Boolean] = {
+      val work = java.nio.file.Files.createTempDirectory(s"incdedup$slices")
+      IncrementalDedup.dedupAtIngest(spark, docs, work, slices = slices)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    // 1 slice = pure batch; 2 and 5 exercise different cross-batch
+    // pair orientations — the tombstone rule must erase the difference
+    val one = run(1)
+    assert(run(2) == one)
+    assert(run(5) == one)
+  }
 }

@@ -136,4 +136,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") <= 1, p)
   }
+
+  test("federation joins broadcast both dimension sides across formats") {
+    // graft lake ⋈ Delta ⋈ Iceberg ⋈ JDBC: nation and region (tiny)
+    // must broadcast; only the fact-side equi-join may shuffle
+    val p = finalPlan(graft.queries.LakeQueries.federation(spark, dir))
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
