@@ -134,6 +134,7 @@ object SparkEntry {
     "a_approx_distinct"  -> (AnalyticsQueries.approxDistinct _),
     "a_zscore_outliers"  -> (AnalyticsQueries.zscoreOutliers _),
     "a_approx_percentile" -> (AnalyticsQueries.approxPercentiles _),
+    "a_funnel_steps"     -> (AnalyticsQueries.funnelSteps _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
@@ -1470,6 +1471,24 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
         |       true AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // strictly-increasing-time funnel; ts compared, never emitted, so
+    // no flavor pin; rates are single divisions of exact longs
+    "a_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT '1_view' AS step, COUNT(*) AS users FROM s1
+        |      UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |      UNION ALL SELECT '3_purchase', COUNT(*) FROM s3),
+        |b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS base FROM s1)
+        |SELECT step, users, round(users / base, 6) AS conversion
+        |FROM c CROSS JOIN b ORDER BY step""".stripMargin,
 
     // sketch internals are engine-specific; the oracle pins the exact
     // count and asserts every estimate landed within tolerance

@@ -361,6 +361,41 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordered conversion funnel (view → click → purchase): a user
+    * reaches step k iff steps 1..k occur at strictly increasing event
+    * times — the sequential-pattern aggregation product analytics runs
+    * on every event stream (and "order matters" is what a plain
+    * per-type count cannot express).
+    *
+    * Scale shape: three user-keyed aggregates, each joined to the
+    * previous step's (user, first-reach-time) frame — every join key
+    * is the user id the aggregates already partitioned by, so the
+    * chain reuses one hash partitioning; timestamps are compared,
+    * never emitted (no flavor pin needed). Counts are exact; rates are
+    * single divisions of exact longs.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events.select($"user_id", $"event_type", $"ts")
+    val s1 = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.where($"event_type" === "click")
+      .join(s1, Seq("user_id")).where($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.where($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).where($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val counts =
+      s1.agg(count(lit(1)).as("users")).withColumn("step", lit("1_view"))
+        .unionByName(s2.agg(count(lit(1)).as("users")).withColumn("step", lit("2_click")))
+        .unionByName(s3.agg(count(lit(1)).as("users")).withColumn("step", lit("3_purchase")))
+    val base = s1.agg(count(lit(1)).cast("double").as("base"))
+    counts.crossJoin(broadcast(base))
+      .select($"step", $"users",
+        round($"users" / $"base", 6).as("conversion"))
+      .orderBy($"step")
+  }
+
   /** Quantile-sketch aggregation (`percentile_approx`, Spark's
     * KLL/GK-family sketch): mergeable partial sketches are THE way to
     * take percentiles at 100 TB — exact percentiles need a global sort
