@@ -135,6 +135,7 @@ object SparkEntry {
     "a_zscore_outliers"  -> (AnalyticsQueries.zscoreOutliers _),
     "a_approx_percentile" -> (AnalyticsQueries.approxPercentiles _),
     "a_funnel_steps"     -> (AnalyticsQueries.funnelSteps _),
+    "a_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
@@ -1471,6 +1472,15 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
         |       true AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-user first-seen cohorts × day offsets; ts flows only
+    // through date() (flavor-insensitive), counts exact
+    "a_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_d FROM a GROUP BY 1)
+        |SELECT f.cohort_d, a.d - f.cohort_d AS day_offset, COUNT(*) AS users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // strictly-increasing-time funnel; ts compared, never emitted, so
     // no flavor pin; rates are single divisions of exact longs

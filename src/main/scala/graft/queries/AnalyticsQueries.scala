@@ -396,6 +396,25 @@ object AnalyticsQueries {
       .orderBy($"step")
   }
 
+  /** Cohort retention: users grouped by first-seen day, counted per
+    * (cohort day, day offset) of later activity — the staple
+    * activation/retention matrix next to [[funnelSteps]]'s conversion
+    * view. Timestamps flow only through `date()` (flavor-insensitive);
+    * the matrix is two user-keyed aggregates and one join on the same
+    * key, so one partitioning carries the whole plan.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", to_date($"ts").as("d"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    val active = ev.distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .groupBy($"cohort_d", datediff($"d", $"cohort_d").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy($"cohort_d", $"day_offset")
+  }
+
   /** Quantile-sketch aggregation (`percentile_approx`, Spark's
     * KLL/GK-family sketch): mergeable partial sketches are THE way to
     * take percentiles at 100 TB — exact percentiles need a global sort
