@@ -1,9 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Replace TimestampType (tz-adjusted, parquet isAdjustedToUTC=true, read
+    * by DuckDB as TIMESTAMP WITH TIME ZONE) with TimestampNTZType throughout
+    * a type. The DuckDB oracle answers naive TIMESTAMP, so a dumped TIMESTAMPTZ
+    * column fails the driver's schema compare even when every value matches
+    * (the r7 failure mode: 13 rows✓ schema✗). Session tz is UTC, so the cast
+    * is a pure flavor change — wall-clock values are bit-identical. */
+  private def ntz(dt: DataType): DataType = dt match {
+    case TimestampType       => TimestampNTZType
+    case s: StructType       => StructType(s.fields.map(f => f.copy(dataType = ntz(f.dataType))))
+    case a: ArrayType        => a.copy(elementType = ntz(a.elementType))
+    case m: MapType          => m.copy(keyType = ntz(m.keyType), valueType = ntz(m.valueType))
+    case other               => other
+  }
+  /** Cast every timestamp-bearing result column to its NTZ flavor before the
+    * dump — applies to the Verify artifact only, never the engine itself. */
+  def toNtz(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      val target = ntz(f.dataType)
+      if (target == f.dataType) acc
+      else acc.withColumn(f.name, col(f.name).cast(target))
+    }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional trailing query names: verify just those (local iteration)
@@ -25,7 +48,7 @@ object Verify {
     // silently-missing keys (the round-5 lesson: 20 queries vanished)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try toNtz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)

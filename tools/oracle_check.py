@@ -30,6 +30,21 @@ def canon(v):
         return v.strftime("%Y-%m-%d 00:00:00.000000")
     return str(v)
 
+# Int widths collapse (Spark LongType vs DuckDB's narrower inference is not a
+# real divergence); everything else — crucially TIMESTAMP vs TIMESTAMP WITH
+# TIME ZONE — must match exactly. The r7 lesson: the driver compares DuckDB
+# types, so a name-only local gate certifies red rounds.
+_INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+               "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def canon_type(t):
+    t = t.upper()
+    return "INT" if t in _INT_WIDTHS else t
+
+def typed_cols(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return sorted((r[0], canon_type(r[1])) for r in rows)
+
 def frame_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
@@ -65,8 +80,14 @@ def main(sf_dir, out_dir):
         except Exception as e:
             bad.append((name, f"exec error: {e}"))
             continue
-        if sorted(sp_cols) != sorted(oc_cols):
-            bad.append((name, f"schema: spark={sorted(sp_cols)} oracle={sorted(oc_cols)}"))
+        try:
+            sp_typed = typed_cols(con, f"SELECT * FROM read_parquet('{d}/*.parquet')")
+            oc_typed = typed_cols(con, oracle[name])
+        except Exception as e:
+            bad.append((name, f"describe error: {e}"))
+            continue
+        if sp_typed != oc_typed:
+            bad.append((name, f"schema: spark={sp_typed} oracle={oc_typed}"))
             continue
         if len(sp) != len(oc):
             bad.append((name, f"rows: spark={len(sp)} oracle={len(oc)}"))
