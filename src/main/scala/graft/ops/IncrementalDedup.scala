@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.lake.{LakePredicate, LakeTable, WriteMode}
 
 /** Incremental (at-ingest) MinHash near-dedup — the streaming form of
   * [[Dedup.minHashLshPairs]]: every arriving micro-batch is
@@ -11,8 +12,8 @@ import org.apache.spark.sql.streaming.Trigger
   * documents, then its own signatures join the index. This is the
   * production shape for a continuously-crawled corpus: new documents
   * dedup against a 100 TB history WITHOUT rescanning it — per batch,
-  * cost is the batch's hashing plus a bucket-join against the index,
-  * whose fan-out tracks true near-dup density.
+  * cost is the batch's hashing plus a BUCKET-LOCAL join against the
+  * index, whose fan-out tracks true near-dup density.
   *
   * Drop semantics are ORDER-INDEPENDENT: a document is dropped iff it
   * has an exact-verified Jaccard ≥ threshold match with any smaller-id
@@ -23,99 +24,186 @@ import org.apache.spark.sql.streaming.Trigger
   * the way production pipelines issue late tombstones — so arrival
   * order cannot change the final kept set.
   *
-  * Index state is parquet under `workDir` (at scale: a lake table
-  * partitioned by band): `bands/` holds (id, band, bh) LSH bucket
-  * rows, `shingles/` holds (id, sz, shingles) for the exact-verify
-  * pass, `drops/` accumulates tombstones.
+  * Index state is three [[graft.lake.LakeTable]]s under `workDir`:
+  *  - `bands/`: (id, band, bh, bk) LSH bucket rows, hive-partitioned
+  *    by `bk = pmod(xxhash64(bh), indexBuckets)` — so a trigger's scan
+  *    reads ONLY the partitions its own band hashes land in, never the
+  *    full history. (A single-column bucket on `bh` suffices: `bh`
+  *    already folds the band id into the hash, so (band, bh) entropy
+  *    lives entirely in `bh`.)
+  *  - `shingles/`: (id, sz, shingles, bk) for the exact-verify pass,
+  *    partitioned by `bk = pmod(xxhash64(id), indexBuckets)` — pruned
+  *    per trigger to the candidate ids' buckets.
+  *  - `drops/`: accumulated tombstone ids.
+  * foreachBatch is AT-LEAST-ONCE, so every per-batch append commits
+  * with a `graft.dedup.batch` marker and is skipped when the marker
+  * says this batch already landed in that table — a retried batch
+  * re-appends nothing (and recomputing drops against an index that
+  * already holds the batch's own bands is safe: self-pairs are
+  * filtered, duplicate pairs verify to the same tombstone set).
+  * Every `compactEvery` triggers each table is bin-packed
+  * ([[LakeTable.compactBinPack]]), bounding the per-trigger commit-dir
+  * trickle instead of letting the file list grow with stream lifetime.
   */
 object IncrementalDedup {
+
+  private val BatchKey = "graft.dedup.batch"
+
+  /** Append `df` to `tbl` exactly once per `batchId`: the commit meta
+    * records the batch, and a replayed batch (foreachBatch retry)
+    * whose marker is already ≥ batchId is a no-op for this table.
+    */
+  private def idempotentAppend(tbl: LakeTable, df: DataFrame, batchId: Long,
+                               partitionBy: Seq[String], statsBy: Seq[String]): Unit = {
+    val done = tbl.latest.flatMap(_.meta.get(BatchKey)).exists(_.toLong >= batchId)
+    if (!done)
+      tbl.write(df, WriteMode.Append, partitionBy = partitionBy,
+        statsBy = statsBy, meta = Map(BatchKey -> batchId.toString))
+  }
+
+  private def readOrEmpty(spark: SparkSession, tbl: LakeTable,
+                          preds: Seq[LakePredicate],
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (tbl.latest.isDefined) tbl.scan(preds)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** One micro-batch of the ingest loop — factored out of foreachBatch
+    * so the at-least-once path is testable: calling it twice with the
+    * same batchId must change nothing (appends skip on the batch
+    * marker; the recomputed candidate join sees the batch's own rows
+    * already indexed and the self-pair guards keep it from tombstoning
+    * a document against itself).
+    */
+  private[ops] def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                               bandsTbl: LakeTable, shTbl: LakeTable, dropsTbl: LakeTable,
+                               textCol: String, idCol: String, n: Int,
+                               numHashes: Int, bands: Int, threshold: Double,
+                               indexBuckets: Int, compactEvery: Int): Unit = {
+    val (bsh, bbanded) =
+      Dedup.bandedSignatures(batch, textCol, idCol, n, numHashes, bands)
+    val bshC = bsh
+      .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
+      .localCheckpoint()                    // sigs evaluate once, not per join branch
+    val bbandedC = bbanded
+      .withColumn("bk", pmod(xxhash64(col("bh")), lit(indexBuckets)).cast("int"))
+      .localCheckpoint()
+    // bucket-local index read: only the partitions this batch's
+    // band hashes occupy — the per-trigger scan is O(batch's
+    // bucket span), not O(history). Key sets are ≤ indexBuckets,
+    // so the collect is parameter-bounded driver state.
+    val bandKeys = bbandedC.select(col("bk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prevBanded = readOrEmpty(spark, bandsTbl,
+      Seq(LakePredicate.In("bk", bandKeys)), bbandedC.schema)
+    // candidates: batch × index bucket collisions (either direction)
+    // + in-batch collisions; canonicalized u < v. The BATCH side is
+    // broadcast: the bucket-pruned index is then STREAMED against a
+    // hash table (one scan, zero index shuffle per batch) — the
+    // difference between O(batch) and O(history) network per
+    // trigger. Self-joins against an index that already holds this
+    // batch's own rows (foreachBatch retry) must not tombstone a
+    // document against itself, hence the id =!= pid guard.
+    val crossIdx = prevBanded.select(col("band"), col("bh"), col("id").as("pid"))
+      .join(broadcast(bbandedC.drop("bk")), Seq("band", "bh"))
+      .where(col("id") =!= col("pid"))
+      .select(least(col("id"), col("pid")).as("u"),
+        greatest(col("id"), col("pid")).as("v"))
+    val inBatch = bbandedC.select(col("band"), col("bh"), col("id").as("a"))
+      .join(bbandedC.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v"))
+    val cand = crossIdx.unionByName(inBatch).distinct()
+      .where(col("u") =!= col("v"))        // belt-and-suspenders vs self-pairs
+      .localCheckpoint()                   // evaluated for keys AND the join
+    // exact verify on shingle-hash sets (batch ∪ bucket-pruned
+    // index): candidate pairs are near-dup-density-sized, so THEY
+    // broadcast and the set store is likewise scanned, never
+    // shuffled — and only the candidate ids' buckets are read
+    val candKeys = cand
+      .select(explode(array(col("u"), col("v"))).as("cid"))
+      .select(pmod(xxhash64(col("cid")), lit(indexBuckets)).cast("int").as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prevSh = readOrEmpty(spark, shTbl,
+      Seq(LakePredicate.In("bk", candKeys)), bshC.schema)
+    // NOTE: on a replayed batch the index already holds the batch's
+    // sets, so ids can appear twice here — harmless (duplicate pairs
+    // verify identically; `drops` is distinct) and cheaper than a
+    // per-trigger dedup shuffle of the whole set store
+    val sets = bshC.unionByName(prevSh).drop("bk")
+    val uSide = sets
+      .select(col("id").as("u"), col("shingles").as("u_sh"), col("sz").as("u_sz"))
+      .join(broadcast(cand), Seq("u")) // candidate-sized result
+    val drops = sets
+      .select(col("id").as("v"), col("shingles").as("v_sh"), col("sz").as("v_sz"))
+      .join(broadcast(uSide), Seq("v"))
+      .withColumn("inter", size(array_intersect(col("u_sh"), col("v_sh"))))
+      .where(col("inter").cast("double") /
+        (col("u_sz") + col("v_sz") - col("inter")) >= threshold)
+      .select(col("v").as("id")).distinct() // larger id tombstoned
+    // drops first: a retry that died mid-append recomputes the
+    // same tombstones from the same (or further-along) index state,
+    // and each table skips itself once its batch marker is current
+    idempotentAppend(dropsTbl, drops, batchId, Nil, Nil)
+    idempotentAppend(bandsTbl, bbandedC, batchId, Seq("bk"), Seq("bk"))
+    idempotentAppend(shTbl, bshC, batchId, Seq("bk"), Seq("bk"))
+    // periodic bin-pack: fold the per-trigger commit trickle so the
+    // manifest's dir list (and each bucket's file count) stays
+    // bounded by corpus size, not stream lifetime
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Seq(dropsTbl, bandsTbl, shTbl).foreach(
+        _.compactBinPack(maxDirBytes = 64L << 20))
+  }
 
   /** Ingest `docs` as `slices` simulated arrivals (parquet file
     * stream, one file per trigger), maintaining the signature index
     * and tombstones under `workDir`; returns (doc_id, kept) for the
     * whole corpus — kept = no verified near-dup with a smaller id.
+    *
+    * `indexBuckets` sizes the bucket space of both index tables (at
+    * 100 TB use thousands; the default keeps test fixtures to a sane
+    * file count). `compactEvery` is the bin-pack cadence in triggers.
     */
   def dedupAtIngest(spark: SparkSession, docs: DataFrame, workDir: Path,
                     slices: Int = 4, textCol: String = "text",
                     idCol: String = "doc_id", n: Int = 3,
                     numHashes: Int = 128, bands: Int = 32,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    indexBuckets: Int = 16,
+                    compactEvery: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val srcDir = workDir.resolve("arrivals")
-    val bandsDir = workDir.resolve("bands").toString
-    val shDir = workDir.resolve("shingles").toString
-    val dropsDir = workDir.resolve("drops").toString
+    val bandsTbl = new LakeTable(spark, workDir.resolve("bands").toString)
+    val shTbl = new LakeTable(spark, workDir.resolve("shingles").toString)
+    val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
     Files.createDirectories(srcDir)
 
-    // interleaved slices (id % slices), NOT id ranges: later batches
-    // carry ids smaller than already-indexed ones, exercising the
-    // retroactive-tombstone path rather than only the happy order
+    // interleaved slices (pmod, so negative ids land in a slice too —
+    // plain % preserves sign and would silently skip them), NOT id
+    // ranges: later batches carry ids smaller than already-indexed
+    // ones, exercising the retroactive-tombstone path rather than only
+    // the happy order
     val input = docs.select(col(idCol), col(textCol))
     for (s <- 0 until slices)
-      input.filter(col(idCol) % slices === s)
+      input.filter(pmod(col(idCol), lit(slices)) === s)
         .coalesce(1).write.mode("overwrite")
         .parquet(srcDir.resolve(f"slice_$s%03d").toString)
-
-    def readOrEmpty(dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-      if (Files.exists(java.nio.file.Paths.get(dir))) spark.read.parquet(dir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/*")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (bsh, bbanded) =
-          Dedup.bandedSignatures(batch, textCol, idCol, n, numHashes, bands)
-        val bshC = bsh.localCheckpoint()        // sigs evaluate once, not per join branch
-        val bbandedC = bbanded.localCheckpoint()
-        val prevBanded = readOrEmpty(bandsDir, bbandedC.schema)
-        val prevSh = readOrEmpty(shDir, bshC.schema)
-        // candidates: batch × index bucket collisions (either direction)
-        // + in-batch collisions; canonicalized u < v. The BATCH side is
-        // broadcast: the history-sized index is then STREAMED against a
-        // hash table (one scan, zero index shuffle per batch) — the
-        // difference between O(batch) and O(history) network per
-        // trigger. (At production scale the index additionally lives
-        // bucketed by (band, bh) in a lake table, making the scan
-        // bucket-local too.)
-        val crossIdx = prevBanded.select(col("band"), col("bh"), col("id").as("pid"))
-          .join(broadcast(bbandedC), Seq("band", "bh"))
-          .select(least(col("id"), col("pid")).as("u"),
-            greatest(col("id"), col("pid")).as("v"))
-        val inBatch = bbandedC.select(col("band"), col("bh"), col("id").as("a"))
-          .join(bbandedC.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
-          .where(col("a") < col("b"))
-          .select(col("a").as("u"), col("b").as("v"))
-        val cand = broadcast(crossIdx.unionByName(inBatch).distinct())
-        // exact verify on shingle-hash sets (batch ∪ index): candidate
-        // pairs are near-dup-density-sized, so THEY broadcast and the
-        // set store is likewise scanned, never shuffled
-        val sets = bshC.unionByName(prevSh)
-        val uSide = sets
-          .select(col("id").as("u"), col("shingles").as("u_sh"), col("sz").as("u_sz"))
-          .join(cand, Seq("u")) // candidate-sized result
-        val drops = sets
-          .select(col("id").as("v"), col("shingles").as("v_sh"), col("sz").as("v_sz"))
-          .join(broadcast(uSide), Seq("v"))
-          .withColumn("inter", size(array_intersect(col("u_sh"), col("v_sh"))))
-          .where(col("inter").cast("double") /
-            (col("u_sz") + col("v_sz") - col("inter")) >= threshold)
-          .select(col("v").as("id")).distinct() // larger id tombstoned
-        // one file per artifact per trigger: a 32-way write of a
-        // batch-sized frame is pure small-file debt that every later
-        // trigger re-lists and re-opens
-        drops.coalesce(1).write.mode("append").parquet(dropsDir)
-        bbandedC.coalesce(1).write.mode("append").parquet(bandsDir)
-        bshC.coalesce(1).write.mode("append").parquet(shDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, bandsTbl, shTbl, dropsTbl,
+          textCol, idCol, n, numHashes, bands, threshold,
+          indexBuckets, compactEvery)
       }
       .option("checkpointLocation", workDir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    val dropped = readOrEmpty(dropsDir,
+    val dropped = readOrEmpty(spark, dropsTbl, Nil,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           docs.schema(idCol).dataType, nullable = false))))

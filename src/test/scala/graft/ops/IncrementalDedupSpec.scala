@@ -59,4 +59,92 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(run(2) == one)
     assert(run(5) == one)
   }
+
+  test("per-trigger index scan is bucket-local (partition-pruned file reads)") {
+    import graft.lake.{LakePredicate, LakeTable}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // files the executed plan actually READ — the `bk` partition lives
+    // in directory names, so pruning happens in the file index's
+    // listFiles (PartitionFilters), which df.inputFiles ignores
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val work = java.nio.file.Files.createTempDirectory("incdedup-prune")
+    IncrementalDedup.dedupAtIngest(spark, docs, work, indexBuckets = 8)
+    val bandsTbl = new LakeTable(spark, work.resolve("bands").toString)
+    val allRead = filesRead(bandsTbl.read())
+    val liveBuckets = bandsTbl.read().select("bk").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(liveBuckets.length > 1, "fixture must spread over >1 bucket")
+    // the scan a trigger issues for a 1-bucket batch reads ONLY that
+    // bucket's files — the O(batch-span) not O(history) contract
+    val prunedRead = filesRead(
+      bandsTbl.scan(Seq(LakePredicate.In("bk", Seq(liveBuckets.head)))))
+    assert(prunedRead < allRead,
+      s"expected bucket pruning: read $prunedRead of $allRead files")
+    // hive layout on disk: one subdir per bucket under each commit dir
+    import scala.jdk.CollectionConverters._
+    val sawBk = java.nio.file.Files.walk(work.resolve("bands")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("bk="))
+    assert(sawBk, "bands table must be hive-partitioned by bk")
+    // shingle store prunes on its id-bucket the same way
+    val shTbl = new LakeTable(spark, work.resolve("shingles").toString)
+    val shBuckets = shTbl.read().select("bk").distinct().collect().map(_.getInt(0)).sorted
+    if (shBuckets.length > 1) {
+      val shAll = filesRead(shTbl.read())
+      val shPruned = filesRead(
+        shTbl.scan(Seq(LakePredicate.In("bk", Seq(shBuckets.head)))))
+      assert(shPruned < shAll)
+    }
+  }
+
+  test("replayed micro-batch is a no-op: no double index rows, no self-tombstones") {
+    import graft.lake.LakeTable
+    val work = java.nio.file.Files.createTempDirectory("incdedup-replay")
+    val bandsTbl = new LakeTable(spark, work.resolve("bands").toString)
+    val shTbl = new LakeTable(spark, work.resolve("shingles").toString)
+    val dropsTbl = new LakeTable(spark, work.resolve("drops").toString)
+    def ingest(bid: Long): Unit =
+      IncrementalDedup.ingestBatch(spark, docs, bid, bandsTbl, shTbl, dropsTbl,
+        textCol = "text", idCol = "doc_id", n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5, indexBuckets = 8, compactEvery = 0)
+    ingest(0L)
+    val bandRows = bandsTbl.read().count()
+    val drops0 = dropsTbl.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(drops0.nonEmpty, "fixture has near-dup pairs")
+    // foreachBatch retry: same batch, same id — every append must skip
+    // on the batch marker and the recomputed candidates (now joining
+    // against an index that holds this batch's own bands) must not
+    // tombstone any document against itself
+    ingest(0L)
+    assert(bandsTbl.read().count() === bandRows, "bands appended twice on replay")
+    val drops1 = dropsTbl.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(drops1 === drops0, s"replay changed tombstones: $drops0 -> $drops1")
+    // unique docs survive the replay (the ADVICE failure mode: u==v
+    // self-pairs exact-verifying at Jaccard 1.0 and dropping them)
+    assert(!drops1.contains(1L) && !drops1.contains(3L) && !drops1.contains(6L))
+  }
+
+  test("negative ids are sliced (pmod), deduped, and reported") {
+    val negDocs = Seq(
+      (-7L, "negative id document about minhash banding and bucket joins"),
+      (-3L, "negative id document about minhash banding and bucket join"),
+      (2L, "a positive id document that resembles nothing else here at all"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("incdedup-neg")
+    val got = IncrementalDedup.dedupAtIngest(spark, negDocs, work, slices = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet === Set(-7L, -3L, 2L), "every doc reported exactly once")
+    // the near-pair keeps the smaller id (-7) and drops -3
+    assert(got(-7L) && !got(-3L) && got(2L))
+  }
 }
