@@ -921,9 +921,12 @@ final class DeltaExport(spark: SparkSession, location: String) {
     * repeated deletes compose — encode as portable roaring bitmaps
     * into ONE `deletion_vector_*.bin`, and each touched file is
     * re-added with its descriptor in a single commit. No data file is
-    * rewritten; files with no matches are untouched. Driver state is
-    * bounded by the DELETED rows (coordinates + compressed bitmaps),
-    * not the table.
+    * rewritten; files with no matches are untouched. Positions
+    * aggregate and compress EXECUTOR-side (one bitmap per file); the
+    * driver fetches only (file, compressed bitmap, cardinality) rows,
+    * so a predicate delete sweeping a large fraction of a 100 TB table
+    * holds compressed-bitmap bytes on the driver, never the raw
+    * (file, pos) coordinate set.
     */
   def deleteRows(cond: org.apache.spark.sql.Column): Long = {
     import DeltaExport.canonOf
@@ -931,31 +934,49 @@ final class DeltaExport(spark: SparkSession, location: String) {
     require(st.version >= 0, "deleteRows on a never-written table")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val rdr = reader
-    val matched = rdr.relationFor(st.adds, schema, st.partitionBy, withPos = true)
-      .where(cond)
-      .select(col("_gr_file"), col("_gr_pos"))
-      .collect()
-      .map(r => (rdr.canonStr(r.getString(0)), r.getLong(1)))
-    if (matched.isEmpty) return st.version // nothing to delete, no commit
-    val byFile: Map[String, Array[Long]] =
-      matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+    // distributed per-file bitmap build: groupByKey on the file path
+    // shuffles only the matched coordinates, each group encodes its
+    // roaring bitmap in the executor that owns it
+    val perFile: Array[(String, Array[Byte], Long)] = {
+      import spark.implicits._
+      rdr.relationFor(st.adds, schema, st.partitionBy, withPos = true)
+        .where(cond)
+        .select(col("_gr_file"), col("_gr_pos"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val ps = it.map(_._2).toArray.distinct.sorted
+          (f, Roaring64.encode(ps), ps.length.toLong)
+        }
+        .collect()
+    }
+    if (perFile.isEmpty) return st.version // nothing to delete, no commit
+    val byFile: Map[String, (Array[Byte], Long)] =
+      perFile.map { case (f, b, n) => rdr.canonStr(f) -> (b, n) }.toMap
     val addByCanon: Map[String, DeltaAddFile] = st.adds.map { a =>
       canonOf(root, a.path) -> a
     }.toMap
-    val touched: Seq[(DeltaAddFile, Array[Long])] = byFile.toSeq.map { case (f, ps) =>
+    val touched: Seq[(DeltaAddFile, Array[Byte], Long)] = byFile.toSeq.map { case (f, (bytes, n)) =>
       val a = addByCanon.getOrElse(f,
         throw new IllegalStateException(s"matched file $f not in live adds"))
-      // union with the file's EXISTING deleted positions
-      val old = a.dvJson.map(js => Roaring64.decode(
-        DeltaDv.readBitmap(io, root, rdr.parseDvDescriptor(js)))).getOrElse(Array.empty[Long])
-      (a, (old ++ ps).distinct.sorted)
+      a.dvJson match {
+        case Some(js) =>
+          // repeat delete on an already-vectored file: union with its
+          // EXISTING deleted positions — decode cost is bounded by ONE
+          // file's deletions, and only re-deleted files pay it
+          val old = Roaring64.decode(
+            DeltaDv.readBitmap(io, root, rdr.parseDvDescriptor(js)))
+          val merged = (old ++ Roaring64.decode(bytes)).distinct.sorted
+          (a, Roaring64.encode(merged), merged.length.toLong)
+        case None => (a, bytes, n)
+      }
     }.sortBy(_._1.path)
     val descs = DeltaDv.writeDvFile(io, root,
-      touched.map { case (_, ps) => (Roaring64.encode(ps), ps.length.toLong) })
+      touched.map { case (_, b, n) => (b, n) })
     val protoLine =
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
-    val lines = touched.zip(descs).flatMap { case ((a, _), d) =>
+    val lines = touched.zip(descs).flatMap { case ((a, _, _), d) =>
       Seq(removeLine(a.path), addWithDvLine(a, d))
     }
     val v = st.version + 1

@@ -357,6 +357,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(new DeltaTableReader(spark, loc).latestVersion.get === vBefore)
   }
 
+  test("deletion vectors: large-fraction predicate sweep builds bitmaps executor-side") {
+    // the GDPR-sweep shape: a predicate matching ~half the table across
+    // many files. Positions aggregate per file in executors; the driver
+    // fetches one compressed bitmap per touched file (never the raw
+    // coordinate set), so this scales to a 1%-of-100TB sweep.
+    val loc = freshLoc()
+    val exp = new DeltaExport(spark, loc)
+    // 8 files x 2500 rows
+    for (f <- 0 until 8)
+      exp.append((0 until 2500).map(i => (f * 2500L + i, i % 7))
+        .toDF("id", "grp").coalesce(1))
+    val filesBefore = new DeltaTableReader(spark, loc).read().inputFiles.sorted
+    assert(filesBefore.length === 8)
+    exp.deleteRows($"id" % 2L === 0L) // 10000 rows across every file
+    val after = new DeltaTableReader(spark, loc).read()
+    assert(after.count() === 10000L)
+    assert(after.where($"id" % 2L === 0L).count() === 0L)
+    assert(after.inputFiles.sorted.toSeq === filesBefore.toSeq, "no file rewritten")
+    // compose a second sweep over the already-vectored files
+    exp.deleteRows($"grp" === 3L)
+    val after2 = new DeltaTableReader(spark, loc).read()
+    assert(after2.count() ===
+      (0 until 20000).count(i => (i % 2500) % 7 != 3 && i % 2 != 0).toLong)
+    assert(after2.where($"grp" === 3L || $"id" % 2L === 0L).count() === 0L)
+  }
+
   test("deletion vectors: inline (z85) descriptors and partitioned tables") {
     val loc = freshLoc()
     val exp = new DeltaExport(spark, loc)
