@@ -1516,8 +1516,9 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1),
-        |m AS (SELECT event_type, n, s / n AS mean,
-        |        sqrt((s2 - s * s / n) / (n - 1.0)) AS std FROM st)
+        |m0 AS (SELECT event_type, n, s / n AS mean,
+        |        sqrt((s2 - s * s / n) / (n - 1.0)) AS std FROM st),
+        |m AS (SELECT * FROM m0 WHERE n > 1.0 AND std > 0.0)
         |SELECT e.event_type, e.event_id, e.value,
         |  round((e.value - m.mean) / m.std, 6) AS z
         |FROM events e JOIN m USING (event_type)

@@ -78,18 +78,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash + LSH banding near-dup candidates, exact-verified.
-    *
-    * signature(k hashes) → `bands` bands of k/bands rows → band-hash
-    * join buckets candidates (collision prob 1-(1-s^r)^b) → candidates
-    * are re-checked with exact shingle Jaccard so the output contains
-    * no false positives. With k=128, bands=32 (r=4), a pair at
-    * jaccard 0.9 is missed with prob (1-0.9^4)^32 ≈ 1e-15.
-    *
-    * This is the 100 TB path: cost is O(corpus × k) hashing + a
-    * bucket-join whose fan-out tracks true near-dup density, never
-    * O(n²).
-    */
   /** Shared banded-minhash kernel: per-document shingle-hash sets
     * ((id, sz, shingles) — the exact-verify side) and LSH band-bucket
     * rows ((id, band, bh) — the candidate-join side). Batch
@@ -123,6 +111,18 @@ object Dedup {
     (sh.select(col("id"), col("sz"), col("shingles")), banded)
   }
 
+  /** MinHash + LSH banding near-dup candidates, exact-verified.
+    *
+    * signature(k hashes) → `bands` bands of k/bands rows → band-hash
+    * join buckets candidates (collision prob 1-(1-s^r)^b) → candidates
+    * are re-checked with exact shingle Jaccard so the output contains
+    * no false positives. With k=128, bands=32 (r=4), a pair at
+    * jaccard 0.9 is missed with prob (1-0.9^4)^32 ≈ 1e-15.
+    *
+    * This is the 100 TB path: cost is O(corpus × k) hashing + a
+    * bucket-join whose fan-out tracks true near-dup density, never
+    * O(n²).
+    */
   def minHashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3,
                       numHashes: Int = 128, bands: Int = 32,

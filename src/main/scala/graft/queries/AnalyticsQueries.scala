@@ -464,6 +464,11 @@ object AnalyticsQueries {
       .select($"event_type", $"n",
         ($"s" / $"n").as("mean"),
         sqrt(($"s2" - $"s" * $"s" / $"n") / ($"n" - 1.0)).as("std"))
+      // degenerate groups (n == 1 → NaN std; zero variance → std 0)
+      // cannot have outliers, and the NaN comparison semantics of
+      // |z| > 3 diverge between engines (DuckDB sorts NaN above all
+      // values) — filter them out before they reach the predicate
+      .where($"n" > 1.0 && $"std" > 0.0)
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", ($"value" - $"mean") / $"std")
       .where(abs($"z") > 3.0)

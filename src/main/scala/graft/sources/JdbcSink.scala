@@ -25,11 +25,29 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcSink {
 
+  /** Regular (unquoted) SQL identifier. The name is interpolated into
+    * DDL here AND into Spark's own JDBC writer (`dbtable`), both
+    * unquoted — quoting on just one side would desync against the
+    * database's case-folded stored name, so instead of quoting we
+    * REQUIRE names that resolve identically quoted or not, and fail
+    * loudly on mixed-case/reserved/injection-shaped input.
+    */
+  private val RegularIdent = "^[A-Za-z_][A-Za-z0-9_$]*$".r
+
+  private def requireRegular(table: String): Unit = {
+    val parts = table.split('.')
+    require(parts.length <= 2, s"table must be NAME or SCHEMA.NAME: $table")
+    parts.foreach(p => require(RegularIdent.matches(p),
+      s"'$p' is not a regular SQL identifier; quoted/reserved/mixed-case " +
+        s"names are not supported by the staged-swap publish"))
+  }
+
   /** Idempotent atomic replace of `table` (optionally
     * `SCHEMA.TABLE`-qualified) with the contents of `df`.
     */
   def replace(df: DataFrame, url: String, table: String, driver: String,
               batchSize: Int = 1000): Unit = {
+    requireRegular(table)
     val stg = s"${table}_STG"
     df.write.format("jdbc")
       .option("url", url).option("dbtable", stg)
@@ -58,6 +76,13 @@ object JdbcSink {
     val (schema, name) =
       if (parts.length == 2) (parts(0).toUpperCase, parts(1).toUpperCase)
       else (conn.getSchema, table.toUpperCase)
+    // several drivers return null from getSchema; probing with a null
+    // schema would match a same-named table in ANY schema and send the
+    // swap down a DROP the unqualified statement cannot resolve —
+    // demand a qualified name instead of guessing
+    require(schema != null,
+      s"driver reports no current schema for connection; qualify the " +
+        s"table as SCHEMA.$name")
     val rs = conn.getMetaData.getTables(null, schema, name, Array("TABLE"))
     try rs.next() finally rs.close()
   }
