@@ -256,7 +256,10 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
           new HPath(logDir, f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet").toString)
       val cpDf = spark.read.parquet(paths: _*)
       // project through JSON to reuse one action-shape parser for both
-      // log and checkpoint forms
+      // log and checkpoint forms. The collect is METADATA-bounded: one
+      // row per live file/txn action (what Delta itself replays on the
+      // driver), never data rows — ~100 bytes × live-file count, so
+      // even a million-file table stays ~100 MB of driver transit.
       cpDf.toJSON.collect().foreach(line => r.applyAction(om.readTree(line)))
     }
     val from = cp.map(_ + 1).getOrElse(0L)
