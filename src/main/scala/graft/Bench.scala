@@ -50,7 +50,11 @@ object Bench {
     // median absorbs one bad run per query. Runs iterate run-major so
     // cross-run cache state is uniform across queries.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // local-iteration filter: comma-separated query names (unset = all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)

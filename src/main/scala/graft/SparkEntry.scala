@@ -90,6 +90,7 @@ object SparkEntry {
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
     "t_seq_pack"         -> ((s, d) => TextQueries.seqPack(s, d)),
+    "t_chunk_overlap"    -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "t_bm25_topk"        -> ((s, d) => TextQueries.bm25TopK(s, d)),
     "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
@@ -793,6 +794,30 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
         |  CAST((512 - (MAX(cum) % 512)) % 512 AS BIGINT) AS tail_pad
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // overlapping 64-token windows advancing by 48; last window
+    // shrink-wraps to the tail. DuckDB replays the chunk arithmetic
+    // over the same token list (1-based indexing on both sides).
+    "t_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE CAST(floor((len(toks) - 64 + 47) / 48.0) AS BIGINT) + 1
+        |    END AS n_chunks
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  least(64, n - chunk_idx * 48) AS chunk_tokens,
+        |  toks[CAST(chunk_idx * 48 + 1 AS INT)] AS head_token,
+        |  toks[CAST(chunk_idx * 48 + least(64, n - chunk_idx * 48) AS INT)] AS tail_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // global 5-gram frequency → per-doc duplicated-span coverage; the
     // oracle replays the gram build as list slices over the filtered

@@ -81,12 +81,26 @@ object IncrementalDedup {
                                indexBuckets: Int, compactEvery: Int): Unit = {
     val (bsh, bbanded) =
       Dedup.bandedSignatures(batch, textCol, idCol, n, numHashes, bands)
-    val bshC = bsh
+    // checkpoint ALREADY hash-partitioned by bk: sigs evaluate once
+    // (not per join branch) AND the index appends below write straight
+    // from the materialized layout — partitionBy emits one file per
+    // bucket per holding task, so pre-clustering by bk here is what
+    // caps each append at ≤ indexBuckets files with no second shuffle.
+    // The two materializations are independent jobs; run them
+    // concurrently (fixed job cost dominates at micro-batch sizes).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bshF = Future(bsh
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
-      .localCheckpoint()                    // sigs evaluate once, not per join branch
-    val bbandedC = bbanded
+      .repartition(col("bk"))
+      .localCheckpoint())
+    val bbandedF = Future(bbanded
       .withColumn("bk", pmod(xxhash64(col("bh")), lit(indexBuckets)).cast("int"))
-      .localCheckpoint()
+      .repartition(col("bk"))
+      .localCheckpoint())
+    val bshC = Await.result(bshF, Duration.Inf)
+    val bbandedC = Await.result(bbandedF, Duration.Inf)
     // bucket-local index read: only the partitions this batch's
     // band hashes occupy — the per-trigger scan is O(batch's
     // bucket span), not O(history). Key sets are ≤ indexBuckets,
@@ -95,6 +109,21 @@ object IncrementalDedup {
       .collect().map(_.getInt(0)).toSeq
     val prevBanded = readOrEmpty(spark, bandsTbl,
       Seq(LakePredicate.In("bk", bandKeys)), bbandedC.schema)
+    // Index appends start NOW, overlapping the candidate/verify work
+    // below: prevBanded is already bound to a snapshot (lake snapshots
+    // are immutable, so the concurrent append cannot leak into it),
+    // and even a scan that DOES land after the append — the shingle
+    // read below, or a foreachBatch replay — only re-sees the batch's
+    // own rows, which the self-pair guards and the duplicate-set NOTE
+    // make harmless. Each per-trigger Spark job carries a fixed
+    // scheduling cost that dwarfs this data volume, so independent
+    // jobs run concurrently throughout. Index frames were checkpointed
+    // already clustered by bk, so each append is a straight map-stage
+    // write of <= indexBuckets files. No statsBy: bk lives in the
+    // directory names (pruning is PartitionFilters), and declaring it
+    // would trigger the writer's scanning-stats fallback every append.
+    val bandsAppendF = Future(idempotentAppend(bandsTbl, bbandedC, batchId, Seq("bk"), Nil))
+    val shAppendF = Future(idempotentAppend(shTbl, bshC, batchId, Seq("bk"), Nil))
     // candidates: batch × index bucket collisions (either direction)
     // + in-batch collisions; canonicalized u < v. The BATCH side is
     // broadcast: the bucket-pruned index is then STREAMED against a
@@ -112,17 +141,26 @@ object IncrementalDedup {
       .join(bbandedC.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .where(col("a") < col("b"))
       .select(col("a").as("u"), col("b").as("v"))
-    val cand = crossIdx.unionByName(inBatch).distinct()
+    // candidate pairs are near-dup-density-sized BY CONSTRUCTION (both
+    // downstream joins broadcast them), so one driver collect replaces
+    // a checkpoint job + a separate key-collect job; the rebuilt frame
+    // is a LocalRelation, making both verify joins exchange-free. The
+    // id-bucket of each side rides along so the shingle-store keys
+    // need no extra pass.
+    val candRows = crossIdx.unionByName(inBatch).distinct()
       .where(col("u") =!= col("v"))        // belt-and-suspenders vs self-pairs
-      .localCheckpoint()                   // evaluated for keys AND the join
-    // exact verify on shingle-hash sets (batch ∪ bucket-pruned
-    // index): candidate pairs are near-dup-density-sized, so THEY
-    // broadcast and the set store is likewise scanned, never
-    // shuffled — and only the candidate ids' buckets are read
-    val candKeys = cand
-      .select(explode(array(col("u"), col("v"))).as("cid"))
-      .select(pmod(xxhash64(col("cid")), lit(indexBuckets)).cast("int").as("bk"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
+      .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
+      .collect()
+    val candKeys: Seq[Int] =
+      candRows.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
+    val idType = batch.schema(idCol).dataType
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", idType),
+        org.apache.spark.sql.types.StructField("v", idType))))
     val prevSh = readOrEmpty(spark, shTbl,
       Seq(LakePredicate.In("bk", candKeys)), bshC.schema)
     // NOTE: on a replayed batch the index already holds the batch's
@@ -140,18 +178,23 @@ object IncrementalDedup {
       .where(col("inter").cast("double") /
         (col("u_sz") + col("v_sz") - col("inter")) >= threshold)
       .select(col("v").as("id")).distinct() // larger id tombstoned
-    // drops first: a retry that died mid-append recomputes the
-    // same tombstones from the same (or further-along) index state,
-    // and each table skips itself once its batch marker is current
-    idempotentAppend(dropsTbl, drops, batchId, Nil, Nil)
-    idempotentAppend(bandsTbl, bbandedC, batchId, Seq("bk"), Seq("bk"))
-    idempotentAppend(shTbl, bshC, batchId, Seq("bk"), Seq("bk"))
-    // periodic bin-pack: fold the per-trigger commit trickle so the
-    // manifest's dir list (and each bucket's file count) stays
-    // bounded by corpus size, not stream lifetime
+    // Append ordering never mattered for safety: whatever subset
+    // survives a crash, the replay recomputes drops against an index
+    // that may already hold the batch's own rows (self-pair guards)
+    // and each table skips itself on its batch marker. No candidates
+    // ⇒ drops is provably empty ⇒ its write (and the verify joins
+    // feeding it) are skipped outright.
+    val dropsAppendF = Future(if (candRows.nonEmpty)
+      idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil))
+    Seq(dropsAppendF, bandsAppendF, shAppendF).foreach(Await.result(_, Duration.Inf))
+    // periodic bin-pack (also concurrent per table): fold the
+    // per-trigger commit trickle so the manifest's dir list (and each
+    // bucket's file count) stays bounded by corpus size, not stream
+    // lifetime
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      Seq(dropsTbl, bandsTbl, shTbl).foreach(
-        _.compactBinPack(maxDirBytes = 64L << 20))
+      Seq(dropsTbl, bandsTbl, shTbl)
+        .map(t => Future(if (t.latest.isDefined) t.compactBinPack(maxDirBytes = 64L << 20)))
+        .foreach(Await.result(_, Duration.Inf))
   }
 
   /** Ingest `docs` as `slices` simulated arrivals (parquet file
@@ -181,12 +224,18 @@ object IncrementalDedup {
     // plain % preserves sign and would silently skip them), NOT id
     // ranges: later batches carry ids smaller than already-indexed
     // ones, exercising the retroactive-tombstone path rather than only
-    // the happy order
+    // the happy order. Slice writes are independent jobs → concurrent.
     val input = docs.select(col(idCol), col(textCol))
-    for (s <- 0 until slices)
-      input.filter(pmod(col(idCol), lit(slices)) === s)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(srcDir.resolve(f"slice_$s%03d").toString)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      (0 until slices).map(s => Future(
+        input.filter(pmod(col(idCol), lit(slices)) === s)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(srcDir.resolve(f"slice_$s%03d").toString)))
+        .foreach(Await.result(_, Duration.Inf))
+    }
 
     val stream = spark.readStream
       .schema(input.schema)

@@ -305,6 +305,47 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Overlapping-window chunking — the context-window prep every RAG
+    * index and long-document pretraining pipeline runs: each document
+    * splits into windows of `win` tokens advancing by `stride`
+    * (overlap = win − stride), the last window shrink-wrapped to the
+    * tail so no token is dropped. Emits one row per chunk with its
+    * token span and boundary tokens (enough to rebuild the slice
+    * without shipping the text twice).
+    *
+    * Shape: tokenization + `sequence`/`explode` + `slice` all run in
+    * the scan stage (no shuffle until the output sort), and chunk
+    * count per document is arithmetic on the token count — so a
+    * 100 TB corpus chunks in one embarrassingly-parallel pass whose
+    * output partitioning inherits the input's. The token definition is
+    * the same BPE-ish regex `t_token_stats` cross-checks against the
+    * byte-kernel counter, so both engines see identical arrays.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   win: Int = 64, stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && stride <= win, "need 0 < stride <= win")
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", $"source",
+        regexp_extract_all($"text",
+          lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0)).as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .where($"n" > 0)
+      // ceil((n - win) / stride) + 1 windows, floor-form on longs
+      .withColumn("n_chunks",
+        when($"n" <= win, 1L)
+          .otherwise(floor(($"n" - win + stride - 1) / stride.toDouble) + 1L))
+    toks
+      .select($"doc_id", $"source", $"toks", $"n",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+      .withColumn("start", $"chunk_idx" * stride)
+      .withColumn("chunk_tokens", least(lit(win.toLong), $"n" - $"start"))
+      .select($"doc_id", $"chunk_idx", $"chunk_tokens",
+        element_at($"toks", ($"start" + 1L).cast("int")).as("head_token"),
+        element_at($"toks", ($"start" + $"chunk_tokens").cast("int")).as("tail_token"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Cross-document repeated-span coverage (the exact-substring dedup
     * signal of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): per document, the fraction of its 5-word-gram
