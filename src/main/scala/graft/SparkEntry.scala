@@ -93,6 +93,7 @@ object SparkEntry {
     "t_chunk_overlap"    -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "t_bm25_topk"        -> ((s, d) => TextQueries.bm25TopK(s, d)),
     "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
+    "t_bigram_logprob"   -> (TextQueries.bigramLogProb _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -863,6 +864,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
         |FROM t JOIN lm USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // add-one-smoothed bigram LM score; occurrences re-join gram counts
+    // and the oracle keys bigrams as "w1\x01w2" strings (the \x01
+    // separator cannot appear in space-split words)
+    "t_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |uni AS (SELECT term, count(*) AS uc FROM t GROUP BY term),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+        |bocc AS (SELECT doc_id,
+        |           unnest(list_transform(range(1, len(ws)),
+        |             i -> ws[i] || chr(1) || ws[i+1])) AS bg
+        |         FROM w WHERE len(ws) >= 2),
+        |big AS (SELECT bg, count(*) AS bc FROM bocc GROUP BY bg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc + 1.0) / (uc + vs))), 6) AS mean_logprob
+        |FROM bocc JOIN big USING (bg)
+        |  JOIN uni ON uni.term = string_split(bg, chr(1))[1]
+        |  CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // p ∝ n^0.5 temperature mixture; the cross-source normalizer sums

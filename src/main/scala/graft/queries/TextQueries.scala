@@ -305,6 +305,41 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Per-document mean bigram log-probability with add-one smoothing —
+    * the next model order above [[unigramLogProb]], and the shape of
+    * KenLM-style perplexity filtering every pretraining pipeline runs:
+    * fluent text scores high under ln((c(w1,w2)+1) / (c(w1)+V)), word
+    * salad scores low, and the per-doc mean is the quality signal.
+    *
+    * Shape: one doc-partitioned window builds adjacent pairs (`lead`),
+    * bigram/unigram counts are hash aggregates, and scoring re-joins
+    * occurrences to counts — the inverted-index join pattern, so skew
+    * degrades to hot-but-tiny count lookups, never a fan-out. The
+    * vocabulary size is a 1-row broadcast. At 100 TB the shuffles are
+    * by doc (window) and by gram (counts); nothing is ever all-pairs.
+    */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", posexplode(TextOps.words($"text")).as(Seq("pos", "term")))
+    val occ = toks
+      .withColumn("next", lead($"term", 1).over(w))
+      .where($"next".isNotNull)
+    val uni = toks.groupBy($"term").agg(count(lit(1)).as("uc"))
+    val big = occ.groupBy($"term", $"next").agg(count(lit(1)).as("bc"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    occ.join(big, Seq("term", "next"))
+      .join(uni, Seq("term"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        log(($"bc".cast("double") + 1.0) / ($"uc".cast("double") + $"v")).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 6).as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
+
   /** Overlapping-window chunking — the context-window prep every RAG
     * index and long-document pretraining pipeline runs: each document
     * splits into windows of `win` tokens advancing by `stride`
