@@ -137,6 +137,7 @@ object SparkEntry {
     "a_zscore_outliers"  -> (AnalyticsQueries.zscoreOutliers _),
     "a_approx_percentile" -> (AnalyticsQueries.approxPercentiles _),
     "a_funnel_steps"     -> (AnalyticsQueries.funnelSteps _),
+    "a_assoc_lift"       -> (AnalyticsQueries.assocLift _),
     "a_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
@@ -1528,6 +1529,27 @@ object SparkEntry {
         |SELECT f.cohort_d, a.d - f.cohort_d AS day_offset, COUNT(*) AS users
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // market-basket pair rules: support / confidence / lift over
+    // per-user distinct event-type baskets; expression structure
+    // mirrors the Spark side exactly so the doubles divide identically
+    "a_assoc_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM b),
+        |s AS (SELECT event_type, COUNT(*) AS sc FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS pc
+        |      FROM b x JOIN b y ON x.user_id = y.user_id
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.pc AS n_both,
+        |  round(p.pc / n.n_users, 6) AS support,
+        |  round(CAST(p.pc AS DOUBLE) / sa.sc, 6) AS confidence,
+        |  round((p.pc * n.n_users) / (sa.sc * CAST(sb.sc AS DOUBLE)), 6) AS lift
+        |FROM p
+        |JOIN s sa ON sa.event_type = p.a
+        |JOIN s sb ON sb.event_type = p.b
+        |CROSS JOIN n
+        |ORDER BY p.a, p.b""".stripMargin,
 
     // strictly-increasing-time funnel; ts compared, never emitted, so
     // no flavor pin; rates are single divisions of exact longs

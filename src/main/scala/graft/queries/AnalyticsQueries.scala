@@ -361,6 +361,44 @@ object AnalyticsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Association rules over per-user event baskets — frequent-pair
+    * support / confidence / lift, the market-basket aggregation behind
+    * recommendation and cross-feature analysis ("users who error also
+    * purchase?"). A pair (a < b) is supported by a user iff BOTH types
+    * occur in their history; lift > 1 means co-occurrence beats
+    * independence.
+    *
+    * Scale shape: baskets are a user-keyed distinct (one shuffle on
+    * the id the events already hash by), the pair build is a
+    * SELF-JOIN WITHIN the user partition whose fan-out is C(k, 2)
+    * over the per-user distinct-TYPE count — bounded by the type
+    * domain, not event volume, so a power user with 10^6 events still
+    * contributes at most C(|types|, 2) pairs. Single-type supports are
+    * a tiny aggregate broadcast into the rule computation; all rates
+    * are single divisions of exact longs.
+    */
+  def assocLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables(spark, dir).events
+      .select($"user_id", $"event_type").distinct()
+    val n = baskets.agg(countDistinct($"user_id").cast("double").as("n_users"))
+    val singles = baskets.groupBy($"event_type").agg(count(lit(1)).as("sc"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"), $"x.user_id" === $"y.user_id" &&
+        $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("a"), $"y.event_type".as("b"))
+      .agg(count(lit(1)).as("pc"))
+    pairs
+      .join(broadcast(singles.select($"event_type".as("a"), $"sc".as("a_sc"))), Seq("a"))
+      .join(broadcast(singles.select($"event_type".as("b"), $"sc".as("b_sc"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select($"a", $"b", $"pc".as("n_both"),
+        round($"pc" / $"n_users", 6).as("support"),
+        round($"pc".cast("double") / $"a_sc", 6).as("confidence"),
+        round(($"pc" * $"n_users") / ($"a_sc" * $"b_sc".cast("double")), 6).as("lift"))
+      .orderBy($"a", $"b")
+  }
+
   /** Ordered conversion funnel (view → click → purchase): a user
     * reaches step k iff steps 1..k occur at strictly increasing event
     * times — the sequential-pattern aggregation product analytics runs
