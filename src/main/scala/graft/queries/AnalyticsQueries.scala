@@ -368,25 +368,30 @@ object AnalyticsQueries {
     * occur in their history; lift > 1 means co-occurrence beats
     * independence.
     *
-    * Scale shape: baskets are a user-keyed distinct (one shuffle on
-    * the id the events already hash by), the pair build is a
-    * SELF-JOIN WITHIN the user partition whose fan-out is C(k, 2)
-    * over the per-user distinct-TYPE count — bounded by the type
-    * domain, not event volume, so a power user with 10^6 events still
-    * contributes at most C(|types|, 2) pairs. Single-type supports are
-    * a tiny aggregate broadcast into the rule computation; all rates
-    * are single divisions of exact longs.
+    * Scale shape: ONE user-keyed aggregate collects each user's
+    * distinct-type set (map-side partial dedup, so a power user with
+    * 10^6 events ships at most |types| values), then the pair build is
+    * IN-ROW — a sorted-array double-transform expanding C(k, 2)
+    * combinations with no self-join and no second user shuffle; the
+    * fan-out is bounded by the type domain, not event volume. Pair and
+    * single supports then aggregate on the tiny type keys, and all
+    * rates are single divisions of exact longs.
     */
   def assocLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val baskets = Tables(spark, dir).events
-      .select($"user_id", $"event_type").distinct()
-    val n = baskets.agg(countDistinct($"user_id").cast("double").as("n_users"))
-    val singles = baskets.groupBy($"event_type").agg(count(lit(1)).as("sc"))
-    val pairs = baskets.as("x")
-      .join(baskets.as("y"), $"x.user_id" === $"y.user_id" &&
-        $"x.event_type" < $"y.event_type")
-      .groupBy($"x.event_type".as("a"), $"y.event_type".as("b"))
+      .groupBy($"user_id").agg(array_sort(collect_set($"event_type")).as("types"))
+    val n = baskets.agg(count(lit(1)).cast("double").as("n_users"))
+    val singles = baskets.select(explode($"types").as("event_type"))
+      .groupBy($"event_type").agg(count(lit(1)).as("sc"))
+    // all a < b combinations of the sorted set, built by expression:
+    // element i pairs with every later element — C(k, 2) structs per
+    // user, flattened and exploded in the scan stage
+    val pairs = baskets
+      .select(explode(flatten(transform($"types", (x, i) =>
+        transform(slice($"types", i + 2, size($"types")),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("pc"))
     pairs
       .join(broadcast(singles.select($"event_type".as("a"), $"sc".as("a_sc"))), Seq("a"))
