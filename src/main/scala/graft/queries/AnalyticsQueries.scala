@@ -368,34 +368,38 @@ object AnalyticsQueries {
     * occur in their history; lift > 1 means co-occurrence beats
     * independence.
     *
-    * Scale shape: ONE user-keyed aggregate collects each user's
-    * distinct-type set (map-side partial dedup, so a power user with
-    * 10^6 events ships at most |types| values), then the pair build is
-    * IN-ROW — a sorted-array double-transform expanding C(k, 2)
-    * combinations with no self-join and no second user shuffle; the
-    * fan-out is bounded by the type domain, not event volume. Pair and
-    * single supports then aggregate on the tiny type keys, and all
-    * rates are single divisions of exact longs.
+    * Scale shape: ONE pass. A user-keyed aggregate collects each
+    * user's distinct-type set (map-side partial dedup, so a power user
+    * with 10^6 events ships at most |types| values); one explode then
+    * emits, per user, a basket marker (null, null), a (t, null) row
+    * per type, and the C(k, 2) sorted pairs (a, b) built IN-ROW by a
+    * double-transform — fan-out bounded by the type domain, not event
+    * volume, and no self-join. A single type-keyed aggregate counts
+    * all three row classes at once; user totals, single supports, and
+    * pair supports are then filters over that TINY frame, so Catalyst
+    * reuses one exchange/scan for every branch and the rule assembly
+    * is all broadcast. Rates are single divisions of exact longs.
     */
   def assocLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val nullS = lit(null).cast("string")
     val baskets = Tables(spark, dir).events
       .groupBy($"user_id").agg(array_sort(collect_set($"event_type")).as("types"))
-    val n = baskets.agg(count(lit(1)).cast("double").as("n_users"))
-    val singles = baskets.select(explode($"types").as("event_type"))
-      .groupBy($"event_type").agg(count(lit(1)).as("sc"))
-    // all a < b combinations of the sorted set, built by expression:
-    // element i pairs with every later element — C(k, 2) structs per
-    // user, flattened and exploded in the scan stage
-    val pairs = baskets
-      .select(explode(flatten(transform($"types", (x, i) =>
-        transform(slice($"types", i + 2, size($"types")),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val agg = baskets
+      .select(explode(concat(
+        array(struct(nullS.as("a"), nullS.as("b"))),                 // basket marker
+        transform($"types", x => struct(x.as("a"), nullS.as("b"))),  // singles
+        flatten(transform($"types", (x, i) =>                        // a < b pairs
+          transform(slice($"types", i + 2, size($"types")),
+            y => struct(x.as("a"), y.as("b"))))))).as("p"))
       .groupBy($"p.a".as("a"), $"p.b".as("b"))
-      .agg(count(lit(1)).as("pc"))
-    pairs
-      .join(broadcast(singles.select($"event_type".as("a"), $"sc".as("a_sc"))), Seq("a"))
-      .join(broadcast(singles.select($"event_type".as("b"), $"sc".as("b_sc"))), Seq("b"))
+      .agg(count(lit(1)).as("c"))
+    val n = agg.where($"a".isNull).select($"c".cast("double").as("n_users"))
+    val singles = agg.where($"a".isNotNull && $"b".isNull)
+      .select($"a".as("t"), $"c".as("sc"))
+    agg.where($"b".isNotNull).select($"a", $"b", $"c".as("pc"))
+      .join(broadcast(singles.select($"t".as("a"), $"sc".as("a_sc"))), Seq("a"))
+      .join(broadcast(singles.select($"t".as("b"), $"sc".as("b_sc"))), Seq("b"))
       .crossJoin(broadcast(n))
       .select($"a", $"b", $"pc".as("n_both"),
         round($"pc" / $"n_users", 6).as("support"),

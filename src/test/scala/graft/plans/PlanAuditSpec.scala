@@ -137,6 +137,39 @@ class PlanAuditSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning") <= 1, p)
   }
 
+  test("chunking is scan-stage: no exchange before the output sort") {
+    // tokenize + sequence/explode + slice are all per-row; the ONLY
+    // exchange in the plan must be the final presentation sort's range
+    // partitioning — chunking a 100 TB corpus shuffles nothing
+    val p = finalPlan(graft.queries.TextQueries.chunkOverlap(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("assoc-lift is one-pass: a single events scan, pairs in-row, broadcast assembly") {
+    // marker + singles + C(k,2) pairs all ride ONE explode over the
+    // per-user collect_set, one type-keyed aggregate counts the three
+    // row classes, and every branch (user total / single / pair
+    // supports) filters that tiny frame — so Catalyst reuses one
+    // exchange chain and the fact table is READ ONCE; rule assembly
+    // never shuffle-joins
+    val p = finalPlan(AnalyticsQueries.assocLift(spark, dir))
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("bigram LM: equi-joins on gram keys, nested-loop only for the 1-row vocab") {
+    // no FORCED broadcast of the count sides: AQE picks the strategy
+    // from runtime sizes (broadcast at this SF, shuffle joins once
+    // vocab² outgrows the threshold at corpus scale) — the invariant
+    // is that every corpus-sized join is an equi-join, with the single
+    // permitted nested-loop being the 1-row vocabulary cross-join
+    val p = finalPlan(graft.queries.TextQueries.bigramLogProb(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
   test("federation joins broadcast both dimension sides across formats") {
     // graft lake ⋈ Delta ⋈ Iceberg ⋈ JDBC: nation and region (tiny)
     // must broadcast; only the fact-side equi-join may shuffle
