@@ -134,6 +134,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!drops1.contains(1L) && !drops1.contains(3L) && !drops1.contains(6L))
   }
 
+  test("crash between appends: bands landed, rest did not — replay converges") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val work = java.nio.file.Files.createTempDirectory("incdedup-crash")
+    val bandsTbl = new LakeTable(spark, work.resolve("bands").toString)
+    val shTbl = new LakeTable(spark, work.resolve("shingles").toString)
+    val dropsTbl = new LakeTable(spark, work.resolve("drops").toString)
+    // simulate the torn state a crash mid-trigger leaves: ONLY the
+    // bands index holds batch 0 (the appends are concurrent, so any
+    // subset can land) — build it exactly as ingestBatch would
+    val (_, banded) = Dedup.bandedSignatures(docs, "text", "doc_id", 3, 128, 32)
+    bandsTbl.write(
+      banded.withColumn("bk", pmod(xxhash64(col("bh")), lit(8)).cast("int")),
+      graft.lake.WriteMode.Append, partitionBy = Seq("bk"),
+      meta = Map("graft.dedup.batch" -> "0"))
+    // foreachBatch replays batch 0 in full
+    IncrementalDedup.ingestBatch(spark, docs, 0L, bandsTbl, shTbl, dropsTbl,
+      textCol = "text", idCol = "doc_id", n = 3, numHashes = 128,
+      bands = 32, threshold = 0.5, indexBuckets = 8, compactEvery = 0)
+    // bands were NOT double-appended (marker), shingles/drops landed,
+    // and the tombstone set equals the clean batch answer
+    assert(bandsTbl.history.count(_.op == "append") === 1)
+    assert(shTbl.latest.isDefined && dropsTbl.latest.isDefined)
+    val drops = dropsTbl.read().select("id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(drops === expected, s"torn-state replay diverged: $drops vs $expected")
+  }
+
   test("negative ids are sliced (pmod), deduped, and reported") {
     val negDocs = Seq(
       (-7L, "negative id document about minhash banding and bucket joins"),
