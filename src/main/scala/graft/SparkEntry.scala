@@ -138,6 +138,7 @@ object SparkEntry {
     "a_approx_percentile" -> (AnalyticsQueries.approxPercentiles _),
     "a_funnel_steps"     -> (AnalyticsQueries.funnelSteps _),
     "a_assoc_lift"       -> (AnalyticsQueries.assocLift _),
+    "a_event_transitions" -> (AnalyticsQueries.eventTransitions _),
     "a_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
@@ -1529,6 +1530,21 @@ object SparkEntry {
         |SELECT f.cohort_d, a.d - f.cohort_d AS day_offset, COUNT(*) AS users
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // first-order Markov transitions; lead over (ts, event_id) keeps
+    // sequences deterministic under tied timestamps; ts never emitted
+    "a_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |       FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  round(tr.n / CAST(tot.tot AS DOUBLE), 6) AS p
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // market-basket pair rules: support / confidence / lift over
     // per-user distinct event-type baskets; expression structure

@@ -443,6 +443,36 @@ object AnalyticsQueries {
       .orderBy($"step")
   }
 
+  /** First-order event transition matrix — P(next event type | type)
+    * from each user's time-ordered sequence: the Markov flow analysis
+    * ("after viewing, 40% click") that complements [[funnelSteps]]'s
+    * fixed path and [[assocLift]]'s unordered co-occurrence.
+    *
+    * Scale shape: one user-partitioned window (`lead` over (ts,
+    * event_id) — the id tiebreak keeps sequences deterministic under
+    * equal timestamps), then a type-pair aggregate whose output is
+    * |types|²-bounded; row totals derive FROM that tiny frame, so the
+    * normalization joins broadcast and the events scan runs once.
+    * Timestamps are only compared, never emitted.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .where($"next_type".isNotNull)
+    val trans = steps
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"from_type").agg(sum($"n").as("tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        round($"n" / $"tot".cast("double"), 6).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Cohort retention: users grouped by first-seen day, counted per
     * (cohort day, day offset) of later activity — the staple
     * activation/retention matrix next to [[funnelSteps]]'s conversion
