@@ -94,6 +94,7 @@ object SparkEntry {
     "t_bm25_topk"        -> ((s, d) => TextQueries.bm25TopK(s, d)),
     "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
     "t_bigram_logprob"   -> (TextQueries.bigramLogProb _),
+    "t_idf_keywords"     -> ((s, d) => TextQueries.idfKeywords(s, d)),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -867,6 +868,22 @@ object SparkEntry {
         |  round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
         |FROM t JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // tf-idf top-3 keywords per doc; row_number ties break on term so
+    // both engines rank identically
+    "t_idf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // add-one-smoothed bigram LM score; occurrences re-join gram counts
     // and the oracle keys bigrams as "w1\x01w2" strings (the \x01

@@ -305,6 +305,40 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** Top-k keywords per document by tf-idf — the summarization /
+    * indexing primitive behind keyword search, tag suggestion, and
+    * cluster labeling. Score = tf · ln(N / df); rank ties break on the
+    * term string so the output is deterministic.
+    *
+    * Scale shape: term frequencies are one (doc, term) aggregate,
+    * document frequencies one vocab-bounded aggregate joined back on
+    * the term key (inverted-index pattern — hot terms are hot lookups,
+    * not fan-outs), N is a 1-row broadcast, and the per-doc top-k
+    * ranks with WindowGroupLimit so each partition keeps k rows before
+    * the exchange instead of sorting every (doc, term) pair globally.
+    */
+  def idfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables(spark, dir).documents
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * log($"n_docs" / $"df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term",
+        round($"score", 6).as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** Per-document mean bigram log-probability with add-one smoothing —
     * the next model order above [[unigramLogProb]], and the shape of
     * KenLM-style perplexity filtering every pretraining pipeline runs:

@@ -170,6 +170,12 @@ class PlanAuditSpec extends AnyFunSuite {
       .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
   }
 
+  test("tf-idf keywords rank with WindowGroupLimit — k rows per group pre-exchange") {
+    val p = finalPlan(graft.queries.TextQueries.idfKeywords(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("federation joins broadcast both dimension sides across formats") {
     // graft lake ⋈ Delta ⋈ Iceberg ⋈ JDBC: nation and region (tiny)
     // must broadcast; only the fact-side equi-join may shuffle
