@@ -197,28 +197,38 @@ object IncrementalDedup {
         .foreach(Await.result(_, Duration.Inf))
   }
 
-  /** Ingest `docs` as `slices` simulated arrivals (parquet file
-    * stream, one file per trigger), maintaining the signature index
-    * and tombstones under `workDir`; returns (doc_id, kept) for the
-    * whole corpus — kept = no verified near-dup with a smaller id.
+  /** Ingest one ARRIVAL of documents into the work dir's index: the
+    * docs land as `slices` parquet files under a `batchName`-scoped
+    * arrivals directory, and the checkpointed AvailableNow stream
+    * drains ONLY files it has not consumed before — so calling ingest
+    * again later with a new batchName processes just the new arrivals
+    * against the accumulated index. This is the production surface of
+    * a continuously-crawled corpus: crawl sessions call
+    * `ingest(newDocs, "crawl-2024-06-01")` as they land, and the
+    * signature index, tombstones, and stream offsets all persist
+    * between sessions.
     *
     * `indexBuckets` sizes the bucket space of both index tables (at
     * 100 TB use thousands; the default keeps test fixtures to a sane
-    * file count). `compactEvery` is the bin-pack cadence in triggers.
+    * file count) and must be held constant across ingests (the bucket
+    * function is the physical layout). `compactEvery` is the bin-pack
+    * cadence in triggers.
     */
-  def dedupAtIngest(spark: SparkSession, docs: DataFrame, workDir: Path,
-                    slices: Int = 4, textCol: String = "text",
-                    idCol: String = "doc_id", n: Int = 3,
-                    numHashes: Int = 128, bands: Int = 32,
-                    threshold: Double = 0.5,
-                    indexBuckets: Int = 16,
-                    compactEvery: Int = 4): DataFrame = {
+  def ingest(spark: SparkSession, docs: DataFrame, workDir: Path,
+             batchName: String, slices: Int = 4, textCol: String = "text",
+             idCol: String = "doc_id", n: Int = 3,
+             numHashes: Int = 128, bands: Int = 32,
+             threshold: Double = 0.5,
+             indexBuckets: Int = 16,
+             compactEvery: Int = 4): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
+    val batchDir = srcDir.resolve(batchName)
     val bandsTbl = new LakeTable(spark, workDir.resolve("bands").toString)
     val shTbl = new LakeTable(spark, workDir.resolve("shingles").toString)
     val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
-    Files.createDirectories(srcDir)
+    Files.createDirectories(batchDir)
 
     // interleaved slices (pmod, so negative ids land in a slice too —
     // plain % preserves sign and would silently skip them), NOT id
@@ -233,14 +243,19 @@ object IncrementalDedup {
       (0 until slices).map(s => Future(
         input.filter(pmod(col(idCol), lit(slices)) === s)
           .coalesce(1).write.mode("overwrite")
-          .parquet(srcDir.resolve(f"slice_$s%03d").toString)))
+          .parquet(batchDir.resolve(f"slice_$s%03d").toString)))
         .foreach(Await.result(_, Duration.Inf))
     }
 
+    // two-level glob: arrivals/<batchName>/slice_NNN. The checkpoint's
+    // file log remembers every consumed file, so a restarted stream
+    // picks up ONLY the new batch's slices; foreachBatch batchIds
+    // continue monotonically across sessions, keeping the per-table
+    // idempotency markers valid.
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$srcDir/*")
+      .parquet(s"$srcDir/*/*")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, batch, batchId, bandsTbl, shTbl, dropsTbl,
@@ -251,7 +266,16 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
 
+  /** (doc_id, kept) over `docs` given the tombstones accumulated under
+    * `workDir` — kept = no verified near-dup with a smaller id across
+    * EVERY ingest so far. Callers pass the union of all ingested
+    * corpora (or any subset they want the verdicts for).
+    */
+  def keptReport(spark: SparkSession, docs: DataFrame, workDir: Path,
+                 idCol: String = "doc_id"): DataFrame = {
+    val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
     val dropped = readOrEmpty(spark, dropsTbl, Nil,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
@@ -261,5 +285,20 @@ object IncrementalDedup {
       .join(dropped.withColumn("_drop", lit(true)), Seq(idCol), "left_outer")
       .select(col(idCol), col("_drop").isNull.as("kept"))
       .orderBy(col(idCol))
+  }
+
+  /** One-shot form: ingest `docs` as a single arrival and report the
+    * kept set — the batch-simulating entry the query pack drives.
+    */
+  def dedupAtIngest(spark: SparkSession, docs: DataFrame, workDir: Path,
+                    slices: Int = 4, textCol: String = "text",
+                    idCol: String = "doc_id", n: Int = 3,
+                    numHashes: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.5,
+                    indexBuckets: Int = 16,
+                    compactEvery: Int = 4): DataFrame = {
+    ingest(spark, docs, workDir, "initial", slices, textCol, idCol, n,
+      numHashes, bands, threshold, indexBuckets, compactEvery)
+    keptReport(spark, docs, workDir, idCol)
   }
 }

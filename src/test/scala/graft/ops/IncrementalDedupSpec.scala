@@ -163,6 +163,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(drops === expected, s"torn-state replay diverged: $drops vs $expected")
   }
 
+  test("multi-session ingest: later arrivals resume from the checkpoint") {
+    import graft.lake.LakeTable
+    val work = java.nio.file.Files.createTempDirectory("incdedup-resume")
+    val first = docs.where(docs("doc_id") < 4L)   // 0..3: holds (0,4)'s smaller member
+    val second = docs.where(docs("doc_id") >= 4L) // 4..7: (2,5)'s smaller member came FIRST here
+    IncrementalDedup.ingest(spark, first, work, "crawl-a", slices = 2)
+    val bandsTbl = new LakeTable(spark, work.resolve("bands").toString)
+    val appendsAfterA = bandsTbl.history.count(_.op == "append")
+    assert(appendsAfterA === 2, "first session: one append per slice file")
+    // second crawl session, same workDir: the checkpointed stream must
+    // consume ONLY crawl-b's files and dedup them against crawl-a's index
+    IncrementalDedup.ingest(spark, second, work, "crawl-b", slices = 2)
+    val appendsAfterB = bandsTbl.history.count(_.op == "append")
+    assert(appendsAfterB === 4,
+      s"second session reprocessed old arrivals: $appendsAfterB appends")
+    // kept set over the union equals the exhaustive batch answer —
+    // cross-SESSION pairs ((0,4) and (2,5) straddle the two crawls)
+    // must still tombstone the larger id
+    val got = IncrementalDedup.keptReport(spark, docs, work)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val droppedBatch = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    (0L to 7L).foreach { id =>
+      assert(got(id) == !droppedBatch(id), s"doc $id: got ${got(id)}")
+    }
+    assert(!got(4L) && !got(5L) && got(0L) && got(2L))
+  }
+
   test("negative ids are sliced (pmod), deduped, and reported") {
     val negDocs = Seq(
       (-7L, "negative id document about minhash banding and bucket joins"),
