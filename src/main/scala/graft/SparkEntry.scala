@@ -104,6 +104,7 @@ object SparkEntry {
     "d_fuzzy_match"      -> (SimQueries.fuzzyMatch _),
     "e_cosine_dup_pairs" -> (SimQueries.cosineDupPairs _),
     "e_semantic_dedup"   -> (SimQueries.semanticDedup _),
+    "e_semdedup_kmeans"  -> (SimQueries.semDedupKmeans _),
     "e_cosine_topk"      -> (SimQueries.cosineTopK _),
     "e_cosine_ann_topk"  -> (SimQueries.cosineAnnTopK _),
     "e_cosine_ivf_topk"  -> (SimQueries.cosineIvfTopK _),
@@ -951,6 +952,12 @@ object SparkEntry {
     // two planted copies per vector form 3-cliques; dedup keeps the
     // originals, each labeled with its merged cluster's size
     "e_semantic_dedup" ->
+      """SELECT vec_id, CAST(3 AS BIGINT) AS cluster_size
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // SemDeDup's k-means pruning finds the same planted 3-cliques the
+    // LSH path does: identical vectors share a cell by construction,
+    // background pairs sit far below the 0.99 cosine threshold
+    "e_semdedup_kmeans" ->
       """SELECT vec_id, CAST(3 AS BIGINT) AS cluster_size
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

@@ -109,4 +109,40 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** SemDeDup-shaped near-dup pairs: k-means-partitioned exact cosine
+    * (Abbas et al. 2023, "SemDeDup" — cluster the corpus, then compare
+    * pairs only WITHIN a cluster). The third pruning strategy next to
+    * [[cosineDupPairs]]'s LSH banding and [[IvfAnn]]'s probe-side cell
+    * selection: centroids are a deterministic sample refined by
+    * spherical Lloyd's ([[IvfAnn.refineCentroids]] — one distributed
+    * pass per iteration, nlist×dim-bounded state), assignment runs in
+    * the scan stage (`centroid_argmax`, no join), and the only shuffle
+    * is the self-join's hash partition on the cell id. Per-cell cost is
+    * quadratic in CELL size, never corpus size: at 100 TB you grow
+    * `nlist` with the corpus (the paper runs k ≈ n/10⁴) so cells stay
+    * O(1) and total work stays O(n · cellSize) — while driver state
+    * stays the nlist×dim centroid table. Near-dups that straddle a cell
+    * boundary are missed by construction; that is SemDeDup's published
+    * recall trade, not an implementation shortcut (identical vectors
+    * always share a cell — argmax is a pure function of the vector).
+    */
+  def semDeDupPairs(corpus: DataFrame, threshold: Double, nlist: Int,
+                    refineIters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sampled = IvfAnn.centroidArray(corpus, nlist, idCol, vecCol)
+    val cents =
+      if (refineIters > 0) IvfAnn.refineCentroids(corpus, sampled, refineIters, vecCol)
+      else sampled
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cell", centroid_argmax(col("vec"), cents))
+    val a = assigned.select(col("cell"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine_sim(col("a_vec"), col("b_vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
 }

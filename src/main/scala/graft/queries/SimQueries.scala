@@ -113,6 +113,39 @@ object SimQueries {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup proper (k-means-partitioned, Abbas et al. 2023) on the
+    * same triple-planted corpus as [[semanticDedup]]: Lloyd-refined
+    * centroids partition the corpus, pairs are exact cosine WITHIN a
+    * cell only, then star-contraction clustering keeps one
+    * representative per component. Identical vectors assign to the
+    * same cell unconditionally (argmax is a pure function of the
+    * vector), so every planted 3-clique is intact and the oracle
+    * states the answer in closed form — the k-means pruning path is
+    * thereby hash-verified against the LSH path's result, not just
+    * plausible.
+    */
+  def semDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val off = 10000000L
+    val corpus = emb
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + off))
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off))
+    val pairs = Similarity.semDeDupPairs(corpus, threshold = 0.99,
+      nlist = 32, refineIters = 2)
+    val clusters = Dedup.nearDupClusters(pairs).localCheckpoint()
+    val sizes = clusters.groupBy($"cluster_root")
+      .agg(count(lit(1)).as("cluster_size"))
+    val drop = clusters.where($"doc_id" =!= $"cluster_root")
+      .select($"doc_id")
+    val kept = corpus.select($"vec_id".as("doc_id"))
+      .join(drop, Seq("doc_id"), "left_anti")
+    kept.join(sizes, kept("doc_id") === sizes("cluster_root"), "left")
+      .select($"doc_id".as("vec_id"),
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+      .orderBy($"vec_id")
+  }
+
   /** Exact brute-force cosine top-k for 5 probe vectors, projected to
     * the (probe, neighbor) id set: similarity VALUES are engine-
     * specific in the last ulps, but the id SET is stable — the rank-10

@@ -147,4 +147,44 @@ class SimilaritySpec extends AnyFunSuite {
       .map(i => (i, i + offset)).toSet
     assert(got === want)
   }
+
+  test("semDeDupPairs equals the within-cell exact baseline and finds all planted dups") {
+    val emb = Tables(spark, dir).embeddings
+    val offset = 1000000L
+    val corpus = emb.unionByName(emb.withColumn("vec_id", $"vec_id" + offset))
+    val nlist = 16
+    val got = Similarity.semDeDupPairs(corpus, threshold = 0.99, nlist = nlist,
+        refineIters = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+    // identical vectors always share a cell, so planted pairs are exact recall
+    val planted = emb.select($"vec_id").as[Long].collect()
+      .map(i => (i, i + offset)).toSet
+    assert(got === planted)
+
+    // ground truth: recompute the SAME deterministic centroids, assign,
+    // and brute-force pairs within each cell — semDeDupPairs must match
+    // the published algorithm exactly, not just hit the planted set
+    val cents = IvfAnn.refineCentroids(corpus,
+      IvfAnn.centroidArray(corpus, nlist), iters = 2)
+    val assigned = IvfAnn.assign(corpus, IvfAnn.centroidsDf(spark, cents))
+      .select($"vec_id", $"centroid_id", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = assigned.groupBy(_._2).values.flatMap { cellArr =>
+      val cell = cellArr.toSeq
+      for {
+        a <- cell; b <- cell
+        if a._1 < b._1 && cos(a._3, b._3) >= 0.99
+      } yield (a._1, b._1)
+    }.toSet
+    assert(got === expected)
+  }
 }
