@@ -47,6 +47,7 @@ object SparkEntry {
     "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
+    "lake_clone"            -> (LakeQueries.cloneTable _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_branch"           -> (LakeQueries.branchWap _),
@@ -319,6 +320,19 @@ object SparkEntry {
     // two equality-delete upserts over the base customer table: the
     // second wins on the overlap (3..8 over <5), new keys insert as
     // their negated custkey — closed-form CASE over the raw parquet
+    // clone final state: MOR delete (>=20) and UPSERT1 (<5) happened
+    // before the fork; the clone-side UPSERT2 (3..6) overrides part of
+    // UPSERT1; the source's post-fork SRCONLY append never appears
+    "lake_clone" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_nationkey BETWEEN 3 AND 6 THEN -c_acctbal
+        |       WHEN c_nationkey < 3 THEN c_acctbal + 1000.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_nationkey BETWEEN 3 AND 6 THEN 'UPSERT2'
+        |       WHEN c_nationkey < 3 THEN 'UPSERT1'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_nationkey < 20
+        |ORDER BY c_custkey""".stripMargin,
     "lake_eq_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_nationkey BETWEEN 3 AND 8 THEN -c_acctbal

@@ -933,7 +933,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            newEqDeletes: Seq[(Seq[String], String)] = Nil,
                            eqDeletesOverride: Option[Seq[String]] = None,
                            newDirSeqs: Seq[Long] = Nil,
-                           branch: Option[String] = None): Snapshot = {
+                           branch: Option[String] = None,
+                           firstVersionBase: Long = 0L): Snapshot = {
     io.mkdirs(lineageVersionsDir(branch))
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -973,7 +974,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           throw new java.util.ConcurrentModificationException(
             s"table $rootLocation schema changed concurrently since the append was planned; retry the append")
       }
-      val next = base.map(_.version).getOrElse(0L) + 1
+      // firstVersionBase lets a clone land at its SOURCE's version so
+      // preserved dir/delete commit sequences stay below every future
+      // commit of the clone (versions need not start at 1)
+      val next = base.map(_.version).getOrElse(firstVersionBase) + 1
       val claim = new HPath(lineageVersionsDir(branch), f"v$next%08d.claim")
       if (arbiter.tryClaim(claim)) {
         val carriedDirs = if (carryForward) base.map(_.dirs).getOrElse(Nil) else Nil
@@ -1365,6 +1369,86 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * (Catalyst partition-prunes those dirs on layout-column
     * predicates for free). Still zero bytes copied.
     */
+  /** Zero-copy shallow clone (Delta's `CREATE TABLE ... SHALLOW CLONE`
+    * / Iceberg snapshot-table shape): publish `target`'s FIRST manifest
+    * referencing this table's current data and equality-delete dirs by
+    * absolute URI — no data bytes move, at any table size (positional
+    * delete files alone are rewritten with absolute keys; their size
+    * tracks deleted rows, not the table). The
+    * clone then evolves independently: its commits never touch the
+    * source, and the source's commits never appear in the clone (the
+    * fork point is the manifest, not the files).
+    *
+    * Correctness hinges on commit-sequence preservation: equality
+    * deletes apply to dirs with STRICTLY SMALLER sequences, so the
+    * source's per-dir seqs and delete seqs are copied verbatim and the
+    * clone's first version IS the source's current version — every
+    * future clone commit (version+1…) outranks every preserved
+    * sequence, keeping post-clone upserts correct. Per-dir schemas,
+    * partition specs, column stats, bloom/sort declarations, byte/row
+    * footprints, and hive-layout markers are carried under the
+    * remapped absolute dir names, so file skipping and metadata-only
+    * counts work on the clone from the first scan.
+    *
+    * Referenced dirs are EXTERNAL to the clone ([[LakeTable.externalDir]]):
+    * its maintenance never deletes them, and a rewrite (compact/DML
+    * overwrite) adopts the rows into owned dirs. The usual shallow-
+    * clone caveat applies in reverse: `expireSnapshots`/`removeOrphanFiles`
+    * on the SOURCE only drop dirs its own retained manifests no longer
+    * reference — run a clone-side `compact()` (materializing the data)
+    * before aggressively expiring a source you intend to delete.
+    */
+  def cloneTo(target: LakeTable): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    val snap = latest.getOrElse(throw new IllegalArgumentException(
+      s"clone source $rootLocation has no snapshots"))
+    require(target.latest.isEmpty,
+      s"clone target ${target.rootLocation} already exists")
+    require(target.rootLocation != rootLocation, "clone target is the source")
+    def abs(d: String): String =
+      if (LakeTable.externalDir(d)) d else loc(d).toString
+    val perDirPrefixes = Seq(FileStats.DirKeyPrefix, FileStats.BytesKeyPrefix,
+      FileStats.RowsKeyPrefix, FileStats.FileRowsKeyPrefix, FileStats.HiveColsKeyPrefix)
+    val meta = snap.meta.map { case (k, v) =>
+      perDirPrefixes.find(k.startsWith) match {
+        case Some(p) => (p + abs(k.stripPrefix(p))) -> v
+        case None    => k -> v
+      }
+    }
+    // positional delete files key data files ROOT-RELATIVE to the
+    // source, which would mis-resolve under the clone root — rewrite
+    // them once into a clone-OWNED dir with source-qualified absolute
+    // keys (cost ∝ deleted rows, never data; the Delta-shallow-clone
+    // treatment of DV descriptors)
+    val cloneDeleteDirs =
+      if (snap.deleteDirs.isEmpty) Nil
+      else {
+        val del = spark.read.schema(DeleteFiles.schema)
+          .parquet(snap.deleteDirs.map(location): _*)
+          .select(
+            DeleteFiles.qualifiedKey(col(DeleteFiles.FileField), qualifiedRootPrefix)
+              .as(DeleteFiles.FileField),
+            col(DeleteFiles.PosField))
+        val staged = target.loc(s"deletes/.staging-${UUID.randomUUID()}")
+        del.write.parquet(staged.toString)
+        val dirName = s"deletes/${UUID.randomUUID()}"
+        target.io.move(staged, target.loc(dirName))
+        Seq(dirName)
+      }
+    target.commit("clone", snap.dirs.map(abs), carryForward = false,
+      partitionBy = snap.partitionBy,
+      schemaJson = snap.schemaJson,
+      meta = meta,
+      newDirSchemas = snap.dirs.indices.map(snap.dirSchemaJson),
+      newDirSpecs = snap.dirs.indices.map(i => Snapshot.joinSpec(snap.dirSpec(i))),
+      newDirSeqs = snap.dirs.indices.map(snap.dirSeq),
+      deleteDirsOverride = Some(cloneDeleteDirs),
+      eqDeletesOverride = Some(snap.eqDeletes.map { e =>
+        val d = EqDelete.decode(e); EqDelete.encode(d.copy(dir = abs(d.dir)))
+      }),
+      firstVersionBase = snap.version - 1)
+  }
+
   def addFiles(srcDir: String): Snapshot = {
     val src = io.qualify(new HPath(srcDir))
     require(io.isDir(src), s"add_files source is not a directory: $src")
@@ -2535,6 +2619,13 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     table(ident).read(version)
 
   def exists(ident: String): Boolean = table(ident).latest.nonEmpty
+
+  /** Zero-copy shallow clone of `srcIdent`'s current snapshot as
+    * `dstIdent` ([[LakeTable.cloneTo]]): dev/test forks and
+    * experiment branches of a 100 TB table cost one manifest write.
+    */
+  def cloneTable(srcIdent: String, dstIdent: String): Snapshot =
+    table(srcIdent).cloneTo(table(dstIdent))
 
   /** Open a multi-statement transaction over this catalog's tables
     * (stage writes, then publish all-or-nothing — [[LakeTransaction]]).

@@ -994,6 +994,48 @@ object LakeQueries {
     spark.sql(s"SELECT * FROM $c.silver.customer ORDER BY c_custkey")
   }
 
+  /** Zero-copy shallow clone e2e ([[graft.lake.LakeTable.cloneTo]]):
+    * build a source with a merge-on-read positional delete AND an
+    * equality-delete upsert (both delete kinds live at the fork
+    * point), clone it, then diverge BOTH sides — an append on the
+    * source that must never surface in the clone, and an upsert on
+    * the clone whose eq-delete sequence must outrank every preserved
+    * dir sequence. The read is the clone's final state; the oracle
+    * states it in closed form over the raw customer table. Scale
+    * shape: the fork costs one manifest write plus a delete-file
+    * rewrite bounded by deleted rows — cloning 100 TB moves no data.
+    */
+  def cloneTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer.repartition(4), "silver.customer", WriteMode.Overwrite)
+    val src = cat.table("silver.customer")
+    LakeDml.delete(src, $"c_nationkey" >= 20, strategy = DmlStrategy.MergeOnRead)
+    src.upsert(customer.filter($"c_nationkey" < 5)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000.0)
+      .withColumn("c_mktsegment", lit("UPSERT1")), Seq("c_custkey"))
+    val srcV = src.latest.get.version
+
+    val snap = cat.cloneTable("silver.customer", "silver.customer_fork")
+    // the fork lands AT the source version (preserved commit sequences
+    // stay below all future clone commits) and references the source's
+    // data dirs externally — nothing was copied
+    require(snap.version == srcV && snap.dirs.forall(graft.lake.LakeTable.externalDir),
+      s"clone published v${snap.version} (want $srcV) dirs=${snap.dirs}")
+
+    // diverge the SOURCE: this append must never surface in the clone
+    src.write(customer.filter($"c_nationkey" === 10).select(
+      (-$"c_custkey").as("c_custkey"), $"c_name", $"c_nationkey",
+      $"c_acctbal", lit("SRCONLY").as("c_mktsegment")), WriteMode.Append)
+    // diverge the CLONE: upsert overriding part of the UPSERT1 range
+    val fork = cat.table("silver.customer_fork")
+    fork.upsert(customer.filter($"c_nationkey".between(3, 6))
+      .withColumn("c_acctbal", -$"c_acctbal")
+      .withColumn("c_mktsegment", lit("UPSERT2")), Seq("c_custkey"))
+    cat.read("silver.customer_fork").orderBy($"c_custkey")
+  }
+
   /** UPDATE then DELETE as copy-on-write snapshots. */
   def updateDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
