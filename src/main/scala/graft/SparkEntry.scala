@@ -87,6 +87,7 @@ object SparkEntry {
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
     "t_token_budget"     -> ((s: SparkSession, d: String) => TextQueries.tokenBudget(s, d)),
     "t_contamination"    -> (TextQueries.contamination _),
+    "t_novelty"          -> (TextQueries.novelty _),
     "t_pii_redact"       -> (TextQueries.piiRedact _),
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
@@ -755,6 +756,16 @@ object SparkEntry {
     // word 4-gram overlap vs the held-out benchmark slice (doc_id % 50
     // = 0); the engine joins on 64-bit gram hashes, the oracle states
     // the string-gram ground truth (same argument as d_ngram_jaccard)
+    "t_novelty" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g FROM w),
+        |fr AS (SELECT g, min(doc_id) AS first_id FROM sh GROUP BY g)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        |FROM sh s JOIN fr f USING (g)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "t_contamination" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1)),

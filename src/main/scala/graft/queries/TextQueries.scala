@@ -196,6 +196,34 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-document n-gram novelty — the diversity/curation signal
+    * behind dataset-pruning work: for each doc, the fraction of its
+    * DISTINCT word-3-shingles whose global first occurrence (min
+    * doc_id over the corpus) is this doc. High-novelty docs add new
+    * content; near-zero novelty marks recombinations of already-seen
+    * text that exact and MinHash dedup both miss. Scale shape: 8-byte
+    * shingle hashes from a scan-stage expression ([[graft.functions.ShingleHashFunctions]]),
+    * per-doc distinct taken IN-ROW (`array_distinct` before the
+    * explode — no dedup shuffle), then exactly two shuffles: a window
+    * min over the shingle hash and the per-doc aggregate. No join —
+    * the first-occurrence id rides the window partition.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ShingleHashFunctions.shingle_hashes
+    val sh = Tables(spark, dir).documents
+      .select($"doc_id",
+        explode(array_distinct(shingle_hashes(TextOps.words($"text"), 3))).as("g"))
+    val firstId = min($"doc_id").over(Window.partitionBy($"g"))
+    sh.withColumn("first_id", firstId)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_id" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   /** PII redaction — scrub emails and phone numbers before training.
     * The fixture text carries no PII, so a deterministic contact line
     * derived from doc_id is appended first (both engines build the
