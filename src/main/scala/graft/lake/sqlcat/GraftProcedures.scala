@@ -216,6 +216,19 @@ private[sqlcat] object GraftProcedures {
             snap.meta.get(graft.lake.FileStats.rowsKey(dir)).map(_.toLong).getOrElse(-1L))
         }))
 
+      // zero-copy shallow clone ([[graft.lake.LakeTable.cloneTo]]):
+      //   CALL graft.system.clone(table => 'ns.src', target => 'ns.fork')
+      // one manifest write — no data moves at any table size
+      case "clone" => Some(new Proc("clone",
+        Array(p("table", StringType), p("target", StringType)),
+        StructType(Seq(StructField("version", LongType),
+          StructField("referenced_dirs", IntegerType))),
+        resolve,
+        (t, in) => {
+          val snap = t.cloneTo(catalog().table(in.getUTF8String(1).toString))
+          Seq[Any](snap.version, snap.dirs.size)
+        }))
+
       case "rollback_to_version" => Some(new Proc("rollback_to_version",
         Array(p("table", StringType), p("version", LongType)),
         StructType(Seq(StructField("previous_version", LongType),
@@ -232,5 +245,5 @@ private[sqlcat] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
     "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag",
-    "refresh_view", "add_files")
+    "refresh_view", "add_files", "clone")
 }

@@ -406,6 +406,19 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(bplan.contains("_p_id_bucket"), bplan)
   }
 
+  test("CALL clone: zero-copy fork readable through SQL, divergent thereafter") {
+    val (c, cat) = freshCatalog()
+    cat.write(sample(), "ns.src", WriteMode.Overwrite)
+    cat.write(sample().withColumn("id", $"id" + 10), "ns.src", WriteMode.Append) // v2
+    val r = spark.sql(s"CALL $c.system.clone(table => 'ns.src', target => 'ns.fork')").head
+    assert(r.getLong(0) === 2L && r.getInt(1) === 2) // lands AT v2, 2 referenced dirs
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.fork").head.getLong(0) === 6)
+    // divergence: source append invisible to the fork
+    cat.write(sample().withColumn("id", $"id" + 20), "ns.src", WriteMode.Append)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.fork").head.getLong(0) === 6)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.src").head.getLong(0) === 9)
+  }
+
   test("unsupported MERGE shapes fail loudly, not wrongly") {
     val (c, cat) = freshCatalog()
     cat.write(sample(), "ns.bad", WriteMode.Overwrite)
