@@ -143,6 +143,7 @@ object SparkEntry {
     "a_funnel_steps"     -> (AnalyticsQueries.funnelSteps _),
     "a_assoc_lift"       -> (AnalyticsQueries.assocLift _),
     "a_event_transitions" -> (AnalyticsQueries.eventTransitions _),
+    "a_time_range_window" -> (AnalyticsQueries.timeRangeWindow _),
     "a_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
@@ -1580,6 +1581,17 @@ object SparkEntry {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // time-range window as a self-join: every event pairs with its
+    // user's events in the trailing hour (itself included), frame
+    // bounds compared in absolute microseconds so the ts flavor is moot
+    "a_time_range_window" ->
+      """SELECT a.event_id, a.user_id, count(*) AS n_1h,
+        |  CAST(sum(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_1h
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)
+        |GROUP BY a.event_id, a.user_id
+        |ORDER BY a.event_id""".stripMargin,
     // first-order Markov transitions; lead over (ts, event_id) keeps
     // sequences deterministic under tied timestamps; ts never emitted
     "a_event_transitions" ->

@@ -455,6 +455,30 @@ object AnalyticsQueries {
     * normalization joins broadcast and the events scan runs once.
     * Timestamps are only compared, never emitted.
     */
+  /** Time-RANGE window aggregates — the frame class row windows can't
+    * express: per event, count and exact sum of `value` over the SAME
+    * USER's trailing hour (frame bounds in event-time microseconds,
+    * peers with equal timestamps included on both engines by RANGE
+    * semantics). One shuffle on user_id + a per-partition time sort;
+    * the frame is evaluated by a sliding accumulator, never a per-row
+    * rescan — at 100 TB this is the cheapest possible shape for
+    * "rate/velocity features per entity" (fraud velocity, session
+    * heat, rate limits). The sum runs over DECIMAL so both engines
+    * produce the identical double, order notwithstanding.
+    */
+  def timeRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-hourUs, 0)
+    Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(SqlCompat.dec($"value")).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
