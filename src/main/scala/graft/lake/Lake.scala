@@ -120,7 +120,8 @@ object LakeTable {
     * append-feed delivers are untouched by it.)
     */
   private[graft] val MetadataOps =
-    Set("create", "rename", "add-column", "drop", "widen", "set-spec", "rewrite-deletes")
+    Set("create", "rename", "add-column", "drop", "widen", "set-spec", "rewrite-deletes",
+      "add-check", "drop-check")
 
   /** A manifest dir entry OUTSIDE the table root: an absolute URI (or
     * absolute path) registered by [[LakeTable.addFiles]]. Owned dirs
@@ -934,7 +935,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
                            eqDeletesOverride: Option[Seq[String]] = None,
                            newDirSeqs: Seq[Long] = Nil,
                            branch: Option[String] = None,
-                           firstVersionBase: Long = 0L): Snapshot = {
+                           firstVersionBase: Long = 0L,
+                           dropMetaKeys: Set[String] = Set.empty): Snapshot = {
     io.mkdirs(lineageVersionsDir(branch))
     // must outlive the stale-claim lease, else a crashed writer's
     // orphan claim exhausts the budget before it can be reclaimed
@@ -1039,6 +1041,14 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
               kv._1.startsWith(FileStats.FileRowsKeyPrefix) ||
               kv._1.startsWith(FileStats.HiveColsKeyPrefix)))
             .getOrElse(Map.empty)
+        // CHECK constraints are table properties: they ride EVERY
+        // carry-forward commit independently of carryStats (a schema
+        // evolution must not silently disarm validation — rename/drop
+        // of a constrained column is rejected up front instead)
+        val carriedChecks: Map[String, String] =
+          if (!carryForward) Map.empty
+          else base.map(_.meta.filter(_._1.startsWith(LakeChecks.KeyPrefix)))
+            .getOrElse(Map.empty)
         // positional delete dirs ride the same carry rule as data
         // dirs: appends/DML keep them, overwrite/compact drop them
         // (the rewrite they describe no longer exists). A delete-file
@@ -1074,8 +1084,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         val ts = math.max(System.currentTimeMillis(),
           base.map(_.timestampMs + 1).getOrElse(Long.MinValue))
         val snap = Snapshot(next, op, dirs, partitionBy, schemaJson,
-          ts, carriedStats ++ carriedBytes ++ meta, dirSchemas, deleteDirs, dirSpecsOut,
-          eqDeletesOut, dirSeqsOut)
+          ts, (carriedStats ++ carriedBytes ++ carriedChecks ++ meta) -- dropMetaKeys,
+          dirSchemas, deleteDirs, dirSpecsOut, eqDeletesOut, dirSeqsOut)
         // publish with the arbiter's atomic NO-REPLACE primitive: a
         // plain overwrite would silently clobber a manifest published
         // by a concurrent writer. A failed publish means we lost
@@ -1264,6 +1274,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // committing it would union partitioned and unpartitioned dirs and
     // break every subsequent read of the table.
     val base = lineageLatest(branch)
+    // CHECK constraints validate the incoming batch on BOTH modes (one
+    // extra pass over the batch, zero cost when none are declared);
+    // they survive an overwrite like stats/bloom declarations do
+    val checkMeta: Map[String, String] =
+      base.map(_.meta.filter(_._1.startsWith(LakeChecks.KeyPrefix)))
+        .getOrElse(Map.empty)
+    base.foreach(b => LakeChecks.enforce(df, LakeChecks.of(b), rootLocation))
     val effectiveSpec = mode match {
       case WriteMode.Append =>
         base match {
@@ -1333,7 +1350,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
     commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = currentSchema.json,
-      meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ bloomMeta ++ sortMeta,
+      meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ bloomMeta ++ sortMeta ++ checkMeta,
       expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
       // the merged schema above derives from THIS base read: a lost
       // claim race against a schema-changing commit must fail (and be
@@ -1343,32 +1360,6 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       branch = branch)
   }
 
-  /** Register existing parquet data as a data dir of this table WITHOUT
-    * copying, moving, or rewriting a single byte — Iceberg's
-    * `add_files` procedure (and, on an empty table, its
-    * `migrate`/`snapshot` in-place table adoption). At 100 TB this is
-    * the difference between a metadata-only commit and re-writing the
-    * whole warehouse to onboard it: the commit records the source dir's
-    * ABSOLUTE URI in the manifest, harvests per-file row counts and
-    * min/max stats from parquet FOOTERS (driver-side metadata reads, no
-    * data scan), and merges the source schema into the table's with
-    * fresh field ids — so imported data immediately gets file skipping,
-    * metadata-only `count(*)`, CDC delivery, and merge-on-read DML like
-    * any owned dir.
-    *
-    * Ownership semantics: the table REFERENCES the source, it does not
-    * own it. Retention/expiry never deletes external dirs; any rewrite
-    * (compact, binpack, copy-on-write DML, overwrite) adopts the rows
-    * into table-owned dirs and drops the reference.
-    *
-    * Hive-partitioned sources (`k=v` subdirs): the layout columns are
-    * NOT in the files — the import infers them via Spark partition
-    * discovery, merges them into the table schema, and records the
-    * dir as layout-encoded ([[FileStats.hiveColsKey]]) so every read
-    * path re-materializes the values with a `basePath` discovery read
-    * (Catalyst partition-prunes those dirs on layout-column
-    * predicates for free). Still zero bytes copied.
-    */
   /** Zero-copy shallow clone (Delta's `CREATE TABLE ... SHALLOW CLONE`
     * / Iceberg snapshot-table shape): publish `target`'s FIRST manifest
     * referencing this table's current data and equality-delete dirs by
@@ -1449,6 +1440,73 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       firstVersionBase = snap.version - 1)
   }
 
+  /** Declared CHECK constraints of the current snapshot (name → SQL
+    * predicate). See [[LakeChecks]] for the validation contract.
+    */
+  def checkConstraints: Map[String, String] =
+    latest.map(LakeChecks.of).getOrElse(Map.empty)
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta's CHECK shape): validate the
+    * EXISTING table once (a constraint can never be born violated —
+    * one scan, the same price Delta charges), then persist the named
+    * predicate in a metadata-only commit. Every subsequent `write` and
+    * `upsert` batch is validated against it; rename/drop of a
+    * referenced column is rejected while the constraint stands.
+    */
+  def addCheckConstraint(name: String, sqlPredicate: String): Snapshot = {
+    require(name.nonEmpty && !name.contains(':'), s"bad constraint name: $name")
+    val base = latest.getOrElse(throw new IllegalStateException(
+      s"cannot add a constraint to empty table $rootLocation"))
+    require(!base.meta.contains(LakeChecks.key(name)),
+      s"constraint $name already exists on $rootLocation (drop it first)")
+    // parse now: an unparseable predicate must fail the DDL, not every
+    // future write
+    LakeChecks.referencedCols(spark, sqlPredicate)
+    LakeChecks.enforce(read(Some(base.version)), Map(name -> sqlPredicate), rootLocation)
+    commit("add-check", Nil, carryForward = true,
+      partitionBy = base.partitionBy, schemaJson = base.schemaJson,
+      meta = Map(LakeChecks.key(name) -> sqlPredicate),
+      expectedBase = Some(base.version))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: metadata-only removal. */
+  def dropCheckConstraint(name: String): Snapshot = {
+    val base = latest.getOrElse(throw new IllegalStateException(
+      s"empty table $rootLocation"))
+    require(base.meta.contains(LakeChecks.key(name)),
+      s"no constraint $name on $rootLocation (have: ${checkConstraints.keys.mkString(", ")})")
+    commit("drop-check", Nil, carryForward = true,
+      partitionBy = base.partitionBy, schemaJson = base.schemaJson,
+      dropMetaKeys = Set(LakeChecks.key(name)),
+      expectedBase = Some(base.version))
+  }
+
+  /** Register existing parquet data as a data dir of this table WITHOUT
+    * copying, moving, or rewriting a single byte — Iceberg's
+    * `add_files` procedure (and, on an empty table, its
+    * `migrate`/`snapshot` in-place table adoption). At 100 TB this is
+    * the difference between a metadata-only commit and re-writing the
+    * whole warehouse to onboard it: the commit records the source dir's
+    * ABSOLUTE URI in the manifest, harvests per-file row counts and
+    * min/max stats from parquet FOOTERS (driver-side metadata reads, no
+    * data scan), and merges the source schema into the table's with
+    * fresh field ids — so imported data immediately gets file skipping,
+    * metadata-only `count(*)`, CDC delivery, and merge-on-read DML like
+    * any owned dir.
+    *
+    * Ownership semantics: the table REFERENCES the source, it does not
+    * own it. Retention/expiry never deletes external dirs; any rewrite
+    * (compact, binpack, copy-on-write DML, overwrite) adopts the rows
+    * into table-owned dirs and drops the reference.
+    *
+    * Hive-partitioned sources (`k=v` subdirs): the layout columns are
+    * NOT in the files — the import infers them via Spark partition
+    * discovery, merges them into the table schema, and records the
+    * dir as layout-encoded ([[FileStats.hiveColsKey]]) so every read
+    * path re-materializes the values with a `basePath` discovery read
+    * (Catalyst partition-prunes those dirs on layout-column
+    * predicates for free). Still zero bytes copied.
+    */
   def addFiles(srcDir: String): Snapshot = {
     val src = io.qualify(new HPath(srcDir))
     require(io.isDir(src), s"add_files source is not a directory: $src")
@@ -1472,6 +1530,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       s"add_files source $srcStr has k=v subdirs but partition discovery inferred no " +
         "layout columns — ambiguous layout, import refused")
     val base = latest
+    // imported rows must honor standing CHECK constraints like written
+    // ones — one scan of the IMPORT, never the table
+    base.map(LakeChecks.of).filter(_.nonEmpty).foreach { checks =>
+      val importDf = if (hiveLayout) spark.read.parquet(srcStr)
+        else spark.read.option("recursiveFileLookup", "true").parquet(srcStr)
+      LakeChecks.enforce(importDf, checks, rootLocation)
+    }
     val idFloor = base.flatMap(_.meta.get(SchemaIds.LastIdKey)).map(_.toLong).getOrElse(0L)
     val annotated = SchemaIds.annotate(srcSchema, base.map(_.schema), idFloor)
     val currentSchema = base match {
@@ -1528,6 +1593,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
              meta: Map[String, String] = Map.empty): Snapshot = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val base = latest.getOrElse { return write(df, WriteMode.Overwrite, meta = meta) }
+    LakeChecks.enforce(df, LakeChecks.of(base), rootLocation)
     val schema = base.schema
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"upsert key '$k' is not a column of $rootLocation (${schema.fieldNames.mkString(", ")})"))
@@ -1627,6 +1693,19 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     * `compact()` to fold the deletes in first. Widening is safe (the
     * stored values upcast on read like data files do).
     */
+  /** A column referenced by a standing CHECK constraint cannot be
+    * renamed or dropped (the persisted predicate text would silently
+    * stop validating, or break every write) — same contract as Delta.
+    */
+  private def requireNoCheckOn(snap: Snapshot, colName: String, op: String): Unit = {
+    val hits = LakeChecks.of(snap).filter { case (_, e) =>
+      LakeChecks.referencedCols(spark, e).contains(colName)
+    }
+    require(hits.isEmpty,
+      s"cannot $op column '$colName': referenced by CHECK constraint(s) " +
+        s"${hits.keys.mkString(", ")} — drop them first")
+  }
+
   private def requireNoEqDeleteOn(snap: Snapshot, col: String, op: String): Unit = {
     val keyed = snap.eqDeletes.map(EqDelete.decode).filter(_.cols.contains(col))
     require(keyed.isEmpty,
@@ -1689,6 +1768,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     require(snap.partitionBy.isEmpty && snap.dirs.indices.forall(snap.dirSpec(_).isEmpty),
       s"renameColumn on a partitioned table is not supported (spec ${snap.partitionBy})")
     requireNoEqDeleteOn(snap, oldName, "rename")
+    requireNoCheckOn(snap, oldName, "rename")
     evolveSchema("rename", { cur =>
       require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $root")
       require(!cur.fieldNames.contains(newName), s"column '$newName' already exists at $root")
@@ -1722,6 +1802,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     require(!sources.contains(name),
       s"cannot drop '$name': it sources partition spec ${snap.partitionBy}")
     requireNoEqDeleteOn(snap, name, "drop")
+    requireNoCheckOn(snap, name, "drop")
     evolveSchema("drop", { cur =>
       require(cur.fieldNames.contains(name), s"no column '$name' at $root")
       require(cur.fields.length > 1, s"cannot drop the last column of $root")
@@ -1787,7 +1868,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // clustering and bloom properties must survive it or the NEXT
     // append silently de-clusters/disarms the table
     val propMeta = snap.meta.filter { case (k, _) =>
-      k == FileStats.SortOrderKey || k == FileStats.BloomColsKey
+      k == FileStats.SortOrderKey || k == FileStats.BloomColsKey ||
+        k.startsWith(LakeChecks.KeyPrefix)
     }
     val base = read(Some(snap.version))
     // z-order rewrites cluster on the range-normalized code (see
@@ -1863,7 +1945,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
-        k == FileStats.BloomColsKey
+        k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
@@ -1934,7 +2016,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
-        k == FileStats.BloomColsKey
+        k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)

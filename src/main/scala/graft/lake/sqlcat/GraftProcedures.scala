@@ -216,6 +216,21 @@ private[sqlcat] object GraftProcedures {
             snap.meta.get(graft.lake.FileStats.rowsKey(dir)).map(_.toLong).getOrElse(-1L))
         }))
 
+      // CHECK constraints (Delta's ADD/DROP CONSTRAINT as procedures):
+      //   CALL graft.system.add_check(table => 'ns.t', name => 'pos', predicate => 'v >= 0')
+      case "add_check" => Some(new Proc("add_check",
+        Array(p("table", StringType), p("name", StringType), p("predicate", StringType)),
+        StructType(Seq(StructField("version", LongType))),
+        resolve,
+        (t, in) => Seq(t.addCheckConstraint(in.getUTF8String(1).toString,
+          in.getUTF8String(2).toString).version)))
+
+      case "drop_check" => Some(new Proc("drop_check",
+        Array(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("version", LongType))),
+        resolve,
+        (t, in) => Seq(t.dropCheckConstraint(in.getUTF8String(1).toString).version)))
+
       // zero-copy shallow clone ([[graft.lake.LakeTable.cloneTo]]):
       //   CALL graft.system.clone(table => 'ns.src', target => 'ns.fork')
       // one manifest write — no data moves at any table size
@@ -245,5 +260,5 @@ private[sqlcat] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
     "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag",
-    "refresh_view", "add_files", "clone")
+    "refresh_view", "add_files", "clone", "add_check", "drop_check")
 }
