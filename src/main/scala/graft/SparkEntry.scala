@@ -144,6 +144,7 @@ object SparkEntry {
     "a_assoc_lift"       -> (AnalyticsQueries.assocLift _),
     "a_event_transitions" -> (AnalyticsQueries.eventTransitions _),
     "a_time_range_window" -> (AnalyticsQueries.timeRangeWindow _),
+    "a_drift_psi"         -> (AnalyticsQueries.driftPsi _),
     "a_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
     "a_sql_surface"      -> (AnalyticsQueries.sqlSurface _),
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
@@ -1581,6 +1582,28 @@ object SparkEntry {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // PSI terms are nonnegative, so the 10-term sum is order-safe at
+    // the 9-digit canon; Laplace smoothing keeps silent bins defined
+    "a_drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id % 2 AS slice,
+        |    least(greatest(CAST(floor(value / 10) AS INT), 0), 9) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM b GROUP BY event_type, bin),
+        |t AS (SELECT event_type, sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY event_type),
+        |g AS (
+        |  SELECT t.event_type, t.ta, t.tb, gs.bin,
+        |    coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = gs.bin)
+        |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |  sum((CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))) AS psi
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // time-range window as a self-join: every event pairs with its
     // user's events in the trailing hour (itself included), frame
     // bounds compared in absolute microseconds so the ts flavor is moot

@@ -455,6 +455,45 @@ object AnalyticsQueries {
     * normalization joins broadcast and the events scan runs once.
     * Timestamps are only compared, never emitted.
     */
+  /** Distribution-drift detection (population stability index) — the
+    * data-quality gate a production pipeline runs between corpus
+    * slices before shipping a batch to training: per event_type, bin
+    * `value` into 10 fixed-width buckets, Laplace-smooth both slices'
+    * bin shares, and sum `(pA−pB)·ln(pA/pB)` (each term ≥ 0, so the
+    * cross-engine sum is order-safe at the oracle's 9-digit canon).
+    * Slices split on event_id parity — deterministic and portable.
+    * Scale shape: one (type, bin, slice-conditional) hash aggregate
+    * over the scan, then a types×10-bounded grid assembled with
+    * broadcast joins — no second pass over the data, no skew exposure
+    * (the aggregate key space is tiny and uniform).
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBins = 10
+    val binned = Tables(spark, dir).events
+      .select($"event_type",
+        pmod($"event_id", lit(2)).as("slice"),
+        least(greatest(floor($"value" / 10).cast("int"), lit(0)), lit(nBins - 1)).as("bin"))
+    val counts = binned.groupBy($"event_type", $"bin")
+      .agg(sum(when($"slice" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"slice" === 1, 1L).otherwise(0L)).as("nb"))
+    val totals = counts.groupBy($"event_type")
+      .agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    // the full type×bin grid: silent bins still contribute their
+    // smoothed mass (that is what makes PSI defined on sparse slices)
+    val grid = totals.select($"event_type", $"ta", $"tb",
+      explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val pa = ($"na" + 1).cast("double") / ($"ta" + nBins).cast("double")
+    val pb = ($"nb" + 1).cast("double") / ($"tb" + nBins).cast("double")
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+      .select($"event_type", $"ta", $"tb",
+        ((pa - pb) * log(pa / pb)).as("c"))
+      .groupBy($"event_type")
+      .agg(max($"ta").as("n_a"), max($"tb").as("n_b"), sum($"c").as("psi"))
+      .orderBy($"event_type")
+  }
+
   /** Time-RANGE window aggregates — the frame class row windows can't
     * express: per event, count and exact sum of `value` over the SAME
     * USER's trailing hour (frame bounds in event-time microseconds,
