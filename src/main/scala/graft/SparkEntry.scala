@@ -86,6 +86,7 @@ object SparkEntry {
     "t_hash_sample"      -> ((s: SparkSession, d: String) => TextQueries.hashSample(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.stratifiedSample(s, d)),
     "t_token_budget"     -> ((s: SparkSession, d: String) => TextQueries.tokenBudget(s, d)),
+    "t_weighted_sample"  -> ((s: SparkSession, d: String) => TextQueries.weightedSample(s, d)),
     "t_contamination"    -> (TextQueries.contamination _),
     "t_novelty"          -> (TextQueries.novelty _),
     "t_pii_redact"       -> (TextQueries.piiRedact _),
@@ -725,6 +726,22 @@ object SparkEntry {
 
     // portable md5 bucket: first 8 hex chars parsed big-endian, mod 100
     // exact per-(source, lang) quotas ranked by the portable md5
+    // Efraimidis–Spirakis keys from 52 exact md5 bits: both engines
+    // evaluate the same IEEE doubles, so the ranking is portable
+    "t_weighted_sample" ->
+      """WITH pr AS (
+        |  SELECT source, doc_id,
+        |    ln((CAST(list_sum(list_transform(range(1, 14),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |               * CAST(power(16, 13 - i) AS BIGINT))) AS BIGINT) + 1)
+        |       / 4503599627370496.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+        |  FROM pr)
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "t_stratified_sample" ->
       """SELECT doc_id, source, lang, rk FROM (
         |  SELECT doc_id, source, lang,

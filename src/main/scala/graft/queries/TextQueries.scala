@@ -149,6 +149,35 @@ object TextQueries {
       .orderBy($"source", $"lang", $"rk")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * priority sampling): each doc draws a deterministic uniform
+    * u ∈ (0,1] from 52 md5 bits of its id and competes on the key
+    * ln(u)/weight — the top-k per source is then an EXACT k-sized
+    * weighted sample without replacement, reproducible under retries,
+    * any partitioning, and across engines (`rand()` is none of
+    * those). Weight here is document length (longer docs likelier —
+    * the "sample ∝ tokens" step of mixture construction); any
+    * positive quality weight slots in. One window top-k per source —
+    * identical scale shape to [[stratifiedSample]]; at 100 TB the
+    * merge of per-partition top-k candidates is what a distributed
+    * weighted reservoir costs, with zero driver state.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    // 13 hex nibbles = 52 bits: exact in a double, so (m+1)/2^52 and
+    // ln(u)/w evaluate the identical IEEE doubles in both engines
+    val m = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10).cast("long")
+    val u = (m + 1).cast("double") / lit(4503599627370496.0)
+    val key = log(u) / $"n_chars"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(key.desc, $"doc_id".asc)
+    Tables(spark, dir).documents
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= k)
+      .select($"source", $"doc_id", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   /** Token-budget mixture selection: per source, admit documents in
     * doc_id order while the running token total stays within budget —
     * the "fill each mixture component to N tokens" step of corpus
