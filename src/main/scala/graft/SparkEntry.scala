@@ -122,6 +122,7 @@ object SparkEntry {
     "s_stream_tumbling"  -> (StreamQueries.tumblingStreaming _),
     "s_sessionize"       -> (StreamQueries.sessionize _),
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
+    "s_custom_state"     -> (StreamQueries.customState _),
     "s_incremental_dedup" -> (StreamQueries.incrementalDedup _),
     "orc_roundtrip"      -> (StreamQueries.orcRoundtrip _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
@@ -1327,6 +1328,10 @@ object SparkEntry {
 
     "s_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // final mapGroupsWithState state per user == batch count(*)
+    "s_custom_state" ->
+      """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // at-ingest incremental dedup must converge to the exhaustive

@@ -45,6 +45,23 @@ object StreamQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Custom arbitrary state end to end: per-user running counts via
+    * `mapGroupsWithState` in Update mode, AvailableNow to completion —
+    * each micro-batch emits the user's running total, so the MAX per
+    * user over the update stream is the final state, which must equal
+    * the batch `count(*)` the oracle states. State is one long per
+    * user (bounded by distinct users, the contract that keeps
+    * arbitrary-state streaming viable at 100 TB); the update-stream
+    * fold is a user-keyed aggregate over rows ∝ users × batches.
+    */
+  def customState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.statefulUserCounts(spark, s"$dir/events.parquet")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
   /** Streaming exact dedup with watermark-bounded state — counts per
     * type after `dropDuplicatesWithinWatermark` (event_ids are unique
     * in the fixture, so the oracle is the distinct count; the
