@@ -1942,7 +1942,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val keptMeta = base.meta.filter { case (k, _) =>
       keepIdx.map(base.dirs).exists(d =>
         k == FileStats.dirKey(d) || k == FileStats.bytesKey(d) ||
-          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
+          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d) ||
+          k == FileStats.hiveColsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
         k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)
@@ -2013,7 +2014,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val keptMeta = base.meta.filter { case (k, _) =>
       keepIdx.map(base.dirs).exists(d =>
         k == FileStats.dirKey(d) || k == FileStats.bytesKey(d) ||
-          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d))
+          k == FileStats.rowsKey(d) || k == FileStats.fileRowsKey(d) ||
+          k == FileStats.hiveColsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
         k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)

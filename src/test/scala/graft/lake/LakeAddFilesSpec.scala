@@ -173,6 +173,25 @@ class LakeAddFilesSpec extends AnyFunSuite {
     assert(t.read().where($"p" === 1L).count() === 20L)
   }
 
+  test("binpack keeps a large hive import's layout marker (kept-dir meta carry)") {
+    val cat = fresh()
+    val hive = Files.createTempDirectory("addf-hive3-").toString
+    df(1 to 4000).withColumn("p", ($"id" % 2).cast("long"))
+      .write.partitionBy("p").parquet(s"$hive/t")
+    val t = cat.table("ns.hvbp")
+    t.addFiles(s"$hive/t")
+    // two tiny appends to give binpack something to fold
+    t.write(df(4001 to 4002).withColumn("p", lit(7L)), WriteMode.Append)
+    t.write(df(4003 to 4004).withColumn("p", lit(7L)), WriteMode.Append)
+    // threshold below the import's size: the hive dir is KEPT, and its
+    // layout marker must survive the compact commit's meta filter
+    val snap = t.compactBinPack(maxDirBytes = 8 * 1024)
+    assert(snap.op === "compact")
+    assert(t.read().where($"p" === 1L).count() === 2000L) // layout col still materializes
+    assert(t.read().where($"p" === 7L).count() === 4L)
+    assert(t.read().where($"p".isNull).count() === 0L)
+  }
+
   test("hive-partitioned import: string values with special characters survive") {
     val cat = fresh()
     val hive = Files.createTempDirectory("addf-hive2-").toString
