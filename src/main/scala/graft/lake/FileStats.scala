@@ -62,6 +62,17 @@ private[graft] object FileStats {
     * compaction, and compaction defaults to the same clustering.
     */
   val SortOrderKey = "graft.sortOrder"
+  /** Declared auto-compaction policy (`"<smallDirs>,<maxDirBytes>"`):
+    * after an append/upsert commit, if at least `smallDirs` data dirs
+    * are under `maxDirBytes` (decided from manifest byte footprints —
+    * zero filesystem listing), the writer folds them with
+    * `compactBinPack` as a best-effort follow-up commit. Delta's
+    * autoCompact shape: small-file debt from trickle ingest stays
+    * bounded WITHOUT an external maintenance scheduler. Persisted like
+    * [[StatsColsKey]] so the policy survives every commit class.
+    */
+  val AutoCompactKey = "graft.autoCompact"
+
   /** One persisted clustering declaration: plain range sort
     * ("a,b") or z-order ("z:a,b") — a single key so a re-declaration
     * REPLACES the old clustering instead of coexisting with it.

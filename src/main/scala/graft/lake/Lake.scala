@@ -121,7 +121,7 @@ object LakeTable {
     */
   private[graft] val MetadataOps =
     Set("create", "rename", "add-column", "drop", "widen", "set-spec", "rewrite-deletes",
-      "add-check", "drop-check")
+      "add-check", "drop-check", "set-autocompact")
 
   /** A manifest dir entry OUTSIDE the table root: an absolute URI (or
     * absolute path) registered by [[LakeTable.addFiles]]. Owned dirs
@@ -1020,7 +1020,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           else base.map { b =>
             val perDir = b.meta.filter { case (k, _) =>
               k == FileStats.StatsColsKey || k == FileStats.BloomColsKey ||
-                k == FileStats.SortOrderKey || k.startsWith(FileStats.DirKeyPrefix)
+                k == FileStats.SortOrderKey || k == FileStats.AutoCompactKey ||
+                k.startsWith(FileStats.DirKeyPrefix)
             }
             val legacy = b.meta.get(FileStats.MetaKey) match {
               case Some(blob) if b.dirs.size == 1 =>
@@ -1278,7 +1279,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // extra pass over the batch, zero cost when none are declared);
     // they survive an overwrite like stats/bloom declarations do
     val checkMeta: Map[String, String] =
-      base.map(_.meta.filter(_._1.startsWith(LakeChecks.KeyPrefix)))
+      base.map(_.meta.filter(kv => kv._1.startsWith(LakeChecks.KeyPrefix) ||
+          kv._1 == FileStats.AutoCompactKey))
         .getOrElse(Map.empty)
     base.foreach(b => LakeChecks.enforce(df, LakeChecks.of(b), rootLocation))
     val effectiveSpec = mode match {
@@ -1348,7 +1350,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     }
     val idMeta = Map(SchemaIds.LastIdKey ->
       math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
-    commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
+    val snap = commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = currentSchema.json,
       meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ bloomMeta ++ sortMeta ++ checkMeta,
       expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
@@ -1358,6 +1360,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       // concurrent change
       expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None,
       branch = branch)
+    // declared auto-compaction rides appends on the MAIN lineage only
+    // (branch compaction belongs to the branch's own publisher)
+    if (mode == WriteMode.Append && branch.isEmpty) maybeAutoCompact(snap)
+    snap
   }
 
   /** Zero-copy shallow clone (Delta's `CREATE TABLE ... SHALLOW CLONE`
@@ -1468,6 +1474,46 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       meta = Map(LakeChecks.key(name) -> sqlPredicate),
       expectedBase = Some(base.version))
   }
+
+  /** Declare (or clear, with `smallDirs = 0`) an auto-compaction
+    * policy: after each append/upsert commit, if at least `smallDirs`
+    * data dirs are under `maxDirBytes` — decided from manifest byte
+    * footprints, zero filesystem listing — the writer folds them with
+    * [[compactBinPack]] as a best-effort follow-up commit (a loss to
+    * a racing writer is silently skipped; the next write retries).
+    * Delta's autoCompact shape: a trickle-ingest streaming sink keeps
+    * its own file-count debt bounded with no external scheduler.
+    */
+  def setAutoCompact(smallDirs: Int, maxDirBytes: Long = 128L << 20): Snapshot = {
+    val base = latest.getOrElse(throw new IllegalStateException(
+      s"cannot declare auto-compact on empty table $rootLocation"))
+    if (smallDirs <= 0)
+      commit("set-autocompact", Nil, carryForward = true,
+        partitionBy = base.partitionBy, schemaJson = base.schemaJson,
+        dropMetaKeys = Set(FileStats.AutoCompactKey),
+        expectedBase = Some(base.version))
+    else {
+      require(maxDirBytes > 0, "maxDirBytes must be positive")
+      commit("set-autocompact", Nil, carryForward = true,
+        partitionBy = base.partitionBy, schemaJson = base.schemaJson,
+        meta = Map(FileStats.AutoCompactKey -> s"$smallDirs,$maxDirBytes"),
+        expectedBase = Some(base.version))
+    }
+  }
+
+  /** Post-commit auto-compaction ([[setAutoCompact]]): best-effort —
+    * the caller's write already committed, so losing a compaction race
+    * costs nothing but deferral to the next write.
+    */
+  private def maybeAutoCompact(snap: Snapshot): Unit =
+    snap.meta.get(FileStats.AutoCompactKey).foreach { v =>
+      val Array(n, bytes) = v.split(',')
+      val small = snap.dirs.count(d =>
+        snap.meta.get(FileStats.bytesKey(d)).exists(_.toLong <= bytes.toLong))
+      if (small >= n.toInt)
+        try compactBinPack(bytes.toLong)
+        catch { case _: java.util.ConcurrentModificationException => () }
+    }
 
   /** ALTER TABLE DROP CONSTRAINT: metadata-only removal. */
   def dropCheckConstraint(name: String): Snapshot = {
@@ -1615,13 +1661,15 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val bytesMeta = footprintMetaFor(dirName)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
-    commit("upsert", Seq(dirName), carryForward = true, base.partitionBy,
+    val snap = commit("upsert", Seq(dirName), carryForward = true, base.partitionBy,
       base.schemaJson, meta = meta ++ statsMeta ++ bytesMeta ++ idMeta,
       newDirSchemas = Seq(base.schemaJson),
       newEqDeletes = Seq((keys, delDir)),
       // the coercion above resolved types against THIS schema; a
       // concurrent evolution must fail the commit, not be hidden
       expectedBaseSchema = Some(Some(base.schemaJson)))
+    maybeAutoCompact(snap) // CDC trickle ingest is the main small-file source
+    snap
   }
 
   /** Merge-on-read DML commit: stage one positional-delete dir (and
@@ -1869,7 +1917,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // append silently de-clusters/disarms the table
     val propMeta = snap.meta.filter { case (k, _) =>
       k == FileStats.SortOrderKey || k == FileStats.BloomColsKey ||
-        k.startsWith(LakeChecks.KeyPrefix)
+        k == FileStats.AutoCompactKey || k.startsWith(LakeChecks.KeyPrefix)
     }
     val base = read(Some(snap.version))
     // z-order rewrites cluster on the range-normalized code (see
@@ -1946,7 +1994,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           k == FileStats.hiveColsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
-        k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)
+        k == FileStats.BloomColsKey || k == FileStats.AutoCompactKey ||
+        k.startsWith(LakeChecks.KeyPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
@@ -2018,7 +2067,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
           k == FileStats.hiveColsKey(d))
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
-        k == FileStats.BloomColsKey || k.startsWith(LakeChecks.KeyPrefix)
+        k == FileStats.BloomColsKey || k == FileStats.AutoCompactKey ||
+        k.startsWith(LakeChecks.KeyPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)

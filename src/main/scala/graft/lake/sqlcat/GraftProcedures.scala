@@ -225,6 +225,15 @@ private[sqlcat] object GraftProcedures {
         (t, in) => Seq(t.addCheckConstraint(in.getUTF8String(1).toString,
           in.getUTF8String(2).toString).version)))
 
+      // declared auto-compaction (Delta autoCompact shape; 0 clears):
+      //   CALL graft.system.set_autocompact(table => 'ns.t', small_dirs => 8)
+      case "set_autocompact" => Some(new Proc("set_autocompact",
+        Array(p("table", StringType), p("small_dirs", IntegerType),
+          pDefault("max_dir_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(StructField("version", LongType))),
+        resolve,
+        (t, in) => Seq(t.setAutoCompact(in.getInt(1), in.getLong(2)).version)))
+
       case "drop_check" => Some(new Proc("drop_check",
         Array(p("table", StringType), p("name", StringType)),
         StructType(Seq(StructField("version", LongType))),
@@ -260,5 +269,6 @@ private[sqlcat] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "set_partition_spec", "rollback_to_version",
     "rewrite_position_deletes", "rewrite_equality_deletes", "create_tag", "drop_tag",
-    "refresh_view", "add_files", "clone", "add_check", "drop_check")
+    "refresh_view", "add_files", "clone", "add_check", "drop_check",
+    "set_autocompact")
 }
