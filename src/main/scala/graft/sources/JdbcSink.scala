@@ -68,6 +68,84 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** Exactly-once streaming publish of a (typically complete-mode
+    * aggregated) stream: every micro-batch atomically [[replace]]s the
+    * warehouse table, and the epoch id commits in the SAME transaction
+    * as the swap into `<table>_EPOCHS` — so a foreachBatch replay of an
+    * already-published batch (the at-least-once channel's only failure
+    * mode) is detected and skipped, upgrading the sink to exactly-once.
+    * Readers see complete states only: old rows or new rows, never a
+    * half-published epoch, across any crash/restart point.
+    */
+  def replaceStream(stream: DataFrame, url: String, table: String, driver: String,
+                    checkpoint: String, outputMode: String = "complete",
+                    batchSize: Int = 1000,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(outputMode)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => {
+        replaceEpoch(batch, url, table, driver, id, batchSize); ()
+      })
+      .start()
+
+  /** One epoch's atomic replace. Returns false (and touches nothing)
+    * when `batchId` already committed — the idempotent replay path. A
+    * crash between staging and swap leaves only an orphan staging
+    * table that the retry overwrites; a crash after the swap's commit
+    * is exactly the replay the epoch record absorbs.
+    */
+  def replaceEpoch(df: DataFrame, url: String, table: String, driver: String,
+                   batchId: Long, batchSize: Int = 1000): Boolean = {
+    requireRegular(table)
+    val epochs = s"${table}_EPOCHS"
+    val pre = java.sql.DriverManager.getConnection(url)
+    try {
+      ensureEpochs(pre, epochs)
+      if (epochDone(pre, epochs, batchId)) return false
+    } finally pre.close()
+    // stage OUTSIDE the transaction at full write parallelism
+    val stg = s"${table}_STG"
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", stg)
+      .option("driver", driver)
+      .option("batchsize", batchSize.toString)
+      .mode("overwrite").save()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      if (exists(conn, table)) st.execute(s"DROP TABLE $table")
+      st.execute(s"RENAME TABLE $stg TO ${table.split('.').last}")
+      val ps = conn.prepareStatement(s"INSERT INTO $epochs VALUES (?)")
+      ps.setLong(1, batchId)
+      ps.executeUpdate()
+      ps.close()
+      conn.commit()
+      st.close()
+      true
+    } finally conn.close()
+  }
+
+  private def ensureEpochs(conn: java.sql.Connection, epochs: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(s"CREATE TABLE $epochs (batch_id BIGINT PRIMARY KEY)")
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    finally st.close()
+  }
+
+  private def epochDone(conn: java.sql.Connection, epochs: String, batchId: Long): Boolean = {
+    val ps = conn.prepareStatement(s"SELECT 1 FROM $epochs WHERE batch_id = ?")
+    ps.setLong(1, batchId)
+    val rs = ps.executeQuery()
+    val hit = rs.next()
+    rs.close(); ps.close()
+    hit
+  }
+
   private def exists(conn: java.sql.Connection, table: String): Boolean = {
     val parts = table.split('.')
     // unqualified names resolve in the CURRENT schema — probing with a

@@ -47,4 +47,38 @@ class JdbcSinkSpec extends AnyFunSuite {
       finally { rs.close(); c2.close() }
     }
   }
+
+  test("streaming publish: per-epoch atomic swaps, exactly-once under replay") {
+    import org.apache.spark.sql.functions._
+    withDb { url =>
+      val dir = java.nio.file.Files.createTempDirectory("sinkstream").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sinkstream-ck").toString
+      // three files → three AvailableNow epochs at maxFilesPerTrigger=1
+      Seq(("a", 1L)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/f1")
+      Seq(("a", 2L), ("b", 5L)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/f2")
+      Seq(("b", 7L)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/f3")
+      val sch = spark.read.parquet(s"$dir/f1").schema
+      val agg = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .groupBy($"k").agg(sum($"v").as("n"))
+      val q = JdbcSink.replaceStream(agg.coalesce(1), url, "APP.GOLD", driver, ckpt)
+      q.awaitTermination()
+      // complete-mode epochs: the last publish is the FULL aggregate
+      assert(readBack(url) == Map("a" -> 3L, "b" -> 12L))
+
+      // replay of a committed epoch (the at-least-once failure mode)
+      // must be a no-op even with different payload
+      val replayed = JdbcSink.replaceEpoch(
+        Seq(("junk", -1L)).toDF("k", "n").coalesce(1), url, "APP.GOLD", driver,
+        batchId = 0L)
+      assert(!replayed)
+      assert(readBack(url) == Map("a" -> 3L, "b" -> 12L))
+      // a FRESH epoch still publishes
+      assert(JdbcSink.replaceEpoch(
+        Seq(("z", 1L)).toDF("k", "n").coalesce(1), url, "APP.GOLD", driver,
+        batchId = 999L))
+      assert(readBack(url) == Map("z" -> 1L))
+    }
+  }
 }
