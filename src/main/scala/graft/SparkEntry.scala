@@ -48,6 +48,7 @@ object SparkEntry {
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_clone"            -> (LakeQueries.cloneTable _),
+    "lake_join_view"        -> (LakeQueries.joinView _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_branch"           -> (LakeQueries.branchWap _),
@@ -325,6 +326,23 @@ object SparkEntry {
     // two equality-delete upserts over the base customer table: the
     // second wins on the overlap (3..8 over <5), new keys insert as
     // their negated custkey — closed-form CASE over the raw parquet
+    // final enriched state: appended negated keys (+1000 price),
+    // SEGX dim upsert for nationkey<5 customers, MOR delete of
+    // positive keys % 97 — all folded by one incremental refresh
+    "lake_join_view" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey <> 0),
+        |f2 AS (SELECT * FROM fact WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey > 0)),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey < 5 THEN 'SEGX' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_mktsegment
+        |FROM f2 f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+        |ORDER BY f.o_orderkey""".stripMargin,
     // clone final state: MOR delete (>=20) and UPSERT1 (<5) happened
     // before the fork; the clone-side UPSERT2 (3..6) overrides part of
     // UPSERT1; the source's post-fork SRCONLY append never appears

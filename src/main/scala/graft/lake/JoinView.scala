@@ -1,0 +1,220 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized JOIN view — the enrichment
+  * shape next to [[IncrementalView]]'s aggregates: a view
+  * `V = SELECT f.*, d.<dimCols> FROM fact f LEFT JOIN dim d ON
+  * f.<joinKey> = d.<dimKey>`, keyed by the fact's primary key, whose
+  * refresh cost tracks the CHANGELOGS of both sides, never their
+  * sizes. The classic delta rule specialized to keyed enrichment:
+  *
+  *  1. The view's snapshot meta records the fact AND dim versions it
+  *     reflects. Refresh reads both changelogs for `(recorded, cur]`.
+  *  2. The fact keys needing new state are the union of (a) fact keys
+  *     present in the fact changelog and (b) CURRENT fact rows whose
+  *     join key appears in the dim changelog — the latter read with
+  *     the changed dim keys pushed into the fact scan as `In`
+  *     predicates when the set is driver-small (partition pruning +
+  *     file skipping then bound it), a semi-join otherwise.
+  *  3. Those keys' current enriched rows rebuild from a fact read
+  *     BOUNDED to them (same pushdown policy) left-joined against the
+  *     current dim; keys that vanished from the fact emit delete
+  *     markers (guarded to keys actually present in the view, so an
+  *     insert-then-delete inside the window cannot plant a phantom).
+  *  4. One MERGE commit on the view applies updates, inserts, and
+  *     deletes; CAS-guarded, with both source versions in its meta.
+  *
+  * Fallback, honestly stated: a data-REWRITING commit on either
+  * source (overwrite, copy-on-write DML, rollback) has no row-level
+  * changelog, and expired history breaks the walk — both fall back to
+  * a full rebuild, loudly recorded as `refreshMode=full`.
+  *
+  * Contract: `factKey` is unique in the fact table and `dimKey` is
+  * unique in the dim (the MERGE rejects duplicate-key sources, so a
+  * violation fails loudly rather than silently duplicating rows).
+  * At 100 TB the view-side MERGE touches only changed keys, the
+  * dim-triggered fact read is bounded by the rows the dim change
+  * actually affects (the TRUE size of the view delta), and no
+  * unbounded state ever reaches the driver.
+  */
+object JoinView {
+  val FactVersionKey = "graft.view.factVersion"
+  val DimVersionKey = "graft.view.dimVersion"
+  val DefinitionKey = "graft.view.joinDefinition"
+  private val Live = "_live"
+  private val InPushdownCap = 1000
+
+  /** User-facing read: the enriched rows without maintenance columns. */
+  def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
+    val df = cat.read(viewIdent)
+    df.drop(df.columns.filter(_.startsWith("_")).toSeq: _*)
+  }
+
+  /** Define-or-refresh with a persisted serializable definition (the
+    * `CALL graft.system.refresh_view` body dispatches on it).
+    */
+  def refreshSql(cat: LakeCatalog, factIdent: String, dimIdent: String,
+                 viewIdent: String, factKey: String, joinKey: String,
+                 dimKey: String, dimCols: Seq[String]): Snapshot = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("fact", factIdent); root.put("dim", dimIdent)
+    root.put("factKey", factKey); root.put("joinKey", joinKey)
+    root.put("dimKey", dimKey)
+    val cn = root.putArray("dimCols"); dimCols.foreach(cn.add)
+    refresh(cat, factIdent, dimIdent, viewIdent, factKey, joinKey, dimKey,
+      dimCols, extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)))
+  }
+
+  /** Refresh a join view whose definition was persisted by [[refreshSql]]. */
+  def refreshByName(cat: LakeCatalog, viewIdent: String): Snapshot = {
+    import scala.jdk.CollectionConverters._
+    val defJson = latestMeta(cat.table(viewIdent), DefinitionKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$viewIdent' has no persisted join-view definition"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(defJson)
+    refresh(cat, n.get("fact").asText(), n.get("dim").asText(), viewIdent,
+      n.get("factKey").asText(), n.get("joinKey").asText(),
+      n.get("dimKey").asText(),
+      n.get("dimCols").elements().asScala.map(_.asText()).toSeq,
+      extraMeta = Map(DefinitionKey -> defJson))
+  }
+
+  def refresh(cat: LakeCatalog, factIdent: String, dimIdent: String,
+              viewIdent: String, factKey: String, joinKey: String,
+              dimKey: String, dimCols: Seq[String],
+              extraMeta: Map[String, String] = Map.empty): Snapshot = {
+    require(dimCols.nonEmpty, "join view needs at least one dim column")
+    require(!dimCols.contains(dimKey) || joinKey == dimKey,
+      "carry the join key from the fact side, not the dim side")
+    val fact = cat.table(factIdent)
+    val dim = cat.table(dimIdent)
+    val curF = fact.latest.getOrElse(throw new IllegalStateException(
+      s"join-view fact '$factIdent' does not exist")).version
+    val curD = dim.latest.getOrElse(throw new IllegalStateException(
+      s"join-view dim '$dimIdent' does not exist")).version
+    val viewT = cat.table(viewIdent)
+    val recF = latestMeta(viewT, FactVersionKey).map(_.toLong)
+    val recD = latestMeta(viewT, DimVersionKey).map(_.toLong)
+
+    (recF, recD) match {
+      case (Some(f), Some(d)) if f == curF && d == curD => viewT.latest.get
+      case (Some(f), Some(d)) if f <= curF && d <= curD =>
+        try incremental(cat, fact, dim, viewT, f, curF, d, curD,
+          factKey, joinKey, dimKey, dimCols, extraMeta)
+        catch {
+          case _: RewriteCommitException =>
+            fullBuild(cat, fact, dim, viewIdent, curF, curD,
+              factKey, joinKey, dimKey, dimCols, extraMeta)
+          case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("expired") =>
+            fullBuild(cat, fact, dim, viewIdent, curF, curD,
+              factKey, joinKey, dimKey, dimCols, extraMeta)
+        }
+      case _ =>
+        fullBuild(cat, fact, dim, viewIdent, curF, curD,
+          factKey, joinKey, dimKey, dimCols, extraMeta)
+    }
+  }
+
+  private def enriched(factDf: DataFrame, dimDf: DataFrame,
+                       joinKey: String, dimKey: String,
+                       dimCols: Seq[String]): DataFrame = {
+    val d = dimDf.select((dimKey +: dimCols).distinct.map(col): _*)
+    val joined = factDf.join(d, factDf(joinKey) <=> d(dimKey), "left")
+      .select(factDf.columns.map(factDf(_)) ++ dimCols.map(d(_)): _*)
+      .withColumn(Live, lit(1L))
+    // the two sources' columns carry their OWN tables' field-id
+    // metadata, which collides in the view (fact id 2 and dim id 2 are
+    // different columns); strip so the view mints a consistent id space
+    joined.select(joined.columns.map(c =>
+      col(c).as(c, org.apache.spark.sql.types.Metadata.empty)).toSeq: _*)
+  }
+
+  private def fullBuild(cat: LakeCatalog, fact: LakeTable, dim: LakeTable,
+                        viewIdent: String, curF: Long, curD: Long,
+                        factKey: String, joinKey: String, dimKey: String,
+                        dimCols: Seq[String],
+                        extraMeta: Map[String, String]): Snapshot =
+    cat.write(
+      enriched(fact.read(Some(curF)), dim.read(Some(curD)), joinKey, dimKey, dimCols),
+      viewIdent, WriteMode.Overwrite,
+      meta = extraMeta ++ Map(FactVersionKey -> curF.toString,
+        DimVersionKey -> curD.toString,
+        IncrementalView.RefreshModeKey -> "full"))
+
+  /** Read `table@version` restricted to `keys` values of `keyCol`:
+    * `In` pushdown when the key set is driver-small (file skipping +
+    * partition pruning bound the scan), semi-join always (exactness).
+    */
+  private def boundedRead(t: LakeTable, version: Long,
+                          keys: DataFrame, keyCol: String): DataFrame = {
+    val sample = keys.limit(InPushdownCap + 1).collect()
+    val base =
+      if (sample.length > InPushdownCap || sample.isEmpty) t.read(Some(version))
+      else {
+        val vals = sample.map(_.get(0)).toSeq
+        if (vals.contains(null)) t.read(Some(version))
+        else t.scan(Seq(LakePredicate.In(keyCol, vals.distinct)), Some(version))
+      }
+    base.join(keys, base(keyCol) <=> keys(keyCol), "left_semi")
+  }
+
+  private def incremental(cat: LakeCatalog, fact: LakeTable, dim: LakeTable,
+                          viewT: LakeTable, fromF: Long, curF: Long,
+                          fromD: Long, curD: Long,
+                          factKey: String, joinKey: String, dimKey: String,
+                          dimCols: Seq[String],
+                          extraMeta: Map[String, String]): Snapshot = {
+    // fact keys with direct changes
+    val dFact =
+      if (fromF == curF) None
+      else Some(fact.readChanges(fromF, Some(curF)).select(col(factKey)).distinct())
+    // fact keys hit through a dim change: bounded current-fact read on
+    // the changed join-key values
+    val dDimKeys =
+      if (fromD == curD) None
+      else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct())
+    val viaDim = dDimKeys.map { ks =>
+      boundedRead(fact, curF, ks.withColumnRenamed(dimKey, joinKey), joinKey)
+        .select(col(factKey)).distinct()
+    }
+    val touched = (dFact.toSeq ++ viaDim.toSeq) match {
+      case Nil      => return viewT.latest.get // neither side moved
+      case frames   => frames.reduce(_ unionByName _).distinct().localCheckpoint()
+    }
+
+    // current enriched state of every touched key
+    val factNow = boundedRead(fact, curF, touched, factKey)
+    val rows = enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
+      .localCheckpoint()
+
+    // touched keys that vanished from the fact → delete markers, but
+    // only for keys the view actually holds (insert-then-delete within
+    // the window must not plant a phantom row)
+    val gone = touched
+      .join(rows.select(col(factKey)), Seq(factKey), "left_anti")
+      .join(viewT.read(None).select(col(factKey)), Seq(factKey), "left_semi")
+    val markers = {
+      val nulls = rows.schema.fields.collect {
+        case f if f.name != factKey && f.name != Live =>
+          lit(null).cast(f.dataType).as(f.name)
+      }.toSeq
+      gone.select((col(factKey) +: nulls :+ lit(0L).as(Live)): _*)
+    }
+
+    LakeDml.merge(viewT, rows.unionByName(markers).localCheckpoint(), Seq(factKey),
+      deleteMatched = Some(col(s"_src_$Live") === 0),
+      meta = extraMeta ++ Map(FactVersionKey -> curF.toString,
+        DimVersionKey -> curD.toString,
+        IncrementalView.RefreshModeKey -> "incremental"))
+  }
+
+  private def latestMeta(t: LakeTable, key: String): Option[String] =
+    if (t.latest.isEmpty) None
+    else t.history.sortBy(-_.version).iterator
+      .flatMap(_.meta.get(key)).nextOption()
+}

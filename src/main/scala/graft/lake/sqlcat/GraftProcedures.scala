@@ -86,13 +86,21 @@ private[sqlcat] object GraftProcedures {
           StructField("mode", StringType))),
         resolve,
         (_, in) => {
-          val snap = graft.lake.IncrementalView.refreshByName(
-            catalog(), in.getUTF8String(0).toString)
+          val view = in.getUTF8String(0).toString
+          // dispatch on the persisted definition kind: aggregate view
+          // (IncrementalView) vs keyed join view (JoinView)
+          val t = catalog().table(view)
+          val isJoin = t.latest.nonEmpty &&
+            t.history.exists(_.meta.contains(graft.lake.JoinView.DefinitionKey))
+          val snap =
+            if (isJoin) graft.lake.JoinView.refreshByName(catalog(), view)
+            else graft.lake.IncrementalView.refreshByName(catalog(), view)
           // an up-to-date view returns its CURRENT snapshot, which may
           // be a maintenance commit carrying neither meta key
-          Seq(snap.version,
-            snap.meta.get(graft.lake.IncrementalView.SourceVersionKey)
-              .map(_.toLong).getOrElse(-1L),
+          val srcV = snap.meta.get(graft.lake.IncrementalView.SourceVersionKey)
+            .orElse(snap.meta.get(graft.lake.JoinView.FactVersionKey))
+            .map(_.toLong).getOrElse(-1L)
+          Seq(snap.version, srcV,
             snap.meta.getOrElse(graft.lake.IncrementalView.RefreshModeKey, "noop"))
         }))
       case "compact" => Some(new Proc("compact",

@@ -1036,6 +1036,44 @@ object LakeQueries {
     cat.read("silver.customer_fork").orderBy($"c_custkey")
   }
 
+  /** Incrementally-maintained JOIN view e2e ([[graft.lake.JoinView]]):
+    * an orders⋈customer enrichment view built full once, then brought
+    * up to date through ONE changelog-driven refresh covering a fact
+    * append, a dim upsert (fan-out to every fact row holding the
+    * key), and a fact-side merge-on-read delete — the refresh cost
+    * tracks both changelogs plus the dim-triggered fact rows, never
+    * the table sizes. The oracle restates the final enrichment in
+    * closed form over the raw parquet.
+    */
+  def joinView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.JoinView
+    val cat = freshCatalog(spark)
+    val t = Tables(spark, dir)
+    cat.write(t.orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(4), "silver.fact", WriteMode.Overwrite)
+    cat.write(t.customer.select($"c_custkey", $"c_mktsegment"),
+      "silver.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "silver.fact", "silver.dim",
+      "gold.enriched", factKey = "o_orderkey", joinKey = "o_custkey",
+      dimKey = "c_custkey", dimCols = Seq("c_mktsegment"))
+    refresh() // full build
+
+    cat.table("silver.fact").write(t.orders.where($"o_orderkey" % 100 === 0 && $"o_orderkey" =!= 0)
+      .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+        ($"o_totalprice" + 1000.0).as("o_totalprice")), WriteMode.Append)
+    cat.table("silver.dim").upsert(t.customer.where($"c_nationkey" < 5)
+      .select($"c_custkey", lit("SEGX").as("c_mktsegment")), Seq("c_custkey"))
+    LakeDml.delete(cat.table("silver.fact"),
+      $"o_orderkey" % 97 === 0 && $"o_orderkey" > 0,
+      strategy = DmlStrategy.MergeOnRead)
+    val snap = refresh()
+    require(snap.meta.get(graft.lake.IncrementalView.RefreshModeKey)
+        .contains("incremental"),
+      s"join-view refresh fell back: ${snap.meta.get(graft.lake.IncrementalView.RefreshModeKey)}")
+    JoinView.read(cat, "gold.enriched").orderBy($"o_orderkey")
+  }
+
   /** UPDATE then DELETE as copy-on-write snapshots. */
   def updateDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,113 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Incremental JOIN-view maintenance: changelog-driven refresh over
+  * both sides, dim fan-out, delete handling, phantom guards, and the
+  * full-rebuild fallback on rewrites.
+  */
+class JoinViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh() = new LakeCatalog(spark,
+    Files.createTempDirectory("jview-").toString)
+
+  private def expected(cat: LakeCatalog): Set[(Long, Long, Double, String)] = {
+    val f = cat.read("ns.fact").as[(Long, Long, Double)].collect()
+    val d = cat.read("ns.dim").as[(Long, String)].collect().toMap
+    f.map { case (id, ck, amt) => (id, ck, amt, d.getOrElse(ck, null)) }.toSet
+  }
+
+  private def viewRows(cat: LakeCatalog): Set[(Long, Long, Double, String)] =
+    JoinView.read(cat, "ns.v").as[(Long, Long, Double, String)].collect().toSet
+
+  private def mode(cat: LakeCatalog): String =
+    cat.table("ns.v").latest.get.meta(IncrementalView.RefreshModeKey)
+
+  test("full build, then changelog-driven refresh over both sides") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 9.0))
+      .toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A"), (20L, "B")).toDF("ck", "seg"),
+      "ns.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      factKey = "id", joinKey = "ck", dimKey = "ck", dimCols = Seq("seg"))
+
+    refresh()
+    assert(mode(cat) === "full")
+    assert(viewRows(cat) === expected(cat))
+
+    // fact appends + an unmatched join key (left-join null)
+    cat.table("ns.fact").write(Seq((4L, 20L, 1.0), (5L, 99L, 2.0))
+      .toDF("id", "ck", "amt"), WriteMode.Append)
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(viewRows(cat) === expected(cat))
+    assert(viewRows(cat).contains((5L, 99L, 2.0, null)))
+
+    // dim upsert fans out to EVERY fact row holding the key
+    cat.table("ns.dim").upsert(Seq((10L, "A2")).toDF("ck", "seg"), Seq("ck"))
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(viewRows(cat) === expected(cat))
+    assert(viewRows(cat).count(_._4 == "A2") === 2)
+
+    // fact-side MOR delete leaves the changelog path and removes the row
+    LakeDml.delete(cat.table("ns.fact"), $"id" === 2L,
+      strategy = DmlStrategy.MergeOnRead)
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(viewRows(cat) === expected(cat))
+    assert(!viewRows(cat).exists(_._1 == 2L))
+
+    // insert-then-delete inside one window plants no phantom
+    cat.table("ns.fact").write(Seq((6L, 10L, 3.0)).toDF("id", "ck", "amt"),
+      WriteMode.Append)
+    LakeDml.delete(cat.table("ns.fact"), $"id" === 6L,
+      strategy = DmlStrategy.MergeOnRead)
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(!viewRows(cat).exists(_._1 == 6L))
+    assert(viewRows(cat) === expected(cat))
+
+    // both sides unchanged → no new commit
+    val v = cat.table("ns.v").latest.get.version
+    refresh()
+    assert(cat.table("ns.v").latest.get.version === v)
+  }
+
+  test("rewrite on a source falls back to a loud full rebuild") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0)).toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    refresh()
+    // overwrite = data rewrite = no row changelog
+    cat.write(Seq((7L, 10L, 1.0), (8L, 10L, 2.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    refresh()
+    assert(mode(cat) === "full")
+    assert(viewRows(cat) === expected(cat))
+  }
+
+  test("CALL refresh_view dispatches join-view definitions") {
+    val wh = Files.createTempDirectory("jview-sql-").toString
+    val c = "gjv1"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    cat.write(Seq((1L, 10L, 5.0)).toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v", "id", "ck", "ck", Seq("seg"))
+    cat.table("ns.fact").write(Seq((2L, 10L, 6.0)).toDF("id", "ck", "amt"),
+      WriteMode.Append)
+    val r = spark.sql(s"CALL $c.system.refresh_view(view => 'ns.v')").head
+    assert(r.getString(2) === "incremental")
+    assert(JoinView.read(cat, "ns.v").count() === 2L)
+  }
+}
