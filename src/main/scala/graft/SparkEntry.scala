@@ -132,6 +132,7 @@ object SparkEntry {
     "s_delta_stream"     -> (StreamQueries.deltaStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
+    "s_join_view_stream"   -> (StreamQueries.joinViewStream _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
@@ -1398,6 +1399,12 @@ object SparkEntry {
     // the continuously-maintained view equals the direct aggregate of
     // the source's final state (all events, minus the MOR-deleted
     // %5=0); sums ride exact integer milli-values
+    // streamed join-view maintenance converges to the full enrichment
+    "s_join_view_stream" ->
+      """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+        |  CASE WHEN n.n_nationkey < 10 THEN 'NX' ELSE n.n_name END AS n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "s_view_maintain" ->
       """SELECT user_id,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,

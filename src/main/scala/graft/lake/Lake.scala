@@ -877,7 +877,10 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       case LakePredicate.LtEq(c, v)    => col(c) <= typed(c, v)
       case LakePredicate.In(c, vs) =>
         if (vs.isEmpty) lit(false)
-        else vs.map(v => col(c) === typed(c, v)).reduce(_ || _)
+        // ONE flat In node: a reduce(_ || _) over a large key set
+        // builds a values-deep binary tree that overflows the column
+        // converter's recursion (seen at ~900 keys)
+        else col(c).isin(vs.map(v => typed(c, v)): _*)
     }
     // null-escape on every projected filter: a null partition value
     // means "this dir predates the spec / wrote zero rows / null

@@ -89,7 +89,7 @@ object PartitionField {
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
         case In(_, vs) if vs.nonEmpty =>
-          Some(vs.map(v => col(name) === l(v)).reduce(_ || _))
+          Some(col(name).isin(vs.map(l): _*)) // flat node, not an OR tree
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
         case _             => None
@@ -110,7 +110,7 @@ object PartitionField {
       p match {
         case EqualTo(_, v) => Some(col(name) === l(v))
         case In(_, vs) if vs.nonEmpty =>
-          Some(vs.map(v => col(name) === l(v)).reduce(_ || _))
+          Some(col(name).isin(vs.map(l): _*)) // flat node, not an OR tree
         case GtEq(_, v)    => Some(col(name) >= l(v))
         case LtEq(_, v)    => Some(col(name) <= l(v))
         case _             => None
@@ -132,7 +132,7 @@ object PartitionField {
       p match {
         case EqualTo(_, v) => Some(col(name) === b(v))
         case In(_, vs) if vs.nonEmpty =>
-          Some(vs.map(v => col(name) === b(v)).reduce(_ || _))
+          Some(col(name).isin(vs.map(b): _*)) // flat node, not an OR tree
         case _ => None // hashing destroys order
       }
     }
@@ -158,7 +158,7 @@ object PartitionField {
       p match {
         case EqualTo(_, v) => Some(col(name) === t(v))
         case In(_, vs) if vs.nonEmpty =>
-          Some(vs.map(v => col(name) === t(v)).reduce(_ || _))
+          Some(col(name).isin(vs.map(t): _*)) // flat node, not an OR tree
         case GtEq(_, v)    => Some(col(name) >= t(v))
         case LtEq(_, v)    => Some(col(name) <= t(v))
       }

@@ -256,6 +256,48 @@ object StreamQueries {
     IncrementalView.read(cat, "gold.by_user").orderBy($"user_id")
   }
 
+  /** Streaming maintenance of an incremental JOIN view: two commit
+    * tick-streams (fact + dim) drive the same CAS-guarded
+    * [[graft.lake.JoinView]] refresh, so the enrichment view follows
+    * whichever side commits — a dim upsert re-enriches its fan-out,
+    * a fact append lands enriched, and a replayed tick is a no-op.
+    * First pass builds full, the second must fold changelogs
+    * (asserted in-query); the oracle states the final enrichment.
+    */
+  def joinViewStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{LakeCatalog, IncrementalView, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-jvs-").toString)
+    val t = Tables(spark, dir)
+    cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
+      "silver.cust", WriteMode.Overwrite)
+    cat.write(t.nation.select($"n_nationkey", $"n_name"),
+      "silver.nat", WriteMode.Overwrite)
+    val ckF = LakeQueries.scratchDir("graft-jvs-ckf-").toString
+    val ckD = LakeQueries.scratchDir("graft-jvs-ckd-").toString
+    def pass(): Unit = {
+      val (qf, qd) = graft.streaming.ViewMaintenance.maintainJoin(cat,
+        "silver.cust", "silver.nat", "gold.cust_enriched",
+        factKey = "c_custkey", joinKey = "c_nationkey", dimKey = "n_nationkey",
+        dimCols = Seq("n_name"), ckF, ckD, maxCommitsPerTrigger = Some(1))
+      qf.awaitTermination(); qd.awaitTermination()
+    }
+    pass()
+    def mode() = cat.table("gold.cust_enriched").latest.get
+      .meta(IncrementalView.RefreshModeKey)
+    require(mode() == "full", s"first pass builds full, got ${mode()}")
+    // both sides move: fact append + dim upsert fan-out
+    cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
+    cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
+      .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
+    pass()
+    require(mode() == "incremental",
+      s"maintenance must fold the changelogs, got ${mode()}")
+    graft.lake.JoinView.read(cat, "gold.cust_enriched").orderBy($"c_custkey")
+  }
+
   /** CSV write → read roundtrip with explicit schema (reference S7/S8). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -62,4 +62,40 @@ object ViewMaintenance {
       }
       .start()
   }
+
+  /** Continuous maintenance for an incrementally-maintained JOIN view
+    * ([[graft.lake.JoinView]]): TWO tick streams — one per source —
+    * each firing the same CAS-guarded refresh, so the view follows
+    * whichever side commits. A refresh that loses the CAS race to its
+    * sibling is swallowed: the winner's refresh already folded both
+    * changelogs up to the current versions, so the lost tick is
+    * covered, not dropped.
+    */
+  def maintainJoin(cat: LakeCatalog, factIdent: String, dimIdent: String,
+                   viewIdent: String, factKey: String, joinKey: String,
+                   dimKey: String, dimCols: Seq[String],
+                   checkpointFact: String, checkpointDim: String,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxCommitsPerTrigger: Option[Int] = None)
+      : (StreamingQuery, StreamingQuery) = {
+    def tick(): Unit =
+      try {
+        graft.lake.JoinView.refreshSql(cat, factIdent, dimIdent, viewIdent,
+          factKey, joinKey, dimKey, dimCols)
+        ()
+      } catch { case _: java.util.ConcurrentModificationException => () }
+    def side(srcIdent: String, ckpt: String): StreamingQuery =
+      StreamingLakeSource
+        .committedStream(cat.table(srcIdent), maxCommitsPerTrigger,
+          skipRewriteCommits = true)
+        .writeStream
+        .queryName(s"maintain-join $viewIdent ($srcIdent)")
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          tick()
+        }
+        .start()
+    (side(factIdent, checkpointFact), side(dimIdent, checkpointDim))
+  }
 }
