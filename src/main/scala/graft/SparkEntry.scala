@@ -49,6 +49,7 @@ object SparkEntry {
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_clone"            -> (LakeQueries.cloneTable _),
     "lake_join_view"        -> (LakeQueries.joinView _),
+    "lake_autocompact"      -> (LakeQueries.autoCompact _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
     "lake_branch"           -> (LakeQueries.branchWap _),
@@ -327,6 +328,10 @@ object SparkEntry {
     // two equality-delete upserts over the base customer table: the
     // second wins on the overlap (3..8 over <5), new keys insert as
     // their negated custkey — closed-form CASE over the raw parquet
+    // the self-folded table answers exactly the union of its appends
+    "lake_autocompact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // final enriched state: appended negated keys (+1000 price),
     // SEGX dim upsert for nationkey<5 customers, MOR delete of
     // positive keys % 97 — all folded by one incremental refresh

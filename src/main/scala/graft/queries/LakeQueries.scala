@@ -1036,6 +1036,30 @@ object LakeQueries {
     cat.read("silver.customer_fork").orderBy($"c_custkey")
   }
 
+  /** Declared auto-compaction e2e ([[graft.lake.LakeTable.setAutoCompact]]):
+    * trickle appends under the policy self-fold (asserted on the live
+    * dir count + a compact commit in history) and the folded table
+    * still answers exactly — the oracle is the plain union of every
+    * appended slice. At 100 TB this is bounded small-file debt with
+    * zero scheduler infrastructure.
+    */
+  def autoCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    cat.write(orders.where(pmod($"o_orderkey", lit(4)) === 0),
+      "bronze.t", WriteMode.Overwrite)
+    val t = cat.table("bronze.t")
+    t.setAutoCompact(smallDirs = 3, maxDirBytes = 64L << 20)
+    for (m <- 1 to 3)
+      t.write(orders.where(pmod($"o_orderkey", lit(4)) === m), WriteMode.Append)
+    val dirs = t.latest.get.dirs.size
+    require(dirs < 4 && t.history.exists(_.op == "compact"),
+      s"auto-compaction did not fold: $dirs dirs, ops=${t.history.map(_.op)}")
+    cat.read("bronze.t").orderBy($"o_orderkey")
+  }
+
   /** Incrementally-maintained JOIN view e2e ([[graft.lake.JoinView]]):
     * an orders⋈customer enrichment view built full once, then brought
     * up to date through ONE changelog-driven refresh covering a fact
