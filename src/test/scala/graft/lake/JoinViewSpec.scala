@@ -78,6 +78,14 @@ class JoinViewSpec extends AnyFunSuite {
     val v = cat.table("ns.v").latest.get.version
     refresh()
     assert(cat.table("ns.v").latest.get.version === v)
+
+    // dim-side DELETE un-enriches its fan-out (left-join nulls)
+    LakeDml.delete(cat.table("ns.dim"), $"ck" === 20L,
+      strategy = DmlStrategy.MergeOnRead)
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(viewRows(cat) === expected(cat))
+    assert(viewRows(cat).filter(_._2 == 20L).forall(_._4 == null))
   }
 
   test("rewrite on a source falls back to a loud full rebuild") {

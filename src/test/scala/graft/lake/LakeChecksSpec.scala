@@ -86,6 +86,27 @@ class LakeChecksSpec extends AnyFunSuite {
     assert(t.latest.get.version === before)
   }
 
+  test("streaming sink batches are validated: a violating micro-batch fails the stream") {
+    val (cat, t) = fresh()
+    t.addCheckConstraint("v_pos", "v >= 0")
+    val dir = Files.createTempDirectory("check-stream-").toString
+    val ckpt = Files.createTempDirectory("check-stream-ck-").toString
+    Seq((10L, "ok", 1.0)).toDF("id", "name", "v")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((11L, "bad", -1.0)).toDF("id", "name", "v")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val sch = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = graft.streaming.StreamingLakeSink.appendStream(stream, cat, "ns.t", ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("v_pos"))))
+    // the violating batch landed nothing
+    assert(t.read(None).where($"v" < 0).count() === 0L)
+  }
+
   test("CALL add_check / drop_check round-trip through SQL") {
     val wh = Files.createTempDirectory("check-sql-").toString
     val c = "gchk1"
