@@ -215,9 +215,7 @@ object IncrementalView {
     * history-walk comments at the call sites). Absent table → None.
     */
   private def latestMeta(t: LakeTable, key: String): Option[String] =
-    if (t.latest.isEmpty) None
-    else t.history.sortBy(-_.version).iterator
-      .flatMap(_.meta.get(key)).nextOption()
+    t.latestMeta(key) // lazy newest-first walk, not an O(history) parse
 
   /** Aggregate columns for a full computation over source rows. */
   private def fullAggCols(aggs: Seq[ViewAgg]): Seq[Column] =

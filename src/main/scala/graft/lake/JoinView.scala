@@ -88,8 +88,11 @@ object JoinView {
               dimKey: String, dimCols: Seq[String],
               extraMeta: Map[String, String] = Map.empty): Snapshot = {
     require(dimCols.nonEmpty, "join view needs at least one dim column")
-    require(!dimCols.contains(dimKey) || joinKey == dimKey,
-      "carry the join key from the fact side, not the dim side")
+    // dimKey ∈ dimCols is fine when it lands under a name the fact
+    // does not use; when joinKey == dimKey the fact already carries
+    // that exact name and the view would hold two columns called it
+    require(!(dimCols.contains(dimKey) && joinKey == dimKey),
+      s"'$dimKey' is already carried from the fact side; drop it from dimCols")
     val fact = cat.table(factIdent)
     val dim = cat.table(dimIdent)
     val curF = fact.latest.getOrElse(throw new IllegalStateException(
@@ -123,8 +126,17 @@ object JoinView {
   private def enriched(factDf: DataFrame, dimDf: DataFrame,
                        joinKey: String, dimKey: String,
                        dimCols: Seq[String]): DataFrame = {
+    // any dim column sharing a fact column's name would leave the view
+    // with duplicate names (ambiguous on the very next col() reference)
+    val clash = dimCols.intersect(factDf.columns.toSeq)
+    require(clash.isEmpty,
+      s"dim column(s) ${clash.mkString(", ")} collide with fact columns; " +
+        "alias or drop them from dimCols")
     val d = dimDf.select((dimKey +: dimCols).distinct.map(col): _*)
-    val joined = factDf.join(d, factDf(joinKey) <=> d(dimKey), "left")
+    // plain equality, matching the declared definition (`LEFT JOIN d ON
+    // f.joinKey = d.dimKey`): a NULL fact key takes the LEFT-JOIN null
+    // arm, never a null-keyed dim row (<=> would silently enrich it)
+    val joined = factDf.join(d, factDf(joinKey) === d(dimKey), "left")
       .select(factDf.columns.map(factDf(_)) ++ dimCols.map(d(_)): _*)
       .withColumn(Live, lit(1L))
     // the two sources' columns carry their OWN tables' field-id
@@ -153,8 +165,13 @@ object JoinView {
   private def boundedRead(t: LakeTable, version: Long,
                           keys: DataFrame, keyCol: String): DataFrame = {
     val sample = keys.limit(InPushdownCap + 1).collect()
+    // provably-empty key frame (a changelog commit that touched no
+    // rows): where(false) folds to an empty LocalRelation — zero files
+    // read, where the fallthrough was a FULL table scan semi-joined
+    // against nothing
+    if (sample.isEmpty) return t.read(Some(version)).where(lit(false))
     val base =
-      if (sample.length > InPushdownCap || sample.isEmpty) t.read(Some(version))
+      if (sample.length > InPushdownCap) t.read(Some(version))
       else {
         val vals = sample.map(_.get(0)).toSeq
         if (vals.contains(null)) t.read(Some(version))
@@ -177,7 +194,11 @@ object JoinView {
     // the changed join-key values
     val dDimKeys =
       if (fromD == curD) None
-      else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct())
+      // checkpointed: boundedRead evaluates its key frame twice (the
+      // driver In-pushdown sample + the exactness semi-join), and
+      // without this each evaluation re-reads the dim changelog
+      else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct()
+        .localCheckpoint())
     val viaDim = dDimKeys.map { ks =>
       boundedRead(fact, curF, ks.withColumnRenamed(dimKey, joinKey), joinKey)
         .select(col(factKey)).distinct()
@@ -214,7 +235,5 @@ object JoinView {
   }
 
   private def latestMeta(t: LakeTable, key: String): Option[String] =
-    if (t.latest.isEmpty) None
-    else t.history.sortBy(-_.version).iterator
-      .flatMap(_.meta.get(key)).nextOption()
+    t.latestMeta(key) // lazy newest-first walk, not an O(history) parse
 }

@@ -132,6 +132,16 @@ object LakeTable {
     */
   private[graft] def externalDir(d: String): Boolean =
     d.startsWith("/") || d.contains(":/")
+
+  /** Commit-meta keys under this prefix survive compaction (binpack,
+    * where-scoped, full rewrite) the way declarations do — the
+    * durable-marker contract for application state such as streaming
+    * idempotency watermarks ([[graft.ops.IncrementalDedup]]'s batch
+    * marker). Without it, a compaction landing between an append and
+    * its foreachBatch checkpoint would erase the marker and a replayed
+    * micro-batch would double-append.
+    */
+  val CarryMetaPrefix = "graft.carry."
 }
 
 /** An incremental walk ([[LakeTable.appendedDirs]]) covered a commit
@@ -301,6 +311,25 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     */
   def latest: Option[Snapshot] =
     manifestNames().maxOption.flatMap(n => Manifest.read(io, new HPath(versionsDir, n)))
+
+  /** Newest-first commit-meta lookup: the value of `key` on the most
+    * recent snapshot carrying it. Manifests are read LAZILY with early
+    * exit, so the cost is O(commits since the key last appeared) — for
+    * view definitions re-recorded on every refresh that is ONE
+    * manifest read, where a `history` walk parses every manifest.
+    */
+  def latestMeta(key: String): Option[String] =
+    latestMetaOf(Seq(key)).map(_._2)
+
+  /** Newest snapshot carrying ANY of `keys` → (key, value). Lets a
+    * caller dispatch on which of several mutually-exclusive
+    * definition keys a table carries without materializing history.
+    */
+  def latestMetaOf(keys: Seq[String]): Option[(String, String)] =
+    manifestNames().sorted(Ordering[String].reverse).iterator
+      .flatMap(n => Manifest.read(io, new HPath(versionsDir, n)))
+      .flatMap(s => keys.iterator.flatMap(k => s.meta.get(k).map(k -> _)).nextOption())
+      .nextOption()
 
   /** Direct manifest lookup (no listing): the committed snapshot at
     * `v`, or None if never committed / expired.
@@ -1514,8 +1543,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       val small = snap.dirs.count(d =>
         snap.meta.get(FileStats.bytesKey(d)).exists(_.toLong <= bytes.toLong))
       if (small >= n.toInt)
+        // best-effort means ANY failure defers to the next write — the
+        // caller's append already committed, so letting a compaction
+        // error escape would fail a succeeded write and make retrying
+        // callers (streaming foreachBatch) double-append their batch
         try compactBinPack(bytes.toLong)
-        catch { case _: java.util.ConcurrentModificationException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** ALTER TABLE DROP CONSTRAINT: metadata-only removal. */
@@ -1689,6 +1722,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
   private[lake] def commitMor(op: String, stagedDeletes: HPath,
                               newData: Option[DataFrame], base: Snapshot,
                               meta: Map[String, String] = Map.empty): Snapshot = {
+    // MOR DML writes new row images like any append, so CHECK
+    // constraints gate them too (a delete alone cannot violate a row
+    // predicate). Enforced before the staged-delete publish: a
+    // violation leaves only the reclaimable dot-dir behind.
+    newData.foreach(df => LakeChecks.enforce(df, LakeChecks.of(base), rootLocation))
     val delDir = s"deletes/${UUID.randomUUID().toString}"
     io.mkdirs(loc("deletes"))
     // the staged dir was written under a dot-name the orphan sweep can
@@ -1920,7 +1958,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // append silently de-clusters/disarms the table
     val propMeta = snap.meta.filter { case (k, _) =>
       k == FileStats.SortOrderKey || k == FileStats.BloomColsKey ||
-        k == FileStats.AutoCompactKey || k.startsWith(LakeChecks.KeyPrefix)
+        k == FileStats.AutoCompactKey || k.startsWith(LakeChecks.KeyPrefix) ||
+        k.startsWith(LakeTable.CarryMetaPrefix)
     }
     val base = read(Some(snap.version))
     // z-order rewrites cluster on the range-normalized code (see
@@ -1998,7 +2037,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
         k == FileStats.BloomColsKey || k == FileStats.AutoCompactKey ||
-        k.startsWith(LakeChecks.KeyPrefix)
+        k.startsWith(LakeChecks.KeyPrefix) ||
+        k.startsWith(LakeTable.CarryMetaPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
@@ -2071,7 +2111,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     } ++ base.meta.filter { case (k, _) =>
       k == FileStats.StatsColsKey || k == FileStats.SortOrderKey ||
         k == FileStats.BloomColsKey || k == FileStats.AutoCompactKey ||
-        k.startsWith(LakeChecks.KeyPrefix)
+        k.startsWith(LakeChecks.KeyPrefix) ||
+        k.startsWith(LakeTable.CarryMetaPrefix)
     }
     val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)

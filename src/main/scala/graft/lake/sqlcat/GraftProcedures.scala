@@ -90,8 +90,13 @@ private[sqlcat] object GraftProcedures {
           // dispatch on the persisted definition kind: aggregate view
           // (IncrementalView) vs keyed join view (JoinView)
           val t = catalog().table(view)
-          val isJoin = t.latest.nonEmpty &&
-            t.history.exists(_.meta.contains(graft.lake.JoinView.DefinitionKey))
+          // newest definition key wins, via the lazy newest-first meta
+          // walk — every refresh re-records its definition, so this is
+          // typically ONE manifest read, not an O(history) parse
+          val isJoin = t.latestMetaOf(Seq(
+            graft.lake.JoinView.DefinitionKey,
+            graft.lake.IncrementalView.DefinitionKey))
+            .exists(_._1 == graft.lake.JoinView.DefinitionKey)
           val snap =
             if (isJoin) graft.lake.JoinView.refreshByName(catalog(), view)
             else graft.lake.IncrementalView.refreshByName(catalog(), view)

@@ -47,7 +47,11 @@ import graft.lake.{LakePredicate, LakeTable, WriteMode}
   */
 object IncrementalDedup {
 
-  private val BatchKey = "graft.dedup.batch"
+  // under CarryMetaPrefix so compaction commits (the periodic bin-pack
+  // below, or auto-compact) carry the marker forward — otherwise a
+  // compact landing between an append and its checkpoint would erase
+  // it and a replayed micro-batch would double-append the index
+  private val BatchKey = graft.lake.LakeTable.CarryMetaPrefix + "dedup.batch"
 
   /** Append `df` to `tbl` exactly once per `batchId`: the commit meta
     * records the batch, and a replayed batch (foreachBatch retry)

@@ -67,9 +67,9 @@ object ViewMaintenance {
     * ([[graft.lake.JoinView]]): TWO tick streams — one per source —
     * each firing the same CAS-guarded refresh, so the view follows
     * whichever side commits. A refresh that loses the CAS race to its
-    * sibling is swallowed: the winner's refresh already folded both
-    * changelogs up to the current versions, so the lost tick is
-    * covered, not dropped.
+    * sibling re-runs rather than dropping the tick: the winner may
+    * have read source versions from before this tick's commit, and
+    * the re-run is a cheap version-compare no-op whenever it did not.
     */
   def maintainJoin(cat: LakeCatalog, factIdent: String, dimIdent: String,
                    viewIdent: String, factKey: String, joinKey: String,
@@ -78,12 +78,23 @@ object ViewMaintenance {
                    trigger: Trigger = Trigger.AvailableNow(),
                    maxCommitsPerTrigger: Option[Int] = None)
       : (StreamingQuery, StreamingQuery) = {
-    def tick(): Unit =
-      try {
-        graft.lake.JoinView.refreshSql(cat, factIdent, dimIdent, viewIdent,
-          factKey, joinKey, dimKey, dimCols)
-        ()
-      } catch { case _: java.util.ConcurrentModificationException => () }
+    // A CAS loss means a sibling refresh committed concurrently — but
+    // the winner may have read source versions BEFORE the commit this
+    // tick is reporting, so a dropped tick could leave that commit
+    // permanently unreflected (fatal under AvailableNow, where no
+    // later trigger will fire). Re-run instead: an already-covered
+    // refresh is a version-compare no-op, and every further CAS loss
+    // implies some other refresh committed (system-wide progress), so
+    // the loop terminates.
+    def tick(): Unit = {
+      var done = false
+      while (!done)
+        try {
+          graft.lake.JoinView.refreshSql(cat, factIdent, dimIdent, viewIdent,
+            factKey, joinKey, dimKey, dimCols)
+          done = true
+        } catch { case _: java.util.ConcurrentModificationException => () }
+    }
     def side(srcIdent: String, ckpt: String): StreamingQuery =
       StreamingLakeSource
         .committedStream(cat.table(srcIdent), maxCommitsPerTrigger,

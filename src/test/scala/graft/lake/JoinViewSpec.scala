@@ -118,4 +118,77 @@ class JoinViewSpec extends AnyFunSuite {
     assert(r.getString(2) === "incremental")
     assert(JoinView.read(cat, "ns.v").count() === 2L)
   }
+
+  test("null join keys take the LEFT-JOIN null arm, never a null-keyed dim row") {
+    val cat = fresh()
+    cat.write(Seq((1L, Some(10L), 5.0), (2L, Option.empty[Long], 7.0))
+      .toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((Some(10L), "A"), (Option.empty[Long], "NULLSEG"))
+      .toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    val rows = JoinView.read(cat, "ns.v").as[(Long, Option[Long], Double, String)]
+      .collect().toSet
+    // declared definition is plain `=`: the null-keyed fact row must
+    // NOT enrich against the null-keyed dim row
+    assert(rows === Set((1L, Some(10L), 5.0, "A"), (2L, None, 7.0, null)))
+
+    // the incremental path preserves the same semantics
+    cat.table("ns.fact").write(Seq((3L, Option.empty[Long], 9.0))
+      .toDF("id", "ck", "amt"), WriteMode.Append)
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    assert(mode(cat) === "incremental")
+    val rows2 = JoinView.read(cat, "ns.v").as[(Long, Option[Long], Double, String)]
+      .collect().toSet
+    assert(rows2.contains((3L, None, 9.0, null)))
+  }
+
+  test("dim-column collisions are rejected; distinct dim-key names pass through") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0)).toDF("id", "cust_fk", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    // legitimately carry the dim's key under its own (distinct) name
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "cust_fk", "ck", Seq("ck", "seg"))
+    assert(JoinView.read(cat, "ns.v").columns.toSeq ===
+      Seq("id", "cust_fk", "amt", "ck", "seg"))
+    // joinKey == dimKey with the key in dimCols would mint a duplicate
+    // column name — rejected up front, not as a late AMBIGUOUS_REFERENCE
+    cat.write(Seq((1L, 10L, 5.0)).toDF("id", "ck", "amt"),
+      "ns.fact2", WriteMode.Overwrite)
+    val e = intercept[IllegalArgumentException](
+      JoinView.refreshSql(cat, "ns.fact2", "ns.dim", "ns.v2",
+        "id", "ck", "ck", Seq("ck", "seg")))
+    assert(e.getMessage.contains("dimCols"))
+    // any other fact/dim name collision fails loudly too
+    cat.write(Seq((10L, 99.0)).toDF("ck", "amt"),
+      "ns.dim2", WriteMode.Overwrite)
+    val e2 = intercept[IllegalArgumentException](
+      JoinView.refreshSql(cat, "ns.fact2", "ns.dim2", "ns.v3",
+        "id", "ck", "ck", Seq("amt")))
+    assert(e2.getMessage.contains("collide"))
+  }
+
+  test("an empty dim changelog refreshes without touching the view's rows") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0), (2L, 20L, 7.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A"), (20L, "B")).toDF("ck", "seg"),
+      "ns.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    refresh()
+    // a dim commit that changes no rows (empty append) still moves the
+    // version; the refresh must fold it as an incremental no-op rather
+    // than a full fact scan — and must not disturb the view
+    cat.table("ns.dim").write(Seq.empty[(Long, String)].toDF("ck", "seg"),
+      WriteMode.Append)
+    refresh()
+    assert(mode(cat) === "incremental")
+    assert(viewRows(cat) === expected(cat))
+    val rec = cat.table("ns.v").latest.get.meta(JoinView.DimVersionKey).toLong
+    assert(rec === cat.table("ns.dim").latest.get.version)
+  }
 }

@@ -124,4 +124,38 @@ class LakeChecksSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $c.ns.t VALUES (2, -1.0)")
     assert(spark.sql(s"SELECT count(*) AS n FROM $c.ns.t").head.getLong(0) === 2L)
   }
+
+  test("merge-on-read DML is constrained too: MOR UPDATE/MERGE reject violating images") {
+    val (_, t) = fresh()
+    t.addCheckConstraint("v_pos", "v >= 0")
+    val before = t.latest.get.version
+    // MOR UPDATE writing a violating new row image must fail, not land
+    intercept[IllegalArgumentException](LakeDml.update(t, $"id" === 1L,
+      Map("v" -> lit(-5.0)), strategy = DmlStrategy.MergeOnRead))
+    assert(t.latest.get.version === before)
+    assert(t.read(None).where($"v" < 0).count() === 0)
+    // MOR MERGE whose matched arm sets a violating value: same gate
+    val src = Seq((2L, "b", -7.0)).toDF("id", "name", "v")
+    intercept[IllegalArgumentException](LakeDml.merge(t, src, keys = Seq("id"),
+      strategy = DmlStrategy.MergeOnRead))
+    assert(t.latest.get.version === before)
+    // clean MOR DML still flows
+    LakeDml.update(t, $"id" === 1L, Map("v" -> lit(5.0)),
+      strategy = DmlStrategy.MergeOnRead)
+    assert(t.read(None).where($"id" === 1L).head.getDouble(2) === 5.0)
+  }
+
+  test("carry-prefixed commit meta survives binpack, scoped, and full compaction") {
+    val (_, t) = fresh()
+    val k = LakeTable.CarryMetaPrefix + "spec.marker"
+    t.write(Seq((3L, "c", 30.0)).toDF("id", "name", "v"), WriteMode.Append,
+      meta = Map(k -> "42"))
+    assert(t.latest.get.meta(k) === "42")
+    t.compactBinPack(maxDirBytes = 1L << 30)
+    assert(t.latest.get.meta(k) === "42", "binpack must carry the marker")
+    t.compactWhere(Seq(LakePredicate.EqualTo("id", 1L)))
+    assert(t.latest.get.meta(k) === "42", "scoped compaction must carry the marker")
+    t.compact(targetPartitions = 1)
+    assert(t.latest.get.meta(k) === "42", "full rewrite must carry the marker")
+  }
 }

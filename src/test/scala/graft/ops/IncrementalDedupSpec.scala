@@ -148,7 +148,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     bandsTbl.write(
       banded.withColumn("bk", pmod(xxhash64(col("bh")), lit(8)).cast("int")),
       graft.lake.WriteMode.Append, partitionBy = Seq("bk"),
-      meta = Map("graft.dedup.batch" -> "0"))
+      meta = Map(LakeTable.CarryMetaPrefix + "dedup.batch" -> "0"))
     // foreachBatch replays batch 0 in full
     IncrementalDedup.ingestBatch(spark, docs, 0L, bandsTbl, shTbl, dropsTbl,
       textCol = "text", idCol = "doc_id", n = 3, numHashes = 128,
