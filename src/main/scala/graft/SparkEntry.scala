@@ -35,6 +35,7 @@ object SparkEntry {
     "q3_revenue_topk"    -> (RelationalQueries.revenueTopk _),
     "q5_nation_revenue"  -> (RelationalQueries.nationRevenue _),
     "q_orders_per_cust"  -> (RelationalQueries.ordersPerCustomer _),
+    "q_skew_salted_join" -> (RelationalQueries.skewSaltedJoin _),
     "q_window_running"   -> (RelationalQueries.windowRunning _),
     "q_rollup"           -> (RelationalQueries.rollupSummary _),
     "q_semi_anti"        -> (RelationalQueries.semiAntiCustomers _),
@@ -241,6 +242,12 @@ object SparkEntry {
         |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 12) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id, rn, running_value FROM (

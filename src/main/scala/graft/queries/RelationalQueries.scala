@@ -195,6 +195,30 @@ object RelationalQueries {
       .orderBy($"n_name")
   }
 
+  /** Salted skew join surfaced end-to-end: lineitem joined to the
+    * supplier dim through [[graft.ops.SkewJoin.saltedInnerJoin]]. At
+    * 100 TB a handful of hot suppliers can dwarf every other key's
+    * partition; salting fans each hot key across `buckets` shuffle
+    * partitions while replicating only the (dim-scale) right side.
+    * The salted plan's RESULT is identical to the plain equi-join the
+    * oracle declares — that equivalence is exactly what this query
+    * pins against DuckDB.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dim = t.supplier
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val joined = graft.ops.SkewJoin.saltedInnerJoin(
+      t.lineitem.select($"l_suppkey", $"l_extendedprice", $"l_discount"),
+      dim, "l_suppkey", buckets = 8)
+    joined.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+           sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev_d"))
+      .select($"s_nationkey", $"n_items", $"rev_d".cast("double").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Join + aggregate + HAVING: customers by order volume. */
   def ordersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
