@@ -73,6 +73,7 @@ object SparkEntry {
     "lake_update_delete"    -> (LakeQueries.updateDelete _),
     "lake_compact"          -> (LakeQueries.compactRoundtrip _),
     "lake_partition_prune"  -> (LakeQueries.partitionedPrune _),
+    "lake_runtime_filter"   -> (LakeQueries.runtimeFilterJoin _),
     "lake_maintenance"      -> (LakeQueries.maintenance _),
     "lake_hidden_partition" -> (LakeQueries.hiddenPartition _),
     "lake_sql_merge"        -> (LakeQueries.sqlMerge _),
@@ -629,6 +630,13 @@ object SparkEntry {
     "lake_partition_prune" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "lake_runtime_filter" ->
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey < 200
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "lake_maintenance" ->
       """SELECT * FROM (

@@ -1,0 +1,95 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, lit}
+
+/** Runtime-filtered lake join — the lake-source analogue of Spark's
+  * dynamic partition pruning, applied at the MANIFEST level.
+  *
+  * Spark's own DPP only fires for Hive-style static partition columns
+  * of a built-in file source; a graft lake fact prunes through its own
+  * metadata instead (hidden-transform directory projection + per-file
+  * min/max/bloom stats). This helper runs the dim side first, collects
+  * its (bounded) join-key set on the driver, and re-plans the fact
+  * scan with a flat `In` predicate the lake scan projects onto every
+  * spec generation — so a selective dim filter skips fact FILES before
+  * a single fact row is read.
+  *
+  * At 100 TB the payoff is the classic star-join asymmetry: the fact
+  * table is the 100 TB side, the filtered dim key set is thousands of
+  * rows, and without the runtime filter the join shuffles (or at best
+  * scans) the whole fact. The driver-side collect is capped (`cap`,
+  * default 1000 keys) — beyond it the helper degrades loudly to the
+  * plain join, which AQE still handles; it never ships an unbounded
+  * key list into a predicate or onto the driver.
+  *
+  * Exactness: [[LakeTable.scan]] applies the `In` both as directory/
+  * stats pruning AND as an exact row filter, and an INNER equi-join
+  * never matches null keys, so dropping nulls from the key set is
+  * semantics-preserving. Results are therefore identical to the plain
+  * join — pinned by the `lake_runtime_filter` oracle query.
+  */
+object RuntimeFilter {
+
+  /** Keys at or below this count push down as a flat `In` (file-level
+    * pruning); above it, the bloom tier takes over (row-level).
+    */
+  val DefaultCap = 1000
+
+  /** Inner equi-join `fact(factKey) = dim(dimKey)` with the dim's
+    * distinct key set pushed into the fact scan. `dim` should already
+    * carry its selective filter — that selectivity is what makes the
+    * key set small and the pruning worthwhile. The dim side is
+    * broadcast when the key set fits the cap (≤ `cap` distinct keys is
+    * dim-scale by construction).
+    *
+    * Three tiers by dim key-set size:
+    *  1. ≤ `cap` keys — exact flat `In` on the fact scan: directory +
+    *     file-stats pruning, the fact may skip almost all its files.
+    *  2. > `cap` keys, integral/string key — a bloom filter built from
+    *     the dim keys probes every fact row INSIDE the scan stage
+    *     (codegen'd [[graft.functions.BloomMightContainExpr]]): no
+    *     file skipping, but non-matching fact rows never reach the
+    *     join exchange. This is Spark's runtime bloom join filter made
+    *     deliberate — Spark's own rule cannot see a lake scan. False
+    *     positives (at `bloomFpp`) are eliminated by the join itself,
+    *     so results stay exact unconditionally.
+    *  3. unsupported key type — plain join, AQE still applies.
+    */
+  def prunedJoin(fact: LakeTable, factKey: String,
+                 dim: DataFrame, dimKey: String,
+                 version: Option[Long] = None,
+                 cap: Int = DefaultCap,
+                 bloomFpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the dim plan runs twice — once to collect the key set, once in
+    // the join. That is the standard runtime-filter trade: the dim is
+    // selective/small by contract, and caching it here would pin
+    // executor memory the caller didn't ask for
+    val keys = dim.select(dim(dimKey)).distinct()
+    val sample = keys.limit(cap + 1).collect()
+    val vals = sample.iterator.map(_.get(0)).filter(_ != null).toSeq
+    val factDf =
+      if (vals.isEmpty) fact.read(version).where(lit(false))
+      else if (sample.length <= cap)
+        fact.scan(Seq(LakePredicate.In(factKey, vals)), version)
+      else {
+        val base = fact.read(version)
+        base.schema(factKey).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType =>
+            // size the filter from the true key count (one dim-scale
+            // job); ~1.2 MB per million keys at 1% fpp, shipped with
+            // the plan exactly as Spark's own injected filter is
+            val n = math.max(keys.count(), 1L)
+            val bloom = keys.stat.bloomFilter(dimKey, n, bloomFpp)
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            base.where(graft.functions.BloomFunctions.bloom_might_contain(
+              base(factKey), bos.toByteArray))
+          case _ => base
+        }
+      }
+    val d = if (sample.length > cap) dim else broadcast(dim)
+    factDf.join(d, factDf(factKey) === d(dimKey))
+  }
+}

@@ -1140,6 +1140,32 @@ object LakeQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Runtime-filtered star join: orders as a lake fact partitioned by
+    * the hidden `bucket(8, o_custkey)` transform, joined to a
+    * selectively filtered customer dim. [[graft.lake.RuntimeFilter]]
+    * collects the dim's bounded key set and re-plans the fact scan
+    * with a flat `In` the bucket transform projects to directory
+    * pruning — dynamic partition pruning for lake sources, where
+    * Spark's own DPP cannot see the table's metadata. The oracle
+    * declares the plain join: pruning must never change the answer.
+    */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.SqlCompat.sumd
+    val cat = freshCatalog(spark)
+    val t = Tables(spark, dir)
+    cat.write(t.orders, "bronze.orders_rf", WriteMode.Overwrite,
+      partitionBy = Seq("bucket(8, o_custkey)"))
+    val dim = t.customer
+      .filter($"c_mktsegment" === "MACHINERY" && $"c_custkey" < 200)
+      .select($"c_custkey")
+    graft.lake.RuntimeFilter.prunedJoin(
+      cat.table("bronze.orders_rf"), "o_custkey", dim, "c_custkey")
+      .groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
   /** Full medallion pipeline E1–E3 over the events table through real
     * lake tables + watermark store; returns gold.
     */
