@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Incrementally-maintained materialized JOIN view — the enrichment
   * shape next to [[IncrementalView]]'s aggregates: a view
@@ -171,8 +172,26 @@ object JoinView {
     // against nothing
     if (sample.isEmpty) return t.read(Some(version)).where(lit(false))
     val base =
-      if (sample.length > InPushdownCap) t.read(Some(version))
-      else {
+      if (sample.length > InPushdownCap) {
+        // driver-large key set: no In pushdown, but a bloom built from
+        // the keys still drops non-matching rows INSIDE the scan stage
+        // before they shuffle into the exactness semi-join (the
+        // row-level tier of graft.lake.RuntimeFilter). Null rows are
+        // escaped through — the semi-join below is null-safe (<=>) and
+        // a bloom cannot represent null.
+        val read = t.read(Some(version))
+        read.schema(keyCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType =>
+            val nn = keys.na.drop(Seq(keyCol)).localCheckpoint()
+            val bloom = nn.stat.bloomFilter(
+              keyCol, math.max(nn.count(), 1L), 0.01)
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            read.where(graft.functions.BloomFunctions.bloom_might_contain(
+              read(keyCol), bos.toByteArray) || read(keyCol).isNull)
+          case _ => read
+        }
+      } else {
         val vals = sample.map(_.get(0)).toSeq
         if (vals.contains(null)) t.read(Some(version))
         else t.scan(Seq(LakePredicate.In(keyCol, vals.distinct)), Some(version))

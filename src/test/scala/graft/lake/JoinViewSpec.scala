@@ -171,6 +171,28 @@ class JoinViewSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("collide"))
   }
 
+  test("driver-large dim change takes the bloom tier and stays exact") {
+    val cat = fresh()
+    // 3000 fact rows over 1500 join keys: a dim change touching all
+    // 1500 keys exceeds the 1000-key In cap, forcing the bloom path
+    cat.write((1L to 3000L).map(i => (i, i % 1500L, i * 1.0))
+      .toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
+    cat.write((0L until 1500L).map(k => (k, s"s$k")).toDF("ck", "seg"),
+      "ns.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    refresh()
+    cat.table("ns.dim").upsert(
+      (0L until 1500L).map(k => (k, s"S$k")).toDF("ck", "seg"), Seq("ck"))
+    refresh()
+    assert(mode(cat) === "incremental")
+    val rows = JoinView.read(cat, "ns.v")
+      .as[(Long, Long, Double, String)].collect()
+    assert(rows.length === 3000)
+    assert(rows.forall { case (id, ck, _, seg) => seg == s"S$ck" },
+      "every fact row must reflect the upserted dim value")
+  }
+
   test("an empty dim changelog refreshes without touching the view's rows") {
     val cat = fresh()
     cat.write(Seq((1L, 10L, 5.0), (2L, 20L, 7.0)).toDF("id", "ck", "amt"),
