@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, lit}
+import org.apache.spark.sql.functions.{broadcast, count, lit, max, min}
 
 /** Runtime-filtered lake join — the lake-source analogue of Spark's
   * dynamic partition pruning, applied at the MANIFEST level.
@@ -74,13 +74,27 @@ object RuntimeFilter {
       else if (sample.length <= cap)
         fact.scan(Seq(LakePredicate.In(factKey, vals)), version)
       else {
-        val base = fact.read(version)
+        // even a driver-large key set has a driver-tiny SUMMARY: its
+        // [min, max] range rides into the scan as file-stat pruning
+        // (zone maps skip whole files when the dim's keys are
+        // clustered — fact partitioned by time joined to "last week's"
+        // dim rows is the canonical case), and a bloom filter of the
+        // keys drops the surviving files' non-matching ROWS before
+        // the join exchange
+        val summary = keys.agg(
+          count(keys(dimKey)), min(keys(dimKey)), max(keys(dimKey))).head
+        val rangePreds =
+          if (summary.isNullAt(1)) Nil
+          else Seq(LakePredicate.GtEq(factKey, summary.get(1)),
+                   LakePredicate.LtEq(factKey, summary.get(2)))
+        val base = fact.scan(rangePreds, version)
         base.schema(factKey).dataType match {
           case ByteType | ShortType | IntegerType | LongType | StringType =>
-            // size the filter from the true key count (one dim-scale
-            // job); ~1.2 MB per million keys at 1% fpp, shipped with
-            // the plan exactly as Spark's own injected filter is
-            val n = math.max(keys.count(), 1L)
+            // size the filter from the true key count (the same job
+            // computed it); ~1.2 MB per million keys at 1% fpp,
+            // shipped with the plan exactly as Spark's own injected
+            // filter is
+            val n = math.max(summary.getLong(0), 1L)
             val bloom = keys.stat.bloomFilter(dimKey, n, bloomFpp)
             val bos = new java.io.ByteArrayOutputStream()
             bloom.writeTo(bos)

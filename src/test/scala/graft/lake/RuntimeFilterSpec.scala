@@ -90,6 +90,29 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(e.eval(null) === bloom.mightContainLong(42L))
   }
 
+  test("over-cap keys still prune files through their min/max range summary") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("rf-r-").toString)
+    def chunk(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i, i * 1.0)).toDF("id", "k", "v")
+    cat.write(chunk(0, 2000), "ns.rfact", WriteMode.Overwrite,
+      statsBy = Seq("k"))
+    val t = cat.table("ns.rfact")
+    t.write(chunk(2000, 4000), WriteMode.Append, statsBy = Seq("k"))
+    t.write(chunk(4000, 6000), WriteMode.Append, statsBy = Seq("k"))
+    // 1200 distinct keys — over the cap — but all inside the middle
+    // chunk's [2000, 4000) range: the key set's min/max summary must
+    // skip the other chunks' files even though no In can be pushed
+    val dim = (2100L until 3300L).map(k => (k, s"t$k")).toDF("dk", "tag")
+    val pruned = RuntimeFilter.prunedJoin(t, "k", dim, "dk")
+    val plain = t.read(None).join(dim, col("k") === col("dk"))
+    assert(pruned.select($"id", $"dk").collect().toSet ===
+      plain.select($"id", col("dk")).collect().toSet)
+    val prunedFiles = filesRead(RuntimeFilter.prunedJoin(t, "k", dim, "dk"))
+    val allFiles = filesRead(t.read(None))
+    assert(prunedFiles < allFiles,
+      s"range summary should skip files: read $prunedFiles of $allFiles")
+  }
+
   test("bloom tier works for string keys") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("rf-s-").toString)
     val fact = (0 until 300).map(i => (s"u${i % 30}", i.toDouble)).toDF("k", "v")
