@@ -102,6 +102,7 @@ object SparkEntry {
     "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
     "t_bigram_logprob"   -> (TextQueries.bigramLogProb _),
     "t_idf_keywords"     -> ((s, d) => TextQueries.idfKeywords(s, d)),
+    "t_heavy_hitters"    -> (TextQueries.heavyHitters _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -969,6 +970,17 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // exact heavy hitters: the Spark side's Misra-Gries candidate pass
+    // must be invisible in the result — plain GROUP BY/HAVING here
+    "t_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |t AS (SELECT GREATEST(CAST(FLOOR(COUNT(*) / 30.0) AS BIGINT), 1) AS thr FROM w)
+        |SELECT word, COUNT(*) AS n FROM w GROUP BY word
+        |HAVING COUNT(*) >= (SELECT thr FROM t)
+        |ORDER BY n DESC, word""".stripMargin,
 
     // add-one-smoothed bigram LM score; occurrences re-join gram counts
     // and the oracle keys bigrams as "w1\x01w2" strings (the \x01

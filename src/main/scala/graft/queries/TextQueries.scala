@@ -374,6 +374,20 @@ object TextQueries {
     * ranks with WindowGroupLimit so each partition keeps k rows before
     * the exchange instead of sorting every (doc, term) pair globally.
     */
+  /** Exact heavy-hitter vocabulary: words covering at least 1/30th of
+    * all tokens, via the Misra-Gries candidate pass + exact verify
+    * ([[graft.ops.HeavyHitters]]) — the group-by exchange carries only
+    * sketch survivors, never the full vocabulary. Result is identical
+    * to the naive GROUP BY/HAVING the oracle declares.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables(spark, dir).documents
+      .select(explode(TextOps.words($"text")).as("word"))
+    graft.ops.HeavyHitters.exactNth(words, "word", 30L)
+      .orderBy($"n".desc, $"word")
+  }
+
   def idfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
