@@ -133,6 +133,7 @@ object SparkEntry {
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
     "s_lake_commit_stream" -> (StreamQueries.lakeCommitStream _),
+    "s_stream_enrich"      -> (StreamQueries.streamEnrich _),
     "s_delta_stream"     -> (StreamQueries.deltaStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
@@ -1406,6 +1407,14 @@ object SparkEntry {
     "s_lake_commit_stream" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-batch runtime-filtered enrichment must equal the plain
+    // batch join of all events against the dim
+    "s_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the Delta-log stream delivers both partitioned append commits
     // and passes over the checkpoint — per-type counts equal batch

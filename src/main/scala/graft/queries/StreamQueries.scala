@@ -146,6 +146,52 @@ object StreamQueries {
       .orderBy($"event_type")
   }
 
+  /** Stream-side dimension enrichment with per-batch runtime
+    * filtering: events drain from a lake table commit-by-commit, and
+    * each micro-batch enriches against a bucket-partitioned customer
+    * dim through [[graft.lake.RuntimeFilter.prunedJoin]] — the batch's
+    * key set (driver-small by construction: one commit's worth) rides
+    * into the dim scan as a flat `In` the bucket transform projects to
+    * file pruning. The roles invert from the batch star join: here the
+    * LAKE side is the dimension being pruned and the STREAM batch is
+    * the selective probe. At 100 TB this is the lookup-join shape —
+    * the dim may be huge, but each trigger reads only the files its
+    * batch's keys can live in, instead of stream-static-joining the
+    * whole dim every trigger. Result equals the plain batch join the
+    * oracle declares.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{LakeCatalog, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-enrich-").toString)
+    val t = Tables(spark, dir)
+    cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
+      WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
+    val ev = t.events.select($"event_id", $"user_id", $"value")
+    cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+    cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
+    cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+    val dimT = cat.table("dim.customer")
+    val out = LakeQueries.scratchDir("graft-enrich-out-")
+    val q = graft.streaming.StreamingLakeSource
+      .committedStream(cat.table("bronze.ev"), maxCommitsPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("c_mktsegment"))
+          .write.mode("append").parquet(out.resolve("data").toString)
+        ()
+      }
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.resolve("data").toString)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), graft.SqlCompat.sumd($"value").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Delta transaction log consumed as a STREAM end-to-end
     * ([[graft.streaming.DeltaStreamingSource]], no Delta runtime):
     * events land in a Delta table as two partitioned append commits

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -137,7 +138,8 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
                       skipRewriteCommits: Boolean = false,
                       maxBytesPerTrigger: Option[Long] = None,
                       changeFeed: Boolean = false,
-                      startingVersion: Option[Long] = None) extends Source {
+                      startingVersion: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Fresh-stream floor: the first batch starts AT `startingVersion`
     * (exclusive lower offset = the version before it). Checkpointed
@@ -180,8 +182,46 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     */
   @volatile private var highWater: Long = seedOffset
 
+  /** Trigger.AvailableNow end state: the table version observed when
+    * the run started. Without [[SupportsTriggerAvailableNow]] the
+    * engine wraps a capped source in its generic wrapper, which
+    * freezes the FIRST capped `getOffset` as the run's end — a
+    * `maxCommitsPerTrigger` stream would then stop one batch in,
+    * silently dropping every later commit. Implementing the trait
+    * keeps the admission cap (many small batches) while the run ends
+    * exactly at this target.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.latest.map(_.version).getOrElse(0L))
+
+  // the caps are option-driven (this source's own admission control),
+  // not engine-driven — mirror the Delta source's shape
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control face of [[getOffset]]: the engine passes its
+    * committed end offset on every trigger (authoritative after a
+    * checkpoint restart), which replaces the V1 path's getBatch-side
+    * high-water recovery.
+    */
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    Option(start).foreach { o =>
+      highWater = math.max(highWater, connectorVersionOf(o))
+    }
+    getOffset.orNull
+  }
+
+  private def connectorVersionOf(o: ConnectorOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
   override def getOffset: Option[V1Offset] = {
-    val latest = table.latest.map(_.version).getOrElse(0L)
+    val tableLatest = table.latest.map(_.version).getOrElse(0L)
+    // never admit past the AvailableNow target: commits racing in
+    // after the run started belong to the next run
+    val latest = availableNowTarget.fold(tableLatest)(math.min(tableLatest, _))
     val target =
       if (maxCommitsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) latest
       else admit(latest)

@@ -230,6 +230,37 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(spans.size >= 5) // 20 commits / 4 per trigger
   }
 
+  test("Trigger.AvailableNow with a commit cap drains the whole backlog, not one batch") {
+    // regression: without SupportsTriggerAvailableNow the engine's
+    // generic wrapper froze the FIRST capped getOffset as the run's
+    // end — a capped AvailableNow stream delivered one batch (4 of 20
+    // commits) and terminated "successfully"
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slanow-").toString)
+    val ckpt = Files.createTempDirectory("slanow-ckpt-").toString
+    val out = Files.createTempDirectory("slanow-out-").toString
+    cat.write(Seq((0L, "seed")).toDF("id", "s"), "ns.an", WriteMode.Overwrite)
+    (1L to 19L).foreach(i =>
+      cat.write(Seq((i, s"r$i")).toDF("id", "s"), "ns.an", WriteMode.Append))
+    val t = cat.table("ns.an")
+    val q = StreamingLakeSource.committedStream(t, maxCommitsPerTrigger = Some(4))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === (0L to 19L).toArray)
+    val spans = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty)
+      .map(p => (Option(p.sources.head.startOffset).map(_.trim.toLong).getOrElse(0L),
+        Option(p.sources.head.endOffset).map(_.trim.toLong).getOrElse(0L)))
+      .filter { case (s, e) => e > s }
+    assert(spans.forall { case (s, e) => e - s <= 4 },
+      s"batch spans exceeded the cap: $spans")
+    assert(spans.size >= 5, s"expected >= 5 capped batches, got $spans")
+  }
+
   test("maxBytesPerTrigger: backlog drains one commit per batch under a tiny byte cap") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.lake.WriteMode
