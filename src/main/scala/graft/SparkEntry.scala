@@ -143,6 +143,7 @@ object SparkEntry {
     "a_scalar_functions" -> (AnalyticsQueries.scalarFunctions _),
     "a_word_frequencies" -> (AnalyticsQueries.wordFrequencies _),
     "a_pivot_events"     -> (AnalyticsQueries.pivotEvents _),
+    "a_unpivot_events"   -> (AnalyticsQueries.unpivotEvents _),
     "a_asof_join"        -> (AnalyticsQueries.asofJoin _),
     "a_range_join"       -> (AnalyticsQueries.rangeJoin _),
     "a_percentiles"      -> (AnalyticsQueries.percentiles _),
@@ -1530,6 +1531,19 @@ object SparkEntry {
         |  COUNT(*) FILTER (event_type = 'signup')   AS signup,
         |  COUNT(*) FILTER (event_type = 'error')    AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a_unpivot_events" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'click')    AS click,
+        |    COUNT(*) FILTER (event_type = 'view')     AS view,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'view', view FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "a_asof_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -84,6 +84,27 @@ object AnalyticsQueries {
       .orderBy($"user_id")
   }
 
+  /** Unpivot (melt): the wide-per-user event-count layout back to long
+    * (user, event_type, n) rows — `Dataset.unpivot`, the inverse of
+    * [[pivotEvents]] and the reshape every feature-store export needs.
+    * Narrow (no shuffle: each wide row expands in place); the oracle
+    * is the portable UNION ALL formulation.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(
+      ids = Array($"user_id"),
+      values = Array($"click", $"view", $"purchase"),
+      variableColumnName = "event_type",
+      valueColumnName = "n")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** As-of join: each purchase event matched to the user's most recent
     * prior-or-equal signup/click state event. Implemented Spark-first
     * as union + partitioned last-value window (one shuffle on user_id,
