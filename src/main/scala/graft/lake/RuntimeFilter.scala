@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, count, lit, max, min}
+import org.apache.spark.sql.functions.{count, lit, max, min}
 
 /** Runtime-filtered lake join — the lake-source analogue of Spark's
   * dynamic partition pruning, applied at the MANIFEST level.
@@ -39,9 +39,10 @@ object RuntimeFilter {
   /** Inner equi-join `fact(factKey) = dim(dimKey)` with the dim's
     * distinct key set pushed into the fact scan. `dim` should already
     * carry its selective filter — that selectivity is what makes the
-    * key set small and the pruning worthwhile. The dim side is
-    * broadcast when the key set fits the cap (≤ `cap` distinct keys is
-    * dim-scale by construction).
+    * key set small and the pruning worthwhile. No broadcast hint is
+    * forced: key cardinality does not bound the dim FRAME's size, so
+    * the broadcast election stays with Spark's size estimation / AQE
+    * (or the caller's own hint).
     *
     * Three tiers by dim key-set size:
     *  1. ≤ `cap` keys — exact flat `In` on the fact scan: directory +
@@ -62,18 +63,31 @@ object RuntimeFilter {
                  cap: Int = DefaultCap,
                  bloomFpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    // the dim plan runs twice — once to collect the key set, once in
-    // the join. That is the standard runtime-filter trade: the dim is
-    // selective/small by contract, and caching it here would pin
-    // executor memory the caller didn't ask for
-    val keys = dim.select(dim(dimKey)).distinct()
-    val sample = keys.limit(cap + 1).collect()
+    // under the cap the dim plan runs twice (key sample + join) — the
+    // standard runtime-filter trade for a selective dim; the over-cap
+    // branch checkpoints its key frame below before reusing it
+    val keysRaw = dim.select(dim(dimKey)).distinct()
+    val sample = keysRaw.limit(cap + 1).collect()
     val vals = sample.iterator.map(_.get(0)).filter(_ != null).toSeq
+    // the summary tiers cast dim values INTO the fact key's type; on
+    // mismatched key types a narrowing cast can wrap (non-ANSI) and a
+    // range predicate would then EXCLUDE matchable rows — so they
+    // require identical types. The In tier is safe cross-typed (a
+    // wrapped literal only RETAINS junk rows the join discards; a
+    // representable match always casts exactly).
+    val sameType = fact.read(version).schema(factKey).dataType ==
+      keysRaw.schema(dimKey).dataType
     val factDf =
       if (vals.isEmpty) fact.read(version).where(lit(false))
       else if (sample.length <= cap)
         fact.scan(Seq(LakePredicate.In(factKey, vals)), version)
+      else if (!sameType) fact.read(version) // tier 3: plain join, AQE applies
       else {
+        // over the cap the dim is big enough that re-running its plan
+        // for each summary job would multiply its scan cost —
+        // checkpoint the (keys-only) frame once and derive everything
+        // from it
+        val keys = keysRaw.localCheckpoint()
         // even a driver-large key set has a driver-tiny SUMMARY: its
         // [min, max] range rides into the scan as file-stat pruning
         // (zone maps skip whole files when the dim's keys are
@@ -103,7 +117,10 @@ object RuntimeFilter {
           case _ => base
         }
       }
-    val d = if (sample.length > cap) dim else broadcast(dim)
-    factDf.join(d, factDf(factKey) === d(dimKey))
+    // no forced broadcast: a small KEY set does not bound the dim
+    // frame's size (few keys × many rows, or wide payloads). Spark's
+    // size estimation + AQE elect broadcast when the dim really is
+    // small — the hint is the caller's decision, not this helper's
+    factDf.join(dim, factDf(factKey) === dim(dimKey))
   }
 }

@@ -50,6 +50,14 @@ object HeavyHitters {
     * `totalCount` (= `items.count()`) sizes the sketch; pass it when
     * already known to avoid a second count job.
     */
+  /** Counter-budget ceiling: past it the sketch's memory would rival
+    * the aggregation it replaces, so the op degrades LOUDLY to the
+    * plain exact aggregate instead of silently weakening the
+    * pigeonhole guarantee (a capped k admits false negatives — the
+    * one thing this op promises not to have).
+    */
+  val MaxCounters: Int = 10_000_000
+
   def exact(items: DataFrame, itemCol: String, minCount: Long,
             totalCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
@@ -57,7 +65,19 @@ object HeavyHitters {
     import spark.implicits._
     // k counters guarantee candidacy for count >= n/k (pigeonhole, see
     // scaladoc); n/minCount + 1 makes minCount >= n/k strict
-    val k = (math.min(totalCount / minCount + 1L, 10_000_000L)).toInt
+    val kLong = totalCount / minCount + 1L
+    if (kLong > MaxCounters) {
+      // threshold too fine for a bounded sketch: the exact aggregate
+      // is the only formulation that keeps the contract
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"HeavyHitters: counter budget $kLong exceeds $MaxCounters; " +
+          "running the plain exact aggregate (no sketch)")
+      return items.select(col(itemCol))
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+    }
+    val k = kLong.toInt
     val ds = items.select(col(itemCol).cast("string")).as[String]
     val candidates = ds.mapPartitions { it =>
       val counters = new scala.collection.mutable.HashMap[String, Long]
@@ -74,8 +94,13 @@ object HeavyHitters {
       }
       counters.keysIterator
     }.toDF(itemCol).distinct()
+    // null-safe join: a null item is a legitimate GROUP BY group, and
+    // the declared equivalence includes it — a plain equi-join would
+    // silently drop a heavy null group
     items.select(col(itemCol))
-      .join(broadcast(candidates), Seq(itemCol))
+      .join(broadcast(candidates),
+        items(itemCol) <=> candidates(itemCol))
+      .select(items(itemCol))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)

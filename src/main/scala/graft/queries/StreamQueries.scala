@@ -176,17 +176,21 @@ object StreamQueries {
     val q = graft.streaming.StreamingLakeSource
       .committedStream(cat.table("bronze.ev"), maxCommitsPerTrigger = Some(1))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite, not a blind append: foreachBatch is
+        // at-least-once, and a retried batch must replace its own
+        // partial output instead of duplicating rows
         graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id")
           .select(col("event_id"), col("user_id"), col("value"),
             col("c_mktsegment"))
-          .write.mode("append").parquet(out.resolve("data").toString)
+          .write.mode("overwrite")
+          .parquet(out.resolve(s"data/b$batchId").toString)
         ()
       }
       .option("checkpointLocation", out.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(out.resolve("data").toString)
+    spark.read.parquet(out.resolve("data").toString + "/b*")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n"), graft.SqlCompat.sumd($"value").as("total"))
       .orderBy($"c_mktsegment")

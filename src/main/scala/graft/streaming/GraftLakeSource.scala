@@ -207,14 +207,9 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
     */
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     Option(start).foreach { o =>
-      highWater = math.max(highWater, connectorVersionOf(o))
+      highWater = math.max(highWater, versionOf(o))
     }
     getOffset.orNull
-  }
-
-  private def connectorVersionOf(o: ConnectorOffset): Long = o match {
-    case l: LongOffset => l.offset
-    case other         => other.json.trim.toLong
   }
 
   override def getOffset: Option[V1Offset] = {
@@ -277,8 +272,10 @@ class GraftLakeSource(ctx: SQLContext, table: LakeTable,
   }
 
   // offsets arrive as LongOffset live and as SerializedOffset(json)
-  // after checkpoint recovery; LongOffset.json is the plain number
-  private def versionOf(o: V1Offset): Long = o match {
+  // after checkpoint recovery; LongOffset.json is the plain number.
+  // (Takes the connector supertype so latestOffset shares the decoder —
+  // the V1 Offset class extends it.)
+  private def versionOf(o: ConnectorOffset): Long = o match {
     case l: LongOffset => l.offset
     case other         => other.json.trim.toLong
   }

@@ -135,6 +135,27 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(filesRead(pruned) === 0L, "empty key set must not touch the fact")
   }
 
+  test("mismatched key types skip the summary tiers but stay exact") {
+    val (_, fact) = fresh() // fact key k is LongType
+    // over-cap dim with an IntegerType key: a narrowing range cast
+    // could wrap, so the helper must take the plain-join tier — and
+    // still produce the exact join result
+    val dim = (0 until 20).map(i => (i, s"t$i")).toDF("dk", "tag")
+    val pruned = RuntimeFilter.prunedJoin(fact, "k", dim, "dk", cap = 10)
+    val plain = fact.read(None).join(dim, col("k") === col("dk"))
+    assert(pruned.select($"id", $"dk").collect().toSet ===
+      plain.select($"id", col("dk")).collect().toSet)
+    assert(!pruned.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    // under the cap the In tier is safe cross-typed (wrapping can only
+    // retain junk the join discards, never exclude a match)
+    val small = Seq((3, "a"), (7, "b")).toDF("dk", "tag")
+    val prunedSmall = RuntimeFilter.prunedJoin(fact, "k", small, "dk")
+    val plainSmall = fact.read(None).join(small, col("k") === col("dk"))
+    assert(prunedSmall.select($"id", $"dk").collect().toSet ===
+      plainSmall.select($"id", col("dk")).collect().toSet)
+  }
+
   test("null dim keys are dropped, matching inner-join semantics") {
     val (_, fact) = fresh()
     val dim = Seq((Some(5L), "x"), (Option.empty[Long], "nullrow"))

@@ -53,6 +53,27 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got === counts.filter(_._2 >= hotMin).map(_._1))
   }
 
+  test("counter budget over the ceiling falls back to the plain exact aggregate") {
+    // an absurd totalCount forces k past MaxCounters; the contract
+    // (exact GROUP BY/HAVING equivalence) must survive via fallback
+    val got = HeavyHitters.exact(skewed, "item", 1000L, totalCount = 1L << 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got === naive(1000L))
+  }
+
+  test("a heavy null group is reported, matching GROUP BY semantics") {
+    val withNulls = skewed
+      .select(when(col("item").startsWith("hot0"), lit(null: String))
+        .otherwise(col("item")).as("item"))
+    val want = withNulls.groupBy($"item").agg(count(lit(1)).as("n"))
+      .where($"n" >= 1000L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(want.exists(_._1.isEmpty), "fixture sanity: null group is heavy")
+    val got = HeavyHitters.exact(withNulls, "item", 1000L, 100000L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(got === want)
+  }
+
   test("exactNth derives the same threshold as floor(n/nth)") {
     val got = HeavyHitters.exactNth(skewed, "item", 30L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
