@@ -10,12 +10,18 @@ import graft.lake.{LakeCatalog, WriteMode}
   * the production shape of the reference's daily incremental load
   * (bronze append) driven by a stream instead of a cron.
   *
-  * Exactly-once note: the lake commit is atomic per batch, and batch
-  * replays after a failure re-commit the same rows — combine with an
-  * idempotent downstream (the medallion silver dedup) or dedup on a
-  * batch-id column for end-to-end exactly-once, which is precisely the
-  * semantics the reference's overwrite-based pipeline provides
-  * (SURVEY.md §2.9 "exactly-once sink").
+  * Exactly-once: foreachBatch is at-least-once, so the append path
+  * records a per-sink batch marker in the commit meta (under
+  * [[graft.lake.LakeTable.CarryMetaPrefix]], which compaction carries
+  * forward) and a replayed batch whose marker is already committed is
+  * a detected no-op — the Delta `txn`/(appId, version) idempotence
+  * shape, with the checkpoint directory as the app identity so two
+  * independent sinks on one table cannot mistake each other's
+  * markers. The marker lookup walks manifests newest-first
+  * ([[graft.lake.LakeTable.latestMeta]]), so appends interleaved from
+  * OTHER writers between a batch's commit and its replay do not hide
+  * the marker. The upsert path needs none of this: re-upserting
+  * identical values converges by construction.
   */
 object StreamingLakeSink {
 
@@ -29,19 +35,48 @@ object StreamingLakeSink {
   def appendStream(stream: DataFrame, catalog: LakeCatalog, ident: String,
                    checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   partitionBy: Seq[String] = Nil): StreamingQuery =
+                   partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val marker = markerKey(checkpointDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        catalog.write(
-          batch.withColumn("_batch_id",
-            org.apache.spark.sql.functions.lit(batchId)),
-          ident, WriteMode.Append, partitionBy = partitionBy)
-        ()
+        appendBatchOnce(catalog, ident, batch, batchId, marker, partitionBy)
       }
       .start()
+  }
+
+  /** Marker meta key for one sink instance: the checkpoint directory
+    * IS the sink's durable identity (same checkpoint ⇒ same batchId
+    * sequence), so its hash scopes the marker exactly as Delta's
+    * `txn.appId` does.
+    */
+  private[streaming] def markerKey(checkpointDir: String): String =
+    graft.lake.LakeTable.CarryMetaPrefix + "sink." +
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(checkpointDir.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+
+  /** One micro-batch append, exactly once per (marker, batchId) —
+    * factored out of foreachBatch so the at-least-once replay path is
+    * directly testable.
+    */
+  private[streaming] def appendBatchOnce(catalog: LakeCatalog, ident: String,
+                                         batch: DataFrame, batchId: Long,
+                                         marker: String,
+                                         partitionBy: Seq[String]): Unit = {
+    val t = catalog.table(ident)
+    val done = t.latest.isDefined &&
+      t.latestMeta(marker).exists(_.toLong >= batchId)
+    if (!done)
+      catalog.write(
+        batch.withColumn("_batch_id",
+          org.apache.spark.sql.functions.lit(batchId)),
+        ident, WriteMode.Append, partitionBy = partitionBy,
+        meta = Map(marker -> batchId.toString))
+    ()
+  }
 
   /** Start a CDC/upsert stream: each micro-batch lands as ONE
     * equality-delete upsert commit ([[graft.lake.LakeTable.upsert]]) —

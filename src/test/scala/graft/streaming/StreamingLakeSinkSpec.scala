@@ -36,6 +36,40 @@ class StreamingLakeSinkSpec extends AnyFunSuite {
     assert(cat.read("bronze.events").columns.contains("_batch_id"))
   }
 
+  test("replayed micro-batch append is a detected no-op, even past foreign commits") {
+    import graft.lake.WriteMode
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("slonce-").toString)
+    val marker = StreamingLakeSink.markerKey("/ckpt/app-a")
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t", batch, 0L, marker, Nil)
+    val v1 = cat.table("ns.t").latest.get.version
+    // straight replay (foreachBatch retry): no commit, no duplicate rows
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t", batch, 0L, marker, Nil)
+    assert(cat.table("ns.t").latest.get.version === v1)
+    assert(cat.read("ns.t").count() === 2L)
+    // a FOREIGN append lands between commit and replay: the marker is
+    // no longer on the latest snapshot, but the newest-first walk must
+    // still find it — replay stays a no-op
+    cat.write(Seq((9L, "z")).toDF("id", "s"), "ns.t", WriteMode.Append)
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t", batch, 0L, marker, Nil)
+    assert(cat.read("ns.t").count() === 3L)
+    // compaction folds files but carries the marker (CarryMetaPrefix):
+    // a replay after compaction is STILL a no-op
+    cat.table("ns.t").compactBinPack(maxDirBytes = 1L << 30)
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t", batch, 0L, marker, Nil)
+    assert(cat.read("ns.t").count() === 3L)
+    // a different sink identity (other checkpoint) is not confused by
+    // this sink's marker: its batch 0 lands
+    val other = StreamingLakeSink.markerKey("/ckpt/app-b")
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t",
+      Seq((7L, "w")).toDF("id", "s"), 0L, other, Nil)
+    assert(cat.read("ns.t").count() === 4L)
+    // and the next batch of the original sink flows normally
+    StreamingLakeSink.appendBatchOnce(cat, "ns.t",
+      Seq((3L, "v")).toDF("id", "s"), 1L, marker, Nil)
+    assert(cat.read("ns.t").count() === 5L)
+  }
+
   test("lake table as streaming source: appends consumed incrementally across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val cat = new LakeCatalog(spark, Files.createTempDirectory("slsrc-").toString)
