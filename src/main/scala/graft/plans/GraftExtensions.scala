@@ -125,6 +125,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) => ZOrderCode(args))) // own arity/type checks
 
+    // bloom_might_contain(key, X'<serialized filter>') — the filter
+    // must be a binary LITERAL (it is a driver-built artifact shipped
+    // with the plan, exactly like the DataFrame-side RuntimeFilter
+    // tier ships it; an arbitrary expression would re-deserialize per
+    // row)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContainExpr].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => { arity(args, 2, "bloom_might_contain")
+        args(1) match {
+          case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+            graft.functions.BloomMightContainExpr(args(0), b)
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain filter must be a binary literal, got $other")
+        } }))
+
     // single-pass text kernels (string → int/boolean; no coercion needed
     // beyond an implicit string cast)
     def textKernel(name: String, clazz: Class[_], build: Expression => Expression): Unit =

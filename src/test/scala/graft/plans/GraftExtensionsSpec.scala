@@ -55,6 +55,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(8) === 16)
   }
 
+  test("bloom_might_contain callable from SQL with a binary-literal filter") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(i => bf.putLong(i * 2))
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val hex = bos.toByteArray.map(b => f"$b%02x").mkString
+    val rows = spark.sql(
+      s"""SELECT v, bloom_might_contain(v, X'$hex') AS hit
+         |FROM VALUES (4L), (5L), (98L), (99L) AS t(v)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(4L) && rows(98L), "members must hit (no false negatives)")
+    // 5 and 99 are non-members; at fpp 1% both passing is ~1e-4 — treat
+    // either rejecting as success to keep the test deterministic-enough
+    assert(!rows(5L) || !rows(99L))
+    // non-literal filter argument rejected loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT bloom_might_contain(1L, CAST(NULL AS BINARY))").collect())
+    assert(e.getMessage.toLowerCase.contains("binary literal") ||
+      e.getCause != null)
+  }
+
   test("non-literal k rejected with a clear error") {
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), 1 + 1)").head)
