@@ -156,6 +156,17 @@ class RuntimeFilterSpec extends AnyFunSuite {
       plainSmall.select($"id", col("dk")).collect().toSet)
   }
 
+  test("version pin: the pruned join reads the named snapshot, not HEAD") {
+    val (_, fact) = fresh()
+    val v1 = fact.latest.get.version
+    fact.write(Seq((9999L, 3L, 42.0)).toDF("id", "k", "v"), WriteMode.Append)
+    val dim = Seq((3L, "a")).toDF("dk", "tag")
+    val atV1 = RuntimeFilter.prunedJoin(fact, "k", dim, "dk", version = Some(v1))
+    assert(!atV1.select($"id").as[Long].collect().contains(9999L))
+    val atHead = RuntimeFilter.prunedJoin(fact, "k", dim, "dk")
+    assert(atHead.select($"id").as[Long].collect().contains(9999L))
+  }
+
   test("null dim keys are dropped, matching inner-join semantics") {
     val (_, fact) = fresh()
     val dim = Seq((Some(5L), "x"), (Option.empty[Long], "nullrow"))
