@@ -184,4 +184,31 @@ class PlanAuditSpec extends AnyFunSuite {
       .count(_ == "BroadcastHashJoin") >= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("salted skew join broadcasts the replicated dim; lineitem never shuffles for it") {
+    // the whole point of salting: the (small × buckets) side ships to
+    // the fact's partitions — a shuffle of lineitem for the join would
+    // recreate the hot-key partition the salt exists to break up
+    val p = finalPlan(RelationalQueries.skewSaltedJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // aggregation is partial (map-side combine) before its exchange
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("heavy hitters: candidate set broadcasts; the corpus never shuffles pre-join") {
+    val p = finalPlan(graft.queries.TextQueries.heavyHitters(spark, dir))
+    // pass 2's semi-join ships the (bounded) candidates, not the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("runtime-filtered join pushes the dim key set into the fact scan") {
+    val p = finalPlan(graft.queries.LakeQueries.runtimeFilterJoin(spark, dir))
+    // the flat In reaches the lake scan as a data filter (the
+    // file/directory pruning itself is asserted in RuntimeFilterSpec
+    // via numFiles metrics)
+    assert(p.contains(" IN (") || p.contains("isin") || p.contains("In("), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
