@@ -160,6 +160,9 @@ object SparkEntry {
     "a_cube"             -> (AnalyticsQueries.cubeSummary _),
     "a_grouping_sets"    -> (AnalyticsQueries.groupingSets _),
     "a_gap_fill"         -> (AnalyticsQueries.gapFill _),
+    "a_interpolate"      -> (AnalyticsQueries.interpolate _),
+    "a_ewma_anomaly"     -> (AnalyticsQueries.ewmaAnomaly _),
+    "a_sessionize_batch" -> (AnalyticsQueries.sessionizeBatch _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
     "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
     "a_outer_cross"      -> (AnalyticsQueries.outerCrossJoins _),
@@ -1617,6 +1620,96 @@ object SparkEntry {
         |FROM types t CROSS JOIN hours h
         |LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
         |ORDER BY t.event_type, h.hour""".stripMargin,
+
+    // gap(>30min)-delimited sessions via lag + running sum; floor() on
+    // both epoch sides mirrors Spark's truncating unix_timestamp so
+    // sub-second gaps break sessions identically in both engines
+    "a_sessionize_batch" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |g AS (SELECT user_id, ts, event_id, value, lag(ts, 1) OVER w AS prev_ts
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM g),
+        |x AS (SELECT user_id, ts, value,
+        |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM s)
+        |SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+
+    // dense 5-min grid over 2024-01-02; silent buckets take the line
+    // between nearest observed neighbors (edges hold one neighbor)
+    "a_interpolate" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |obs AS (SELECT event_type,
+        |          CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 300) AS INT) AS idx,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |        FROM ev
+        |        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |          AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |        GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, CAST(r.range AS INT) AS idx
+        |         FROM types t CROSS JOIN range(0, 288) r),
+        |x AS (SELECT g.event_type, g.idx, o.v,
+        |        last_value(o.v IGNORE NULLS) OVER
+        |          (PARTITION BY g.event_type ORDER BY g.idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        last_value(CASE WHEN o.v IS NOT NULL THEN g.idx END IGNORE NULLS) OVER
+        |          (PARTITION BY g.event_type ORDER BY g.idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        |        first_value(o.v IGNORE NULLS) OVER
+        |          (PARTITION BY g.event_type ORDER BY g.idx
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(CASE WHEN o.v IS NOT NULL THEN g.idx END IGNORE NULLS) OVER
+        |          (PARTITION BY g.event_type ORDER BY g.idx
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |      FROM grid g LEFT JOIN obs o
+        |        ON o.event_type = g.event_type AND o.idx = g.idx)
+        |SELECT event_type,
+        |       TIMESTAMP '2024-01-02 00:00:00' + idx * 300 * INTERVAL 1 SECOND AS bucket,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |              pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+        |            ELSE COALESCE(pv, nv) END AS filled,
+        |       CASE WHEN v IS NOT NULL THEN 'obs'
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |            ELSE 'edge' END AS src
+        |FROM x ORDER BY event_type, bucket""".stripMargin,
+
+    // trailing-6h halving-weight EWMA per type; hour flagged when its
+    // count breaks 2x above or 0.5x below the smoothed trend
+    "a_ewma_anomaly" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |c0 AS (SELECT event_type,
+        |         CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600) AS INT) AS idx
+        |       FROM ev),
+        |c AS (SELECT event_type, idx, COUNT(*) AS n FROM c0
+        |      WHERE idx >= 0 AND idx < 720 GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, CAST(r.range AS INT) AS idx
+        |         FROM types t CROSS JOIN range(0, 720) r),
+        |f AS (SELECT g.event_type, g.idx, COALESCE(c.n, 0) AS n
+        |      FROM grid g LEFT JOIN c
+        |        ON c.event_type = g.event_type AND c.idx = g.idx),
+        |l AS (SELECT event_type, idx, n,
+        |        lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+        |        lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+        |        lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6
+        |      FROM f WINDOW w AS (PARTITION BY event_type ORDER BY idx)),
+        |e AS (SELECT event_type, idx, n,
+        |        (32.0*l1 + 16.0*l2 + 8.0*l3 + 4.0*l4 + 2.0*l5 + 1.0*l6) / 63.0 AS ewma
+        |      FROM l WHERE idx >= 6)
+        |SELECT event_type,
+        |       TIMESTAMP '2024-01-01 00:00:00' + idx * INTERVAL 1 HOUR AS hour,
+        |       n, ewma,
+        |       (CAST(n AS DOUBLE) > 2.0 * ewma OR CAST(n AS DOUBLE) < 0.5 * ewma) AS anomaly
+        |FROM e ORDER BY event_type, hour""".stripMargin,
 
     // blocked ER: equality join on the name-prefix block, edit
     // distance only within blocks

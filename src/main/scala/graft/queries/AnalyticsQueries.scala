@@ -636,4 +636,152 @@ object AnalyticsQueries {
       .select($"event_type", $"event_id", $"value", round($"z", 6).as("z"))
       .orderBy($"event_type", $"event_id")
   }
+
+  /** Linear interpolation over a gapped time series — the densify step
+    * after [[gapFill]]: silent buckets get the straight line between
+    * the nearest observed neighbors instead of a zero (sensor feeds,
+    * rate series, feature backfill before model training).
+    *
+    * Shape: per (type, 5-min bucket) aggregate over one pruned day,
+    * left-joined onto the dense (type × 288) grid, then ONE window
+    * pass per direction carrying the last/next observed (value, index)
+    * via `last/first(..., ignoreNulls)`. Edge buckets (no neighbor on
+    * one side) hold the single available neighbor — no extrapolation.
+    *
+    * Cross-engine determinism: observed values are exact-decimal sums
+    * ([[SqlCompat.sumd]]); the interpolation expression is the same
+    * scalar double tree on both engines (weights are ratios of small
+    * bucket-index ints, so evaluation is order-free).
+    *
+    * Scale: the window partitions by series key — at 100 TB the keys
+    * are high-cardinality (per-sensor, per-feature), so the sort is
+    * many small per-key runs, not one giant ordered shuffle; the
+    * dense grid is |keys| × |buckets| rows built from a broadcast
+    * cross, never a data-sized join.
+    */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = graft.SqlCompat.utcTimestamp("2024-01-02 00:00:00")
+    val hi = graft.SqlCompat.utcTimestamp("2024-01-03 00:00:00")
+    val ev = Tables(spark, dir).events
+    // observed 5-minute buckets: idx = minutes-since-midnight / 5
+    val obs = ev.where($"ts" >= lo && $"ts" < hi)
+      .select($"event_type",
+        (floor((unix_timestamp($"ts") - unix_timestamp(lit(lo))) / 300L))
+          .cast("int").as("idx"),
+        $"value")
+      .groupBy($"event_type", $"idx")
+      .agg(sumd($"value").as("v"))
+    val types = ev.select($"event_type").distinct()
+    val grid = types.crossJoin(broadcast(
+      spark.range(0, 288).select($"id".cast("int").as("idx"))))
+    val wPrev = Window.partitionBy($"event_type").orderBy($"idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"event_type").orderBy($"idx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("event_type", "idx"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("pi", last(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("ni", first(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(wNext))
+      .select($"event_type",
+        (lit(lo).cast("timestamp") +
+          expr("make_interval(0,0,0,0,0,0, idx * 300)")).as("bucket"),
+        when($"v".isNotNull, $"v")
+          .when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + ($"nv" - $"pv") *
+              (($"idx" - $"pi").cast("double") / ($"ni" - $"pi").cast("double")))
+          .otherwise(coalesce($"pv", $"nv")).as("filled"),
+        when($"v".isNotNull, lit("obs"))
+          .when($"pv".isNotNull && $"nv".isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("src"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** Batch gap-based sessionization — the classic lag + conditional
+    * cumulative-sum shape: a session breaks when a user is silent for
+    * more than 30 minutes; each session reports its span, event count
+    * and spend. The streaming twin is `s_sessionize` (state-store
+    * session windows); this is the backfill/replay form every
+    * analytics warehouse also needs.
+    *
+    * Both window passes share ONE (user_id, ts, event_id) sort and
+    * exchange: the running sum consumes the lag's output so Spark
+    * plans two Window nodes, but the second inherits the first's
+    * ordering and adds no sort, and the (user_id, sid) aggregate is
+    * co-partitioned by the window's hashpartitioning(user_id)
+    * (plan-asserted in `PlanAuditSpec`).
+    * Scale: per-user runs; user_id cardinality is the parallelism and
+    * no state beyond the sort spills (no whole-series collect).
+    * Tiebreak on event_id makes equal-timestamp ordering (and thus
+    * session numbering) engine-deterministic.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), sumd($"value").as("sum_value"))
+      .orderBy($"user_id", $"sid")
+  }
+
+  /** EWMA anomaly detection over hourly event counts — the streaming-
+    * adjacent QC monitor ("is this hour's volume wildly off its recent
+    * trend?") run as a batch window pass.
+    *
+    * The trailing-6-hour EWMA uses halving weights 32/16/8/4/2/1
+    * (α=1/2) over the STRICTLY preceding hours, so the flagged hour
+    * never smooths itself; the first 6 hours of the month have no full
+    * history and are excluded. Weights are powers of two and counts
+    * are small ints, so the weighted sum is exact in double on both
+    * engines; one final division by 63 is the only rounding step.
+    *
+    * Shape: pruned scan → map-side-combined hourly aggregate →
+    * zero-filled dense grid (silent hour = count 0, a real
+    * observation) → six `lag`s in ONE window pass. Scale: same
+    * per-key window argument as [[interpolate]] — key cardinality is
+    * the parallelism, and the grid bounds every key to |hours| rows.
+    */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = graft.SqlCompat.utcTimestamp("2024-01-01 00:00:00")
+    val hours = 720 // Jan 1-30
+    val ev = Tables(spark, dir).events
+    val counts = ev
+      .select($"event_type",
+        (floor((unix_timestamp($"ts") - unix_timestamp(lit(lo))) / 3600L))
+          .cast("int").as("idx"))
+      .where($"idx" >= 0 && $"idx" < hours)
+      .groupBy($"event_type", $"idx")
+      .agg(count(lit(1)).as("n"))
+    val types = ev.select($"event_type").distinct()
+    val grid = types.crossJoin(broadcast(
+      spark.range(0, hours).select($"id".cast("int").as("idx"))))
+    val w = Window.partitionBy($"event_type").orderBy($"idx")
+    val filled = grid.join(counts, Seq("event_type", "idx"), "left")
+      .select($"event_type", $"idx", coalesce($"n", lit(0L)).as("n"))
+    val lags = (1 to 6).foldLeft(filled) { (df, k) =>
+      df.withColumn(s"l$k", lag($"n", k).over(w))
+    }
+    lags.where($"idx" >= 6)
+      .withColumn("ewma",
+        (lit(32.0) * $"l1" + lit(16.0) * $"l2" + lit(8.0) * $"l3" +
+          lit(4.0) * $"l4" + lit(2.0) * $"l5" + lit(1.0) * $"l6") / lit(63.0))
+      .select($"event_type",
+        (lit(lo).cast("timestamp") +
+          expr("make_interval(0,0,0,0, idx, 0, 0)")).as("hour"),
+        $"n", $"ewma",
+        ($"n".cast("double") > lit(2.0) * $"ewma" ||
+          $"n".cast("double") < lit(0.5) * $"ewma").as("anomaly"))
+      .orderBy($"event_type", $"hour")
+  }
 }

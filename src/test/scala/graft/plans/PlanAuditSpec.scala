@@ -211,4 +211,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains(" IN (") || p.contains("isin") || p.contains("In("), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sessionize: lag + running sum + session aggregate ride ONE user exchange and sort") {
+    // the running sum consumes the lag's output, so Spark plans two
+    // Window nodes — but both share (user_id | ts, event_id), so the
+    // second adds NO sort, and the (user_id, sid) aggregate rides the
+    // window's hashpartitioning(user_id) — one shuffle, one sort
+    // (plus the presentation orderBy's range exchange + sort)
+    val p = finalPlan(AnalyticsQueries.sessionizeBatch(spark, dir))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 1, p)
+    assert(p.sliding("Sort [".length).count(_ == "Sort [") == 2, p)
+  }
+
+  test("interpolate: grid join broadcasts; both direction passes share the type exchange") {
+    // the dense grid left-joins obs via BroadcastHashJoin (grid rows
+    // are |types|×288, never data-sized), and the prev/next window
+    // passes both partition by event_type — at most the aggregate's
+    // and the window's two hash exchanges, nothing per-direction
+    val p = finalPlan(AnalyticsQueries.interpolate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2, p)
+  }
 }
