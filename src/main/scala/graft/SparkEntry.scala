@@ -62,6 +62,7 @@ object SparkEntry {
     "lake_meta_delete"      -> (LakeQueries.metadataDelete _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
+    "lake_view_rewrite"     -> (LakeQueries.viewRewrite _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
     "lake_iceberg_cdf"      -> (LakeQueries.icebergChangeFeed _),
     "lake_delta_read"       -> (LakeQueries.deltaRoundtrip _),
@@ -479,6 +480,15 @@ object SparkEntry {
         |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 2
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    // the query runs against the BASE table (both user_id parities =
+    // all events rows) — the optimizer answers it from the maintained
+    // view, which must therefore hold exactly these aggregates
+    "lake_view_rewrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // real Iceberg v2 metadata roundtrip: two append snapshots
     // (keys ≡ 0, 1 mod 3) minus an equality-delete commit (keys ≡ 3

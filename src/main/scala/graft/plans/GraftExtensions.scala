@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => FoldSelfCosine)
     // metadata-only count(*) over lake tables (see MetadataAgg)
     ext.injectOptimizerRule(_ => new MetadataCountRule)
+    // materialized-view query rewrite: MUST be injected before
+    // LakeSqlRule — it matches the base table while it is still a
+    // recognizable GraftSparkTable relation (see ViewRewriteRule)
+    ext.injectPostHocResolutionRule(session => new ViewRewriteRule(session))
     // SQL over lake tables (SELECT / INSERT / CTAS / DELETE / UPDATE /
     // MERGE INTO through a GraftCatalog) — see LakeSqlRule
     ext.injectPostHocResolutionRule(session => new LakeSqlRule(session))

@@ -735,6 +735,67 @@ object LakeQueries {
     IncrementalView.read(cat, "gold.by_cust").orderBy($"o_custkey")
   }
 
+  /** Transparent materialized-view rewrite, end to end: a reader's
+    * plain `GROUP BY` SQL against the BASE table is answered from the
+    * incrementally-maintained view by [[graft.plans.ViewRewriteRule]]
+    * — the reader never names the view (the reference hand-routes
+    * readers at its Gold table instead, /root/reference/dags/etl.py:80-96;
+    * here the optimizer carries that knowledge). The rewrite only
+    * fires when the view is FRESH (recorded source version == base
+    * current version), so the trickled append is followed by an
+    * incremental refresh before querying; the plan probe asserts the
+    * executed scan reads the view's files and never the base's. At
+    * 100 TB: O(|groups|) view read instead of a full fact scan, for
+    * every dashboard query shaped like the rollup the pipeline
+    * already maintains.
+    */
+  def viewRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.IncrementalView
+    val wh = scratchDir("graft-lake-").toString
+    val c = s"gsqlq${sqlCatalogCounter.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    val ev = Tables(spark, dir).events.select($"event_type", $"value", $"user_id")
+    cat.write(ev.filter(pmod($"user_id", lit(2)) === 0), "silver.ev", WriteMode.Overwrite)
+    // view keyed FINER than the query below groups — the rewrite must
+    // compose (sum-of-counts / sum-of-sums / min-of-mins), not just
+    // project, exactly the rollup-lattice trick every OLAP engine
+    // plays (one (type, user) view answers both per-user and per-type)
+    IncrementalView.refreshSql(cat, "silver.ev", "gold.ev_by_type_user",
+      Seq("event_type", "user_id"),
+      Seq("count(*) as n", "sum(CAST(value AS DECIMAL(18,4))) as sv",
+        "min(value) as minv", "max(value) as maxv"))
+    graft.plans.ViewRewrite.register(cat, "gold.ev_by_type_user")
+    // trickle an append, then refresh on the changelog path — the view
+    // is fresh again and the rewrite may legally answer from it
+    cat.write(ev.filter(pmod($"user_id", lit(2)) === 1), "silver.ev", WriteMode.Append)
+    val snap = IncrementalView.refreshByName(cat, "gold.ev_by_type_user")
+    require(snap.meta(IncrementalView.RefreshModeKey) == "incremental",
+      "append must refresh incrementally, not rebuild")
+    def assertViewRead(sql: String): Unit = {
+      val probe = spark.sql(sql)
+      probe.collect()
+      val pstr = probe.queryExecution.executedPlan.toString
+      require(pstr.contains("gold/ev_by_type_user"),
+        s"expected view-rewritten scan, got:\n$pstr")
+      require(!pstr.contains("silver/ev"),
+        s"base table leaked into the rewritten plan:\n$pstr")
+    }
+    // exact-key hit: the view rows are the answer
+    assertViewRead(s"SELECT event_type, user_id, count(*) AS n " +
+      s"FROM $c.silver.ev GROUP BY event_type, user_id")
+    // subset-key hit (the returned, oracle-compared query): regrouped
+    val sql =
+      s"""SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM $c.silver.ev GROUP BY event_type ORDER BY event_type""".stripMargin
+    assertViewRead(sql)
+    spark.sql(sql)
+  }
+
   /** REAL Iceberg-format roundtrip (the reference's actual on-disk
     * contract — `iceberg-spark-runtime` pins,
     * /root/reference/docker/Dockerfile:22-28): export two append
