@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max => AggMax, Min => AggMin, Sum => AggSum}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -26,7 +27,10 @@ import graft.lake.sqlcat.GraftSparkTable
   * Scope (sound-by-construction exact match, decline everything else):
   *   - `Aggregate` directly over a (aliased) graft catalog table —
   *     current version only (no time travel, branch, or metadata
-  *     frame), no intervening Filter/Project;
+  *     frame); one intervening `Filter` is admitted iff it is
+  *     deterministic, subquery-free, and references ONLY view-key
+  *     columns (it then partitions whole view groups and replays
+  *     exactly on the view); no other intervening node;
   *   - grouping columns exactly the view's keys;
   *   - every output either a group key or one of the view's
   *     maintained aggregates — `count(*)`, `sum/min/max/avg(expr)`
@@ -154,7 +158,14 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (sys.env.contains("GRAFT_VIEWRW_DEBUG")) System.err.println(s"[viewrw] $msg")
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val rel = throughAliases(agg.child) match {
+    // an optional WHERE between the Aggregate and the base relation is
+    // admissible when it references ONLY view-key columns (checked
+    // below, once the registration is known)
+    val (filterCond, belowFilter) = throughAliases(agg.child) match {
+      case Filter(cond, fchild) => (Some(cond), throughAliases(fchild))
+      case other                => (None, other)
+    }
+    val rel = belowFilter match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => r
       case other => dbg(s"child not a graft relation: ${other.getClass.getSimpleName}"); return None
     }
@@ -209,6 +220,27 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def viewCol(name: String): Option[Attribute] =
       viewPlan.output.find(a => resolver(a.name, name))
 
+    // a WHERE referencing ONLY view-key columns keeps or drops WHOLE
+    // view groups (every base row of a group shares its key values
+    // verbatim), so replaying the predicate on the view's key columns
+    // is exact — before OR after the rollup re-aggregation alike.
+    // Anything else (a measure column, a subquery, a nondeterministic
+    // term) declines: the view has already collapsed the rows the
+    // predicate would need to see
+    val viewFilter: Option[Expression] = filterCond match {
+      case None => None
+      case Some(cond) =>
+        if (!cond.deterministic) { dbg("nondeterministic filter"); return None }
+        if (cond.exists(_.isInstanceOf[SubqueryExpression])) {
+          dbg("subquery in filter"); return None }
+        if (!cond.references.forall(a => reg.keys.exists(k => resolver(a.name, k)))) {
+          dbg(s"filter over non-key columns: ${cond.references.toSeq.map(_.name)}")
+          return None }
+        Some(cond.transform {
+          case a: AttributeReference => viewCol(a.name).getOrElse(return None)
+        })
+    }
+
     // one matched aggregate, in the two grouping regimes: exact keys
     // read the maintained column as-is; a key subset re-aggregates it
     // (avg declines on subsets — its sum/count components are hidden
@@ -245,10 +277,11 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(reapply(casts, replaced), name)(exprId = al.exprId)
       case other => dbg(s"unmatchable output: $other"); return None
     }
-    if (exact) Some(Project(mapped, viewPlan))
+    val filteredView = viewFilter.map(Filter(_, viewPlan)).getOrElse(viewPlan)
+    if (exact) Some(Project(mapped, filteredView))
     else {
       val groupCols = groupAttrs.map(a => viewCol(a.name).getOrElse(return None))
-      Some(Aggregate(groupCols, mapped, viewPlan))
+      Some(Aggregate(groupCols, mapped, filteredView))
     }
   }
 

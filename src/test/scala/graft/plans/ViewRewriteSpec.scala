@@ -118,6 +118,53 @@ class ViewRewriteSpec extends AnyFunSuite {
     assert(planOf(avgDf).contains("base/t"))
   }
 
+  test("key-only WHERE rides the rewrite; value WHERE and rand() decline") {
+    val wh = java.nio.file.Files.createTempDirectory("viewrw").toString
+    val c = s"vrw${counter.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    cat.write(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L), ("c", 9L, 7L))
+      .toDF("k", "g", "v"), "base.t", WriteMode.Overwrite)
+    IncrementalView.refreshSql(cat, "base.t", "mv.by_kg", Seq("k", "g"),
+      Seq("count(*) as n", "sum(v) as sv"))
+    ViewRewrite.register(cat, "mv.by_kg")
+    // predicate on k (a view key the query also groups by) — whole
+    // view groups match or don't, so the view answers the filtered
+    // rollup exactly
+    val onGrouped = spark.sql(
+      s"SELECT k, count(*) AS n, sum(v) AS sv FROM $c.base.t " +
+        "WHERE k <> 'c' GROUP BY k ORDER BY k")
+    assert(onGrouped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    val p1 = planOf(onGrouped)
+    assert(p1.contains("mv/by_kg"), p1)
+    assert(!p1.contains("base/t"), p1)
+    // predicate on g — a view key the query does NOT group by: still
+    // partitions whole (k, g) view groups, so the subset rollup is
+    // exact over the filtered view rows
+    val onUngrouped = spark.sql(
+      s"SELECT k, sum(v) AS sv FROM $c.base.t WHERE g = 1 GROUP BY k ORDER BY k")
+    assert(onUngrouped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 10L), ("b", 5L)))
+    val p2 = planOf(onUngrouped)
+    assert(p2.contains("mv/by_kg"), p2)
+    assert(!p2.contains("base/t"), p2)
+    // predicate on the measure column v — the view collapsed the rows
+    // it would need to see; must decline to the scan
+    val onValue = spark.sql(
+      s"SELECT k, count(*) AS n FROM $c.base.t WHERE v >= 10 GROUP BY k ORDER BY k")
+    assert(onValue.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 2L)))
+    assert(planOf(onValue).contains("base/t"))
+    // nondeterministic predicate on a key column — must decline
+    val nondet = spark.sql(
+      s"SELECT k, count(*) AS n FROM $c.base.t WHERE k < 'z' AND rand() <= 1.0 " +
+        "GROUP BY k ORDER BY k")
+    assert(nondet.collect().length == 3)
+    assert(planOf(nondet).contains("base/t"))
+  }
+
   test("time travel declines: a version-pinned read must not see today's view") {
     val (cat, c) = setup()
     val v1 = cat.table("base.t").latest.get.version
