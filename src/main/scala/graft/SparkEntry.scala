@@ -104,6 +104,7 @@ object SparkEntry {
     "t_bigram_logprob"   -> (TextQueries.bigramLogProb _),
     "t_idf_keywords"     -> ((s, d) => TextQueries.idfKeywords(s, d)),
     "t_heavy_hitters"    -> (TextQueries.heavyHitters _),
+    "t_textrank"         -> (TextQueries.textRank _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -996,6 +997,36 @@ object SparkEntry {
         |SELECT word, COUNT(*) AS n FROM w GROUP BY word
         |HAVING COUNT(*) >= (SELECT thr FROM t)
         |ORDER BY n DESC, word""".stripMargin,
+
+    // TextRank: the 5 weighted-PageRank iterations unroll as chained
+    // CTEs over HUGEINTs — the Spark side's scaled-integer arithmetic
+    // (ops/TextRank.scala) makes every rank value exactly restatable
+    // here (integer sums are order-independent; a double formulation
+    // would drift past any rounding tolerance by iteration 5)
+    "t_textrank" ->
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || chr(1) || ws[i+1])) AS pg
+        |       FROM w WHERE len(ws) >= 2),
+        |p1 AS (SELECT string_split(pg, chr(1))[1] AS a, string_split(pg, chr(1))[2] AS b
+        |       FROM p0 WHERE string_split(pg, chr(1))[1] <> string_split(pg, chr(1))[2]),
+        |ed AS (SELECT a, b FROM p1 UNION ALL SELECT b, a FROM p1),
+        |eg AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS w FROM ed GROUP BY a, b),
+        |ej AS (SELECT eg.a, eg.b, eg.w, o.ow
+        |       FROM eg JOIN (SELECT a, sum(w) AS ow FROM eg GROUP BY a) o ON o.a = eg.a),
+        |r0 AS (SELECT DISTINCT a AS term, CAST(1000000000000 AS HUGEINT) AS r FROM eg),
+        |r1 AS (SELECT e.b AS term, 150000000000 + sum((r.r * e.w * 85) // (e.ow * 100)) AS r
+        |       FROM ej e JOIN r0 r ON r.term = e.a GROUP BY e.b),
+        |r2 AS (SELECT e.b AS term, 150000000000 + sum((r.r * e.w * 85) // (e.ow * 100)) AS r
+        |       FROM ej e JOIN r1 r ON r.term = e.a GROUP BY e.b),
+        |r3 AS (SELECT e.b AS term, 150000000000 + sum((r.r * e.w * 85) // (e.ow * 100)) AS r
+        |       FROM ej e JOIN r2 r ON r.term = e.a GROUP BY e.b),
+        |r4 AS (SELECT e.b AS term, 150000000000 + sum((r.r * e.w * 85) // (e.ow * 100)) AS r
+        |       FROM ej e JOIN r3 r ON r.term = e.a GROUP BY e.b),
+        |r5 AS (SELECT e.b AS term, 150000000000 + sum((r.r * e.w * 85) // (e.ow * 100)) AS r
+        |       FROM ej e JOIN r4 r ON r.term = e.a GROUP BY e.b)
+        |SELECT term, round(CAST(r AS DOUBLE) / 1e12, 6) AS score
+        |FROM r5 ORDER BY r DESC, term LIMIT 20""".stripMargin,
 
     // add-one-smoothed bigram LM score; occurrences re-join gram counts
     // and the oracle keys bigrams as "w1\x01w2" strings (the \x01

@@ -388,6 +388,14 @@ object TextQueries {
       .orderBy($"n".desc, $"word")
   }
 
+  /** Corpus-level TextRank keywords: weighted PageRank over the word
+    * co-occurrence graph, exact scaled-integer iteration
+    * ([[graft.ops.TextRank]] — the arithmetic contract that lets a
+    * DuckDB oracle replay 5 iterations bit-identically lives there).
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextRank.keywords(Tables(spark, dir).documents)
+
   def idfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
