@@ -105,6 +105,7 @@ object SparkEntry {
     "t_idf_keywords"     -> ((s, d) => TextQueries.idfKeywords(s, d)),
     "t_heavy_hitters"    -> (TextQueries.heavyHitters _),
     "t_textrank"         -> (TextQueries.textRank _),
+    "t_topk_by"          -> (TextQueries.topkBy _),
     "e_embed_quantize"   -> (SimQueries.embedQuantize _),
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
@@ -997,6 +998,18 @@ object SparkEntry {
         |SELECT word, COUNT(*) AS n FROM w GROUP BY word
         |HAVING COUNT(*) >= (SELECT thr FROM t)
         |ORDER BY n DESC, word""".stripMargin,
+
+    // the custom bounded-heap top-k aggregate must be result-identical
+    // to the full-sort window form — which is exactly this oracle
+    "t_topk_by" ->
+      """WITH s AS (SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+        |             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS score
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id, score,
+        |        row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rank
+        |      FROM s)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, score, doc_id
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     // TextRank: the 5 weighted-PageRank iterations unroll as chained
     // CTEs over HUGEINTs — the Spark side's scaled-integer arithmetic

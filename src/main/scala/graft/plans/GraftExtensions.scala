@@ -129,6 +129,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) => ZOrderCode(args))) // own arity/type checks
 
+    // exact bounded-state top-k aggregate — the analyzer wraps the
+    // returned AggregateFunction in an AggregateExpression itself
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "topk_by"),
+      (args: Seq[Expression]) => { arity(args, 3, "topk_by")
+        graft.functions.TopKByScore(
+          Cast(args(0), org.apache.spark.sql.types.DoubleType),
+          Cast(args(1), StringType),
+          intArg(args(2), "topk_by k")) }))
+
     // bloom_might_contain(key, X'<serialized filter>') — the filter
     // must be a binary LITERAL (it is a driver-built artifact shipped
     // with the plan, exactly like the DataFrame-side RuntimeFilter

@@ -396,6 +396,25 @@ object TextQueries {
   def textRank(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TextRank.keywords(Tables(spark, dir).documents)
 
+  /** Per-language longest documents via the custom
+    * [[graft.functions.TopKByScore]] aggregate — exact top-k with an
+    * O(k) heap per group per partition instead of the full-group sort
+    * a `row_number()` window pays (the oracle IS that window, pinning
+    * result equivalence). Tiebreak is item-ascending on the STRING
+    * doc_id, mirrored in the oracle's ORDER BY.
+    */
+  def topkBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy($"lang")
+      .agg(graft.functions.TopKFunctions.topk_by(
+        TextOps.wordCount($"text"), $"doc_id", 3).as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("score"), col("col.item").as("doc_id"))
+      .orderBy($"lang", $"rank")
+  }
+
   def idfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
