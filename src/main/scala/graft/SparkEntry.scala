@@ -45,6 +45,7 @@ object SparkEntry {
     "q_json_extract"     -> (RelationalQueries.jsonExtract _),
     "lake_snapshot_append"  -> (LakeQueries.snapshotAppend _),
     "lake_time_travel"      -> (LakeQueries.timeTravel _),
+    "lake_rollback"         -> (LakeQueries.rollback _),
     "lake_merge_upsert"     -> (LakeQueries.mergeUpsert _),
     "lake_merge_mor"        -> (LakeQueries.mergeMorUpsert _),
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "t_domain_mixture"   -> (TextQueries.domainMixture _),
     "d_dedup_exact"      -> (SimQueries.dedupExact _),
     "d_ngram_jaccard"    -> (SimQueries.ngramJaccard _),
+    "d_ngram_containment" -> (SimQueries.ngramContainment _),
     "d_dedup_minhash"    -> (SimQueries.minhashLsh _),
     "d_simhash_pairs"    -> (SimQueries.simhashPairs _),
     "d_fuzzy_match"      -> (SimQueries.fuzzyMatch _),
@@ -166,6 +168,9 @@ object SparkEntry {
     "a_interpolate"      -> (AnalyticsQueries.interpolate _),
     "a_ewma_anomaly"     -> (AnalyticsQueries.ewmaAnomaly _),
     "a_sessionize_batch" -> (AnalyticsQueries.sessionizeBatch _),
+    "a_regr_trend"       -> (AnalyticsQueries.regrTrend _),
+    "a_autocorr"         -> (AnalyticsQueries.autocorr _),
+    "a_benford"          -> (AnalyticsQueries.benfordDigits _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
     "a_correlated_subq"  -> (AnalyticsQueries.correlatedSubquery _),
     "a_outer_cross"      -> (AnalyticsQueries.outerCrossJoins _),
@@ -321,6 +326,12 @@ object SparkEntry {
 
     "lake_time_travel" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    // v1 full + v2 bad append, rolled back, + v4 corrected append
+    "lake_rollback" ->
+      """SELECT * FROM (SELECT * FROM customer
+        |  UNION ALL SELECT * FROM customer WHERE c_nationkey >= 20)
+        |ORDER BY c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment""".stripMargin,
 
     "lake_merge_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -1089,6 +1100,25 @@ object SparkEntry {
         |FROM p WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // corpus ∪ prefix-half copies: the asymmetric criterion's ground
+    // truth restated over string trigrams (same no-collision argument
+    // as d_ngram_jaccard); w[1:k] is end-inclusive like Spark's slice
+    "d_ngram_containment" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |u AS (SELECT doc_id, w FROM w0
+        |      UNION ALL
+        |      SELECT doc_id + 10000000, w[1 : CAST(greatest(len(w) // 2, 3) AS BIGINT)] FROM w0),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM u),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |SELECT a_id, b_id, a_sz, b_sz,
+        |  CAST(inter AS DOUBLE) / least(a_sz, b_sz) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / least(a_sz, b_sz) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "d_dedup_minhash" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -1853,6 +1883,56 @@ object SparkEntry {
         |  sum((CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
         |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))) AS psi
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact decimal/integer moments, then a fixed dag of double ops —
+    // identical on both engines regardless of reduction order
+    "a_regr_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(value AS DECIMAL(18,4)) AS y FROM events),
+        |m AS (SELECT event_type, min(sec) AS m FROM e GROUP BY event_type),
+        |mom AS (SELECT e.event_type, count(*) AS n,
+        |    CAST(sum(sec - m) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST((sec - m) * (sec - m) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(sec - m AS DECIMAL(14,0)) * y) AS DOUBLE) AS sxy
+        |  FROM e JOIN m USING (event_type) GROUP BY e.event_type)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0 AS slope_per_day,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+        |  (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |FROM mom ORDER BY event_type""".stripMargin,
+
+    // lag-1 serial correlation; pair order (ts, event_id) is unique so
+    // both engines build the identical pair set
+    "a_autocorr" ->
+      """WITH p AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS y,
+        |    lag(CAST(value AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |mom AS (SELECT event_type, count(*) AS n_pairs,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_pairs,
+        |  (n_pairs * sxy - sx * sy) /
+        |    (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
+        |FROM mom ORDER BY event_type""".stripMargin,
+
+    // leading digit from the fixed-scale DECIMAL rendering — both
+    // engines print scale-4 decimals identically, so no log10-at-a-
+    // power-boundary or float-format hazards
+    "a_benford" ->
+      """WITH d AS (SELECT CAST(regexp_extract(
+        |    CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INT) AS digit
+        |  FROM events WHERE value > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS observed,
+        |  log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected
+        |FROM c ORDER BY digit""".stripMargin,
+
     // time-range window as a self-join: every event pairs with its
     // user's events in the trailing hour (itself included), frame
     // bounds compared in absolute microseconds so the ts flavor is moot

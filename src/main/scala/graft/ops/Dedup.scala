@@ -78,6 +78,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** N-gram CONTAINMENT similarity join — the asymmetric complement of
+    * [[ngramJaccardPairs]]: containment = |A∩B| / min(|A|,|B|), the
+    * criterion that catches a document LARGELY EMBEDDED in a bigger one
+    * (quote farms, boilerplate wrappers, chunk-of-page duplicates) that
+    * Jaccard misses because the union is dominated by the larger side.
+    * Same inverted-index shape and 8-byte-hash shuffle economics as the
+    * Jaccard join; only the denominator differs, so skew and cost are
+    * identical. Emits both set sizes so a curation policy can keep the
+    * superset document (the smaller side is the contained one).
+    */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleHashFunctions
+          .shingle_hashes(TextOps.words(col(textCol)), n).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val inv = sh.select(col("id"), col("sz"),
+      explode(col("shingles")).as("sh_h"))
+    bucketPairs(inv, Seq("sh_h"), struct(col("id"), col("sz")))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("a_sz"), col("b_sz")))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("a_sz"), col("b_sz"), col("containment"))
+  }
+
   /** Shared banded-minhash kernel: per-document shingle-hash sets
     * ((id, sz, shingles) — the exact-verify side) and LSH band-bucket
     * rows ((id, band, bh) — the candidate-join side). Batch

@@ -784,4 +784,104 @@ object AnalyticsQueries {
           $"n".cast("double") < lit(0.5) * $"ewma").as("anomaly"))
       .orderBy($"event_type", $"hour")
   }
+
+  /** Per-group OLS trend: regression of `value` on event time (slope
+    * per day, intercept at the group's first event, R²) for each
+    * event_type. The five raw moments (Σx, Σx², Σy, Σy², Σxy)
+    * accumulate EXACTLY — x is whole epoch seconds re-based to the
+    * group minimum (`div` keeps it integral; re-basing keeps x² small
+    * enough that nothing saturates), y routes through DECIMAL(18,4) —
+    * so both engines reduce identical rationals regardless of row
+    * order, and the closed-form slope/intercept/R² are then a fixed
+    * dag of IEEE double ops. Shape: a tiny per-group min aggregate
+    * broadcast back, then ONE map-side-combined moment aggregate —
+    * the scan-shaped "fit a trend per key" primitive (drift monitors,
+    * burn-rate alerts); no per-key iteration, no driver math, and at
+    * 100 TB the moment pass shuffles 6 numbers per key.
+    */
+  def regrTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_type", expr("unix_micros(ts) div 1000000").as("sec"),
+        dec($"value").as("y"))
+    val mins = ev.groupBy($"event_type").agg(min($"sec").as("m"))
+    val mom = ev.join(broadcast(mins), Seq("event_type"))
+      .select($"event_type", ($"sec" - $"m").as("x"), $"y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast("double").as("sx"),
+        // x ≤ the group's time span in seconds, so x·x stays a safe
+        // long; the decimal cast is on the exact SUM side only
+        sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x".cast("decimal(14,0)") * $"y").cast("double").as("sxy"))
+    // written as the same op-dag on both sides: double arithmetic is
+    // deterministic once the inputs (exact-sum casts) are identical
+    val n = $"n".cast("double")
+    val vx = n * $"sxx" - $"sx" * $"sx"
+    val vy = n * $"syy" - $"sy" * $"sy"
+    val cov = n * $"sxy" - $"sx" * $"sy"
+    mom.select($"event_type", $"n",
+        (cov / vx * lit(86400.0)).as("slope_per_day"),
+        (($"sy" - cov / vx * $"sx") / n).as("intercept"),
+        (cov * cov / (vx * vy)).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  /** Lag-1 autocorrelation of `value` per event_type (serial
+    * dependence — the complement of [[regrTrend]]'s deterministic
+    * trend): consecutive-event pairs by (ts, event_id) within the
+    * group, then Pearson r over the pairs from exact decimal moments
+    * (same cross-engine determinism argument as [[regrTrend]]). One
+    * window pass builds the pairs (shuffle on event_type, sort by
+    * time), one aggregate reduces them; at 100 TB the window key is
+    * the parallelism unit and the aggregate output is one row per key.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val pairs = Tables(spark, dir).events
+      .select($"event_type", $"ts", $"event_id", dec($"value").as("y"))
+      .withColumn("x", lag($"y", 1).over(w))
+      .where($"x".isNotNull)
+    pairs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").cast("double").as("sx"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      .select($"event_type", $"n_pairs", {
+        val n = $"n_pairs".cast("double")
+        ((n * $"sxy" - $"sx" * $"sy") /
+          (sqrt(n * $"sxx" - $"sx" * $"sx") * sqrt(n * $"syy" - $"sy" * $"sy")))
+          .as("autocorr")
+      })
+      .orderBy($"event_type")
+  }
+
+  /** Benford first-digit QC: the distribution of leading significant
+    * digits of `value` against Benford's law — the classic fabricated-
+    * data / instrumentation-bug screen. The digit is extracted from
+    * the DECIMAL(18,4) rendering (both engines print decimals with
+    * fixed scale, so `[1-9]` first-match is engine-stable — no
+    * float-formatting or log10-at-a-power-boundary hazards), making
+    * the whole query one scan-stage projection plus a 9-row aggregate;
+    * at 100 TB it is a single map-side-combined count.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables(spark, dir).events
+      .where($"value" > 0)
+      .select(regexp_extract(dec($"value").cast("string"), "[1-9]", 0)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    counts
+      .select($"digit", $"n",
+        ($"n".cast("double") / sum($"n").over(total).cast("double")).as("observed"),
+        log10(lit(1.0) + lit(1.0) / $"digit".cast("double")).as("expected"))
+      .orderBy($"digit")
+  }
 }

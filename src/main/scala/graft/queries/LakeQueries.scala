@@ -124,6 +124,28 @@ object LakeQueries {
     t.readAsOf(v1.timestampMs).orderBy($"c_custkey")
   }
 
+  /** Snapshot rollback (Iceberg's `rollback_to_snapshot`) as a FORWARD
+    * commit: v1 full load, v2 a bad append, roll back to v1 (v3 — the
+    * audit trail keeps the bad snapshot readable; no data files move,
+    * the rollback is metadata-only), then a corrected append lands on
+    * the restored state (v4). The read-back proves post-rollback
+    * writes build on v1's content, not v2's — the recovery path every
+    * production lake needs after a bad load.
+    */
+  def rollback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val customer = Tables(spark, dir).customer
+    cat.write(customer, "bronze.customer", WriteMode.Overwrite)                           // v1
+    cat.write(customer.filter($"c_nationkey" < 10), "bronze.customer", WriteMode.Append)  // v2: bad load
+    val t = cat.table("bronze.customer")
+    val restored = t.rollbackTo(1L)                                                       // v3 ≡ v1
+    require(restored.version == 3L, s"rollback committed v${restored.version}, expected a forward v3")
+    cat.write(customer.filter($"c_nationkey" >= 20), "bronze.customer", WriteMode.Append) // v4
+    cat.read("bronze.customer")
+      .orderBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
   /** Table maintenance end-to-end (the Iceberg-extensions procedures
     * the reference enables: rewrite_data_files with sort,
     * expire_snapshots, remove_orphan_files): multi-commit history →

@@ -28,6 +28,29 @@ object SimQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Asymmetric near-dup: pairs where the smaller document's shingle
+    * set is ≥80% contained in the other's — the subset-duplicate class
+    * (boilerplate wrappers, quoted chunks, truncated mirrors) that the
+    * Jaccard join above is BLIND to. The corpus plants the evidence:
+    * each document unions with an id-offset PREFIX-HALF copy of
+    * itself, whose Jaccard to its source is ≈0.5 (below any dedup
+    * floor) while its containment is ≈1.0 — so the result is
+    * dominated by pairs only the asymmetric criterion finds. Exact
+    * via the same hashed-inverted-index kernel as the Jaccard join.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents.select($"doc_id", $"text")
+    val w = graft.ops.TextOps.words($"text")
+    // fixture docs have ≥10 words, so the half-prefix keeps ≥5 words
+    // (≥3 shingles); the greatest(…,3) floor guards a future fixture
+    val trunc = docs.select(($"doc_id" + 10000000L).as("doc_id"),
+      concat_ws(" ",
+        slice(w, lit(1), greatest(floor(size(w) / 2), lit(3)).cast("int"))).as("text"))
+    Dedup.ngramContainmentPairs(docs.unionByName(trunc), threshold = 0.8)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified — must equal
     * [[ngramJaccard]]'s output, which is exactly what the shared DuckDB
     * oracle checks. The fixture's true pairs sit at jaccard ≥ 0.90 at
