@@ -169,6 +169,7 @@ object SparkEntry {
     "a_ewma_anomaly"     -> (AnalyticsQueries.ewmaAnomaly _),
     "a_sessionize_batch" -> (AnalyticsQueries.sessionizeBatch _),
     "a_regr_trend"       -> (AnalyticsQueries.regrTrend _),
+    "a_bitmap_distinct"  -> (AnalyticsQueries.bitmapDistinct _),
     "a_autocorr"         -> (AnalyticsQueries.autocorr _),
     "a_benford"          -> (AnalyticsQueries.benfordDigits _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
@@ -1902,6 +1903,18 @@ object SparkEntry {
         |  (n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // exact distinct + exact overlap restated relationally; the engine
+    // side answers both from mergeable bitmap segments
+    "a_bitmap_distinct" ->
+      """WITH t AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY event_type),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT e.event_type, count(DISTINCT e.user_id) AS n_also
+        |  FROM events e JOIN p USING (user_id) GROUP BY e.event_type)
+        |SELECT t.event_type, t.n_users, coalesce(i.n_also, 0) AS n_also_purchase
+        |FROM t LEFT JOIN i ON t.event_type = i.event_type
+        |ORDER BY t.event_type""".stripMargin,
 
     // lag-1 serial correlation; pair order (ts, event_id) is unique so
     // both engines build the identical pair set

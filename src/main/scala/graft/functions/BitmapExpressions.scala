@@ -1,0 +1,163 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Shared codec + set algebra over serialized Roaring64 bitmaps.
+  * Plain object ⇒ Scala emits static forwarders, so generated Java
+  * calls `graft.functions.BitmapOps.count(bytes)` directly.
+  */
+object BitmapOps {
+  def toBytes(bm: Roaring64Bitmap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    bm.serialize(new DataOutputStream(bos))
+    bos.toByteArray
+  }
+  def fromBytes(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap()
+    bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    bm
+  }
+  def count(bytes: Array[Byte]): Long = fromBytes(bytes).getLongCardinality
+  def andCount(a: Array[Byte], b: Array[Byte]): Long =
+    Roaring64Bitmap.andCardinality(fromBytes(a), fromBytes(b))
+  def orCount(a: Array[Byte], b: Array[Byte]): Long = {
+    val x = fromBytes(a); x.or(fromBytes(b)); x.getLongCardinality
+  }
+}
+
+/** `bitmap_agg(id)` — EXACT distinct-id set per group as a compressed
+  * Roaring bitmap (`binary` result), the ClickHouse `groupBitmap` /
+  * Druid segment shape for count-distinct at scale.
+  *
+  * Why a bitmap instead of `count(distinct id)`: the partial state is
+  * MERGEABLE and REUSABLE. Map-side partials bound the shuffle to one
+  * compressed bitmap per group per partition (vs. every distinct id
+  * crossing the wire for the built-in's expand-then-dedup plan), and
+  * the materialized segments answer an entire family of follow-ups —
+  * audience overlap, retention intersections, incremental rollups —
+  * with driver-free set algebra ([[BitmapCountExpr]] /
+  * [[BitmapAndCountExpr]]) instead of re-scanning 100 TB of raw
+  * events. Null ids are ignored (standard aggregate semantics).
+  */
+case class BitmapAggExpr(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_agg expects a bigint id, got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_agg"
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(b: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) b.addLong(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    b.or(other); b
+  }
+
+  override def eval(b: Roaring64Bitmap): Any = BitmapOps.toBytes(b)
+  override def serialize(b: Roaring64Bitmap): Array[Byte] = BitmapOps.toBytes(b)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = BitmapOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAggExpr =
+    copy(child = newChildren(0))
+}
+
+/** `bitmap_count(bm)` — cardinality of a serialized bitmap. Runs over
+  * aggregate OUTPUT rows (one per group), never the raw scan.
+  */
+case class BitmapCountExpr(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bitmap_count expects binary, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    BitmapOps.count(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BitmapOps.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitmapCountExpr =
+    copy(child = newChild)
+}
+
+/** `bitmap_and_count(a, b)` — |A ∩ B| without materializing either id
+  * set: audience overlap / retention intersections as pure segment
+  * algebra over already-aggregated bitmaps.
+  */
+case class BitmapAndCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_and_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.andCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BitmapAndCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bitmap_or_count(a, b)` — |A ∪ B| over serialized segments. */
+case class BitmapOrCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_or_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.orCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.orCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BitmapOrCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapFunctions {
+  def bitmap_agg(id: Column): Column =
+    GraftColumnBridge.column(BitmapAggExpr(
+      GraftColumnBridge.expression(id.cast("long"))).toAggregateExpression())
+  def bitmap_count(bm: Column): Column =
+    GraftColumnBridge.column(BitmapCountExpr(GraftColumnBridge.expression(bm)))
+  def bitmap_and_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(BitmapAndCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def bitmap_or_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(BitmapOrCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -158,6 +158,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bloom_might_contain filter must be a binary literal, got $other")
         } }))
 
+    // exact-distinct bitmap segments + driver-free set algebra
+    // (ClickHouse groupBitmap* surface)
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAggExpr].getName, "bitmap_agg"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap_agg")
+        graft.functions.BitmapAggExpr(
+          Cast(args(0), org.apache.spark.sql.types.LongType)) }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCountExpr].getName, "bitmap_count"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap_count")
+        graft.functions.BitmapCountExpr(args(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_and_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndCountExpr].getName, "bitmap_and_count"),
+      (args: Seq[Expression]) => { arity(args, 2, "bitmap_and_count")
+        graft.functions.BitmapAndCountExpr(args(0), args(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_or_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrCountExpr].getName, "bitmap_or_count"),
+      (args: Seq[Expression]) => { arity(args, 2, "bitmap_or_count")
+        graft.functions.BitmapOrCountExpr(args(0), args(1)) }))
+
     // single-pass text kernels (string → int/boolean; no coercion needed
     // beyond an implicit string cast)
     def textKernel(name: String, clazz: Class[_], build: Expression => Expression): Unit =

@@ -785,6 +785,30 @@ object AnalyticsQueries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Exact audience segments as Roaring bitmaps: distinct users per
+    * event_type ([[graft.functions.BitmapAggExpr]]) plus each
+    * segment's overlap with the `purchase` segment — the overlap is
+    * SET ALGEBRA over the already-aggregated bitmaps
+    * (`bitmap_and_count`), not a second scan of raw events. At 100 TB
+    * this is the ClickHouse `groupBitmap` / Druid-segment plan:
+    * map-side partials ship one compressed bitmap per group per
+    * partition instead of every distinct id, and any follow-up
+    * overlap/retention question is answered from the segments alone.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BitmapFunctions._
+    val seg = Tables(spark, dir).events
+      .groupBy($"event_type")
+      .agg(bitmap_agg($"user_id").as("bm"))
+    val purchase = seg.where($"event_type" === "purchase").select($"bm".as("pbm"))
+    seg.crossJoin(broadcast(purchase))
+      .select($"event_type",
+        bitmap_count($"bm").as("n_users"),
+        bitmap_and_count($"bm", $"pbm").as("n_also_purchase"))
+      .orderBy($"event_type")
+  }
+
   /** Per-group OLS trend: regression of `value` on event time (slope
     * per day, intercept at the group's first event, R²) for each
     * event_type. The five raw moments (Σx, Σx², Σy, Σy², Σxy)

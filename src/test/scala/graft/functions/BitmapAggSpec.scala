@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Exact-distinct bitmap segments: cardinalities must equal
+  * count(distinct) under any partitioning (the merge path), set
+  * algebra must equal real set ops, and the SQL surface must resolve.
+  */
+class BitmapAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import BitmapFunctions._
+
+  private def df = {
+    import spark.implicits._
+    // overlapping id sets per group; duplicates within groups
+    val rows = (for (i <- 0L until 400L) yield ("a", i % 37L)) ++
+      (for (i <- 0L until 300L) yield ("b", i % 23L + 20L)) ++
+      Seq(("a", -5L), ("b", -5L)) // negative ids must survive too
+    rows.toDF("g", "id")
+  }
+
+  test("cardinality equals count(distinct) across the 26-partition merge path") {
+    import spark.implicits._
+    val got = df.repartition(26)
+      .groupBy($"g").agg(bitmap_count(bitmap_agg($"id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy($"g").agg(countDistinct($"id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got("a") === 38L) // 37 residues + the negative id
+  }
+
+  test("and/or counts equal real set intersections and unions") {
+    import spark.implicits._
+    val seg = df.groupBy($"g").agg(bitmap_agg($"id").as("bm"))
+    val a = seg.where($"g" === "a").select($"bm".as("abm"))
+    val b = seg.where($"g" === "b").select($"bm".as("bbm"))
+    val r = a.crossJoin(b)
+      .select(bitmap_and_count($"abm", $"bbm").as("i"),
+        bitmap_or_count($"abm", $"bbm").as("u"))
+      .collect().head
+    val sa = df.where($"g" === "a").select($"id").collect().map(_.getLong(0)).toSet
+    val sb = df.where($"g" === "b").select($"id").collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) === (sa & sb).size.toLong)
+    assert(r.getLong(1) === (sa | sb).size.toLong)
+  }
+
+  test("null ids are ignored; SQL surface resolves all four functions") {
+    import spark.implicits._
+    Seq(Some(1L), None, Some(2L), Some(1L))
+      .toDF("id").createOrReplaceTempView("bm_in")
+    val out = spark.sql(
+      """SELECT bitmap_count(bm) AS n,
+        |  bitmap_and_count(bm, bm) AS i, bitmap_or_count(bm, bm) AS u
+        |FROM (SELECT bitmap_agg(id) AS bm FROM bm_in)""".stripMargin).collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 2L && out.getLong(2) === 2L)
+  }
+}
