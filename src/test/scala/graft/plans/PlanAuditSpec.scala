@@ -234,4 +234,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") <= 2, p)
   }
+
+  test("regr trend: per-group min broadcasts onto ONE map-side-combined moment pass") {
+    // two tiny aggregates (min, moments), each map-side partial; the
+    // min result broadcasts back so the events scan never shuffles
+    // for the join — at most the two aggregates' hash exchanges
+    val p = finalPlan(AnalyticsQueries.regrTrend(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("autocorr: the moment aggregate rides the lag window's type exchange") {
+    // window partitions by event_type; the subsequent groupBy reuses
+    // that partitioning — one hash exchange total
+    val p = finalPlan(AnalyticsQueries.autocorr(spark, dir))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("bitmap segments aggregate partially map-side; overlap joins one broadcast row") {
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // pass (one bitmap per group per partition on the wire); the
+    // 1-row purchase segment broadcasts for the overlap
+    val p = finalPlan(AnalyticsQueries.bitmapDistinct(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_bitmap_agg"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("containment join is inverted-index shaped: an equi-join on the shingle hash, never all-pairs") {
+    // at sf0.001 AQE broadcasts the tiny index side; at scale the same
+    // plan shuffles on sh_h — either way it's a hash EQUI-join keyed by
+    // the shingle hash, never a cartesian/nested-loop pair explosion
+    val p = finalPlan(SimQueries.ngramContainment(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join [sh_h") || p.contains("hashpartitioning(sh_h") ||
+      p.contains("[sh_h"), p)
+  }
 }
