@@ -34,6 +34,8 @@ object SparkEntry {
     "q1_pricing_summary" -> (RelationalQueries.pricingSummary _),
     "q3_revenue_topk"    -> (RelationalQueries.revenueTopk _),
     "q5_nation_revenue"  -> (RelationalQueries.nationRevenue _),
+    "q10_returned_topk"  -> (RelationalQueries.returnedTopk _),
+    "q18_big_orders"     -> (RelationalQueries.bigOrders _),
     "q_orders_per_cust"  -> (RelationalQueries.ordersPerCustomer _),
     "q_skew_salted_join" -> (RelationalQueries.skewSaltedJoin _),
     "q_window_running"   -> (RelationalQueries.windowRunning _),
@@ -241,6 +243,31 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY 1, 2 ORDER BY rev_d DESC, l_orderkey LIMIT 10)
         |ORDER BY revenue DESC, l_orderkey""".stripMargin,
+
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal, CAST(rev_d AS DOUBLE) AS revenue FROM (
+        |  SELECT c_custkey, c_name, n_name, c_acctbal,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1, 2, 3, 4 ORDER BY rev_d DESC, c_custkey LIMIT 20)
+        |ORDER BY revenue DESC, c_custkey""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(qty_d AS DOUBLE) AS sum_qty FROM (
+        |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+        |  ORDER BY qty_d DESC, o_orderkey LIMIT 100)
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue

@@ -176,6 +176,59 @@ object RelationalQueries {
       .orderBy($"revenue".desc, $"l_orderkey")
   }
 
+  /** TPC-H Q10-shaped (returned-item report): revenue lost to returns
+    * per customer in one quarter, top 20. The quarter filter cuts
+    * orders BEFORE the fact-fact join (at sf the filtered side fits a
+    * broadcast under AQE; at 100 TB it's a shuffle join on orderkey
+    * whose build side is one quarter, not seven years), the per-
+    * customer aggregate shrinks the frame to customer cardinality
+    * before the dimension joins, and nation broadcasts. Top-20 plans
+    * as TakeOrderedAndProject — no global sort.
+    */
+  def returnedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val lo = graft.SqlCompat.utcTimestamp("1996-01-01 00:00:00")
+    val hi = graft.SqlCompat.utcTimestamp("1996-04-01 00:00:00")
+    val ord = t.orders
+      .filter($"o_orderdate" >= lit(lo) && $"o_orderdate" < lit(hi))
+      .select($"o_orderkey", $"o_custkey")
+    val rev = t.lineitem.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev_d"))
+    rev.join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .orderBy($"rev_d".desc, $"c_custkey").limit(20)
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal",
+        $"rev_d".cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+  }
+
+  /** TPC-H Q18-shaped (large-volume orders): orders whose total
+    * quantity crosses a threshold, with their customers, top 100 by
+    * volume. The HAVING aggregate runs FIRST so only qualifying
+    * orderkeys (a tiny fraction) reach the orders/customer joins —
+    * the pre-aggregate-then-join shape that keeps the join input
+    * threshold-bounded instead of lineitem-sized at 100 TB.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .select($"l_orderkey", $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty_d"))
+      .where($"qty_d" > 150)
+    big.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .orderBy($"qty_d".desc, $"o_orderkey").limit(100)
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"qty_d".cast("double").as("sum_qty"))
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+  }
+
   /** TPC-H Q5-shaped: star join through supplier→nation→region with
     * all three dimensions broadcast (they are tiny at any scale factor;
     * nation/region are bounded at 25/5 rows even at 100 TB).
