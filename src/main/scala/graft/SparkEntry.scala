@@ -172,6 +172,7 @@ object SparkEntry {
     "a_sessionize_batch" -> (AnalyticsQueries.sessionizeBatch _),
     "a_regr_trend"       -> (AnalyticsQueries.regrTrend _),
     "a_bitmap_distinct"  -> (AnalyticsQueries.bitmapDistinct _),
+    "a_rolling_distinct" -> (AnalyticsQueries.rollingDistinct _),
     "a_autocorr"         -> (AnalyticsQueries.autocorr _),
     "a_benford"          -> (AnalyticsQueries.benfordDigits _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
@@ -1942,6 +1943,21 @@ object SparkEntry {
         |SELECT t.event_type, t.n_users, coalesce(i.n_also, 0) AS n_also_purchase
         |FROM t LEFT JOIN i ON t.event_type = i.event_type
         |ORDER BY t.event_type""".stripMargin,
+
+    // DAU/WAU restated relationally (distinct + range self-join); the
+    // engine answers the rolling window by OR-merging daily segments
+    "a_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT event_type, day, count(*) AS dau FROM d GROUP BY 1, 2),
+        |w AS (SELECT a.event_type, a.day, count(DISTINCT b.user_id) AS wau
+        |  FROM (SELECT DISTINCT event_type, day FROM d) a
+        |  JOIN d b ON a.event_type = b.event_type
+        |    AND b.day BETWEEN a.day - 6 AND a.day
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, dau, wau
+        |FROM dau JOIN w USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     // lag-1 serial correlation; pair order (ts, event_id) is unique so
     // both engines build the identical pair set

@@ -89,6 +89,52 @@ case class BitmapAggExpr(child: Expression,
     copy(child = newChildren(0))
 }
 
+/** `bitmap_or_agg(bm)` — UNION of already-aggregated serialized
+  * segments (ClickHouse `groupBitmapOrState`). This is what makes
+  * bitmap segments composable upward: daily per-key segments OR-merge
+  * into weekly/monthly distinct sets without ever touching raw ids —
+  * the only exact answer to non-additive rolling distinct counts that
+  * doesn't re-scan the fact table per window.
+  */
+case class BitmapOrAggExpr(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or_agg expects a serialized bitmap (binary), got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_or_agg"
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(b: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) b.or(BitmapOps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    b.or(other); b
+  }
+
+  override def eval(b: Roaring64Bitmap): Any = BitmapOps.toBytes(b)
+  override def serialize(b: Roaring64Bitmap): Array[Byte] = BitmapOps.toBytes(b)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = BitmapOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapOrAggExpr =
+    copy(child = newChildren(0))
+}
+
 /** `bitmap_count(bm)` — cardinality of a serialized bitmap. Runs over
   * aggregate OUTPUT rows (one per group), never the raw scan.
   */
@@ -152,6 +198,9 @@ object BitmapFunctions {
   def bitmap_agg(id: Column): Column =
     GraftColumnBridge.column(BitmapAggExpr(
       GraftColumnBridge.expression(id.cast("long"))).toAggregateExpression())
+  def bitmap_or_agg(bm: Column): Column =
+    GraftColumnBridge.column(BitmapOrAggExpr(
+      GraftColumnBridge.expression(bm)).toAggregateExpression())
   def bitmap_count(bm: Column): Column =
     GraftColumnBridge.column(BitmapCountExpr(GraftColumnBridge.expression(bm)))
   def bitmap_and_count(a: Column, b: Column): Column =

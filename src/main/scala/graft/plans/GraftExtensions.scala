@@ -167,6 +167,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BitmapAggExpr(
           Cast(args(0), org.apache.spark.sql.types.LongType)) }))
     ext.injectFunction((
+      FunctionIdentifier("bitmap_or_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrAggExpr].getName, "bitmap_or_agg"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap_or_agg")
+        graft.functions.BitmapOrAggExpr(args(0)) }))
+    ext.injectFunction((
       FunctionIdentifier("bitmap_count"),
       new ExpressionInfo(classOf[graft.functions.BitmapCountExpr].getName, "bitmap_count"),
       (args: Seq[Expression]) => { arity(args, 1, "bitmap_count")

@@ -809,6 +809,35 @@ object AnalyticsQueries {
       .orderBy($"event_type")
   }
 
+  /** Rolling-window distinct users (DAU + trailing-7-day WAU) per
+    * event_type — THE non-additive metric: a week's distinct count is
+    * not the sum of its days, so the classic answer re-scans the fact
+    * table once per window. Bitmap segments make it one scan total:
+    * daily per-type segments aggregate once
+    * ([[graft.functions.BitmapAggExpr]]), then every (type, day)
+    * OR-merges its trailing week of DAILY segments
+    * ([[graft.functions.BitmapOrAggExpr]]) — a frame bounded by
+    * |types|×|days| rows regardless of corpus size. At 100 TB the
+    * fact table is read exactly once; the rolling pass touches only
+    * aggregate output.
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BitmapFunctions._
+    val daily = Tables(spark, dir).events
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(bitmap_agg($"user_id").as("bm"))
+      .withColumn("dau", bitmap_count($"bm"))
+    daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"b.day" >= date_sub($"a.day", 6) && $"b.day" <= $"a.day")
+      .groupBy($"a.event_type".as("event_type"), $"a.day".as("day"))
+      .agg(max(when($"b.day" === $"a.day", $"b.dau")).as("dau"),
+        bitmap_count(bitmap_or_agg($"b.bm")).as("wau"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Per-group OLS trend: regression of `value` on event time (slope
     * per day, intercept at the group's first event, R²) for each
     * event_type. The five raw moments (Σx, Σx², Σy, Σy², Σxy)

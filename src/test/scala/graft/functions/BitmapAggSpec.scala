@@ -47,14 +47,25 @@ class BitmapAggSpec extends AnyFunSuite {
     assert(r.getLong(1) === (sa | sb).size.toLong)
   }
 
+  test("or-agg unions already-aggregated segments to the exact global distinct") {
+    import spark.implicits._
+    val seg = df.repartition(13).groupBy($"g").agg(bitmap_agg($"id").as("bm"))
+    val merged = seg.agg(bitmap_count(bitmap_or_agg($"bm")).as("n")).collect().head.getLong(0)
+    val want = df.select(countDistinct($"id")).collect().head.getLong(0)
+    assert(merged === want)
+  }
+
   test("null ids are ignored; SQL surface resolves all four functions") {
     import spark.implicits._
     Seq(Some(1L), None, Some(2L), Some(1L))
       .toDF("id").createOrReplaceTempView("bm_in")
     val out = spark.sql(
       """SELECT bitmap_count(bm) AS n,
-        |  bitmap_and_count(bm, bm) AS i, bitmap_or_count(bm, bm) AS u
-        |FROM (SELECT bitmap_agg(id) AS bm FROM bm_in)""".stripMargin).collect().head
-    assert(out.getLong(0) === 2L && out.getLong(1) === 2L && out.getLong(2) === 2L)
+        |  bitmap_and_count(bm, bm) AS i, bitmap_or_count(bm, bm) AS u,
+        |  bitmap_count(bitmap_or_agg(bm)) AS oa
+        |FROM (SELECT bitmap_agg(id) AS bm FROM bm_in)
+        |GROUP BY bm""".stripMargin).collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 2L &&
+      out.getLong(2) === 2L && out.getLong(3) === 2L)
   }
 }
