@@ -104,6 +104,7 @@ object SparkEntry {
     "t_chunk_overlap"    -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "t_bm25_topk"        -> ((s, d) => TextQueries.bm25TopK(s, d)),
     "t_unigram_logprob"  -> (TextQueries.unigramLogProb _),
+    "t_ccnet_tiers"      -> (TextQueries.ccnetTiers _),
     "t_bigram_logprob"   -> (TextQueries.bigramLogProb _),
     "t_idf_keywords"     -> ((s, d) => TextQueries.idfKeywords(s, d)),
     "t_heavy_hitters"    -> (TextQueries.heavyHitters _),
@@ -1011,6 +1012,26 @@ object SparkEntry {
         |  round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
         |FROM t JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing: ntile over (rounded score desc, doc_id) is a
+    // total order, so both engines cut identical terciles per lang
+    "t_ccnet_tiers" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS corpus_tokens FROM lm),
+        |s AS (SELECT doc_id, lang,
+        |    round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
+        |  FROM t JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id, lang),
+        |r AS (SELECT lang, mean_logprob, doc_id,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY mean_logprob DESC, doc_id) AS tier
+        |  FROM s)
+        |SELECT lang, tier,
+        |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(mean_logprob AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM r GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
 
     // tf-idf top-3 keywords per doc; row_number ties break on term so
     // both engines rank identically

@@ -647,4 +647,41 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"), round(avg($"lp"), 6).as("mean_logprob"))
       .orderBy($"doc_id")
   }
+
+  /** CCNet-style perplexity bucketing: per LANGUAGE, documents split
+    * into head/middle/tail terciles of their unigram-LM score (the
+    * published curation recipe keeps head+middle, drops tail). The
+    * LM score is [[unigramLogProb]]'s definition; the tercile is an
+    * `ntile(3)` over a lang-PARTITIONED window ordered by
+    * (score desc, doc_id) — the per-language partition is what keeps
+    * the global-sort out: each language ranks independently, so
+    * parallelism is language cardinality and no single worker ever
+    * sees the whole corpus. Output is the per-(lang, tier) census
+    * with an exact-decimal mean score.
+    */
+  def ccnetTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", $"lang", explode(TextOps.words($"text")).as("term"))
+    val lm = toks.groupBy($"term").agg(count(lit(1)).as("tc"))
+    val totals = lm.agg(sum($"tc").cast("double").as("corpus_tokens"))
+    val scored = toks.join(lm, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"lang",
+        log($"tc".cast("double") / $"corpus_tokens").as("lp"))
+      .groupBy($"doc_id", $"lang")
+      .agg(round(avg($"lp"), 6).as("mean_logprob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"mean_logprob".desc, $"doc_id")
+    scored.withColumn("tier", ntile(3).over(w))
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"mean_logprob".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_logprob"))
+      .select($"lang", $"tier",
+        when($"tier" === 1, "head").when($"tier" === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        $"n_docs", $"avg_logprob")
+      .orderBy($"lang", $"tier")
+  }
 }
