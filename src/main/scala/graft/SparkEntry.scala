@@ -145,6 +145,7 @@ object SparkEntry {
     "s_delta_stream"     -> (StreamQueries.deltaStream _),
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
+    "s_segment_maintain"   -> (StreamQueries.segmentMaintain _),
     "s_join_view_stream"   -> (StreamQueries.joinViewStream _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
@@ -1964,6 +1965,13 @@ object SparkEntry {
         |SELECT t.event_type, t.n_users, coalesce(i.n_also, 0) AS n_also_purchase
         |FROM t LEFT JOIN i ON t.event_type = i.event_type
         |ORDER BY t.event_type""".stripMargin,
+
+    // streamed segment store's daily counts == the relational distinct
+    "s_segment_maintain" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events)
+        |SELECT event_type, day, count(*) AS dau
+        |FROM d GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
     // DAU/WAU restated relationally (distinct + range self-join); the
     // engine answers the rolling window by OR-merging daily segments

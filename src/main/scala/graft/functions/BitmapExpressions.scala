@@ -36,7 +36,7 @@ object BitmapOps {
   }
 }
 
-/** `bitmap_agg(id)` — EXACT distinct-id set per group as a compressed
+/** `bitmap64_agg(id)` — EXACT distinct-id set per group as a compressed
   * Roaring bitmap (`binary` result), the ClickHouse `groupBitmap` /
   * Druid segment shape for count-distinct at scale.
   *
@@ -49,6 +49,16 @@ object BitmapOps {
   * with driver-free set algebra ([[BitmapCountExpr]] /
   * [[BitmapAndCountExpr]]) instead of re-scanning 100 TB of raw
   * events. Null ids are ignored (standard aggregate semantics).
+  *
+  * Spark 4 ships its own `bitmap_construct_agg` family, but those are
+  * DENSE fixed 4 KB buckets: callers must pre-shard ids with
+  * `bitmap_bucket_number`/`bitmap_bit_position` (one output row per
+  * 32768-id range per group) and no intersection operator exists.
+  * Roaring gives one compressed segment per group for arbitrary
+  * 64-bit ids plus AND/OR algebra — hence the custom aggregate. The
+  * whole family is namespaced `bitmap64_*` in both the SQL registry
+  * and [[BitmapFunctions]], so none of Spark's built-in `bitmap_*`
+  * names are shadowed.
   */
 case class BitmapAggExpr(child: Expression,
                          mutableAggBufferOffset: Int = 0,
@@ -59,10 +69,10 @@ case class BitmapAggExpr(child: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bitmap_agg expects a bigint id, got ${child.dataType}")
+      s"bitmap64_agg expects a bigint id, got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "bitmap_agg"
+  override def prettyName: String = "bitmap64_agg"
 
   override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
 
@@ -89,7 +99,7 @@ case class BitmapAggExpr(child: Expression,
     copy(child = newChildren(0))
 }
 
-/** `bitmap_or_agg(bm)` — UNION of already-aggregated serialized
+/** `bitmap64_or_agg(bm)` — UNION of already-aggregated serialized
   * segments (ClickHouse `groupBitmapOrState`). This is what makes
   * bitmap segments composable upward: daily per-key segments OR-merge
   * into weekly/monthly distinct sets without ever touching raw ids —
@@ -105,10 +115,10 @@ case class BitmapOrAggExpr(child: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bitmap_or_agg expects a serialized bitmap (binary), got ${child.dataType}")
+      s"bitmap64_or_agg expects a serialized bitmap (binary), got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "bitmap_or_agg"
+  override def prettyName: String = "bitmap64_or_agg"
 
   override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
 
@@ -135,16 +145,16 @@ case class BitmapOrAggExpr(child: Expression,
     copy(child = newChildren(0))
 }
 
-/** `bitmap_count(bm)` — cardinality of a serialized bitmap. Runs over
+/** `bitmap64_count(bm)` — cardinality of a serialized bitmap. Runs over
   * aggregate OUTPUT rows (one per group), never the raw scan.
   */
 case class BitmapCountExpr(child: Expression)
   extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "bitmap_count"
+  override def prettyName: String = "bitmap64_count"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"bitmap_count expects binary, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckFailure(s"bitmap64_count expects binary, got ${child.dataType}")
   override protected def nullSafeEval(input: Any): Any =
     BitmapOps.count(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -153,19 +163,19 @@ case class BitmapCountExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** `bitmap_and_count(a, b)` — |A ∩ B| without materializing either id
+/** `bitmap64_and_count(a, b)` — |A ∩ B| without materializing either id
   * set: audience overlap / retention intersections as pure segment
   * algebra over already-aggregated bitmaps.
   */
 case class BitmapAndCountExpr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "bitmap_and_count"
+  override def prettyName: String = "bitmap64_and_count"
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bitmap_and_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+      s"bitmap64_and_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
   override protected def nullSafeEval(a: Any, b: Any): Any =
     BitmapOps.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -175,16 +185,16 @@ case class BitmapAndCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `bitmap_or_count(a, b)` — |A ∪ B| over serialized segments. */
+/** `bitmap64_or_count(a, b)` — |A ∪ B| over serialized segments. */
 case class BitmapOrCountExpr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "bitmap_or_count"
+  override def prettyName: String = "bitmap64_or_count"
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bitmap_or_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+      s"bitmap64_or_count expects (binary, binary), got (${left.dataType}, ${right.dataType})")
   override protected def nullSafeEval(a: Any, b: Any): Any =
     BitmapOps.orCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -195,18 +205,18 @@ case class BitmapOrCountExpr(left: Expression, right: Expression)
 }
 
 object BitmapFunctions {
-  def bitmap_agg(id: Column): Column =
+  def bitmap64_agg(id: Column): Column =
     GraftColumnBridge.column(BitmapAggExpr(
       GraftColumnBridge.expression(id.cast("long"))).toAggregateExpression())
-  def bitmap_or_agg(bm: Column): Column =
+  def bitmap64_or_agg(bm: Column): Column =
     GraftColumnBridge.column(BitmapOrAggExpr(
       GraftColumnBridge.expression(bm)).toAggregateExpression())
-  def bitmap_count(bm: Column): Column =
+  def bitmap64_count(bm: Column): Column =
     GraftColumnBridge.column(BitmapCountExpr(GraftColumnBridge.expression(bm)))
-  def bitmap_and_count(a: Column, b: Column): Column =
+  def bitmap64_and_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitmapAndCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
-  def bitmap_or_count(a: Column, b: Column): Column =
+  def bitmap64_or_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitmapOrCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

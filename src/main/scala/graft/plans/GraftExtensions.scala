@@ -161,30 +161,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exact-distinct bitmap segments + driver-free set algebra
     // (ClickHouse groupBitmap* surface)
     ext.injectFunction((
-      FunctionIdentifier("bitmap_agg"),
-      new ExpressionInfo(classOf[graft.functions.BitmapAggExpr].getName, "bitmap_agg"),
-      (args: Seq[Expression]) => { arity(args, 1, "bitmap_agg")
+      FunctionIdentifier("bitmap64_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAggExpr].getName, "bitmap64_agg"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap64_agg")
         graft.functions.BitmapAggExpr(
           Cast(args(0), org.apache.spark.sql.types.LongType)) }))
     ext.injectFunction((
-      FunctionIdentifier("bitmap_or_agg"),
-      new ExpressionInfo(classOf[graft.functions.BitmapOrAggExpr].getName, "bitmap_or_agg"),
-      (args: Seq[Expression]) => { arity(args, 1, "bitmap_or_agg")
+      FunctionIdentifier("bitmap64_or_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrAggExpr].getName, "bitmap64_or_agg"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap64_or_agg")
         graft.functions.BitmapOrAggExpr(args(0)) }))
     ext.injectFunction((
-      FunctionIdentifier("bitmap_count"),
-      new ExpressionInfo(classOf[graft.functions.BitmapCountExpr].getName, "bitmap_count"),
-      (args: Seq[Expression]) => { arity(args, 1, "bitmap_count")
+      FunctionIdentifier("bitmap64_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCountExpr].getName, "bitmap64_count"),
+      (args: Seq[Expression]) => { arity(args, 1, "bitmap64_count")
         graft.functions.BitmapCountExpr(args(0)) }))
     ext.injectFunction((
-      FunctionIdentifier("bitmap_and_count"),
-      new ExpressionInfo(classOf[graft.functions.BitmapAndCountExpr].getName, "bitmap_and_count"),
-      (args: Seq[Expression]) => { arity(args, 2, "bitmap_and_count")
+      FunctionIdentifier("bitmap64_and_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndCountExpr].getName, "bitmap64_and_count"),
+      (args: Seq[Expression]) => { arity(args, 2, "bitmap64_and_count")
         graft.functions.BitmapAndCountExpr(args(0), args(1)) }))
     ext.injectFunction((
-      FunctionIdentifier("bitmap_or_count"),
-      new ExpressionInfo(classOf[graft.functions.BitmapOrCountExpr].getName, "bitmap_or_count"),
-      (args: Seq[Expression]) => { arity(args, 2, "bitmap_or_count")
+      FunctionIdentifier("bitmap64_or_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrCountExpr].getName, "bitmap64_or_count"),
+      (args: Seq[Expression]) => { arity(args, 2, "bitmap64_or_count")
         graft.functions.BitmapOrCountExpr(args(0), args(1)) }))
 
     // single-pass text kernels (string → int/boolean; no coercion needed

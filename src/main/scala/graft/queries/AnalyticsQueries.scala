@@ -789,7 +789,7 @@ object AnalyticsQueries {
     * event_type ([[graft.functions.BitmapAggExpr]]) plus each
     * segment's overlap with the `purchase` segment — the overlap is
     * SET ALGEBRA over the already-aggregated bitmaps
-    * (`bitmap_and_count`), not a second scan of raw events. At 100 TB
+    * (`bitmap64_and_count`), not a second scan of raw events. At 100 TB
     * this is the ClickHouse `groupBitmap` / Druid-segment plan:
     * map-side partials ship one compressed bitmap per group per
     * partition instead of every distinct id, and any follow-up
@@ -800,12 +800,12 @@ object AnalyticsQueries {
     import graft.functions.BitmapFunctions._
     val seg = Tables(spark, dir).events
       .groupBy($"event_type")
-      .agg(bitmap_agg($"user_id").as("bm"))
+      .agg(bitmap64_agg($"user_id").as("bm"))
     val purchase = seg.where($"event_type" === "purchase").select($"bm".as("pbm"))
     seg.crossJoin(broadcast(purchase))
       .select($"event_type",
-        bitmap_count($"bm").as("n_users"),
-        bitmap_and_count($"bm", $"pbm").as("n_also_purchase"))
+        bitmap64_count($"bm").as("n_users"),
+        bitmap64_and_count($"bm", $"pbm").as("n_also_purchase"))
       .orderBy($"event_type")
   }
 
@@ -827,14 +827,14 @@ object AnalyticsQueries {
     val daily = Tables(spark, dir).events
       .select($"event_type", to_date($"ts").as("day"), $"user_id")
       .groupBy($"event_type", $"day")
-      .agg(bitmap_agg($"user_id").as("bm"))
-      .withColumn("dau", bitmap_count($"bm"))
+      .agg(bitmap64_agg($"user_id").as("bm"))
+      .withColumn("dau", bitmap64_count($"bm"))
     daily.as("a").join(daily.as("b"),
         $"a.event_type" === $"b.event_type" &&
           $"b.day" >= date_sub($"a.day", 6) && $"b.day" <= $"a.day")
       .groupBy($"a.event_type".as("event_type"), $"a.day".as("day"))
       .agg(max(when($"b.day" === $"a.day", $"b.dau")).as("dau"),
-        bitmap_count(bitmap_or_agg($"b.bm")).as("wau"))
+        bitmap64_count(bitmap64_or_agg($"b.bm")).as("wau"))
       .orderBy($"event_type", $"day")
   }
 

@@ -377,4 +377,32 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), graft.SqlCompat.sumd($"value").as("sum_value"))
       .orderBy($"event_type")
   }
+
+  /** Streaming maintenance of exact distinct-user segments
+    * ([[graft.ops.BitmapSegments]]): events land in a lake table over
+    * three commits, the committed-commit stream folds each commit's
+    * per-(type, day) bitmaps into the segment store (OR-merge +
+    * equality-delete upsert, batch-marker exactly-once), with a
+    * RESTART between the second and third commit proving the
+    * checkpoint resumes past already-folded history. The result —
+    * DAU per (type, day) — is read from segment cardinalities alone;
+    * the oracle recomputes it relationally from raw events.
+    */
+  def segmentMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{LakeCatalog, LakeTable, WriteMode}
+    val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-seg-").toString)
+    val events = Tables(spark, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+    cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 1), WriteMode.Append)
+    val segT = new LakeTable(spark,
+      LakeQueries.scratchDir("graft-seg-store-").resolve("segments").toString)
+    val ckpt = LakeQueries.scratchDir("graft-seg-ckpt-").toString
+    graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    // late-arriving third commit; the restarted stream folds ONLY it
+    cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 2), WriteMode.Append)
+    graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    graft.ops.BitmapSegments.dailyCounts(segT)
+  }
 }

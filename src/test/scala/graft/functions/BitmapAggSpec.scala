@@ -24,7 +24,7 @@ class BitmapAggSpec extends AnyFunSuite {
   test("cardinality equals count(distinct) across the 26-partition merge path") {
     import spark.implicits._
     val got = df.repartition(26)
-      .groupBy($"g").agg(bitmap_count(bitmap_agg($"id")).as("n"))
+      .groupBy($"g").agg(bitmap64_count(bitmap64_agg($"id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = df.groupBy($"g").agg(countDistinct($"id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -34,12 +34,12 @@ class BitmapAggSpec extends AnyFunSuite {
 
   test("and/or counts equal real set intersections and unions") {
     import spark.implicits._
-    val seg = df.groupBy($"g").agg(bitmap_agg($"id").as("bm"))
+    val seg = df.groupBy($"g").agg(bitmap64_agg($"id").as("bm"))
     val a = seg.where($"g" === "a").select($"bm".as("abm"))
     val b = seg.where($"g" === "b").select($"bm".as("bbm"))
     val r = a.crossJoin(b)
-      .select(bitmap_and_count($"abm", $"bbm").as("i"),
-        bitmap_or_count($"abm", $"bbm").as("u"))
+      .select(bitmap64_and_count($"abm", $"bbm").as("i"),
+        bitmap64_or_count($"abm", $"bbm").as("u"))
       .collect().head
     val sa = df.where($"g" === "a").select($"id").collect().map(_.getLong(0)).toSet
     val sb = df.where($"g" === "b").select($"id").collect().map(_.getLong(0)).toSet
@@ -49,8 +49,8 @@ class BitmapAggSpec extends AnyFunSuite {
 
   test("or-agg unions already-aggregated segments to the exact global distinct") {
     import spark.implicits._
-    val seg = df.repartition(13).groupBy($"g").agg(bitmap_agg($"id").as("bm"))
-    val merged = seg.agg(bitmap_count(bitmap_or_agg($"bm")).as("n")).collect().head.getLong(0)
+    val seg = df.repartition(13).groupBy($"g").agg(bitmap64_agg($"id").as("bm"))
+    val merged = seg.agg(bitmap64_count(bitmap64_or_agg($"bm")).as("n")).collect().head.getLong(0)
     val want = df.select(countDistinct($"id")).collect().head.getLong(0)
     assert(merged === want)
   }
@@ -60,10 +60,10 @@ class BitmapAggSpec extends AnyFunSuite {
     Seq(Some(1L), None, Some(2L), Some(1L))
       .toDF("id").createOrReplaceTempView("bm_in")
     val out = spark.sql(
-      """SELECT bitmap_count(bm) AS n,
-        |  bitmap_and_count(bm, bm) AS i, bitmap_or_count(bm, bm) AS u,
-        |  bitmap_count(bitmap_or_agg(bm)) AS oa
-        |FROM (SELECT bitmap_agg(id) AS bm FROM bm_in)
+      """SELECT bitmap64_count(bm) AS n,
+        |  bitmap64_and_count(bm, bm) AS i, bitmap64_or_count(bm, bm) AS u,
+        |  bitmap64_count(bitmap64_or_agg(bm)) AS oa
+        |FROM (SELECT bitmap64_agg(id) AS bm FROM bm_in)
         |GROUP BY bm""".stripMargin).collect().head
     assert(out.getLong(0) === 2L && out.getLong(1) === 2L &&
       out.getLong(2) === 2L && out.getLong(3) === 2L)

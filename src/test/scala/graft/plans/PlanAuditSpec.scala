@@ -260,7 +260,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row purchase segment broadcasts for the overlap
     val p = finalPlan(AnalyticsQueries.bitmapDistinct(spark, dir))
     assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_bitmap_agg"), p)
+    assert(p.contains("partial_bitmap64_agg"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
