@@ -1153,7 +1153,11 @@ object SparkEntry {
 
     // corpus ∪ prefix-half copies: the asymmetric criterion's ground
     // truth restated over string trigrams (same no-collision argument
-    // as d_ngram_jaccard); w[1:k] is end-inclusive like Spark's slice
+    // as d_ngram_jaccard); w[1:k] is end-inclusive like Spark's slice.
+    // Stated as a POSTING-LIST join (pairs share a trigram), the same
+    // index shape the engine uses — the all-pairs cross form is
+    // equivalent (inter=0 pairs can't pass the floor) but quadratic
+    // in corpus size, which at sf0.1's 10k docs the oracle can't pay
     "d_ngram_containment" ->
       """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |u AS (SELECT doc_id, w FROM w0
@@ -1161,10 +1165,11 @@ object SparkEntry {
         |      SELECT doc_id + 10000000, w[1 : CAST(greatest(len(w) // 2, 3) AS BIGINT)] FROM w0),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
         |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM u),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
-        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS t FROM g),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+        |        min(a.sz) AS a_sz, min(b.sz) AS b_sz
+        |      FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
         |SELECT a_id, b_id, a_sz, b_sz,
         |  CAST(inter AS DOUBLE) / least(a_sz, b_sz) AS containment
         |FROM p WHERE CAST(inter AS DOUBLE) / least(a_sz, b_sz) >= 0.8
