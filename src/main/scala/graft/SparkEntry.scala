@@ -175,6 +175,7 @@ object SparkEntry {
     "a_regr_trend"       -> (AnalyticsQueries.regrTrend _),
     "a_bitmap_distinct"  -> (AnalyticsQueries.bitmapDistinct _),
     "a_rolling_distinct" -> (AnalyticsQueries.rollingDistinct _),
+    "a_step_latency"     -> (AnalyticsQueries.stepLatency _),
     "a_autocorr"         -> (AnalyticsQueries.autocorr _),
     "a_benford"          -> (AnalyticsQueries.benfordDigits _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
@@ -1970,6 +1971,20 @@ object SparkEntry {
         |SELECT t.event_type, t.n_users, coalesce(i.n_also, 0) AS n_also_purchase
         |FROM t LEFT JOIN i ON t.event_type = i.event_type
         |ORDER BY t.event_type""".stripMargin,
+
+    // exact R-7 interpolated percentiles over integer µs gaps — both
+    // engines' quantile conventions agree bit-for-bit
+    "a_step_latency" ->
+      """WITH g AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, to_type, count(*) AS n,
+        |  quantile_cont(gap_us, 0.5) AS p50_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_us
+        |FROM g WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // streamed segment store's daily counts == the relational distinct
     "s_segment_maintain" ->

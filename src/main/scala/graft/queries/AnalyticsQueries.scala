@@ -785,6 +785,30 @@ object AnalyticsQueries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Step latency: for every (event_type → next event_type) transition
+    * within a user's timeline, the count and EXACT interpolated p50 /
+    * p90 of the gap (microseconds). Gaps build in the same
+    * user-partitioned lead pass as [[eventTransitions]]; the exact
+    * percentile sorts only within each (from, to) group — group count
+    * is |types|², so the percentile state is bounded however large
+    * the corpus. Both engines use the R-7 interpolation convention
+    * over exact integer µs, so the doubles match bit-for-bit.
+    */
+  def stepLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables(spark, dir).events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("gap_us", lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .where($"next_type".isNotNull)
+    gaps.groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Exact audience segments as Roaring bitmaps: distinct users per
     * event_type ([[graft.functions.BitmapAggExpr]]) plus each
     * segment's overlap with the `purchase` segment — the overlap is
