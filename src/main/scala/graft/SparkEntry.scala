@@ -146,6 +146,7 @@ object SparkEntry {
     "s_lake_cdc_stream"    -> (StreamQueries.lakeCdcStream _),
     "s_view_maintain"      -> (StreamQueries.viewMaintain _),
     "s_segment_maintain"   -> (StreamQueries.segmentMaintain _),
+    "s_stream_topk"        -> (StreamQueries.streamTopk _),
     "s_join_view_stream"   -> (StreamQueries.joinViewStream _),
     "csv_roundtrip"      -> (StreamQueries.csvRoundtrip _),
     "a_window_functions" -> (AnalyticsQueries.windowFunctions _),
@@ -1480,6 +1481,19 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming top-k == the batch window ranking; item ties break on
+    // the STRING form of event_id (the aggregate's comparator domain)
+    "s_stream_topk" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |r AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |        value, CAST(event_id AS VARCHAR) AS event_id,
+        |        row_number() OVER (
+        |          PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |          ORDER BY value DESC, CAST(event_id AS VARCHAR) ASC) AS rank
+        |      FROM ev)
+        |SELECT ws, event_type, CAST(rank AS BIGINT) AS rank, value, event_id
+        |FROM r WHERE rank <= 3 ORDER BY ws, event_type, rank""".stripMargin,
 
     // a 1h/30m hopping window assigns each event to exactly the two
     // 30m-aligned starts in (ts-1h, ts]

@@ -378,6 +378,16 @@ object StreamQueries {
       .orderBy($"event_type")
   }
 
+  /** Custom TypedImperativeAggregate inside streaming state: per
+    * tumbling hour × type, the 3 highest-valued events via `topk_by`
+    * (heap state serialized between micro-batches).
+    */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventsWindows.topkStreaming(spark, s"$dir/events.parquet")
+      .orderBy($"ws", $"event_type", $"rank")
+  }
+
   /** Streaming maintenance of exact distinct-user segments
     * ([[graft.ops.BitmapSegments]]): events land in a lake table over
     * three commits, the committed-commit stream folds each commit's

@@ -133,6 +133,29 @@ object EventsWindows {
     runToMemory(agg.sparkSession, agg, "graft_stream_", OutputMode.Complete())
   }
 
+  /** Streaming per-window top-k THROUGH THE CUSTOM AGGREGATE:
+    * [[graft.functions.TopKByScore]] (a `TypedImperativeAggregate`)
+    * runs inside the streaming aggregation, its O(k) heap serialized
+    * into the state store between micro-batches exactly like Spark's
+    * own sketch aggregates — proof the engine's custom aggregates
+    * compose with Structured Streaming state, not just batch plans.
+    * Per (1h window × event_type): the k highest-valued events. State
+    * per group is the k-entry heap, NOT the window's rows — the
+    * bounded-state requirement for continuous leaderboards over an
+    * unbounded stream.
+    */
+  def topkStreaming(spark: SparkSession, parquetPath: String,
+                    width: String = "1 hour", k: Int = 3): DataFrame = {
+    val agg = eventsStream(spark, parquetPath)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(graft.functions.TopKFunctions.topk_by(col("value"), col("event_id"), k).as("top"))
+      .select(col("w.start").as("ws"), col("event_type"), posexplode(col("top")))
+      .select(col("ws"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("value"), col("col.item").as("event_id"))
+    runToMemory(agg.sparkSession, agg, "graft_topk_", OutputMode.Complete())
+  }
+
   /** Streaming session windows (`session_window` + watermark, append
     * mode). With AvailableNow the final in-flight sessions stay open
     * (watermark semantics), so callers compare emitted rows as a subset
