@@ -53,6 +53,7 @@ object SparkEntry {
     "lake_eq_upsert"        -> (LakeQueries.eqUpsert _),
     "lake_clone"            -> (LakeQueries.cloneTable _),
     "lake_join_view"        -> (LakeQueries.joinView _),
+    "lake_mv_stack"         -> (LakeQueries.mvStack _),
     "lake_autocompact"      -> (LakeQueries.autoCompact _),
     "lake_cdc_read"         -> (LakeQueries.cdcRead _),
     "lake_wap_tag"          -> (LakeQueries.wapTag _),
@@ -514,6 +515,20 @@ object SparkEntry {
     // the incrementally-maintained view equals the direct aggregate of
     // the source's final state (initial %4∈{1,2} + appended %4=3,
     // minus the MOR-deleted %8=2); sums ride exact integer cents
+    // enrich → rollup stack after a fact append + dim re-assignment;
+    // orders whose customer is missing group under the NULL segment
+    // (the join view's LEFT semantics)
+    "lake_mv_stack" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_incr_view" ->
       """SELECT o_custkey,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -84,10 +84,18 @@ object JoinView {
       extraMeta = Map(DefinitionKey -> defJson))
   }
 
+  /** `strategy` picks the refresh MERGE's DML path. Auto is right for
+    * terminal views; a view that FEEDS a downstream incremental
+    * consumer (an [[IncrementalView]] rollup, a CDC subscriber) should
+    * pass `DmlStrategy.MergeOnRead` so its commits stay row-level
+    * changelog-readable — a COW rewrite would force the consumer into
+    * its full-rebuild fallback.
+    */
   def refresh(cat: LakeCatalog, factIdent: String, dimIdent: String,
               viewIdent: String, factKey: String, joinKey: String,
               dimKey: String, dimCols: Seq[String],
-              extraMeta: Map[String, String] = Map.empty): Snapshot = {
+              extraMeta: Map[String, String] = Map.empty,
+              strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     require(dimCols.nonEmpty, "join view needs at least one dim column")
     // dimKey ∈ dimCols is fine when it lands under a name the fact
     // does not use; when joinKey == dimKey the fact already carries
@@ -108,7 +116,7 @@ object JoinView {
       case (Some(f), Some(d)) if f == curF && d == curD => viewT.latest.get
       case (Some(f), Some(d)) if f <= curF && d <= curD =>
         try incremental(cat, fact, dim, viewT, f, curF, d, curD,
-          factKey, joinKey, dimKey, dimCols, extraMeta)
+          factKey, joinKey, dimKey, dimCols, extraMeta, strategy)
         catch {
           case _: RewriteCommitException =>
             fullBuild(cat, fact, dim, viewIdent, curF, curD,
@@ -204,7 +212,8 @@ object JoinView {
                           fromD: Long, curD: Long,
                           factKey: String, joinKey: String, dimKey: String,
                           dimCols: Seq[String],
-                          extraMeta: Map[String, String]): Snapshot = {
+                          extraMeta: Map[String, String],
+                          strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     // fact keys with direct changes
     val dFact =
       if (fromF == curF) None
@@ -247,6 +256,7 @@ object JoinView {
     }
 
     LakeDml.merge(viewT, rows.unionByName(markers).localCheckpoint(), Seq(factKey),
+      strategy = strategy,
       deleteMatched = Some(col(s"_src_$Live") === 0),
       meta = extraMeta ++ Map(FactVersionKey -> curF.toString,
         DimVersionKey -> curD.toString,

@@ -757,6 +757,52 @@ object LakeQueries {
     IncrementalView.read(cat, "gold.by_cust").orderBy($"o_custkey")
   }
 
+  /** The star-schema MV STACK: an aggregate view maintained ON TOP of
+    * a join view. `silver.enriched` (orders ⋈ customer segment, a
+    * [[graft.lake.JoinView]] refreshed MERGE-ON-READ so its commits
+    * stay row-level-changelog-readable) feeds `gold.seg_rollup`
+    * (count + exact cents sum per segment, an
+    * [[graft.lake.IncrementalView]]). After a fact append AND a dim
+    * segment re-assignment, BOTH layers refresh from changelogs — the
+    * rollup's `refreshMode=incremental` is asserted in-query, so the
+    * composition provably never re-reads the fact table. This is the
+    * full dashboard stack (enrich → rollup) at O(changed keys) per
+    * trickle instead of the reference's nightly full recompute.
+    */
+  def mvStack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.{DmlStrategy, IncrementalView, JoinView}
+    import graft.lake.IncrementalView.{GroupCount, Sum}
+    val cat = freshCatalog(spark)
+    val t = Tables(spark, dir)
+    val orders = t.orders.select($"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val cust = t.customer.select($"c_custkey", $"c_mktsegment")
+    cat.write(orders.filter($"o_orderkey" % 3 =!= 0), "bronze.orders", WriteMode.Overwrite)
+    cat.write(cust, "dim.customer", WriteMode.Overwrite)
+    def refreshJoin() = JoinView.refresh(cat, "bronze.orders", "dim.customer",
+      "silver.enriched", factKey = "o_orderkey", joinKey = "o_custkey",
+      dimKey = "c_custkey", dimCols = Seq("c_mktsegment"),
+      strategy = DmlStrategy.MergeOnRead)
+    val aggs = Seq(GroupCount("n_orders"), Sum($"cents", "sum_cents"))
+    refreshJoin()
+    val first = IncrementalView.refresh(cat, "silver.enriched", "gold.seg_rollup",
+      Seq("c_mktsegment"), aggs)
+    require(first.meta(IncrementalView.RefreshModeKey) == "full",
+      "first rollup refresh builds full")
+    // trickle: fact append + a dim segment re-assignment (upsert)
+    cat.write(orders.filter($"o_orderkey" % 3 === 0), "bronze.orders", WriteMode.Append)
+    cat.table("dim.customer").upsert(
+      cust.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_mktsegment", lit("MACHINERY")), Seq("c_custkey"))
+    refreshJoin() // folds BOTH changelogs into the enriched view
+    val second = IncrementalView.refresh(cat, "silver.enriched", "gold.seg_rollup",
+      Seq("c_mktsegment"), aggs)
+    require(second.meta(IncrementalView.RefreshModeKey) == "incremental",
+      "the rollup must refresh from the join view's MOR changelog, not rebuild")
+    IncrementalView.read(cat, "gold.seg_rollup").orderBy($"c_mktsegment")
+  }
+
   /** Transparent materialized-view rewrite, end to end: a reader's
     * plain `GROUP BY` SQL against the BASE table is answered from the
     * incrementally-maintained view by [[graft.plans.ViewRewriteRule]]
