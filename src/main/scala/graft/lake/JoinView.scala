@@ -58,15 +58,21 @@ object JoinView {
     */
   def refreshSql(cat: LakeCatalog, factIdent: String, dimIdent: String,
                  viewIdent: String, factKey: String, joinKey: String,
-                 dimKey: String, dimCols: Seq[String]): Snapshot = {
+                 dimKey: String, dimCols: Seq[String],
+                 strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("fact", factIdent); root.put("dim", dimIdent)
     root.put("factKey", factKey); root.put("joinKey", joinKey)
     root.put("dimKey", dimKey)
+    // persisted so CALL refresh_view keeps honoring the declared
+    // changelog contract (a MergeOnRead view must never COW-rewrite
+    // under a by-name refresh)
+    root.put("strategy", strategy.toString)
     val cn = root.putArray("dimCols"); dimCols.foreach(cn.add)
     refresh(cat, factIdent, dimIdent, viewIdent, factKey, joinKey, dimKey,
-      dimCols, extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)))
+      dimCols, extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)),
+      strategy = strategy)
   }
 
   /** Refresh a join view whose definition was persisted by [[refreshSql]]. */
@@ -77,11 +83,16 @@ object JoinView {
         s"'$viewIdent' has no persisted join-view definition"))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(defJson)
+    val strategy = Option(n.get("strategy")).map(_.asText()) match {
+      case Some("MergeOnRead") => DmlStrategy.MergeOnRead
+      case Some("CopyOnWrite") => DmlStrategy.CopyOnWrite
+      case _                   => DmlStrategy.Auto // absent in pre-strategy definitions
+    }
     refresh(cat, n.get("fact").asText(), n.get("dim").asText(), viewIdent,
       n.get("factKey").asText(), n.get("joinKey").asText(),
       n.get("dimKey").asText(),
       n.get("dimCols").elements().asScala.map(_.asText()).toSeq,
-      extraMeta = Map(DefinitionKey -> defJson))
+      extraMeta = Map(DefinitionKey -> defJson), strategy = strategy)
   }
 
   /** `strategy` picks the refresh MERGE's DML path. Auto is right for

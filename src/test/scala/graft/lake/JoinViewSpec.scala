@@ -119,6 +119,27 @@ class JoinViewSpec extends AnyFunSuite {
     assert(JoinView.read(cat, "ns.v").count() === 2L)
   }
 
+  test("a declared MergeOnRead strategy survives by-name refresh (changelog contract)") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0), (2L, 10L, 6.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v", "id", "ck", "ck",
+      Seq("seg"), strategy = DmlStrategy.MergeOnRead)
+    // a dim re-assignment makes the refresh UPDATE existing view rows —
+    // the path where Auto could pick a COW rewrite and break downstream
+    // changelog readers
+    cat.table("ns.dim").upsert(Seq((10L, "B")).toDF("ck", "seg"), Seq("ck"))
+    val snap = JoinView.refreshByName(cat, "ns.v")
+    assert(snap.op === "merge", s"expected a MOR merge commit, got '${snap.op}'")
+    // MOR == dir-preserving: the downstream changelog read must not
+    // hit the rewrite fallback
+    val changes = cat.table("ns.v").readChanges(snap.version - 1, Some(snap.version))
+    assert(changes.where(col("_change_type") === "insert").count() === 2L)
+    assert(JoinView.read(cat, "ns.v").as[(Long, Long, Double, String)]
+      .collect().toSet === Set((1L, 10L, 5.0, "B"), (2L, 10L, 6.0, "B")))
+  }
+
   test("null join keys take the LEFT-JOIN null arm, never a null-keyed dim row") {
     val cat = fresh()
     cat.write(Seq((1L, Some(10L), 5.0), (2L, Option.empty[Long], 7.0))
