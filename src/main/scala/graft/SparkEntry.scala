@@ -178,6 +178,7 @@ object SparkEntry {
     "a_bitmap_distinct"  -> (AnalyticsQueries.bitmapDistinct _),
     "a_rolling_distinct" -> (AnalyticsQueries.rollingDistinct _),
     "a_step_latency"     -> (AnalyticsQueries.stepLatency _),
+    "a_pattern_match"    -> (AnalyticsQueries.patternMatch _),
     "a_autocorr"         -> (AnalyticsQueries.autocorr _),
     "a_benford"          -> (AnalyticsQueries.benfordDigits _),
     "a_histogram"        -> (AnalyticsQueries.histogram _),
@@ -2000,6 +2001,21 @@ object SparkEntry {
         |SELECT t.event_type, t.n_users, coalesce(i.n_also, 0) AS n_also_purchase
         |FROM t LEFT JOIN i ON t.event_type = i.event_type
         |ORDER BY t.event_type""".stripMargin,
+
+    // consecutive error→error→purchase, stated with the same two-lead
+    // window; span stays in exact integer µs
+    "a_pattern_match" ->
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |    lead(event_id, 1) OVER w AS id1, lead(event_id, 2) OVER w AS id2,
+        |    lead(epoch_us(ts), 2) OVER w AS us2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS first_error, id1 AS second_error,
+        |  id2 AS purchase_id, us2 - us AS span_us
+        |FROM s
+        |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'purchase'
+        |ORDER BY user_id, first_error""".stripMargin,
 
     // exact R-7 interpolated percentiles over integer µs gaps — both
     // engines' quantile conventions agree bit-for-bit

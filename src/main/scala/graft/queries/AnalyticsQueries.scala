@@ -785,6 +785,34 @@ object AnalyticsQueries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** CEP-style sequence pattern detection (the Flink-CEP /
+    * MATCH_RECOGNIZE shape): every CONSECUTIVE `error → error →
+    * purchase` run inside a user's timeline — "two failures
+    * immediately before a conversion", the classic friction-funnel
+    * pattern — with the pattern's wall-clock span emitted so callers
+    * bound it downstream. One user-partitioned window pass builds the
+    * lookahead (two leads), the pattern is a scan-stage predicate
+    * over it — no self-joins, no per-row backtracking, and state per
+    * user is the 2-event lookahead, so the shape holds on an
+    * unbounded 100 TB event log.
+    */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t1", lead($"event_type", 1).over(w))
+      .withColumn("t2", lead($"event_type", 2).over(w))
+      .withColumn("id1", lead($"event_id", 1).over(w))
+      .withColumn("id2", lead($"event_id", 2).over(w))
+      .withColumn("us2", lead(unix_micros($"ts"), 2).over(w))
+      .where($"event_type" === "error" && $"t1" === "error" && $"t2" === "purchase")
+      .select($"user_id", $"event_id".as("first_error"),
+        $"id1".as("second_error"), $"id2".as("purchase_id"),
+        ($"us2" - unix_micros($"ts")).as("span_us"))
+      .orderBy($"user_id", $"first_error")
+  }
+
   /** Step latency: for every (event_type → next event_type) transition
     * within a user's timeline, the count and EXACT interpolated p50 /
     * p90 of the gap (microseconds). Gaps build in the same
