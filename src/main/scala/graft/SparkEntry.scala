@@ -890,13 +890,13 @@ object SparkEntry {
         |       MAX(doc_id) AS last_doc_id
         |FROM c WHERE cum <= 20000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // word 4-gram overlap vs the held-out benchmark slice (doc_id % 50
-    // = 0); the engine joins on 64-bit gram hashes, the oracle states
-    // the string-gram ground truth (same argument as d_ngram_jaccard)
+    // the gram key is a 16-hex md5 prefix of the 3-gram string — the
+    // oracle RECOMPUTES the engine's exact digest (no hash-equivalence
+    // argument), so the integer counts agree in any environment
     "t_novelty" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
-        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g FROM w),
+        |        i -> substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 16)))) AS g FROM w),
         |fr AS (SELECT g, min(doc_id) AS first_id FROM sh GROUP BY g)
         |SELECT s.doc_id, count(*) AS n_shingles,
         |  sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
@@ -1028,12 +1028,15 @@ object SparkEntry {
         |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY term),
         |tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS corpus_tokens FROM lm)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
+        |  round(CAST(sum(CAST(ln(CAST(tc AS DOUBLE) / corpus_tokens) AS DECIMAL(27,13))) AS DOUBLE)
+        |        / count(*), 6) AS mean_logprob
         |FROM t JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // CCNet bucketing: ntile over (rounded score desc, doc_id) is a
-    // total order, so both engines cut identical terciles per lang
+    // CCNet bucketing: the ranking score is an order-free exact-decimal
+    // mean (never a rounded double — a round() boundary is where 1-ulp
+    // summation noise flips a tier), so both engines cut identical
+    // terciles per lang from identical doubles
     "t_ccnet_tiers" ->
       """WITH t AS (SELECT doc_id, lang,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -1041,7 +1044,8 @@ object SparkEntry {
         |lm AS (SELECT term, count(*) AS tc FROM t GROUP BY term),
         |tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS corpus_tokens FROM lm),
         |s AS (SELECT doc_id, lang,
-        |    round(avg(ln(CAST(tc AS DOUBLE) / corpus_tokens)), 6) AS mean_logprob
+        |    CAST(sum(CAST(ln(CAST(tc AS DOUBLE) / corpus_tokens) AS DECIMAL(27,13))) AS DOUBLE)
+        |      / count(*) AS mean_logprob
         |  FROM t JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id, lang),
         |r AS (SELECT lang, mean_logprob, doc_id,
         |    ntile(3) OVER (PARTITION BY lang ORDER BY mean_logprob DESC, doc_id) AS tier
@@ -1136,7 +1140,8 @@ object SparkEntry {
         |         FROM w WHERE len(ws) >= 2),
         |big AS (SELECT bg, count(*) AS bc FROM bocc GROUP BY bg)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(ln((bc + 1.0) / (uc + vs))), 6) AS mean_logprob
+        |  round(CAST(sum(CAST(ln((bc + 1.0) / (uc + vs)) AS DECIMAL(27,13))) AS DOUBLE)
+        |        / count(*), 6) AS mean_logprob
         |FROM bocc JOIN big USING (bg)
         |  JOIN uni ON uni.term = string_split(bg, chr(1))[1]
         |  CROSS JOIN v
@@ -1948,8 +1953,8 @@ object SparkEntry {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // PSI terms are nonnegative, so the 10-term sum is order-safe at
-    // the 9-digit canon; Laplace smoothing keeps silent bins defined
+    // psi is rounded to 6 decimals on BOTH engines: the raw double sum
+    // of ln-derived terms is libm/add-order sensitive across builds
     "a_drift_psi" ->
       """WITH b AS (
         |  SELECT event_type, event_id % 2 AS slice,
@@ -1967,8 +1972,8 @@ object SparkEntry {
         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = gs.bin)
         |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
-        |  sum((CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
-        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))) AS psi
+        |  round(sum((CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))), 6) AS psi
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact decimal/integer moments, then a fixed dag of double ops —
     // identical on both engines regardless of reduction order

@@ -480,8 +480,12 @@ object AnalyticsQueries {
     * data-quality gate a production pipeline runs between corpus
     * slices before shipping a batch to training: per event_type, bin
     * `value` into 10 fixed-width buckets, Laplace-smooth both slices'
-    * bin shares, and sum `(pA−pB)·ln(pA/pB)` (each term ≥ 0, so the
-    * cross-engine sum is order-safe at the oracle's 9-digit canon).
+    * bin shares, and sum `(pA−pB)·ln(pA/pB)`. The sum is rounded to 6
+    * decimals on BOTH engines — PSI lives in [0, ~1] with a 0.25
+    * decision line, so 6 decimals is far above libm-`ln`/add-order ulp
+    * noise and far below anything a consumer reads (the raw double sum
+    * depends on the JVM-vs-DuckDB `ln` build and on partial-agg add
+    * order, neither of which is portable).
     * Slices split on event_id parity — deterministic and portable.
     * Scale shape: one (type, bin, slice-conditional) hash aggregate
     * over the scan, then a types×10-bounded grid assembled with
@@ -511,7 +515,8 @@ object AnalyticsQueries {
       .select($"event_type", $"ta", $"tb",
         ((pa - pb) * log(pa / pb)).as("c"))
       .groupBy($"event_type")
-      .agg(max($"ta").as("n_a"), max($"tb").as("n_b"), sum($"c").as("psi"))
+      .agg(max($"ta").as("n_a"), max($"tb").as("n_b"),
+        round(sum($"c"), 6).as("psi"))
       .orderBy($"event_type")
   }
 

@@ -230,20 +230,29 @@ object TextQueries {
     * DISTINCT word-3-shingles whose global first occurrence (min
     * doc_id over the corpus) is this doc. High-novelty docs add new
     * content; near-zero novelty marks recombinations of already-seen
-    * text that exact and MinHash dedup both miss. Scale shape: 8-byte
-    * shingle hashes from a scan-stage expression ([[graft.functions.ShingleHashFunctions]]),
-    * per-doc distinct taken IN-ROW (`array_distinct` before the
-    * explode — no dedup shuffle), then exactly two shuffles: a window
-    * min over the shingle hash and the per-doc aggregate. No join —
-    * the first-occurrence id rides the window partition.
+    * text that exact and MinHash dedup both miss. The shingle key is
+    * a 16-hex-char (64-bit) md5 prefix of the gram string — a digest
+    * the DuckDB oracle RECOMPUTES verbatim, so cross-engine parity is
+    * by construction rather than by an XXH64≡string-gram equivalence
+    * argument (which the r8 driver run falsified; the fast XXH64
+    * scan-stage path in [[graft.functions.ShingleHashFunctions]]
+    * remains the production dedup kernel). Scale shape unchanged:
+    * grams hashed in the scan stage, per-doc distinct taken IN-ROW
+    * (`array_distinct` before the explode — no dedup shuffle), then
+    * exactly two shuffles: a window min over the gram key and the
+    * per-doc aggregate. No join — the first-occurrence id rides the
+    * window partition.
     */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.ShingleHashFunctions.shingle_hashes
     val sh = Tables(spark, dir).documents
-      .select($"doc_id",
-        explode(array_distinct(shingle_hashes(TextOps.words($"text"), 3))).as("g"))
+      .select($"doc_id", TextOps.words($"text").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(w) - 3),
+          |  i -> substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 16)))""".stripMargin))
+        .as("g"))
     val firstId = min($"doc_id").over(Window.partitionBy($"g"))
     sh.withColumn("first_id", firstId)
       .groupBy($"doc_id")
@@ -468,7 +477,10 @@ object TextQueries {
       .select($"doc_id",
         log(($"bc".cast("double") + 1.0) / ($"uc".cast("double") + $"v")).as("lp"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 6).as("mean_logprob"))
+      // decimal sum = order-free mean (see unigramLogProb)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"lp".cast("decimal(27,13)")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
       .orderBy($"doc_id")
   }
 
@@ -644,7 +656,12 @@ object TextQueries {
       .crossJoin(broadcast(totals))
       .select($"doc_id", log($"tc".cast("double") / $"corpus_tokens").as("lp"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg($"lp"), 6).as("mean_logprob"))
+      // the per-token logprobs sum as exact decimals (order-free; a
+      // raw double avg depends on partial-agg add order) before the
+      // 6-decimal canon rounding — same fold as the DuckDB oracle
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lp".cast("decimal(27,13)")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
       .orderBy($"doc_id")
   }
 
@@ -670,7 +687,13 @@ object TextQueries {
       .select($"doc_id", $"lang",
         log($"tc".cast("double") / $"corpus_tokens").as("lp"))
       .groupBy($"doc_id", $"lang")
-      .agg(round(avg($"lp"), 6).as("mean_logprob"))
+      // full-precision order-free mean (decimal sum / count) — the
+      // tercile RANKING keys on this, so it must not pass through a
+      // round() whose 0.5e-6 boundary a 1-ulp cross-engine summation
+      // difference could flip (ADVICE r8); identical decimal sums →
+      // identical doubles → identical ntile cuts on both engines
+      .agg((sum($"lp".cast("decimal(27,13)")).cast("double") / count(lit(1)))
+        .as("mean_logprob"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"mean_logprob".desc, $"doc_id")
     scored.withColumn("tier", ntile(3).over(w))
