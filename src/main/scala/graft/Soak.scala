@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak harness (VERDICT r8 item 6): run the heaviest LLM-pipeline
+  * queries one scale DECADE above the bench corpus and measure the
+  * time-vs-size exponent of each.
+  *
+  * Both corpora are SYNTHETIC and come from the same seeded generator —
+  * comparing real-sf0.1 against a 10× synthetic slice would conflate
+  * content distribution with size, and a replicated corpus (10 copies
+  * of sf0.1) would inject adversarial all-pairs near-dup density no
+  * real crawl has. The generator is fully distributed (spark.range +
+  * hash-derived columns; no driver loops, no RNG state) and Zipf-skews
+  * the vocabulary so shingle/token collision rates resemble text.
+  *
+  * Output: one JSON line per query with t(1x), t(10x) and the fitted
+  * exponent log10(t10/t1) — ~1.0 = linear scaling, the 100 TB pass
+  * criterion for these operators (their shuffles are index- or
+  * parameter-bounded; quadratic blowup would surface here first).
+  * Results are recorded in SCALE.md.
+  */
+object Soak {
+
+  /** Zipf-ish word index in [0, vocab): 20% of positions draw from the
+    * 1%-head of the vocabulary, the rest uniformly — enough head
+    * re-use for realistic shingle collisions without degenerate text.
+    */
+  private def wordIdx(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column,
+                      vocab: Int) =
+    when(pmod(h2, lit(5)) === 0, pmod(h1, lit(math.max(vocab / 100, 1))))
+      .otherwise(pmod(h1, lit(vocab)))
+
+  def genDocuments(spark: SparkSession, n: Long, vocab: Int = 20000): DataFrame = {
+    val words = transform(
+      sequence(lit(1), (lit(40) + pmod(xxhash64(col("doc_id"), lit(7)), lit(200))).cast("int")),
+      j => concat(lit("w"),
+        wordIdx(xxhash64(col("doc_id"), j, lit(11)), xxhash64(col("doc_id"), j, lit(13)), vocab)))
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("text", concat_ws(" ", words))
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
+        (pmod(xxhash64(col("doc_id"), lit(17)), lit(5)) + 1).cast("int")))
+      .withColumn("source", element_at(array(lit("web"), lit("wiki"), lit("books"), lit("code")),
+        (pmod(xxhash64(col("doc_id"), lit(19)), lit(4)) + 1).cast("int")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        k => ((pmod(xxhash64(col("vec_id"), k, lit(23)), lit(2001)) - 1000) / 1000.0)
+          .cast("float")))
+      .withColumn("label", pmod(xxhash64(col("vec_id"), lit(29)), lit(10)).cast("int"))
+
+  def genEvents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("event_id"))
+      .withColumn("ts", timestamp_micros(
+        lit(1706400000000000L) + col("event_id") * 1000000L / 8L +
+          pmod(xxhash64(col("event_id"), lit(31)), lit(900000000L))))
+      .withColumn("user_id", pmod(xxhash64(col("event_id"), lit(37)), lit(n / 20 + 1)))
+      .withColumn("event_type", element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(xxhash64(col("event_id"), lit(41)), lit(5)) + 1).cast("int")))
+      .withColumn("value", (pmod(xxhash64(col("event_id"), lit(43)), lit(100000)) / 1000.0))
+      .withColumn("props", concat(lit("""{"k":"""),
+        pmod(xxhash64(col("event_id"), lit(47)), lit(100)), lit("}")))
+
+  def genDir(spark: SparkSession, dir: String, docs: Long, vecs: Long, events: Long): Unit = {
+    genDocuments(spark, docs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    genEmbeddings(spark, vecs).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    genEvents(spark, events).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private val Heavy = Seq(
+    "s_incremental_dedup", "d_dedup_clusters", "d_ngram_containment",
+    "d_ngram_jaccard", "e_semdedup_kmeans", "e_cosine_ivfpq_topk",
+    "t_textrank", "pipeline_traindata")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1x mirrors sf0.1's table sizes; 10x is the soak decade
+    val d1 = s"$base/x1"; val d10 = s"$base/x10"
+    genDir(spark, d1, docs = 5000L, vecs = 2000L, events = 100000L)
+    genDir(spark, d10, docs = 50000L, vecs = 20000L, events = 1000000L)
+
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      force(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both fixture families once
+    Seq(d1).foreach { d =>
+      try { force(SparkEntry.queries("t_fingerprint")(spark, d))
+        force(SparkEntry.queries("e_cosine_topk")(spark, d)) }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[soak] warmup failed: ${e.getMessage}") }
+    }
+    val rows = Heavy.map { name =>
+      val t1 = time(name, d1)
+      val t10 = time(name, d10)
+      val exp = math.log10(t10 / t1)
+      val line = f"""{"query":"$name","t1x_sec":$t1%.2f,"t10x_sec":$t10%.2f,"exponent":$exp%.2f}"""
+      println(line)
+      line
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_LAST.json")),
+      rows.mkString("[", ",\n", "]\n"))
+    spark.stop()
+  }
+}

@@ -1053,7 +1053,7 @@ object SparkEntry {
         |SELECT lang, tier,
         |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
         |  count(*) AS n_docs,
-        |  CAST(sum(CAST(mean_logprob AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+        |  round(CAST(sum(CAST(mean_logprob AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM r GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
 
     // tf-idf top-3 keywords per doc; row_number ties break on term so

@@ -287,26 +287,62 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
     (r.adds.values.toSeq, r.metaData, r.protocol, v)
   }
 
-  private def checkProtocol(r: Replay): Unit = {
+  /** Protocol gate. `allowNameMapping` is granted ONLY by the batch
+    * read/schema paths, which rename physical→logical columns; every
+    * other consumer (streaming, changelog, stateAt) would silently
+    * read all-null columns against physically-named parquet, so they
+    * keep failing loud on ANY mapping mode. `id` mode (field-id-based
+    * parquet resolution) is unsupported everywhere and always fails
+    * with a clear message.
+    */
+  private def checkProtocol(r: Replay, allowNameMapping: Boolean = false): Unit = {
     val minReader = r.protocol.flatMap(p => Option(p.get("minReaderVersion")))
       .map(_.asInt).getOrElse(1)
     val features: Seq[String] = r.protocol.flatMap(p => Option(p.get("readerFeatures")))
       .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-    val supportedFeatures = Set("timestampNtz", "deletionVectors")
+    val supportedFeatures = Set("timestampNtz", "deletionVectors") ++
+      (if (allowNameMapping) Set("columnMapping") else Set.empty)
     val unsupported = features.filterNot(supportedFeatures)
     require(unsupported.isEmpty,
       s"table requires unsupported reader features: ${unsupported.mkString(", ")}")
     require(minReader <= 3, s"unsupported minReaderVersion $minReader")
-    val mapping = r.metaData.flatMap(m => Option(m.get("configuration")))
+    val mapping = mappingMode(r)
+    val ok = mapping == "none" || (mapping == "name" && allowNameMapping)
+    require(ok, if (mapping == "name")
+      s"column mapping mode 'name' is only supported for batch reads, not this access path"
+    else
+      s"column mapping mode '$mapping' is not supported " +
+        "(id-mode parquet field resolution; rewrite the table with " +
+        "name mapping or no mapping)")
+  }
+
+  private def mappingMode(r: Replay): String =
+    r.metaData.flatMap(m => Option(m.get("configuration")))
       .filter(!_.isNull).flatMap(c => Option(c.get("delta.columnMapping.mode")))
       .map(_.asText).getOrElse("none")
-    require(mapping == "none",
-      s"column mapping mode '$mapping' is not supported (physical names diverge)")
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Recursively rename a logical schema to the physical (on-disk)
+    * names carried in each field's `delta.columnMapping.physicalName`
+    * metadata — identity for tables without mapping metadata.
+    */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = toPhysical(f.dataType))))
+    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
   }
 
   def schema(version: Option[Long] = None): StructType = {
     val (r, _) = replayTo(version)
-    checkProtocol(r)
+    checkProtocol(r, allowNameMapping = true) // schemaString IS logical
     DataType.fromJson(r.metaData.getOrElse(
       throw new IllegalStateException("no metaData action in log"))
       .get("schemaString").asText).asInstanceOf[StructType]
@@ -326,7 +362,7 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
       case _ => None
     }
     val (r, _) = replayTo(version)
-    checkProtocol(r)
+    checkProtocol(r, allowNameMapping = true)
     val meta = r.metaData.getOrElse(
       throw new IllegalStateException("no metaData action in log"))
     val tableSchema =
@@ -335,9 +371,17 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
       .filter(!_.isNull).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     val typeOf: Map[String, DataType] =
       tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    // name mapping: the log keys partitionValues/stats and the parquet
+    // files carry PHYSICAL names; filters and output stay logical. The
+    // maps are identity for unmapped tables, so one code path serves
+    // both. partitionValues keys are matched through logOfTop (with an
+    // identity fallback, tolerating writers that kept logical keys).
+    val physOfTop: Map[String, String] =
+      tableSchema.fields.map(f => f.name -> physicalName(f)).toMap
+    val logOfTop: Map[String, String] = physOfTop.map(_.swap)
 
     def partitionKeeps(f: DeltaAddFile): Boolean = filters.forall { p =>
-      f.partitionValues.find(_._1 == p.col) match {
+      f.partitionValues.find(kv => logOfTop.getOrElse(kv._1, kv._1) == p.col) match {
         case None => true
         case Some((_, null)) => p match {
           // a null partition value satisfies no comparison
@@ -346,8 +390,9 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
           case _ => true
         }
         case Some((c, v)) =>
-          val k = cmpKey(typeOf(c), v)
-          rangeKeeps(p, typeOf(c), k, k)
+          val lt = typeOf(logOfTop.getOrElse(c, c))
+          val k = cmpKey(lt, v)
+          rangeKeeps(p, lt, k, k)
       }
     }
 
@@ -360,7 +405,8 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
           else {
             def bound(node: String): Option[Either[BigDecimal, String]] =
               Option(stats.get(node)).filter(!_.isNull)
-                .flatMap(n => Option(n.get(p.col))).filter(!_.isNull)
+                .flatMap(n => Option(n.get(physOfTop.getOrElse(p.col, p.col)))
+                  .orElse(Option(n.get(p.col)))).filter(!_.isNull)
                 .flatMap { v =>
                   if (v.isNumber) Some(Left(BigDecimal(v.decimalValue())))
                   else cmpKey(typeOf.getOrElse(p.col, StringType), v.asText)
@@ -375,14 +421,24 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
 
     val live = r.adds.values.toSeq.filter(partitionKeeps).filter(statsKeep)
     val (dvFiles, plainFiles) = live.partition(_.dvJson.isDefined)
-    val plainDf = relationFor(plainFiles, tableSchema, partCols)
-    if (dvFiles.isEmpty) return plainDf
+    // the relation is assembled entirely under PHYSICAL names (files,
+    // partitionValues and DV coordinates all live there); toLogical
+    // renames once at the end — identity when there is no mapping
+    val physSchema = toPhysical(tableSchema).asInstanceOf[StructType]
+    val physPartCols = partCols.map(c => physOfTop.getOrElse(c, c))
+    def toLogical(df: DataFrame): DataFrame =
+      if (physSchema == tableSchema) df
+      else df.select(tableSchema.fields.map(f =>
+        // positional struct cast renames NESTED physical fields back
+        col(physOfTop(f.name)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val plainDf = relationFor(plainFiles, physSchema, physPartCols)
+    if (dvFiles.isEmpty) return toLogical(plainDf)
     // deletion vectors: the driver fetches each file's COMPRESSED
     // bitmap (bounded by the descriptors' sizeInBytes), executors
     // expand to (file, position) rows, and one anti-join on
     // (canonical path, row_index) drops the deleted rows — the same
     // coordinate shape as the Iceberg position-delete path
-    val withPos = relationFor(dvFiles, tableSchema, partCols, withPos = true)
+    val withPos = relationFor(dvFiles, physSchema, physPartCols, withPos = true)
     val posRows: Seq[(String, Array[Byte])] = dvFiles.map { f =>
       val d = parseDvDescriptor(f.dvJson.get)
       (canonStr(new HPath(root, decodePath(f.path)).toString),
@@ -397,8 +453,8 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
         IcebergFormat.canonPath(col("_gr_file")) === col("_gr_dfile") &&
           col("_gr_pos") === col("_gr_dpos"),
         "left_anti")
-      .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
-    if (plainFiles.isEmpty) applied else plainDf.unionByName(applied)
+      .select(physSchema.fieldNames.map(col).toIndexedSeq: _*)
+    toLogical(if (plainFiles.isEmpty) applied else plainDf.unionByName(applied))
   }
 
   private[graft] def parseDvDescriptor(js: String): DeltaDv.Descriptor = {
@@ -561,6 +617,18 @@ final class DeltaTableReader(spark: SparkSession, location: String) {
         .iterator.map(_.trim).filter(_.nonEmpty).map(om.readTree).toSeq
       actions.foreach(n => Option(n.get("metaData")).filter(!_.isNull)
         .foreach(m => metaNode = Some(m)))
+      // mapped tables key partitionValues/files by PHYSICAL names; this
+      // path assembles relations under logical names, so it must fail
+      // loud for ANY commit whose metadata has mapping on (fromVersion
+      // = -1 skips the entry checkProtocol, and mapping can turn on
+      // mid-history)
+      locally {
+        val mode = Option(metaOf.get("configuration")).filter(!_.isNull)
+          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+          .map(_.asText).getOrElse("none")
+        require(mode == "none", s"column mapping mode '$mode' is only " +
+          "supported for batch reads, not this access path")
+      }
       val tableSchema =
         DataType.fromJson(metaOf.get("schemaString").asText).asInstanceOf[StructType]
       val partCols: Seq[String] = Option(metaOf.get("partitionColumns"))

@@ -86,7 +86,12 @@ object JoinView {
     val strategy = Option(n.get("strategy")).map(_.asText()) match {
       case Some("MergeOnRead") => DmlStrategy.MergeOnRead
       case Some("CopyOnWrite") => DmlStrategy.CopyOnWrite
-      case _                   => DmlStrategy.Auto // absent in pre-strategy definitions
+      case Some("Auto")        => DmlStrategy.Auto
+      case None                => DmlStrategy.Auto // pre-strategy definitions
+      // a corrupted/future value must FAIL, not silently void a declared
+      // MergeOnRead changelog contract by defaulting to Auto
+      case Some(other) => throw new IllegalArgumentException(
+        s"'$viewIdent' persisted an unknown join-view strategy '$other'")
     }
     refresh(cat, n.get("fact").asText(), n.get("dim").asText(), viewIdent,
       n.get("factKey").asText(), n.get("joinKey").asText(),

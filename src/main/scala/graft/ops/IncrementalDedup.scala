@@ -78,11 +78,17 @@ object IncrementalDedup {
     * already indexed and the self-pair guards keep it from tombstoning
     * a document against itself).
     */
+  /** Cap on candidate pairs collected to the driver per micro-batch;
+    * above it the verify joins run distributed (see ingestBatch).
+    */
+  val DefaultCandPairCap = 100000
+
   private[ops] def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                                bandsTbl: LakeTable, shTbl: LakeTable, dropsTbl: LakeTable,
                                textCol: String, idCol: String, n: Int,
                                numHashes: Int, bands: Int, threshold: Double,
-                               indexBuckets: Int, compactEvery: Int): Unit = {
+                               indexBuckets: Int, compactEvery: Int,
+                               candPairCap: Int = DefaultCandPairCap): Unit = {
     val (bsh, bbanded) =
       Dedup.bandedSignatures(batch, textCol, idCol, n, numHashes, bands)
     // checkpoint ALREADY hash-partitioned by bk: sigs evaluate once
@@ -145,26 +151,41 @@ object IncrementalDedup {
       .join(bbandedC.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .where(col("a") < col("b"))
       .select(col("a").as("u"), col("b").as("v"))
-    // candidate pairs are near-dup-density-sized BY CONSTRUCTION (both
-    // downstream joins broadcast them), so one driver collect replaces
-    // a checkpoint job + a separate key-collect job; the rebuilt frame
-    // is a LocalRelation, making both verify joins exchange-free. The
-    // id-bucket of each side rides along so the shingle-store keys
-    // need no extra pass.
-    val candRows = crossIdx.unionByName(inBatch).distinct()
+    // candidate pairs are near-dup-density-sized on benign corpora, so
+    // the normal path collects them once (the rebuilt LocalRelation
+    // makes both verify joins exchange-free and the shingle-bucket keys
+    // need no extra job). But density is ADVERSARY-CONTROLLED — a
+    // boilerplate-heavy crawl can collide one band bucket with a large
+    // fraction of history — so the collect is CAPPED at `candPairCap`
+    // (the RuntimeFilter limit(cap+1) pattern): above the cap the pairs
+    // stay distributed (localCheckpoint, evaluated once) and the verify
+    // joins run as ordinary shuffled joins; only the bucket-key set —
+    // ≤ indexBuckets, a parameter — ever reaches the driver.
+    val candQuery = crossIdx.unionByName(inBatch).distinct()
       .where(col("u") =!= col("v"))        // belt-and-suspenders vs self-pairs
       .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
       .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
-      .collect()
-    val candKeys: Seq[Int] =
-      candRows.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
+    val candSample = candQuery.limit(candPairCap + 1).collect()
+    val underCap = candSample.length <= candPairCap
     val idType = batch.schema(idCol).dataType
-    val cand = spark.createDataFrame(
-      java.util.Arrays.asList(candRows.map(r =>
-        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("u", idType),
-        org.apache.spark.sql.types.StructField("v", idType))))
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", idType),
+      org.apache.spark.sql.types.StructField("v", idType)))
+    val (cand, candKeys, hasCands) =
+      if (underCap) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(candSample.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), candSchema)
+        val keys: Seq[Int] =
+          candSample.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
+        (broadcast(local), keys, candSample.nonEmpty)
+      } else {
+        val cp = candQuery.localCheckpoint()
+        val keys: Seq[Int] = cp.select(col("bku").as("bk"))
+          .unionByName(cp.select(col("bkv").as("bk")))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        (cp.select(col("u"), col("v")), keys, true)
+      }
     val prevSh = readOrEmpty(spark, shTbl,
       Seq(LakePredicate.In("bk", candKeys)), bshC.schema)
     // NOTE: on a replayed batch the index already holds the batch's
@@ -174,10 +195,10 @@ object IncrementalDedup {
     val sets = bshC.unionByName(prevSh).drop("bk")
     val uSide = sets
       .select(col("id").as("u"), col("shingles").as("u_sh"), col("sz").as("u_sz"))
-      .join(broadcast(cand), Seq("u")) // candidate-sized result
+      .join(cand, Seq("u")) // candidate-sized result
     val drops = sets
       .select(col("id").as("v"), col("shingles").as("v_sh"), col("sz").as("v_sz"))
-      .join(broadcast(uSide), Seq("v"))
+      .join(if (underCap) broadcast(uSide) else uSide, Seq("v"))
       .withColumn("inter", size(array_intersect(col("u_sh"), col("v_sh"))))
       .where(col("inter").cast("double") /
         (col("u_sz") + col("v_sz") - col("inter")) >= threshold)
@@ -188,7 +209,7 @@ object IncrementalDedup {
     // and each table skips itself on its batch marker. No candidates
     // ⇒ drops is provably empty ⇒ its write (and the verify joins
     // feeding it) are skipped outright.
-    val dropsAppendF = Future(if (candRows.nonEmpty)
+    val dropsAppendF = Future(if (hasCands)
       idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil))
     Seq(dropsAppendF, bandsAppendF, shAppendF).foreach(Await.result(_, Duration.Inf))
     // periodic bin-pack (also concurrent per table): fold the
@@ -224,7 +245,8 @@ object IncrementalDedup {
              numHashes: Int = 128, bands: Int = 32,
              threshold: Double = 0.5,
              indexBuckets: Int = 16,
-             compactEvery: Int = 4): Unit = {
+             compactEvery: Int = 4,
+             candPairCap: Int = DefaultCandPairCap): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
@@ -264,7 +286,7 @@ object IncrementalDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, batch, batchId, bandsTbl, shTbl, dropsTbl,
           textCol, idCol, n, numHashes, bands, threshold,
-          indexBuckets, compactEvery)
+          indexBuckets, compactEvery, candPairCap)
       }
       .option("checkpointLocation", workDir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
@@ -300,9 +322,10 @@ object IncrementalDedup {
                     numHashes: Int = 128, bands: Int = 32,
                     threshold: Double = 0.5,
                     indexBuckets: Int = 16,
-                    compactEvery: Int = 4): DataFrame = {
+                    compactEvery: Int = 4,
+                    candPairCap: Int = DefaultCandPairCap): DataFrame = {
     ingest(spark, docs, workDir, "initial", slices, textCol, idCol, n,
-      numHashes, bands, threshold, indexBuckets, compactEvery)
+      numHashes, bands, threshold, indexBuckets, compactEvery, candPairCap)
     keptReport(spark, docs, workDir, idCol)
   }
 }

@@ -164,8 +164,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bitmap64_agg"),
       new ExpressionInfo(classOf[graft.functions.BitmapAggExpr].getName, "bitmap64_agg"),
       (args: Seq[Expression]) => { arity(args, 1, "bitmap64_agg")
-        graft.functions.BitmapAggExpr(
-          Cast(args(0), org.apache.spark.sql.types.LongType)) }))
+        // widen integral ids to long; anything else (e.g. a string id
+        // column) must surface as an analysis error, not silently cast
+        // to null and vanish from the aggregate
+        args(0).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            graft.functions.BitmapAggExpr(args(0))
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType =>
+            graft.functions.BitmapAggExpr(
+              Cast(args(0), org.apache.spark.sql.types.LongType))
+          case other => throw new IllegalArgumentException(
+            s"bitmap64_agg expects an integral id column, got ${other.sql}")
+        } }))
     ext.injectFunction((
       FunctionIdentifier("bitmap64_or_agg"),
       new ExpressionInfo(classOf[graft.functions.BitmapOrAggExpr].getName, "bitmap64_or_agg"),

@@ -859,10 +859,13 @@ object AnalyticsQueries {
       .groupBy($"event_type")
       .agg(bitmap64_agg($"user_id").as("bm"))
     val purchase = seg.where($"event_type" === "purchase").select($"bm".as("pbm"))
-    seg.crossJoin(broadcast(purchase))
+    // LEFT join against the (0-or-1-row) comparison segment: a corpus
+    // with no 'purchase' events must yield every event_type with a 0
+    // overlap, not an empty result (the oracle's LEFT JOIN + coalesce)
+    seg.join(broadcast(purchase), lit(true), "left")
       .select($"event_type",
         bitmap64_count($"bm").as("n_users"),
-        bitmap64_and_count($"bm", $"pbm").as("n_also_purchase"))
+        coalesce(bitmap64_and_count($"bm", $"pbm"), lit(0L)).as("n_also_purchase"))
       .orderBy($"event_type")
   }
 

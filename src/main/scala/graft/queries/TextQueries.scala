@@ -699,8 +699,8 @@ object TextQueries {
     scored.withColumn("tier", ntile(3).over(w))
       .groupBy($"lang", $"tier")
       .agg(count(lit(1)).as("n_docs"),
-        (sum($"mean_logprob".cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("avg_logprob"))
+        round(sum($"mean_logprob".cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
       .select($"lang", $"tier",
         when($"tier" === 1, "head").when($"tier" === 2, "middle")
           .otherwise("tail").as("bucket"),

@@ -22,8 +22,69 @@ import org.apache.spark.sql.DataFrame
   * At scale the swap cost is constant (two DDL statements) regardless
   * of batch size; the data path shards per partition with
   * `batchsize`-row inserts exactly like any Spark JDBC write.
+  *
+  * The swap DDL is dialect-pluggable ([[SwapDialect]]): `Ansi` is the
+  * transactional DROP+RENAME proven e2e against embedded Derby;
+  * `ClickHouse` renders the warehouse shape the reference declared —
+  * `EXCHANGE TABLES` (single-statement atomic under the Atomic
+  * database engine) with the epoch record landing after the swap,
+  * since ClickHouse DDL has no multi-statement transactions.
   */
 object JdbcSink {
+
+  /** The atomic-publish DDL differs per warehouse; a dialect renders
+    * the statement plan so the swap executor stays engine-agnostic and
+    * the DDL shape is unit-testable without a server.
+    *
+    * @param statements    DDL to run, in order
+    * @param transactional run all statements (plus the epoch record)
+    *                      in ONE local transaction. Engines without
+    *                      multi-statement DDL transactions (ClickHouse)
+    *                      set false: their swap is a single atomic
+    *                      statement, and the epoch record lands AFTER
+    *                      it — a crash in between replays as re-stage +
+    *                      re-swap of the same batch, which converges.
+    */
+  final case class SwapPlan(statements: Seq[String], transactional: Boolean)
+
+  sealed trait SwapDialect {
+    /** Publish `staging` as `live` atomically; `bareLive` is the
+      * unqualified live name (some engines' RENAME targets take it).
+      */
+    def swapPlan(live: String, bareLive: String, staging: String,
+                 liveExists: Boolean): SwapPlan
+  }
+
+  object SwapDialect {
+    /** ANSI/Derby shape: transactional DDL, so DROP + RENAME commit
+      * together and readers see the old table until the commit point.
+      */
+    case object Ansi extends SwapDialect {
+      def swapPlan(live: String, bareLive: String, staging: String,
+                   liveExists: Boolean): SwapPlan = SwapPlan(
+        (if (liveExists) Seq(s"DROP TABLE $live") else Nil) :+
+          s"RENAME TABLE $staging TO $bareLive",
+        transactional = true)
+    }
+
+    /** ClickHouse shape (Atomic database engine): `EXCHANGE TABLES` is
+      * the single-statement atomic swap — readers on the live name see
+      * old rows or new rows, never a drop window — and the swapped-out
+      * staging (now holding the PREVIOUS live rows) is dropped after.
+      * First publish (no live table yet) is a plain atomic RENAME.
+      * ClickHouse DDL is non-transactional, hence transactional=false;
+      * see [[SwapPlan.transactional]] for why exactly-once still holds.
+      */
+    case object ClickHouse extends SwapDialect {
+      def swapPlan(live: String, bareLive: String, staging: String,
+                   liveExists: Boolean): SwapPlan = SwapPlan(
+        if (liveExists)
+          Seq(s"EXCHANGE TABLES $staging AND $live",
+            s"DROP TABLE IF EXISTS $staging")
+        else Seq(s"RENAME TABLE $staging TO $live"),
+        transactional = false)
+    }
+  }
 
   /** Regular (unquoted) SQL identifier. The name is interpolated into
     * DDL here AND into Spark's own JDBC writer (`dbtable`), both
@@ -44,28 +105,54 @@ object JdbcSink {
 
   /** Idempotent atomic replace of `table` (optionally
     * `SCHEMA.TABLE`-qualified) with the contents of `df`.
+    * `createTableOptions` passes engine DDL through to the staging
+    * CREATE (ClickHouse needs e.g. `ENGINE = MergeTree ORDER BY
+    * tuple()`); empty means the driver's default.
     */
   def replace(df: DataFrame, url: String, table: String, driver: String,
-              batchSize: Int = 1000): Unit = {
+              batchSize: Int = 1000,
+              dialect: SwapDialect = SwapDialect.Ansi,
+              createTableOptions: String = ""): Unit = {
     requireRegular(table)
     val stg = s"${table}_STG"
-    df.write.format("jdbc")
+    stage(df, url, stg, driver, batchSize, createTableOptions)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      runSwap(conn, dialect.swapPlan(table, table.split('.').last, stg,
+        exists(conn, table)), epoch = None)
+    } finally conn.close()
+  }
+
+  private def stage(df: DataFrame, url: String, stg: String, driver: String,
+                    batchSize: Int, createTableOptions: String): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", url).option("dbtable", stg)
       .option("driver", driver)
       .option("batchsize", batchSize.toString)
+    (if (createTableOptions.nonEmpty)
+      w.option("createTableOptions", createTableOptions) else w)
       .mode("overwrite").save()
-    val conn = java.sql.DriverManager.getConnection(url)
+  }
+
+  /** Execute a swap plan; `epoch = Some((epochsTable, batchId))` also
+    * records the epoch — inside the same transaction when the dialect
+    * is transactional, immediately after the (single-statement-atomic)
+    * swap otherwise.
+    */
+  private def runSwap(conn: java.sql.Connection, plan: SwapPlan,
+                      epoch: Option[(String, Long)]): Unit = {
+    if (plan.transactional) conn.setAutoCommit(false)
+    val st = conn.createStatement()
     try {
-      // Derby DDL is transactional: DROP + RENAME commit together, so
-      // a reader connection sees the pre-swap table until the commit
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      if (exists(conn, table)) st.execute(s"DROP TABLE $table")
-      // RENAME targets take the bare (unqualified) name
-      st.execute(s"RENAME TABLE $stg TO ${table.split('.').last}")
-      conn.commit()
-      st.close()
-    } finally conn.close()
+      plan.statements.foreach(st.execute)
+      epoch.foreach { case (epochs, batchId) =>
+        val ps = conn.prepareStatement(s"INSERT INTO $epochs VALUES (?)")
+        ps.setLong(1, batchId)
+        ps.executeUpdate()
+        ps.close()
+      }
+      if (plan.transactional) conn.commit()
+    } finally st.close()
   }
 
   /** Exactly-once streaming publish of a (typically complete-mode
@@ -81,14 +168,17 @@ object JdbcSink {
                     checkpoint: String, outputMode: String = "complete",
                     batchSize: Int = 1000,
                     trigger: org.apache.spark.sql.streaming.Trigger =
-                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                    dialect: SwapDialect = SwapDialect.Ansi,
+                    createTableOptions: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(outputMode)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, id: Long) => {
-        replaceEpoch(batch, url, table, driver, id, batchSize); ()
+        replaceEpoch(batch, url, table, driver, id, batchSize,
+          dialect, createTableOptions); ()
       })
       .start()
 
@@ -99,7 +189,9 @@ object JdbcSink {
     * is exactly the replay the epoch record absorbs.
     */
   def replaceEpoch(df: DataFrame, url: String, table: String, driver: String,
-                   batchId: Long, batchSize: Int = 1000): Boolean = {
+                   batchId: Long, batchSize: Int = 1000,
+                   dialect: SwapDialect = SwapDialect.Ansi,
+                   createTableOptions: String = ""): Boolean = {
     requireRegular(table)
     val epochs = s"${table}_EPOCHS"
     val pre = java.sql.DriverManager.getConnection(url)
@@ -109,23 +201,11 @@ object JdbcSink {
     } finally pre.close()
     // stage OUTSIDE the transaction at full write parallelism
     val stg = s"${table}_STG"
-    df.write.format("jdbc")
-      .option("url", url).option("dbtable", stg)
-      .option("driver", driver)
-      .option("batchsize", batchSize.toString)
-      .mode("overwrite").save()
+    stage(df, url, stg, driver, batchSize, createTableOptions)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      if (exists(conn, table)) st.execute(s"DROP TABLE $table")
-      st.execute(s"RENAME TABLE $stg TO ${table.split('.').last}")
-      val ps = conn.prepareStatement(s"INSERT INTO $epochs VALUES (?)")
-      ps.setLong(1, batchId)
-      ps.executeUpdate()
-      ps.close()
-      conn.commit()
-      st.close()
+      runSwap(conn, dialect.swapPlan(table, table.split('.').last, stg,
+        exists(conn, table)), epoch = Some((epochs, batchId)))
       true
     } finally conn.close()
   }

@@ -102,6 +102,12 @@ object EventsWindows {
     * the bounded key space (24 windows × 5 event types) at a quarter
     * of the state-store overhead; a production deployment with a wide
     * key space would raise it back.
+    *
+    * `newSession()` gives the clone its OWN `SessionState`/`SQLConf`
+    * (sharing only the `SparkContext`), so these sets never touch the
+    * caller's session — batch queries keep their 32 shuffle
+    * partitions (asserted by `EventsWindowsSpec`'s conf-isolation
+    * test).
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()

@@ -68,4 +68,24 @@ class BitmapAggSpec extends AnyFunSuite {
     assert(out.getLong(0) === 2L && out.getLong(1) === 2L &&
       out.getLong(2) === 2L && out.getLong(3) === 2L)
   }
+
+  test("non-integral input is an analysis error, not a silent null-cast") {
+    import spark.implicits._
+    Seq("u1", "u2").toDF("id").createOrReplaceTempView("bm_str_in")
+    // an unconditional Cast(LongType) would turn the string ids into
+    // nulls and report an empty bitmap — type misuse must surface
+    val ex = intercept[Exception] {
+      spark.sql("SELECT bitmap64_count(bitmap64_agg(id)) FROM bm_str_in")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).mkString
+        .contains("integral id column"))
+    // integral narrower-than-long ids still widen fine
+    Seq(1, 2, 2).toDF("id").createOrReplaceTempView("bm_int_in")
+    assert(spark.sql("SELECT bitmap64_count(bitmap64_agg(id)) AS n FROM bm_int_in")
+      .collect().head.getLong(0) === 2L)
+  }
 }

@@ -165,18 +165,89 @@ class DeltaInteropSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       new DeltaTableReader(spark, loc).read().collect()
     }
-    // column mapping
+    // id-mode column mapping (parquet field-id resolution) is
+    // unsupported everywhere — name mode has its own positive test
     val loc3 = freshLoc()
     new DeltaExport(spark, loc3).append(Seq((1L, "a")).toDF("id", "name"))
     val schema = Seq((1L, "a")).toDF("id", "name").schema.json
     val cm = ("""{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)},""" +
-      """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""")
+      """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""")
     java.nio.file.Files.writeString(
       new java.io.File(logDir(loc3), f"${1L}%020d.json").toPath, cm)
-    intercept[IllegalArgumentException] {
+    val exId = intercept[IllegalArgumentException] {
       new DeltaTableReader(spark, loc3).read().collect()
     }
+    assert(exId.getMessage.contains("'id'"))
+  }
+
+  test("column mapping: name-mode physical names resolve to logical columns") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val loc = freshLoc()
+    val dir = new java.io.File(loc); dir.mkdirs(); logDir(loc).mkdirs()
+    def cmMeta(pn: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", pn)
+      .putLong("delta.columnMapping.id", id).build()
+    // logical schema with per-field physical names, nested included
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, cmMeta("col-aaa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("score", DoubleType, nullable = true, cmMeta("col-ccc", 3)))),
+        nullable = true, cmMeta("col-bbb", 2)),
+      StructField("seg", StringType, nullable = true, cmMeta("col-ddd", 4))))
+    // data files carry PHYSICAL names (the on-disk contract of name mode)
+    def writePhys(rows: Seq[(Long, Double)], name: String): Long = {
+      val tmp = Files.createTempDirectory("cm-part-").toString
+      spark.createDataFrame(rows.map { case (i, s) =>
+        org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(s)) }.asJava,
+        StructType(Seq(
+          StructField("col-aaa", LongType),
+          StructField("col-bbb", StructType(Seq(StructField("col-ccc", DoubleType)))))))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.length()
+    }
+    val s1 = writePhys(Seq((1L, 0.5), (2L, 0.7)), "f1.parquet")
+    val s2 = writePhys(Seq((10L, 0.9)), "f2.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // protocol v2/v5 (legacy column-mapping gate), physical-keyed
+    // partitionValues and stats per the protocol's writer requirements
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"metaData":{"id":"cmx","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${om.writeValueAsString(logical.json)},""" +
+        """"partitionColumns":["seg"],""" +
+        """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},""" +
+        """"createdTime":0}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{"col-ddd":"x"},"size":$s1,""" +
+        """"modificationTime":0,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":2,\"minValues\":{\"col-aaa\":1},\"maxValues\":{\"col-aaa\":2}}"}}""",
+      s"""{"add":{"path":"f2.parquet","partitionValues":{"col-ddd":"y"},"size":$s2,""" +
+        """"modificationTime":0,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":1,\"minValues\":{\"col-aaa\":10},\"maxValues\":{\"col-aaa\":10}}"}}""")
+    Files.writeString(new java.io.File(logDir(loc), f"${0L}%020d.json").toPath,
+      lines.mkString("\n"))
+    val rdr = new DeltaTableReader(spark, loc)
+    // logical names out, nested struct field renamed, partitions typed
+    assert(rdr.schema().fieldNames.toSeq === Seq("id", "info", "seg"))
+    val got = rdr.read().selectExpr("id", "info.score", "seg")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set((1L, 0.5, "x"), (2L, 0.7, "x"), (10L, 0.9, "y")))
+    // pruning speaks logical: partition filter and stats filter each
+    // open exactly one file through their PHYSICAL log keys
+    assert(rdr.read(filters = Seq(LakePredicate.EqualTo("seg", "y")))
+      .inputFiles.length === 1)
+    assert(rdr.read(filters = Seq(LakePredicate.GtEq("id", 5L)))
+      .inputFiles.length === 1)
+    // non-batch access paths must keep failing loud, never misread
+    val exCdc = intercept[IllegalArgumentException] {
+      rdr.readChanges(-1L).collect()
+    }
+    assert(exCdc.getMessage.contains("batch reads"))
   }
 
   test("a racer's commit is observed, never overwritten") {

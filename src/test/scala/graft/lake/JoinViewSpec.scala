@@ -140,6 +140,33 @@ class JoinViewSpec extends AnyFunSuite {
       .collect().toSet === Set((1L, 10L, 5.0, "B"), (2L, 10L, 6.0, "B")))
   }
 
+  test("an unknown persisted strategy fails loud instead of voiding the contract") {
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v", "id", "ck", "ck",
+      Seq("seg"), strategy = DmlStrategy.MergeOnRead)
+    // corrupt the persisted definition's strategy field — a future or
+    // mangled value must NOT silently downgrade to Auto (that would
+    // void the declared MergeOnRead changelog contract); an ABSENT
+    // field (pre-strategy definitions) still defaults to Auto
+    val tbl = cat.table("ns.v")
+    val defJson = tbl.latest.get.meta(JoinView.DefinitionKey)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(defJson).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("strategy", "FancyFutureStrategy")
+    cat.write(Seq((2L, 10L, 6.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Append)
+    tbl.write(JoinView.read(cat, "ns.v"), WriteMode.Overwrite,
+      meta = Map(JoinView.DefinitionKey -> om.writeValueAsString(root)))
+    val ex = intercept[IllegalArgumentException] {
+      JoinView.refreshByName(cat, "ns.v")
+    }
+    assert(ex.getMessage.contains("FancyFutureStrategy"))
+  }
+
   test("null join keys take the LEFT-JOIN null arm, never a null-keyed dim row") {
     val cat = fresh()
     cat.write(Seq((1L, Some(10L), 5.0), (2L, Option.empty[Long], 7.0))

@@ -60,6 +60,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(run(5) == one)
   }
 
+  test("over-cap candidate volume takes the distributed verify path, same answer") {
+    // candPairCap=1 forces every trigger with >1 candidate pair onto
+    // the shuffled-join fallback (no driver collect of the pairs, no
+    // broadcast of the verify sides) — the adversarial-density guard.
+    // The kept set must be identical to the collected/broadcast path.
+    def run(cap: Int): Map[Long, Boolean] = {
+      val work = java.nio.file.Files.createTempDirectory(s"incdedup-cap$cap")
+      IncrementalDedup.dedupAtIngest(spark, docs, work, candPairCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val capped = run(1)
+    assert(capped === run(IncrementalDedup.DefaultCandPairCap))
+    assert(capped.values.exists(!_), "fixture must tombstone something")
+  }
+
   test("per-trigger index scan is bucket-local (partition-pruned file reads)") {
     import graft.lake.{LakePredicate, LakeTable}
     import org.apache.spark.sql.DataFrame

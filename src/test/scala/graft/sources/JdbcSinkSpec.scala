@@ -81,4 +81,40 @@ class JdbcSinkSpec extends AnyFunSuite {
       assert(readBack(url) == Map("z" -> 1L))
     }
   }
+
+  test("ClickHouse dialect renders EXCHANGE TABLES; Ansi stays transactional") {
+    import JdbcSink.{SwapDialect, SwapPlan}
+    // steady state: atomic exchange, then drop the swapped-out staging
+    assert(SwapDialect.ClickHouse.swapPlan(
+      "gold.daily", "daily", "gold.daily_STG", liveExists = true) ===
+      SwapPlan(Seq(
+        "EXCHANGE TABLES gold.daily_STG AND gold.daily",
+        "DROP TABLE IF EXISTS gold.daily_STG"), transactional = false))
+    // first publish: no live table to exchange with — atomic RENAME,
+    // QUALIFIED target (ClickHouse renames across databases by name)
+    assert(SwapDialect.ClickHouse.swapPlan(
+      "gold.daily", "daily", "gold.daily_STG", liveExists = false) ===
+      SwapPlan(Seq("RENAME TABLE gold.daily_STG TO gold.daily"),
+        transactional = false))
+    // the Derby-proven shape is unchanged by the dialect refactor:
+    // transactional DROP+RENAME with the BARE rename target
+    assert(SwapDialect.Ansi.swapPlan(
+      "APP.GOLD", "GOLD", "APP.GOLD_STG", liveExists = true) ===
+      SwapPlan(Seq("DROP TABLE APP.GOLD", "RENAME TABLE APP.GOLD_STG TO GOLD"),
+        transactional = true))
+    assert(SwapDialect.Ansi.swapPlan(
+      "APP.GOLD", "GOLD", "APP.GOLD_STG", liveExists = false) ===
+      SwapPlan(Seq("RENAME TABLE APP.GOLD_STG TO GOLD"), transactional = true))
+  }
+
+  test("replace through an explicit dialect still runs e2e against Derby") {
+    import JdbcSink.SwapDialect
+    withDb { url =>
+      JdbcSink.replace(Seq(("a", 1L)).toDF("k", "n").coalesce(1),
+        url, "APP.GOLD", driver, dialect = SwapDialect.Ansi)
+      JdbcSink.replace(Seq(("b", 2L)).toDF("k", "n").coalesce(1),
+        url, "APP.GOLD", driver, dialect = SwapDialect.Ansi)
+      assert(readBack(url) == Map("b" -> 2L))
+    }
+  }
 }

@@ -12,6 +12,19 @@ class EventsWindowsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def eventsPath = s"$dir/events.parquet"
 
+  test("streaming helpers do not mutate the caller's session conf") {
+    // the stream-tuned shuffle-partition count (and the nanos legacy
+    // conf) must live in the CLONED session only — a leak here would
+    // silently re-plan every subsequent batch query in the session
+    val before = (spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong"))
+    EventsWindows.tumblingStreaming(spark, eventsPath).collect()
+    val after = (spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong"))
+    assert(after === before)
+    assert(before._1 !== "8") // i.e. the stream-tuned value never leaked
+  }
+
   test("streaming tumbling equals batch tumbling") {
     val batch = EventsWindows.tumblingBatch(Tables(spark, dir).events)
       .orderBy($"ws", $"event_type").collect().toSeq
