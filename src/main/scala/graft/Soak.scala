@@ -56,7 +56,7 @@ object Soak {
   def genEvents(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("event_id"))
       .withColumn("ts", timestamp_micros(
-        lit(1706400000000000L) + col("event_id") * 1000000L / 8L +
+        lit(1706400000000000L) + col("event_id") * 125000L +
           pmod(xxhash64(col("event_id"), lit(31)), lit(900000000L))))
       .withColumn("user_id", pmod(xxhash64(col("event_id"), lit(37)), lit(n / 20 + 1)))
       .withColumn("event_type", element_at(
@@ -100,10 +100,25 @@ object Soak {
 
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    def time(name: String, dir: String): Double = {
+    // shuffle-node census of the FINAL (AQE-resolved) plan: scale-up
+    // must change data volume, not plan shape — a new exchange at 10×
+    // would mean some operator fell off its broadcast/bucketed path
+    def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      self + kids.map(countEx).sum
+    }
+    def time(name: String, dir: String): (Double, Int) = {
       val t0 = System.nanoTime()
-      force(SparkEntry.queries(name)(spark, dir))
-      (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(name)(spark, dir)
+      force(df)
+      ((System.nanoTime() - t0) / 1e9, countEx(df.queryExecution.executedPlan))
     }
     // warm both fixture families once
     Seq(d1).foreach { d =>
@@ -113,10 +128,12 @@ object Soak {
         System.err.println(s"[soak] warmup failed: ${e.getMessage}") }
     }
     val rows = Heavy.map { name =>
-      val t1 = time(name, d1)
-      val t10 = time(name, d10)
+      val (t1, e1) = time(name, d1)
+      val (t10, e10) = time(name, d10)
       val exp = math.log10(t10 / t1)
-      val line = f"""{"query":"$name","t1x_sec":$t1%.2f,"t10x_sec":$t10%.2f,"exponent":$exp%.2f}"""
+      val line = f"""{"query":"$name","t1x_sec":$t1%.2f,"t10x_sec":$t10%.2f,""" +
+        f""""exponent":$exp%.2f,"exchanges_1x":$e1,"exchanges_10x":$e10,""" +
+        s""""shape_stable":${e1 == e10}}"""
       println(line)
       line
     }
