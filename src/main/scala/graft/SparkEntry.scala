@@ -138,6 +138,7 @@ object SparkEntry {
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_custom_state"     -> (StreamQueries.customState _),
     "s_incremental_dedup" -> (StreamQueries.incrementalDedup _),
+    "s_incremental_semdedup" -> (StreamQueries.incrementalSemDedup _),
     "orc_roundtrip"      -> (StreamQueries.orcRoundtrip _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
     "s_stream_outer_join" -> (StreamQueries.streamStreamOuterJoin _),
@@ -1581,6 +1582,15 @@ object SparkEntry {
         |            WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5)
         |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM dropped) AS kept
         |FROM documents d ORDER BY d.doc_id""".stripMargin,
+
+    // planted exact copies (vec_id + 10000001) are the only cosine
+    // >= 0.99 pairs, and identical vectors collide in every LSH table,
+    // so the at-ingest kept set is: originals kept, copies dropped
+    "s_incremental_semdedup" ->
+      """WITH c AS (SELECT vec_id FROM embeddings
+        |           UNION ALL SELECT vec_id + 10000001 FROM embeddings)
+        |SELECT vec_id, vec_id < 10000001 AS kept
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     // the committed stream must deliver every event exactly once:
     // n = n_distinct = the batch per-type counts

@@ -51,23 +51,23 @@ object IncrementalDedup {
   // below, or auto-compact) carry the marker forward — otherwise a
   // compact landing between an append and its checkpoint would erase
   // it and a replayed micro-batch would double-append the index
-  private val BatchKey = graft.lake.LakeTable.CarryMetaPrefix + "dedup.batch"
+  private[ops] val BatchKey = graft.lake.LakeTable.CarryMetaPrefix + "dedup.batch"
 
   /** Append `df` to `tbl` exactly once per `batchId`: the commit meta
     * records the batch, and a replayed batch (foreachBatch retry)
     * whose marker is already ≥ batchId is a no-op for this table.
     */
-  private def idempotentAppend(tbl: LakeTable, df: DataFrame, batchId: Long,
-                               partitionBy: Seq[String], statsBy: Seq[String]): Unit = {
+  private[ops] def idempotentAppend(tbl: LakeTable, df: DataFrame, batchId: Long,
+                                    partitionBy: Seq[String], statsBy: Seq[String]): Unit = {
     val done = tbl.latest.flatMap(_.meta.get(BatchKey)).exists(_.toLong >= batchId)
     if (!done)
       tbl.write(df, WriteMode.Append, partitionBy = partitionBy,
         statsBy = statsBy, meta = Map(BatchKey -> batchId.toString))
   }
 
-  private def readOrEmpty(spark: SparkSession, tbl: LakeTable,
-                          preds: Seq[LakePredicate],
-                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+  private[ops] def readOrEmpty(spark: SparkSession, tbl: LakeTable,
+                               preds: Seq[LakePredicate],
+                               schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (tbl.latest.isDefined) tbl.scan(preds)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

@@ -115,6 +115,28 @@ object StreamQueries {
       LakeQueries.scratchDir("graft-incdedup-"))
   }
 
+  /** Incremental SEMANTIC dedup at ingest: the embeddings corpus plus
+    * one exact copy of every vector (vec_id + 10000001 — the +1 offset
+    * shifts copies into DIFFERENT arrival slices than their originals,
+    * so for ids ≡ 3 (mod 4) the COPY is indexed before the original
+    * arrives and the retroactive tombstone must fire). Each micro-batch
+    * SRP-LSH-joins against the bucket index of everything already
+    * ingested and exact-verifies cosine ≥ 0.99. Identical vectors
+    * collide in every LSH table (the bucket is a pure function of the
+    * vector), so recall on the planted pairs is 1 and the DuckDB
+    * oracle states the kept set in closed form: originals kept, copies
+    * dropped.
+    */
+  def incrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val off = 10000001L
+    val corpus = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + off).as("vec_id"), $"embedding"))
+    graft.ops.IncrementalSemDedup.dedupAtIngest(
+      spark, corpus, LakeQueries.scratchDir("graft-incsemdedup-"))
+  }
+
   /** Lake table consumed through the manifest-driven streaming source
     * ([[graft.streaming.GraftLakeSource]]): events land in a lake
     * table as two append commits, the committed stream drains them by
