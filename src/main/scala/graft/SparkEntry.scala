@@ -65,6 +65,7 @@ object SparkEntry {
     "lake_compact_where"    -> (LakeQueries.compactWhereScoped _),
     "lake_meta_delete"      -> (LakeQueries.metadataDelete _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
+    "lake_forget"           -> (LakeQueries.forgetUsers _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_view_rewrite"     -> (LakeQueries.viewRewrite _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
@@ -513,6 +514,17 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // erasure sweep: subjects 1..50 physically gone (residual pinned 0
+    // by the engine's storage-level re-scan); counts of the remainder
+    "lake_forget" ->
+      """SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS rows_remaining,
+        |       CAST(0 AS BIGINT) AS residual_rows
+        |FROM events WHERE user_id NOT BETWEEN 1 AND 50
+        |UNION ALL
+        |SELECT 'profiles', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 50
+        |ORDER BY tbl""".stripMargin,
 
     // the incrementally-maintained view equals the direct aggregate of
     // the source's final state (initial %4∈{1,2} + appended %4=3,

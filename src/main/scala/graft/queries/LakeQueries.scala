@@ -681,6 +681,45 @@ object LakeQueries {
     cat.read("gold.status_counts").orderBy($"o_orderstatus")
   }
 
+  /** Right-to-be-forgotten erasure sweep ([[graft.lake.Privacy]]):
+    * two tables carry the same subjects under different key columns
+    * (events by user_id, profiles by c_custkey); forgetting users
+    * 1..50 must (a) COW-delete their rows, (b) expire every prior
+    * snapshot, (c) orphan-sweep the old files, and (d) report a ZERO
+    * storage-level residual — measured by re-reading every parquet
+    * file still on disk, not inferred from metadata. Inline asserts
+    * pin the erasure evidence (residual 0, single surviving snapshot,
+    * history purged); the oracle checks the remaining-row counts.
+    */
+  def forgetUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = freshCatalog(spark)
+    val t = Tables(spark, dir)
+    // two commits each, so expiry has real history to purge
+    val ev = t.events.select($"event_id", $"user_id", $"value")
+    cat.write(ev.filter($"event_id" % 2 === 0), "pii.events", WriteMode.Overwrite)
+    cat.write(ev.filter($"event_id" % 2 === 1), "pii.events", WriteMode.Append)
+    val prof = t.customer.select($"c_custkey", $"c_name", $"c_acctbal")
+    cat.write(prof.filter($"c_custkey" % 2 === 0), "pii.profiles", WriteMode.Overwrite)
+    cat.write(prof.filter($"c_custkey" % 2 === 1), "pii.profiles", WriteMode.Append)
+    val keys: Seq[Any] = (1L to 50L)
+    val results = graft.lake.Privacy.forget(cat,
+      Seq("pii.events" -> "user_id", "pii.profiles" -> "c_custkey"), keys)
+    results.foreach { r =>
+      require(r.residualRows == 0L, s"${r.ident}: ${r.residualRows} residual rows")
+      require(r.rowsDeleted > 0L, s"${r.ident}: erasure matched nothing")
+      require(cat.table(r.ident).history.size == 1,
+        s"${r.ident}: prior snapshots survived erasure")
+    }
+    Seq(
+      ("events", cat.read("pii.events").count(),
+        results.find(_.ident == "pii.events").get.residualRows),
+      ("profiles", cat.read("pii.profiles").count(),
+        results.find(_.ident == "pii.profiles").get.residualRows))
+      .toDF("tbl", "rows_remaining", "residual_rows")
+      .orderBy($"tbl")
+  }
+
   /** Branch-based write-audit-publish (Iceberg's `spark.wap.branch`
     * surface): a branch takes MULTIPLE validation writes — the case
     * single staged commits cannot cover — while main readers see
