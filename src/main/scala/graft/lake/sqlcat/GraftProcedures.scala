@@ -161,6 +161,37 @@ private[sqlcat] object GraftProcedures {
           Seq(m, d)
         }))
 
+      // right-to-be-forgotten erasure (graft.lake.Privacy) from plain
+      // SQL — the form deletion requests actually reach a warehouse:
+      //   CALL graft.system.forget(table => 'ns.t', key_col => 'uid',
+      //                            keys => '17,42,99')
+      // COW delete + full history expiry + orphan sweep + storage-level
+      // residual audit; fails loud on retention anchors (tags/branches)
+      case "forget" => Some(new Proc("forget",
+        Array(p("table", StringType), p("key_col", StringType), p("keys", StringType)),
+        StructType(Seq(StructField("rows_deleted", LongType),
+          StructField("version", LongType),
+          StructField("expired_snapshots", IntegerType),
+          StructField("purged_dirs", IntegerType),
+          StructField("residual_rows", LongType))),
+        resolve,
+        (_, in) => {
+          val ident = in.getUTF8String(0).toString
+          val keyCol = in.getUTF8String(1).toString
+          val raw = in.getUTF8String(2).toString
+            .split(',').map(_.trim).filter(_.nonEmpty)
+          require(raw.nonEmpty, "empty erasure request")
+          // numeric ids stay typed (a string literal against a long
+          // column would coerce the COLUMN and defeat file skipping)
+          val keys: Seq[Any] =
+            if (raw.forall(_.matches("-?\\d+"))) raw.map(_.toLong: Any).toSeq
+            else raw.map(identity[Any]).toSeq
+          val r = graft.lake.Privacy
+            .forget(catalog(), Seq(ident -> keyCol), keys).head
+          Seq[Any](r.rowsDeleted, r.version, r.expiredSnapshots,
+            r.purgedDirs, r.residualRows)
+        }))
+
       case "remove_orphan_files" => Some(new Proc("remove_orphan_files",
         Array(p("table", StringType),
           pDefault("grace_ms", LongType, (60 * 60 * 1000L).toString)),

@@ -56,6 +56,23 @@ class PrivacySpec extends AnyFunSuite {
       "storage-level audit must see through the position-delete mask")
   }
 
+  test("SQL surface: CALL graft.system.forget erases and reports the audit") {
+    val name = "privcat"
+    val wh = java.nio.file.Files.createTempDirectory("priv-sql-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    seed(cat)
+    val row = spark.sql(s"CALL $name.system.forget(" +
+      "table => 'ns.t', key_col => 'uid', keys => '3, 7, 11')").head
+    assert(row.getLong(0) === 3L)   // rows_deleted
+    assert(row.getLong(4) === 0L)   // residual_rows
+    assert(spark.sql(s"SELECT count(*) FROM $name.ns.t WHERE uid IN (3,7,11)")
+      .head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $name.ns.t").head.getLong(0) === 97L)
+  }
+
   test("retention anchors fail the request loud instead of pinning data") {
     val cat = fresh(); seed(cat)
     val t = cat.table("ns.t")
