@@ -70,7 +70,11 @@ object Privacy {
 
   /** Storage-level audit: read every parquet file still present under
     * the table's data/eqdeletes roots (manifest-referenced or not) and
-    * count rows matching the keys. 0 = physically erased.
+    * count rows matching the keys. 0 = physically erased. ONE
+    * column-pruned scan over all dirs — the explicit single-column
+    * schema makes files that lack the key column (eq-delete files for
+    * other keys) read as nulls instead of failing, and keeps the audit
+    * a single Spark job however many dirs a 100 TB table holds.
     */
   private[lake] def residual(t: LakeTable, keyCol: String, keys: Seq[Any]): Long = {
     val spark = t.spark
@@ -78,10 +82,14 @@ object Privacy {
       try t.io.list(t.loc(sub)).map(_.getPath.toString)
       catch { case _: Exception => Nil }
     }
-    dirs.map { d =>
-      val df = spark.read.parquet(d)
-      if (!df.columns.contains(keyCol)) 0L
-      else df.where(col(keyCol).isin(keys: _*)).count()
-    }.sum
+    if (dirs.isEmpty) return 0L
+    t.read().schema.find(_.name == keyCol) match {
+      case None => 0L
+      case Some(field) =>
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(field.copy(nullable = true))))
+          .parquet(dirs: _*)
+          .where(col(keyCol).isin(keys: _*)).count()
+    }
   }
 }
