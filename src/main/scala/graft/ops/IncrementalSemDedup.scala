@@ -52,12 +52,20 @@ object IncrementalSemDedup {
                                indexBuckets: Int, compactEvery: Int,
                                candPairCap: Int): Unit = {
     import IncrementalDedup.{idempotentAppend, readOrEmpty}
-    val vecs = batch
+    // per-trigger fixed job costs dominate at micro-batch sizes, so
+    // every independent job runs concurrently (the IncrementalDedup
+    // pattern): the two checkpoint materializations, then the index
+    // appends overlapped with the candidate/verify work below (the
+    // pre-append bucket read is snapshot-bound, so the overlap is safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vecsF = Future(batch
       .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
       .repartition(col("bk"))
-      .localCheckpoint()
-    val buckets = batch
+      .localCheckpoint())
+    val bucketsF = Future(batch
       .select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
@@ -66,15 +74,17 @@ object IncrementalSemDedup {
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .withColumn("bk", pmod(xxhash64(col("table"), col("bucket")), lit(indexBuckets)).cast("int"))
       .repartition(col("bk"))
-      .localCheckpoint()
+      .localCheckpoint())
+    val vecs = Await.result(vecsF, Duration.Inf)
+    val buckets = Await.result(bucketsF, Duration.Inf)
     // bucket-local index read: only the partitions this batch's LSH
     // buckets occupy — O(batch's bucket span), never O(history)
     val bucketKeys = buckets.select(col("bk")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val prevBuckets = readOrEmpty(spark, bucketsTbl,
       Seq(LakePredicate.In("bk", bucketKeys)), buckets.schema)
-    idempotentAppend(bucketsTbl, buckets, batchId, Seq("bk"), Nil)
-    idempotentAppend(vecsTbl, vecs, batchId, Seq("bk"), Nil)
+    val bucketsAppendF = Future(idempotentAppend(bucketsTbl, buckets, batchId, Seq("bk"), Nil))
+    val vecsAppendF = Future(idempotentAppend(vecsTbl, vecs, batchId, Seq("bk"), Nil))
     // candidates: batch × index bucket collisions + in-batch
     // collisions, canonical u < v; self-pairs guarded for replay
     val crossIdx = prevBuckets.select(col("table"), col("bucket"), col("id").as("pid"))
@@ -123,11 +133,13 @@ object IncrementalSemDedup {
       .join(if (underCap) broadcast(uSide) else uSide, Seq("v"))
       .where(cosine_sim(col("u_vec"), col("v_vec")) >= threshold)
       .select(col("v").as("id")).distinct() // larger id tombstoned
-    if (hasCands)
-      idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil)
+    val dropsAppendF = Future(if (hasCands)
+      idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil))
+    Seq(dropsAppendF, bucketsAppendF, vecsAppendF).foreach(Await.result(_, Duration.Inf))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Seq(dropsTbl, bucketsTbl, vecsTbl)
-        .foreach(t => if (t.latest.isDefined) t.compactBinPack(maxDirBytes = 64L << 20))
+        .map(t => Future(if (t.latest.isDefined) t.compactBinPack(maxDirBytes = 64L << 20)))
+        .foreach(Await.result(_, Duration.Inf))
   }
 
   /** Ingest one ARRIVAL of vectors: parquet slices land under a
