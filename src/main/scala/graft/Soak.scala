@@ -77,6 +77,55 @@ object Soak {
     "d_ngram_jaccard", "e_semdedup_kmeans", "e_cosine_ivfpq_topk",
     "t_textrank", "pipeline_traindata")
 
+  /** MV-stack refresh soak (VERDICT r9 item 5): the join-view and
+    * rollup refreshes claim O(changes) cost — "the refresh itself
+    * shuffles only the delta". Measured directly: build the
+    * enrich→rollup stack over a base of `n` fact rows, then commit a
+    * FIXED-size delta and time ONLY the two refreshes. Scaling the
+    * BASE a decade with the delta held constant must leave refresh
+    * time ~flat (exponent ≈ 0 against base size); a refresh that
+    * secretly rescans the fact table would show exponent ≈ 1 here.
+    * Returns (joinViewRefreshSec, rollupRefreshSec).
+    */
+  def soakMvRefresh(spark: SparkSession, n: Long, deltaRows: Long): (Double, Double) = {
+    import graft.lake.{DmlStrategy, IncrementalView, JoinView, LakeCatalog, WriteMode}
+    import graft.lake.IncrementalView.{GroupCount, Sum}
+    val cat = new LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-soak-mv-").toString)
+    val fact = genEvents(spark, n)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * 1000).cast("long").as("millis"))
+    val dim = spark.range(n / 20 + 1).select(col("id").as("user_id"))
+      .withColumn("segment", concat(lit("seg"), pmod(xxhash64(col("id"), lit(53)), lit(8))))
+    cat.write(fact.repartition(32), "f.events", WriteMode.Overwrite)
+    cat.write(dim.repartition(4), "d.users", WriteMode.Overwrite)
+    def refreshJoin() = JoinView.refresh(cat, "f.events", "d.users",
+      "v.enriched", factKey = "event_id", joinKey = "user_id",
+      dimKey = "user_id", dimCols = Seq("segment"),
+      strategy = DmlStrategy.MergeOnRead)
+    val aggs = Seq(GroupCount("n"), Sum(col("millis"), "sum_millis"))
+    def refreshRollup() = IncrementalView.refresh(cat, "v.enriched",
+      "g.rollup", Seq("segment", "event_type"), aggs)
+    refreshJoin(); refreshRollup() // full builds, untimed
+    // fixed-size delta: new event_ids above the base range
+    val delta = genEvents(spark, deltaRows)
+      .select((col("event_id") + n).as("event_id"),
+        col("user_id"), col("event_type"),
+        (col("value") * 1000).cast("long").as("millis"))
+      .withColumn("user_id", pmod(col("user_id"), lit(n / 20 + 1)))
+    cat.write(delta.repartition(4), "f.events", WriteMode.Append)
+    val t0 = System.nanoTime()
+    val jv = refreshJoin()
+    val t1 = System.nanoTime()
+    val ru = refreshRollup()
+    val t2 = System.nanoTime()
+    require(jv.meta.get(IncrementalView.RefreshModeKey).contains("incremental"),
+      s"join-view refresh must be incremental, got meta ${jv.meta}")
+    require(ru.meta(IncrementalView.RefreshModeKey) == "incremental",
+      "rollup refresh must consume the view's changelog, not rebuild")
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -137,9 +186,19 @@ object Soak {
       println(line)
       line
     }
+    // MV-stack refresh: fixed 5k-row delta against a 100k and a 1M
+    // base — exponent vs BASE size, ≈0 proves the O(changes) claim
+    val mvRows = {
+      val (jv1, ru1) = soakMvRefresh(spark, n = 100000L, deltaRows = 5000L)
+      val (jv10, ru10) = soakMvRefresh(spark, n = 1000000L, deltaRows = 5000L)
+      Seq(
+        f"""{"query":"mv_joinview_refresh","t1x_sec":$jv1%.2f,"t10x_sec":$jv10%.2f,"exponent":${math.log10(jv10 / jv1)}%.2f,"fixed_delta_rows":5000}""",
+        f"""{"query":"mv_rollup_refresh","t1x_sec":$ru1%.2f,"t10x_sec":$ru10%.2f,"exponent":${math.log10(ru10 / ru1)}%.2f,"fixed_delta_rows":5000}""")
+    }
+    mvRows.foreach(println)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_LAST.json")),
-      rows.mkString("[", ",\n", "]\n"))
+      (rows ++ mvRows).mkString("[", ",\n", "]\n"))
     spark.stop()
   }
 }

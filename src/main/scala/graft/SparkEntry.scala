@@ -66,6 +66,7 @@ object SparkEntry {
     "lake_meta_delete"      -> (LakeQueries.metadataDelete _),
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_forget"           -> (LakeQueries.forgetUsers _),
+    "lake_forget_cascade"   -> (LakeQueries.forgetCascade _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_view_rewrite"     -> (LakeQueries.viewRewrite _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "t_weighted_sample"  -> ((s: SparkSession, d: String) => TextQueries.weightedSample(s, d)),
     "t_contamination"    -> (TextQueries.contamination _),
     "t_novelty"          -> (TextQueries.novelty _),
+    "t_shingle_card"     -> (TextQueries.shingleCard _),
     "t_pii_redact"       -> (TextQueries.piiRedact _),
     "t_repetition"       -> (TextQueries.repetition _),
     "t_dup_span"         -> (TextQueries.dupSpan _),
@@ -526,6 +528,24 @@ object SparkEntry {
         |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 50
         |ORDER BY tbl""".stripMargin,
 
+    // erasure cascaded into the at-ingest dedup index (residual pinned
+    // 0 per index table by the engine's requires); tombstones for
+    // non-subject docs survive by design, so the post-erasure kept
+    // report over the remaining docs equals the exhaustive answer over
+    // the FULL corpus slice, restricted to survivors
+    "lake_forget_cascade" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 250),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM d),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM w),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS a_sz, len(b.s) AS b_sz
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |dropped AS (SELECT DISTINCT b_id FROM p
+        |            WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5)
+        |SELECT doc_id, doc_id NOT IN (SELECT b_id FROM dropped) AS kept
+        |FROM d WHERE doc_id >= 10 ORDER BY doc_id""".stripMargin,
+
     // the incrementally-maintained view equals the direct aggregate of
     // the source's final state (initial %4∈{1,2} + appended %4=3,
     // minus the MOR-deleted %8=2); sums ride exact integer cents
@@ -903,19 +923,28 @@ object SparkEntry {
         |       MAX(doc_id) AS last_doc_id
         |FROM c WHERE cum <= 20000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the gram key is a 16-hex md5 prefix of the 3-gram string — the
-    // oracle RECOMPUTES the engine's exact digest (no hash-equivalence
-    // argument), so the integer counts agree in any environment
+    // the gram key is the RAW 3-gram string (no digest — the r8 hash-
+    // equivalence and r9 md5-prefix variants both failed the driver);
+    // index generation via unnest(generate_series(...)) — the most
+    // version-stable DuckDB spelling of "i = 1 .. n-2"
     "t_novelty" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
-        |        i -> substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 16)))) AS g FROM w),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ix),
         |fr AS (SELECT g, min(doc_id) AS first_id FROM sh GROUP BY g)
         |SELECT s.doc_id, count(*) AS n_shingles,
         |  sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
         |  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
         |FROM sh s JOIN fr f USING (g)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // bisect leg for t_novelty: gram extraction only, no first-
+    // occurrence join — integer counts
+    "t_shingle_card" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ix)
+        |SELECT doc_id, count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_contamination" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1)),
@@ -1975,8 +2004,10 @@ object SparkEntry {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // psi is rounded to 6 decimals on BOTH engines: the raw double sum
-    // of ln-derived terms is libm/add-order sensitive across builds
+    // each psi term folds to DECIMAL(27,13) BEFORE the sum (absorbs
+    // libm-ln ulp noise; exact order-free sum), then round(6) and a
+    // `+ 0.0` negative-zero normalization — the r8/r9 round-after-
+    // double-sum variant failed the driver's hash twice
     "a_drift_psi" ->
       """WITH b AS (
         |  SELECT event_type, event_id % 2 AS slice,
@@ -1994,8 +2025,10 @@ object SparkEntry {
         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = gs.bin)
         |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
-        |  round(sum((CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
-        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))), 6) AS psi
+        |  CAST(round(sum(CAST(
+        |    (CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))
+        |    AS DECIMAL(27,13))), 6) AS DOUBLE) + 0.0 AS psi
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact decimal/integer moments, then a fixed dag of double ops —
     // identical on both engines regardless of reduction order

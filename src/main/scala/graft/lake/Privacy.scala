@@ -47,22 +47,89 @@ object Privacy {
 
   /** Erase `keys` from every (tableIdent, keyColumn) target. Returns
     * one [[ErasureResult]] per target, in input order.
+    *
+    * Retention anchors are validated for ALL targets before the first
+    * delete — erasure is irreversible, so a bad second target must not
+    * leave the batch half-applied with the first target's evidence
+    * discarded by the throw (ADVICE r9). The orphan sweep is bounded
+    * by the erasure start time rather than zero grace: a concurrent
+    * committer stages its data dir BEFORE publishing the manifest, and
+    * a zero-grace sweep could delete that staged dir and corrupt the
+    * racer's commit; sweeping only dirs older than `t0` still removes
+    * every pre-erasure residue file (the subject's bytes are by
+    * definition older than the request) while never touching a dir
+    * written after erasure began.
     */
   def forget(cat: LakeCatalog, targets: Seq[(String, String)],
              keys: Seq[Any]): Seq[ErasureResult] = {
     require(keys.nonEmpty, "empty erasure request")
-    targets.map { case (ident, keyCol) =>
-      val t = cat.table(ident)
+    val resolved = targets.map { case (ident, keyCol) =>
+      (ident, keyCol, cat.table(ident))
+    }
+    eraseAll(resolved, keys)
+  }
+
+  /** Cascade erasure into the AT-INGEST dedup index state under
+    * `workDir` ([[graft.ops.IncrementalDedup]] /
+    * [[graft.ops.IncrementalSemDedup]]): the subject's document ids —
+    * and for the semantic index their EMBEDDING VECTORS, which are
+    * content-derived personal data — live on in `bands/`, `shingles/`,
+    * `buckets/`, `vecs/`, and `drops/` after the corpus tables are
+    * scrubbed. Erases rows keyed by the subject's ids from every index
+    * table present, with the same COW-delete + history-expiry +
+    * orphan-sweep + storage-audit contract as [[forget]].
+    *
+    * Safe for the index semantics: deleting the subject's OWN rows
+    * never changes another document's verdict (tombstones for other
+    * documents keep their own ids), the COW rewrite preserves the
+    * `bk`-bucketed layout ([[LakeDml.delete]] rewrites under
+    * `base.partitionBy`), and the `graft.dedup.batch` idempotency
+    * marker survives because it is carry-forward meta.
+    */
+  def forgetDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                       workDir: java.nio.file.Path,
+                       keys: Seq[Any]): Seq[ErasureResult] = {
+    require(keys.nonEmpty, "empty erasure request")
+    val targets = IndexTableNames.flatMap { name =>
+      val t = new LakeTable(spark, workDir.resolve(name).toString)
+      if (t.latest.isDefined) Some((name, "id", t)) else None
+    }
+    eraseAll(targets, keys)
+  }
+
+  /** Index table layouts the at-ingest dedup family maintains, all
+    * keyed by document/vector `id`.
+    */
+  private[graft] val IndexTableNames: Seq[String] =
+    Seq("bands", "shingles", "drops", "buckets", "vecs")
+
+  private def eraseAll(targets: Seq[(String, String, LakeTable)],
+                       keys: Seq[Any]): Seq[ErasureResult] = {
+    // validate retention anchors for ALL targets BEFORE the first
+    // delete — erasure is irreversible, so a bad later target must
+    // not leave the batch half-applied with the completed targets'
+    // evidence discarded by the throw (ADVICE r9)
+    targets.foreach { case (ident, _, t) =>
       val anchors = t.tags.map("tag " + _._1) ++ t.branches.map("branch " + _._1)
       require(anchors.isEmpty,
         s"'$ident' has retention anchors (${anchors.mkString(", ")}) that " +
           "would pin the subject's data through expiry — drop them first")
+    }
+    val t0 = System.currentTimeMillis()
+    targets.map { case (ident, keyCol, t) =>
       val cond = col(keyCol).isin(keys: _*)
       val before = t.read().where(cond).count()
       val snap = LakeDml.delete(t, cond, strategy = DmlStrategy.CopyOnWrite)
       val (expired, dirsFromExpiry) =
         t.expireSnapshotsOlderThan(System.currentTimeMillis() + 1)
-      val orphans = t.removeOrphanFiles(graceMs = 0L)
+      // sweep bounded by the erasure start time, not zero grace: a
+      // concurrent committer stages its data dir BEFORE publishing its
+      // manifest, and a zero-grace sweep could delete that staged dir
+      // and corrupt the racer's commit. Everything the subject ever
+      // touched predates t0, so the sweep still removes every
+      // pre-erasure residue file (ADVICE r9).
+      val orphans =
+        t.removeOrphanFiles(graceMs = math.max(0L, System.currentTimeMillis() - t0))
       ErasureResult(ident, before, snap.version, expired,
         dirsFromExpiry + orphans, residualRows = residual(t, keyCol, keys))
     }
@@ -82,14 +149,16 @@ object Privacy {
       try t.io.list(t.loc(sub)).map(_.getPath.toString)
       catch { case _: Exception => Nil }
     }
+    // fail loud on a missing key column: residual is a public audit
+    // entry point, and "0 rows" from a misspelled/renamed column would
+    // report 'physically erased' without scanning a single file
+    val field = t.read().schema.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"audit key column '$keyCol' not in ${t.rootLocation}'s current schema"))
     if (dirs.isEmpty) return 0L
-    t.read().schema.find(_.name == keyCol) match {
-      case None => 0L
-      case Some(field) =>
-        spark.read
-          .schema(org.apache.spark.sql.types.StructType(Seq(field.copy(nullable = true))))
-          .parquet(dirs: _*)
-          .where(col(keyCol).isin(keys: _*)).count()
-    }
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(field.copy(nullable = true))))
+      .parquet(dirs: _*)
+      .where(col(keyCol).isin(keys: _*)).count()
   }
 }

@@ -175,17 +175,30 @@ private[sqlcat] object GraftProcedures {
           StructField("purged_dirs", IntegerType),
           StructField("residual_rows", LongType))),
         resolve,
-        (_, in) => {
+        (t, in) => {
           val ident = in.getUTF8String(0).toString
           val keyCol = in.getUTF8String(1).toString
           val raw = in.getUTF8String(2).toString
             .split(',').map(_.trim).filter(_.nonEmpty)
           require(raw.nonEmpty, "empty erasure request")
-          // numeric ids stay typed (a string literal against a long
-          // column would coerce the COLUMN and defeat file skipping)
-          val keys: Seq[Any] =
-            if (raw.forall(_.matches("-?\\d+"))) raw.map(_.toLong: Any).toSeq
-            else raw.map(identity[Any]).toSeq
+          // keys parse to the key COLUMN's declared type (ADVICE r9:
+          // guessing "all digits → Long" against a STRING column made
+          // Spark cast the column to bigint, so uid '042' matched a
+          // request for '42' — over-deleting a different subject).
+          // Commas inside string keys are unrepresentable on the SQL
+          // surface; use the Scala Privacy.forget API for those.
+          val kt = t.read().schema.find(_.name == keyCol).getOrElse(
+            throw new IllegalArgumentException(
+              s"key column '$keyCol' not in $ident's schema")).dataType
+          import org.apache.spark.sql.types._
+          val keys: Seq[Any] = kt match {
+            case LongType    => raw.map(_.toLong: Any).toSeq
+            case IntegerType => raw.map(_.toInt: Any).toSeq
+            case ShortType   => raw.map(_.toShort: Any).toSeq
+            case StringType  => raw.map(identity[Any]).toSeq
+            case other => throw new IllegalArgumentException(
+              s"forget supports integral/string key columns; '$keyCol' is $other")
+          }
           val r = graft.lake.Privacy
             .forget(catalog(), Seq(ident -> keyCol), keys).head
           Seq[Any](r.rowsDeleted, r.version, r.expiredSnapshots,

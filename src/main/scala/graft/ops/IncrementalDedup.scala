@@ -71,6 +71,31 @@ object IncrementalDedup {
     if (tbl.latest.isDefined) tbl.scan(preds)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Eagerly materialize `df` (localCheckpoint) AND census its `bk`
+    * column in the SAME job, via an accumulator fed by a pass-through
+    * mapPartitions: the distinct bucket keys are known the moment the
+    * checkpoint lands, where a separate `select(bk).distinct.collect`
+    * costs one more sequential job on the trigger's critical path —
+    * at micro-batch sizes the fixed per-job scheduling cost is the
+    * whole bill. Retried tasks may re-add keys (accumulator at-least-
+    * once); a SET census is insensitive to that, and every key comes
+    * from a real row so the census is exact.
+    */
+  private[ops] def checkpointWithBkCensus(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val acc = df.sparkSession.sparkContext.collectionAccumulator[Int]("bkCensus")
+    val bkIdx = df.schema.fieldIndex("bk")
+    val cp = df.mapPartitions { it =>
+      val seen = new java.util.HashSet[Integer]()
+      it.map { r =>
+        val b = r.getInt(bkIdx)
+        if (seen.add(b)) acc.add(b)
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema)).localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    (cp, acc.value.asScala.map(_.toInt).toSet.toSeq.sorted)
+  }
+
   /** One micro-batch of the ingest loop — factored out of foreachBatch
     * so the at-least-once path is testable: calling it twice with the
     * same batchId must change nothing (appends skip on the batch
@@ -105,18 +130,20 @@ object IncrementalDedup {
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
       .repartition(col("bk"))
       .localCheckpoint())
-    val bbandedF = Future(bbanded
+    // the band-bucket census rides the checkpoint job itself
+    // (accumulator in a pass-through mapPartitions) — the separate
+    // distinct-collect it replaces was one more job on the trigger's
+    // critical path, and at micro-batch sizes the per-job scheduling
+    // fixed cost is the entire bill
+    val bbandedF = Future(checkpointWithBkCensus(bbanded
       .withColumn("bk", pmod(xxhash64(col("bh")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))
-      .localCheckpoint())
+      .repartition(col("bk"))))
     val bshC = Await.result(bshF, Duration.Inf)
-    val bbandedC = Await.result(bbandedF, Duration.Inf)
+    val (bbandedC, bandKeys) = Await.result(bbandedF, Duration.Inf)
     // bucket-local index read: only the partitions this batch's
     // band hashes occupy — the per-trigger scan is O(batch's
     // bucket span), not O(history). Key sets are ≤ indexBuckets,
-    // so the collect is parameter-bounded driver state.
-    val bandKeys = bbandedC.select(col("bk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // so the census is parameter-bounded driver state.
     val prevBanded = readOrEmpty(spark, bandsTbl,
       Seq(LakePredicate.In("bk", bandKeys)), bbandedC.schema)
     // Index appends start NOW, overlapping the candidate/verify work
@@ -161,10 +188,16 @@ object IncrementalDedup {
     // stay distributed (localCheckpoint, evaluated once) and the verify
     // joins run as ordinary shuffled joins; only the bucket-key set —
     // ≤ indexBuckets, a parameter — ever reaches the driver.
+    // materialize the candidate frame ONCE (localCheckpoint), then
+    // probe the cap from the checkpoint — the old probe-then-
+    // re-evaluate shape computed the banded joins twice precisely in
+    // the adversarial over-cap case where they are most expensive
+    // (ADVICE r9)
     val candQuery = crossIdx.unionByName(inBatch).distinct()
       .where(col("u") =!= col("v"))        // belt-and-suspenders vs self-pairs
       .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
       .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
+      .localCheckpoint()
     val candSample = candQuery.limit(candPairCap + 1).collect()
     val underCap = candSample.length <= candPairCap
     val idType = batch.schema(idCol).dataType
@@ -180,11 +213,10 @@ object IncrementalDedup {
           candSample.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
         (broadcast(local), keys, candSample.nonEmpty)
       } else {
-        val cp = candQuery.localCheckpoint()
-        val keys: Seq[Int] = cp.select(col("bku").as("bk"))
-          .unionByName(cp.select(col("bkv").as("bk")))
+        val keys: Seq[Int] = candQuery.select(col("bku").as("bk"))
+          .unionByName(candQuery.select(col("bkv").as("bk")))
           .distinct().collect().map(_.getInt(0)).toSeq
-        (cp.select(col("u"), col("v")), keys, true)
+        (candQuery.select(col("u"), col("v")), keys, true)
       }
     val prevSh = readOrEmpty(spark, shTbl,
       Seq(LakePredicate.In("bk", candKeys)), bshC.schema)

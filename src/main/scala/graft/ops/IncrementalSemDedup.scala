@@ -51,7 +51,7 @@ object IncrementalSemDedup {
                                tables: Int, bits: Int, threshold: Double,
                                indexBuckets: Int, compactEvery: Int,
                                candPairCap: Int): Unit = {
-    import IncrementalDedup.{idempotentAppend, readOrEmpty}
+    import IncrementalDedup.{checkpointWithBkCensus, idempotentAppend, readOrEmpty}
     // per-trigger fixed job costs dominate at micro-batch sizes, so
     // every independent job runs concurrently (the IncrementalDedup
     // pattern): the two checkpoint materializations, then the index
@@ -65,7 +65,10 @@ object IncrementalSemDedup {
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
       .repartition(col("bk"))
       .localCheckpoint())
-    val bucketsF = Future(batch
+    // bucket census rides the checkpoint job (see
+    // IncrementalDedup.checkpointWithBkCensus) — one fewer sequential
+    // job per trigger than a separate distinct-collect
+    val bucketsF = Future(checkpointWithBkCensus(batch
       .select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
@@ -73,14 +76,11 @@ object IncrementalSemDedup {
           .as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .withColumn("bk", pmod(xxhash64(col("table"), col("bucket")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))
-      .localCheckpoint())
+      .repartition(col("bk"))))
     val vecs = Await.result(vecsF, Duration.Inf)
-    val buckets = Await.result(bucketsF, Duration.Inf)
     // bucket-local index read: only the partitions this batch's LSH
     // buckets occupy — O(batch's bucket span), never O(history)
-    val bucketKeys = buckets.select(col("bk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (buckets, bucketKeys) = Await.result(bucketsF, Duration.Inf)
     val prevBuckets = readOrEmpty(spark, bucketsTbl,
       Seq(LakePredicate.In("bk", bucketKeys)), buckets.schema)
     val bucketsAppendF = Future(idempotentAppend(bucketsTbl, buckets, batchId, Seq("bk"), Nil))
@@ -97,10 +97,14 @@ object IncrementalSemDedup {
         Seq("table", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a").as("u"), col("b").as("v"))
+    // materialized once; the cap probe and the over-cap distributed
+    // path both read the same checkpoint (ADVICE r9 — see
+    // IncrementalDedup for the rationale)
     val candQuery = crossIdx.unionByName(inBatch).distinct()
       .where(col("u") =!= col("v"))
       .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
       .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
+      .localCheckpoint()
     val candSample = candQuery.limit(candPairCap + 1).collect()
     val underCap = candSample.length <= candPairCap
     val idType = batch.schema(idCol).dataType
@@ -116,11 +120,10 @@ object IncrementalSemDedup {
           candSample.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
         (broadcast(local), keys, candSample.nonEmpty)
       } else {
-        val cp = candQuery.localCheckpoint()
-        val keys: Seq[Int] = cp.select(col("bku").as("bk"))
-          .unionByName(cp.select(col("bkv").as("bk")))
+        val keys: Seq[Int] = candQuery.select(col("bku").as("bk"))
+          .unionByName(candQuery.select(col("bkv").as("bk")))
           .distinct().collect().map(_.getInt(0)).toSeq
-        (cp.select(col("u"), col("v")), keys, true)
+        (candQuery.select(col("u"), col("v")), keys, true)
       }
     val prevVecs = readOrEmpty(spark, vecsTbl,
       Seq(LakePredicate.In("bk", candKeys)), vecs.schema)

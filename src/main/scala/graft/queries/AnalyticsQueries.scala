@@ -480,12 +480,15 @@ object AnalyticsQueries {
     * data-quality gate a production pipeline runs between corpus
     * slices before shipping a batch to training: per event_type, bin
     * `value` into 10 fixed-width buckets, Laplace-smooth both slices'
-    * bin shares, and sum `(pA−pB)·ln(pA/pB)`. The sum is rounded to 6
-    * decimals on BOTH engines — PSI lives in [0, ~1] with a 0.25
-    * decision line, so 6 decimals is far above libm-`ln`/add-order ulp
-    * noise and far below anything a consumer reads (the raw double sum
-    * depends on the JVM-vs-DuckDB `ln` build and on partial-agg add
-    * order, neither of which is portable).
+    * bin shares, and sum `(pA−pB)·ln(pA/pB)`. Cross-engine hash
+    * determinism (SCALE.md "oracle determinism contract"): each term is
+    * folded to `decimal(27,13)` BEFORE the sum — the decimal truncation
+    * absorbs the 1-ulp libm-`ln` difference between JVM and DuckDB
+    * builds, and the decimal sum is exact and order-free (a plain
+    * `round(sum(double), 6)` failed the driver twice: the double sum
+    * drifts by add order and can straddle the 0.5e-6 boundary). The
+    * rounded decimal then converts to double identically on both
+    * engines; `+ 0.0` normalizes a would-be negative zero.
     * Slices split on event_id parity — deterministic and portable.
     * Scale shape: one (type, bin, slice-conditional) hash aggregate
     * over the scan, then a types×10-bounded grid assembled with
@@ -516,7 +519,8 @@ object AnalyticsQueries {
         ((pa - pb) * log(pa / pb)).as("c"))
       .groupBy($"event_type")
       .agg(max($"ta").as("n_a"), max($"tb").as("n_b"),
-        round(sum($"c"), 6).as("psi"))
+        (round(sum($"c".cast("decimal(27,13)")), 6).cast("double") + lit(0.0))
+          .as("psi"))
       .orderBy($"event_type")
   }
 

@@ -720,6 +720,54 @@ object LakeQueries {
       .orderBy($"tbl")
   }
 
+  /** Erasure CASCADE into derived dedup state
+    * ([[graft.lake.Privacy.forgetDedupIndex]]): scrubbing the corpus
+    * tables is not enough — a subject's document ids and shingle sets
+    * live on in the at-ingest MinHash index
+    * ([[graft.ops.IncrementalDedup]]'s `bands/`, `shingles/`,
+    * `drops/`). A corpus slice is ingested through the incremental
+    * dedup index, then subjects 0..9 are erased FROM THE INDEX TABLES
+    * with the full forget contract (COW delete + history expiry +
+    * orphan sweep + storage-level residual audit). Inline requires pin
+    * the erasure evidence: zero residual per index table, subject rows
+    * actually deleted from bands and shingles, single surviving
+    * snapshot. Tombstones for OTHER documents survive by design (a
+    * doc dropped against a subject stays dropped — erasure removes the
+    * subject's data, it does not re-run curation), which is exactly
+    * what the oracle checks: the post-erasure kept report over the
+    * remaining docs equals the exhaustive batch answer computed over
+    * the FULL original corpus, restricted to the survivors.
+    */
+  def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents.filter($"doc_id" < 250)
+    val work = scratchDir("graft-forgetcascade-")
+    // two interleaved arrival slices → the index accumulates across
+    // triggers before the erasure runs against it
+    graft.ops.IncrementalDedup.ingest(spark, docs, work, "arrival-1", slices = 2)
+    val subjects: Seq[Any] = (0L until 10L)
+    val results = graft.lake.Privacy.forgetDedupIndex(spark, work, subjects)
+    val byTbl = results.map(r => r.ident -> r).toMap
+    require(Set("bands", "shingles", "drops").subsetOf(byTbl.keySet),
+      s"expected the MinHash index tables, got ${byTbl.keySet}")
+    results.foreach { r =>
+      require(r.residualRows == 0L, s"${r.ident}: ${r.residualRows} residual rows")
+    }
+    Seq("bands", "shingles").foreach { n =>
+      require(byTbl(n).rowsDeleted > 0L, s"$n: subject rows were not indexed")
+    }
+    // the subject must be gone from a plain read of every index table
+    graft.lake.Privacy.IndexTableNames.foreach { n =>
+      val t = new graft.lake.LakeTable(spark, work.resolve(n).toString)
+      if (t.latest.isDefined) {
+        require(t.read().where(col("id").isin(subjects: _*)).count() == 0L,
+          s"$n: subject ids survived erasure")
+        require(t.history.size == 1, s"$n: prior snapshots survived erasure")
+      }
+    }
+    graft.ops.IncrementalDedup.keptReport(spark, docs.filter($"doc_id" >= 10), work)
+  }
+
   /** Branch-based write-audit-publish (Iceberg's `spark.wap.branch`
     * surface): a branch takes MULTIPLE validation writes — the case
     * single staged commits cannot cover — while main readers see

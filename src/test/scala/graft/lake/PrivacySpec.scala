@@ -73,6 +73,85 @@ class PrivacySpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $name.ns.t").head.getLong(0) === 97L)
   }
 
+  test("string key columns take string keys — no bigint coercion over-delete") {
+    val name = "privcat2"
+    val wh = java.nio.file.Files.createTempDirectory("priv-sqlstr-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    // '042' and '42' are DIFFERENT subjects under a string key; the
+    // old all-digits→Long guess made Spark cast the COLUMN to bigint
+    // and erase both (ADVICE r9)
+    val df = Seq(("42", 1.0), ("042", 2.0), ("x9", 3.0)).toDF("uid", "score")
+    cat.write(df, "ns.s", WriteMode.Overwrite)
+    val row = spark.sql(s"CALL $name.system.forget(" +
+      "table => 'ns.s', key_col => 'uid', keys => '42')").head
+    assert(row.getLong(0) === 1L, "exactly the named subject is erased")
+    assert(cat.read("ns.s").where($"uid" === "042").count() === 1L,
+      "'042' must survive a request for '42'")
+  }
+
+  test("anchors are pre-validated across ALL targets before any delete") {
+    val cat = fresh(); seed(cat)
+    val df2 = (1L to 20L).map(i => (i, i * 1.5)).toDF("uid", "v")
+    cat.write(df2, "ns.u", WriteMode.Overwrite)
+    cat.table("ns.u").createTag("hold")
+    val pre = cat.read("ns.t").count()
+    // ns.t has no anchor, ns.u does — the batch must fail BEFORE
+    // touching ns.t (all-or-nothing, evidence preserved)
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.forget(cat, Seq("ns.t" -> "uid", "ns.u" -> "uid"), Seq(1L))
+    }
+    assert(ex.getMessage.contains("hold"))
+    assert(cat.read("ns.t").count() === pre,
+      "first target must be untouched when a later target fails validation")
+  }
+
+  test("residual fails loud on a missing key column") {
+    val cat = fresh(); seed(cat)
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.residual(cat.table("ns.t"), "no_such_col", Seq(1L))
+    }
+    assert(ex.getMessage.contains("no_such_col"))
+  }
+
+  test("forgetDedupIndex cascades erasure into the at-ingest index tables") {
+    val work = java.nio.file.Files.createTempDirectory("priv-casc-")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),       // dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "totally different words in this row here"))
+      .toDF("doc_id", "text")
+    graft.ops.IncrementalDedup.ingest(spark, docs, work, "a1", slices = 2)
+    // doc 2 was tombstoned against doc 1; now erase subject 1
+    val results = Privacy.forgetDedupIndex(spark, work, Seq(1L))
+    val byTbl = results.map(r => r.ident -> r).toMap
+    assert(byTbl.keySet === Set("bands", "shingles", "drops"))
+    results.foreach(r => assert(r.residualRows === 0L, s"${r.ident} residual"))
+    assert(byTbl("bands").rowsDeleted > 0L)
+    assert(byTbl("shingles").rowsDeleted === 1L)
+    Seq("bands", "shingles", "drops").foreach { n =>
+      val t = new LakeTable(spark, work.resolve(n).toString)
+      assert(t.read().where($"id" === 1L).count() === 0L, s"$n keeps subject")
+      assert(t.history.size === 1, s"$n history survived")
+    }
+    // doc 2's tombstone (id=2, dropped against the subject) SURVIVES:
+    // erasure removes the subject's data, it does not re-run curation
+    assert(new LakeTable(spark, work.resolve("drops").toString)
+      .read().where($"id" === 2L).count() === 1L)
+    // the bucketed layout survives the COW rewrite: a fresh ingest
+    // against the erased index still works end to end
+    val more = Seq((5L, "one two three four five six seven")).toDF("doc_id", "text")
+    graft.ops.IncrementalDedup.ingest(spark, more, work, "a2", slices = 1)
+    val kept = graft.ops.IncrementalDedup
+      .keptReport(spark, docs.union(more).where($"doc_id" =!= 1L), work)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept === Map(2L -> false, 3L -> true, 4L -> true, 5L -> false),
+      "post-erasure index still deduplicates new arrivals")
+  }
+
   test("retention anchors fail the request loud instead of pinning data") {
     val cat = fresh(); seed(cat)
     val t = cat.table("ns.t")

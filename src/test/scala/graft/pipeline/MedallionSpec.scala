@@ -14,6 +14,11 @@ import graft.state.WatermarkStore
   * 'Daniel Clark' duplicated exactly — the reference's only
   * correctness vector (SURVEY.md §5).
   */
+object MedallionSpec {
+  /** Shared with executor-side closures (same JVM in local mode). */
+  val flakyAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MedallionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -107,6 +112,32 @@ class MedallionSpec extends AnyFunSuite {
       onFailure = (_, _) => sys.error("hook boom"))
     val e2 = intercept[Exception](m2.extractBronze(bad, "last_updated"))
     assert(!e2.getMessage.contains("hook boom"))
+  }
+
+  test("transient stage failure retries to eventual success, hook silent") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("med-flaky-").toString)
+    val st = new WatermarkStore(Files.createTempDirectory("med-flaky-state-"))
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = new Medallion(spark, cat, st, retries = 3, retryBaseDelayMs = 1,
+      onFailure = (stage, _) => calls += stage)
+    // a source whose evaluation fails twice, then succeeds — the
+    // default_args.py:22-25 shape (transient extract flake, retried to
+    // success). coalesce(1) → one task per attempt, so the shared
+    // counter advances exactly once per evaluation in local mode.
+    MedallionSpec.flakyAttempts.set(0)
+    val flaky = seed().coalesce(1).mapPartitions { it =>
+      if (MedallionSpec.flakyAttempts.getAndIncrement() < 2)
+        throw new RuntimeException("transient source flake")
+      it
+    }(org.apache.spark.sql.Encoders.row(seed().schema))
+    val rows = m.extractBronze(flaky, "last_updated")
+    assert(rows === 8L, "third attempt must succeed with the full delta")
+    assert(MedallionSpec.flakyAttempts.get() === 3)
+    assert(calls.isEmpty, "the failure hook is for EXHAUSTED retries only")
+    assert(cat.read("bronze.medallion").count() === 8)
+    // the recovered run is a normal run: watermark advanced, so a
+    // re-extract is an empty delta
+    assert(m.extractBronze(seed(), "last_updated") === 0L)
   }
 
   test("retry after lost watermark advance appends nothing twice") {

@@ -40,4 +40,10 @@ class NoveltySpec extends AnyFunSuite {
     // doc 4: 9 words → 7 shingles, all fresh
     assert(rows(4L) === ((7L, 7L, 1.0)))
   }
+
+  test("shingleCard counts distinct 3-shingles per doc") {
+    val rows = TextQueries.shingleCard(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 8L, 2L -> 8L, 3L -> 7L, 4L -> 7L))
+  }
 }
