@@ -67,6 +67,8 @@ object SparkEntry {
     "lake_txn"              -> (LakeQueries.txnPublish _),
     "lake_forget"           -> (LakeQueries.forgetUsers _),
     "lake_forget_cascade"   -> (LakeQueries.forgetCascade _),
+    "lake_forget_segments"  -> (LakeQueries.forgetSegments _),
+    "lake_forget_derived"   -> (LakeQueries.forgetDerived _),
     "lake_incr_view"        -> (LakeQueries.incrView _),
     "lake_view_rewrite"     -> (LakeQueries.viewRewrite _),
     "lake_iceberg_read"     -> (LakeQueries.icebergRoundtrip _),
@@ -545,6 +547,27 @@ object SparkEntry {
         |            WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5)
         |SELECT doc_id, doc_id NOT IN (SELECT b_id FROM dropped) AS kept
         |FROM d WHERE doc_id >= 10 ORDER BY doc_id""".stripMargin,
+
+    // catalog-wide erasure discovers the subject-keyed derived rollup;
+    // after erasure the surviving view equals the relational aggregate
+    // of the remaining customers (residual/discovery pinned by the
+    // engine's requires)
+    "lake_forget_derived" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_custkey NOT BETWEEN 1 AND 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // bitmap-segment erasure: after removing users 1..50 from every
+    // segment by ANDNOT, segment cardinalities must equal the
+    // relational DAU of the remaining users (residual bits pinned 0 by
+    // the engine's storage-level bitmap audit)
+    "lake_forget_segments" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events WHERE user_id NOT BETWEEN 1 AND 50
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the incrementally-maintained view equals the direct aggregate of
     // the source's final state (initial %4∈{1,2} + appended %4=3,

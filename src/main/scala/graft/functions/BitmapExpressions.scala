@@ -34,6 +34,9 @@ object BitmapOps {
   def orCount(a: Array[Byte], b: Array[Byte]): Long = {
     val x = fromBytes(a); x.or(fromBytes(b)); x.getLongCardinality
   }
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = fromBytes(a); x.andNot(fromBytes(b)); toBytes(x)
+  }
 }
 
 /** `bitmap64_agg(id)` — EXACT distinct-id set per group as a compressed
@@ -185,6 +188,30 @@ case class BitmapAndCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `bitmap64_remove(bm, rm)` — A ∖ B over serialized segments
+  * (Roaring ANDNOT). The erasure primitive for bitmap-backed derived
+  * state: a right-to-be-forgotten request removes the subject's ids
+  * from every segment WITHOUT rebuilding it from raw events (which may
+  * already be scrubbed) — see [[graft.lake.Privacy.forgetSegments]].
+  */
+case class BitmapRemoveExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap64_remove"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap64_remove expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.andNot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.andNot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BitmapRemoveExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bitmap64_or_count(a, b)` — |A ∪ B| over serialized segments. */
 case class BitmapOrCountExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -219,4 +246,7 @@ object BitmapFunctions {
   def bitmap64_or_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitmapOrCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def bitmap64_remove(bm: Column, rm: Column): Column =
+    GraftColumnBridge.column(BitmapRemoveExpr(
+      GraftColumnBridge.expression(bm), GraftColumnBridge.expression(rm)))
 }

@@ -2798,6 +2798,26 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   def exists(ident: String): Boolean = table(ident).latest.nonEmpty
 
+  /** Every table ident under the warehouse (a table root is a dir
+    * holding `_versions/`), namespace-qualified. Pure metadata walk,
+    * bounded by table count — the discovery primitive catalog-wide
+    * operations (erasure cascade over derived tables, maintenance
+    * sweeps) build on.
+    */
+  def listTables(): Seq[String] = {
+    val probe = new LakeTable(spark, warehouse)
+    def walk(p: org.apache.hadoop.fs.Path, rel: List[String]): Seq[String] = {
+      val kids =
+        try probe.io.list(p)
+        catch { case _: Exception => return Nil }
+      if (kids.exists(_.getPath.getName == "_versions")) Seq(rel.reverse.mkString("."))
+      else kids.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap(st => walk(st.getPath, st.getPath.getName :: rel))
+    }
+    walk(new org.apache.hadoop.fs.Path(warehouse), Nil).sorted
+  }
+
   /** Zero-copy shallow clone of `srcIdent`'s current snapshot as
     * `dstIdent` ([[LakeTable.cloneTo]]): dev/test forks and
     * experiment branches of a 100 TB table cost one manifest write.

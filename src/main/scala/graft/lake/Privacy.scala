@@ -103,6 +103,105 @@ object Privacy {
   private[graft] val IndexTableNames: Seq[String] =
     Seq("bands", "shingles", "drops", "buckets", "vecs")
 
+  /** Catalog-wide erasure with DERIVED-TABLE discovery: erase `keys`
+    * from EVERY table in the catalog whose current schema carries
+    * `keyCol` — the base tables AND the subject-keyed derived state a
+    * per-table request forgets about (an [[IncrementalView]] rollup
+    * keyed by the subject still holds one row per erased user;
+    * "delete the user from events" quietly leaves their aggregate
+    * behind). Anchors pre-validate across the whole discovered set
+    * before the first delete. A later refresh of an erased view stays
+    * consistent: the base CoW delete is a rewrite commit, which the
+    * view's incremental path detects and answers with a full rebuild
+    * from the scrubbed source.
+    *
+    * Schema-name discovery is deliberately aggressive — under a
+    * deletion request, ANY table carrying rows keyed by the subject
+    * column must be scrubbed; pass `exclude` for tables where the
+    * name collides with a non-subject meaning.
+    */
+  def forgetCatalog(cat: LakeCatalog, keyCol: String, keys: Seq[Any],
+                    exclude: Seq[String] = Nil): Seq[ErasureResult] = {
+    require(keys.nonEmpty, "empty erasure request")
+    val targets = cat.listTables()
+      .filterNot(exclude.contains)
+      .map(id => (id, keyCol, cat.table(id)))
+      .filter { case (_, _, t) =>
+        t.latest.exists(_.schema.fieldNames.contains(keyCol)) }
+    require(targets.nonEmpty,
+      s"no table in ${cat.warehouse} carries key column '$keyCol'")
+    eraseAll(targets, keys)
+  }
+
+  /** Cascade erasure into a BITMAP SEGMENT store
+    * ([[graft.ops.BitmapSegments]]): the subject's ids live on as BITS
+    * inside every segment's Roaring bitmap — derived state a row-level
+    * DELETE cannot reach, because the subject has no row of its own.
+    * Every segment intersecting the keys is rewritten with
+    * `bitmap64_remove` (exact ANDNOT — no rebuild from raw events,
+    * which may already be scrubbed), then history expires, old files
+    * sweep, and the residual audit re-reads every parquet file still
+    * on disk and intersects its bitmaps with the keys: 0 = no bit of
+    * the subject remains.
+    *
+    * `rowsDeleted` in the result counts segment ROWS scrubbed (rows
+    * that contained at least one subject id); segments emptied by the
+    * removal stay as empty segments — the slice legitimately has zero
+    * members now. Cost: the keys ride as ONE broadcast bitmap literal,
+    * the rewrite is bounded by the files whose segments intersect it,
+    * and nothing ever re-scans the fact table.
+    */
+  def forgetSegments(segTbl: LakeTable, keys: Seq[Long],
+                     bmCol: String = "bm"): ErasureResult = {
+    import graft.functions.{BitmapFunctions => BF, BitmapOps}
+    require(keys.nonEmpty, "empty erasure request")
+    val anchors = segTbl.tags.map("tag " + _._1) ++ segTbl.branches.map("branch " + _._1)
+    require(anchors.isEmpty,
+      s"segment store has retention anchors (${anchors.mkString(", ")}) that " +
+        "would pin the subject's data through expiry — drop them first")
+    require(segTbl.read().schema.exists(_.name == bmCol),
+      s"segment column '$bmCol' not in ${segTbl.rootLocation}'s schema")
+    val keyBm = {
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      keys.foreach(bm.addLong)
+      lit(BitmapOps.toBytes(bm))
+    }
+    val hit = BF.bitmap64_and_count(col(bmCol), keyBm) > 0
+    val t0 = System.currentTimeMillis()
+    val before = segTbl.read().where(hit).count()
+    val snap = LakeDml.update(segTbl, hit,
+      Map(bmCol -> BF.bitmap64_remove(col(bmCol), keyBm)),
+      strategy = DmlStrategy.CopyOnWrite)
+    val (expired, dirsFromExpiry) =
+      segTbl.expireSnapshotsOlderThan(System.currentTimeMillis() + 1)
+    val orphans =
+      segTbl.removeOrphanFiles(graceMs = math.max(0L, System.currentTimeMillis() - t0))
+    ErasureResult(segTbl.rootLocation, before, snap.version, expired,
+      dirsFromExpiry + orphans,
+      residualRows = segmentResidual(segTbl, keyBm, bmCol))
+  }
+
+  /** Storage-level audit for segment stores: rows whose bitmap still
+    * intersects the keys, across every parquet file under the data
+    * roots (referenced or not). 0 = no subject bit remains.
+    */
+  private[lake] def segmentResidual(t: LakeTable, keyBm: org.apache.spark.sql.Column,
+                                    bmCol: String): Long = {
+    import graft.functions.{BitmapFunctions => BF}
+    val dirs = Seq("data", "eqdeletes").flatMap { sub =>
+      try t.io.list(t.loc(sub)).map(_.getPath.toString)
+      catch { case _: Exception => Nil }
+    }
+    if (dirs.isEmpty) return 0L
+    t.spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(bmCol,
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+      .parquet(dirs: _*)
+      .where(col(bmCol).isNotNull && BF.bitmap64_and_count(col(bmCol), keyBm) > 0)
+      .count()
+  }
+
   private def eraseAll(targets: Seq[(String, String, LakeTable)],
                        keys: Seq[Any]): Seq[ErasureResult] = {
     // validate retention anchors for ALL targets BEFORE the first

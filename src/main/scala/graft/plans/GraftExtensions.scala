@@ -198,6 +198,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BitmapOrCountExpr].getName, "bitmap64_or_count"),
       (args: Seq[Expression]) => { arity(args, 2, "bitmap64_or_count")
         graft.functions.BitmapOrCountExpr(args(0), args(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap64_remove"),
+      new ExpressionInfo(classOf[graft.functions.BitmapRemoveExpr].getName, "bitmap64_remove"),
+      (args: Seq[Expression]) => { arity(args, 2, "bitmap64_remove")
+        graft.functions.BitmapRemoveExpr(args(0), args(1)) }))
 
     // single-pass text kernels (string → int/boolean; no coercion needed
     // beyond an implicit string cast)

@@ -768,6 +768,81 @@ object LakeQueries {
     graft.ops.IncrementalDedup.keptReport(spark, docs.filter($"doc_id" >= 10), work)
   }
 
+  /** Catalog-wide erasure with derived-table DISCOVERY
+    * ([[graft.lake.Privacy.forgetCatalog]]): "delete user X from
+    * orders" quietly leaves X's aggregate row alive in every
+    * subject-keyed materialized view — state the deletion request
+    * never names because the requester doesn't know it exists.
+    * A base table plus an incrementally-maintained per-customer
+    * rollup are built, then ONE catalog-wide request for customers
+    * 1..50 discovers every table carrying the key column and erases
+    * both, with the full contract per table (COW delete + history
+    * expiry + orphan sweep + storage residual). Inline requires pin
+    * the discovery set and the per-table evidence; the oracle
+    * recomputes the surviving rollup relationally.
+    */
+  def forgetDerived(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.IncrementalView
+    import graft.lake.IncrementalView.{GroupCount, Sum}
+    val cat = freshCatalog(spark)
+    val orders = Tables(spark, dir).orders.select($"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    cat.write(orders.filter($"o_orderkey" % 2 === 0), "bronze.orders", WriteMode.Overwrite)
+    cat.write(orders.filter($"o_orderkey" % 2 === 1), "bronze.orders", WriteMode.Append)
+    val aggs = Seq(GroupCount("n_orders"), Sum($"cents", "sum_cents"))
+    IncrementalView.refresh(cat, "bronze.orders", "gold.by_cust",
+      Seq("o_custkey"), aggs)
+    val keys: Seq[Any] = (1L to 50L)
+    val results = graft.lake.Privacy.forgetCatalog(cat, "o_custkey", keys)
+    require(results.map(_.ident).toSet == Set("bronze.orders", "gold.by_cust"),
+      s"discovery must find the base AND the derived rollup, got ${results.map(_.ident)}")
+    results.foreach { r =>
+      require(r.residualRows == 0L, s"${r.ident}: ${r.residualRows} residual rows")
+      require(r.rowsDeleted > 0L, s"${r.ident}: erasure matched nothing")
+      require(cat.table(r.ident).history.size == 1,
+        s"${r.ident}: prior snapshots survived erasure")
+    }
+    IncrementalView.read(cat, "gold.by_cust").orderBy($"o_custkey")
+  }
+
+  /** Erasure cascade into BITMAP SEGMENT state
+    * ([[graft.lake.Privacy.forgetSegments]]): a subject's ids survive
+    * a corpus scrub as BITS inside derived Roaring segments — state no
+    * row-level DELETE can reach because the subject owns no row there.
+    * Events fold into a per-(type, day) distinct-user segment store
+    * over two commits ([[graft.ops.BitmapSegments]]), then users 1..50
+    * are removed from every segment by exact ANDNOT (`bitmap64_remove`
+    * — no rebuild from raw events, which a real request would already
+    * have scrubbed), history expires, old files sweep, and the
+    * bitmap-level storage audit re-intersects every remaining parquet
+    * file with the keys. Inline requires pin the evidence (zero
+    * residual bits, segments actually scrubbed, single surviving
+    * snapshot); the oracle recomputes the post-erasure DAU
+    * relationally from raw events minus the subjects.
+    */
+  def forgetSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    val cat = freshCatalog(spark)
+    val events = Tables(spark, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    cat.write(events.filter($"event_id" % 2 === 0), "bronze.ev", WriteMode.Overwrite)
+    cat.table("bronze.ev").write(events.filter($"event_id" % 2 === 1), WriteMode.Append)
+    val segT = new LakeTable(spark,
+      scratchDir("graft-forgetseg-").resolve("segments").toString)
+    graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT,
+      scratchDir("graft-forgetseg-ckpt-").toString)
+    val res = graft.lake.Privacy.forgetSegments(segT, (1L to 50L))
+    require(res.residualRows == 0L,
+      s"${res.residualRows} segments still carry subject bits on disk")
+    require(res.rowsDeleted > 0L, "no segment carried the subjects — fixture broken")
+    require(segT.history.size == 1, "prior segment snapshots survived erasure")
+    // emptied segments remain as legitimate zero-member slices; the
+    // relational oracle only sees groups with surviving users
+    graft.ops.BitmapSegments.dailyCounts(segT).where($"dau" > 0)
+  }
+
   /** Branch-based write-audit-publish (Iceberg's `spark.wap.branch`
     * surface): a branch takes MULTIPLE validation writes — the case
     * single staged commits cannot cover — while main readers see

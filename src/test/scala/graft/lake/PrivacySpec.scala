@@ -152,6 +152,51 @@ class PrivacySpec extends AnyFunSuite {
       "post-erasure index still deduplicates new arrivals")
   }
 
+  test("forgetCatalog discovers and erases subject-keyed derived tables") {
+    val cat = fresh(); seed(cat)
+    // a derived per-uid rollup AND an unrelated table without the key
+    cat.write(cat.read("ns.t").groupBy($"uid").agg(count(lit(1)).as("n")),
+      "gold.by_uid", WriteMode.Overwrite)
+    cat.write(Seq((10L, "x")).toDF("other_id", "v"), "ns.unrelated", WriteMode.Overwrite)
+    assert(cat.listTables() === Seq("gold.by_uid", "ns.t", "ns.unrelated"))
+    val results = Privacy.forgetCatalog(cat, "uid", (1L to 10L))
+    assert(results.map(_.ident).toSet === Set("ns.t", "gold.by_uid"),
+      "every table carrying the key column, and only those")
+    results.foreach { r =>
+      assert(r.rowsDeleted === 10L, r.ident)
+      assert(r.residualRows === 0L, r.ident)
+    }
+    assert(cat.read("gold.by_uid").where($"uid" <= 10).count() === 0L)
+    assert(cat.read("ns.unrelated").count() === 1L, "unrelated table untouched")
+  }
+
+  test("forgetSegments erases subject BITS from bitmap segment state") {
+    import graft.functions.{BitmapFunctions => BF}
+    val segT = new LakeTable(spark,
+      java.nio.file.Files.createTempDirectory("priv-seg-").resolve("segments").toString)
+    def segs(rows: Seq[(Long, String)]) = rows.toDF("user_id", "k")
+      .groupBy($"k").agg(BF.bitmap64_agg($"user_id").as("bm"))
+    // two commits so expiry has history to purge; subject 1 is in
+    // segments a and b, absent from c
+    segT.write(segs(Seq((1L, "a"), (2L, "a"), (1L, "b"), (3L, "b"))), WriteMode.Overwrite)
+    segT.write(segs(Seq((4L, "c"), (5L, "c"))), WriteMode.Append)
+    val res = Privacy.forgetSegments(segT, Seq(1L))
+    assert(res.rowsDeleted === 2L, "both segments containing the subject rewrite")
+    assert(res.residualRows === 0L, "no subject bit may remain in any file on disk")
+    assert(segT.history.size === 1)
+    val counts = segT.read()
+      .select($"k", BF.bitmap64_count($"bm").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 1L, "b" -> 1L, "c" -> 2L),
+      "other members' bits survive exactly")
+    // a segment emptied entirely stays as a zero-member slice
+    val res2 = Privacy.forgetSegments(segT, Seq(4L, 5L))
+    assert(res2.residualRows === 0L)
+    val after = segT.read().select($"k", BF.bitmap64_count($"bm").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("c") === 0L)
+  }
+
   test("retention anchors fail the request loud instead of pinning data") {
     val cat = fresh(); seed(cat)
     val t = cat.table("ns.t")
