@@ -186,14 +186,20 @@ object Soak {
       println(line)
       line
     }
-    // MV-stack refresh: fixed 5k-row delta against a 100k and a 1M
-    // base — exponent vs BASE size, ≈0 proves the O(changes) claim
+    // MV-stack refresh: fixed 5k-row delta against a 100k, 1M, and
+    // 10M base — exponent vs BASE size across TWO decades, ≈0 proves
+    // the O(changes) claim (a refresh that secretly rescanned the
+    // fact table would show ≈1 per decade)
     val mvRows = {
       val (jv1, ru1) = soakMvRefresh(spark, n = 100000L, deltaRows = 5000L)
       val (jv10, ru10) = soakMvRefresh(spark, n = 1000000L, deltaRows = 5000L)
-      Seq(
-        f"""{"query":"mv_joinview_refresh","t1x_sec":$jv1%.2f,"t10x_sec":$jv10%.2f,"exponent":${math.log10(jv10 / jv1)}%.2f,"fixed_delta_rows":5000}""",
-        f"""{"query":"mv_rollup_refresh","t1x_sec":$ru1%.2f,"t10x_sec":$ru10%.2f,"exponent":${math.log10(ru10 / ru1)}%.2f,"fixed_delta_rows":5000}""")
+      val (jv100, ru100) = soakMvRefresh(spark, n = 10000000L, deltaRows = 5000L)
+      def row(q: String, t1: Double, t10: Double, t100: Double) =
+        f"""{"query":"$q","t1x_sec":$t1%.2f,"t10x_sec":$t10%.2f,"t100x_sec":$t100%.2f,""" +
+          f""""exponent_10x":${math.log10(t10 / t1)}%.2f,"exponent_100x":${math.log10(t100 / t1) / 2}%.2f,""" +
+          s""""fixed_delta_rows":5000}"""
+      Seq(row("mv_joinview_refresh", jv1, jv10, jv100),
+        row("mv_rollup_refresh", ru1, ru10, ru100))
     }
     mvRows.foreach(println)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(

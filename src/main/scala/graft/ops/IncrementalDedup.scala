@@ -47,6 +47,14 @@ import graft.lake.{LakePredicate, LakeTable, WriteMode}
   */
 object IncrementalDedup {
 
+  /** Phase timing behind `-Dgraft.ingest.profile` (stderr only; zero
+    * cost when unset) — the at-ingest family's cost is per-trigger
+    * fixed overhead, so optimization needs per-phase walls.
+    */
+  private[ops] def prof(msg: => String): Unit =
+    if (sys.props.contains("graft.ingest.profile"))
+      System.err.println(f"[ingest-prof] ${System.nanoTime() / 1e9}%.3f $msg")
+
   // under CarryMetaPrefix so compaction commits (the periodic bin-pack
   // below, or auto-compact) carry the marker forward — otherwise a
   // compact landing between an append and its checkpoint would erase
@@ -103,10 +111,15 @@ object IncrementalDedup {
     * already indexed and the self-pair guards keep it from tombstoning
     * a document against itself).
     */
-  /** Cap on candidate pairs collected to the driver per micro-batch;
-    * above it the verify joins run distributed (see ingestBatch).
+  /** Cap on candidate-pair ROWS collected to the driver per
+    * micro-batch; above it the verify joins run distributed (see
+    * ingestBatch). The probe counts pre-dedup rows (a pair can recur
+    * once per band/LSH-table that witnesses it — measured factor ~2-3
+    * on benign corpora), so the default carries headroom over the r9
+    * distinct-pair cap; 250k rows of two ids + two ints is ~8 MB of
+    * driver memory, still a safe bound.
     */
-  val DefaultCandPairCap = 100000
+  val DefaultCandPairCap = 250000
 
   private[ops] def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                                bandsTbl: LakeTable, shTbl: LakeTable, dropsTbl: LakeTable,
@@ -126,9 +139,15 @@ object IncrementalDedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // partition count = bucket count: one task per bucket is the
+    // natural parallelism of a bucketed layout (the default shuffle
+    // partition count leaves half the tasks empty when
+    // indexBuckets < partitions, and per-task scheduling is the
+    // dominant cost at micro-batch sizes; at 100 TB indexBuckets is
+    // thousands and this IS the scale-out)
     val bshF = Future(bsh
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))
+      .repartition(indexBuckets, col("bk"))
       .localCheckpoint())
     // the band-bucket census rides the checkpoint job itself
     // (accumulator in a pass-through mapPartitions) — the separate
@@ -137,9 +156,11 @@ object IncrementalDedup {
     // fixed cost is the entire bill
     val bbandedF = Future(checkpointWithBkCensus(bbanded
       .withColumn("bk", pmod(xxhash64(col("bh")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))))
+      .repartition(indexBuckets, col("bk"))))
+    prof(s"batch=$batchId start")
     val bshC = Await.result(bshF, Duration.Inf)
     val (bbandedC, bandKeys) = Await.result(bbandedF, Duration.Inf)
+    prof(s"batch=$batchId checkpoints done")
     // bucket-local index read: only the partitions this batch's
     // band hashes occupy — the per-trigger scan is O(batch's
     // bucket span), not O(history). Key sets are ≤ indexBuckets,
@@ -185,19 +206,26 @@ object IncrementalDedup {
     // boilerplate-heavy crawl can collide one band bucket with a large
     // fraction of history — so the collect is CAPPED at `candPairCap`
     // (the RuntimeFilter limit(cap+1) pattern): above the cap the pairs
-    // stay distributed (localCheckpoint, evaluated once) and the verify
-    // joins run as ordinary shuffled joins; only the bucket-key set —
-    // ≤ indexBuckets, a parameter — ever reaches the driver.
-    // materialize the candidate frame ONCE (localCheckpoint), then
-    // probe the cap from the checkpoint — the old probe-then-
-    // re-evaluate shape computed the banded joins twice precisely in
-    // the adversarial over-cap case where they are most expensive
-    // (ADVICE r9)
-    val candQuery = crossIdx.unionByName(inBatch).distinct()
+    // stay distributed and the verify joins run as ordinary shuffled
+    // joins; only the bucket-key set — ≤ indexBuckets, a parameter —
+    // ever reaches the driver.
+    //
+    // Two per-trigger cost choices, both measured: the frame
+    // materializes ONCE (localCheckpoint serves the cap probe AND the
+    // over-cap fallback — the old probe-then-re-evaluate shape
+    // computed the banded joins twice precisely in the adversarial
+    // case, ADVICE r9), and it carries NO distinct: both index joins
+    // broadcast the batch side, so a distinct would be the candidate
+    // path's ONLY exchange — pair dedup is instead done on the driver
+    // under the cap (a band can witness the same pair ≤ `bands`
+    // times, so raw rows bound distinct pairs within a small factor)
+    // and by the distributed distinct in the rare over-cap fallback.
+    val candQuery = crossIdx.unionByName(inBatch)
       .where(col("u") =!= col("v"))        // belt-and-suspenders vs self-pairs
       .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
       .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
       .localCheckpoint()
+    prof(s"batch=$batchId candidates checkpointed")
     val candSample = candQuery.limit(candPairCap + 1).collect()
     val underCap = candSample.length <= candPairCap
     val idType = batch.schema(idCol).dataType
@@ -206,17 +234,18 @@ object IncrementalDedup {
       org.apache.spark.sql.types.StructField("v", idType)))
     val (cand, candKeys, hasCands) =
       if (underCap) {
+        val distinctPairs = candSample.map(r => (r.get(0), r.get(1))).distinct
         val local = spark.createDataFrame(
-          java.util.Arrays.asList(candSample.map(r =>
-            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), candSchema)
+          java.util.Arrays.asList(distinctPairs.map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)): _*), candSchema)
         val keys: Seq[Int] =
           candSample.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
-        (broadcast(local), keys, candSample.nonEmpty)
+        (broadcast(local), keys, distinctPairs.nonEmpty)
       } else {
         val keys: Seq[Int] = candQuery.select(col("bku").as("bk"))
           .unionByName(candQuery.select(col("bkv").as("bk")))
           .distinct().collect().map(_.getInt(0)).toSeq
-        (candQuery.select(col("u"), col("v")), keys, true)
+        (candQuery.select(col("u"), col("v")).distinct(), keys, true)
       }
     val prevSh = readOrEmpty(spark, shTbl,
       Seq(LakePredicate.In("bk", candKeys)), bshC.schema)
@@ -241,18 +270,32 @@ object IncrementalDedup {
     // and each table skips itself on its batch marker. No candidates
     // ⇒ drops is provably empty ⇒ its write (and the verify joins
     // feeding it) are skipped outright.
+    prof(s"batch=$batchId cands=${candSample.length} verify built")
     val dropsAppendF = Future(if (hasCands)
       idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil))
     Seq(dropsAppendF, bandsAppendF, shAppendF).foreach(Await.result(_, Duration.Inf))
+    prof(s"batch=$batchId appends done")
     // periodic bin-pack (also concurrent per table): fold the
     // per-trigger commit trickle so the manifest's dir list (and each
     // bucket's file count) stays bounded by corpus size, not stream
-    // lifetime
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    // lifetime. Fragmentation-gated: the rewrite only pays for itself
+    // once enough commit dirs accumulated (a manifest-level count, no
+    // job), so a short stream never burns its last trigger folding a
+    // handful of dirs it will never read again.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       Seq(dropsTbl, bandsTbl, shTbl)
-        .map(t => Future(if (t.latest.isDefined) t.compactBinPack(maxDirBytes = 64L << 20)))
+        .map(t => Future(
+          if (t.latest.exists(_.dirs.size >= CompactMinDirs))
+            t.compactBinPack(maxDirBytes = 64L << 20)))
         .foreach(Await.result(_, Duration.Inf))
+      prof(s"batch=$batchId compact done")
+    }
   }
+
+  /** Commit-dir fragmentation at which the periodic bin-pack engages
+    * (below it the fold costs more than the trickle it removes).
+    */
+  private[ops] val CompactMinDirs = 6
 
   /** Ingest one ARRIVAL of documents into the work dir's index: the
     * docs land as `slices` parquet files under a `batchName`-scoped
@@ -278,7 +321,8 @@ object IncrementalDedup {
              threshold: Double = 0.5,
              indexBuckets: Int = 16,
              compactEvery: Int = 4,
-             candPairCap: Int = DefaultCandPairCap): Unit = {
+             candPairCap: Int = DefaultCandPairCap,
+             filesPerTrigger: Int = 1): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
@@ -294,6 +338,7 @@ object IncrementalDedup {
     // ones, exercising the retroactive-tombstone path rather than only
     // the happy order. Slice writes are independent jobs → concurrent.
     val input = docs.select(col(idCol), col(textCol))
+    prof(s"ingest $batchName: slice writes start")
     locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -304,6 +349,7 @@ object IncrementalDedup {
           .parquet(batchDir.resolve(f"slice_$s%03d").toString)))
         .foreach(Await.result(_, Duration.Inf))
     }
+    prof(s"ingest $batchName: slices written, stream starting")
 
     // two-level glob: arrivals/<batchName>/slice_NNN. The checkpoint's
     // file log remembers every consumed file, so a restarted stream
@@ -312,7 +358,7 @@ object IncrementalDedup {
     // idempotency markers valid.
     val stream = spark.readStream
       .schema(input.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
       .parquet(s"$srcDir/*/*")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -324,6 +370,7 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    prof(s"ingest $batchName: stream done")
   }
 
   /** (doc_id, kept) over `docs` given the tombstones accumulated under
@@ -347,6 +394,11 @@ object IncrementalDedup {
 
   /** One-shot form: ingest `docs` as a single arrival and report the
     * kept set — the batch-simulating entry the query pack drives.
+    * Triggers batch two arrival files each: per-trigger cost is FIXED
+    * job-scheduling overhead (measured in SCALE.md), so trigger sizing
+    * is the first-order production knob; the drop rule is order- and
+    * batching-independent, and the spec suite pins the adversarial
+    * 1-file-per-trigger path through [[ingest]] directly.
     */
   def dedupAtIngest(spark: SparkSession, docs: DataFrame, workDir: Path,
                     slices: Int = 4, textCol: String = "text",
@@ -357,7 +409,8 @@ object IncrementalDedup {
                     compactEvery: Int = 4,
                     candPairCap: Int = DefaultCandPairCap): DataFrame = {
     ingest(spark, docs, workDir, "initial", slices, textCol, idCol, n,
-      numHashes, bands, threshold, indexBuckets, compactEvery, candPairCap)
+      numHashes, bands, threshold, indexBuckets, compactEvery, candPairCap,
+      filesPerTrigger = 2)
     keptReport(spark, docs, workDir, idCol)
   }
 }

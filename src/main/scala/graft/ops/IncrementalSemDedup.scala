@@ -51,7 +51,8 @@ object IncrementalSemDedup {
                                tables: Int, bits: Int, threshold: Double,
                                indexBuckets: Int, compactEvery: Int,
                                candPairCap: Int): Unit = {
-    import IncrementalDedup.{checkpointWithBkCensus, idempotentAppend, readOrEmpty}
+    import IncrementalDedup.{checkpointWithBkCensus, idempotentAppend, prof, readOrEmpty}
+    prof(s"sem batch=$batchId start")
     // per-trigger fixed job costs dominate at micro-batch sizes, so
     // every independent job runs concurrently (the IncrementalDedup
     // pattern): the two checkpoint materializations, then the index
@@ -60,10 +61,12 @@ object IncrementalSemDedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // partition count = bucket count (see IncrementalDedup: one task
+    // per bucket is the bucketed layout's natural parallelism)
     val vecsF = Future(batch
       .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
       .withColumn("bk", pmod(xxhash64(col("id")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))
+      .repartition(indexBuckets, col("bk"))
       .localCheckpoint())
     // bucket census rides the checkpoint job (see
     // IncrementalDedup.checkpointWithBkCensus) — one fewer sequential
@@ -76,11 +79,12 @@ object IncrementalSemDedup {
           .as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .withColumn("bk", pmod(xxhash64(col("table"), col("bucket")), lit(indexBuckets)).cast("int"))
-      .repartition(col("bk"))))
+      .repartition(indexBuckets, col("bk"))))
     val vecs = Await.result(vecsF, Duration.Inf)
     // bucket-local index read: only the partitions this batch's LSH
     // buckets occupy — O(batch's bucket span), never O(history)
     val (buckets, bucketKeys) = Await.result(bucketsF, Duration.Inf)
+    prof(s"sem batch=$batchId checkpoints done")
     val prevBuckets = readOrEmpty(spark, bucketsTbl,
       Seq(LakePredicate.In("bk", bucketKeys)), buckets.schema)
     val bucketsAppendF = Future(idempotentAppend(bucketsTbl, buckets, batchId, Seq("bk"), Nil))
@@ -97,33 +101,38 @@ object IncrementalSemDedup {
         Seq("table", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a").as("u"), col("b").as("v"))
-    // materialized once; the cap probe and the over-cap distributed
-    // path both read the same checkpoint (ADVICE r9 — see
-    // IncrementalDedup for the rationale)
-    val candQuery = crossIdx.unionByName(inBatch).distinct()
+    // materialized once and distinct-free (driver-side pair dedup
+    // under the cap; distributed distinct only in the over-cap
+    // fallback): the broadcast index joins make the candidate path
+    // exchange-free — see IncrementalDedup for the rationale
+    // (ADVICE r9 + per-trigger cost)
+    val candQuery = crossIdx.unionByName(inBatch)
       .where(col("u") =!= col("v"))
       .withColumn("bku", pmod(xxhash64(col("u")), lit(indexBuckets)).cast("int"))
       .withColumn("bkv", pmod(xxhash64(col("v")), lit(indexBuckets)).cast("int"))
       .localCheckpoint()
+    prof(s"sem batch=$batchId candidates checkpointed")
     val candSample = candQuery.limit(candPairCap + 1).collect()
     val underCap = candSample.length <= candPairCap
+    prof(s"sem batch=$batchId cands=${candSample.length} underCap=$underCap")
     val idType = batch.schema(idCol).dataType
     val candSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("u", idType),
       org.apache.spark.sql.types.StructField("v", idType)))
     val (cand, candKeys, hasCands) =
       if (underCap) {
+        val distinctPairs = candSample.map(r => (r.get(0), r.get(1))).distinct
         val local = spark.createDataFrame(
-          java.util.Arrays.asList(candSample.map(r =>
-            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), candSchema)
+          java.util.Arrays.asList(distinctPairs.map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)): _*), candSchema)
         val keys: Seq[Int] =
           candSample.flatMap(r => Seq(r.getInt(2), r.getInt(3))).distinct.toSeq
-        (broadcast(local), keys, candSample.nonEmpty)
+        (broadcast(local), keys, distinctPairs.nonEmpty)
       } else {
         val keys: Seq[Int] = candQuery.select(col("bku").as("bk"))
           .unionByName(candQuery.select(col("bkv").as("bk")))
           .distinct().collect().map(_.getInt(0)).toSeq
-        (candQuery.select(col("u"), col("v")), keys, true)
+        (candQuery.select(col("u"), col("v")).distinct(), keys, true)
       }
     val prevVecs = readOrEmpty(spark, vecsTbl,
       Seq(LakePredicate.In("bk", candKeys)), vecs.schema)
@@ -139,9 +148,13 @@ object IncrementalSemDedup {
     val dropsAppendF = Future(if (hasCands)
       idempotentAppend(dropsTbl, drops.coalesce(1), batchId, Nil, Nil))
     Seq(dropsAppendF, bucketsAppendF, vecsAppendF).foreach(Await.result(_, Duration.Inf))
+    prof(s"sem batch=$batchId appends done")
+    // fragmentation-gated bin-pack (see IncrementalDedup.CompactMinDirs)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Seq(dropsTbl, bucketsTbl, vecsTbl)
-        .map(t => Future(if (t.latest.isDefined) t.compactBinPack(maxDirBytes = 64L << 20)))
+        .map(t => Future(
+          if (t.latest.exists(_.dirs.size >= IncrementalDedup.CompactMinDirs))
+            t.compactBinPack(maxDirBytes = 64L << 20)))
         .foreach(Await.result(_, Duration.Inf))
   }
 
@@ -158,7 +171,8 @@ object IncrementalSemDedup {
              threshold: Double = 0.99,
              indexBuckets: Int = 16,
              compactEvery: Int = 4,
-             candPairCap: Int = IncrementalDedup.DefaultCandPairCap): Unit = {
+             candPairCap: Int = IncrementalDedup.DefaultCandPairCap,
+             filesPerTrigger: Int = 1): Unit = {
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
     val batchDir = srcDir.resolve(batchName)
@@ -173,7 +187,7 @@ object IncrementalSemDedup {
         .parquet(batchDir.resolve(f"slice_$s%03d").toString))
     val stream = spark.readStream
       .schema(input.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
       .parquet(s"$srcDir/*/*")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -189,6 +203,10 @@ object IncrementalSemDedup {
 
   /** One-shot form: ingest `vectors` as a single arrival and report
     * (vec_id, kept) — kept = no verified cosine-dup with a smaller id.
+    * Triggers batch two arrival files each (the amortized production
+    * shape — per-trigger cost is FIXED job overhead, so trigger sizing
+    * is the first-order knob; the spec suite pins the 1-file-per-
+    * trigger path through [[ingest]] directly).
     */
   def dedupAtIngest(spark: SparkSession, vectors: DataFrame, workDir: Path,
                     slices: Int = 4, vecCol: String = "embedding",
@@ -199,7 +217,8 @@ object IncrementalSemDedup {
                     compactEvery: Int = 4,
                     candPairCap: Int = IncrementalDedup.DefaultCandPairCap): DataFrame = {
     ingest(spark, vectors, workDir, "initial", slices, vecCol, idCol, dim,
-      tables, bits, threshold, indexBuckets, compactEvery, candPairCap)
+      tables, bits, threshold, indexBuckets, compactEvery, candPairCap,
+      filesPerTrigger = 2)
     IncrementalDedup.keptReport(spark, vectors, workDir, idCol)
   }
 }

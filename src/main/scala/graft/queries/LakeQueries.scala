@@ -748,7 +748,9 @@ object LakeQueries {
     val subjects: Seq[Any] = (0L until 10L)
     val results = graft.lake.Privacy.forgetDedupIndex(spark, work, subjects)
     val byTbl = results.map(r => r.ident -> r).toMap
-    require(Set("bands", "shingles", "drops").subsetOf(byTbl.keySet),
+    // drops/ only exists once a near-dup ever landed — a corpus slice
+    // with no dups legitimately has just the two signature tables
+    require(Set("bands", "shingles").subsetOf(byTbl.keySet),
       s"expected the MinHash index tables, got ${byTbl.keySet}")
     results.foreach { r =>
       require(r.residualRows == 0L, s"${r.ident}: ${r.residualRows} residual rows")
