@@ -96,7 +96,7 @@ object Soak {
       .select(col("event_id"), col("user_id"), col("event_type"),
         (col("value") * 1000).cast("long").as("millis"))
     val dim = spark.range(n / 20 + 1).select(col("id").as("user_id"))
-      .withColumn("segment", concat(lit("seg"), pmod(xxhash64(col("id"), lit(53)), lit(8))))
+      .withColumn("segment", concat(lit("seg"), pmod(xxhash64(col("user_id"), lit(53)), lit(8))))
     cat.write(fact.repartition(32), "f.events", WriteMode.Overwrite)
     cat.write(dim.repartition(4), "d.users", WriteMode.Overwrite)
     def refreshJoin() = JoinView.refresh(cat, "f.events", "d.users",
@@ -128,6 +128,8 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
+    // optional stage filter: "heavy" | "mv" | "all" (default)
+    val stage = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,8 +146,10 @@ object Soak {
 
     // 1x mirrors sf0.1's table sizes; 10x is the soak decade
     val d1 = s"$base/x1"; val d10 = s"$base/x10"
-    genDir(spark, d1, docs = 5000L, vecs = 2000L, events = 100000L)
-    genDir(spark, d10, docs = 50000L, vecs = 20000L, events = 1000000L)
+    if (stage != "mv") {
+      genDir(spark, d1, docs = 5000L, vecs = 2000L, events = 100000L)
+      genDir(spark, d10, docs = 50000L, vecs = 20000L, events = 1000000L)
+    }
 
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -170,13 +174,13 @@ object Soak {
       ((System.nanoTime() - t0) / 1e9, countEx(df.queryExecution.executedPlan))
     }
     // warm both fixture families once
-    Seq(d1).foreach { d =>
+    if (stage != "mv") Seq(d1).foreach { d =>
       try { force(SparkEntry.queries("t_fingerprint")(spark, d))
         force(SparkEntry.queries("e_cosine_topk")(spark, d)) }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[soak] warmup failed: ${e.getMessage}") }
     }
-    val rows = Heavy.map { name =>
+    val rows = if (stage == "mv") Nil else Heavy.map { name =>
       val (t1, e1) = time(name, d1)
       val (t10, e10) = time(name, d10)
       val exp = math.log10(t10 / t1)
@@ -190,7 +194,7 @@ object Soak {
     // 10M base — exponent vs BASE size across TWO decades, ≈0 proves
     // the O(changes) claim (a refresh that secretly rescanned the
     // fact table would show ≈1 per decade)
-    val mvRows = {
+    val mvRows = if (stage == "heavy") Nil else {
       val (jv1, ru1) = soakMvRefresh(spark, n = 100000L, deltaRows = 5000L)
       val (jv10, ru10) = soakMvRefresh(spark, n = 1000000L, deltaRows = 5000L)
       val (jv100, ru100) = soakMvRefresh(spark, n = 10000000L, deltaRows = 5000L)

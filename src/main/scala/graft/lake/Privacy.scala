@@ -215,7 +215,7 @@ object Privacy {
           "would pin the subject's data through expiry — drop them first")
     }
     val t0 = System.currentTimeMillis()
-    targets.map { case (ident, keyCol, t) =>
+    def eraseOne(ident: String, keyCol: String, t: LakeTable): ErasureResult = {
       val cond = col(keyCol).isin(keys: _*)
       val before = t.read().where(cond).count()
       val snap = LakeDml.delete(t, cond, strategy = DmlStrategy.CopyOnWrite)
@@ -232,6 +232,21 @@ object Privacy {
       ErasureResult(ident, before, snap.version, expired,
         dirsFromExpiry + orphans, residualRows = residual(t, keyCol, keys))
     }
+    // DISTINCT tables run concurrently (disjoint roots, own
+    // manifests; each pays several fixed-cost jobs, so batch
+    // wall-clock is max-of-tables, not sum); repeated entries for the
+    // SAME table — a request erasing two key columns — stay
+    // sequential within their table's future (concurrent self-CAS
+    // would conflict) and results return in input order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val indexed = targets.zipWithIndex
+    val perTable = indexed.groupBy(_._1._3.rootLocation).values.toSeq
+      .map(group => Future(group.map { case ((ident, keyCol, t), i) =>
+        i -> eraseOne(ident, keyCol, t)
+      }))
+    perTable.flatMap(Await.result(_, Duration.Inf)).sortBy(_._1).map(_._2)
   }
 
   /** Storage-level audit: read every parquet file still present under

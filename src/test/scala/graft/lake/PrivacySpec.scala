@@ -152,6 +152,21 @@ class PrivacySpec extends AnyFunSuite {
       "post-erasure index still deduplicates new arrivals")
   }
 
+  test("two key columns on one table erase sequentially, both applied") {
+    val cat = fresh()
+    // the subject can appear as EITHER party of an interaction
+    val df = (1L to 40L).map(i => (i, i % 7, i % 11)).toDF("eid", "from_uid", "to_uid")
+    cat.write(df, "ns.inter", WriteMode.Overwrite)
+    val results = Privacy.forget(cat,
+      Seq("ns.inter" -> "from_uid", "ns.inter" -> "to_uid"), Seq(3L))
+    assert(results.size === 2)
+    assert(results.map(_.ident) === Seq("ns.inter", "ns.inter"))
+    results.foreach(r => assert(r.residualRows === 0L))
+    val left = cat.read("ns.inter")
+    assert(left.where($"from_uid" === 3 || $"to_uid" === 3).count() === 0L)
+    assert(left.count() === 40L - 6L - 3L) // 6 by from (7,10..38), 3 more by to
+  }
+
   test("forgetCatalog discovers and erases subject-keyed derived tables") {
     val cat = fresh(); seed(cat)
     // a derived per-uid rollup AND an unrelated table without the key
