@@ -61,6 +61,35 @@ private[sqlcat] object GraftProcedures {
     }
   }
 
+  /** Catalog-scoped procedure: no table slot, any number of result
+    * rows (one per affected table — the shape of catalog-wide
+    * operations like erasure discovery).
+    */
+  private final class CatalogProc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      run: InternalRow => Seq[Seq[Any]])
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft catalog-wide: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val result = run(input).map(vals =>
+        new GenericInternalRow(vals.map {
+          case s: String => UTF8String.fromString(s)
+          case other     => other.asInstanceOf[AnyRef]
+        }.toArray[Any]): InternalRow)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = result.toArray
+      }
+      util.List.of(scan).iterator()
+    }
+  }
+
   private def p(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
   private def pDefault(name: String, dt: DataType, default: String): ProcedureParameter =
@@ -203,6 +232,48 @@ private[sqlcat] object GraftProcedures {
             .forget(catalog(), Seq(ident -> keyCol), keys).head
           Seq[Any](r.rowsDeleted, r.version, r.expiredSnapshots,
             r.purgedDirs, r.residualRows)
+        }))
+
+      // catalog-wide erasure with derived-table discovery
+      // (graft.lake.Privacy.forgetCatalog): one row of evidence per
+      // table whose schema carries the key column —
+      //   CALL graft.system.forget_catalog(key_col => 'uid',
+      //                                    keys => '17,42', exclude => 'ns.t2')
+      // Key typing follows the FIRST discovered table's key column
+      // (discovery is by column name, so the type is uniform across a
+      // sane catalog; a mixed-type catalog fails loud in the engine).
+      case "forget_catalog" => Some(new CatalogProc("forget_catalog",
+        Array(p("key_col", StringType), p("keys", StringType),
+          pDefault("exclude", StringType, "''")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("rows_deleted", LongType),
+          StructField("version", LongType),
+          StructField("expired_snapshots", IntegerType),
+          StructField("purged_dirs", IntegerType),
+          StructField("residual_rows", LongType))),
+        in => {
+          val keyCol = in.getUTF8String(0).toString
+          val raw = in.getUTF8String(1).toString
+            .split(',').map(_.trim).filter(_.nonEmpty)
+          require(raw.nonEmpty, "empty erasure request")
+          val exclude = cols(in.getUTF8String(2).toString)
+          val cat = catalog()
+          val kt = cat.listTables().filterNot(exclude.contains)
+            .flatMap(id => cat.table(id).latest.flatMap(_.schema.find(_.name == keyCol)))
+            .headOption.getOrElse(throw new IllegalArgumentException(
+              s"no table in the catalog carries key column '$keyCol'")).dataType
+          import org.apache.spark.sql.types._
+          val keys: Seq[Any] = kt match {
+            case LongType    => raw.map(_.toLong: Any).toSeq
+            case IntegerType => raw.map(_.toInt: Any).toSeq
+            case ShortType   => raw.map(_.toShort: Any).toSeq
+            case StringType  => raw.map(identity[Any]).toSeq
+            case other => throw new IllegalArgumentException(
+              s"forget_catalog supports integral/string key columns; '$keyCol' is $other")
+          }
+          graft.lake.Privacy.forgetCatalog(cat, keyCol, keys, exclude)
+            .map(r => Seq[Any](r.ident, r.rowsDeleted, r.version,
+              r.expiredSnapshots, r.purgedDirs, r.residualRows))
         }))
 
       case "remove_orphan_files" => Some(new Proc("remove_orphan_files",

@@ -185,6 +185,29 @@ class PrivacySpec extends AnyFunSuite {
     assert(cat.read("ns.unrelated").count() === 1L, "unrelated table untouched")
   }
 
+  test("SQL surface: CALL graft.system.forget_catalog discovers and erases") {
+    val name = "privcat3"
+    val wh = java.nio.file.Files.createTempDirectory("priv-sqlcat-").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.lake.sqlcat.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    seed(cat)
+    cat.write(cat.read("ns.t").groupBy($"uid").agg(count(lit(1)).as("n")),
+      "gold.by_uid", WriteMode.Overwrite)
+    cat.write(Seq((1L, "z")).toDF("uid", "v"), "ns.skipme", WriteMode.Overwrite)
+    val rows = spark.sql(s"CALL $name.system.forget_catalog(" +
+      "key_col => 'uid', keys => '1, 2', exclude => 'ns.skipme')")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+    assert(rows.keySet === Set("ns.t", "gold.by_uid"),
+      "one evidence row per discovered table; excluded table untouched")
+    rows.values.foreach { case (deleted, residual) =>
+      assert(deleted === 2L); assert(residual === 0L)
+    }
+    assert(cat.read("ns.skipme").count() === 1L)
+    assert(cat.read("ns.t").where($"uid" <= 2).count() === 0L)
+  }
+
   test("forgetSegments erases subject BITS from bitmap segment state") {
     import graft.functions.{BitmapFunctions => BF}
     val segT = new LakeTable(spark,
