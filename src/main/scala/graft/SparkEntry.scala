@@ -143,6 +143,7 @@ object SparkEntry {
     "s_stream_dedup"     -> (StreamQueries.streamingDedup _),
     "s_custom_state"     -> (StreamQueries.customState _),
     "s_incremental_dedup" -> (StreamQueries.incrementalDedup _),
+    "s_incremental_contamination" -> (StreamQueries.incrementalContamination _),
     "s_incremental_semdedup" -> (StreamQueries.incrementalSemDedup _),
     "orc_roundtrip"      -> (StreamQueries.orcRoundtrip _),
     "s_stream_join"      -> (StreamQueries.streamStreamJoin _),
@@ -1646,6 +1647,21 @@ object SparkEntry {
         |            WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= 0.5)
         |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM dropped) AS kept
         |FROM documents d ORDER BY d.doc_id""".stripMargin,
+
+    // at-ingest contamination screening on RAW 4-gram strings (the
+    // bucket hash is layout-only): flags equal the closed-form
+    // arrivals×benchmark distinct-gram overlap
+    "s_incremental_contamination" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i FROM w WHERE len(w) >= 4),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g FROM ix),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |arr AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT a.doc_id, count(*) AS n FROM arr a JOIN bench b USING (g) GROUP BY a.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+        |       coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     // planted exact copies (vec_id + 10000001) are the only cosine
     // >= 0.99 pairs, and identical vectors collide in every LSH table,

@@ -137,6 +137,24 @@ object StreamQueries {
       spark, corpus, LakeQueries.scratchDir("graft-incsemdedup-"))
   }
 
+  /** At-ingest benchmark-contamination screening: the eval slice
+    * (doc_id % 50 = 0) indexes once as distinct raw 4-grams; the rest
+    * of the corpus arrives as interleaved micro-batches and each batch
+    * joins ONLY the bucket-pruned index slice its own gram hashes
+    * land in. Flags are exact distinct-shared-gram counts on raw gram
+    * strings (no digest in the checked path), so the DuckDB oracle
+    * restates the screen in closed form.
+    */
+  def incrementalContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    graft.ops.IncrementalContamination.screenAtIngest(
+      spark,
+      docs.filter($"doc_id" % 50 === 0),
+      docs.filter($"doc_id" % 50 =!= 0),
+      LakeQueries.scratchDir("graft-inccontam-"))
+  }
+
   /** Lake table consumed through the manifest-driven streaming source
     * ([[graft.streaming.GraftLakeSource]]): events land in a lake
     * table as two append commits, the committed stream drains them by
