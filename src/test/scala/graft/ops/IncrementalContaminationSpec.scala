@@ -56,6 +56,38 @@ class IncrementalContaminationSpec extends AnyFunSuite {
       10L -> true, 11L -> false))
   }
 
+  test("per-trigger benchmark read is bucket-local (partition-pruned)") {
+    import graft.lake.{LakePredicate, LakeTable}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val work = java.nio.file.Files.createTempDirectory("contam-prune")
+    // a bigger benchmark so grams spread over many buckets
+    val bigBench = (0 until 30).map(i =>
+      (2000L + i, s"bench sentence number $i carries unique tokens t${i}a t${i}b t${i}c t${i}d"))
+      .toDF("doc_id", "text")
+    IncrementalContamination.indexBenchmark(spark, bigBench, work, indexBuckets = 8)
+    val benchTbl = new LakeTable(spark, work.resolve("benchgrams").toString)
+    val allRead = filesRead(benchTbl.read())
+    val liveBuckets = benchTbl.read().select("bk").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(liveBuckets.length > 1, "fixture must spread over >1 bucket")
+    val prunedRead = filesRead(
+      benchTbl.scan(Seq(LakePredicate.In("bk", Seq(liveBuckets.head)))))
+    assert(prunedRead < allRead,
+      s"expected bucket pruning: read $prunedRead of $allRead files")
+  }
+
   test("replayed batch appends nothing twice; counts stay exact") {
     val work = Files.createTempDirectory("contam3-")
     IncrementalContamination.indexBenchmark(spark, bench, work)
