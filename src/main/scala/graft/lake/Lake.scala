@@ -2807,9 +2807,14 @@ final class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def listTables(): Seq[String] = {
     val probe = new LakeTable(spark, warehouse)
     def walk(p: org.apache.hadoop.fs.Path, rel: List[String]): Seq[String] = {
+      // a missing dir (empty warehouse, file amid namespaces) is a
+      // legitimate "no tables here"; any OTHER IO failure must
+      // propagate — a swallowed transient error would silently drop a
+      // whole subtree from catalog-wide operations like erasure
+      // discovery, reporting success while the data survives
       val kids =
         try probe.io.list(p)
-        catch { case _: Exception => return Nil }
+        catch { case _: java.io.FileNotFoundException => return Nil }
       if (kids.exists(_.getPath.getName == "_versions")) Seq(rel.reverse.mkString("."))
       else kids.filter(_.isDirectory)
         .filterNot(_.getPath.getName.startsWith("_"))

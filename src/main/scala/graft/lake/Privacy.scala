@@ -94,14 +94,23 @@ object Privacy {
       val t = new LakeTable(spark, workDir.resolve(name).toString)
       if (t.latest.isDefined) Some((name, "id", t)) else None
     }
+    // fail loud on an empty work dir: a typo'd path would otherwise
+    // report the cascade as trivially complete while the real index
+    // still holds the subject (same contract as forgetCatalog)
+    require(targets.nonEmpty,
+      s"no at-ingest index tables under $workDir — wrong work dir?")
     eraseAll(targets, keys)
   }
 
-  /** Index table layouts the at-ingest dedup family maintains, all
-    * keyed by document/vector `id`.
+  /** Index table layouts the at-ingest families maintain, all keyed
+    * by document/vector `id`: the MinHash index (bands/shingles), the
+    * semantic index (buckets/vecs), their shared tombstones (drops),
+    * and the contamination screen's per-doc flags. (`benchgrams/`
+    * holds only benchmark eval grams — no subject data — and is
+    * deliberately NOT erased.)
     */
   private[graft] val IndexTableNames: Seq[String] =
-    Seq("bands", "shingles", "drops", "buckets", "vecs")
+    Seq("bands", "shingles", "drops", "buckets", "vecs", "flags")
 
   /** Catalog-wide erasure with DERIVED-TABLE discovery: erase `keys`
     * from EVERY table in the catalog whose current schema carries
@@ -123,13 +132,41 @@ object Privacy {
   def forgetCatalog(cat: LakeCatalog, keyCol: String, keys: Seq[Any],
                     exclude: Seq[String] = Nil): Seq[ErasureResult] = {
     require(keys.nonEmpty, "empty erasure request")
+    // discovery matches the way Spark resolves columns: CASE-
+    // INSENSITIVE — a legacy table cased `UID` still holds the
+    // subject and must not be silently skipped. Each target erases
+    // under its OWN spelling of the column.
     val targets = cat.listTables()
       .filterNot(exclude.contains)
-      .map(id => (id, keyCol, cat.table(id)))
-      .filter { case (_, _, t) =>
-        t.latest.exists(_.schema.fieldNames.contains(keyCol)) }
+      .flatMap { id =>
+        val t = cat.table(id)
+        t.latest.flatMap(_.schema.find(_.name.equalsIgnoreCase(keyCol)))
+          .map(f => (id, f.name, t))
+      }
     require(targets.nonEmpty,
       s"no table in ${cat.warehouse} carries key column '$keyCol'")
+    // key typing must be UNIFORM across the discovered set: applying
+    // e.g. bigint keys to a string-typed column makes Spark coerce
+    // the COLUMN, and '042' matches a request for 42 — over-deleting
+    // a different subject (the ADVICE-r9 single-table bug, catalog
+    // edition). Integral widths may mix (lossless widening); a
+    // string/numeric mix is ambiguous and fails loud.
+    val kinds = targets.map { case (id, c, t) =>
+      val dt = t.latest.get.schema(c).dataType
+      import org.apache.spark.sql.types._
+      val kind = dt match {
+        case LongType | IntegerType | ShortType | ByteType => "integral"
+        case StringType => "string"
+        case other => s"unsupported($other)"
+      }
+      (id, kind)
+    }
+    require(kinds.map(_._2).distinct.size == 1 &&
+        !kinds.head._2.startsWith("unsupported"),
+      s"key column '$keyCol' has mixed/unsupported types across the catalog " +
+        s"(${kinds.map { case (id, k) => s"$id:$k" }.mkString(", ")}) — " +
+        "erasing with one key type would coerce columns and risk matching " +
+        "the wrong subject; erase per table with typed keys instead")
     eraseAll(targets, keys)
   }
 

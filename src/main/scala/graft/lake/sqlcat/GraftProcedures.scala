@@ -239,9 +239,12 @@ private[sqlcat] object GraftProcedures {
       // table whose schema carries the key column —
       //   CALL graft.system.forget_catalog(key_col => 'uid',
       //                                    keys => '17,42', exclude => 'ns.t2')
-      // Key typing follows the FIRST discovered table's key column
-      // (discovery is by column name, so the type is uniform across a
-      // sane catalog; a mixed-type catalog fails loud in the engine).
+      // Key typing follows the discovered key columns — the engine
+      // validates the set is type-UNIFORM (integral widths may mix;
+      // string/numeric mixes fail loud before any delete), so parsing
+      // from the first discovered column is safe. Integral keys parse
+      // as Long: isin(Long) against narrower integral columns widens
+      // the COLUMN losslessly, never lossily.
       case "forget_catalog" => Some(new CatalogProc("forget_catalog",
         Array(p("key_col", StringType), p("keys", StringType),
           pDefault("exclude", StringType, "''")),
@@ -259,15 +262,15 @@ private[sqlcat] object GraftProcedures {
           val exclude = cols(in.getUTF8String(2).toString)
           val cat = catalog()
           val kt = cat.listTables().filterNot(exclude.contains)
-            .flatMap(id => cat.table(id).latest.flatMap(_.schema.find(_.name == keyCol)))
+            .flatMap(id => cat.table(id).latest
+              .flatMap(_.schema.find(_.name.equalsIgnoreCase(keyCol))))
             .headOption.getOrElse(throw new IllegalArgumentException(
               s"no table in the catalog carries key column '$keyCol'")).dataType
           import org.apache.spark.sql.types._
           val keys: Seq[Any] = kt match {
-            case LongType    => raw.map(_.toLong: Any).toSeq
-            case IntegerType => raw.map(_.toInt: Any).toSeq
-            case ShortType   => raw.map(_.toShort: Any).toSeq
-            case StringType  => raw.map(identity[Any]).toSeq
+            case LongType | IntegerType | ShortType | ByteType =>
+              raw.map(_.toLong: Any).toSeq
+            case StringType => raw.map(identity[Any]).toSeq
             case other => throw new IllegalArgumentException(
               s"forget_catalog supports integral/string key columns; '$keyCol' is $other")
           }

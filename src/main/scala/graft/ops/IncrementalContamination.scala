@@ -56,6 +56,16 @@ object IncrementalContamination {
     * per-trigger reads. Benchmark sets are small and change rarely —
     * a full overwrite is the honest refresh.
     */
+  /** Bucket count and gram width are PHYSICAL LAYOUT, fixed at index
+    * build time — they ride the index's commit meta so every later
+    * screen derives them from the table instead of trusting a caller
+    * parameter (a mismatched bucket count would silently hash batch
+    * grams into buckets the index never uses and report contaminated
+    * documents as clean).
+    */
+  private val BucketsKey = LakeTable.CarryMetaPrefix + "contam.indexBuckets"
+  private val GramNKey = LakeTable.CarryMetaPrefix + "contam.gramN"
+
   def indexBenchmark(spark: SparkSession, bench: DataFrame, workDir: Path,
                      textCol: String = "text", idCol: String = "doc_id",
                      n: Int = 4, indexBuckets: Int = 16): Unit = {
@@ -64,7 +74,8 @@ object IncrementalContamination {
       .select(col("g")).distinct()
       .withColumn("bk", pmod(xxhash64(col("g")), lit(indexBuckets)).cast("int"))
       .repartition(indexBuckets, col("bk"))
-    tbl.write(grams, WriteMode.Overwrite, partitionBy = Seq("bk"))
+    tbl.write(grams, WriteMode.Overwrite, partitionBy = Seq("bk"),
+      meta = Map(BucketsKey -> indexBuckets.toString, GramNKey -> n.toString))
   }
 
   private[ops] def screenBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
@@ -90,7 +101,19 @@ object IncrementalContamination {
     val flags = grams.join(bench, Seq("g", "bk"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hit_grams"))
-    idempotentAppend(flagsTbl, flags.coalesce(1), batchId, Nil, Nil)
+      .coalesce(1)
+      .localCheckpoint() // one materialization serves probe + append
+    // most crawl batches are clean — an unconditional append would
+    // grow flags/ by one empty commit per trigger for the stream's
+    // whole lifetime (the trickle the dedup family bounds the same
+    // way); a skipped marker is safe: a replay recomputes the same
+    // empty frame
+    if (!flags.isEmpty)
+      idempotentAppend(flagsTbl, flags, batchId, Nil, Nil)
+    // fragmentation-gated fold of the per-trigger commit trickle
+    if ((batchId + 1) % 4 == 0 &&
+        flagsTbl.latest.exists(_.dirs.size >= IncrementalDedup.CompactMinDirs))
+      flagsTbl.compactBinPack(maxDirBytes = 64L << 20)
     prof(s"contam batch=$batchId flags appended")
   }
 
@@ -100,14 +123,19 @@ object IncrementalContamination {
     */
   def ingest(spark: SparkSession, docs: DataFrame, workDir: Path,
              batchName: String, slices: Int = 4, textCol: String = "text",
-             idCol: String = "doc_id", n: Int = 4,
-             indexBuckets: Int = 16, filesPerTrigger: Int = 1): Unit = {
+             idCol: String = "doc_id", filesPerTrigger: Int = 1): Unit = {
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
     val batchDir = srcDir.resolve(batchName)
     val benchTbl = new LakeTable(spark, workDir.resolve("benchgrams").toString)
-    require(benchTbl.latest.isDefined,
-      s"no benchmark index under $workDir — call indexBenchmark first")
+    val benchMeta = benchTbl.latest.getOrElse(throw new IllegalStateException(
+      s"no benchmark index under $workDir — call indexBenchmark first")).meta
+    // layout parameters come FROM the index, never from the caller —
+    // a mismatched bucket count or gram width would silently miss hits
+    val indexBuckets = benchMeta.getOrElse(BucketsKey,
+      throw new IllegalStateException("benchmark index carries no bucket-count meta")).toInt
+    val n = benchMeta.getOrElse(GramNKey,
+      throw new IllegalStateException("benchmark index carries no gram-width meta")).toInt
     val flagsTbl = new LakeTable(spark, workDir.resolve("flags").toString)
     Files.createDirectories(batchDir)
     val input = docs.select(col(idCol), col(textCol))
@@ -171,8 +199,8 @@ object IncrementalContamination {
                      idCol: String = "doc_id", n: Int = 4,
                      indexBuckets: Int = 16): DataFrame = {
     indexBenchmark(spark, bench, workDir, textCol, idCol, n, indexBuckets)
-    ingest(spark, arrivals, workDir, "initial", slices, textCol, idCol, n,
-      indexBuckets, filesPerTrigger = 2)
+    ingest(spark, arrivals, workDir, "initial", slices, textCol, idCol,
+      filesPerTrigger = 2)
     report(spark, arrivals, workDir, idCol)
   }
 }

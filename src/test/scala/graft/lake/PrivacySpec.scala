@@ -185,6 +185,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(cat.read("ns.unrelated").count() === 1L, "unrelated table untouched")
   }
 
+  test("forgetCatalog refuses mixed key-column types, matches case-insensitively") {
+    val cat = fresh(); seed(cat)                       // ns.t: uid BIGINT
+    cat.write(Seq(("42", 1.0), ("042", 2.0)).toDF("UID", "v"),
+      "ns.strkeys", WriteMode.Overwrite)               // UID STRING, different case
+    // bigint keys against a catalog that ALSO holds a string-typed
+    // uid: coercion would erase '042' for a request naming 42 — the
+    // batch must fail loud BEFORE any delete
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.forgetCatalog(cat, "uid", Seq(42L))
+    }
+    assert(ex.getMessage.contains("mixed"))
+    assert(cat.read("ns.t").count() === 100L, "nothing erased on refusal")
+    assert(cat.read("ns.strkeys").count() === 2L)
+    // with the string table excluded the request goes through, and
+    // case-insensitive discovery is what SAW ns.strkeys at all
+    val ok = Privacy.forgetCatalog(cat, "uid", Seq(42L), exclude = Seq("ns.strkeys"))
+    assert(ok.map(_.ident) === Seq("ns.t"))
+    assert(cat.read("ns.t").where($"uid" === 42L).count() === 0L)
+  }
+
   test("SQL surface: CALL graft.system.forget_catalog discovers and erases") {
     val name = "privcat3"
     val wh = java.nio.file.Files.createTempDirectory("priv-sqlcat-").toString

@@ -88,6 +88,26 @@ class IncrementalContaminationSpec extends AnyFunSuite {
       s"expected bucket pruning: read $prunedRead of $allRead files")
   }
 
+  test("screen derives layout from the index; erasure cascade reaches flags") {
+    val work = Files.createTempDirectory("contam4-")
+    // index built with a NON-default layout — a screen trusting its
+    // own defaults would hash grams into buckets the index never uses
+    IncrementalContamination.indexBenchmark(spark, bench, work,
+      n = 4, indexBuckets = 32)
+    IncrementalContamination.ingest(spark, arrivals, work, "a1", slices = 2)
+    val got = IncrementalContamination.report(spark, arrivals, work)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(1L), "layout must come from the index meta, not caller defaults")
+    // the flags table stores subject doc ids — the dedup-index erasure
+    // cascade must reach it
+    val res = graft.lake.Privacy.forgetDedupIndex(spark, work, Seq(1L))
+    assert(res.map(_.ident) === Seq("flags"))
+    assert(res.head.rowsDeleted === 1L && res.head.residualRows === 0L)
+    val after = IncrementalContamination.report(spark, arrivals, work)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!after(1L), "erased subject's flag must be gone")
+  }
+
   test("replayed batch appends nothing twice; counts stay exact") {
     val work = Files.createTempDirectory("contam3-")
     IncrementalContamination.indexBenchmark(spark, bench, work)
