@@ -94,12 +94,89 @@ object Privacy {
       val t = new LakeTable(spark, workDir.resolve(name).toString)
       if (t.latest.isDefined) Some((name, "id", t)) else None
     }
-    // fail loud on an empty work dir: a typo'd path would otherwise
-    // report the cascade as trivially complete while the real index
-    // still holds the subject (same contract as forgetCatalog)
-    require(targets.nonEmpty,
-      s"no at-ingest index tables under $workDir — wrong work dir?")
-    eraseAll(targets, keys)
+    val arrivals = workDir.resolve("arrivals")
+    val benchgrams = new LakeTable(spark, workDir.resolve("benchgrams").toString)
+    // fail loud on a dir that is not an at-ingest work dir at all: a
+    // typo'd path would otherwise report the cascade as trivially
+    // complete while the real index still holds the subject. A
+    // CONTAMINATION work dir whose corpus was entirely clean is
+    // legitimate though — it has benchgrams/arrivals but no flags.
+    require(targets.nonEmpty || benchgrams.latest.isDefined ||
+        java.nio.file.Files.isDirectory(arrivals),
+      s"no at-ingest state under $workDir — wrong work dir?")
+    // the staging slices under arrivals/ hold the subject's RAW text
+    // or vectors — more sensitive than any derived index row; erase
+    // them too or the cascade's "residual 0" is a lie
+    eraseAll(targets, keys) ++ eraseArrivals(spark, arrivals, keys).toSeq
+  }
+
+  /** Rewrite every arrival slice file containing a subject row, IN
+    * PLACE under its original file name — the streaming checkpoint
+    * tracks consumed files by PATH, so keeping names means a later
+    * ingest session neither re-processes the rewritten slices nor
+    * loses its place. Slices are single-part by construction
+    * ([[graft.ops.IncrementalDedup.ingestLoop]] writes coalesce(1)).
+    * Returns None when there is no arrivals dir or no slices.
+    */
+  private def eraseArrivals(spark: org.apache.spark.sql.SparkSession,
+                            arrivals: java.nio.file.Path,
+                            keys: Seq[Any]): Option[ErasureResult] = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(arrivals)) return None
+    def subdirs(p: Path): Seq[Path] =
+      Files.list(p).iterator().asScala.toSeq
+        .filter(d => Files.isDirectory(d) && !d.getFileName.toString.startsWith("_"))
+    val sliceDirs = subdirs(arrivals).flatMap(subdirs)
+    if (sliceDirs.isEmpty) return None
+    val idColMarker = arrivals.resolve("_id_col")
+    require(Files.exists(idColMarker),
+      s"$arrivals carries no _id_col marker — re-ingest once with the " +
+        "current engine (the marker is written at ingest) or erase the " +
+        "slices manually")
+    val idCol = Files.readString(idColMarker).trim
+    val paths = sliceDirs.map(_.toString)
+    val cond = col(idCol).isin(keys: _*)
+    validateKeyType(s"arrivals staging under $arrivals", idCol,
+      spark.read.parquet(paths: _*).schema, keys)
+    val hits = spark.read.parquet(paths: _*)
+      .where(cond)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val before = hits.map(_.getLong(1)).sum
+    val hitDirs = hits.map(r => java.nio.file.Paths.get(
+      new java.net.URI(r.getString(0))).getParent).distinct
+    hitDirs.foreach { dir =>
+      val parts = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      require(parts.size == 1,
+        s"$dir holds ${parts.size} part files; arrival slices are single-part")
+      val original = parts.head
+      val tmp = dir.resolveSibling(dir.getFileName.toString + ".erasing")
+      spark.read.parquet(dir.toString).where(!cond)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val newPart = Files.list(tmp).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      // same path, new bytes: invisible to the file-source checkpoint
+      Files.move(newPart, original, StandardCopyOption.REPLACE_EXISTING)
+      // Hadoop's checksummed local FS keeps a `.<name>.crc` sidecar
+      // per file — the ORIGINAL's sidecar now mismatches the new
+      // bytes and would fail every later read; carry the new file's
+      // sidecar over under the original's checksum name
+      val newCrc = tmp.resolve("." + newPart.getFileName.toString + ".crc")
+      val originalCrc =
+        original.resolveSibling("." + original.getFileName.toString + ".crc")
+      if (Files.exists(newCrc))
+        Files.move(newCrc, originalCrc, StandardCopyOption.REPLACE_EXISTING)
+      else Files.deleteIfExists(originalCrc)
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      // and the session's FileStatusCache still holds the OLD file
+      // length for this path — refresh drops the stale listing
+      spark.catalog.refreshByPath(dir.toString)
+    }
+    val residual = spark.read.parquet(paths: _*).where(cond).count()
+    Some(ErasureResult("arrivals", before, version = 0,
+      expiredSnapshots = 0, purgedDirs = hitDirs.length, residualRows = residual))
   }
 
   /** Index table layouts the at-ingest families maintain, all keyed
@@ -131,11 +208,18 @@ object Privacy {
     */
   def forgetCatalog(cat: LakeCatalog, keyCol: String, keys: Seq[Any],
                     exclude: Seq[String] = Nil): Seq[ErasureResult] = {
-    require(keys.nonEmpty, "empty erasure request")
-    // discovery matches the way Spark resolves columns: CASE-
-    // INSENSITIVE — a legacy table cased `UID` still holds the
-    // subject and must not be silently skipped. Each target erases
-    // under its OWN spelling of the column.
+    forgetDiscovered(discoverKeyTargets(cat, keyCol, exclude), keyCol, keys)
+  }
+
+  /** Tables whose current schema carries `keyCol` — discovery matches
+    * the way Spark resolves columns: CASE-INSENSITIVE (a legacy table
+    * cased `UID` still holds the subject and must not be silently
+    * skipped); each target erases under its OWN spelling. Exposed so
+    * the SQL procedure can discover ONCE for key typing and erasure.
+    */
+  private[graft] def discoverKeyTargets(cat: LakeCatalog, keyCol: String,
+                                        exclude: Seq[String] = Nil)
+      : Seq[(String, String, LakeTable)] = {
     val targets = cat.listTables()
       .filterNot(exclude.contains)
       .flatMap { id =>
@@ -145,12 +229,22 @@ object Privacy {
       }
     require(targets.nonEmpty,
       s"no table in ${cat.warehouse} carries key column '$keyCol'")
-    // key typing must be UNIFORM across the discovered set: applying
-    // e.g. bigint keys to a string-typed column makes Spark coerce
-    // the COLUMN, and '042' matches a request for 42 — over-deleting
-    // a different subject (the ADVICE-r9 single-table bug, catalog
-    // edition). Integral widths may mix (lossless widening); a
-    // string/numeric mix is ambiguous and fails loud.
+    targets
+  }
+
+  /** Erase pre-discovered targets after validating key-type
+    * uniformity: applying e.g. bigint keys to a string-typed column
+    * makes Spark coerce the COLUMN, and '042' matches a request for
+    * 42 — over-deleting a different subject (the ADVICE-r9
+    * single-table bug, catalog edition). Integral widths may mix
+    * (lossless widening); a string/numeric mix is ambiguous and fails
+    * loud. Per-target key-vs-column validation then runs again inside
+    * [[eraseAll]] for every erasure path.
+    */
+  private[graft] def forgetDiscovered(targets: Seq[(String, String, LakeTable)],
+                                      keyCol: String,
+                                      keys: Seq[Any]): Seq[ErasureResult] = {
+    require(keys.nonEmpty, "empty erasure request")
     val kinds = targets.map { case (id, c, t) =>
       val dt = t.latest.get.schema(c).dataType
       import org.apache.spark.sql.types._
@@ -222,13 +316,22 @@ object Privacy {
     * intersects the keys, across every parquet file under the data
     * roots (referenced or not). 0 = no subject bit remains.
     */
+  /** Every dir still on disk under the table's data roots,
+    * manifest-referenced or not — the denominator of a storage-level
+    * audit. Missing roots are legitimately empty; any OTHER listing
+    * failure propagates (a swallowed IO blip would report "0 residual"
+    * without scanning anything — the silent-success failure class).
+    */
+  private def auditDirs(t: LakeTable): Seq[String] =
+    Seq("data", "eqdeletes").flatMap { sub =>
+      try t.io.list(t.loc(sub)).map(_.getPath.toString)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }
+
   private[lake] def segmentResidual(t: LakeTable, keyBm: org.apache.spark.sql.Column,
                                     bmCol: String): Long = {
     import graft.functions.{BitmapFunctions => BF}
-    val dirs = Seq("data", "eqdeletes").flatMap { sub =>
-      try t.io.list(t.loc(sub)).map(_.getPath.toString)
-      catch { case _: Exception => Nil }
-    }
+    val dirs = auditDirs(t)
     if (dirs.isEmpty) return 0L
     t.spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -239,17 +342,50 @@ object Privacy {
       .count()
   }
 
+  /** Fail loud when the runtime type of `keys` cannot be applied to
+    * the key column WITHOUT coercing the column: bigint keys against a
+    * string column make Spark cast the COLUMN, so '042' matches a
+    * request for 42 and a different subject's data is erased with the
+    * residual audit (same coerced predicate) still reporting 0.
+    * Integral keys may be narrower/wider than an integral column —
+    * widening is lossless in both directions for equality.
+    */
+  private def validateKeyType(what: String, keyCol: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              keys: Seq[Any]): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = schema.find(_.name == keyCol).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"$what has no column '$keyCol'"))
+    val ok = dt match {
+      case LongType | IntegerType | ShortType | ByteType => keys.forall {
+        case _: Long | _: Int | _: Short | _: Byte => true
+        case _ => false
+      }
+      case StringType => keys.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    require(ok,
+      s"$what keys '$keyCol' as $dt but the request carries " +
+        s"${keys.map(_.getClass.getSimpleName).distinct.mkString("/")} keys — " +
+        "matching would coerce the COLUMN and can erase the wrong subject; " +
+        "pass keys of the column's type")
+  }
+
   private def eraseAll(targets: Seq[(String, String, LakeTable)],
                        keys: Seq[Any]): Seq[ErasureResult] = {
-    // validate retention anchors for ALL targets BEFORE the first
-    // delete — erasure is irreversible, so a bad later target must
-    // not leave the batch half-applied with the completed targets'
-    // evidence discarded by the throw (ADVICE r9)
-    targets.foreach { case (ident, _, t) =>
+    // validate retention anchors AND key-vs-column types for ALL
+    // targets BEFORE the first delete — erasure is irreversible, so a
+    // bad later target must not leave the batch half-applied with the
+    // completed targets' evidence discarded by the throw (ADVICE r9),
+    // and a coercing key type must never reach a single isin (the
+    // over-delete class — see validateKeyType)
+    targets.foreach { case (ident, keyCol, t) =>
       val anchors = t.tags.map("tag " + _._1) ++ t.branches.map("branch " + _._1)
       require(anchors.isEmpty,
         s"'$ident' has retention anchors (${anchors.mkString(", ")}) that " +
           "would pin the subject's data through expiry — drop them first")
+      validateKeyType(s"'$ident'", keyCol,
+        t.latest.map(_.schema).getOrElse(t.read().schema), keys)
     }
     val t0 = System.currentTimeMillis()
     def eraseOne(ident: String, keyCol: String, t: LakeTable): ErasureResult = {
@@ -283,7 +419,24 @@ object Privacy {
       .map(group => Future(group.map { case ((ident, keyCol, t), i) =>
         i -> eraseOne(ident, keyCol, t)
       }))
-    perTable.flatMap(Await.result(_, Duration.Inf)).sortBy(_._1).map(_._2)
+    // await EVERY future before deciding the outcome: a runtime
+    // failure on one table must neither discard the evidence of
+    // erasures that DID complete (the compliance record of an
+    // irreversible act) nor leave sibling erasures running
+    // unsupervised past the caller's exception
+    val settled = perTable.map(f =>
+      scala.util.Try(Await.result(f, Duration.Inf)))
+    val failures = settled.collect { case scala.util.Failure(e) => e }
+    val completed = settled.collect { case scala.util.Success(rs) => rs }
+      .flatten.sortBy(_._1).map(_._2)
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"erasure batch partially failed on ${failures.size} table(s); " +
+          "COMPLETED (irreversible) erasures: " +
+          completed.map(r => s"${r.ident}(rows=${r.rowsDeleted}," +
+            s"residual=${r.residualRows})").mkString("; "),
+        failures.head)
+    completed
   }
 
   /** Storage-level audit: read every parquet file still present under
@@ -296,10 +449,7 @@ object Privacy {
     */
   private[lake] def residual(t: LakeTable, keyCol: String, keys: Seq[Any]): Long = {
     val spark = t.spark
-    val dirs = Seq("data", "eqdeletes").flatMap { sub =>
-      try t.io.list(t.loc(sub)).map(_.getPath.toString)
-      catch { case _: Exception => Nil }
-    }
+    val dirs = auditDirs(t)
     // fail loud on a missing key column: residual is a public audit
     // entry point, and "0 rows" from a misspelled/renamed column would
     // report 'physically erased' without scanning a single file

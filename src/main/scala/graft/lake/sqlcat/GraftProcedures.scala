@@ -216,9 +216,10 @@ private[sqlcat] object GraftProcedures {
           // request for '42' — over-deleting a different subject).
           // Commas inside string keys are unrepresentable on the SQL
           // surface; use the Scala Privacy.forget API for those.
-          val kt = t.read().schema.find(_.name == keyCol).getOrElse(
-            throw new IllegalArgumentException(
-              s"key column '$keyCol' not in $ident's schema")).dataType
+          val kt = t.latest.map(_.schema).getOrElse(t.read().schema)
+            .find(_.name == keyCol).getOrElse(
+              throw new IllegalArgumentException(
+                s"key column '$keyCol' not in $ident's schema")).dataType
           import org.apache.spark.sql.types._
           val keys: Seq[Any] = kt match {
             case LongType    => raw.map(_.toLong: Any).toSeq
@@ -261,11 +262,11 @@ private[sqlcat] object GraftProcedures {
           require(raw.nonEmpty, "empty erasure request")
           val exclude = cols(in.getUTF8String(2).toString)
           val cat = catalog()
-          val kt = cat.listTables().filterNot(exclude.contains)
-            .flatMap(id => cat.table(id).latest
-              .flatMap(_.schema.find(_.name.equalsIgnoreCase(keyCol))))
-            .headOption.getOrElse(throw new IllegalArgumentException(
-              s"no table in the catalog carries key column '$keyCol'")).dataType
+          // ONE discovery walk serves both key typing and erasure (a
+          // second walk per call would double the metadata reads on a
+          // wide warehouse)
+          val targets = graft.lake.Privacy.discoverKeyTargets(cat, keyCol, exclude)
+          val kt = targets.head match { case (_, c, t) => t.latest.get.schema(c).dataType }
           import org.apache.spark.sql.types._
           val keys: Seq[Any] = kt match {
             case LongType | IntegerType | ShortType | ByteType =>
@@ -274,7 +275,7 @@ private[sqlcat] object GraftProcedures {
             case other => throw new IllegalArgumentException(
               s"forget_catalog supports integral/string key columns; '$keyCol' is $other")
           }
-          graft.lake.Privacy.forgetCatalog(cat, keyCol, keys, exclude)
+          graft.lake.Privacy.forgetDiscovered(targets, keyCol, keys)
             .map(r => Seq[Any](r.ident, r.rowsDeleted, r.version,
               r.expiredSnapshots, r.purgedDirs, r.residualRows))
         }))

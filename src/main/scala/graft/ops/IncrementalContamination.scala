@@ -1,9 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import graft.lake.{LakePredicate, LakeTable, WriteMode}
 
 /** At-ingest benchmark-contamination screening — the third member of
@@ -81,7 +80,7 @@ object IncrementalContamination {
   private[ops] def screenBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                                benchTbl: LakeTable, flagsTbl: LakeTable,
                                textCol: String, idCol: String, n: Int,
-                               indexBuckets: Int): Unit = {
+                               indexBuckets: Int, compactEvery: Int = 4): Unit = {
     prof(s"contam batch=$batchId start")
     val (grams, bks) = checkpointWithBkCensus(gramRows(batch, textCol, idCol, n)
       .withColumn("bk", pmod(xxhash64(col("g")), lit(indexBuckets)).cast("int"))
@@ -111,7 +110,7 @@ object IncrementalContamination {
     if (!flags.isEmpty)
       idempotentAppend(flagsTbl, flags, batchId, Nil, Nil)
     // fragmentation-gated fold of the per-trigger commit trickle
-    if ((batchId + 1) % 4 == 0 &&
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
         flagsTbl.latest.exists(_.dirs.size >= IncrementalDedup.CompactMinDirs))
       flagsTbl.compactBinPack(maxDirBytes = 64L << 20)
     prof(s"contam batch=$batchId flags appended")
@@ -123,10 +122,8 @@ object IncrementalContamination {
     */
   def ingest(spark: SparkSession, docs: DataFrame, workDir: Path,
              batchName: String, slices: Int = 4, textCol: String = "text",
-             idCol: String = "doc_id", filesPerTrigger: Int = 1): Unit = {
-    require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
-    val srcDir = workDir.resolve("arrivals")
-    val batchDir = srcDir.resolve(batchName)
+             idCol: String = "doc_id", filesPerTrigger: Int = 1,
+             compactEvery: Int = 4): Unit = {
     val benchTbl = new LakeTable(spark, workDir.resolve("benchgrams").toString)
     val benchMeta = benchTbl.latest.getOrElse(throw new IllegalStateException(
       s"no benchmark index under $workDir — call indexBenchmark first")).meta
@@ -137,31 +134,11 @@ object IncrementalContamination {
     val n = benchMeta.getOrElse(GramNKey,
       throw new IllegalStateException("benchmark index carries no gram-width meta")).toInt
     val flagsTbl = new LakeTable(spark, workDir.resolve("flags").toString)
-    Files.createDirectories(batchDir)
-    val input = docs.select(col(idCol), col(textCol))
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      (0 until slices).map(s => Future(
-        input.filter(pmod(col(idCol), lit(slices)) === s)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(batchDir.resolve(f"slice_$s%03d").toString)))
-        .foreach(Await.result(_, Duration.Inf))
+    IncrementalDedup.ingestLoop(spark, docs.select(col(idCol), col(textCol)),
+      workDir, batchName, slices, idCol, filesPerTrigger) { (batch, batchId) =>
+      screenBatch(spark, batch, batchId, benchTbl, flagsTbl,
+        textCol, idCol, n, indexBuckets, compactEvery)
     }
-    val stream = spark.readStream
-      .schema(input.schema)
-      .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
-      .parquet(s"$srcDir/*/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        screenBatch(spark, batch, batchId, benchTbl, flagsTbl,
-          textCol, idCol, n, indexBuckets)
-      }
-      .option("checkpointLocation", workDir.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
   }
 
   /** (doc_id, n_hit_grams, contaminated) for `docs` given the flags

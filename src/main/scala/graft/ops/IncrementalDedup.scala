@@ -314,30 +314,31 @@ object IncrementalDedup {
     * function is the physical layout). `compactEvery` is the bin-pack
     * cadence in triggers.
     */
-  def ingest(spark: SparkSession, docs: DataFrame, workDir: Path,
-             batchName: String, slices: Int = 4, textCol: String = "text",
-             idCol: String = "doc_id", n: Int = 3,
-             numHashes: Int = 128, bands: Int = 32,
-             threshold: Double = 0.5,
-             indexBuckets: Int = 16,
-             compactEvery: Int = 4,
-             candPairCap: Int = DefaultCandPairCap,
-             filesPerTrigger: Int = 1): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+  /** The at-ingest families' shared arrival scaffold (ONE copy —
+    * MinHash, semantic, and contamination ingest all run through it):
+    * the input lands as `slices` interleaved parquet files under a
+    * `batchName`-scoped arrivals dir (pmod slicing, so negative ids
+    * land too and later batches carry ids SMALLER than indexed ones —
+    * the retroactive path), an `_id_col` marker records the id column
+    * for the erasure cascade ([[graft.lake.Privacy.forgetDedupIndex]]
+    * rewrites arrival slices — the subject's RAW content lives here),
+    * and a checkpointed AvailableNow stream over `arrivals/<asterisk>/<asterisk>`
+    * drains only unconsumed files into `body` (foreachBatch batchIds
+    * continue monotonically across sessions, keeping the per-table
+    * idempotency markers valid).
+    */
+  private[ops] def ingestLoop(spark: SparkSession, input: DataFrame, workDir: Path,
+                              batchName: String, slices: Int, idCol: String,
+                              filesPerTrigger: Int)
+                             (body: (DataFrame, Long) => Unit): Unit = {
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
     val batchDir = srcDir.resolve(batchName)
-    val bandsTbl = new LakeTable(spark, workDir.resolve("bands").toString)
-    val shTbl = new LakeTable(spark, workDir.resolve("shingles").toString)
-    val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
     Files.createDirectories(batchDir)
-
-    // interleaved slices (pmod, so negative ids land in a slice too —
-    // plain % preserves sign and would silently skip them), NOT id
-    // ranges: later batches carry ids smaller than already-indexed
-    // ones, exercising the retroactive-tombstone path rather than only
-    // the happy order. Slice writes are independent jobs → concurrent.
-    val input = docs.select(col(idCol), col(textCol))
+    // depth-1 underscore file: never matched by the depth-2 glob, and
+    // parquet readers skip _-prefixed names anyway
+    val idColMarker = srcDir.resolve("_id_col")
+    if (!Files.exists(idColMarker)) Files.writeString(idColMarker, idCol)
     prof(s"ingest $batchName: slice writes start")
     locally {
       import scala.concurrent.{Await, Future}
@@ -350,27 +351,38 @@ object IncrementalDedup {
         .foreach(Await.result(_, Duration.Inf))
     }
     prof(s"ingest $batchName: slices written, stream starting")
-
-    // two-level glob: arrivals/<batchName>/slice_NNN. The checkpoint's
-    // file log remembers every consumed file, so a restarted stream
-    // picks up ONLY the new batch's slices; foreachBatch batchIds
-    // continue monotonically across sessions, keeping the per-table
-    // idempotency markers valid.
-    val stream = spark.readStream
+    val q = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
       .parquet(s"$srcDir/*/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, batchId, bandsTbl, shTbl, dropsTbl,
-          textCol, idCol, n, numHashes, bands, threshold,
-          indexBuckets, compactEvery, candPairCap)
-      }
+      .writeStream
+      .foreachBatch(body)
       .option("checkpointLocation", workDir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     prof(s"ingest $batchName: stream done")
+  }
+
+  def ingest(spark: SparkSession, docs: DataFrame, workDir: Path,
+             batchName: String, slices: Int = 4, textCol: String = "text",
+             idCol: String = "doc_id", n: Int = 3,
+             numHashes: Int = 128, bands: Int = 32,
+             threshold: Double = 0.5,
+             indexBuckets: Int = 16,
+             compactEvery: Int = 4,
+             candPairCap: Int = DefaultCandPairCap,
+             filesPerTrigger: Int = 1): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bandsTbl = new LakeTable(spark, workDir.resolve("bands").toString)
+    val shTbl = new LakeTable(spark, workDir.resolve("shingles").toString)
+    val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
+    ingestLoop(spark, docs.select(col(idCol), col(textCol)), workDir,
+      batchName, slices, idCol, filesPerTrigger) { (batch, batchId) =>
+      ingestBatch(spark, batch, batchId, bandsTbl, shTbl, dropsTbl,
+        textCol, idCol, n, numHashes, bands, threshold,
+        indexBuckets, compactEvery, candPairCap)
+    }
   }
 
   /** (doc_id, kept) over `docs` given the tombstones accumulated under

@@ -1,9 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import graft.lake.{LakePredicate, LakeTable, WriteMode}
 import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions._
@@ -173,32 +172,15 @@ object IncrementalSemDedup {
              compactEvery: Int = 4,
              candPairCap: Int = IncrementalDedup.DefaultCandPairCap,
              filesPerTrigger: Int = 1): Unit = {
-    require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
-    val srcDir = workDir.resolve("arrivals")
-    val batchDir = srcDir.resolve(batchName)
     val bucketsTbl = new LakeTable(spark, workDir.resolve("buckets").toString)
     val vecsTbl = new LakeTable(spark, workDir.resolve("vecs").toString)
     val dropsTbl = new LakeTable(spark, workDir.resolve("drops").toString)
-    Files.createDirectories(batchDir)
-    val input = vectors.select(col(idCol), col(vecCol))
-    (0 until slices).foreach(s =>
-      input.filter(pmod(col(idCol), lit(slices)) === s)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(batchDir.resolve(f"slice_$s%03d").toString))
-    val stream = spark.readStream
-      .schema(input.schema)
-      .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
-      .parquet(s"$srcDir/*/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, batchId, bucketsTbl, vecsTbl, dropsTbl,
-          vecCol, idCol, dim, tables, bits, threshold,
-          indexBuckets, compactEvery, candPairCap)
-      }
-      .option("checkpointLocation", workDir.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    IncrementalDedup.ingestLoop(spark, vectors.select(col(idCol), col(vecCol)),
+      workDir, batchName, slices, idCol, filesPerTrigger) { (batch, batchId) =>
+      ingestBatch(spark, batch, batchId, bucketsTbl, vecsTbl, dropsTbl,
+        vecCol, idCol, dim, tables, bits, threshold,
+        indexBuckets, compactEvery, candPairCap)
+    }
   }
 
   /** One-shot form: ingest `vectors` as a single arrival and report

@@ -128,10 +128,16 @@ class PrivacySpec extends AnyFunSuite {
     // doc 2 was tombstoned against doc 1; now erase subject 1
     val results = Privacy.forgetDedupIndex(spark, work, Seq(1L))
     val byTbl = results.map(r => r.ident -> r).toMap
-    assert(byTbl.keySet === Set("bands", "shingles", "drops"))
+    assert(byTbl.keySet === Set("bands", "shingles", "drops", "arrivals"))
     results.foreach(r => assert(r.residualRows === 0L, s"${r.ident} residual"))
     assert(byTbl("bands").rowsDeleted > 0L)
     assert(byTbl("shingles").rowsDeleted === 1L)
+    // the RAW text in the arrivals staging slices is scrubbed too —
+    // the most sensitive copy of the subject's data
+    assert(byTbl("arrivals").rowsDeleted === 1L)
+    assert(spark.read.parquet(work.resolve("arrivals").toString + "/*/*")
+      .where($"doc_id" === 1L).count() === 0L,
+      "subject's raw text must be gone from the staging slices")
     Seq("bands", "shingles", "drops").foreach { n =>
       val t = new LakeTable(spark, work.resolve(n).toString)
       assert(t.read().where($"id" === 1L).count() === 0L, s"$n keeps subject")

@@ -98,11 +98,12 @@ class IncrementalContaminationSpec extends AnyFunSuite {
     val got = IncrementalContamination.report(spark, arrivals, work)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got(1L), "layout must come from the index meta, not caller defaults")
-    // the flags table stores subject doc ids — the dedup-index erasure
-    // cascade must reach it
+    // the flags table stores subject doc ids, and the arrivals slices
+    // the raw text — the erasure cascade must reach both
     val res = graft.lake.Privacy.forgetDedupIndex(spark, work, Seq(1L))
-    assert(res.map(_.ident) === Seq("flags"))
+    assert(res.map(_.ident) === Seq("flags", "arrivals"))
     assert(res.head.rowsDeleted === 1L && res.head.residualRows === 0L)
+    assert(res.last.rowsDeleted === 1L && res.last.residualRows === 0L)
     val after = IncrementalContamination.report(spark, arrivals, work)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(!after(1L), "erased subject's flag must be gone")
