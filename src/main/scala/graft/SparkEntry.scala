@@ -957,7 +957,7 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ix),
         |fr AS (SELECT g, min(doc_id) AS first_id FROM sh GROUP BY g)
         |SELECT s.doc_id, count(*) AS n_shingles,
-        |  sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
         |FROM sh s JOIN fr f USING (g)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
@@ -2063,7 +2063,7 @@ object SparkEntry {
         |    coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
         |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
         |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = gs.bin)
-        |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
         |  CAST(round(sum(CAST(
         |    (CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
         |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))

@@ -124,9 +124,30 @@ object Privacy {
     import java.nio.file.{Files, Path, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(arrivals)) return None
+    // Files.list/walk return open directory streams — drain under
+    // try/finally or every erasure leaks a directory handle
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     def subdirs(p: Path): Seq[Path] =
-      Files.list(p).iterator().asScala.toSeq
-        .filter(d => Files.isDirectory(d) && !d.getFileName.toString.startsWith("_"))
+      listDir(p).filter(d =>
+        Files.isDirectory(d) && !d.getFileName.toString.startsWith("_"))
+    // a crash between the temp write and its cleanup leaves a
+    // *.erasing dir behind; it never holds the only copy (the
+    // original part is replaced atomically AFTER the temp write), so
+    // sweeping leftovers is always safe — and mandatory, or a later
+    // ingest session's arrivals/*/* glob would consume a non-
+    // underscore legacy leftover as brand-new arrivals
+    subdirs(arrivals).foreach { batch =>
+      listDir(batch)
+        .filter(_.getFileName.toString.endsWith(".erasing"))
+        .foreach { leftover =>
+          val walked = Files.walk(leftover)
+          try walked.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walked.close()
+        }
+    }
     val sliceDirs = subdirs(arrivals).flatMap(subdirs)
     if (sliceDirs.isEmpty) return None
     val idColMarker = arrivals.resolve("_id_col")
@@ -147,15 +168,23 @@ object Privacy {
     val hitDirs = hits.map(r => java.nio.file.Paths.get(
       new java.net.URI(r.getString(0))).getParent).distinct
     hitDirs.foreach { dir =>
-      val parts = Files.list(dir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      val parts = listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
       require(parts.size == 1,
-        s"$dir holds ${parts.size} part files; arrival slices are single-part")
+        s"$dir holds ${parts.size} part files; arrival slices are single-part " +
+          "by the ingest contract (coalesce(1)). To recover: compact the " +
+          "slice to one part under the SAME directory name (read it, " +
+          "coalesce(1), rewrite, move the part in) and re-run the erasure, " +
+          "or delete the slice dir manually if its batch was never consumed")
       val original = parts.head
-      val tmp = dir.resolveSibling(dir.getFileName.toString + ".erasing")
-      spark.read.parquet(dir.toString).where(!cond)
+      // underscore prefix keeps the temp dir invisible to the ingest
+      // stream's arrivals/*/* file listing (same convention as the
+      // _id_col marker) if we crash before cleanup
+      val tmp = dir.resolveSibling("_" + dir.getFileName.toString + ".erasing")
+      // three-valued logic: !cond is NULL (filtered out) for NULL-id
+      // rows — coalesce keeps non-subject null-id rows in the slice
+      spark.read.parquet(dir.toString).where(!coalesce(cond, lit(false)))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val newPart = Files.list(tmp).iterator().asScala.toSeq
+      val newPart = listDir(tmp)
         .filter(_.getFileName.toString.endsWith(".parquet")).head
       // same path, new bytes: invisible to the file-source checkpoint
       Files.move(newPart, original, StandardCopyOption.REPLACE_EXISTING)
@@ -169,7 +198,9 @@ object Privacy {
       if (Files.exists(newCrc))
         Files.move(newCrc, originalCrc, StandardCopyOption.REPLACE_EXISTING)
       else Files.deleteIfExists(originalCrc)
-      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val walked = Files.walk(tmp)
+      try walked.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walked.close()
       // and the session's FileStatusCache still holds the OLD file
       // length for this path — refresh drops the stale listing
       spark.catalog.refreshByPath(dir.toString)

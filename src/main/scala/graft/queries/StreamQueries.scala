@@ -203,14 +203,19 @@ object StreamQueries {
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{LakeCatalog, WriteMode}
+    import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-enrich-").toString)
     val t = Tables(spark, dir)
-    cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
-      WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
+    prof("enrich fixture dim") {
+      cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
+        WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
+    }
     val ev = t.events.select($"event_id", $"user_id", $"value")
-    cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
-    cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
-    cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+    prof("enrich fixture bronze x3") {
+      cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+      cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
+      cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+    }
     val dimT = cat.table("dim.customer")
     val out = LakeQueries.scratchDir("graft-enrich-out-")
     val q = graft.streaming.StreamingLakeSource
@@ -220,16 +225,18 @@ object StreamQueries {
         // batchId-keyed overwrite, not a blind append: foreachBatch is
         // at-least-once, and a retried batch must replace its own
         // partial output instead of duplicating rows
-        graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id")
-          .select(col("event_id"), col("user_id"), col("value"),
-            col("c_mktsegment"))
-          .write.mode("overwrite")
-          .parquet(out.resolve(s"data/b$batchId").toString)
+        prof(s"enrich trigger b$batchId") {
+          graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id")
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("c_mktsegment"))
+            .write.mode("overwrite")
+            .parquet(out.resolve(s"data/b$batchId").toString)
+        }
         ()
       }
       .option("checkpointLocation", out.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    prof("enrich stream drain")(q.awaitTermination())
     spark.read.parquet(out.resolve("data").toString + "/b*")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n"), graft.SqlCompat.sumd($"value").as("total"))
@@ -320,26 +327,31 @@ object StreamQueries {
   def viewMaintain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{DmlStrategy, IncrementalView, LakeCatalog, LakeDml, WriteMode}
+    import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-vm-").toString)
     val events = Tables(spark, dir).events.select(
       $"event_id", $"user_id", $"event_type",
       round($"value" * 1000).cast("long").as("millis"))
-    cat.write(events.filter($"event_id" % 3 =!= 0), "bronze.ev", WriteMode.Overwrite)
+    prof("vm fixture write") {
+      cat.write(events.filter($"event_id" % 3 =!= 0), "bronze.ev", WriteMode.Overwrite)
+    }
     val ckpt = LakeQueries.scratchDir("graft-vm-ckpt-").toString
-    def pass(): Unit = {
+    def pass(label: String): Unit = prof(s"vm pass $label") {
       val q = graft.streaming.ViewMaintenance.maintain(cat, "bronze.ev",
         "gold.by_user", Seq("user_id"),
         Seq("count(*) AS cnt", "sum(millis) AS sum_millis",
           "min(event_type) AS min_type", "max(event_type) AS max_type"), ckpt)
       q.awaitTermination()
     }
-    pass()
+    pass("1-full")
     require(cat.table("gold.by_user").latest.get
       .meta(IncrementalView.RefreshModeKey) == "full", "first pass builds full")
-    cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Append)
-    LakeDml.delete(cat.table("bronze.ev"), $"event_id" % 5 === 0,
-      strategy = DmlStrategy.MergeOnRead)
-    pass()
+    prof("vm append+delete") {
+      cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Append)
+      LakeDml.delete(cat.table("bronze.ev"), $"event_id" % 5 === 0,
+        strategy = DmlStrategy.MergeOnRead)
+    }
+    pass("2-incr")
     require(cat.table("gold.by_user").latest.get
       .meta(IncrementalView.RefreshModeKey) == "incremental",
       "maintenance must fold the changelog, not rebuild")
@@ -357,32 +369,37 @@ object StreamQueries {
   def joinViewStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{LakeCatalog, IncrementalView, WriteMode}
+    import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-jvs-").toString)
     val t = Tables(spark, dir)
-    cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
-      .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
-      "silver.cust", WriteMode.Overwrite)
-    cat.write(t.nation.select($"n_nationkey", $"n_name"),
-      "silver.nat", WriteMode.Overwrite)
+    prof("jvs fixture writes") {
+      cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
+        "silver.cust", WriteMode.Overwrite)
+      cat.write(t.nation.select($"n_nationkey", $"n_name"),
+        "silver.nat", WriteMode.Overwrite)
+    }
     val ckF = LakeQueries.scratchDir("graft-jvs-ckf-").toString
     val ckD = LakeQueries.scratchDir("graft-jvs-ckd-").toString
-    def pass(): Unit = {
+    def pass(label: String): Unit = prof(s"jvs pass $label") {
       val (qf, qd) = graft.streaming.ViewMaintenance.maintainJoin(cat,
         "silver.cust", "silver.nat", "gold.cust_enriched",
         factKey = "c_custkey", joinKey = "c_nationkey", dimKey = "n_nationkey",
         dimCols = Seq("n_name"), ckF, ckD, maxCommitsPerTrigger = Some(1))
       qf.awaitTermination(); qd.awaitTermination()
     }
-    pass()
+    pass("1-full")
     def mode() = cat.table("gold.cust_enriched").latest.get
       .meta(IncrementalView.RefreshModeKey)
     require(mode() == "full", s"first pass builds full, got ${mode()}")
     // both sides move: fact append + dim upsert fan-out
-    cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
-      .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
-    cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
-      .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
-    pass()
+    prof("jvs append+upsert") {
+      cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
+      cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
+        .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
+    }
+    pass("2-incr")
     require(mode() == "incremental",
       s"maintenance must fold the changelogs, got ${mode()}")
     graft.lake.JoinView.read(cat, "gold.cust_enriched").orderBy($"c_custkey")
@@ -441,18 +458,27 @@ object StreamQueries {
   def segmentMaintain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.lake.{LakeCatalog, LakeTable, WriteMode}
+    import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-seg-").toString)
     val events = Tables(spark, dir).events
       .select($"event_id", $"ts", $"user_id", $"event_type")
-    cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
-    cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 1), WriteMode.Append)
+    prof("seg fixture writes x2") {
+      cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+      cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 1), WriteMode.Append)
+    }
     val segT = new LakeTable(spark,
       LakeQueries.scratchDir("graft-seg-store-").resolve("segments").toString)
     val ckpt = LakeQueries.scratchDir("graft-seg-ckpt-").toString
-    graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    prof("seg maintain 1") {
+      graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    }
     // late-arriving third commit; the restarted stream folds ONLY it
-    cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 2), WriteMode.Append)
-    graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    prof("seg third commit") {
+      cat.table("bronze.ev").write(events.filter($"event_id" % 3 === 2), WriteMode.Append)
+    }
+    prof("seg maintain 2") {
+      graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+    }
     graft.ops.BitmapSegments.dailyCounts(segT)
   }
 }

@@ -37,6 +37,18 @@ def canon(v):
 _INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
+# Widths the driver's pandas fetch coerces to float64 (`47` -> `47.0`): a
+# value canon built on that frame hashes differently from Spark's BIGINT even
+# though fetchall() (and this script's 9-sig-digit float canon, under which
+# 47.0 formats as "47") sees identical values. The r8-r10 lesson: t_novelty /
+# a_drift_psi were the ONLY two oracles emitting un-CAST HUGEINT and exactly
+# the two three-round driver-red queries while this gate certified green.
+# A value-level pandas re-check cannot surface the divergence under this
+# canon, so the faithful detector is type-level: HARD-FAIL any oracle query
+# that emits one of these widths until it is CAST (rule 9 of the SCALE.md
+# determinism contract).
+_PANDAS_FLOAT_COERCED = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
 def canon_type(t):
     t = t.upper()
     return "INT" if t in _INT_WIDTHS else t
@@ -44,6 +56,14 @@ def canon_type(t):
 def typed_cols(con, sql):
     rows = con.execute(f"DESCRIBE {sql}").fetchall()
     return sorted((r[0], canon_type(r[1])) for r in rows)
+
+def float_coerced_cols(con, sql):
+    """Columns of the oracle query whose raw DuckDB width the driver's
+    pandas fetch renders as float64 — each is a guaranteed driver hash
+    mismatch against a Spark integer column and must be CAST in the SQL."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if r[1].upper().split("(")[0] in _PANDAS_FLOAT_COERCED]
 
 # --- canon-margin audit (r9) ---------------------------------------------
 # The hash canon prints floats at 9 significant digits. A value that sits
@@ -162,6 +182,14 @@ def main(sf_dir, out_dir):
             oc_typed = typed_cols(con, oracle[name])
         except Exception as e:
             bad.append((name, f"describe error: {e}"))
+            continue
+        coerced = float_coerced_cols(con, oracle[name])
+        if coerced:
+            bad.append((name,
+                        "oracle emits pandas-float-coerced integer width(s) "
+                        + ", ".join(f"{c}:{t}" for c, t in coerced)
+                        + " — CAST(... AS BIGINT) in the oracle SQL "
+                        "(driver hashes these as 47.0 != 47)"))
             continue
         if sp_typed != oc_typed:
             bad.append((name, f"schema: spark={sp_typed} oracle={oc_typed}"))
