@@ -75,7 +75,12 @@ object Soak {
   private val Heavy = Seq(
     "s_incremental_dedup", "d_dedup_clusters", "d_ngram_containment",
     "d_ngram_jaccard", "e_semdedup_kmeans", "e_cosine_ivfpq_topk",
-    "t_textrank", "pipeline_traindata")
+    "t_textrank", "pipeline_traindata",
+    // r10 at-ingest contamination screen: 10× docs scales BOTH the
+    // benchmark 4-gram index and the arrival stream — per-trigger
+    // cost must track the batch (bucket-pruned index reads), so the
+    // decade exponent is the O(batch) claim measured directly
+    "s_incremental_contamination")
 
   /** MV-stack refresh soak (VERDICT r9 item 5): the join-view and
     * rollup refreshes claim O(changes) cost — "the refresh itself
@@ -126,9 +131,40 @@ object Soak {
     ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
+  /** Catalog-wide erasure soak (VERDICT r10 item 5): `forgetCatalog`
+    * claims O(per-table) cost — discovery plus a bounded COW delete
+    * per table holding the key column, parallelized across tables.
+    * Measured directly: build a catalog of `tables` tables of
+    * `rowsPerTable` events each (all keyed `user_id`), erase the same
+    * 3 subjects catalog-wide, return the wall. Scaling TABLE COUNT a
+    * decade at fixed per-table size should scale the wall ≤ linearly
+    * (exponent ≤ 1 vs table count; < 1 to the extent the per-table
+    * erasures overlap) — a super-linear exponent would mean discovery
+    * or erasure secretly does cross-table work.
+    */
+  def soakForgetCatalog(spark: SparkSession, tables: Int,
+                        rowsPerTable: Long): Double = {
+    import graft.lake.{LakeCatalog, Privacy, WriteMode}
+    val cat = new LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-soak-forget-").toString)
+    val users = rowsPerTable / 20 + 1
+    (0 until tables).foreach { i =>
+      val df = genEvents(spark, rowsPerTable)
+        .withColumn("user_id", pmod(xxhash64(col("event_id"), lit(37 + i)), lit(users)))
+      cat.write(df.repartition(4), s"s$i.events", WriteMode.Overwrite)
+    }
+    val subjects: Seq[Any] = Seq(1L, 2L, 3L)
+    val t0 = System.nanoTime()
+    val results = Privacy.forgetCatalog(cat, "user_id", subjects)
+    val wall = (System.nanoTime() - t0) / 1e9
+    require(results.size >= tables, s"expected >= $tables erasure results, got ${results.size}")
+    require(results.forall(_.residualRows == 0), "residual rows after catalog erasure")
+    wall
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
-    // optional stage filter: "heavy" | "mv" | "all" (default)
+    // optional stage filter: "heavy" | "mv" | "forget" | "all" (default)
     val stage = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -144,9 +180,13 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val runHeavy = stage == "all" || stage == "heavy"
+    val runMv = stage == "all" || stage == "mv"
+    val runForget = stage == "all" || stage == "forget"
+
     // 1x mirrors sf0.1's table sizes; 10x is the soak decade
     val d1 = s"$base/x1"; val d10 = s"$base/x10"
-    if (stage != "mv") {
+    if (runHeavy) {
       genDir(spark, d1, docs = 5000L, vecs = 2000L, events = 100000L)
       genDir(spark, d10, docs = 50000L, vecs = 20000L, events = 1000000L)
     }
@@ -174,13 +214,13 @@ object Soak {
       ((System.nanoTime() - t0) / 1e9, countEx(df.queryExecution.executedPlan))
     }
     // warm both fixture families once
-    if (stage != "mv") Seq(d1).foreach { d =>
+    if (runHeavy) Seq(d1).foreach { d =>
       try { force(SparkEntry.queries("t_fingerprint")(spark, d))
         force(SparkEntry.queries("e_cosine_topk")(spark, d)) }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[soak] warmup failed: ${e.getMessage}") }
     }
-    val rows = if (stage == "mv") Nil else Heavy.map { name =>
+    val rows = if (!runHeavy) Nil else Heavy.map { name =>
       val (t1, e1) = time(name, d1)
       val (t10, e10) = time(name, d10)
       val exp = math.log10(t10 / t1)
@@ -194,7 +234,7 @@ object Soak {
     // 10M base — exponent vs BASE size across TWO decades, ≈0 proves
     // the O(changes) claim (a refresh that secretly rescanned the
     // fact table would show ≈1 per decade)
-    val mvRows = if (stage == "heavy") Nil else {
+    val mvRows = if (!runMv) Nil else {
       val (jv1, ru1) = soakMvRefresh(spark, n = 100000L, deltaRows = 5000L)
       val (jv10, ru10) = soakMvRefresh(spark, n = 1000000L, deltaRows = 5000L)
       val (jv100, ru100) = soakMvRefresh(spark, n = 10000000L, deltaRows = 5000L)
@@ -206,9 +246,20 @@ object Soak {
         row("mv_rollup_refresh", ru1, ru10, ru100))
     }
     mvRows.foreach(println)
+    // catalog-wide erasure: 4 → 40 tables at fixed per-table size;
+    // exponent vs TABLE COUNT ≤ 1 is the O(per-table) claim
+    val forgetRows = if (!runForget) Nil else {
+      val t4 = soakForgetCatalog(spark, tables = 4, rowsPerTable = 100000L)
+      val t40 = soakForgetCatalog(spark, tables = 40, rowsPerTable = 100000L)
+      val line = f"""{"query":"forget_catalog","t_4tables_sec":$t4%.2f,""" +
+        f""""t_40tables_sec":$t40%.2f,"exponent_vs_tables":${math.log10(t40 / t4)}%.2f,""" +
+        s""""rows_per_table":100000}"""
+      println(line)
+      Seq(line)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_LAST.json")),
-      (rows ++ mvRows).mkString("[", ",\n", "]\n"))
+      (rows ++ mvRows ++ forgetRows).mkString("[", ",\n", "]\n"))
     spark.stop()
   }
 }

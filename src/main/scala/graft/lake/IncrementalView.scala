@@ -266,7 +266,7 @@ object IncrementalView {
       .agg(deltaCols.head, deltaCols.tail: _*)
       .localCheckpoint()
 
-    val old = viewT.read(None)
+    val old = boundedViewRead(viewT, delta, keys)
     // group keys may hold NULL (a legitimate GROUP BY group): null-safe
     // join. RIGHT outer on the delta side: untouched view groups never
     // enter the refresh — the merge stays changelog-sized, not
@@ -312,9 +312,9 @@ object IncrementalView {
         val incC = inc.localCheckpoint()
         val needRec = incC.where(col("_hasdel") === 1 && col(N) > 0)
           .select(keys.map(col): _*)
-        val srcCur = boundedSourceRead(src, cur, needRec, keys)
-        val rec = srcCur.as("s").join(needRec.as("k"),
-            keys.map(k => srcCur(k) <=> needRec(k)).reduce(_ && _), "left_semi")
+        // boundedSourceRead is already key-exact (semi-join applied
+        // internally only when the In filters alone can't be)
+        val rec = boundedSourceRead(src, cur, needRec, keys)
           .groupBy(keys.map(col): _*)
           .agg(fullAggCols(aggs).head, fullAggCols(aggs).tail: _*)
         val incKept = incC.as("i").join(rec.as("r"),
@@ -336,26 +336,75 @@ object IncrementalView {
         Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
   }
 
-  /** Source read for the MIN/MAX recompute, with the touched keys
-    * pushed into the scan as `In` predicates when the key set is
-    * small enough to hold on the driver (file skipping + partition
-    * pruning then bound the read); above the cap the semi-join alone
-    * restricts it.
+  /** View read bounded to the delta's group keys. SUPERSET-safe: the
+    * right-outer join keeps only delta-matched view rows, so
+    * per-column In/isNull filters (a cross-product superset of the
+    * actual key tuples) cannot change the join's result — they only
+    * cut the O(view) scan per refresh to the touched files/rows,
+    * which is the difference between O(changes) and O(view) refresh
+    * cost on a large view. The delta is checkpointed by the caller,
+    * so the key collect here is a cheap re-read, and a driver-large
+    * delta falls back to the full view read.
+    */
+  private def boundedViewRead(viewT: LakeTable, delta: DataFrame,
+                              keys: Seq[String]): DataFrame = {
+    val sample = delta.select(keys.map(col): _*).limit(InPushdownCap + 1).collect()
+    if (sample.isEmpty) return viewT.read(None).where(lit(false))
+    if (sample.length > InPushdownCap) return viewT.read(None)
+    val perCol = keys.zipWithIndex.map { case (k, i) =>
+      val vs = sample.map(_.get(i)).distinct.toSeq
+      (k, vs.filterNot(_ == null), vs.contains(null))
+    }
+    // bound only when every key column is null-free and modest: the In
+    // predicates then file-skip on the driver AND row-filter exactly
+    // in the scan. A wide or null-bearing delta reads the view plain —
+    // the bounding there would cost more (giant isin plans over a view
+    // the delta touches densely anyway) than it saves, and the
+    // right-outer join drops untouched groups regardless.
+    if (perCol.forall { case (_, nn, hasNull) => !hasNull && nn.nonEmpty })
+      viewT.scan(perCol.map { case (k, nn, _) => LakePredicate.In(k, nn) }, None)
+    else viewT.read(None)
+  }
+
+  /** Source rows restricted EXACTLY to the `needRec` key set (for the
+    * MIN/MAX recompute). Single null-free key with a driver-small
+    * value set: `In` is the exact row filter (scan predicates filter
+    * rows, not just files) — no semi-join, and file skipping applies
+    * under [[InPushdownCap]]. Otherwise per-column `In` predicates
+    * bound the scan where they can and a null-safe semi-join restores
+    * tuple exactness.
     */
   private val InPushdownCap = 1000
+  private val DriverKeySetCap = 10000
   private def boundedSourceRead(src: LakeTable, cur: Long,
                                 needRec: DataFrame, keys: Seq[String]): DataFrame = {
-    val sample = needRec.limit(InPushdownCap + 1).collect()
-    if (sample.length > InPushdownCap || sample.isEmpty) src.read(Some(cur))
-    else {
-      val preds = keys.zipWithIndex.flatMap { case (k, i) =>
-        val vals = sample.map(_.get(i)).toSeq
-        // a NULL group key can't ride an In predicate; drop the bound
-        // for that column (the semi-join stays exact)
-        if (vals.contains(null)) None
-        else Some(LakePredicate.In(k, vals.distinct))
+    val sample = needRec.limit(DriverKeySetCap + 1).collect()
+    if (sample.isEmpty) return src.read(Some(cur)).where(lit(false))
+    val exactSingle = keys.size == 1 && sample.length <= DriverKeySetCap &&
+      !sample.exists(_.isNullAt(0))
+    if (exactSingle) {
+      val vals = sample.map(_.get(0)).distinct.toSeq
+      if (vals.length <= InPushdownCap)
+        src.scan(Seq(LakePredicate.In(keys.head, vals)), Some(cur))
+      else {
+        val r = src.read(Some(cur))
+        r.where(r(keys.head).isin(vals.map(lit): _*))
       }
-      src.scan(preds, Some(cur))
+    } else {
+      val base =
+        if (sample.length > DriverKeySetCap) src.read(Some(cur))
+        else {
+          val preds = keys.zipWithIndex.flatMap { case (k, i) =>
+            val vals = sample.map(_.get(i)).toSeq
+            // a NULL group key can't ride an In predicate; drop the
+            // bound for that column (the semi-join stays exact)
+            if (vals.contains(null) || vals.distinct.length > InPushdownCap) None
+            else Some(LakePredicate.In(k, vals.distinct))
+          }
+          src.scan(preds, Some(cur))
+        }
+      base.as("s").join(needRec.as("k"),
+        keys.map(k => base(k) <=> needRec(k)).reduce(_ && _), "left_semi")
     }
   }
 }

@@ -45,7 +45,11 @@ object JoinView {
   val DimVersionKey = "graft.view.dimVersion"
   val DefinitionKey = "graft.view.joinDefinition"
   private val Live = "_live"
+  private val HasDel = "_hasdel"
   private val InPushdownCap = 1000
+  // exact driver-held key set: a few MB of longs/strings at worst;
+  // above it the bloom + semi-join distributed path takes over
+  private val DriverKeyCap = 100000
 
   /** User-facing read: the enriched rows without maintenance columns. */
   def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
@@ -183,44 +187,76 @@ object JoinView {
         DimVersionKey -> curD.toString,
         IncrementalView.RefreshModeKey -> "full"))
 
-  /** Read `table@version` restricted to `keys` values of `keyCol`:
-    * `In` pushdown when the key set is driver-small (file skipping +
-    * partition pruning bound the scan), semi-join always (exactness).
+  /** Exact key-bounded read of `t@version` from a DRIVER-HELD value
+    * set: `scan` applies `In` predicates as row-level filters (pushed
+    * to the parquet readers, where row-group stats skip) on top of
+    * driver-side file skipping, so no exactness join is needed. Above
+    * `InPushdownCap` the driver file-skip is dropped (its per-file ×
+    * per-value cost stops paying) but the pushed row filter keeps the
+    * read exact and distributed.
+    */
+  private def inScan(t: LakeTable, version: Option[Long], keyCol: String,
+                     vals: Seq[Any]): DataFrame =
+    if (vals.isEmpty) t.read(version).where(lit(false))
+    else if (vals.length <= InPushdownCap)
+      t.scan(Seq(LakePredicate.In(keyCol, vals)), version)
+    else {
+      val r = t.read(version)
+      r.where(r(keyCol).isin(vals.map(lit): _*))
+    }
+
+  /** Read `table@version` restricted to `keys` values of `keyCol`.
+    * Collect-first: one action materializes the key frame when it is
+    * driver-small (≤ [[DriverKeyCap]]) and the read is then EXACT via
+    * [[inScan]] — no semi-join, no checkpoint. Above the cap: bloom
+    * row filter inside the scan + null-safe semi-join for exactness
+    * (the key frame is checkpointed HERE, where the double evaluation
+    * actually happens, instead of unconditionally at every caller).
     */
   private def boundedRead(t: LakeTable, version: Long,
                           keys: DataFrame, keyCol: String): DataFrame = {
-    val sample = keys.limit(InPushdownCap + 1).collect()
+    val sample = keys.limit(DriverKeyCap + 1).collect()
     // provably-empty key frame (a changelog commit that touched no
     // rows): where(false) folds to an empty LocalRelation — zero files
     // read, where the fallthrough was a FULL table scan semi-joined
     // against nothing
     if (sample.isEmpty) return t.read(Some(version)).where(lit(false))
-    val base =
-      if (sample.length > InPushdownCap) {
-        // driver-large key set: no In pushdown, but a bloom built from
-        // the keys still drops non-matching rows INSIDE the scan stage
-        // before they shuffle into the exactness semi-join (the
-        // row-level tier of graft.lake.RuntimeFilter). Null rows are
-        // escaped through — the semi-join below is null-safe (<=>) and
-        // a bloom cannot represent null.
-        val read = t.read(Some(version))
-        read.schema(keyCol).dataType match {
-          case ByteType | ShortType | IntegerType | LongType | StringType =>
-            val nn = keys.na.drop(Seq(keyCol)).localCheckpoint()
-            val bloom = nn.stat.bloomFilter(
-              keyCol, math.max(nn.count(), 1L), 0.01)
-            val bos = new java.io.ByteArrayOutputStream()
-            bloom.writeTo(bos)
-            read.where(graft.functions.BloomFunctions.bloom_might_contain(
-              read(keyCol), bos.toByteArray) || read(keyCol).isNull)
-          case _ => read
+    if (sample.length <= DriverKeyCap) {
+      val vals = sample.map(_.get(0)).distinct.toSeq
+      val nonNull = vals.filterNot(_ == null)
+      if (nonNull.isEmpty) t.read(Some(version)).where(col(keyCol).isNull)
+      else {
+        val base = inScan(t, Some(version), keyCol, nonNull)
+        // a null key in the frame matched null target rows through the
+        // old null-safe semi-join; preserve that by unioning them in
+        if (nonNull.length == vals.length) base
+        else {
+          val r = t.read(Some(version))
+          base.unionByName(r.where(r(keyCol).isNull))
         }
-      } else {
-        val vals = sample.map(_.get(0)).toSeq
-        if (vals.contains(null)) t.read(Some(version))
-        else t.scan(Seq(LakePredicate.In(keyCol, vals.distinct)), Some(version))
       }
-    base.join(keys, base(keyCol) <=> keys(keyCol), "left_semi")
+    } else {
+      // driver-large key set: no In pushdown, but a bloom built from
+      // the keys still drops non-matching rows INSIDE the scan stage
+      // before they shuffle into the exactness semi-join (the
+      // row-level tier of graft.lake.RuntimeFilter). Null rows are
+      // escaped through — the semi-join below is null-safe (<=>) and
+      // a bloom cannot represent null.
+      val kc = keys.localCheckpoint()
+      val read = t.read(Some(version))
+      val base = read.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+          val nn = kc.na.drop(Seq(keyCol)).localCheckpoint()
+          val bloom = nn.stat.bloomFilter(
+            keyCol, math.max(nn.count(), 1L), 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          read.where(graft.functions.BloomFunctions.bloom_might_contain(
+            read(keyCol), bos.toByteArray) || read(keyCol).isNull)
+        case _ => read
+      }
+      base.join(kc, base(keyCol) <=> kc(keyCol), "left_semi")
+    }
   }
 
   private def incremental(cat: LakeCatalog, fact: LakeTable, dim: LakeTable,
@@ -230,27 +266,84 @@ object JoinView {
                           dimCols: Seq[String],
                           extraMeta: Map[String, String],
                           strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
-    // fact keys with direct changes
+    // fact keys with direct changes, carrying whether the window held
+    // a non-insert row for the key: a key whose window is insert-only
+    // provably still exists in the fact, so the flag is the EXACT gate
+    // for the delete-marker leg below — it rides the changelog
+    // aggregate the walk computes anyway, no manifest probe needed
     val dFact =
       if (fromF == curF) None
-      else Some(fact.readChanges(fromF, Some(curF)).select(col(factKey)).distinct())
+      else Some(fact.readChanges(fromF, Some(curF))
+        .groupBy(col(factKey))
+        .agg(max(when(col("_change_type") === "insert", 0).otherwise(1)).as(HasDel)))
     // fact keys hit through a dim change: bounded current-fact read on
-    // the changed join-key values
+    // the changed join-key values (they come FROM the current fact, so
+    // they exist by construction — no delete flag)
     val dDimKeys =
       if (fromD == curD) None
-      // checkpointed: boundedRead evaluates its key frame twice (the
-      // driver In-pushdown sample + the exactness semi-join), and
-      // without this each evaluation re-reads the dim changelog
-      else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct()
-        .localCheckpoint())
+      else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct())
     val viaDim = dDimKeys.map { ks =>
       boundedRead(fact, curF, ks.withColumnRenamed(dimKey, joinKey), joinKey)
-        .select(col(factKey)).distinct()
+        .select(col(factKey)).distinct().withColumn(HasDel, lit(0))
     }
-    val touched = (dFact.toSeq ++ viaDim.toSeq) match {
-      case Nil      => return viewT.latest.get // neither side moved
-      case frames   => frames.reduce(_ unionByName _).distinct().localCheckpoint()
+    val touchedF = (dFact.toSeq ++ viaDim.toSeq) match {
+      case Nil    => return viewT.latest.get // neither side moved
+      case frames => frames.reduce(_ unionByName _)
+        .groupBy(col(factKey)).agg(max(col(HasDel)).as(HasDel))
     }
+
+    val sample = graft.ProfStream.prof("jv touched collect") {
+      touchedF.limit(DriverKeyCap + 1).collect()
+    }
+    val smallNoNull =
+      sample.length <= DriverKeyCap && !sample.exists(_.isNullAt(0))
+    if (smallNoNull) {
+      // driver-small touched set (the common case): ONE action
+      // materialized keys + delete flags; the fact read is exact via
+      // pushed In filters, and the delete-marker leg runs only when
+      // some key's window actually held a delete
+      val factNow = inScan(fact, Some(curF), factKey,
+        sample.map(_.get(0)).distinct.toSeq)
+      val rows = graft.ProfStream.prof("jv rows ckpt") {
+        enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
+          .localCheckpoint()
+      }
+      val delCand = sample.filter(_.getInt(1) == 1).map(_.get(0)).toSeq
+      val mergeInput =
+        if (delCand.isEmpty) rows // insert-only window: nothing can vanish
+        else {
+          // vanished = delete-flagged keys minus the rows just rebuilt
+          // (cheap collect on the checkpointed changelog-sized frame),
+          // guarded to keys the view actually holds via a reads-only-
+          // those-keys view scan (insert-then-delete within the window
+          // must not plant a phantom row)
+          val live = rows.select(col(factKey)).collect().map(_.get(0)).toSet
+          val goneVals = delCand.filterNot(live)
+          if (goneVals.isEmpty) rows
+          else {
+            val gone = inScan(viewT, None, factKey, goneVals)
+              .select(col(factKey)).distinct()
+            val nulls = rows.schema.fields.collect {
+              case f if f.name != factKey && f.name != Live =>
+                lit(null).cast(f.dataType).as(f.name)
+            }.toSeq
+            val markers = gone.select(
+              (col(factKey) +: nulls :+ lit(0L).as(Live)): _*)
+            rows.unionByName(markers).localCheckpoint()
+          }
+        }
+      return graft.ProfStream.prof("jv merge") {
+        LakeDml.merge(viewT, mergeInput, Seq(factKey),
+          strategy = strategy,
+          deleteMatched = Some(col(s"_src_$Live") === 0),
+          meta = extraMeta ++ Map(FactVersionKey -> curF.toString,
+            DimVersionKey -> curD.toString,
+            IncrementalView.RefreshModeKey -> "incremental"))
+      }
+    }
+
+    // driver-large (or null-keyed) touched set: fully distributed path
+    val touched = touchedF.select(col(factKey)).localCheckpoint()
 
     // current enriched state of every touched key
     val factNow = boundedRead(fact, curF, touched, factKey)

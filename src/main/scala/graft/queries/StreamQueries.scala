@@ -206,15 +206,24 @@ object StreamQueries {
     import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-enrich-").toString)
     val t = Tables(spark, dir)
-    prof("enrich fixture dim") {
-      cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
-        WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
-    }
-    val ev = t.events.select($"event_id", $"user_id", $"value")
-    prof("enrich fixture bronze x3") {
-      cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
-      cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
-      cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+    // the dim table and the bronze commit chain are independent
+    // tables: build them on concurrent action threads (one Spark
+    // session schedules both fine; the commits touch disjoint roots)
+    prof("enrich fixtures (parallel)") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDim = Future {
+        cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
+          WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
+      }
+      val ev = t.events.select($"event_id", $"user_id", $"value")
+      val fBronze = Future {
+        cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+        cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
+        cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+      }
+      Await.result(fDim, Duration.Inf); Await.result(fBronze, Duration.Inf)
     }
     val dimT = cat.table("dim.customer")
     val out = LakeQueries.scratchDir("graft-enrich-out-")
@@ -226,7 +235,12 @@ object StreamQueries {
         // at-least-once, and a retried batch must replace its own
         // partial output instead of duplicating rows
         prof(s"enrich trigger b$batchId") {
-          graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id")
+          // cap sized to the per-trigger key cardinality (~distinct
+          // users per batch): keeps each trigger on the cheap In tier
+          // (one key collect + the join) instead of tripping into the
+          // checkpoint+summary+bloom tier meant for driver-large dims
+          graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id",
+            cap = 16384)
             .select(col("event_id"), col("user_id"), col("value"),
               col("c_mktsegment"))
             .write.mode("overwrite")
@@ -372,12 +386,20 @@ object StreamQueries {
     import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-jvs-").toString)
     val t = Tables(spark, dir)
-    prof("jvs fixture writes") {
-      cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
-        .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
-        "silver.cust", WriteMode.Overwrite)
-      cat.write(t.nation.select($"n_nationkey", $"n_name"),
-        "silver.nat", WriteMode.Overwrite)
+    prof("jvs fixture writes (parallel)") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fc = Future {
+        cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
+          "silver.cust", WriteMode.Overwrite)
+      }
+      val fn = Future {
+        cat.write(t.nation.select($"n_nationkey", $"n_name"),
+          "silver.nat", WriteMode.Overwrite)
+      }
+      Await.result(fc, Duration.Inf); Await.result(fn, Duration.Inf)
     }
     val ckF = LakeQueries.scratchDir("graft-jvs-ckf-").toString
     val ckD = LakeQueries.scratchDir("graft-jvs-ckd-").toString
@@ -393,11 +415,19 @@ object StreamQueries {
       .meta(IncrementalView.RefreshModeKey)
     require(mode() == "full", s"first pass builds full, got ${mode()}")
     // both sides move: fact append + dim upsert fan-out
-    prof("jvs append+upsert") {
-      cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
-        .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
-      cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
-        .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
+    prof("jvs append+upsert (parallel)") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fc = Future {
+        cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
+      }
+      val fn = Future {
+        cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
+          .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
+      }
+      Await.result(fc, Duration.Inf); Await.result(fn, Duration.Inf)
     }
     pass("2-incr")
     require(mode() == "incremental",
@@ -470,7 +500,12 @@ object StreamQueries {
       LakeQueries.scratchDir("graft-seg-store-").resolve("segments").toString)
     val ckpt = LakeQueries.scratchDir("graft-seg-ckpt-").toString
     prof("seg maintain 1") {
-      graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt)
+      // unpaced: both pending commits fold in ONE trigger (the bitmap
+      // OR-merge is associative, so batching commits per trigger is
+      // pure admission control); the restart-resume proof below still
+      // holds — the second maintain must fold ONLY the third commit
+      graft.ops.BitmapSegments.maintain(spark, cat.table("bronze.ev"), segT, ckpt,
+        maxCommitsPerTrigger = None)
     }
     // late-arriving third commit; the restarted stream folds ONLY it
     prof("seg third commit") {

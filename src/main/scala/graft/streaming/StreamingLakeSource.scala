@@ -78,13 +78,18 @@ object StreamingLakeSource {
   def committedStream(table: LakeTable,
                       maxCommitsPerTrigger: Option[Int] = None,
                       skipRewriteCommits: Boolean = false,
-                      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+                      maxBytesPerTrigger: Option[Long] = None,
+                      startingVersion: Option[String] = None): DataFrame = {
     val reader = table.spark.readStream
       .format(classOf[GraftLakeSourceProvider].getName)
       .option("path", table.rootLocation)
       .option("skipRewriteCommits", skipRewriteCommits.toString)
     maxCommitsPerTrigger.foreach(n => reader.option("maxCommitsPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    // a version number, or 'latest' — the RECOVERY path after an
+    // erasure/retention expiry removed the manifests a checkpointed
+    // offset needs: reseed a fresh stream past the rewritten history
+    startingVersion.foreach(v => reader.option("startingVersion", v))
     reader.load()
   }
 

@@ -57,7 +57,9 @@ object ViewMaintenance {
       .trigger(trigger)
       .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // the batch is only a tick; refresh reads its own changelog
-        IncrementalView.refreshSql(cat, sourceIdent, viewIdent, keys, aggSpecs)
+        graft.ProfStream.prof(s"vm refresh $viewIdent") {
+          IncrementalView.refreshSql(cat, sourceIdent, viewIdent, keys, aggSpecs)
+        }
         ()
       }
       .start()
@@ -86,14 +88,23 @@ object ViewMaintenance {
     // refresh is a version-compare no-op, and every further CAS loss
     // implies some other refresh committed (system-wide progress), so
     // the loop terminates.
-    def tick(): Unit = {
-      var done = false
-      while (!done)
-        try {
-          graft.lake.JoinView.refreshSql(cat, factIdent, dimIdent, viewIdent,
-            factKey, joinKey, dimKey, dimCols)
-          done = true
-        } catch { case _: java.util.ConcurrentModificationException => () }
+    // same-process ticks serialize on this lock: the two sides fire
+    // simultaneously under AvailableNow, and without it both run the
+    // full refresh concurrently — one wins the CAS and the other
+    // re-runs, twice the cluster work for one view generation. With
+    // it, the second tick's refresh is a version-compare no-op. The
+    // CAS (and the retry loop) still guards cross-process racers.
+    val tickLock = new Object
+    def tick(src: String): Unit = graft.ProfStream.prof(s"jvs tick $src") {
+      tickLock.synchronized {
+        var done = false
+        while (!done)
+          try {
+            graft.lake.JoinView.refreshSql(cat, factIdent, dimIdent, viewIdent,
+              factKey, joinKey, dimKey, dimCols)
+            done = true
+          } catch { case _: java.util.ConcurrentModificationException => () }
+      }
     }
     def side(srcIdent: String, ckpt: String): StreamingQuery =
       StreamingLakeSource
@@ -104,7 +115,7 @@ object ViewMaintenance {
         .option("checkpointLocation", ckpt)
         .trigger(trigger)
         .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          tick()
+          tick(srcIdent)
         }
         .start()
     (side(factIdent, checkpointFact), side(dimIdent, checkpointDim))

@@ -261,6 +261,87 @@ class PrivacySpec extends AnyFunSuite {
     assert(after("c") === 0L)
   }
 
+  test("ingest → erase → resume on the committed-commit source: loud failure, seeded recovery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = fresh()
+    val df = (1L to 100L).map(i => (i, s"user$i", i * 10.0)).toDF("uid", "name", "score")
+    cat.write(df.filter($"uid" <= 50), "br.ev", WriteMode.Overwrite)
+    cat.table("br.ev").write(df.filter($"uid" > 50), WriteMode.Append)
+    val out = java.nio.file.Files.createTempDirectory("priv-stream-")
+    def drain(ckpt: String, sink: String, startingVersion: Option[String] = None): Unit = {
+      val q = graft.streaming.StreamingLakeSource
+        .committedStream(cat.table("br.ev"), skipRewriteCommits = true,
+          startingVersion = startingVersion)
+        .writeStream.format("parquet")
+        .option("path", out.resolve(sink).toString)
+        .option("checkpointLocation", out.resolve(ckpt).toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("ck1", "data1")
+    assert(spark.read.parquet(out.resolve("data1").toString).count() === 100L)
+
+    // erasure rewrites the table (COW delete) AND expires every
+    // pre-erasure snapshot — including the version the stream's
+    // checkpoint points at
+    val Seq(r) = Privacy.forget(cat, Seq("br.ev" -> "uid"), (1L to 10L))
+    assert(r.residualRows === 0L)
+    val vAfterErase = cat.table("br.ev").latest.get.version
+    // append under the table's CURRENT schema generation (the COW
+    // erase rewrote to the nullable read-schema flavor; the source
+    // pins one generation per stream and refuses mixes by design)
+    val curSchema = cat.table("br.ev").latest.get.schema
+    cat.table("br.ev").write(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((101L to 110L).map(i =>
+          org.apache.spark.sql.Row(i, s"user$i", i * 10.0))), curSchema),
+      WriteMode.Append)
+
+    // resume on the old checkpoint: the manifest-driven source must
+    // FAIL LOUD (its offset's snapshot is gone), never silently
+    // re-deliver rewritten history as fresh rows
+    val ex = intercept[Exception] { drain("ck1", "data1") }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("expired") || msgs.contains("gone"),
+      s"resume must name the expired snapshot, got: $msgs")
+    assert(spark.read.parquet(out.resolve("data1").toString).count() === 100L,
+      "failed resume must not have written anything")
+
+    // documented recovery: a FRESH checkpoint seeded past the erasure
+    // commit delivers exactly the post-erasure appends — no replay of
+    // rewritten history, no subject rows
+    drain("ck2", "data2", startingVersion = Some((vAfterErase + 1).toString))
+    val uids = spark.read.parquet(out.resolve("data2").toString)
+      .select($"uid").collect().map(_.getLong(0)).sorted
+    assert(uids.toSeq === (101L to 110L), s"recovery stream delivered ${uids.toSeq}")
+  }
+
+  test("multi-part arrival slice fails loud with a recovery path; leftover temp dirs sweep") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("priv-arr-")
+    val arr = work.resolve("arrivals")
+    Files.createDirectories(arr.resolve("b1"))
+    Files.writeString(arr.resolve("_id_col"), "doc_id")
+    // an externally-produced TWO-part slice violates the coalesce(1)
+    // ingest contract; erasure must refuse with recovery guidance
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text").repartition(2)
+      .write.parquet(arr.resolve("b1").resolve("slice_000").toString)
+    // and a leftover temp dir from a crashed prior erasure must be
+    // swept up front (underscore keeps it invisible to the ingest glob
+    // meanwhile)
+    val leftover = arr.resolve("b1").resolve("_slice_999.erasing")
+    Files.createDirectories(leftover)
+    Files.writeString(leftover.resolve("junk.txt"), "x")
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.forgetDedupIndex(spark, work, Seq(1L))
+    }
+    assert(ex.getMessage.contains("single-part"))
+    assert(ex.getMessage.toLowerCase.contains("compact"),
+      s"error must tell the operator how to recover, got: ${ex.getMessage}")
+    assert(!Files.exists(leftover), "leftover .erasing dirs must be swept")
+  }
+
   test("retention anchors fail the request loud instead of pinning data") {
     val cat = fresh(); seed(cat)
     val t = cat.table("ns.t")
