@@ -47,9 +47,11 @@ object JoinView {
   private val Live = "_live"
   private val HasDel = "_hasdel"
   private val InPushdownCap = 1000
-  // exact driver-held key set: a few MB of longs/strings at worst;
-  // above it the bloom + semi-join distributed path takes over
-  private val DriverKeyCap = 100000
+  // exact driver-held key set — bounded where the isin/In plan cost
+  // itself starts to matter (tens of thousands of literals make the
+  // analyzer and plan shipping measurable); above it the bloom +
+  // semi-join distributed path takes over
+  private val DriverKeyCap = 20000
 
   /** User-facing read: the enriched rows without maintenance columns. */
   def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
