@@ -166,6 +166,10 @@ object Soak {
     val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
     // optional stage filter: "heavy" | "mv" | "forget" | "all" (default)
     val stage = if (args.length > 1) args(1) else "all"
+    // fail loud on a typo'd stage — silently running nothing would
+    // also overwrite SOAK_LAST.json with an empty array
+    require(Set("all", "heavy", "mv", "forget")(stage),
+      s"unknown soak stage '$stage'; want heavy | mv | forget | all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

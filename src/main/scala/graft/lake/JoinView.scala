@@ -214,6 +214,11 @@ object JoinView {
     * row filter inside the scan + null-safe semi-join for exactness
     * (the key frame is checkpointed HERE, where the double evaluation
     * actually happens, instead of unconditionally at every caller).
+    * Trade made explicit: the over-cap tier evaluates the key lineage
+    * once for the sample and once for the checkpoint — callers with a
+    * hot driver-large tier should checkpoint before calling; the
+    * common changelog-sized tier pays a single collect and nothing
+    * else.
     */
   private def boundedRead(t: LakeTable, version: Long,
                           keys: DataFrame, keyCol: String): DataFrame = {
@@ -297,7 +302,19 @@ object JoinView {
     val sample = graft.ProfStream.prof("jv touched collect") {
       touchedF.limit(DriverKeyCap + 1).collect()
     }
-    val smallNoNull =
+    // the driver path compares collected key values with JVM equality
+    // (Set membership below) and ships them as In literals — both are
+    // only sound for atomic value-equality types. Binary (Array[Byte]
+    // compares by reference) and nested keys take the distributed
+    // path, whose joins compare by VALUE.
+    val keyTypeSafe = fact.latest.map(_.schema(factKey).dataType).forall {
+      case org.apache.spark.sql.types.BinaryType => false
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
+    val smallNoNull = keyTypeSafe &&
       sample.length <= DriverKeyCap && !sample.exists(_.isNullAt(0))
     if (smallNoNull) {
       // driver-small touched set (the common case): ONE action
@@ -344,8 +361,13 @@ object JoinView {
       }
     }
 
-    // driver-large (or null-keyed) touched set: fully distributed path
-    val touched = touchedF.select(col(factKey)).localCheckpoint()
+    // driver-large (or null-keyed, or reference-equality-keyed)
+    // touched set: fully distributed path. ONE checkpoint materializes
+    // the touched lineage (its second evaluation after the sample
+    // collect — the price of not checkpointing the overwhelmingly
+    // common driver-small tier); everything below derives from it.
+    val touchedC = touchedF.localCheckpoint()
+    val touched = touchedC.select(col(factKey))
 
     // current enriched state of every touched key
     val factNow = boundedRead(fact, curF, touched, factKey)

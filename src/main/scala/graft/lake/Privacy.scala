@@ -167,15 +167,23 @@ object Privacy {
     val before = hits.map(_.getLong(1)).sum
     val hitDirs = hits.map(r => java.nio.file.Paths.get(
       new java.net.URI(r.getString(0))).getParent).distinct
-    hitDirs.foreach { dir =>
+    // validate EVERY hit slice before the first in-place rewrite (the
+    // same validate-before-irreversible-act rule eraseAll applies to
+    // anchors): a contract violation found mid-loop would otherwise
+    // leave earlier slices rewritten with no ErasureResult to show
+    // for them
+    val hitParts = hitDirs.map { dir =>
       val parts = listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
       require(parts.size == 1,
         s"$dir holds ${parts.size} part files; arrival slices are single-part " +
           "by the ingest contract (coalesce(1)). To recover: compact the " +
           "slice to one part under the SAME directory name (read it, " +
           "coalesce(1), rewrite, move the part in) and re-run the erasure, " +
-          "or delete the slice dir manually if its batch was never consumed")
-      val original = parts.head
+          "or delete the slice dir manually if its batch was never consumed. " +
+          "No slice has been rewritten by this request.")
+      (dir, parts.head)
+    }
+    hitParts.foreach { case (dir, original) =>
       // underscore prefix keeps the temp dir invisible to the ingest
       // stream's arrivals/*/* file listing (same convention as the
       // _id_col marker) if we crash before cleanup

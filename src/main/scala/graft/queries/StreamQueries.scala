@@ -12,6 +12,24 @@ import graft.streaming.EventsWindows
   */
 object StreamQueries {
 
+  /** Run two independent fixture tasks on concurrent action threads
+    * (one Spark session schedules both fine; commits touch disjoint
+    * table roots), settling BOTH before rethrowing — a failure in one
+    * must not leave the other committing unsupervised past the
+    * caller's exception.
+    */
+  private def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get
+    rb.get
+  }
+
   /** Tumbling 1h event-time windows, batch plan. */
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -206,24 +224,16 @@ object StreamQueries {
     import graft.ProfStream.prof
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-enrich-").toString)
     val t = Tables(spark, dir)
-    // the dim table and the bronze commit chain are independent
-    // tables: build them on concurrent action threads (one Spark
-    // session schedules both fine; the commits touch disjoint roots)
+    val ev = t.events.select($"event_id", $"user_id", $"value")
     prof("enrich fixtures (parallel)") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fDim = Future {
+      inParallel(
         cat.write(t.customer.select($"c_custkey", $"c_mktsegment"), "dim.customer",
-          WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)"))
-      }
-      val ev = t.events.select($"event_id", $"user_id", $"value")
-      val fBronze = Future {
-        cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
-        cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
-        cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
-      }
-      Await.result(fDim, Duration.Inf); Await.result(fBronze, Duration.Inf)
+          WriteMode.Overwrite, partitionBy = Seq("bucket(8, c_custkey)")),
+        {
+          cat.write(ev.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Overwrite)
+          cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 1), WriteMode.Append)
+          cat.table("bronze.ev").write(ev.filter($"event_id" % 3 === 2), WriteMode.Append)
+        })
     }
     val dimT = cat.table("dim.customer")
     val out = LakeQueries.scratchDir("graft-enrich-out-")
@@ -387,19 +397,12 @@ object StreamQueries {
     val cat = new LakeCatalog(spark, LakeQueries.scratchDir("graft-jvs-").toString)
     val t = Tables(spark, dir)
     prof("jvs fixture writes (parallel)") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fc = Future {
+      inParallel(
         cat.write(t.customer.where($"c_custkey" % 3 =!= 0)
           .select($"c_custkey", $"c_nationkey", $"c_acctbal"),
-          "silver.cust", WriteMode.Overwrite)
-      }
-      val fn = Future {
+          "silver.cust", WriteMode.Overwrite),
         cat.write(t.nation.select($"n_nationkey", $"n_name"),
-          "silver.nat", WriteMode.Overwrite)
-      }
-      Await.result(fc, Duration.Inf); Await.result(fn, Duration.Inf)
+          "silver.nat", WriteMode.Overwrite))
     }
     val ckF = LakeQueries.scratchDir("graft-jvs-ckf-").toString
     val ckD = LakeQueries.scratchDir("graft-jvs-ckd-").toString
@@ -416,18 +419,11 @@ object StreamQueries {
     require(mode() == "full", s"first pass builds full, got ${mode()}")
     // both sides move: fact append + dim upsert fan-out
     prof("jvs append+upsert (parallel)") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fc = Future {
+      inParallel(
         cat.table("silver.cust").write(t.customer.where($"c_custkey" % 3 === 0)
-          .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append)
-      }
-      val fn = Future {
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal"), WriteMode.Append),
         cat.table("silver.nat").upsert(t.nation.where($"n_nationkey" < 10)
-          .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey"))
-      }
-      Await.result(fc, Duration.Inf); Await.result(fn, Duration.Inf)
+          .select($"n_nationkey", lit("NX").as("n_name")), Seq("n_nationkey")))
     }
     pass("2-incr")
     require(mode() == "incremental",

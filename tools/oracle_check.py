@@ -53,15 +53,21 @@ def canon_type(t):
     t = t.upper()
     return "INT" if t in _INT_WIDTHS else t
 
-def typed_cols(con, sql):
-    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+def describe_rows(con, sql):
+    """Raw DESCRIBE rows — one execution feeds both the canon'd type
+    compare and the float-coercion screen."""
+    return con.execute(f"DESCRIBE {sql}").fetchall()
+
+def canon_cols(rows):
     return sorted((r[0], canon_type(r[1])) for r in rows)
 
-def float_coerced_cols(con, sql):
-    """Columns of the oracle query whose raw DuckDB width the driver's
-    pandas fetch renders as float64 — each is a guaranteed driver hash
-    mismatch against a Spark integer column and must be CAST in the SQL."""
-    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+def typed_cols(con, sql):
+    return canon_cols(describe_rows(con, sql))
+
+def float_coerced_cols(rows):
+    """Columns whose raw DuckDB width the driver's pandas fetch renders
+    as float64 — each is a guaranteed driver hash mismatch against a
+    Spark integer column and must be CAST in the SQL."""
     return [(r[0], r[1]) for r in rows
             if r[1].upper().split("(")[0] in _PANDAS_FLOAT_COERCED]
 
@@ -179,11 +185,12 @@ def main(sf_dir, out_dir):
             continue
         try:
             sp_typed = typed_cols(con, f"SELECT * FROM read_parquet('{d}/*.parquet')")
-            oc_typed = typed_cols(con, oracle[name])
+            oc_desc = describe_rows(con, oracle[name])
         except Exception as e:
             bad.append((name, f"describe error: {e}"))
             continue
-        coerced = float_coerced_cols(con, oracle[name])
+        oc_typed = canon_cols(oc_desc)
+        coerced = float_coerced_cols(oc_desc)
         if coerced:
             bad.append((name,
                         "oracle emits pandas-float-coerced integer width(s) "
