@@ -262,9 +262,11 @@ object IncrementalView {
     // delete-materialization semi-joins — is expensive, and downstream
     // references it several times (merged rows, recompute key set,
     // anti-join, plus the MERGE's own strategy decision aggregate)
-    val delta = changes.groupBy(keys.map(col): _*)
-      .agg(deltaCols.head, deltaCols.tail: _*)
-      .localCheckpoint()
+    val delta = graft.ProfStream.prof("iv delta ckpt") {
+      changes.groupBy(keys.map(col): _*)
+        .agg(deltaCols.head, deltaCols.tail: _*)
+        .localCheckpoint()
+    }
 
     val old = boundedViewRead(viewT, delta, keys)
     // group keys may hold NULL (a legitimate GROUP BY group): null-safe
@@ -309,7 +311,7 @@ object IncrementalView {
         // (recompute key set, its driver-side In-pushdown sample, and
         // the anti-join) — materialize the changelog-sized frame once
         // instead of re-running the view⋈delta join per reference.
-        val incC = inc.localCheckpoint()
+        val incC = graft.ProfStream.prof("iv incC ckpt")(inc.localCheckpoint())
         val needRec = incC.where(col("_hasdel") === 1 && col(N) > 0)
           .select(keys.map(col): _*)
         // boundedSourceRead is already key-exact (semi-join applied
@@ -330,10 +332,13 @@ object IncrementalView {
     // and newRows' lineage — view⋈delta join plus the MIN/MAX
     // recompute's bounded source read — is the expensive part of the
     // refresh. The frame itself is changelog-sized.
-    LakeDml.merge(viewT, newRows.localCheckpoint(), keys,
-      deleteMatched = Some(col(s"_src_$N") === 0),
-      meta = extraMeta ++
-        Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
+    val newRowsC = graft.ProfStream.prof("iv newRows ckpt")(newRows.localCheckpoint())
+    graft.ProfStream.prof("iv merge") {
+      LakeDml.merge(viewT, newRowsC, keys,
+        deleteMatched = Some(col(s"_src_$N") === 0),
+        meta = extraMeta ++
+          Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
+    }
   }
 
   /** View read bounded to the delta's group keys. SUPERSET-safe: the

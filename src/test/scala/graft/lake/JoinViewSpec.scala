@@ -221,24 +221,73 @@ class JoinViewSpec extends AnyFunSuite {
 
   test("driver-large dim change takes the bloom tier and stays exact") {
     val cat = fresh()
-    // 3000 fact rows over 1500 join keys: a dim change touching all
-    // 1500 keys exceeds the 1000-key In cap, forcing the bloom path
-    cat.write((1L to 3000L).map(i => (i, i % 1500L, i * 1.0))
+    // 42k fact rows over 21k join keys: a dim change touching all 21k
+    // keys exceeds the 20k driver-exact cap, forcing the bloom +
+    // semi-join tier end to end (touched set AND the bounded fact read)
+    cat.write((1L to 42000L).map(i => (i, i % 21000L, i * 1.0))
       .toDF("id", "ck", "amt"), "ns.fact", WriteMode.Overwrite)
-    cat.write((0L until 1500L).map(k => (k, s"s$k")).toDF("ck", "seg"),
+    cat.write((0L until 21000L).map(k => (k, s"s$k")).toDF("ck", "seg"),
       "ns.dim", WriteMode.Overwrite)
     def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
       "id", "ck", "ck", Seq("seg"))
     refresh()
     cat.table("ns.dim").upsert(
-      (0L until 1500L).map(k => (k, s"S$k")).toDF("ck", "seg"), Seq("ck"))
+      (0L until 21000L).map(k => (k, s"S$k")).toDF("ck", "seg"), Seq("ck"))
     refresh()
     assert(mode(cat) === "incremental")
     val rows = JoinView.read(cat, "ns.v")
       .as[(Long, Long, Double, String)].collect()
-    assert(rows.length === 3000)
+    assert(rows.length === 42000)
     assert(rows.forall { case (id, ck, _, seg) => seg == s"S$ck" },
       "every fact row must reflect the upserted dim value")
+  }
+
+  test("a fact upsert (delete+insert in one window) keeps the key exactly once") {
+    // the driver-small tier flags the key deleted from the changelog,
+    // then must notice it was rebuilt live and emit NO delete marker —
+    // a marker would be a duplicate MERGE key and abort the refresh
+    val cat = fresh()
+    cat.write(Seq((1L, 10L, 5.0), (2L, 10L, 7.0)).toDF("id", "ck", "amt"),
+      "ns.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "ns.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "ns.fact", "ns.dim", "ns.v",
+      "id", "ck", "ck", Seq("seg"))
+    refresh()
+    cat.table("ns.fact").upsert(Seq((2L, 10L, 8.5)).toDF("id", "ck", "amt"),
+      Seq("id"))
+    refresh()
+    assert(mode(cat) === "incremental")
+    val two = viewRows(cat).filter(_._1 == 2L)
+    assert(two === Set((2L, 10L, 8.5, "A")), s"got $two")
+    assert(viewRows(cat) === expected(cat))
+  }
+
+  test("binary fact keys refresh on the distributed tier") {
+    // Array[Byte] compares by reference on the driver, so the
+    // driver-small tier must refuse binary keys and the distributed
+    // path (value-equality joins) must carry the whole refresh —
+    // including a delete-window key that stays live (upsert)
+    val cat = fresh()
+    def bk(i: Int): Array[Byte] = Array.fill(4)(i.toByte)
+    cat.write(Seq((bk(1), 10L, 5.0), (bk(2), 10L, 7.0)).toDF("id", "ck", "amt"),
+      "nsb.fact", WriteMode.Overwrite)
+    cat.write(Seq((10L, "A")).toDF("ck", "seg"), "nsb.dim", WriteMode.Overwrite)
+    def refresh() = JoinView.refreshSql(cat, "nsb.fact", "nsb.dim", "nsb.v",
+      "id", "ck", "ck", Seq("seg"))
+    refresh()
+    assert(cat.table("nsb.v").latest.get
+      .meta(IncrementalView.RefreshModeKey) === "full")
+    cat.table("nsb.fact").upsert(Seq((bk(2), 10L, 8.5)).toDF("id", "ck", "amt"),
+      Seq("id"))
+    refresh()
+    assert(cat.table("nsb.v").latest.get
+      .meta(IncrementalView.RefreshModeKey) === "incremental")
+    val rows = JoinView.read(cat, "nsb.v")
+      .as[(Array[Byte], Long, Double, String)].collect()
+      .map { case (id, ck, amt, seg) => (id.toSeq, ck, amt, seg) }.toSet
+    assert(rows === Set(
+      (bk(1).toSeq, 10L, 5.0, "A"),
+      (bk(2).toSeq, 10L, 8.5, "A")), s"got $rows")
   }
 
   test("an empty dim changelog refreshes without touching the view's rows") {
