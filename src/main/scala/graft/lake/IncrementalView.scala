@@ -355,7 +355,7 @@ object IncrementalView {
                               keys: Seq[String]): DataFrame = {
     val sample = delta.select(keys.map(col): _*).limit(InPushdownCap + 1).collect()
     if (sample.isEmpty) return viewT.read(None).where(lit(false))
-    if (sample.length > InPushdownCap) return viewT.read(None)
+    if (sample.length > InPushdownCap) return bloomBoundedViewRead(viewT, delta, keys)
     val perCol = keys.zipWithIndex.map { case (k, i) =>
       val vs = sample.map(_.get(i)).distinct.toSeq
       (k, vs.filterNot(_ == null), vs.contains(null))
@@ -368,7 +368,42 @@ object IncrementalView {
     // right-outer join drops untouched groups regardless.
     if (perCol.forall { case (_, nn, hasNull) => !hasNull && nn.nonEmpty })
       viewT.scan(perCol.map { case (k, nn, _) => LakePredicate.In(k, nn) }, None)
-    else viewT.read(None)
+    else bloomBoundedViewRead(viewT, delta, keys)
+  }
+
+  /** Driver-large (or null-bearing) delta over a LARGE view: a bloom
+    * of ONE key column's delta values still bounds the view scan —
+    * any single-column superset is safe under the right-outer join,
+    * and nulls escape through (`isNull` arm), so false positives and
+    * un-bloomable columns only cost rows the join drops anyway. The
+    * two extra driver actions (count + bloom build on the
+    * checkpointed delta) are only worth paying when the view itself
+    * is big, so small views (below the file-count gate) read plain.
+    */
+  private def viewBloomFileThreshold: Int =
+    sys.props.getOrElse("graft.view.bloomFileThreshold", "8").toInt
+  private def bloomBoundedViewRead(viewT: LakeTable, delta: DataFrame,
+                                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val full = viewT.read(None)
+    val files = viewT.latest.map(s =>
+      s.dirs.map(d => viewT.io.countFiles(viewT.loc(d), ".parquet")).sum)
+      .getOrElse(0L)
+    if (files < viewBloomFileThreshold) return full
+    val bloomable = keys.find(k => full.schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    })
+    bloomable match {
+      case None => full
+      case Some(k) =>
+        val nn = delta.select(col(k)).na.drop(Seq(k))
+        val bloom = nn.stat.bloomFilter(k, math.max(nn.count(), 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        full.where(graft.functions.BloomFunctions.bloom_might_contain(
+          full(k), bos.toByteArray) || full(k).isNull)
+    }
   }
 
   /** Source rows restricted EXACTLY to the `needRec` key set (for the

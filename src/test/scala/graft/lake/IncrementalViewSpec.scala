@@ -212,6 +212,34 @@ class IncrementalViewSpec extends AnyFunSuite {
       "ns.view", Seq("g"), Seq("count(v) AS c")))
   }
 
+  test("driver-large delta bounds the view read with a bloom, exactly") {
+    // >1000 distinct group keys pushes the delta past the In tier; the
+    // bloom tier (gated on view size — forced open here) must still
+    // produce the exact recompute answer, since any single-column
+    // superset of touched keys is safe under the right-outer join
+    val prev = sys.props.get("graft.view.bloomFileThreshold")
+    sys.props("graft.view.bloomFileThreshold") = "0"
+    try {
+      val cat = new LakeCatalog(spark, Files.createTempDirectory("iv-bloom-").toString)
+      cat.write((1L to 3000L).map(i => (s"g${i % 1500}", i, i * 1.0))
+        .toDF("g", "id", "v"), "ns.src", WriteMode.Overwrite)
+      IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
+      // touch all 1500 groups in one window (append + MOR delete)
+      cat.write((3001L to 4500L).map(i => (s"g${i % 1500}", i, i * 2.0))
+        .toDF("g", "id", "v"), "ns.src", WriteMode.Append)
+      LakeDml.delete(cat.table("ns.src"), $"id" % 7 === 0,
+        strategy = DmlStrategy.MergeOnRead)
+      val snap = IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
+      assert(snap.meta(IncrementalView.RefreshModeKey) === "incremental")
+      assert(view(cat) === oracle(cat))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.view.bloomFileThreshold") = v
+        case None    => sys.props.remove("graft.view.bloomFileThreshold")
+      }
+    }
+  }
+
   test("concurrent refresh: CAS loses loudly, retry converges") {
     val cat = freshCat()
     IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
