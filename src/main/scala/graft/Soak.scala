@@ -253,11 +253,12 @@ object Soak {
     // catalog-wide erasure: 4 → 40 tables at fixed per-table size;
     // exponent vs TABLE COUNT ≤ 1 is the O(per-table) claim
     val forgetRows = if (!runForget) Nil else {
-      val t4 = soakForgetCatalog(spark, tables = 4, rowsPerTable = 100000L)
-      val t40 = soakForgetCatalog(spark, tables = 40, rowsPerTable = 100000L)
+      val rowsPerTable = 100000L
+      val t4 = soakForgetCatalog(spark, tables = 4, rowsPerTable = rowsPerTable)
+      val t40 = soakForgetCatalog(spark, tables = 40, rowsPerTable = rowsPerTable)
       val line = f"""{"query":"forget_catalog","t_4tables_sec":$t4%.2f,""" +
         f""""t_40tables_sec":$t40%.2f,"exponent_vs_tables":${math.log10(t40 / t4)}%.2f,""" +
-        s""""rows_per_table":100000}"""
+        s""""rows_per_table":$rowsPerTable}"""
       println(line)
       Seq(line)
     }

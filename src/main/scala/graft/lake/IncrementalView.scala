@@ -384,25 +384,25 @@ object IncrementalView {
     sys.props.getOrElse("graft.view.bloomFileThreshold", "8").toInt
   private def bloomBoundedViewRead(viewT: LakeTable, delta: DataFrame,
                                    keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types._
     val full = viewT.read(None)
-    val files = viewT.latest.map(s =>
-      s.dirs.map(d => viewT.io.countFiles(viewT.loc(d), ".parquet")).sum)
-      .getOrElse(0L)
+    // size gate from the manifest's per-dir stats blobs (in-memory
+    // file counts, zero IO); only dirs without a blob fall back to a
+    // filesystem listing
+    val files = viewT.latest.map { s =>
+      s.dirs.map { d =>
+        s.meta.get(FileStats.dirKey(d))
+          .orElse(if (s.dirs.size == 1) s.meta.get(FileStats.MetaKey) else None)
+          .map(FileStats.fileCount(_).toLong)
+          .getOrElse(viewT.io.countFiles(viewT.loc(d), ".parquet"))
+      }.sum
+    }.getOrElse(0L)
     if (files < viewBloomFileThreshold) return full
-    val bloomable = keys.find(k => full.schema(k).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => true
-      case _ => false
-    })
-    bloomable match {
-      case None => full
+    keys.find(k => RuntimeFilter.BloomableTypes.contains(full.schema(k).dataType)) match {
+      case None    => full
       case Some(k) =>
-        val nn = delta.select(col(k)).na.drop(Seq(k))
-        val bloom = nn.stat.bloomFilter(k, math.max(nn.count(), 1L), 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        full.where(graft.functions.BloomFunctions.bloom_might_contain(
-          full(k), bos.toByteArray) || full(k).isNull)
+        // delta is checkpointed by the caller; the select re-reads
+        // checkpoint blocks, not the changelog lineage
+        RuntimeFilter.bloomRowFilter(full, k, delta.select(col(k)))
     }
   }
 

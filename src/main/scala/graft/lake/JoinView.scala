@@ -221,7 +221,8 @@ object JoinView {
     * else.
     */
   private def boundedRead(t: LakeTable, version: Long,
-                          keys: DataFrame, keyCol: String): DataFrame = {
+                          keys: DataFrame, keyCol: String,
+                          keysMaterialized: Boolean = false): DataFrame = {
     val sample = keys.limit(DriverKeyCap + 1).collect()
     // provably-empty key frame (a changelog commit that touched no
     // rows): where(false) folds to an empty LocalRelation — zero files
@@ -244,24 +245,13 @@ object JoinView {
       }
     } else {
       // driver-large key set: no In pushdown, but a bloom built from
-      // the keys still drops non-matching rows INSIDE the scan stage
-      // before they shuffle into the exactness semi-join (the
-      // row-level tier of graft.lake.RuntimeFilter). Null rows are
-      // escaped through — the semi-join below is null-safe (<=>) and
-      // a bloom cannot represent null.
-      val kc = keys.localCheckpoint()
-      val read = t.read(Some(version))
-      val base = read.schema(keyCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType =>
-          val nn = kc.na.drop(Seq(keyCol)).localCheckpoint()
-          val bloom = nn.stat.bloomFilter(
-            keyCol, math.max(nn.count(), 1L), 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bloom.writeTo(bos)
-          read.where(graft.functions.BloomFunctions.bloom_might_contain(
-            read(keyCol), bos.toByteArray) || read(keyCol).isNull)
-        case _ => read
-      }
+      // the keys (RuntimeFilter's row-level tier, null-escaped) still
+      // drops non-matching rows INSIDE the scan stage before they
+      // shuffle into the exactness semi-join. The key frame is
+      // evaluated thrice here (count, bloom, semi-join) — checkpoint
+      // unless the caller says it already derives from one.
+      val kc = if (keysMaterialized) keys else keys.localCheckpoint()
+      val base = RuntimeFilter.bloomRowFilter(t.read(Some(version)), keyCol, kc)
       base.join(kc, base(keyCol) <=> kc(keyCol), "left_semi")
     }
   }
@@ -304,11 +294,16 @@ object JoinView {
     }
     // the driver path compares collected key values with JVM equality
     // (Set membership below) and ships them as In literals — both are
-    // only sound for atomic value-equality types. Binary (Array[Byte]
-    // compares by reference) and nested keys take the distributed
-    // path, whose joins compare by VALUE.
+    // only sound for types whose boxed equality matches SQL equality.
+    // Binary (Array[Byte] compares by reference), nested types, and
+    // floating point (boxed -0.0 != 0.0 while SQL normalizes them
+    // equal — a -0.0 key upserted in the window would read as
+    // vanished and plant a duplicate delete marker) take the
+    // distributed path, whose joins compare by SQL VALUE semantics.
     val keyTypeSafe = fact.latest.map(_.schema(factKey).dataType).forall {
       case org.apache.spark.sql.types.BinaryType => false
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => false
       case _: org.apache.spark.sql.types.ArrayType |
            _: org.apache.spark.sql.types.MapType |
            _: org.apache.spark.sql.types.StructType => false
@@ -369,8 +364,10 @@ object JoinView {
     val touchedC = touchedF.localCheckpoint()
     val touched = touchedC.select(col(factKey))
 
-    // current enriched state of every touched key
-    val factNow = boundedRead(fact, curF, touched, factKey)
+    // current enriched state of every touched key (`touched` derives
+    // from the checkpoint — no second materialization inside)
+    val factNow = boundedRead(fact, curF, touched, factKey,
+      keysMaterialized = true)
     val rows = enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
       .localCheckpoint()
 

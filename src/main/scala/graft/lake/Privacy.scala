@@ -118,28 +118,30 @@ object Privacy {
     * ([[graft.ops.IncrementalDedup.ingestLoop]] writes coalesce(1)).
     * Returns None when there is no arrivals dir or no slices.
     */
-  private def eraseArrivals(spark: org.apache.spark.sql.SparkSession,
-                            arrivals: java.nio.file.Path,
-                            keys: Seq[Any]): Option[ErasureResult] = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
+  /** `Files.list`/`walk` return open directory streams — drain under
+    * try/finally or every caller leaks a directory handle.
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(arrivals)) return None
-    // Files.list/walk return open directory streams — drain under
-    // try/finally or every erasure leaks a directory handle
-    def listDir(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
-    def subdirs(p: Path): Seq[Path] =
-      listDir(p).filter(d =>
-        Files.isDirectory(d) && !d.getFileName.toString.startsWith("_"))
-    // a crash between the temp write and its cleanup leaves a
-    // *.erasing dir behind; it never holds the only copy (the
-    // original part is replaced atomically AFTER the temp write), so
-    // sweeping leftovers is always safe — and mandatory, or a later
-    // ingest session's arrivals/*/* glob would consume a non-
-    // underscore legacy leftover as brand-new arrivals
-    subdirs(arrivals).foreach { batch =>
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Remove leftover `*.erasing` temp dirs under every batch dir of an
+    * arrivals tree. A crash between an erasure's temp write and its
+    * cleanup leaves one behind; it never holds the only copy (the
+    * original part is replaced atomically AFTER the temp write), so
+    * sweeping is always safe. Called by BOTH the erasure (before
+    * rewriting) and the ingest scaffold (before its stream starts) —
+    * a legacy non-underscore leftover is visible to the ingest's
+    * `arrivals&#47;*&#47;*` glob and would otherwise be consumed as
+    * brand-new arrivals, re-delivering possibly pre-erasure rows.
+    */
+  private[graft] def sweepErasingLeftovers(arrivals: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(arrivals)) return
+    listDir(arrivals).filter(Files.isDirectory(_)).foreach { batch =>
       listDir(batch)
         .filter(_.getFileName.toString.endsWith(".erasing"))
         .foreach { leftover =>
@@ -148,6 +150,18 @@ object Privacy {
           finally walked.close()
         }
     }
+  }
+
+  private def eraseArrivals(spark: org.apache.spark.sql.SparkSession,
+                            arrivals: java.nio.file.Path,
+                            keys: Seq[Any]): Option[ErasureResult] = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(arrivals)) return None
+    def subdirs(p: Path): Seq[Path] =
+      listDir(p).filter(d =>
+        Files.isDirectory(d) && !d.getFileName.toString.startsWith("_"))
+    sweepErasingLeftovers(arrivals)
     val sliceDirs = subdirs(arrivals).flatMap(subdirs)
     if (sliceDirs.isEmpty) return None
     val idColMarker = arrivals.resolve("_id_col")

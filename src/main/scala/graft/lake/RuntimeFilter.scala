@@ -36,6 +36,41 @@ object RuntimeFilter {
     */
   val DefaultCap = 1000
 
+  /** Key types `DataFrameStatFunctions.bloomFilter` supports — the
+    * shared gate for every bloom tier (here, [[JoinView]],
+    * [[IncrementalView]]).
+    */
+  private[graft] val BloomableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType, StringType)
+  }
+
+  /** Row-level bloom filter of `df(keyCol)` by the values of
+    * `keys(keyCol)` — the shared kernel of [[JoinView]]'s driver-large
+    * bounded read and [[IncrementalView]]'s bloom-bounded view read.
+    * SUPERSET-safe by construction: bloom false positives pass through
+    * (the callers' joins drop them) and nulls escape via the `isNull`
+    * arm (a bloom cannot represent null; the callers' null-safe /
+    * right-outer joins need null rows to survive). Un-bloomable key
+    * types return `df` unchanged. Runs two actions over `keys` (count
+    * + bloom build) — pass a checkpointed or trivially-derived frame.
+    * ([[prunedJoin]]'s tier 2 keeps its own fused variant: it rides
+    * the key count on the min/max summary job and adds range
+    * predicates, which this generic kernel has no use for.)
+    */
+  private[graft] def bloomRowFilter(df: DataFrame, keyCol: String,
+                                    keys: DataFrame,
+                                    fpp: Double = 0.01): DataFrame =
+    if (!BloomableTypes.contains(df.schema(keyCol).dataType)) df
+    else {
+      val nn = keys.na.drop(Seq(keyCol))
+      val bloom = nn.stat.bloomFilter(keyCol, math.max(nn.count(), 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      df.where(graft.functions.BloomFunctions.bloom_might_contain(
+        df(keyCol), bos.toByteArray) || df(keyCol).isNull)
+    }
+
   /** Inner equi-join `fact(factKey) = dim(dimKey)` with the dim's
     * distinct key set pushed into the fact scan. `dim` should already
     * carry its selective filter — that selectivity is what makes the

@@ -335,6 +335,10 @@ object IncrementalDedup {
     val srcDir = workDir.resolve("arrivals")
     val batchDir = srcDir.resolve(batchName)
     Files.createDirectories(batchDir)
+    // a crashed erasure's leftover temp dir must never be consumed as
+    // brand-new arrivals (a legacy non-underscore `*.erasing` dir IS
+    // visible to the depth-2 glob below) — sweep before streaming
+    graft.lake.Privacy.sweepErasingLeftovers(srcDir)
     // depth-1 underscore file: never matched by the depth-2 glob, and
     // parquet readers skip _-prefixed names anyway
     val idColMarker = srcDir.resolve("_id_col")

@@ -206,6 +206,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!got(4L) && !got(5L) && got(0L) && got(2L))
   }
 
+  test("a crashed erasure's leftover temp dir is swept before ingest consumes it") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("incdedup-sweep")
+    IncrementalDedup.ingest(spark, docs.where(docs("doc_id") < 4L), work,
+      "crawl-a", slices = 1)
+    // plant a LEGACY (non-underscore) leftover from a pre-upgrade
+    // erasure crash: visible to the arrivals/*/* glob, holding rows
+    // that must never be re-indexed as brand-new arrivals
+    val leftover = work.resolve("arrivals/crawl-a/slice_000.erasing")
+    Seq((999L, "stale pre-erasure content that must never be indexed"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(leftover.toString)
+    IncrementalDedup.ingest(spark, docs.where(docs("doc_id") >= 4L), work,
+      "crawl-b", slices = 1)
+    assert(!Files.exists(leftover), "leftover .erasing dir must be swept at ingest")
+    val got = IncrementalDedup.keptReport(spark, docs, work)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(999L), "stale leftover rows were indexed")
+    val sh = new graft.lake.LakeTable(spark, work.resolve("shingles").toString)
+    assert(sh.read().where(col("id") === 999L).count() === 0L,
+      "stale leftover rows reached the shingle index")
+  }
+
   test("negative ids are sliced (pmod), deduped, and reported") {
     val negDocs = Seq(
       (-7L, "negative id document about minhash banding and bucket joins"),
