@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   *  3. COUNT and SUM are self-maintainable (count and non-null-count
   *     ride along so SUM-of-all-nulls stays NULL, exact SQL
   *     semantics). MIN/MAX are self-maintainable under inserts
-  *     (`least`/`greatest` fold); a group that saw a DELETE gets its
-  *     MIN/MAX recomputed from the source, restricted to exactly the
-  *     touched groups (semi-join, plus `In` pushdown into the scan
-  *     when the touched key set is small — manifest stats and
-  *     partition pruning then bound the recompute read).
+  *     (`least`/`greatest` fold); a DELETE forces a recompute only
+  *     when it could have removed the bound itself — the changelog's
+  *     deleted extrema compare against the view's stored bounds, and
+  *     a delete strictly inside a group's (min, max) keeps the fold
+  *     (the extremum-touch fast path; [[RecomputedGroupsKey]] audits
+  *     it). Touched groups recompute from the source restricted to
+  *     exactly them (semi-join, plus `In` pushdown into the scan when
+  *     the touched key set is small — manifest stats and partition
+  *     pruning then bound the recompute read).
   *  4. The per-group results publish as ONE MERGE commit on the view:
   *     changed groups update, new groups insert, vanished groups
   *     (live-row count reaches zero) DELETE via the merge's
@@ -66,6 +70,16 @@ object IncrementalView {
     * no JVM client code carrying the definition.
     */
   val DefinitionKey = "graft.view.definition"
+
+  /** Snapshot-meta key on the VIEW table (incremental refreshes of
+    * MIN/MAX views only): how many groups the refresh recomputed from
+    * the source. The audit face of the extremum-touch fast path — a
+    * delete whose values sit strictly inside a group's stored
+    * (min, max) provably cannot move either bound, so the group folds
+    * instead of recomputing; this meta shows the O(touched-extremum)
+    * claim held (">cap" when the set exceeded the driver tier).
+    */
+  val RecomputedGroupsKey = "graft.view.minmaxRecomputedGroups"
 
   /** Aggregates the view maintains. `expr` forms evaluate against the
     * source row (any deterministic column expression).
@@ -137,20 +151,23 @@ object IncrementalView {
     * `refresh_view` SQL procedure).
     */
   def refreshSql(cat: LakeCatalog, sourceIdent: String, viewIdent: String,
-                 keys: Seq[String], aggSpecs: Seq[String]): Snapshot = {
+                 keys: Seq[String], aggSpecs: Seq[String],
+                 tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("source", sourceIdent)
     val kn = root.putArray("keys"); keys.foreach(kn.add)
     val an = root.putArray("aggs"); aggSpecs.foreach(an.add)
     refresh(cat, sourceIdent, viewIdent, keys, parseAggs(aggSpecs),
-      extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)))
+      extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)),
+      tiers = tiers)
   }
 
   /** Refresh a view whose definition was persisted by [[refreshSql]] —
     * the `CALL graft.system.refresh_view(view => ...)` body.
     */
-  def refreshByName(cat: LakeCatalog, viewIdent: String): Snapshot = {
+  def refreshByName(cat: LakeCatalog, viewIdent: String,
+                    tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     import scala.jdk.CollectionConverters._
     val defJson = latestMeta(cat.table(viewIdent), DefinitionKey).getOrElse(
       throw new IllegalArgumentException(
@@ -160,7 +177,7 @@ object IncrementalView {
     val keys = node.get("keys").elements().asScala.map(_.asText()).toSeq
     val specs = node.get("aggs").elements().asScala.map(_.asText()).toSeq
     refresh(cat, node.get("source").asText(), viewIdent, keys, parseAggs(specs),
-      extraMeta = Map(DefinitionKey -> defJson))
+      extraMeta = Map(DefinitionKey -> defJson), tiers = tiers)
   }
 
   /** Bring `viewIdent` up to date with `sourceIdent`. Returns the new
@@ -170,7 +187,8 @@ object IncrementalView {
     */
   def refresh(cat: LakeCatalog, sourceIdent: String, viewIdent: String,
               keys: Seq[String], aggs: Seq[ViewAgg],
-              extraMeta: Map[String, String] = Map.empty): Snapshot = {
+              extraMeta: Map[String, String] = Map.empty,
+              tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     require(keys.nonEmpty, "view needs at least one group key")
     require(aggs.nonEmpty, "view needs at least one aggregate")
     val outs = aggs.map(_.out)
@@ -196,7 +214,7 @@ object IncrementalView {
     recorded match {
       case Some(v) if v == cur => viewT.latest.get // up to date
       case Some(v) if v < cur =>
-        try incremental(cat, src, viewT, v, cur, keys, maintained, extraMeta)
+        try incremental(cat, src, viewT, v, cur, keys, maintained, extraMeta, tiers)
         catch {
           // no row-level changelog across a rewrite, or history
           // expired under the recorded version: rebuild
@@ -242,20 +260,25 @@ object IncrementalView {
   private def incremental(cat: LakeCatalog, src: LakeTable, viewT: LakeTable,
                           from: Long, cur: Long, keys: Seq[String],
                           aggs: Seq[ViewAgg],
-                          extraMeta: Map[String, String]): Snapshot = {
+                          extraMeta: Map[String, String],
+                          tiers: DriverTiers): Snapshot = {
     val changes = src.readChanges(from, Some(cur))
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
 
     // one changelog-sized aggregate: signed count/sum deltas, insert-
-    // side min/max folds, and whether any delete touched the group
+    // side min/max folds, and the DELETED-side extrema per MIN/MAX —
+    // the changelog materializes deleted values anyway, and comparing
+    // them against the view's stored bounds below is what lets
+    // off-extremum deletes skip the recompute entirely
     val deltaCols = (sum(sign).as(s"_d$N") +:
-      max(when(sign < 0, lit(1)).otherwise(lit(0))).as("_d_hasdel") +:
       aggs.collect {
         case Sum(e, o) => Seq(
           sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"_d_${nn(o)}"),
           sum(sign * e).as(s"_d_$o"))
-        case Min(e, o) => Seq(min(when(sign > 0, e)).as(s"_d_$o"))
-        case Max(e, o) => Seq(max(when(sign > 0, e)).as(s"_d_$o"))
+        case Min(e, o) => Seq(min(when(sign > 0, e)).as(s"_d_$o"),
+          min(when(sign < 0, e)).as(s"_dd_$o"))
+        case Max(e, o) => Seq(max(when(sign > 0, e)).as(s"_d_$o"),
+          max(when(sign < 0, e)).as(s"_dd_$o"))
       }.flatten).toSeq
     // materialize once: the delta is changelog-sized (small by the
     // whole premise), but its lineage — readChanges' per-commit
@@ -268,7 +291,7 @@ object IncrementalView {
         .localCheckpoint()
     }
 
-    val old = boundedViewRead(viewT, delta, keys)
+    val old = boundedViewRead(viewT, delta, keys, tiers)
     // group keys may hold NULL (a legitimate GROUP BY group): null-safe
     // join. RIGHT outer on the delta side: untouched view groups never
     // enter the refresh — the merge stays changelog-sized, not
@@ -292,9 +315,26 @@ object IncrementalView {
       case Min(_, o) => Seq(least(old.col(o), delta.col(s"_d_$o")).as(o))
       case Max(_, o) => Seq(greatest(old.col(o), delta.col(s"_d_$o")).as(o))
     }
+    // extremum-touch test, per MIN/MAX agg: the folded bound is wrong
+    // only if some DELETED value could have BEEN the bound — i.e. the
+    // deleted extremum reaches the stored one (≤ stored min / ≥ stored
+    // max; strictly-inside deletes can't move either bound), or the
+    // stored bound is unknown (new group, or all-null stored values —
+    // either way an in-window insert-then-delete could have polluted
+    // the insert-side fold). Deletes of NULL values never trigger
+    // (`_dd` stays null): min/max skip nulls, so they can't be bounds.
+    val recTriggers = aggs.collect {
+      case Min(_, o) => delta.col(s"_dd_$o").isNotNull &&
+        (old.col(o).isNull || delta.col(s"_dd_$o") <= old.col(o))
+      case Max(_, o) => delta.col(s"_dd_$o").isNotNull &&
+        (old.col(o).isNull || delta.col(s"_dd_$o") >= old.col(o))
+    }
+    val needRecCol =
+      if (recTriggers.isEmpty) lit(false)
+      else coalesce(recTriggers.reduce(_ || _), lit(false))
     val keyCols = keys.map(k => coalesce(old(k), delta(k)).as(k))
     val inc = j.select((keyCols ++ aggs.flatMap(mergedCol) :+ newN.as(N) :+
-      delta.col("_d_hasdel").as("_hasdel") :+
+      needRecCol.as("_needrec") :+
       isnull(inOld).as("_isnew")): _*)
       // a brand-new group netting to zero inside the range would insert
       // a phantom empty group: drop it (an EXISTING group reaching zero
@@ -302,27 +342,40 @@ object IncrementalView {
       .where(!(col("_isnew") && col(N) === 0))
 
     val hasMinMax = aggs.exists { case _: Min | _: Max => true; case _ => false }
+    var recMeta = Map.empty[String, String]
     val newRows =
-      if (!hasMinMax) inc.drop("_hasdel", "_isnew")
+      if (!hasMinMax) inc.drop("_needrec", "_isnew")
       else {
-        // delete-touched, still-live groups: MIN/MAX can only be
+        // extremum-touched, still-live groups: MIN/MAX can only be
         // recomputed — but ONLY for those groups, from a source read
         // bounded to them. `inc` is referenced three times below
         // (recompute key set, its driver-side In-pushdown sample, and
         // the anti-join) — materialize the changelog-sized frame once
         // instead of re-running the view⋈delta join per reference.
         val incC = graft.ProfStream.prof("iv incC ckpt")(inc.localCheckpoint())
-        val needRec = incC.where(col("_hasdel") === 1 && col(N) > 0)
+        val needRec = incC.where(col("_needrec") && col(N) > 0)
           .select(keys.map(col): _*)
-        // boundedSourceRead is already key-exact (semi-join applied
-        // internally only when the In filters alone can't be)
-        val rec = boundedSourceRead(src, cur, needRec, keys)
-          .groupBy(keys.map(col): _*)
-          .agg(fullAggCols(aggs).head, fullAggCols(aggs).tail: _*)
-        val incKept = incC.as("i").join(rec.as("r"),
-            keys.map(k => incC(k) <=> rec(k)).reduce(_ && _), "left_anti")
-          .drop("_hasdel", "_isnew")
-        incKept.unionByName(rec)
+        // one collect serves the In-pushdown tier AND the audit count
+        val recSample = needRec.limit(tiers.driverKeyCap + 1).collect()
+        recMeta = Map(RecomputedGroupsKey ->
+          (if (recSample.length > tiers.driverKeyCap) s">${tiers.driverKeyCap}"
+           else recSample.length.toString))
+        if (recSample.isEmpty)
+          // nothing's bound was touched (insert-only window, or every
+          // delete strictly inside its group's range): pure fold, no
+          // source read, no anti-join
+          incC.drop("_needrec", "_isnew")
+        else {
+          // boundedSourceRead is already key-exact (semi-join applied
+          // internally only when the In filters alone can't be)
+          val rec = boundedSourceRead(src, cur, needRec, recSample, keys, tiers)
+            .groupBy(keys.map(col): _*)
+            .agg(fullAggCols(aggs).head, fullAggCols(aggs).tail: _*)
+          val incKept = incC.as("i").join(rec.as("r"),
+              keys.map(k => incC(k) <=> rec(k)).reduce(_ && _), "left_anti")
+            .drop("_needrec", "_isnew")
+          incKept.unionByName(rec)
+        }
       }
 
     // one commit: update changed groups, insert new ones, DELETE
@@ -336,7 +389,7 @@ object IncrementalView {
     graft.ProfStream.prof("iv merge") {
       LakeDml.merge(viewT, newRowsC, keys,
         deleteMatched = Some(col(s"_src_$N") === 0),
-        meta = extraMeta ++
+        meta = extraMeta ++ recMeta ++
           Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
     }
   }
@@ -352,10 +405,11 @@ object IncrementalView {
     * delta falls back to the full view read.
     */
   private def boundedViewRead(viewT: LakeTable, delta: DataFrame,
-                              keys: Seq[String]): DataFrame = {
-    val sample = delta.select(keys.map(col): _*).limit(InPushdownCap + 1).collect()
+                              keys: Seq[String], tiers: DriverTiers): DataFrame = {
+    val sample = delta.select(keys.map(col): _*).limit(tiers.inPushdownCap + 1).collect()
     if (sample.isEmpty) return viewT.read(None).where(lit(false))
-    if (sample.length > InPushdownCap) return bloomBoundedViewRead(viewT, delta, keys)
+    if (sample.length > tiers.inPushdownCap)
+      return bloomBoundedViewRead(viewT, delta, keys, tiers)
     val perCol = keys.zipWithIndex.map { case (k, i) =>
       val vs = sample.map(_.get(i)).distinct.toSeq
       (k, vs.filterNot(_ == null), vs.contains(null))
@@ -368,7 +422,7 @@ object IncrementalView {
     // right-outer join drops untouched groups regardless.
     if (perCol.forall { case (_, nn, hasNull) => !hasNull && nn.nonEmpty })
       viewT.scan(perCol.map { case (k, nn, _) => LakePredicate.In(k, nn) }, None)
-    else bloomBoundedViewRead(viewT, delta, keys)
+    else bloomBoundedViewRead(viewT, delta, keys, tiers)
   }
 
   /** Driver-large (or null-bearing) delta over a LARGE view: a bloom
@@ -380,10 +434,9 @@ object IncrementalView {
     * checkpointed delta) are only worth paying when the view itself
     * is big, so small views (below the file-count gate) read plain.
     */
-  private def viewBloomFileThreshold: Int =
-    sys.props.getOrElse("graft.view.bloomFileThreshold", "8").toInt
   private def bloomBoundedViewRead(viewT: LakeTable, delta: DataFrame,
-                                   keys: Seq[String]): DataFrame = {
+                                   keys: Seq[String],
+                                   tiers: DriverTiers): DataFrame = {
     val full = viewT.read(None)
     // size gate from the manifest's per-dir stats blobs (in-memory
     // file counts, zero IO); only dirs without a blob fall back to a
@@ -396,7 +449,7 @@ object IncrementalView {
           .getOrElse(viewT.io.countFiles(viewT.loc(d), ".parquet"))
       }.sum
     }.getOrElse(0L)
-    if (files < viewBloomFileThreshold) return full
+    if (files < tiers.bloomFileThreshold) return full
     keys.find(k => RuntimeFilter.BloomableTypes.contains(full.schema(k).dataType)) match {
       case None    => full
       case Some(k) =>
@@ -407,24 +460,25 @@ object IncrementalView {
   }
 
   /** Source rows restricted EXACTLY to the `needRec` key set (for the
-    * MIN/MAX recompute). Single null-free key with a driver-small
-    * value set: `In` is the exact row filter (scan predicates filter
-    * rows, not just files) — no semi-join, and file skipping applies
-    * under [[InPushdownCap]]. Otherwise per-column `In` predicates
-    * bound the scan where they can and a null-safe semi-join restores
-    * tuple exactness.
+    * MIN/MAX recompute), whose driver-side sample (`limit(driverKeyCap
+    * + 1)`) the caller already collected. Single null-free key with a
+    * driver-small value set: `In` is the exact row filter (scan
+    * predicates filter rows, not just files) — no semi-join, and file
+    * skipping applies under [[DriverTiers.inPushdownCap]]. Otherwise
+    * per-column `In` predicates bound the scan where they can and a
+    * null-safe semi-join restores tuple exactness.
     */
-  private val InPushdownCap = 1000
-  private val DriverKeySetCap = 10000
   private def boundedSourceRead(src: LakeTable, cur: Long,
-                                needRec: DataFrame, keys: Seq[String]): DataFrame = {
-    val sample = needRec.limit(DriverKeySetCap + 1).collect()
+                                needRec: DataFrame,
+                                sample: Array[org.apache.spark.sql.Row],
+                                keys: Seq[String],
+                                tiers: DriverTiers): DataFrame = {
     if (sample.isEmpty) return src.read(Some(cur)).where(lit(false))
-    val exactSingle = keys.size == 1 && sample.length <= DriverKeySetCap &&
+    val exactSingle = keys.size == 1 && sample.length <= tiers.driverKeyCap &&
       !sample.exists(_.isNullAt(0))
     if (exactSingle) {
       val vals = sample.map(_.get(0)).distinct.toSeq
-      if (vals.length <= InPushdownCap)
+      if (vals.length <= tiers.inPushdownCap)
         src.scan(Seq(LakePredicate.In(keys.head, vals)), Some(cur))
       else {
         val r = src.read(Some(cur))
@@ -432,13 +486,13 @@ object IncrementalView {
       }
     } else {
       val base =
-        if (sample.length > DriverKeySetCap) src.read(Some(cur))
+        if (sample.length > tiers.driverKeyCap) src.read(Some(cur))
         else {
           val preds = keys.zipWithIndex.flatMap { case (k, i) =>
             val vals = sample.map(_.get(i)).toSeq
             // a NULL group key can't ride an In predicate; drop the
             // bound for that column (the semi-join stays exact)
-            if (vals.contains(null) || vals.distinct.length > InPushdownCap) None
+            if (vals.contains(null) || vals.distinct.length > tiers.inPushdownCap) None
             else Some(LakePredicate.In(k, vals.distinct))
           }
           src.scan(preds, Some(cur))

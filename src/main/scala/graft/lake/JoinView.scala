@@ -46,12 +46,6 @@ object JoinView {
   val DefinitionKey = "graft.view.joinDefinition"
   private val Live = "_live"
   private val HasDel = "_hasdel"
-  private val InPushdownCap = 1000
-  // exact driver-held key set — bounded where the isin/In plan cost
-  // itself starts to matter (tens of thousands of literals make the
-  // analyzer and plan shipping measurable); above it the bloom +
-  // semi-join distributed path takes over
-  private val DriverKeyCap = 20000
 
   /** User-facing read: the enriched rows without maintenance columns. */
   def read(cat: LakeCatalog, viewIdent: String): DataFrame = {
@@ -65,7 +59,8 @@ object JoinView {
   def refreshSql(cat: LakeCatalog, factIdent: String, dimIdent: String,
                  viewIdent: String, factKey: String, joinKey: String,
                  dimKey: String, dimCols: Seq[String],
-                 strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+                 strategy: DmlStrategy = DmlStrategy.Auto,
+                 tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("fact", factIdent); root.put("dim", dimIdent)
@@ -78,11 +73,12 @@ object JoinView {
     val cn = root.putArray("dimCols"); dimCols.foreach(cn.add)
     refresh(cat, factIdent, dimIdent, viewIdent, factKey, joinKey, dimKey,
       dimCols, extraMeta = Map(DefinitionKey -> om.writeValueAsString(root)),
-      strategy = strategy)
+      strategy = strategy, tiers = tiers)
   }
 
   /** Refresh a join view whose definition was persisted by [[refreshSql]]. */
-  def refreshByName(cat: LakeCatalog, viewIdent: String): Snapshot = {
+  def refreshByName(cat: LakeCatalog, viewIdent: String,
+                    tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     import scala.jdk.CollectionConverters._
     val defJson = latestMeta(cat.table(viewIdent), DefinitionKey).getOrElse(
       throw new IllegalArgumentException(
@@ -103,7 +99,8 @@ object JoinView {
       n.get("factKey").asText(), n.get("joinKey").asText(),
       n.get("dimKey").asText(),
       n.get("dimCols").elements().asScala.map(_.asText()).toSeq,
-      extraMeta = Map(DefinitionKey -> defJson), strategy = strategy)
+      extraMeta = Map(DefinitionKey -> defJson), strategy = strategy,
+      tiers = tiers)
   }
 
   /** `strategy` picks the refresh MERGE's DML path. Auto is right for
@@ -117,7 +114,8 @@ object JoinView {
               viewIdent: String, factKey: String, joinKey: String,
               dimKey: String, dimCols: Seq[String],
               extraMeta: Map[String, String] = Map.empty,
-              strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+              strategy: DmlStrategy = DmlStrategy.Auto,
+              tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     require(dimCols.nonEmpty, "join view needs at least one dim column")
     // dimKey ∈ dimCols is fine when it lands under a name the fact
     // does not use; when joinKey == dimKey the fact already carries
@@ -138,7 +136,7 @@ object JoinView {
       case (Some(f), Some(d)) if f == curF && d == curD => viewT.latest.get
       case (Some(f), Some(d)) if f <= curF && d <= curD =>
         try incremental(cat, fact, dim, viewT, f, curF, d, curD,
-          factKey, joinKey, dimKey, dimCols, extraMeta, strategy)
+          factKey, joinKey, dimKey, dimCols, extraMeta, strategy, tiers)
         catch {
           case _: RewriteCommitException =>
             fullBuild(cat, fact, dim, viewIdent, curF, curD,
@@ -193,14 +191,14 @@ object JoinView {
     * set: `scan` applies `In` predicates as row-level filters (pushed
     * to the parquet readers, where row-group stats skip) on top of
     * driver-side file skipping, so no exactness join is needed. Above
-    * `InPushdownCap` the driver file-skip is dropped (its per-file ×
-    * per-value cost stops paying) but the pushed row filter keeps the
-    * read exact and distributed.
+    * [[DriverTiers.inPushdownCap]] the driver file-skip is dropped
+    * (its per-file × per-value cost stops paying) but the pushed row
+    * filter keeps the read exact and distributed.
     */
   private def inScan(t: LakeTable, version: Option[Long], keyCol: String,
-                     vals: Seq[Any]): DataFrame =
+                     vals: Seq[Any], tiers: DriverTiers): DataFrame =
     if (vals.isEmpty) t.read(version).where(lit(false))
-    else if (vals.length <= InPushdownCap)
+    else if (vals.length <= tiers.inPushdownCap)
       t.scan(Seq(LakePredicate.In(keyCol, vals)), version)
     else {
       val r = t.read(version)
@@ -209,8 +207,9 @@ object JoinView {
 
   /** Read `table@version` restricted to `keys` values of `keyCol`.
     * Collect-first: one action materializes the key frame when it is
-    * driver-small (≤ [[DriverKeyCap]]) and the read is then EXACT via
-    * [[inScan]] — no semi-join, no checkpoint. Above the cap: bloom
+    * driver-small (≤ [[DriverTiers.driverKeyCap]]) and the read is
+    * then EXACT via [[inScan]] — no semi-join, no checkpoint. Above
+    * the cap: bloom
     * row filter inside the scan + null-safe semi-join for exactness
     * (the key frame is checkpointed HERE, where the double evaluation
     * actually happens, instead of unconditionally at every caller).
@@ -221,20 +220,20 @@ object JoinView {
     * else.
     */
   private def boundedRead(t: LakeTable, version: Long,
-                          keys: DataFrame, keyCol: String,
+                          keys: DataFrame, keyCol: String, tiers: DriverTiers,
                           keysMaterialized: Boolean = false): DataFrame = {
-    val sample = keys.limit(DriverKeyCap + 1).collect()
+    val sample = keys.limit(tiers.driverKeyCap + 1).collect()
     // provably-empty key frame (a changelog commit that touched no
     // rows): where(false) folds to an empty LocalRelation — zero files
     // read, where the fallthrough was a FULL table scan semi-joined
     // against nothing
     if (sample.isEmpty) return t.read(Some(version)).where(lit(false))
-    if (sample.length <= DriverKeyCap) {
+    if (sample.length <= tiers.driverKeyCap) {
       val vals = sample.map(_.get(0)).distinct.toSeq
       val nonNull = vals.filterNot(_ == null)
       if (nonNull.isEmpty) t.read(Some(version)).where(col(keyCol).isNull)
       else {
-        val base = inScan(t, Some(version), keyCol, nonNull)
+        val base = inScan(t, Some(version), keyCol, nonNull, tiers)
         // a null key in the frame matched null target rows through the
         // old null-safe semi-join; preserve that by unioning them in
         if (nonNull.length == vals.length) base
@@ -262,7 +261,8 @@ object JoinView {
                           factKey: String, joinKey: String, dimKey: String,
                           dimCols: Seq[String],
                           extraMeta: Map[String, String],
-                          strategy: DmlStrategy = DmlStrategy.Auto): Snapshot = {
+                          strategy: DmlStrategy = DmlStrategy.Auto,
+                          tiers: DriverTiers = DriverTiers.Default): Snapshot = {
     // fact keys with direct changes, carrying whether the window held
     // a non-insert row for the key: a key whose window is insert-only
     // provably still exists in the fact, so the flag is the EXACT gate
@@ -280,7 +280,7 @@ object JoinView {
       if (fromD == curD) None
       else Some(dim.readChanges(fromD, Some(curD)).select(col(dimKey)).distinct())
     val viaDim = dDimKeys.map { ks =>
-      boundedRead(fact, curF, ks.withColumnRenamed(dimKey, joinKey), joinKey)
+      boundedRead(fact, curF, ks.withColumnRenamed(dimKey, joinKey), joinKey, tiers)
         .select(col(factKey)).distinct().withColumn(HasDel, lit(0))
     }
     val touchedF = (dFact.toSeq ++ viaDim.toSeq) match {
@@ -290,7 +290,7 @@ object JoinView {
     }
 
     val sample = graft.ProfStream.prof("jv touched collect") {
-      touchedF.limit(DriverKeyCap + 1).collect()
+      touchedF.limit(tiers.driverKeyCap + 1).collect()
     }
     // the driver path compares collected key values with JVM equality
     // (Set membership below) and ships them as In literals — both are
@@ -310,14 +310,14 @@ object JoinView {
       case _ => true
     }
     val smallNoNull = keyTypeSafe &&
-      sample.length <= DriverKeyCap && !sample.exists(_.isNullAt(0))
+      sample.length <= tiers.driverKeyCap && !sample.exists(_.isNullAt(0))
     if (smallNoNull) {
       // driver-small touched set (the common case): ONE action
       // materialized keys + delete flags; the fact read is exact via
       // pushed In filters, and the delete-marker leg runs only when
       // some key's window actually held a delete
       val factNow = inScan(fact, Some(curF), factKey,
-        sample.map(_.get(0)).distinct.toSeq)
+        sample.map(_.get(0)).distinct.toSeq, tiers)
       val rows = graft.ProfStream.prof("jv rows ckpt") {
         enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
           .localCheckpoint()
@@ -335,7 +335,7 @@ object JoinView {
           val goneVals = delCand.filterNot(live)
           if (goneVals.isEmpty) rows
           else {
-            val gone = inScan(viewT, None, factKey, goneVals)
+            val gone = inScan(viewT, None, factKey, goneVals, tiers)
               .select(col(factKey)).distinct()
             val nulls = rows.schema.fields.collect {
               case f if f.name != factKey && f.name != Live =>
@@ -366,7 +366,7 @@ object JoinView {
 
     // current enriched state of every touched key (`touched` derives
     // from the checkpoint — no second materialization inside)
-    val factNow = boundedRead(fact, curF, touched, factKey,
+    val factNow = boundedRead(fact, curF, touched, factKey, tiers,
       keysMaterialized = true)
     val rows = enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
       .localCheckpoint()

@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions.{count, lit, max, min}
 object RuntimeFilter {
 
   /** Keys at or below this count push down as a flat `In` (file-level
-    * pruning); above it, the bloom tier takes over (row-level).
+    * pruning); above it, the bloom tier takes over (row-level). The
+    * value is [[DriverTiers]]' shared In-pushdown policy.
     */
-  val DefaultCap = 1000
+  val DefaultCap: Int = DriverTiers.Default.inPushdownCap
 
   /** Key types `DataFrameStatFunctions.bloomFilter` supports — the
     * shared gate for every bloom tier (here, [[JoinView]],

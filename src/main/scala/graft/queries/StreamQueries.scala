@@ -26,6 +26,13 @@ object StreamQueries {
     val fb = Future(b)
     val ra = scala.util.Try(Await.result(fa, Duration.Inf))
     val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    // when BOTH fail, the second failure must not vanish — attach it
+    // to the first as a suppressed exception before rethrowing
+    (ra, rb) match {
+      case (scala.util.Failure(ea), scala.util.Failure(eb)) if ea ne eb =>
+        ea.addSuppressed(eb)
+      case _ => ()
+    }
     ra.get
     rb.get
   }
@@ -205,18 +212,18 @@ object StreamQueries {
   }
 
   /** Stream-side dimension enrichment with per-batch runtime
-    * filtering: events drain from a lake table commit-by-commit, and
+    * filtering: events drain from a lake table's committed stream, and
     * each micro-batch enriches against a bucket-partitioned customer
     * dim through [[graft.lake.RuntimeFilter.prunedJoin]] — the batch's
-    * key set (driver-small by construction: one commit's worth) rides
-    * into the dim scan as a flat `In` the bucket transform projects to
-    * file pruning. The roles invert from the batch star join: here the
-    * LAKE side is the dimension being pruned and the STREAM batch is
-    * the selective probe. At 100 TB this is the lookup-join shape —
-    * the dim may be huge, but each trigger reads only the files its
-    * batch's keys can live in, instead of stream-static-joining the
-    * whole dim every trigger. Result equals the plain batch join the
-    * oracle declares.
+    * key set (driver-bounded: [[graft.lake.DriverTiers]]'
+    * driver-exact cap) rides into the dim scan as a flat `In` the
+    * bucket transform projects to file pruning. The roles invert from
+    * the batch star join: here the LAKE side is the dimension being
+    * pruned and the STREAM batch is the selective probe. At 100 TB
+    * this is the lookup-join shape — the dim may be huge, but each
+    * trigger reads only the files its batch's keys can live in,
+    * instead of stream-static-joining the whole dim every trigger.
+    * Result equals the plain batch join the oracle declares.
     */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -237,20 +244,26 @@ object StreamQueries {
     }
     val dimT = cat.table("dim.customer")
     val out = LakeQueries.scratchDir("graft-enrich-out-")
+    // unpaced AvailableNow: all pending commits drain in ONE trigger —
+    // the enrichment itself is per-batch regardless of pacing, and the
+    // commit-paced admission-control path (`maxCommitsPerTrigger`) is
+    // pinned separately by StreamingLakeSinkSpec; paying three
+    // micro-batch lifecycles here bought no extra proof
     val q = graft.streaming.StreamingLakeSource
-      .committedStream(cat.table("bronze.ev"), maxCommitsPerTrigger = Some(1))
+      .committedStream(cat.table("bronze.ev"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batchId-keyed overwrite, not a blind append: foreachBatch is
         // at-least-once, and a retried batch must replace its own
         // partial output instead of duplicating rows
         prof(s"enrich trigger b$batchId") {
-          // cap sized to the per-trigger key cardinality (~distinct
-          // users per batch): keeps each trigger on the cheap In tier
-          // (one key collect + the join) instead of tripping into the
-          // checkpoint+summary+bloom tier meant for driver-large dims
+          // driver-exact cap ([[graft.lake.DriverTiers]]): a trigger's
+          // key cardinality (~distinct users per batch) stays on the
+          // cheap In/isin tier (one key collect + the join) instead of
+          // tripping into the checkpoint+summary+bloom tier meant for
+          // driver-large dims
           graft.lake.RuntimeFilter.prunedJoin(dimT, "c_custkey", batch, "user_id",
-            cap = 16384)
+            cap = graft.lake.DriverTiers.Default.driverKeyCap)
             .select(col("event_id"), col("user_id"), col("value"),
               col("c_mktsegment"))
             .write.mode("overwrite")

@@ -212,32 +212,74 @@ class IncrementalViewSpec extends AnyFunSuite {
       "ns.view", Seq("g"), Seq("count(v) AS c")))
   }
 
+  test("extremum-touch fast path: off-extremum deletes fold, touched bounds recompute") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("iv-ext-").toString)
+    // a: {1,5,9}, b: {2,6,10}, c: {null,null} (stored min/max NULL)
+    cat.write(Seq(("a", 1L, Option(1.0)), ("a", 2L, Option(5.0)),
+      ("a", 3L, Option(9.0)), ("b", 4L, Option(2.0)), ("b", 5L, Option(6.0)),
+      ("b", 6L, Option(10.0)), ("c", 7L, None), ("c", 8L, None))
+      .toDF("g", "id", "v"), "ns.src", WriteMode.Overwrite)
+    def refresh() = IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
+    refresh()
+
+    // window 1: delete strictly-inside values (a:5, b:6) — neither
+    // group's bound can move, so ZERO groups recompute; the folded
+    // min/max must still be exact
+    LakeDml.delete(cat.table("ns.src"), $"id" === 2L || $"id" === 5L,
+      strategy = DmlStrategy.MergeOnRead)
+    val s1 = refresh()
+    assert(s1.meta(IncrementalView.RefreshModeKey) === "incremental")
+    assert(s1.meta(IncrementalView.RecomputedGroupsKey) === "0")
+    assert(view(cat) === oracle(cat))
+
+    // window 2: delete a's stored MIN (1.0) and append an inside value
+    // to b — exactly ONE group (a) recomputes
+    LakeDml.delete(cat.table("ns.src"), $"id" === 1L,
+      strategy = DmlStrategy.MergeOnRead)
+    cat.write(Seq(("b", 9L, Option(3.0))).toDF("g", "id", "v"),
+      "ns.src", WriteMode.Append)
+    val s2 = refresh()
+    assert(s2.meta(IncrementalView.RecomputedGroupsKey) === "1")
+    assert(view(cat) === oracle(cat))
+
+    // window 3, the fold-pollution traps: (i) insert-then-delete BELOW
+    // a's stored min inside one window — the insert-side fold saw 0.5,
+    // so skipping the recompute would publish a bound for a vanished
+    // row; (ii) same against c's all-NULL stored bound. Both groups
+    // must recompute (deleted extremum reaches the stored bound / the
+    // stored bound is NULL), and the published mins must NOT be the
+    // deleted values.
+    cat.write(Seq(("a", 10L, Option(0.5)), ("c", 11L, Option(7.0)))
+      .toDF("g", "id", "v"), "ns.src", WriteMode.Append)
+    LakeDml.delete(cat.table("ns.src"), $"id" === 10L || $"id" === 11L,
+      strategy = DmlStrategy.MergeOnRead)
+    val s3 = refresh()
+    assert(s3.meta(IncrementalView.RecomputedGroupsKey) === "2")
+    assert(view(cat) === oracle(cat))
+    assert(view(cat).contains(("a", 1L, Some(9.0), Some(9.0), Some(9.0))))
+    assert(view(cat).contains(("c", 2L, None, None, None)))
+  }
+
   test("driver-large delta bounds the view read with a bloom, exactly") {
     // >1000 distinct group keys pushes the delta past the In tier; the
-    // bloom tier (gated on view size — forced open here) must still
-    // produce the exact recompute answer, since any single-column
+    // bloom tier (gated on view size — forced open by the per-call
+    // tiers value, no global state touched under parallel suites) must
+    // still produce the exact recompute answer, since any single-column
     // superset of touched keys is safe under the right-outer join
-    val prev = sys.props.get("graft.view.bloomFileThreshold")
-    sys.props("graft.view.bloomFileThreshold") = "0"
-    try {
-      val cat = new LakeCatalog(spark, Files.createTempDirectory("iv-bloom-").toString)
-      cat.write((1L to 3000L).map(i => (s"g${i % 1500}", i, i * 1.0))
-        .toDF("g", "id", "v"), "ns.src", WriteMode.Overwrite)
-      IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
-      // touch all 1500 groups in one window (append + MOR delete)
-      cat.write((3001L to 4500L).map(i => (s"g${i % 1500}", i, i * 2.0))
-        .toDF("g", "id", "v"), "ns.src", WriteMode.Append)
-      LakeDml.delete(cat.table("ns.src"), $"id" % 7 === 0,
-        strategy = DmlStrategy.MergeOnRead)
-      val snap = IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs)
-      assert(snap.meta(IncrementalView.RefreshModeKey) === "incremental")
-      assert(view(cat) === oracle(cat))
-    } finally {
-      prev match {
-        case Some(v) => sys.props("graft.view.bloomFileThreshold") = v
-        case None    => sys.props.remove("graft.view.bloomFileThreshold")
-      }
-    }
+    val tiers = DriverTiers(bloomFileThreshold = 0)
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("iv-bloom-").toString)
+    cat.write((1L to 3000L).map(i => (s"g${i % 1500}", i, i * 1.0))
+      .toDF("g", "id", "v"), "ns.src", WriteMode.Overwrite)
+    IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs, tiers = tiers)
+    // touch all 1500 groups in one window (append + MOR delete)
+    cat.write((3001L to 4500L).map(i => (s"g${i % 1500}", i, i * 2.0))
+      .toDF("g", "id", "v"), "ns.src", WriteMode.Append)
+    LakeDml.delete(cat.table("ns.src"), $"id" % 7 === 0,
+      strategy = DmlStrategy.MergeOnRead)
+    val snap = IncrementalView.refresh(cat, "ns.src", "ns.view", Seq("g"), aggs,
+      tiers = tiers)
+    assert(snap.meta(IncrementalView.RefreshModeKey) === "incremental")
+    assert(view(cat) === oracle(cat))
   }
 
   test("concurrent refresh: CAS loses loudly, retry converges") {
