@@ -1720,8 +1720,8 @@ object SparkEntry {
       """SELECT user_id,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sum_millis,
-        |  MIN(event_type) AS min_type,
-        |  MAX(event_type) AS max_type
+        |  MIN(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS min_millis,
+        |  MAX(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS max_millis
         |FROM events
         |WHERE event_id % 5 <> 0
         |GROUP BY user_id

@@ -356,7 +356,9 @@ object IncrementalView {
         val needRec = incC.where(col("_needrec") && col(N) > 0)
           .select(keys.map(col): _*)
         // one collect serves the In-pushdown tier AND the audit count
-        val recSample = needRec.limit(tiers.driverKeyCap + 1).collect()
+        val recSample = graft.ProfStream.prof("iv recSample collect") {
+          needRec.limit(tiers.driverKeyCap + 1).collect()
+        }
         recMeta = Map(RecomputedGroupsKey ->
           (if (recSample.length > tiers.driverKeyCap) s">${tiers.driverKeyCap}"
            else recSample.length.toString))
@@ -387,10 +389,13 @@ object IncrementalView {
     // refresh. The frame itself is changelog-sized.
     val newRowsC = graft.ProfStream.prof("iv newRows ckpt")(newRows.localCheckpoint())
     graft.ProfStream.prof("iv merge") {
+      // key-unique by construction: incKept and rec are both groupBy
+      // outputs on `keys` and the anti-join makes them key-disjoint
       LakeDml.merge(viewT, newRowsC, keys,
         deleteMatched = Some(col(s"_src_$N") === 0),
         meta = extraMeta ++ recMeta ++
-          Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"))
+          Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "incremental"),
+        sourceKeyUnique = true)
     }
   }
 
@@ -406,7 +411,9 @@ object IncrementalView {
     */
   private def boundedViewRead(viewT: LakeTable, delta: DataFrame,
                               keys: Seq[String], tiers: DriverTiers): DataFrame = {
-    val sample = delta.select(keys.map(col): _*).limit(tiers.inPushdownCap + 1).collect()
+    val sample = graft.ProfStream.prof("iv bvr collect") {
+      delta.select(keys.map(col): _*).limit(tiers.inPushdownCap + 1).collect()
+    }
     if (sample.isEmpty) return viewT.read(None).where(lit(false))
     if (sample.length > tiers.inPushdownCap)
       return bloomBoundedViewRead(viewT, delta, keys, tiers)

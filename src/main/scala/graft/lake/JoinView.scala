@@ -347,6 +347,9 @@ object JoinView {
           }
         }
       return graft.ProfStream.prof("jv merge") {
+        // NO sourceKeyUnique assertion here: factKey uniqueness is the
+        // USER's contract, and the merge's duplicate check is exactly
+        // the loud gate the class doc promises on violation
         LakeDml.merge(viewT, mergeInput, Seq(factKey),
           strategy = strategy,
           deleteMatched = Some(col(s"_src_$Live") === 0),

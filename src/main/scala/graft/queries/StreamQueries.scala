@@ -359,7 +359,12 @@ object StreamQueries {
     * incrementally (asserted via refreshMode meta), and the result
     * must equal the direct aggregate of the source's final state.
     * SUMs ride exact integer milli-values so the incremental fold is
-    * bit-equal to the oracle.
+    * bit-equal to the oracle; MIN/MAX ride the same near-continuous
+    * column, so the delete window exercises BOTH sides of the
+    * extremum-touch split in one refresh — groups whose deleted
+    * values sat strictly inside their bounds fold, groups whose
+    * bound was deleted recompute (the [[graft.lake.IncrementalView]]
+    * fast path, audited via RecomputedGroupsKey meta).
     */
   def viewMaintain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -370,21 +375,27 @@ object StreamQueries {
       $"event_id", $"user_id", $"event_type",
       round($"value" * 1000).cast("long").as("millis"))
     prof("vm fixture write") {
-      cat.write(events.filter($"event_id" % 3 =!= 0), "bronze.ev", WriteMode.Overwrite)
+      // realistic file sizing: 4 parts of ~17k rows, not 32 shards of
+      // 2k — every downstream changelog read, recompute scan, and
+      // merge walks the file list, and tiny-file overhead would
+      // dominate what the query actually measures
+      cat.write(events.filter($"event_id" % 3 =!= 0).repartition(4),
+        "bronze.ev", WriteMode.Overwrite)
     }
     val ckpt = LakeQueries.scratchDir("graft-vm-ckpt-").toString
     def pass(label: String): Unit = prof(s"vm pass $label") {
       val q = graft.streaming.ViewMaintenance.maintain(cat, "bronze.ev",
         "gold.by_user", Seq("user_id"),
         Seq("count(*) AS cnt", "sum(millis) AS sum_millis",
-          "min(event_type) AS min_type", "max(event_type) AS max_type"), ckpt)
+          "min(millis) AS min_millis", "max(millis) AS max_millis"), ckpt)
       q.awaitTermination()
     }
     pass("1-full")
     require(cat.table("gold.by_user").latest.get
       .meta(IncrementalView.RefreshModeKey) == "full", "first pass builds full")
     prof("vm append+delete") {
-      cat.write(events.filter($"event_id" % 3 === 0), "bronze.ev", WriteMode.Append)
+      cat.write(events.filter($"event_id" % 3 === 0).repartition(2),
+        "bronze.ev", WriteMode.Append)
       LakeDml.delete(cat.table("bronze.ev"), $"event_id" % 5 === 0,
         strategy = DmlStrategy.MergeOnRead)
     }
