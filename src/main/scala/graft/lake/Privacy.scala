@@ -104,10 +104,19 @@ object Privacy {
     require(targets.nonEmpty || benchgrams.latest.isDefined ||
         java.nio.file.Files.isDirectory(arrivals),
       s"no at-ingest state under $workDir — wrong work dir?")
-    // the staging slices under arrivals/ hold the subject's RAW text
-    // or vectors — more sensitive than any derived index row; erase
-    // them too or the cascade's "residual 0" is a lie
-    eraseAll(targets, keys) ++ eraseArrivals(spark, arrivals, keys).toSeq
+    // the whole cascade holds the work dir's maintenance lock: an
+    // in-flight ingest trigger could otherwise index PRE-rewrite slice
+    // bytes after this cascade's final scrub (a reader that opened the
+    // slice before the in-place rename keeps the old inode) — silent
+    // retention no rewrite ordering can close. Under the lock the
+    // cascade runs strictly between triggers; the erase-during-ingest
+    // race spec in IncrementalDedupSpec drives both interleavings.
+    WorkDirLock.withLock(workDir) {
+      // the staging slices under arrivals/ hold the subject's RAW text
+      // or vectors — more sensitive than any derived index row; erase
+      // them too or the cascade's "residual 0" is a lie
+      eraseAll(targets, keys) ++ eraseArrivals(spark, arrivals, keys).toSeq
+    }
   }
 
   /** Rewrite every arrival slice file containing a subject row, IN
@@ -136,6 +145,12 @@ object Privacy {
     * a legacy non-underscore leftover is visible to the ingest's
     * `arrivals&#47;*&#47;*` glob and would otherwise be consumed as
     * brand-new arrivals, re-delivering possibly pre-erasure rows.
+    *
+    * Single-writer is ENFORCED, not assumed: every caller runs under
+    * [[WorkDirLock]] (the ingest scaffold's slice-write phase, its
+    * per-trigger bodies, and the erasure cascade all hold it), so a
+    * sweep can never reap the temp dir of a LIVE rewrite in another
+    * thread or process.
     */
   private[graft] def sweepErasingLeftovers(arrivals: java.nio.file.Path): Unit = {
     import java.nio.file.Files

@@ -334,17 +334,21 @@ object IncrementalDedup {
     require(batchName.matches("[A-Za-z0-9._-]+"), s"unsafe batch name: $batchName")
     val srcDir = workDir.resolve("arrivals")
     val batchDir = srcDir.resolve(batchName)
-    Files.createDirectories(batchDir)
-    // a crashed erasure's leftover temp dir must never be consumed as
-    // brand-new arrivals (a legacy non-underscore `*.erasing` dir IS
-    // visible to the depth-2 glob below) — sweep before streaming
-    graft.lake.Privacy.sweepErasingLeftovers(srcDir)
-    // depth-1 underscore file: never matched by the depth-2 glob, and
-    // parquet readers skip _-prefixed names anyway
-    val idColMarker = srcDir.resolve("_id_col")
-    if (!Files.exists(idColMarker)) Files.writeString(idColMarker, idCol)
-    prof(s"ingest $batchName: slice writes start")
-    locally {
+    // the slice-write phase runs under the work dir's maintenance lock
+    // ([[graft.lake.WorkDirLock]]): an erasure cascade listing arrival
+    // slices must never see a half-written slice dir, and its sweep
+    // must never reap a dir this write is about to finish
+    graft.lake.WorkDirLock.withLock(workDir) {
+      Files.createDirectories(batchDir)
+      // a crashed erasure's leftover temp dir must never be consumed as
+      // brand-new arrivals (a legacy non-underscore `*.erasing` dir IS
+      // visible to the depth-2 glob below) — sweep before streaming
+      graft.lake.Privacy.sweepErasingLeftovers(srcDir)
+      // depth-1 underscore file: never matched by the depth-2 glob, and
+      // parquet readers skip _-prefixed names anyway
+      val idColMarker = srcDir.resolve("_id_col")
+      if (!Files.exists(idColMarker)) Files.writeString(idColMarker, idCol)
+      prof(s"ingest $batchName: slice writes start")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -360,7 +364,12 @@ object IncrementalDedup {
       .option("maxFilesPerTrigger", math.max(filesPerTrigger, 1))
       .parquet(s"$srcDir/*/*")
       .writeStream
-      .foreachBatch(body)
+      // each trigger holds the maintenance lock end to end, so a
+      // concurrent erasure serializes BETWEEN triggers: it can never
+      // scrub the index while this batch is mid-commit, and no reader
+      // ever holds a pre-rewrite slice handle across the cascade
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.lake.WorkDirLock.withLock(workDir)(body(batch, batchId)))
       .option("checkpointLocation", workDir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()

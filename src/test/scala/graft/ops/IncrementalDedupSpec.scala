@@ -229,6 +229,80 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "stale leftover rows reached the shingle index")
   }
 
+  test("erasure racing a mid-flight ingest stream serializes; subject never retained") {
+    import java.nio.file.Files
+    import graft.lake.{LakeTable, Privacy}
+    // two subjects with unique texts landing in DIFFERENT slices:
+    // pmod(12,4)=0 is (typically) consumed before the erasure fires —
+    // its index rows must be scrubbed; pmod(13,4)=1 is still
+    // listed-but-unconsumed — the in-place slice rewrite must keep it
+    // out of the index when its trigger finally reads it
+    val subjects = Seq(
+      (12L, "subject twelve writes about gardens and telescopes in private"),
+      (13L, "subject thirteen writes about rivers and chess in confidence"))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(subjects)
+
+    def assertClean(work: java.nio.file.Path, label: String): Unit = {
+      // no subject byte in the arrivals staging
+      assert(spark.read.parquet(work.resolve("arrivals").toString + "/*/*")
+        .where(col("doc_id").isin(12L, 13L)).count() === 0L,
+        s"$label: subject rows remain in arrival slices")
+      // no subject row in any index table
+      Seq("bands", "shingles", "drops").foreach { nm =>
+        val t = new LakeTable(spark, work.resolve(nm).toString)
+        if (t.latest.isDefined)
+          assert(t.read().where(col("id").isin(12L, 13L)).count() === 0L,
+            s"$label: subject rows remain in $nm")
+      }
+      // non-subject verdicts intact (the subjects near-dup nothing)
+      val got = IncrementalDedup.keptReport(spark, docs, work)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val droppedBatch = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select("b_id").collect().map(_.getLong(0)).toSet
+      (0L to 7L).foreach { id =>
+        assert(got(id) == !droppedBatch(id), s"$label: doc $id verdict drifted")
+      }
+    }
+
+    def runRace(concurrent: Boolean): Unit = {
+      val label = if (concurrent) "concurrent-thread" else "in-trigger"
+      val work = Files.createTempDirectory(s"incdedup-race-")
+      val bandsTbl = new LakeTable(spark, work.resolve("bands").toString)
+      val shTbl = new LakeTable(spark, work.resolve("shingles").toString)
+      val dropsTbl = new LakeTable(spark, work.resolve("drops").toString)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      var erasure: Option[Future[Seq[Privacy.ErasureResult]]] = None
+      IncrementalDedup.ingestLoop(spark, corpus, work, "initial",
+        slices = 4, idCol = "doc_id", filesPerTrigger = 1) { (batch, bid) =>
+        IncrementalDedup.ingestBatch(spark, batch, bid, bandsTbl, shTbl,
+          dropsTbl, textCol = "text", idCol = "doc_id", n = 3,
+          numHashes = 128, bands = 32, threshold = 0.5, indexBuckets = 8,
+          compactEvery = 0)
+        if (erasure.isEmpty) {
+          // in-trigger: the cascade runs inline on this very trigger's
+          // thread (the maintenance lock is reentrant) with the
+          // remaining slices already listed by the AvailableNow
+          // planner. concurrent: the cascade contends with the LIVE
+          // stream from another thread — the lock must make it wait
+          // out the in-flight trigger, never scrub mid-commit, never
+          // race an open slice read handle
+          erasure = Some(
+            if (concurrent) Future(Privacy.forgetDedupIndex(spark, work, Seq(12L, 13L)))
+            else Future.successful(Privacy.forgetDedupIndex(spark, work, Seq(12L, 13L))))
+        }
+      }
+      val results = Await.result(erasure.get, Duration.Inf)
+      assert(results.forall(_.residualRows == 0L),
+        s"$label: erasure reported residual bytes")
+      assertClean(work, label)
+    }
+    runRace(concurrent = false)
+    runRace(concurrent = true)
+  }
+
   test("negative ids are sliced (pmod), deduped, and reported") {
     val negDocs = Seq(
       (-7L, "negative id document about minhash banding and bucket joins"),
