@@ -164,12 +164,16 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/tmp/graft-soak"
-    // optional stage filter: "heavy" | "mv" | "forget" | "all" (default)
+    // optional stage filter: "heavy" | "mv" | "forget" | "all" (default),
+    // plus the opt-in long stages "mv100m" (third MV decade: 10M → 100M
+    // base, where file-count effects could bend the O(changes) claim)
+    // and "contam100" (contamination screen's second decade, 10× → 100×
+    // docs) — excluded from "all" to keep the per-round soak bounded
     val stage = if (args.length > 1) args(1) else "all"
     // fail loud on a typo'd stage — silently running nothing would
     // also overwrite SOAK_LAST.json with an empty array
-    require(Set("all", "heavy", "mv", "forget")(stage),
-      s"unknown soak stage '$stage'; want heavy | mv | forget | all")
+    require(Set("all", "heavy", "mv", "forget", "mv100m", "contam100")(stage),
+      s"unknown soak stage '$stage'; want heavy | mv | forget | all | mv100m | contam100")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -262,9 +266,41 @@ object Soak {
       println(line)
       Seq(line)
     }
+    // third MV decade: 10M and 100M base in ONE session (same-box
+    // comparability), fixed 5k delta — the knee test for file-count
+    // effects on the O(changes) refresh claim
+    val mv100Rows = if (stage != "mv100m") Nil else {
+      val (jvA, ruA) = soakMvRefresh(spark, n = 10000000L, deltaRows = 5000L)
+      val (jvB, ruB) = soakMvRefresh(spark, n = 100000000L, deltaRows = 5000L)
+      def row(q: String, tA: Double, tB: Double) =
+        f"""{"query":"$q","t_10m_sec":$tA%.2f,"t_100m_sec":$tB%.2f,""" +
+          f""""exponent_decade":${math.log10(tB / tA)}%.2f,"fixed_delta_rows":5000}"""
+      val lines = Seq(row("mv_joinview_refresh_3rd_decade", jvA, jvB),
+        row("mv_rollup_refresh_3rd_decade", ruA, ruB))
+      lines.foreach(println)
+      lines
+    }
+    // contamination screen's second decade: 10× → 100× documents
+    // scales both the benchmark 4-gram index and the arrival stream
+    val contamRows = if (stage != "contam100") Nil else {
+      val d10c = s"$base/x10"; val d100c = s"$base/x100"
+      genDir(spark, d10c, docs = 50000L, vecs = 2000L, events = 100000L)
+      genDocuments(spark, 500000L).write.mode("overwrite")
+        .parquet(s"$d100c/documents.parquet")
+      val (t10, e10) = time("s_incremental_contamination", d10c)
+      val (t100, e100) = time("s_incremental_contamination", d100c)
+      val line = f"""{"query":"s_incremental_contamination_2nd_decade",""" +
+        f""""t10x_sec":$t10%.2f,"t100x_sec":$t100%.2f,""" +
+        f""""exponent_decade":${math.log10(t100 / t10)}%.2f,""" +
+        s""""exchanges_10x":$e10,"exchanges_100x":$e100,""" +
+        s""""shape_stable":${e10 == e100}}"""
+      println(line)
+      Seq(line)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_LAST.json")),
-      (rows ++ mvRows ++ forgetRows).mkString("[", ",\n", "]\n"))
+      (rows ++ mvRows ++ forgetRows ++ mv100Rows ++ contamRows)
+        .mkString("[", ",\n", "]\n"))
     spark.stop()
   }
 }
