@@ -102,8 +102,15 @@ object Soak {
         (col("value") * 1000).cast("long").as("millis"))
     val dim = spark.range(n / 20 + 1).select(col("id").as("user_id"))
       .withColumn("segment", concat(lit("seg"), pmod(xxhash64(col("user_id"), lit(53)), lit(8))))
-    cat.write(fact.repartition(32), "f.events", WriteMode.Overwrite)
-    cat.write(dim.repartition(4), "d.users", WriteMode.Overwrite)
+    // key stats declared as any production fact table would: without
+    // them NO file-skip is possible and the bounded refresh read
+    // degrades to a scan-with-filter (the r12 third-decade knee —
+    // 0.80/decade — was exactly this fixture omission compounding the
+    // old 1k In-pushdown cap)
+    cat.write(fact.repartition(32), "f.events", WriteMode.Overwrite,
+      statsBy = Seq("event_id"))
+    cat.write(dim.repartition(4), "d.users", WriteMode.Overwrite,
+      statsBy = Seq("user_id"))
     def refreshJoin() = JoinView.refresh(cat, "f.events", "d.users",
       "v.enriched", factKey = "event_id", joinKey = "user_id",
       dimKey = "user_id", dimCols = Seq("segment"),
@@ -270,6 +277,7 @@ object Soak {
     // comparability), fixed 5k delta — the knee test for file-count
     // effects on the O(changes) refresh claim
     val mv100Rows = if (stage != "mv100m") Nil else {
+      sys.props("graft.stream.profile") = "1" // phase walls on stderr
       val (jvA, ruA) = soakMvRefresh(spark, n = 10000000L, deltaRows = 5000L)
       val (jvB, ruB) = soakMvRefresh(spark, n = 100000000L, deltaRows = 5000L)
       def row(q: String, tA: Double, tB: Double) =
@@ -289,8 +297,24 @@ object Soak {
         .parquet(s"$d100c/documents.parquet")
       val (t10, e10) = time("s_incremental_contamination", d10c)
       val (t100, e100) = time("s_incremental_contamination", d100c)
+      // the bucket-sizing hypothesis, measured: if per-trigger cost
+      // were index-slice-dominated, 10× the buckets would cut it.
+      // NOTE the ordering bias: this run re-reads parquet the t100
+      // run just warmed, so the page cache FAVORS it — a result where
+      // it still loses (r12: 100.6 vs 85.7 s — per-trigger cost is
+      // batch-dominated at this size) survives the bias; a win here
+      // would need a cold re-measure before being believed.
+      val docs100 = spark.read.parquet(s"$d100c/documents.parquet")
+      val tb0 = System.nanoTime()
+      force(graft.ops.IncrementalContamination.screenAtIngest(spark,
+        docs100.filter(col("doc_id") % 50 === 0),
+        docs100.filter(col("doc_id") % 50 =!= 0),
+        java.nio.file.Files.createTempDirectory("graft-soak-contamb-"),
+        indexBuckets = 160))
+      val tb = (System.nanoTime() - tb0) / 1e9
       val line = f"""{"query":"s_incremental_contamination_2nd_decade",""" +
         f""""t10x_sec":$t10%.2f,"t100x_sec":$t100%.2f,""" +
+        f""""t100x_buckets160_sec":$tb%.2f,""" +
         f""""exponent_decade":${math.log10(t100 / t10)}%.2f,""" +
         s""""exchanges_10x":$e10,"exchanges_100x":$e100,""" +
         s""""shape_stable":${e10 == e100}}"""

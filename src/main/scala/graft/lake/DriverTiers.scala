@@ -8,26 +8,27 @@ package graft.lake
   * scan?" — and the policy previously lived in four scattered
   * constants with drifting values; this object owns it.
   *
-  * The tiers, cheapest first:
+  * The tiers:
   *
-  *  1. **`In` pushdown** (≤ [[inPushdownCap]] values): the key set
-  *     ships as a flat `In` predicate the lake scan applies BOTH as
-  *     driver-side file skipping (directory projection + per-file
-  *     min/max/bloom stats) and as an exact row filter. The cap is
-  *     where the per-file × per-value driver evaluation stops paying
-  *     — beyond ~1k values the file-skip loop itself is the cost.
-  *  2. **Driver-exact key set** (≤ [[driverKeyCap]] values): the keys
-  *     still fit on the driver and ship as an `isin` row filter —
-  *     exact, no join needed — but no longer file-skip. Bounded where
-  *     the isin/In PLAN cost starts to matter: tens of thousands of
-  *     literals make analysis and plan shipping measurable (measured
-  *     at ~20k in SCALE.md round 11).
-  *  3. **Bloom + semi-join** (above [[driverKeyCap]]): only a bloom
+  *  1. **Driver-exact `In` pushdown** (≤ [[driverKeyCap]] values): the
+  *     key set ships as ONE flat `In` predicate the lake scan applies
+  *     BOTH as driver-side file skipping (directory projection +
+  *     per-file min/max stats — evaluated via a pre-sorted probe set
+  *     and a binary search per file, [[FileStats]], so the driver
+  *     cost is O(V log V) once, not O(files × V)) and as an exact
+  *     row filter. The cap is where the In expression's PLAN cost
+  *     starts to matter: tens of thousands of cast literals make
+  *     analysis and plan shipping measurable (measured at ~20k in
+  *     SCALE.md round 11; the round-12 soak's third MV decade showed
+  *     why the file-skip must extend to this whole tier — a 5k-key
+  *     refresh read that loses file skipping becomes a table scan at
+  *     a 100M-row base).
+  *  2. **Bloom + semi-join** (above [[driverKeyCap]]): only a bloom
   *     summary of the keys reaches the plan (row-level filter inside
   *     the scan stage); a null-safe semi-join restores exactness.
   *     Never unbounded driver state.
   *
-  * [[bloomFileThreshold]] gates tier 3's view-side variant: a bloom
+  * [[bloomFileThreshold]] gates tier 2's view-side variant: a bloom
   * build costs two extra driver actions, worth paying only when the
   * bounded table is big enough (manifest file count) for the saved
   * scan to matter.
@@ -36,11 +37,9 @@ package graft.lake
   * boundary on tiny data by passing shrunken caps — no shared
   * mutable `sys.props` under parallel suites.
   */
-final case class DriverTiers(inPushdownCap: Int = 1000,
-                             driverKeyCap: Int = 20000,
+final case class DriverTiers(driverKeyCap: Int = 20000,
                              bloomFileThreshold: Int = 8) {
-  require(inPushdownCap >= 0 && driverKeyCap >= inPushdownCap,
-    s"tiers must nest: inPushdownCap=$inPushdownCap <= driverKeyCap=$driverKeyCap")
+  require(driverKeyCap >= 0, s"negative driverKeyCap: $driverKeyCap")
 }
 
 object DriverTiers {

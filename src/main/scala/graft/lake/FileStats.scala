@@ -154,7 +154,13 @@ private[graft] object FileStats {
     case b: java.lang.Boolean  => Some(Left(if (b) BigDecimal(1) else BigDecimal(0)))
     case n: java.lang.Number   => Some(Left(BigDecimal(n.toString)))
     case s: String             => Some(Right(s))
-    case other                 => Some(Right(other.toString))
+    // everything else (raw binary, arrays, structs) has no stats
+    // domain we can order consistently — Array[Byte].toString is JVM
+    // identity junk that DIFFERS between write-time encoding and
+    // probe-time comparison, so a Right(toString) here would let
+    // stats prune files that really match (a declared-stats binary
+    // merge key silently dropped its updates). None = never prune.
+    case _                     => None
   }
 
   private def encode(v: Any): String = toKey(v) match {
@@ -800,6 +806,60 @@ private[graft] object FileStats {
     * predicates, or None when the stats cover no predicate column
     * (no pruning possible).
     */
+  /** Pre-decoded `In` probe: the predicate's values split into SORTED
+    * numeric and string key arrays (plus an unknown-key flag for
+    * null/NaN probes, which keep every file). The per-file question
+    * "could any probe fall inside [lo, hi]?" is then one binary search
+    * instead of an O(values) scan — what lets the driver-exact key
+    * tier ([[DriverTiers.driverKeyCap]], tens of thousands of values)
+    * keep FILE SKIPPING instead of degrading to a full-scan row
+    * filter. At a 100M-row base that skip is the difference between a
+    * bounded refresh read and a table scan (the round-12 soak's third
+    * MV decade measured exactly that knee).
+    */
+  private final class InProbe(vs: Seq[Any]) {
+    private val keys = vs.map(toKey)
+    val hasUnknown: Boolean = keys.exists(_.isEmpty)
+    val nums: Array[BigDecimal] =
+      keys.collect { case Some(Left(n)) => n }.sorted.toArray
+    val strs: Array[Array[Byte]] = keys
+      .collect { case Some(Right(s)) =>
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+      .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0).toArray
+    val nonEmpty: Boolean = hasUnknown || nums.nonEmpty || strs.nonEmpty
+    private def anyNumIn(l: BigDecimal, h: BigDecimal): Boolean = {
+      var lo = 0; var hi = nums.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (nums(m) < l) lo = m + 1 else hi = m
+      }
+      lo < nums.length && nums(lo) <= h
+    }
+    private def anyStrIn(l: Array[Byte], h: Array[Byte]): Boolean = {
+      var lo = 0; var hi = strs.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(strs(m), l) < 0) lo = m + 1
+        else hi = m
+      }
+      lo < strs.length && java.util.Arrays.compareUnsigned(strs(lo), h) <= 0
+    }
+    /** Same verdicts as `vs.exists(pointIn)` under the original
+      * semantics: unknown probes and cross-domain comparisons keep the
+      * file; only a provably-disjoint same-domain range prunes.
+      */
+    def anyIn(lo: Option[Either[BigDecimal, String]],
+              hi: Option[Either[BigDecimal, String]]): Boolean =
+      hasUnknown || ((lo, hi) match {
+        case (Some(Left(l)), Some(Left(h))) => anyNumIn(l, h) || strs.nonEmpty
+        case (Some(Right(l)), Some(Right(h))) =>
+          anyStrIn(l.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            h.getBytes(java.nio.charset.StandardCharsets.UTF_8)) || nums.nonEmpty
+        // mixed-domain or missing stats: no probe is refutable
+        case _ => nums.nonEmpty || strs.nonEmpty
+      })
+  }
+
   def surviving(statsJson: String, preds: Seq[LakePredicate],
                 schema: StructType): Option[Set[String]] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -810,6 +870,14 @@ private[graft] object FileStats {
     }
     val applicable = preds.filter(p => cols.contains(p.col))
     if (applicable.isEmpty) return None
+    // decode + sort each In predicate's probe set ONCE; the file loop
+    // below answers it per file in O(log values). Index-aligned with
+    // `applicable` (keying a Map by the predicate would re-hash its
+    // whole value Seq per file — the exact cost this removes)
+    val inProbes: Array[InProbe] = applicable.map {
+      case LakePredicate.In(_, vs) => new InProbe(vs)
+      case _                       => null
+    }.toArray
     val files = node.get("files")
     val kept = Set.newBuilder[String]
     val it = files.fields()
@@ -823,7 +891,7 @@ private[graft] object FileStats {
           if (pair.get(j).isNull) None else decode(pair.get(j).asText())
         (at(0), at(1))
       }
-      val keep = applicable.forall { p =>
+      val keep = applicable.zipWithIndex.forall { case (p, pi) =>
         val (lo, hi) = range(p.col)
         // can a point probe `v` fall inside this file's [lo, hi]?
         // (null probe / missing stats / cross-domain compare → keep;
@@ -839,7 +907,7 @@ private[graft] object FileStats {
         p match {
           case LakePredicate.EqualTo(_, v) => pointIn(v)
           // IN = disjunction of point probes: keep if ANY could match
-          case LakePredicate.In(_, vs)     => vs.exists(pointIn)
+          case LakePredicate.In(_, _)      => inProbes(pi).anyIn(lo, hi)
           case LakePredicate.GtEq(_, v) => (toKey(v), hi) match {
             case (Some(k), Some(h)) => leq(k, h).getOrElse(true)
             case _                  => true

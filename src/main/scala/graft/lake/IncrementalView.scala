@@ -254,7 +254,11 @@ object IncrementalView {
       .agg(aggCols.head, aggCols.tail: _*)
     cat.write(full, viewIdent, WriteMode.Overwrite,
       meta = extraMeta ++
-        Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "full"))
+        Map(SourceVersionKey -> cur.toString, RefreshModeKey -> "full"),
+      // engine-owned layout with a known access pattern: refreshes
+      // read the view bounded by the delta's group keys and MERGE on
+      // them — declare key stats so those reads file-skip
+      statsBy = keys)
   }
 
   private def incremental(cat: LakeCatalog, src: LakeTable, viewT: LakeTable,
@@ -412,10 +416,10 @@ object IncrementalView {
   private def boundedViewRead(viewT: LakeTable, delta: DataFrame,
                               keys: Seq[String], tiers: DriverTiers): DataFrame = {
     val sample = graft.ProfStream.prof("iv bvr collect") {
-      delta.select(keys.map(col): _*).limit(tiers.inPushdownCap + 1).collect()
+      delta.select(keys.map(col): _*).limit(tiers.driverKeyCap + 1).collect()
     }
     if (sample.isEmpty) return viewT.read(None).where(lit(false))
-    if (sample.length > tiers.inPushdownCap)
+    if (sample.length > tiers.driverKeyCap)
       return bloomBoundedViewRead(viewT, delta, keys, tiers)
     val perCol = keys.zipWithIndex.map { case (k, i) =>
       val vs = sample.map(_.get(i)).distinct.toSeq
@@ -469,11 +473,11 @@ object IncrementalView {
   /** Source rows restricted EXACTLY to the `needRec` key set (for the
     * MIN/MAX recompute), whose driver-side sample (`limit(driverKeyCap
     * + 1)`) the caller already collected. Single null-free key with a
-    * driver-small value set: `In` is the exact row filter (scan
-    * predicates filter rows, not just files) — no semi-join, and file
-    * skipping applies under [[DriverTiers.inPushdownCap]]. Otherwise
-    * per-column `In` predicates bound the scan where they can and a
-    * null-safe semi-join restores tuple exactness.
+    * driver-exact value set: `In` is the exact row filter (scan
+    * predicates filter rows, not just files) — no semi-join, with
+    * file skipping across the whole tier. Otherwise per-column `In`
+    * predicates bound the scan where they can and a null-safe
+    * semi-join restores tuple exactness.
     */
   private def boundedSourceRead(src: LakeTable, cur: Long,
                                 needRec: DataFrame,
@@ -484,13 +488,11 @@ object IncrementalView {
     val exactSingle = keys.size == 1 && sample.length <= tiers.driverKeyCap &&
       !sample.exists(_.isNullAt(0))
     if (exactSingle) {
-      val vals = sample.map(_.get(0)).distinct.toSeq
-      if (vals.length <= tiers.inPushdownCap)
-        src.scan(Seq(LakePredicate.In(keys.head, vals)), Some(cur))
-      else {
-        val r = src.read(Some(cur))
-        r.where(r(keys.head).isin(vals.map(lit): _*))
-      }
+      // driver-exact tier: the flat In file-skips AND row-filters —
+      // exact with no join (the probe-set binary search in FileStats
+      // keeps the skip cheap at the full driverKeyCap)
+      src.scan(Seq(LakePredicate.In(keys.head,
+        sample.map(_.get(0)).distinct.toSeq)), Some(cur))
     } else {
       val base =
         if (sample.length > tiers.driverKeyCap) src.read(Some(cur))
@@ -499,7 +501,7 @@ object IncrementalView {
             val vals = sample.map(_.get(i)).toSeq
             // a NULL group key can't ride an In predicate; drop the
             // bound for that column (the semi-join stays exact)
-            if (vals.contains(null) || vals.distinct.length > tiers.inPushdownCap) None
+            if (vals.contains(null)) None
             else Some(LakePredicate.In(k, vals.distinct))
           }
           src.scan(preds, Some(cur))

@@ -185,20 +185,29 @@ object JoinView {
       viewIdent, WriteMode.Overwrite,
       meta = extraMeta ++ Map(FactVersionKey -> curF.toString,
         DimVersionKey -> curD.toString,
-        IncrementalView.RefreshModeKey -> "full"))
+        IncrementalView.RefreshModeKey -> "full"),
+      // the view's physical layout is engine-owned and its access
+      // pattern is known: every later refresh MERGEs keyed by factKey,
+      // so declare key stats here — the merge's stage decision and the
+      // delete-marker view read then file-skip instead of scanning
+      statsBy = Seq(factKey))
 
   /** Exact key-bounded read of `t@version` from a DRIVER-HELD value
-    * set: `scan` applies `In` predicates as row-level filters (pushed
-    * to the parquet readers, where row-group stats skip) on top of
-    * driver-side file skipping, so no exactness join is needed. Above
-    * [[DriverTiers.inPushdownCap]] the driver file-skip is dropped
-    * (its per-file × per-value cost stops paying) but the pushed row
-    * filter keeps the read exact and distributed.
+    * set: `scan` applies the `In` predicate as a row-level filter
+    * (pushed to the parquet readers, where row-group stats skip) on
+    * top of driver-side file skipping — no exactness join needed. The
+    * whole driver-exact tier (≤ [[DriverTiers.driverKeyCap]] values by
+    * the callers' sampling) keeps file skipping: the per-file In
+    * evaluation is a binary search over a pre-sorted probe set
+    * ([[FileStats]]), and losing the skip turns a bounded refresh
+    * read into a table scan at large bases (the round-12 soak's
+    * third MV decade measured that knee directly). The isin fallback
+    * remains only as a safety net for an over-cap call.
     */
   private def inScan(t: LakeTable, version: Option[Long], keyCol: String,
                      vals: Seq[Any], tiers: DriverTiers): DataFrame =
     if (vals.isEmpty) t.read(version).where(lit(false))
-    else if (vals.length <= tiers.inPushdownCap)
+    else if (vals.length <= tiers.driverKeyCap)
       t.scan(Seq(LakePredicate.In(keyCol, vals)), version)
     else {
       val r = t.read(version)
@@ -318,8 +327,23 @@ object JoinView {
       // some key's window actually held a delete
       val factNow = inScan(fact, Some(curF), factKey,
         sample.map(_.get(0)).distinct.toSeq, tiers)
+      // bound the DIM read by the touched slice's join keys: the dim
+      // scales with the base while the affected slice is delta-sized,
+      // and a full dim read here was the refresh's O(dim) term (the
+      // r12 third-decade soak: 3.8 s against a 5M-row dim for 5k
+      // facts). Exact for the LEFT join — dim rows with other keys
+      // cannot match; null fact keys take the null arm regardless.
+      // Values ship as SQL literals (In predicate), so SQL value
+      // semantics apply even for types the driver-Set path refuses.
+      val dimNow = {
+        val jk = factNow.select(col(joinKey)).distinct()
+          .limit(tiers.driverKeyCap + 1).collect()
+        if (jk.length > tiers.driverKeyCap) dim.read(Some(curD))
+        else inScan(dim, Some(curD), dimKey,
+          jk.map(_.get(0)).filterNot(_ == null).toSeq, tiers)
+      }
       val rows = graft.ProfStream.prof("jv rows ckpt") {
-        enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
+        enriched(factNow, dimNow, joinKey, dimKey, dimCols)
           .localCheckpoint()
       }
       val delCand = sample.filter(_.getInt(1) == 1).map(_.get(0)).toSeq
@@ -371,7 +395,13 @@ object JoinView {
     // from the checkpoint — no second materialization inside)
     val factNow = boundedRead(fact, curF, touched, factKey, tiers,
       keysMaterialized = true)
-    val rows = enriched(factNow, dim.read(Some(curD)), joinKey, dimKey, dimCols)
+    // driver-large tier: a bloom of the touched slice's join keys
+    // still bounds the dim scan (false positives keep extra dim rows
+    // the LEFT join simply doesn't match — exact; nulls escape via
+    // the kernel's isNull arm and can't match the plain === anyway)
+    val dimNow = RuntimeFilter.bloomRowFilter(dim.read(Some(curD)), dimKey,
+      factNow.select(col(joinKey).as(dimKey)).localCheckpoint())
+    val rows = enriched(factNow, dimNow, joinKey, dimKey, dimCols)
       .localCheckpoint()
 
     // touched keys that vanished from the fact → delete markers, but

@@ -143,9 +143,21 @@ object LakeDml {
     }
 
     strategy match {
-      case DmlStrategy.MergeOnRead => stageFirst()
-      case DmlStrategy.CopyOnWrite =>
-        (None, if (matched.isEmpty) 0L else 1L)
+      // an EXPLICIT strategy still gets the zero-candidate proof: when
+      // manifest stats show no file can hold a matched row, staging
+      // (or probing) would evaluate the target⋈source join — an
+      // O(target) scan — only to find nothing. An insert-only MERGE
+      // against a 100M-row MergeOnRead view paid exactly that before
+      // this short-circuit (20 s staged-nothing joins in the r12
+      // third-decade soak).
+      case DmlStrategy.MergeOnRead => statsBound(table, base, statsPreds) match {
+        case Some((0, _)) => (None, 0L) // provably no match: nothing to stage
+        case _            => stageFirst()
+      }
+      case DmlStrategy.CopyOnWrite => statsBound(table, base, statsPreds) match {
+        case Some((0, _)) => (None, 0L)
+        case _            => (None, if (matched.isEmpty) 0L else 1L)
+      }
       case DmlStrategy.Auto =>
         statsBound(table, base, statsPreds) match {
           case Some((cand, _)) if cand == 0 => (None, 0L) // provably no match
@@ -400,12 +412,20 @@ object LakeDml {
             when(matched, fromSrc(c)).otherwise(insertCol(c)).as(c)): _*)
         table.commitMor("merge", staged, Some(produced), base, meta)
       case None if matchedRows == 0 =>
-        // no matched rows: the MERGE reduces to appending the
-        // source-only rows (or to a no-op when inserts are off) — no
-        // reason to rewrite a single target file
+        // no matched rows — PROVEN, by manifest stats or by measuring
+        // the matched frame: every source row is source-only, so the
+        // MERGE reduces to appending the source AS IS (or to a no-op
+        // when inserts are off). Critically, build the inserts from
+        // the source frame alone: routing them through `joined` would
+        // evaluate the full-outer join — an O(target) scan + shuffle
+        // to append N rows, the exact cost the fast path exists to
+        // avoid (an insert-only MERGE of N rows into a 100 TB table
+        // writes N rows and reads ZERO target bytes; the round-12
+        // third-decade soak measured the joined version at 61 s
+        // against a 100M-row view for a 5k append).
         if (!insertNotMatched) base
         else {
-          val inserts = joined.where(srcOnly).select(cols.map(c =>
+          val inserts = src.select(cols.map(c =>
             insertCol(c).cast(base.schema(c).dataType).as(c)): _*)
           table.write(inserts, WriteMode.Append, Nil, meta = meta,
             expectedBase = Some(base.version))

@@ -90,28 +90,32 @@ object Privacy {
                        workDir: java.nio.file.Path,
                        keys: Seq[Any]): Seq[ErasureResult] = {
     require(keys.nonEmpty, "empty erasure request")
-    val targets = IndexTableNames.flatMap { name =>
-      val t = new LakeTable(spark, workDir.resolve(name).toString)
-      if (t.latest.isDefined) Some((name, "id", t)) else None
-    }
-    val arrivals = workDir.resolve("arrivals")
-    val benchgrams = new LakeTable(spark, workDir.resolve("benchgrams").toString)
-    // fail loud on a dir that is not an at-ingest work dir at all: a
-    // typo'd path would otherwise report the cascade as trivially
-    // complete while the real index still holds the subject. A
-    // CONTAMINATION work dir whose corpus was entirely clean is
-    // legitimate though — it has benchgrams/arrivals but no flags.
-    require(targets.nonEmpty || benchgrams.latest.isDefined ||
-        java.nio.file.Files.isDirectory(arrivals),
-      s"no at-ingest state under $workDir — wrong work dir?")
-    // the whole cascade holds the work dir's maintenance lock: an
-    // in-flight ingest trigger could otherwise index PRE-rewrite slice
-    // bytes after this cascade's final scrub (a reader that opened the
-    // slice before the in-place rename keeps the old inode) — silent
-    // retention no rewrite ordering can close. Under the lock the
-    // cascade runs strictly between triggers; the erase-during-ingest
-    // race spec in IncrementalDedupSpec drives both interleavings.
+    // the whole cascade — INCLUDING target discovery — holds the work
+    // dir's maintenance lock: an in-flight ingest trigger could
+    // otherwise (a) make the FIRST commit to an index table after this
+    // list was taken, leaving a subject-bearing table silently outside
+    // the cascade, or (b) index PRE-rewrite slice bytes after the
+    // final scrub (a reader that opened the slice before the in-place
+    // rename keeps the old inode) — silent retention no rewrite
+    // ordering can close. Under the lock the cascade runs strictly
+    // between triggers and sees the post-trigger table set; the
+    // erase-during-ingest race spec in IncrementalDedupSpec drives
+    // both interleavings.
     WorkDirLock.withLock(workDir) {
+      val targets = IndexTableNames.flatMap { name =>
+        val t = new LakeTable(spark, workDir.resolve(name).toString)
+        if (t.latest.isDefined) Some((name, "id", t)) else None
+      }
+      val arrivals = workDir.resolve("arrivals")
+      val benchgrams = new LakeTable(spark, workDir.resolve("benchgrams").toString)
+      // fail loud on a dir that is not an at-ingest work dir at all: a
+      // typo'd path would otherwise report the cascade as trivially
+      // complete while the real index still holds the subject. A
+      // CONTAMINATION work dir whose corpus was entirely clean is
+      // legitimate though — it has benchgrams/arrivals but no flags.
+      require(targets.nonEmpty || benchgrams.latest.isDefined ||
+          java.nio.file.Files.isDirectory(arrivals),
+        s"no at-ingest state under $workDir — wrong work dir?")
       // the staging slices under arrivals/ hold the subject's RAW text
       // or vectors — more sensitive than any derived index row; erase
       // them too or the cascade's "residual 0" is a lie

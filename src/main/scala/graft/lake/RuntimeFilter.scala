@@ -33,9 +33,9 @@ object RuntimeFilter {
 
   /** Keys at or below this count push down as a flat `In` (file-level
     * pruning); above it, the bloom tier takes over (row-level). The
-    * value is [[DriverTiers]]' shared In-pushdown policy.
+    * value is [[DriverTiers]]' shared driver-exact policy.
     */
-  val DefaultCap: Int = DriverTiers.Default.inPushdownCap
+  val DefaultCap: Int = DriverTiers.Default.driverKeyCap
 
   /** Key types `DataFrameStatFunctions.bloomFilter` supports — the
     * shared gate for every bloom tier (here, [[JoinView]],

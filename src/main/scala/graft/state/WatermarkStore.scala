@@ -30,13 +30,6 @@ object WatermarkStore {
     t
   }
 
-  // JDK file locks are per-JVM: a second thread locking the same file
-  // throws OverlappingFileLockException instead of waiting. Serialize
-  // same-JVM callers on an interned monitor first, then take the OS
-  // lock for cross-process safety.
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[state] def monitorFor(key: String): Object =
-    monitors.computeIfAbsent(key, _ => new Object)
 }
 
 final class WatermarkStore(dir: Path) {
@@ -59,27 +52,20 @@ final class WatermarkStore(dir: Path) {
     * concurrent stale writer can't interleave between the check and
     * the write and regress the value.
     */
-  def advance(pipeline: String, stage: String, to: Timestamp): Timestamp = {
-    val lockPath = dir.resolve(s"$pipeline.$stage.lock")
-    WatermarkStore.monitorFor(lockPath.toAbsolutePath.toString).synchronized {
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try {
-        val cur = get(pipeline, stage)
-        if (to.after(cur)) {
-          val p = fileFor(pipeline, stage)
-          val tmp = Files.createTempFile(dir, ".wm", ".tmp")
-          Files.writeString(tmp, WatermarkStore.toMicros(to).toString)
-          Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          to
-        } else cur
-      } finally lock.release()
-    } finally ch.close()
+  def advance(pipeline: String, stage: String, to: Timestamp): Timestamp =
+    // shared two-layer lock (JVM monitor + OS file lock, canonical-
+    // path-keyed): graft.lake.FsLock — one copy of the subtle idiom
+    graft.lake.FsLock.withFileLock(dir.resolve(s"$pipeline.$stage.lock")) {
+      val cur = get(pipeline, stage)
+      if (to.after(cur)) {
+        val p = fileFor(pipeline, stage)
+        val tmp = Files.createTempFile(dir, ".wm", ".tmp")
+        Files.writeString(tmp, WatermarkStore.toMicros(to).toString)
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        to
+      } else cur
     }
-  }
 
   def all(): Map[String, Timestamp] = {
     val stream = Files.list(dir)

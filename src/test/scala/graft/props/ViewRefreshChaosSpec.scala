@@ -17,10 +17,10 @@ import graft.lake.IncrementalView.{Avg, GroupCount, Max, Min, Sum}
   * full recompute of the view definition — for both view kinds.
   *
   * The tier pool shrinks the caps so tiny walks cross EVERY boundary
-  * the production constants only cross at scale: the In-pushdown cap
-  * (including 0 — In tier disabled outright), the driver-exact key
-  * cap (deltas above it take the bloom + semi-join distributed path),
-  * and the bloom file-count gate forced both open and closed. Key
+  * the production constants only cross at scale: the driver-exact key
+  * cap (including 0 — the In tier disabled outright; deltas above it
+  * take the bloom + semi-join distributed path) and the bloom
+  * file-count gate forced both open and closed. Key
   * regimes cover integral, string, floating (JoinView's driver tier
   * must refuse boxed-equality float keys), binary (ditto), and
   * null-bearing group keys. Values repeat across rows so deletes land
@@ -31,12 +31,12 @@ class ViewRefreshChaosSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val tierPool = Seq(
-    // everything driver-small is still above these: distributed tiers run
-    DriverTiers(inPushdownCap = 2, driverKeyCap = 5, bloomFileThreshold = 0),
-    // In tier disabled outright; tiny driver-exact window
-    DriverTiers(inPushdownCap = 0, driverKeyCap = 3, bloomFileThreshold = 0),
-    // In == driver cap boundary; bloom gate slammed shut
-    DriverTiers(inPushdownCap = 4, driverKeyCap = 4, bloomFileThreshold = 1000000),
+    // everything driver-small is still above this: distributed tiers run
+    DriverTiers(driverKeyCap = 5, bloomFileThreshold = 0),
+    // driver-exact tier disabled outright
+    DriverTiers(driverKeyCap = 0, bloomFileThreshold = 0),
+    // tiny driver window with the bloom gate slammed shut
+    DriverTiers(driverKeyCap = 4, bloomFileThreshold = 1000000),
     // production policy
     DriverTiers())
 
