@@ -65,11 +65,20 @@ object RuntimeFilter {
     if (!BloomableTypes.contains(df.schema(keyCol).dataType)) df
     else {
       val nn = keys.na.drop(Seq(keyCol))
-      val bloom = nn.stat.bloomFilter(keyCol, math.max(nn.count(), 1L), fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      df.where(graft.functions.BloomFunctions.bloom_might_contain(
-        df(keyCol), bos.toByteArray) || df(keyCol).isNull)
+      val n = nn.count()
+      // Spark's stat.bloomFilter NPEs on an EMPTY input frame (its
+      // aggregate returns a null buffer) — and a delete-everything
+      // window legitimately produces zero non-null keys. The kernel's
+      // contract with zero keys: the bloom matches nothing, the
+      // null-escape arm remains.
+      if (n == 0) df.where(df(keyCol).isNull)
+      else {
+        val bloom = nn.stat.bloomFilter(keyCol, n, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        df.where(graft.functions.BloomFunctions.bloom_might_contain(
+          df(keyCol), bos.toByteArray) || df(keyCol).isNull)
+      }
     }
 
   /** Inner equi-join `fact(factKey) = dim(dimKey)` with the dim's
