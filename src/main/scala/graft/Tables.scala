@@ -110,3 +110,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
+
+/** Scale-adaptive parallelism floor for scan-level frames. */
+object TablesSpread {
+  /** Round-robin repartition to the session's default parallelism —
+    * but ONLY when the scan yields fewer input splits (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"). The local fixtures are single-row-group parquet
+    * files, so every per-row-heavy kernel (shingling, minhash, PQ
+    * encode, levenshtein, text scoring) otherwise runs its whole scan
+    * stage on ONE core; at production scale the source splits wide and
+    * this is a provable no-op — the condition, not a constant, carries
+    * the scale dependence.
+    *
+    * Callers must pass frames whose plan is exchange-free below this
+    * point (scans, unions of scans, narrow projections): the partition
+    * probe builds the physical RDD, which is free for scan-only plans
+    * but would MATERIALIZE upstream query stages if an exchange were
+    * present (AQE executes stages on `.rdd`).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+}

@@ -35,12 +35,32 @@ object PqAnn {
                      sampleN: Int = 1024, iters: Int = 5,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    // collect RAW vectors and normalize the sampleN winners on the
+    // driver: the sort key (xxhash64 of the id) never depends on the
+    // normalized value, so evaluating the interpreted normalize
+    // expression for EVERY corpus row before the TakeOrdered was pure
+    // waste (measured 1.07 s of e_cosine_pq_topk's 4.3 s). The driver
+    // loop replays the exact Catalyst arithmetic — double-accumulated
+    // sum of squares in element order, sqrt, per-element double divide
+    // cast back to float — so the trained codebooks are bit-identical.
     val sample = corpus
-      .select(col(idCol), normalize(col(vecCol)).as("_v"))
+      .select(col(idCol), col(vecCol).cast("array<float>").as("_v"))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleN)
       .collect()
-      .map(_.getSeq[Float](1).toArray)
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        val n = math.sqrt(acc)
+        if (n == 0.0) v
+        else {
+          val o = new Array[Float](v.length)
+          var j = 0
+          while (j < v.length) { o(j) = (v(j).toDouble / n).toFloat; j += 1 }
+          o
+        }
+      }
     require(sample.length >= ksub,
       s"PQ training needs >= ksub ($ksub) sample vectors, got ${sample.length}")
     val dim = sample.map(_.length).max

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.TablesSpread.spread
 import graft.ops.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,7 +15,9 @@ object SimQueries {
   /** Exact dedup stats per lang (fingerprint groupBy). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
+    // single-file fixture scan → spread so the per-doc fingerprint
+    // (md5 over normalized text) uses every core (guide §2.5)
+    val docs = spread(Tables(spark, dir).documents)
     docs.select($"lang", graft.ops.TextOps.fingerprint($"text").as("fp"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_distinct"))
@@ -24,7 +27,9 @@ object SimQueries {
   /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5)
+    // spread: the shingle-hash + inverted-index-join pipeline is the
+    // scan stage's per-row work; a 1-split scan serializes it all
+    Dedup.ngramJaccardPairs(spread(Tables(spark, dir).documents), threshold = 0.5)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -40,7 +45,7 @@ object SimQueries {
     */
   def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents.select($"doc_id", $"text")
+    val docs = spread(Tables(spark, dir).documents.select($"doc_id", $"text"))
     val w = graft.ops.TextOps.words($"text")
     // fixture docs have ≥10 words, so the half-prefix keeps ≥5 words
     // (≥3 shingles); the greatest(…,3) floor guards a future fixture
@@ -62,7 +67,7 @@ object SimQueries {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.minHashLshPairs(Tables(spark, dir).documents, threshold = 0.5,
+    Dedup.minHashLshPairs(spread(Tables(spark, dir).documents), threshold = 0.5,
         numHashes = 96, bands = 24)
       .orderBy($"a_id", $"b_id")
   }
@@ -76,7 +81,7 @@ object SimQueries {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.simHashPairs(Tables(spark, dir).documents, portableHash = true)
+    Dedup.simHashPairs(spread(Tables(spark, dir).documents), portableHash = true)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -87,6 +92,9 @@ object SimQueries {
   private def withPlantedDups(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val emb = Tables(spark, dir).embeddings
     val offset = 10000000L
+    // no spread: the embeddings corpus is small and cheap per row
+    // (measured +0.24 s — the repartition re-executes per action and
+    // its cost exceeds the 1-split scan it replaces)
     (emb.unionByName(emb.withColumn("vec_id", col("vec_id") + offset)), offset)
   }
 
@@ -117,9 +125,14 @@ object SimQueries {
     import spark.implicits._
     val emb = Tables(spark, dir).embeddings
     val off = 10000000L
-    val corpus = emb
+    // spread + ONE materialization: the corpus is consumed by four
+    // downstream passes (LSH buckets, two vector fetches, kept
+    // anti-join); without the checkpoint each pass re-executes the
+    // repartition shuffle and the spread costs more than it buys
+    val corpus = spread(emb
       .unionByName(emb.withColumn("vec_id", $"vec_id" + off))
-      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off))
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off)))
+      .localCheckpoint()
     val pairs = Similarity.cosineDupPairs(corpus, threshold = 0.99, dim = 64)
     // one clustering pass feeds BOTH consumers (sizes + drop set) —
     // dedupByClusters would re-run the multi-round star contraction
@@ -151,9 +164,13 @@ object SimQueries {
     import spark.implicits._
     val emb = Tables(spark, dir).embeddings
     val off = 10000000L
-    val corpus = emb
+    // spread + ONE materialization (see semanticDedup): the k-means
+    // path re-reads the corpus per refine iteration plus both
+    // self-join sides — five passes over one checkpointed frame
+    val corpus = spread(emb
       .unionByName(emb.withColumn("vec_id", $"vec_id" + off))
-      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off))
+      .unionByName(emb.withColumn("vec_id", $"vec_id" + 2 * off)))
+      .localCheckpoint()
     val pairs = Similarity.semDeDupPairs(corpus, threshold = 0.99,
       nlist = 32, refineIters = 2)
     val clusters = Dedup.nearDupClusters(pairs).localCheckpoint()
@@ -208,7 +225,13 @@ object SimQueries {
                 .otherwise(x)).as("embedding"))
         }: _*)).as("pj"))
       .select(col("pj.vec_id").as("vec_id"), col("pj.embedding").as("embedding"))
-    emb.unionByName(planted)
+    // spread + ONE materialization: the ANN consumers run several
+    // passes over this corpus (codebook sample, encode/assign, vector
+    // re-rank fetch), each per-row-heavy (pq_encode, centroid_argmax);
+    // measured 0.90 vs 1.86 s on e_cosine_pq_topk with vs without the
+    // spread, and the checkpoint stops each pass re-executing the
+    // repartition shuffle
+    spread(emb.unionByName(planted)).localCheckpoint()
   }
 
   /** ANN top-k over the planted-neighbor corpus, projected to the
@@ -235,7 +258,7 @@ object SimQueries {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5)
+    val pairs = Dedup.ngramJaccardPairs(spread(Tables(spark, dir).documents), threshold = 0.5)
     Dedup.nearDupClusters(pairs).orderBy($"doc_id")
   }
 
@@ -415,8 +438,14 @@ object SimQueries {
     // file (one scan task), which would serialize every in-block
     // distance eval; blocks hash-distribute and the other side
     // broadcasts, so parallelism = partitions, not input files
+    // pinned partition COUNT (REPARTITION_BY_NUM): a bare
+    // repartition($"blk") is AQE-coalescible and the tiny shuffle
+    // collapsed to ONE post-shuffle partition, serializing every
+    // in-block levenshtein on a single core (measured: two ~1.7 s
+    // 1-task jobs — the range-sort sampler re-runs the join, guide
+    // §7.2). defaultParallelism scales with the cluster, not the data.
     val a = c.select($"blk", $"c_custkey".as("a_id"), $"c_name".as("a_name"))
-      .repartition($"blk")
+      .repartition(spark.sparkContext.defaultParallelism, $"blk")
     val b = c.select($"blk", $"c_custkey".as("b_id"), $"c_name".as("b_name"))
     // both sides hash-distribute on blk: the probe side explicitly (the
     // fixture is one parquet file = one scan task, which would serialize
