@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{SqlCompat, Tables}
 import graft.SqlCompat._
+import graft.TablesSpread.spread
 import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -263,7 +264,7 @@ object TextQueries {
     */
   private def noveltyShingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    spread(Tables(spark, dir).documents)
       .select($"doc_id", TextOps.words($"text").as("w"))
       .where(size($"w") >= 3)
       .select($"doc_id", explode(expr(
@@ -301,7 +302,9 @@ object TextQueries {
     val phone = "\\+\\d[\\d ]+\\d"
     val withPii = concat($"text", lit(" Contact: user"), $"doc_id",
       lit("@mail.example or +1 555 0"), $"doc_id", lit("."))
-    Tables(spark, dir).documents
+    // spread: four regex passes per row, and the final orderBy's
+    // range sampler re-evaluates them — parallelism pays twice here
+    spread(Tables(spark, dir).documents)
       .select(
         $"doc_id",
         regexp_count(withPii, lit(email)).cast("long").as("n_emails"),
