@@ -1344,7 +1344,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       else inheritedClustering(base)
     val effectiveSort = declCols.filter(df.columns.contains)
     val clustered = clusterFrame(df, effectiveSort, declZ)
-    writeDataDir(clustered, dirName, effectiveSpec, effectiveBloom)
+    graft.ProfStream.prof(s"lake writeDataDir $root") {
+      writeDataDir(clustered, dirName, effectiveSpec, effectiveBloom)
+    }
     // per-file min/max for the manifest (file skipping at scan time);
     // under partition specs the keys are dir-relative paths and the
     // skipping composes with partition pruning inside the file index.
@@ -1353,10 +1355,12 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // survives append-heavy tables without waiting for a compaction.
     // sort columns join the stats set automatically — range-disjoint
     // files are only worth anything if their min/max are in the manifest
-    val statsMeta = statsMetaFor(dirName,
-      ((if (statsBy.nonEmpty) statsBy else inheritedStatsCols(base)) ++ effectiveSort)
-        .distinct,
-      df.columns)
+    val statsMeta = graft.ProfStream.prof(s"lake statsMeta $root") {
+      statsMetaFor(dirName,
+        ((if (statsBy.nonEmpty) statsBy else inheritedStatsCols(base)) ++ effectiveSort)
+          .distinct,
+        df.columns)
+    }
     val bloomMeta =
       if (effectiveBloom.isEmpty) Map.empty[String, String]
       else Map(FileStats.BloomColsKey -> FileStats.joinCols(effectiveBloom))
@@ -1366,7 +1370,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         FileStats.encodeClustering(effectiveSort, declZ))
     // dir size for byte-based streaming admission control — one listing
     // of the dir this write just produced
-    val bytesMeta = footprintMetaFor(dirName)
+    val bytesMeta = graft.ProfStream.prof(s"lake footprintMeta $root") {
+      footprintMetaFor(dirName)
+    }
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
@@ -1382,7 +1388,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     }
     val idMeta = Map(SchemaIds.LastIdKey ->
       math.max(idFloor, math.max(SchemaIds.maxId(currentSchema), SchemaIds.maxId(annotatedDf))).toString)
-    val snap = commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
+    val snap = graft.ProfStream.prof(s"lake commit $root") {
+      commit(op, Seq(dirName), carryForward = mode == WriteMode.Append,
       partitionBy = effectiveSpec, schemaJson = currentSchema.json,
       meta = meta ++ statsMeta ++ bytesMeta ++ idMeta ++ bloomMeta ++ sortMeta ++ checkMeta,
       expectedBase = expectedBase, newDirSchemas = Seq(annotatedDf.json),
@@ -1392,6 +1399,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       // concurrent change
       expectedBaseSchema = if (mode == WriteMode.Append) Some(base.map(_.schemaJson)) else None,
       branch = branch)
+    }
     // declared auto-compaction rides appends on the MAIN lineage only
     // (branch compaction belongs to the branch's own publisher)
     if (mode == WriteMode.Append && branch.isEmpty) maybeAutoCompact(snap)

@@ -942,8 +942,12 @@ object LakeQueries {
     val orders = t.orders.select($"o_orderkey", $"o_custkey",
       round($"o_totalprice" * 100).cast("long").as("cents"))
     val cust = t.customer.select($"c_custkey", $"c_mktsegment")
-    cat.write(orders.filter($"o_orderkey" % 3 =!= 0), "bronze.orders", WriteMode.Overwrite)
-    cat.write(cust, "dim.customer", WriteMode.Overwrite)
+    // independent tables commit on concurrent action threads (guide
+    // §2.6): the scheduler back-fills the fact write's task tail with
+    // the dim write's tasks
+    StreamQueries.inParallel(
+      cat.write(orders.filter($"o_orderkey" % 3 =!= 0), "bronze.orders", WriteMode.Overwrite),
+      cat.write(cust, "dim.customer", WriteMode.Overwrite))
     def refreshJoin() = JoinView.refresh(cat, "bronze.orders", "dim.customer",
       "silver.enriched", factKey = "o_orderkey", joinKey = "o_custkey",
       dimKey = "c_custkey", dimCols = Seq("c_mktsegment"),
@@ -955,10 +959,11 @@ object LakeQueries {
     require(first.meta(IncrementalView.RefreshModeKey) == "full",
       "first rollup refresh builds full")
     // trickle: fact append + a dim segment re-assignment (upsert)
-    cat.write(orders.filter($"o_orderkey" % 3 === 0), "bronze.orders", WriteMode.Append)
-    cat.table("dim.customer").upsert(
-      cust.filter($"c_custkey" % 10 === 0)
-        .withColumn("c_mktsegment", lit("MACHINERY")), Seq("c_custkey"))
+    StreamQueries.inParallel(
+      cat.write(orders.filter($"o_orderkey" % 3 === 0), "bronze.orders", WriteMode.Append),
+      cat.table("dim.customer").upsert(
+        cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_mktsegment", lit("MACHINERY")), Seq("c_custkey")))
     refreshJoin() // folds BOTH changelogs into the enriched view
     val second = IncrementalView.refresh(cat, "silver.enriched", "gold.seg_rollup",
       Seq("c_mktsegment"), aggs)
@@ -1367,23 +1372,30 @@ object LakeQueries {
     import graft.lake.JoinView
     val cat = freshCatalog(spark)
     val t = Tables(spark, dir)
-    cat.write(t.orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .repartition(4), "silver.fact", WriteMode.Overwrite)
-    cat.write(t.customer.select($"c_custkey", $"c_mktsegment"),
-      "silver.dim", WriteMode.Overwrite)
+    // independent tables → concurrent commits (guide §2.6)
+    StreamQueries.inParallel(
+      cat.write(t.orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(4), "silver.fact", WriteMode.Overwrite),
+      cat.write(t.customer.select($"c_custkey", $"c_mktsegment"),
+        "silver.dim", WriteMode.Overwrite))
     def refresh() = JoinView.refreshSql(cat, "silver.fact", "silver.dim",
       "gold.enriched", factKey = "o_orderkey", joinKey = "o_custkey",
       dimKey = "c_custkey", dimCols = Seq("c_mktsegment"))
     refresh() // full build
 
-    cat.table("silver.fact").write(t.orders.where($"o_orderkey" % 100 === 0 && $"o_orderkey" =!= 0)
-      .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
-        ($"o_totalprice" + 1000.0).as("o_totalprice")), WriteMode.Append)
-    cat.table("silver.dim").upsert(t.customer.where($"c_nationkey" < 5)
-      .select($"c_custkey", lit("SEGX").as("c_mktsegment")), Seq("c_custkey"))
-    LakeDml.delete(cat.table("silver.fact"),
-      $"o_orderkey" % 97 === 0 && $"o_orderkey" > 0,
-      strategy = DmlStrategy.MergeOnRead)
+    // the two fact commits stay ordered; the dim upsert is independent
+    // of both and overlaps them (guide §2.6)
+    StreamQueries.inParallel(
+      {
+        cat.table("silver.fact").write(t.orders.where($"o_orderkey" % 100 === 0 && $"o_orderkey" =!= 0)
+          .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+            ($"o_totalprice" + 1000.0).as("o_totalprice")), WriteMode.Append)
+        LakeDml.delete(cat.table("silver.fact"),
+          $"o_orderkey" % 97 === 0 && $"o_orderkey" > 0,
+          strategy = DmlStrategy.MergeOnRead)
+      },
+      cat.table("silver.dim").upsert(t.customer.where($"c_nationkey" < 5)
+        .select($"c_custkey", lit("SEGX").as("c_mktsegment")), Seq("c_custkey")))
     val snap = refresh()
     require(snap.meta.get(graft.lake.IncrementalView.RefreshModeKey)
         .contains("incremental"),

@@ -18,7 +18,7 @@ object StreamQueries {
     * must not leave the other committing unsupervised past the
     * caller's exception.
     */
-  private def inParallel(a: => Unit, b: => Unit): Unit = {
+  private[queries] def inParallel(a: => Unit, b: => Unit): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
