@@ -353,8 +353,10 @@ object SimQueries {
         Multimodal.MediaRecord(id, "image/png", png)
       }
     }.toDF()
+    // see audioDecode: one PNG encode+decode pass, not two
     Multimodal.extractFeatures(spark, media).toDF()
       .select($"doc_id", $"width", $"height", $"brightness".as("mean_luma"))
+      .localCheckpoint()
       .orderBy($"doc_id")
   }
 
@@ -380,8 +382,12 @@ object SimQueries {
         Multimodal.MediaRecord(id, "audio/wav", wav)
       }
     }.toDF()
+    // materialize the (tiny) decoded features before the sort: the
+    // range-partitioning sampler otherwise re-executes the whole
+    // encode+decode pipeline a second time (guide §7.2)
     Multimodal.extractAudioFeatures(spark, media).toDF()
       .select($"doc_id", $"sample_rate", $"n_frames", $"rms", $"mean_abs")
+      .localCheckpoint()
       .orderBy($"doc_id")
   }
 
@@ -418,6 +424,8 @@ object SimQueries {
         (fr.doc_id, fr.frame_idx, w, h, mean)
       }
     }.toDF("doc_id", "frame_idx", "width", "height", "mean_luma")
+      // see audioDecode: one GIF encode+frame-decode pass, not two
+      .localCheckpoint()
       .orderBy($"doc_id", $"frame_idx")
   }
 
