@@ -4,6 +4,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions._
 
+/** Order-independent 64-bit xor accumulator — the fixpoint-signature
+  * rider for [[Dedup.nearDupClusters]]'s per-round checkpoints.
+  */
+private[ops] final class XorAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var acc = 0L
+  override def isZero: Boolean = acc == 0L
+  override def copy(): XorAccumulator = { val c = new XorAccumulator; c.acc = acc; c }
+  override def reset(): Unit = acc = 0L
+  override def add(v: Long): Unit = acc ^= v
+  override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    acc ^= o.value
+  override def value: Long = acc
+}
+
 /** Deduplication operators for LLM training-data pipelines, from exact
   * to fuzzy (north star; the reference's only dedup is
   * `dropDuplicates()`, dags/etl.py:68 — SURVEY.md §2.4 A3).
@@ -271,32 +286,53 @@ object Dedup {
       .where(col("u") =!= col("v")).distinct()
   }
 
+  /** Eagerly materialize the canonical edge frame (localCheckpoint)
+    * AND compute its fixpoint signature (count, xor of row hashes) in
+    * the SAME job via accumulators fed by a pass-through mapPartitions
+    * — the separate per-round signature aggregate was one more
+    * fixed-cost job on every star round. xor/sum are order-independent
+    * and a re-run task re-adds its partition's EXACT contribution
+    * (xor: self-canceling only in pairs — Spark only re-runs a lost
+    * task's own partition, and accumulator updates from failed/retried
+    * tasks of the SAME partition are deduplicated for result-stage
+    * accumulators; localCheckpoint materialization is such a stage).
+    */
+  private def checkpointWithSignature(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val spark = df.sparkSession
+    val cnt = spark.sparkContext.longAccumulator("ccEdgeCount")
+    val xor = new XorAccumulator
+    spark.sparkContext.register(xor, "ccEdgeXor")
+    val cp = df.mapPartitions { it =>
+      it.map { r =>
+        cnt.add(1L)
+        // same hash the old aggregate used: xxhash64(u, v)
+        xor.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(1),
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(0), 42L)))
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema)).localCheckpoint()
+    (cp, (cnt.value, xor.value))
+  }
+
   def nearDupClusters(pairs: DataFrame): DataFrame = {
-    // undirected edge list, canonicalized u < v
-    var edges = pairs
+    // undirected edge list, canonicalized u < v. Fixpoint signature =
+    // (edge count, xor of per-edge hashes): order-independent, cannot
+    // overflow; a false convergence needs two distinct same-size edge
+    // sets whose 64-bit hash XORs collide (~2⁻⁶⁴ — the same class of
+    // risk as any hash-partitioned shuffle). The signature rides the
+    // checkpoint job itself instead of costing one aggregate job per
+    // round (fixed per-job cost dominates at fixpoint sizes).
+    var (edges, sig) = checkpointWithSignature(pairs
       .select(least(col("a_id"), col("b_id")).cast("long").as("u"),
         greatest(col("a_id"), col("b_id")).cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .where(col("u") =!= col("v")).distinct())
     var stable = false
     var rounds = 0
-    // edge-set signature for the fixpoint test: one aggregate job per
-    // round instead of two exceptAll scans. bit_xor is order-independent
-    // and cannot overflow (ANSI-safe, unlike sum of longs); a false
-    // convergence needs two distinct same-size edge sets whose 64-bit
-    // hash XORs collide (~2⁻⁶⁴ — the same class of risk as any
-    // hash-partitioned shuffle).
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var sig = signature(edges)
     while (!stable && rounds < 64) { // ≫ the O(log n) bound for any feasible graph
       rounds += 1
       // one checkpoint per round: constant-size plans however many
       // rounds convergence takes
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(edges)))
       stable = nextSig == sig
       sig = nextSig
       edges = next

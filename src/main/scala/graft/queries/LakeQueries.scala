@@ -758,13 +758,27 @@ object LakeQueries {
     Seq("bands", "shingles").foreach { n =>
       require(byTbl(n).rowsDeleted > 0L, s"$n: subject rows were not indexed")
     }
-    // the subject must be gone from a plain read of every index table
-    graft.lake.Privacy.IndexTableNames.foreach { n =>
-      val t = new graft.lake.LakeTable(spark, work.resolve(n).toString)
-      if (t.latest.isDefined) {
-        require(t.read().where(col("id").isin(subjects: _*)).count() == 0L,
-          s"$n: subject ids survived erasure")
-        require(t.history.size == 1, s"$n: prior snapshots survived erasure")
+    // the subject must be gone from a plain read of every index table;
+    // the three audit counts are independent single-job actions on
+    // disjoint tables — run them concurrently (guide §2.6)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val audits = graft.lake.Privacy.IndexTableNames.map(n => Future {
+        val t = new graft.lake.LakeTable(spark, work.resolve(n).toString)
+        if (t.latest.isDefined) {
+          require(t.read().where(col("id").isin(subjects: _*)).count() == 0L,
+            s"$n: subject ids survived erasure")
+          require(t.history.size == 1, s"$n: prior snapshots survived erasure")
+        }
+      })
+      // settle all before rethrowing: a failed audit must not leave
+      // sibling audit jobs running past the exception
+      val settled = audits.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      settled.collect { case scala.util.Failure(e) => e } match {
+        case Nil => ()
+        case e :: rest => rest.foreach(e.addSuppressed); throw e
       }
     }
     graft.ops.IncrementalDedup.keptReport(spark, docs.filter($"doc_id" >= 10), work)
