@@ -1285,6 +1285,49 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     }
   }
 
+  /** Combined write-time metadata for one freshly-written dir — the
+    * stats blob, byte footprint, and per-file row counts from ONE
+    * recursive listing and ONE footer pass ([[FileStats.footerMeta]]).
+    * Every commit previously paid three listings and two footer passes
+    * over the same just-written files ([[statsMetaFor]] +
+    * [[footprintMetaFor]]); on an object store those are per-commit
+    * metadata round trips, locally they were ~half the non-Spark wall
+    * of a small write. Semantics are unchanged: scanning fallback for
+    * footer-unboundable columns, no row count when a footer is
+    * unreadable, bytes over every non-underscore file.
+    */
+  private def writeMetaFor(dirName: String, cols: Seq[String],
+                           written: Seq[String]): Map[String, String] = {
+    val present = cols.filter(written.contains)
+    val dir = loc(dirName)
+    var bytes = 0L
+    val pq = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    if (io.isDir(dir)) {
+      val it = io.fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) bytes += f.getLen
+        if (f.getPath.getName.endsWith(".parquet")) pq += f
+      }
+    }
+    val files = pq.result()
+    val (blob, fileRows) = FileStats.footerMeta(io, dir, present, files)
+    val statsMeta = blob match {
+      case Some(b) => Map(
+        FileStats.dirKey(dirName) -> b,
+        FileStats.StatsColsKey -> FileStats.joinCols(present))
+      case None if present.isEmpty || files.isEmpty => Map.empty[String, String]
+      case None => Map(
+        FileStats.dirKey(dirName) -> FileStats.collect(spark, dir, present),
+        FileStats.StatsColsKey -> FileStats.joinCols(present))
+    }
+    val rowsMeta = fileRows.map { fr =>
+      Map(FileStats.rowsKey(dirName) -> fr.map(_._2).sum.toString,
+        FileStats.fileRowsKey(dirName) -> FileStats.encodeFileRows(fr))
+    }.getOrElse(Map.empty[String, String])
+    Map(FileStats.bytesKey(dirName) -> bytes.toString) ++ rowsMeta ++ statsMeta
+  }
+
   /** Write a new snapshot. Overwrite replaces the file set (the
     * reference's only mode, dags/etl.py:53); Append carries prior dirs
     * forward untouched. `partitionBy` takes identity columns or
@@ -1355,8 +1398,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // survives append-heavy tables without waiting for a compaction.
     // sort columns join the stats set automatically — range-disjoint
     // files are only worth anything if their min/max are in the manifest
-    val statsMeta = graft.ProfStream.prof(s"lake statsMeta $root") {
-      statsMetaFor(dirName,
+    val statsMeta = graft.ProfStream.prof(s"lake writeMeta $root") {
+      writeMetaFor(dirName,
         ((if (statsBy.nonEmpty) statsBy else inheritedStatsCols(base)) ++ effectiveSort)
           .distinct,
         df.columns)
@@ -1368,11 +1411,8 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       if (effectiveSort.isEmpty) Map.empty[String, String]
       else Map(FileStats.SortOrderKey ->
         FileStats.encodeClustering(effectiveSort, declZ))
-    // dir size for byte-based streaming admission control — one listing
-    // of the dir this write just produced
-    val bytesMeta = graft.ProfStream.prof(s"lake footprintMeta $root") {
-      footprintMetaFor(dirName)
-    }
+    // bytes/rows ride the combined writeMetaFor pass above
+    val bytesMeta = Map.empty[String, String]
     val op = mode match { case WriteMode.Overwrite => "overwrite"; case WriteMode.Append => "append" }
     // field-id bookkeeping: the dir records the frame's write-time
     // schema; the snapshot schema is the append-merged union (appends
@@ -1639,7 +1679,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // control) and min/max blobs on the inherited stats set — imported
     // files skip like owned ones from the first scan. Layout columns
     // have no footer stats (they are not in the files)
-    val statsMeta = statsMetaFor(srcStr,
+    val statsMeta = writeMetaFor(srcStr,
       inheritedStatsCols(base).filter(fileSchema.fieldNames.contains),
       fileSchema.fieldNames)
     val hiveMeta: Map[String, String] =
@@ -1648,7 +1688,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     commit("add-files", Seq(srcStr), carryForward = true,
       partitionBy = base.map(_.partitionBy).getOrElse(Nil),
       schemaJson = currentSchema.json,
-      meta = statsMeta ++ footprintMetaFor(srcStr) ++ idMeta ++ hiveMeta,
+      meta = statsMeta ++ idMeta ++ hiveMeta,
       newDirSchemas = Seq(annotated.json),
       // the imported dir is an unpartitioned spec generation: on a
       // partitioned table it reads through the null-escape like any
@@ -1700,9 +1740,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     io.move(staged, loc(delDir))
     val dirName = s"data/${UUID.randomUUID().toString}"
     writeDataDir(coerced, dirName, base.partitionBy, inheritedBloomCols(Some(base)))
-    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+    val statsMeta = writeMetaFor(dirName, inheritedStatsCols(Some(base)),
       schema.fieldNames.toSeq)
-    val bytesMeta = footprintMetaFor(dirName)
+    val bytesMeta = Map.empty[String, String]
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     val snap = commit("upsert", Seq(dirName), carryForward = true, base.partitionBy,
@@ -1753,13 +1793,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // invalidate min/max — removing rows only shrinks true ranges, so
     // manifest ranges stay a safe over-approximation)
     val statsMeta = newDirs.headOption.map(d =>
-      statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
+      writeMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
       .getOrElse(Map.empty[String, String])
     // the field-id high-water mark survives (commit meta is per-snapshot)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit(op, newDirs, carryForward = true, base.partitionBy, base.schemaJson,
-      meta = meta ++ statsMeta ++ newDirs.flatMap(footprintMetaFor) ++ idMeta,
+      meta = meta ++ statsMeta ++ idMeta,
       expectedBase = Some(base.version),
       newDirSchemas = newDirs.map(_ => base.schemaJson),
       newDeleteDirs = Seq(delDir))
@@ -1988,7 +2028,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     // A plain compact (no sort) inherits the table's stats-column set:
     // its random clustering gives loose ranges, but the set survives
     // so subsequent appends keep auto-collecting.
-    val statsMeta = statsMetaFor(dirName,
+    val statsMeta = writeMetaFor(dirName,
       if (statsCols.nonEmpty) statsCols else inheritedStatsCols(Some(snap)),
       snap.schema.fieldNames.toSeq)
     // the field-id high-water mark survives compaction (commit meta is
@@ -1996,7 +2036,7 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
     val idMeta = snap.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", Seq(dirName), carryForward = false, snap.partitionBy, snap.schemaJson,
-      meta = statsMeta ++ footprintMetaFor(dirName) ++ idMeta ++ propMeta,
+      meta = statsMeta ++ idMeta ++ propMeta,
       expectedBase = Some(snap.version))
   }
 
@@ -2048,9 +2088,9 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         k.startsWith(LakeChecks.KeyPrefix) ||
         k.startsWith(LakeTable.CarryMetaPrefix)
     }
-    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+    val statsMeta = writeMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
-    val bytesMeta = footprintMetaFor(dirName)
+    val bytesMeta = Map.empty[String, String]
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", keepIdx.map(base.dirs) :+ dirName, carryForward = false,
@@ -2122,13 +2162,13 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
         k.startsWith(LakeChecks.KeyPrefix) ||
         k.startsWith(LakeTable.CarryMetaPrefix)
     }
-    val statsMeta = statsMetaFor(dirName, inheritedStatsCols(Some(base)),
+    val statsMeta = writeMetaFor(dirName, inheritedStatsCols(Some(base)),
       base.schema.fieldNames.toSeq)
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     commit("compact", keepIdx.map(base.dirs) :+ dirName, carryForward = false,
       base.partitionBy, base.schemaJson,
-      meta = keptMeta ++ statsMeta ++ footprintMetaFor(dirName) ++ idMeta,
+      meta = keptMeta ++ statsMeta ++ idMeta,
       expectedBase = Some(base.version),
       newDirSchemas = keepIdx.map(base.dirSchemaJson) :+ base.schemaJson,
       newDirSpecs = keepIdx.map(i => Snapshot.joinSpec(base.dirSpec(i))) :+
@@ -2514,9 +2554,11 @@ final class LakeTable(val spark: SparkSession, rootSpec: String) {
       s"table partition spec changed since staging '$id' " +
         s"(${stagedSpec.mkString(",")} -> ${base.partitionBy.mkString(",")}); discard and re-stage")
     val statsMeta = dirs.headOption.map(d =>
-      statsMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
+      writeMetaFor(d, inheritedStatsCols(Some(base)), base.schema.fieldNames.toSeq))
       .getOrElse(Map.empty[String, String])
-    val bytesMeta = dirs.flatMap(footprintMetaFor).toMap
+    // head dir's bytes/rows ride writeMetaFor; remaining staged dirs
+    // still pay their own footprint pass
+    val bytesMeta = dirs.drop(1).flatMap(footprintMetaFor).toMap
     val idMeta = base.meta.get(SchemaIds.LastIdKey)
       .map(v => Map(SchemaIds.LastIdKey -> v)).getOrElse(Map.empty[String, String])
     val (op, carry) = mode match {
